@@ -1,0 +1,174 @@
+"""Chunk keys and chunk-grid math (pure, no Spark).
+
+Parity target: ``xarray_beam/_src/core.py:59-416`` (Key, offsets↔slices,
+chunk expansion, key iteration). Fresh implementation — the semantics are
+documented in SURVEY.md §1.1-1.2; no reference code is copied.
+
+A *chunk grid* is a dict ``{dim: int}`` of per-dimension chunk sizes over a
+dict of total sizes ``{dim: int}``; the last chunk along a dim may be
+smaller. A :class:`Key` locates a chunk by its integer element offsets from
+the origin, optionally restricted to a subset of variables.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+from dataclasses import dataclass, field
+from typing import Iterator, Mapping
+
+
+@dataclass(frozen=True)
+class Key:
+    """Location of a chunk: per-dim element offsets + optional var subset.
+
+    Mirrors ``xarray_beam.Key`` (reference ``core.py:59-237``): immutable,
+    hashable, deterministic ordering of state. ``vars=None`` means "all
+    variables".
+    """
+
+    offsets: tuple[tuple[str, int], ...] = ()
+    vars: frozenset[str] | None = None
+
+    @staticmethod
+    def make(offsets: Mapping[str, int] | None = None, vars: frozenset[str] | set[str] | None = None) -> "Key":
+        off = tuple(sorted((offsets or {}).items()))
+        v = frozenset(vars) if vars is not None else None
+        return Key(off, v)
+
+    @property
+    def offsets_dict(self) -> dict[str, int]:
+        return dict(self.offsets)
+
+    def with_offsets(self, **updates: int | None) -> "Key":
+        """Return a new Key with some offsets replaced (None deletes)."""
+        off = self.offsets_dict
+        for dim, val in updates.items():
+            if val is None:
+                off.pop(dim, None)
+            else:
+                off[dim] = val
+        return Key.make(off, self.vars)
+
+    def replace_vars(self, vars: frozenset[str] | set[str] | None) -> "Key":
+        return Key.make(self.offsets_dict, vars)
+
+    def __repr__(self) -> str:
+        ov = ", ".join(f"{d}={o}" for d, o in self.offsets)
+        vv = "None" if self.vars is None else "{" + ", ".join(sorted(self.vars)) + "}"
+        return f"Key({ov}; vars={vv})"
+
+
+def normalize_chunks(chunks: Mapping[str, int], sizes: Mapping[str, int]) -> dict[str, int]:
+    """Resolve ``-1``/oversized chunk specs to concrete per-dim chunk sizes.
+
+    Dims absent from ``chunks`` are unchunked (single chunk spanning the
+    whole dim). Reference: ``dataset.py:83-199`` (the int/-1 subset; byte
+    strings and ``...`` are handled in :mod:`xarray_beam_spark.plans`).
+    """
+    out: dict[str, int] = {}
+    for dim, size in sizes.items():
+        c = chunks.get(dim, -1)
+        if c == -1 or c >= size:
+            out[dim] = size
+        elif c <= 0:
+            raise ValueError(f"invalid chunk size {c} for dim {dim!r}")
+        else:
+            out[dim] = c
+    return out
+
+
+def expand_chunks(chunk: int, size: int) -> tuple[int, ...]:
+    """Per-chunk sizes along one dim; last may be smaller.
+
+    ``expand_chunks(3, 10) == (3, 3, 3, 1)``. Reference semantics:
+    ``core.py:386-416`` (normalize_expanded_chunks).
+    """
+    if chunk <= 0:
+        raise ValueError(f"chunk must be positive, got {chunk}")
+    full, rem = divmod(size, chunk)
+    return (chunk,) * full + ((rem,) if rem else ())
+
+
+def chunk_offsets_along(chunk: int, size: int) -> tuple[int, ...]:
+    """Starting element offset of each chunk along one dim."""
+    return tuple(range(0, size, chunk))
+
+
+def chunk_count(chunks: Mapping[str, int], sizes: Mapping[str, int]) -> int:
+    n = 1
+    for dim, size in sizes.items():
+        n *= math.ceil(size / chunks.get(dim, size))
+    return n
+
+
+def iter_chunk_keys(
+    sizes: Mapping[str, int],
+    chunks: Mapping[str, int],
+    vars: frozenset[str] | None = None,
+) -> Iterator[Key]:
+    """All chunk Keys of a grid, in deterministic dim-sorted row-major order.
+
+    Reference: ``core.py:341-351``. Driver-side this is only used for small
+    grids; distributed enumeration goes through ``key_for_index``.
+    """
+    dims = sorted(sizes)
+    per_dim = [chunk_offsets_along(chunks.get(d, sizes[d]), sizes[d]) for d in dims]
+    for combo in itertools.product(*per_dim):
+        yield Key.make(dict(zip(dims, combo)), vars)
+
+
+def key_for_index(
+    i: int, sizes: Mapping[str, int], chunks: Mapping[str, int]
+) -> dict[str, int]:
+    """Offsets of the i-th chunk (row-major over sorted dims).
+
+    This is the distributed key-enumeration primitive: executors map a
+    ``spark.range(chunk_count)`` index to a Key without any driver-side
+    materialization (replaces the reference's 200k-task sharding machinery,
+    ``core.py:544-670``).
+    """
+    dims = sorted(sizes)
+    counts = [math.ceil(sizes[d] / chunks.get(d, sizes[d])) for d in dims]
+    offsets: dict[str, int] = {}
+    for dim, cnt in zip(reversed(dims), reversed(counts)):
+        i, idx = divmod(i, cnt)
+        offsets[dim] = idx * chunks.get(dim, sizes[dim])
+    if i:
+        raise IndexError("chunk index out of range")
+    return offsets
+
+
+def offsets_to_slices(
+    offsets: Mapping[str, int],
+    chunks: Mapping[str, int],
+    sizes: Mapping[str, int],
+) -> dict[str, slice]:
+    """Element slices of the chunk at ``offsets`` in the global grid.
+
+    Reference: ``core.py:289-329``.
+    """
+    out: dict[str, slice] = {}
+    for dim, size in sizes.items():
+        start = offsets.get(dim, 0)
+        step = chunks.get(dim, size)
+        out[dim] = slice(start, min(start + step, size))
+    return out
+
+
+def chunk_bounds_overlap(
+    start: int, stop: int, target_chunk: int
+) -> Iterator[tuple[int, int, int]]:
+    """Split the element range [start, stop) on a global grid of
+    ``target_chunk``-sized cells.
+
+    Yields ``(grid_offset, lo, hi)``: the target chunk's global offset and
+    the sub-range [lo, hi) of the input range that falls into it.
+    Handles ranges not aligned to the grid (reference ``rechunk.py:374-397``).
+    """
+    first = (start // target_chunk) * target_chunk
+    for grid_off in range(first, stop, target_chunk):
+        lo = max(start, grid_off)
+        hi = min(stop, grid_off + target_chunk)
+        if lo < hi:
+            yield grid_off, lo, hi

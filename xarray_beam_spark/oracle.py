@@ -1,0 +1,85 @@
+"""Local mirror of the driver's DuckDB-oracle comparison.
+
+Runs a registered Spark query and its oracle SQL side-by-side and compares
+row count, column names, and order-insensitive values — so we catch gate
+failures before the driver does.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from xarray_beam_spark.tables import TABLE_NAMES
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con.execute(sql).df()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype == object:
+            df[c] = df[c].apply(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(spark_df, oracle_df: pd.DataFrame, float_exact: bool = True) -> list[str]:
+    """Return a list of mismatch descriptions (empty == pass)."""
+    got = _canon(spark_df.toPandas())
+    want = _canon(oracle_df)
+    problems: list[str] = []
+    if list(got.columns) != list(want.columns):
+        problems.append(f"columns: spark={list(got.columns)} oracle={list(want.columns)}")
+        return problems
+    if len(got) != len(want):
+        problems.append(f"rowcount: spark={len(got)} oracle={len(want)}")
+        return problems
+    for c in got.columns:
+        a, b = got[c], want[c]
+        if pd.api.types.is_float_dtype(a) and pd.api.types.is_float_dtype(b):
+            aa, bb = a.to_numpy(), b.to_numpy()
+            both_nan = pd.isna(aa) & pd.isna(bb)
+            if float_exact:
+                ok = (aa == bb) | both_nan
+            else:
+                ok = [
+                    (x == y) or (pd.isna(x) and pd.isna(y)) or math.isclose(x, y, rel_tol=1e-12)
+                    for x, y in zip(aa, bb)
+                ]
+            if not all(ok):
+                bad = [i for i, v in enumerate(ok) if not v][:3]
+                problems.append(
+                    f"col {c}: first diffs at rows {bad}: "
+                    f"spark={[aa[i] for i in bad]} oracle={[bb[i] for i in bad]}"
+                )
+        else:
+            if not a.equals(b):
+                neq = a[a != b]
+                problems.append(f"col {c}: {len(neq)} diffs, e.g. {a[a != b].head(3).to_dict()} vs oracle")
+    return problems
+
+
+def check_query(spark: SparkSession, name: str, sf_dir: str) -> list[str]:
+    from xarray_beam_spark import registry
+
+    fn = registry.queries()[name]
+    sql = registry.oracle_sql().get(name)
+    df = fn(spark, sf_dir)
+    if sql is None:
+        n = df.count()
+        return [] if n >= 0 else [f"{name}: query failed"]
+    return compare(df, run_oracle(sql, sf_dir))

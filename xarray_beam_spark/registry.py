@@ -1,0 +1,42 @@
+"""Central query registry: merges every module's query/oracle tables.
+
+``__spark_entry__.py`` (the driver contract) is a thin shim over this.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _collect() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
+    merged: dict[str, tuple[Callable, str | None]] = {}
+    import xarray_beam_spark.tabular as tabular
+
+    modules = [tabular]
+    for modname in (
+        "xarray_beam_spark.grid_queries",
+        "xarray_beam_spark.functions.text",
+        "xarray_beam_spark.operators.dedup",
+        "xarray_beam_spark.operators.simsearch",
+    ):
+        try:
+            mod = __import__(modname, fromlist=["REGISTRY"])
+            modules.append(mod)
+        except ImportError:
+            continue
+    for mod in modules:
+        for name, entry in mod.REGISTRY.items():
+            if name in merged:
+                raise ValueError(f"duplicate query name {name!r}")
+            merged[name] = entry
+    return merged
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in _collect().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _collect().items() if sql is not None}

@@ -1,0 +1,36 @@
+"""SparkSession factory tuned for chunked-array workloads.
+
+Local testing runs ``local[N]``; the configuration is chosen so the same
+logical plans scale to a multi-executor cluster: AQE on (runtime partition
+coalescing + skew-join splitting), Arrow enabled for the pandas UDF surface,
+and shuffle partition counts sized for the test scale factor while AQE
+re-plans for larger inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "xarray-beam-spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or min(os.cpu_count() or 4, 32)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        # Chunk payloads are 10-100MB binary cells; keep Arrow batches small
+        # in chunk-row stages (the engine also repartitions by bytes).
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

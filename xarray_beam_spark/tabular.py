@@ -1,0 +1,385 @@
+"""Tabular (long-format) analytic queries over the star schema.
+
+This is the engine's "long-format bridge" surface (SURVEY.md §2.2/§7.7):
+the reference (google/xarray-beam) has no relational operators, so joins /
+windows / sorts / set-ops come directly from Spark SQL. Each query here is
+registered with an equivalent DuckDB oracle SQL for the correctness gate.
+
+Determinism convention: floating-point SUM/AVG is order-dependent, and the
+oracle comparison hashes values. Every float aggregate therefore accumulates
+as DECIMAL(18,4) (exact, order-independent) and is cast back to DOUBLE at
+the end — a single correctly-rounded conversion that is bit-identical in
+Spark and DuckDB. Helper: :func:`dsum`.
+
+Scale notes (100 TB design): all dim tables are broadcast (see
+``tables.BROADCAST_TABLES``); fact-fact joins shuffle on their join key and
+rely on AQE for skew; aggregates are partial (map-side) by construction
+since we use built-in ``sum``/``count`` — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xarray_beam_spark.tables import load
+
+# name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# The synthetic data's numeric columns are exact low-scale decimals
+# (money: 2dp, rates: 2dp, quantity: 1dp, events.value: 6dp). Casting the
+# *source column* to a decimal of matching scale is exact (no rounding, so
+# no HALF_UP-vs-half-even tie divergence between Spark and DuckDB); all
+# arithmetic then stays in exact decimal and the final cast to double is a
+# single correctly-rounded conversion, identical in both engines.
+# NEVER cast a *computed double* to decimal — fp ties round differently.
+
+_SCALES = {
+    "l_extendedprice": "decimal(18,2)",
+    "l_discount": "decimal(4,2)",
+    "l_tax": "decimal(4,2)",
+    "l_quantity": "decimal(18,1)",
+    "o_totalprice": "decimal(18,2)",
+    "c_acctbal": "decimal(18,2)",
+    "s_acctbal": "decimal(18,2)",
+    "p_retailprice": "decimal(18,2)",
+    "value": "decimal(18,6)",
+}
+
+
+def dec(col: str) -> Column:
+    """Column quantized to its exact decimal type."""
+    return F.col(col).cast(_SCALES[col])
+
+
+def sql_dec(col: str) -> str:
+    return f"CAST({col} AS {_SCALES[col].upper()})"
+
+
+def dsum(col: Column | str) -> Column:
+    """Order-independent sum: exact decimal accumulation → double."""
+    c = dec(col) if isinstance(col, str) else col
+    return F.sum(c).cast("double")
+
+
+def sql_dsum(expr: str) -> str:
+    """SQL mirror of dsum; ``expr`` must already be exact-decimal-typed."""
+    if expr in _SCALES:
+        expr = sql_dec(expr)
+    return f"CAST(SUM({expr}) AS DOUBLE)"
+
+
+# Exact-decimal row expressions shared across queries.
+_ONE = "CAST(1 AS DECIMAL(3,2))"
+SQL_DISC_PRICE = f"{sql_dec('l_extendedprice')} * ({_ONE} - {sql_dec('l_discount')})"
+SQL_CHARGE = f"{SQL_DISC_PRICE} * ({_ONE} + {sql_dec('l_tax')})"
+
+
+def disc_price() -> Column:
+    one = F.lit(1).cast("decimal(3,2)")
+    return dec("l_extendedprice") * (one - dec("l_discount"))
+
+
+def charge() -> Column:
+    one = F.lit(1).cast("decimal(3,2)")
+    return disc_price() * (one + dec("l_tax"))
+
+
+SQL_REV = f"{sql_dec('l_extendedprice')} * {sql_dec('l_discount')}"
+
+
+def rev_expr() -> Column:
+    return dec("l_extendedprice") * dec("l_discount")
+
+
+# ---------------------------------------------------------------------------
+# Q1 — pricing summary (flagship). TPC-H Q1 shape on the synthetic lineitem.
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base_price,
+       {sql_dsum(SQL_DISC_PRICE)} AS sum_disc_price,
+       {sql_dsum(SQL_CHARGE)} AS sum_charge,
+       {sql_dsum('l_quantity')} / COUNT(*) AS avg_qty,
+       {sql_dsum('l_extendedprice')} / COUNT(*) AS avg_price,
+       {sql_dsum('l_discount')} / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", _Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price()).alias("sum_disc_price"),
+            dsum(charge()).alias("sum_charge"),
+            (dsum("l_quantity") / n).alias("avg_qty"),
+            (dsum("l_extendedprice") / n).alias("avg_price"),
+            (dsum("l_discount") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 — shipping priority: 3-way join, top-10 by revenue (total order).
+# ---------------------------------------------------------------------------
+
+_Q3_ORACLE = f"""
+SELECT l_orderkey,
+       {sql_dsum(SQL_DISC_PRICE)} AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", _Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(disc_price()).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 — local supplier volume: 6-way join through region.
+# ---------------------------------------------------------------------------
+
+_Q5_ORACLE = f"""
+SELECT n_name, {sql_dsum(SQL_DISC_PRICE)} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+@register("q5_local_supplier_volume", _Q5_ORACLE)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(disc_price()).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — revenue-change: pure scan + filter + global agg (pushdown showcase).
+# ---------------------------------------------------------------------------
+
+_Q6_ORACLE = f"""
+SELECT {sql_dsum(SQL_REV)} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_revenue_change", _Q6_ORACLE)
+def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(rev_expr()).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned items by customer: join + group + top-20 (total order).
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = f"""
+SELECT c_custkey, c_name,
+       {sql_dsum(SQL_DISC_PRICE)} AS revenue,
+       n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", _Q10_ORACLE)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(disc_price()).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Part revenue top-k: broadcast-join + top-k pattern.
+# ---------------------------------------------------------------------------
+
+_TOPK_PARTS_ORACLE = f"""
+SELECT p_partkey, p_name, p_brand,
+       {sql_dsum(SQL_DISC_PRICE)} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_partkey, p_name, p_brand
+ORDER BY revenue DESC, p_partkey
+LIMIT 15
+"""
+
+
+@register("topk_parts_by_revenue", _TOPK_PARTS_ORACLE)
+def topk_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "p_name", "p_brand")
+        .agg(
+            dsum(disc_price()).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions over the events stream table: per-user running totals.
+# ---------------------------------------------------------------------------
+
+_EVENTS_WINDOW_ORACLE = """
+SELECT event_id, user_id, event_type,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+       CAST(SUM(CAST(value AS DECIMAL(18,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_value
+FROM events
+"""
+
+
+@register("events_running_totals", _EVENTS_WINDOW_ORACLE)
+def events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("seq"),
+        F.sum(dec("value")).over(wsum).cast("double").alias("running_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionized daily rollup on events: time-bucketed aggregation.
+# ---------------------------------------------------------------------------
+
+_EVENTS_DAILY_ORACLE = f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("events_daily_rollup", _EVENTS_DAILY_ORACLE)
+def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("total_value"),
+        )
+    )
