@@ -25,6 +25,9 @@ from xarray_beam_spark.tabular import q1_pricing_summary  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (pricing summary) on /root/testdata/sf0.001."""
+    from xarray_beam_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 

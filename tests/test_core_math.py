@@ -1,0 +1,119 @@
+"""Pure-math kernel tests (chunk grids, keys, split bounds, rechunk plans).
+
+Mirrors the reference's test strategy (``core_test.py``,
+``rechunker_algorithm_test.py``): exact unit cases + Hypothesis properties.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from xarray_beam_spark import core
+from xarray_beam_spark.plans import rechunk_plan
+
+
+def test_key_basics():
+    k = core.Key.make({"x": 0, "y": 10}, {"foo"})
+    assert k.offsets_dict == {"x": 0, "y": 10}
+    assert k.vars == frozenset({"foo"})
+    k2 = k.with_offsets(x=5, y=None)
+    assert k2.offsets_dict == {"x": 5}
+    assert hash(core.Key.make({"x": 0})) == hash(core.Key.make({"x": 0}))
+
+
+def test_expand_chunks():
+    assert core.expand_chunks(3, 10) == (3, 3, 3, 1)
+    assert core.expand_chunks(5, 10) == (5, 5)
+    assert core.expand_chunks(10, 10) == (10,)
+    assert core.expand_chunks(20, 10) == (10,)  # oversized -> single
+    with pytest.raises(ValueError):
+        core.expand_chunks(0, 10)
+
+
+def test_normalize_chunks():
+    assert core.normalize_chunks({"x": 3}, {"x": 10, "y": 4}) == {"x": 3, "y": 4}
+    assert core.normalize_chunks({"x": -1}, {"x": 10}) == {"x": 10}
+    assert core.normalize_chunks({"x": 99}, {"x": 10}) == {"x": 10}
+
+
+def test_iter_chunk_keys():
+    keys = list(core.iter_chunk_keys({"x": 6, "y": 4}, {"x": 3, "y": 4}))
+    assert [k.offsets_dict for k in keys] == [{"x": 0, "y": 0}, {"x": 3, "y": 0}]
+
+
+def test_key_for_index_roundtrip():
+    sizes = {"t": 7, "x": 10, "y": 5}
+    chunks = {"t": 2, "x": 3, "y": 5}
+    n = core.chunk_count(chunks, sizes)
+    got = [core.key_for_index(i, sizes, chunks) for i in range(n)]
+    want = [k.offsets_dict for k in core.iter_chunk_keys(sizes, chunks)]
+    assert sorted(got, key=sorted) == sorted(want, key=sorted)
+    assert len(got) == len({tuple(sorted(g.items())) for g in got})
+    with pytest.raises(IndexError):
+        core.key_for_index(n, sizes, chunks)
+
+
+def test_offsets_to_slices():
+    sl = core.offsets_to_slices({"x": 3}, {"x": 3}, {"x": 10, "y": 4})
+    assert sl == {"x": slice(3, 6), "y": slice(0, 4)}
+
+
+def test_chunk_bounds_overlap_unaligned():
+    # range [2, 9) on a grid of 4 -> cells 0,4,8
+    got = list(core.chunk_bounds_overlap(2, 9, 4))
+    assert got == [(0, 2, 4), (4, 4, 8), (8, 8, 9)]
+
+
+@given(
+    size=st.integers(1, 200),
+    chunk=st.integers(1, 50),
+)
+def test_expand_chunks_property(size, chunk):
+    parts = core.expand_chunks(chunk, size)
+    assert sum(parts) == size
+    assert all(p == min(chunk, size) for p in parts[:-1])
+    assert parts[-1] <= min(chunk, size)
+
+
+@given(
+    start=st.integers(0, 100),
+    length=st.integers(1, 100),
+    target=st.integers(1, 30),
+)
+def test_chunk_bounds_cover_property(start, length, target):
+    stop = start + length
+    pieces = list(core.chunk_bounds_overlap(start, stop, target))
+    # pieces tile [start, stop) exactly
+    assert pieces[0][1] == start and pieces[-1][2] == stop
+    for (_, _, hi), (_, lo2, _) in zip(pieces, pieces[1:]):
+        assert hi == lo2
+    for goff, lo, hi in pieces:
+        assert goff <= lo < hi <= goff + target
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ndim=st.integers(1, 3),
+    data=st.data(),
+)
+def test_rechunk_plan_properties(ndim, data):
+    dims = [f"d{i}" for i in range(ndim)]
+    sizes = {d: data.draw(st.integers(1, 500), label=f"size_{d}") for d in dims}
+    src = {d: data.draw(st.integers(1, sizes[d]), label=f"src_{d}") for d in dims}
+    tgt = {d: data.draw(st.integers(1, sizes[d]), label=f"tgt_{d}") for d in dims}
+    itemsize = data.draw(st.sampled_from([1, 4, 8]))
+    max_mem = data.draw(st.sampled_from([10_000, 1_000_000, 2**30]))
+    stages = rechunk_plan.plan_stages(sizes, src, tgt, itemsize, max_mem)
+    # endpoints preserved (after clipping to sizes)
+    assert stages[0] == {d: min(src[d], sizes[d]) for d in dims}
+    assert stages[-1] == {d: min(tgt[d], sizes[d]) for d in dims}
+    floor = rechunk_plan.stage_gather_bytes(stages[-1], stages[-1], itemsize)
+    for a, b in zip(stages, stages[1:]):
+        assert a != b
+        assert rechunk_plan.stage_gather_bytes(a, b, itemsize) <= max(max_mem, floor)
+    assert len(stages) <= rechunk_plan.MAX_STAGES + 1

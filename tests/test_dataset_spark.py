@@ -1,0 +1,169 @@
+"""Distributed Dataset vs single-machine NumPy oracle.
+
+Same oracle strategy as the reference (``dataset_test.py``,
+``integration_test.py``): the distributed result must equal the
+single-machine computation on the identical fixture.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from xarray_beam_spark.dataset import Dataset, Template
+from xarray_beam_spark.ndarray_ds import NDDataset
+
+
+def dummy_era5(n_time=24, n_lat=7, n_lon=9, n_vars=2, seed=0):
+    """Mock of the reference's dummy_era5_surface_dataset
+    (``test_util.py:76-99``), scaled down for fast tests."""
+    rng = np.random.default_rng(seed)
+    names = ["asn", "d2m", "e", "mn2t"][:n_vars]
+    data_vars = {
+        n: (("time", "latitude", "longitude"),
+            rng.normal(size=(n_time, n_lat, n_lon)).astype(np.float32))
+        for n in names
+    }
+    coords = {
+        "time": np.arange(n_time, dtype=np.int64),
+        "latitude": np.linspace(90, -90, n_lat),
+        "longitude": np.linspace(0, 360, n_lon, endpoint=False),
+    }
+    return NDDataset(data_vars, coords, {"global_attr": "yes"})
+
+
+@pytest.fixture(scope="module")
+def era5():
+    return dummy_era5()
+
+
+def test_from_numpy_collect_roundtrip(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 10})
+    assert d.chunk_count == 3
+    assert d.collect().identical(era5)
+
+
+def test_from_numpy_split_vars(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 10}, split_vars=True)
+    assert d.chunk_count == 6
+    got = d.consolidate_variables().collect()
+    assert got.identical(era5)
+
+
+def test_getitem_projection(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 10})
+    got = d["asn"].collect()
+    assert got.identical(era5[["asn"]])
+
+
+def test_head(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 10})
+    got = d.head(time=5).collect()
+    assert got.identical(era5.isel({"time": slice(0, 5)}))
+
+
+def test_transpose(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 10})
+    got = d.transpose("longitude", "latitude", "time").collect()
+    assert got.identical(era5.transpose("longitude", "latitude", "time"))
+
+
+def test_map_blocks_elementwise(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 10})
+    got = d.map_blocks(lambda ds: ds.map(lambda a: a * 2 + 1)).collect()
+    assert got.allclose(era5.map(lambda a: a * 2 + 1))
+
+
+def test_rechunk_identity_roundtrip(spark, era5):
+    # pancake -> pencil rechunk, the reference's canonical integration test
+    # (integration_test.py:68-120): result must be identical to the source.
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 1})
+    r = d.rechunk({"time": -1, "latitude": 3, "longitude": 4})
+    assert r.chunks == {"time": 24, "latitude": 3, "longitude": 4}
+    assert r.collect().identical(era5)
+
+
+def test_rechunk_multistage_forced(spark, era5):
+    # force multistage by a tiny max_mem (like max_mem=10MB in the reference)
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 1})
+    r = d.rechunk({"time": -1, "latitude": 1, "longitude": 2}, max_mem=20_000)
+    assert r.collect().identical(era5)
+
+
+def test_rechunk_uneven_tails(spark):
+    src = dummy_era5(n_time=13, n_lat=5, n_lon=7)
+    d = Dataset.from_numpy(spark, src, chunks={"time": 4, "latitude": 2})
+    r = d.rechunk({"time": 5, "longitude": 3})
+    assert r.collect().identical(src)
+
+
+def test_mean_over_dim(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 10})
+    got = d.mean("time").collect()
+    want = era5.mean("time", dtype=np.float64) if False else _np_mean(era5, "time")
+    assert got.allclose(want, rtol=1e-6)
+
+
+def _np_mean(ds: NDDataset, dim: str) -> NDDataset:
+    out = {}
+    for name, var in ds.data_vars.items():
+        ax = var.dims.index(dim)
+        out[name] = (
+            tuple(d for d in var.dims if d != dim),
+            np.nanmean(var.values.astype(np.float64), axis=ax),
+        )
+    coords = {k: v for k, v in ds.coords.items() if dim not in v.dims}
+    return NDDataset(out, coords, ds.attrs)
+
+
+def test_mean_with_nans_skipna(spark):
+    src = dummy_era5(n_time=12)
+    arr = src.data_vars["asn"].values.copy()
+    arr[::3] = np.nan
+    src2 = NDDataset(
+        {**{k: v for k, v in src.data_vars.items()}, "asn": (("time", "latitude", "longitude"), arr)},
+        src.coords,
+        src.attrs,
+    )
+    d = Dataset.from_numpy(spark, src2, chunks={"time": 5})
+    got = d.mean("time").collect()
+    want = _np_mean(src2, "time")
+    assert got.allclose(want, rtol=1e-6)
+
+
+def test_sum_min_max_std(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 7})
+    foo = era5.data_vars["asn"].values.astype(np.float64)
+    got_sum = d.sum("time").collect().data_vars["asn"].values
+    np.testing.assert_allclose(got_sum, foo.sum(axis=0), rtol=1e-10)
+    got_min = d.min("time").collect().data_vars["asn"].values
+    np.testing.assert_array_equal(got_min, era5.data_vars["asn"].values.min(axis=0))
+    got_std = d.std("time", ddof=1).collect().data_vars["asn"].values
+    np.testing.assert_allclose(got_std, foo.std(axis=0, ddof=1), rtol=1e-6)
+
+
+def test_mean_multiple_dims(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 7, "latitude": 3})
+    got = d.mean(["time", "latitude"]).collect().data_vars["asn"].values
+    want = np.nanmean(era5.data_vars["asn"].values.astype(np.float64), axis=(0, 1))
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_table_bridge_roundtrip(spark):
+    src = dummy_era5(n_time=6, n_lat=3, n_lon=4, n_vars=1)
+    d = Dataset.from_numpy(spark, src, chunks={"time": 2})
+    table = d.to_table(dropna=False)
+    assert table.count() == 6 * 3 * 4
+    back = Dataset.from_table(
+        table,
+        dims=["time", "latitude", "longitude"],
+        coords={k: v.values for k, v in src.coords.items()},
+        var_cols=["asn"],
+        chunks={"time": 3},
+    )
+    got = back.collect()
+    np.testing.assert_allclose(
+        got.data_vars["asn"].values,
+        src.data_vars["asn"].values.astype(np.float64),
+        rtol=1e-7,
+    )

@@ -1,0 +1,895 @@
+"""Distributed chunked-array Dataset on Spark DataFrames.
+
+The Spark-native re-expression of ``xarray_beam.Dataset``
+(reference ``xarray_beam/_src/dataset.py:450-1141``): a virtual N-d
+labeled dataset carried as a DataFrame with one row per chunk:
+
+  off_<dim> BIGINT ...   -- element offset of the chunk per dimension
+  vars      STRING       -- sorted ','-joined variable subset (NULL = all)
+  payload   BINARY       -- codec-encoded NDDataset block
+
+Design (SURVEY.md §1.5): key columns are real Spark columns so Catalyst
+prunes/groups/shuffles them natively; array payloads are opaque binary
+moved by Arrow into pandas UDFs. Driver holds the ``Template`` (schema:
+dim sizes, var dtypes, coordinates) and the chunk grid; all per-chunk
+compute is vectorized NumPy inside ``mapInPandas``/``applyInPandas``.
+
+Scale notes:
+- chunk enumeration is ``spark.range(chunk_count)`` — no driver-side key
+  materialization at any chunk count (reference needed explicit sharding
+  above 200k keys, ``core.py:544-670``);
+- rechunk = the reference's split→GroupByKey→consolidate, expressed as a
+  narrow ``mapInPandas`` + ``groupBy(off cols).applyInPandas``; multistage
+  plans from :mod:`xarray_beam_spark.plans.rechunk_plan` bound every
+  shuffle group ≤ max_mem;
+- reductions pre-aggregate inside each chunk (narrow) before the shuffle,
+  exactly like the reference's combiner lifting (``combiners.py:108-147``),
+  because ``applyInPandas`` has no partial aggregation.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterable, Iterator, Mapping, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xarray_beam_spark import core
+from xarray_beam_spark.codec import decode_chunk, encode_chunk
+from xarray_beam_spark.ndarray_ds import NDDataset, Variable
+from xarray_beam_spark.plans import rechunk_plan
+
+OFF_PREFIX = "off_"
+
+
+# ---------------------------------------------------------------------------
+# Template: the driver-side schema of the virtual dataset
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Template:
+    """Schema of the virtual dataset (reference: lazy-template,
+    ``zarr.py:106-146``). Coordinates are small and materialized."""
+
+    sizes: dict[str, int]
+    var_meta: dict[str, tuple[tuple[str, ...], str]]  # name -> (dims, dtype str)
+    coords: dict[str, Variable] = field(default_factory=dict)
+    attrs: dict[str, Any] = field(default_factory=dict)
+
+    @staticmethod
+    def from_ndds(ds: NDDataset) -> "Template":
+        return Template(
+            sizes=dict(ds.sizes),
+            var_meta={k: (v.dims, v.values.dtype.str) for k, v in ds.data_vars.items()},
+            coords=dict(ds.coords),
+            attrs=dict(ds.attrs),
+        )
+
+    @property
+    def var_names(self) -> list[str]:
+        return sorted(self.var_meta)
+
+    def itemsize(self, split_vars: bool = False) -> int:
+        sizes = [np.dtype(dt).itemsize for _, dt in self.var_meta.values()]
+        if not sizes:
+            return 0
+        return max(sizes) if split_vars else sum(sizes)
+
+    def coords_for_chunk(self, offsets: Mapping[str, int], chunk_sizes: Mapping[str, int]) -> dict[str, Variable]:
+        """Slice the template coords down to one chunk's window."""
+        out: dict[str, Variable] = {}
+        for name, var in self.coords.items():
+            sl = tuple(
+                slice(offsets.get(d, 0), offsets.get(d, 0) + chunk_sizes.get(d, self.sizes[d]))
+                for d in var.dims
+            )
+            out[name] = Variable(var.dims, var.values[sl])
+        return out
+
+    def select_vars(self, names: Iterable[str]) -> "Template":
+        names = set(names)
+        vm = {k: v for k, v in self.var_meta.items() if k in names}
+        used = {d for dims, _ in vm.values() for d in dims}
+        return Template(
+            sizes={d: s for d, s in self.sizes.items() if d in used},
+            var_meta=vm,
+            coords={k: v for k, v in self.coords.items() if set(v.dims) <= used},
+            attrs=self.attrs,
+        )
+
+
+def off_col(dim: str) -> str:
+    return OFF_PREFIX + dim
+
+
+def chunk_row_schema(dims: Sequence[str]) -> T.StructType:
+    fields = [T.StructField(off_col(d), T.LongType(), False) for d in sorted(dims)]
+    fields.append(T.StructField("vars", T.StringType(), True))
+    fields.append(T.StructField("payload", T.BinaryType(), False))
+    return T.StructType(fields)
+
+
+def _vars_token(vars: Iterable[str] | None) -> str | None:
+    return None if vars is None else ",".join(sorted(vars))
+
+
+# ---------------------------------------------------------------------------
+# Dataset
+# ---------------------------------------------------------------------------
+
+
+class Dataset:
+    """A distributed chunked NDDataset (reference ``dataset.py:450-540``)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        template: Template,
+        chunks: Mapping[str, int],
+        split_vars: bool = False,
+    ):
+        self.spark = spark
+        self.df = df
+        self.template = template
+        self.chunks = core.normalize_chunks(chunks, template.sizes)
+        self.split_vars = split_vars
+
+    # -- properties --------------------------------------------------------
+
+    @property
+    def sizes(self) -> dict[str, int]:
+        return dict(self.template.sizes)
+
+    @property
+    def dims(self) -> list[str]:
+        return sorted(self.template.sizes)
+
+    @property
+    def chunk_count(self) -> int:
+        n = core.chunk_count(self.chunks, self.template.sizes)
+        if self.split_vars:
+            n *= max(1, len(self.template.var_meta))
+        return n
+
+    @property
+    def bytes_per_chunk(self) -> int:
+        n = self.template.itemsize(self.split_vars)
+        for d, c in self.chunks.items():
+            n *= c
+        return n
+
+    def __repr__(self) -> str:
+        dims = ", ".join(f"{d}={s}/{self.chunks[d]}" for d, s in sorted(self.sizes.items()))
+        return (
+            f"<xbs.Dataset ({dims}) vars={self.template.var_names} "
+            f"chunks={self.chunk_count} split_vars={self.split_vars}>"
+        )
+
+    # -- constructors ------------------------------------------------------
+
+    @staticmethod
+    def from_numpy(
+        spark: SparkSession,
+        source: NDDataset,
+        chunks: Mapping[str, int] | None = None,
+        split_vars: bool = False,
+    ) -> "Dataset":
+        """Distribute an in-memory NDDataset (reference ``DatasetToChunks``,
+        ``core.py:544-670``): broadcast once, slice per chunk on executors
+        via distributed key enumeration over ``spark.range``."""
+        template = Template.from_ndds(source)
+        sizes = dict(source.sizes)
+        cchunks = core.normalize_chunks(chunks or {}, sizes)
+        n_chunks = core.chunk_count(cchunks, sizes)
+        bc = spark.sparkContext.broadcast(source)
+        var_groups: list[str | None] = (
+            sorted(source.data_vars) if split_vars else [None]
+        )
+        schema = chunk_row_schema(sizes)
+        dims_sorted = sorted(sizes)
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ds = bc.value
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    grid_i, var_i = divmod(i, len(var_groups))
+                    offsets = core.key_for_index(grid_i, sizes, cchunks)
+                    slices = {
+                        d: slice(o, min(o + cchunks[d], sizes[d]))
+                        for d, o in offsets.items()
+                    }
+                    chunk = ds.isel(slices)
+                    vg = var_groups[var_i]
+                    if vg is not None:
+                        chunk = chunk[[vg]]
+                    row = {off_col(d): offsets[d] for d in dims_sorted}
+                    row["vars"] = vg
+                    row["payload"] = encode_chunk(chunk)
+                    rows.append(row)
+                if rows:
+                    yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+        total = n_chunks * len(var_groups)
+        rng = spark.range(0, total, 1, min(total, _default_parallelism(spark)))
+        df = rng.mapInPandas(gen, schema)
+        return Dataset(spark, df, template, cchunks, split_vars)
+
+    @staticmethod
+    def from_table(
+        table: DataFrame,
+        dims: Sequence[str],
+        coords: Mapping[str, np.ndarray],
+        var_cols: Sequence[str] | None = None,
+        chunks: Mapping[str, int] | None = None,
+        fill_value: float = math.nan,
+    ) -> "Dataset":
+        """Long/tabular → chunked dense grid (the tabular bridge,
+        SURVEY.md §7.7). ``coords`` gives the sorted coordinate values per
+        dim (defines grid order and size); table rows are placed at their
+        coordinate's index, absent cells become ``fill_value``.
+
+        Scalable path: per-dim index mapping joined via broadcast, then a
+        single shuffle on chunk offsets; each chunk assembled in one
+        ``applyInPandas`` group.
+        """
+        spark = table.sparkSession
+        dims = list(dims)
+        var_cols = list(var_cols or [c for c in table.columns if c not in dims])
+        sizes = {d: len(coords[d]) for d in dims}
+        cchunks = core.normalize_chunks(chunks or {}, sizes)
+        coord_vars = {d: Variable((d,), np.asarray(coords[d])) for d in dims}
+        tmpl = Template(
+            sizes=sizes,
+            var_meta={v: ((*dims,), np.dtype("float64").str) for v in var_cols},
+            coords=coord_vars,
+        )
+
+        # dim value -> index via broadcast-joined mapping frames.
+        out = table
+        for d in dims:
+            vals = np.asarray(coords[d])
+            mapping = spark.createDataFrame(
+                pd.DataFrame({d: vals, f"__idx_{d}": np.arange(len(vals), dtype=np.int64)})
+            )
+            out = out.join(F.broadcast(mapping), on=d, how="inner")
+        for d in dims:
+            out = out.withColumn(
+                off_col(d), (F.col(f"__idx_{d}") - F.col(f"__idx_{d}") % F.lit(cchunks[d]))
+            )
+
+        dims_sorted = sorted(dims)
+        schema = chunk_row_schema(dims)
+        bc_coords = spark.sparkContext.broadcast({d: np.asarray(coords[d]) for d in dims})
+
+        def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            offsets = dict(zip([d for d in dims_sorted], [int(k) for k in key]))
+            cvals = bc_coords.value
+            shape = tuple(
+                min(cchunks[d], sizes[d] - offsets[d]) for d in dims
+            )
+            arrs = {v: np.full(shape, fill_value, dtype=np.float64) for v in var_cols}
+            idx = tuple(
+                (pdf[f"__idx_{d}"].to_numpy() - offsets[d]) for d in dims
+            )
+            for v in var_cols:
+                arrs[v][idx] = pdf[v].to_numpy(dtype=np.float64)
+            chunk_coords = {
+                d: Variable((d,), cvals[d][offsets[d] : offsets[d] + shape[i]])
+                for i, d in enumerate(dims)
+            }
+            ds = NDDataset({v: ((*dims,), arrs[v]) for v in var_cols}, chunk_coords)
+            row = {off_col(d): offsets[d] for d in dims_sorted}
+            row["vars"] = None
+            row["payload"] = encode_chunk(ds)
+            return pd.DataFrame([row], columns=[f.name for f in schema.fields])
+
+        grouped = out.groupBy(*[off_col(d) for d in dims_sorted]).applyInPandas(
+            assemble, schema
+        )
+        return Dataset(spark, grouped, tmpl, cchunks, False)
+
+    # -- conversion --------------------------------------------------------
+
+    def to_table(self, dropna: bool = True) -> DataFrame:
+        """Chunked grid → long format: one row per grid cell with dim
+        coordinate columns + one column per variable. Narrow (mapInPandas)."""
+        if self.split_vars:
+            return self.consolidate_variables().to_table(dropna=dropna)
+        tmpl = self.template
+        dims = self.dims
+        var_names = tmpl.var_names
+        fields: list[T.StructField] = []
+        for d in dims:
+            cv = tmpl.coords.get(d)
+            if cv is None:
+                fields.append(T.StructField(d, T.LongType(), False))
+            else:
+                fields.append(
+                    T.StructField(d, _np_to_spark_type(cv.values.dtype), False)
+                )
+        for v in var_names:
+            fields.append(
+                T.StructField(v, _np_to_spark_type(np.dtype(tmpl.var_meta[v][1])), True)
+            )
+        schema = T.StructType(fields)
+
+        def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for payload in pdf["payload"]:
+                    ds = decode_chunk(payload)
+                    out: dict[str, np.ndarray] = {}
+                    sizes = ds.sizes
+                    dshape = [sizes[d] for d in dims]
+                    grids = np.meshgrid(
+                        *[
+                            ds.coords[d].values if d in ds.coords else np.arange(sizes[d])
+                            for d in dims
+                        ],
+                        indexing="ij",
+                    )
+                    for d, g in zip(dims, grids):
+                        out[d] = g.ravel()
+                    mask = None
+                    for v in var_names:
+                        var = ds.data_vars[v]
+                        arr = var.values
+                        if var.dims != tuple(dims):
+                            arr = var.transpose(tuple(dims)).values  # type: ignore[arg-type]
+                        arr = np.broadcast_to(arr, dshape).ravel()
+                        out[v] = arr
+                        if dropna and arr.dtype.kind == "f":
+                            m = ~np.isnan(arr)
+                            mask = m if mask is None else (mask | m)
+                    res = pd.DataFrame(out)
+                    if dropna and mask is not None:
+                        res = res[mask]
+                    if len(res):
+                        yield res
+
+        return self.df.mapInPandas(explode, schema)
+
+    def collect(self) -> NDDataset:
+        """Assemble the full dataset on the driver (reference
+        ``collect_with_direct_runner``, ``dataset.py:868-878``)."""
+        rows = self.df.collect()
+        dims_sorted = sorted(self.sizes)
+        merged: dict[tuple[int, ...], list[NDDataset]] = {}
+        for row in rows:
+            idx = tuple(
+                row[off_col(d)] // self.chunks[d] for d in dims_sorted
+            )
+            merged.setdefault(idx, []).append(decode_chunk(row["payload"]))
+        parts = {idx: NDDataset.merge(chunks) for idx, chunks in merged.items()}
+        return NDDataset.block(parts, dims_sorted)
+
+    # -- per-chunk compute -------------------------------------------------
+
+    def map_blocks(
+        self,
+        func: Callable[[NDDataset], NDDataset],
+        template: Template | None = None,
+        chunks: Mapping[str, int] | None = None,
+    ) -> "Dataset":
+        """Apply ``func`` to every chunk (reference ``dataset.py:880-964``).
+
+        Schema inference: ``func`` is applied on the driver to a zero-filled
+        chunk-shaped dummy built from the template (the reference applies
+        it to a lazy dask template; we pay one chunk-sized driver compute
+        instead). Pass ``template``/``chunks`` explicitly when ``func``
+        changes dimension sizes in a way inference gets wrong.
+        """
+        if template is None:
+            dummy_in = _dummy_chunk(self.template, self.chunks)
+            dummy_out = func(dummy_in)
+            template, chunks = _infer_result_meta(
+                self.template, self.chunks, dummy_in, dummy_out
+            )
+        new_chunks = core.normalize_chunks(chunks or self.chunks, template.sizes)
+        out_dims = sorted(template.sizes)
+        schema = chunk_row_schema(out_dims)
+        in_sizes = self.sizes
+        in_chunks = self.chunks
+        out_sizes = template.sizes
+
+        def apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for _, r in pdf.iterrows():
+                    ds = decode_chunk(r["payload"])
+                    res = func(ds)
+                    row = {}
+                    for d in out_dims:
+                        if d in in_sizes:
+                            # scale offset by chunk-index (reference
+                            # ``dataset.py:335-358``)
+                            ci = int(r[off_col(d)]) // in_chunks[d]
+                            row[off_col(d)] = ci * new_chunks[d]
+                        else:
+                            row[off_col(d)] = 0
+                    row["vars"] = r["vars"]
+                    row["payload"] = encode_chunk(res)
+                    rows.append(row)
+                if rows:
+                    yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+        df = self.df.mapInPandas(apply, schema)
+        return Dataset(self.spark, df, template, new_chunks, self.split_vars)
+
+    # -- projections / indexing -------------------------------------------
+
+    def __getitem__(self, names) -> "Dataset":
+        if isinstance(names, str):
+            names = [names]
+        tmpl = self.template.select_vars(names)
+        if self.split_vars:
+            df = self.df.filter(F.col("vars").isin(list(names)))
+            df = df.select(*[off_col(d) for d in sorted(tmpl.sizes)], "vars", "payload")
+            return Dataset(self.spark, df, tmpl, {d: self.chunks[d] for d in tmpl.sizes}, True)
+        sel = list(names)
+        out = self.map_blocks(lambda ds: ds[sel], template=tmpl, chunks={d: self.chunks[d] for d in tmpl.sizes})
+        return out
+
+    def head(self, **counts: int) -> "Dataset":
+        """First N elements per dim (reference ``dataset.py:1105-1133``).
+        Chunk pruning is a Catalyst filter on offset columns — only the
+        chunks overlapping the head window are read/computed."""
+        new_sizes = {d: min(counts.get(d, s), s) for d, s in self.sizes.items()}
+        cond = F.lit(True)
+        for d, n in counts.items():
+            cond = cond & (F.col(off_col(d)) < n)
+        pruned = self.df.filter(cond)
+        tmpl = Template(
+            sizes=new_sizes,
+            var_meta=self.template.var_meta,
+            coords={
+                k: Variable(v.dims, v.values[tuple(slice(0, new_sizes.get(d, None)) for d in v.dims)])
+                for k, v in self.template.coords.items()
+            },
+            attrs=self.template.attrs,
+        )
+        chunks = {d: min(self.chunks[d], new_sizes[d]) for d in new_sizes}
+        # Trim the boundary chunk(s) per dim inside a narrow map.
+        all_dims = self.dims
+        off_cols = {d: off_col(d) for d in all_dims}
+        limits = dict(counts)
+
+        def trim_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for _, r in pdf.iterrows():
+                    ds = decode_chunk(r["payload"])
+                    sl = {}
+                    for d, lim in limits.items():
+                        if d in ds.sizes:
+                            start = int(r[off_cols[d]])
+                            keep = max(0, min(ds.sizes[d], lim - start))
+                            sl[d] = slice(0, keep)
+                    rows.append(
+                        {
+                            **{off_cols[d]: int(r[off_cols[d]]) for d in all_dims},
+                            "vars": r["vars"],
+                            "payload": encode_chunk(ds.isel(sl)),
+                        }
+                    )
+                if rows:
+                    yield pd.DataFrame(rows)
+
+        schema = chunk_row_schema(self.dims)
+        df = pruned.mapInPandas(trim_map, schema)
+        return Dataset(self.spark, df, tmpl, chunks, self.split_vars)
+
+    def transpose(self, *order: str) -> "Dataset":
+        order = order or tuple(reversed(self.dims))
+        return self.map_blocks(
+            lambda ds: ds.transpose(*order), template=self.template, chunks=self.chunks
+        )
+
+    # -- split / consolidate (reference rechunk.py) ------------------------
+
+    def split_variables(self) -> "Dataset":
+        """One chunk row per data variable (reference ``rechunk.py:457-489``).
+        Narrow: payload explode inside mapInPandas."""
+        if self.split_vars:
+            return self
+        dims = self.dims
+        schema = chunk_row_schema(dims)
+        var_names = self.template.var_names
+
+        def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for _, r in pdf.iterrows():
+                    ds = decode_chunk(r["payload"])
+                    for v in var_names:
+                        sub = ds[[v]]
+                        rows.append(
+                            {
+                                **{off_col(d): int(r[off_col(d)]) for d in dims},
+                                "vars": v,
+                                "payload": encode_chunk(sub),
+                            }
+                        )
+                if rows:
+                    yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+        return Dataset(self.spark, self.df.mapInPandas(split, schema), self.template, self.chunks, True)
+
+    def consolidate_variables(self) -> "Dataset":
+        """Merge var-split rows at identical offsets (reference
+        ``rechunk.py:200-238``): groupBy offsets + NDDataset.merge."""
+        if not self.split_vars:
+            return self
+        dims = self.dims
+        schema = chunk_row_schema(dims)
+        offc = [off_col(d) for d in dims]
+
+        def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            parts = [decode_chunk(p) for p in pdf["payload"]]
+            ds = NDDataset.merge(parts)
+            row = dict(zip(offc, [int(k) for k in key]))
+            row["vars"] = None
+            row["payload"] = encode_chunk(ds)
+            return pd.DataFrame([row], columns=[f.name for f in schema.fields])
+
+        df = self.df.groupBy(*offc).applyInPandas(merge, schema)
+        return Dataset(self.spark, df, self.template, self.chunks, False)
+
+    def split_chunks(self, target_chunks: Mapping[str, int]) -> "Dataset":
+        """Narrow split of each chunk to align to ``target_chunks``'s grid
+        (reference ``rechunk.py:400-454``). No shuffle."""
+        sizes = self.sizes
+        tgt = core.normalize_chunks(target_chunks, sizes)
+        dims = self.dims
+        schema = chunk_row_schema(dims)
+
+        def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for _, r in pdf.iterrows():
+                    ds = decode_chunk(r["payload"])
+                    base = {d: int(r[off_col(d)]) for d in dims}
+                    pieces = [({}, {})]  # (global offsets, local slices)
+                    for d in dims:
+                        if d not in ds.sizes:
+                            continue
+                        start = base[d]
+                        stop = start + ds.sizes[d]
+                        new_pieces = []
+                        for goff, lsl in pieces:
+                            for grid_off, lo, hi in core.chunk_bounds_overlap(start, stop, tgt[d]):
+                                g2 = dict(goff)
+                                s2 = dict(lsl)
+                                g2[d] = grid_off
+                                s2[d] = slice(lo - start, hi - start)
+                                new_pieces.append((g2, s2))
+                        pieces = new_pieces
+                    for goff, lsl in pieces:
+                        sub = ds.isel(lsl)
+                        # sub-chunk key offset = start of its overlap range
+                        row = {}
+                        for d in dims:
+                            if d in lsl:
+                                row[off_col(d)] = base[d] + lsl[d].start
+                            else:
+                                row[off_col(d)] = base[d]
+                        row["vars"] = r["vars"]
+                        row["payload"] = encode_chunk(sub)
+                        rows.append(row)
+                if rows:
+                    yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+        df = self.df.mapInPandas(split, schema)
+        return Dataset(self.spark, df, self.template, tgt, self.split_vars)
+
+    def consolidate_chunks(self, target_chunks: Mapping[str, int]) -> "Dataset":
+        """Shuffle sub-chunks to their target grid cell and assemble
+        (reference ``rechunk.py:85-197,309-336``): groupBy rounded offsets
+        + applyInPandas block assembly. This is the engine's one wide op."""
+        sizes = self.sizes
+        tgt = core.normalize_chunks(target_chunks, sizes)
+        dims = self.dims
+        schema = chunk_row_schema(dims)
+        offc = [off_col(d) for d in dims]
+        src_chunks = self.chunks
+
+        rounded = self.df
+        for d in dims:
+            rounded = rounded.withColumn(
+                f"__tgt_{d}", F.col(off_col(d)) - (F.col(off_col(d)) % F.lit(tgt[d]))
+            )
+
+        def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            # key = (vars, tgt offsets...) — group also by vars so
+            # var-split datasets consolidate per variable.
+            kvars = key[0]
+            koffs = dict(zip(dims, [int(k) for k in key[1:]]))
+            parts: dict[tuple[int, ...], NDDataset] = {}
+            for _, r in pdf.iterrows():
+                ds = decode_chunk(r["payload"])
+                idx = tuple(
+                    (int(r[off_col(d)]) - koffs[d]) // max(1, src_chunks[d]) if d in ds.sizes else 0
+                    for d in dims
+                )
+                parts[idx] = ds
+            # Re-index grid positions densely per dim.
+            uniq = [sorted({i[k] for i in parts}) for k in range(len(dims))]
+            remap = {
+                idx: tuple(uniq[k].index(idx[k]) for k in range(len(dims)))
+                for idx in parts
+            }
+            dense = {remap[idx]: ds for idx, ds in parts.items()}
+            merged = NDDataset.block(dense, dims)
+            row = {off_col(d): koffs[d] for d in dims}
+            row["vars"] = kvars
+            row["payload"] = encode_chunk(merged)
+            return pd.DataFrame([row], columns=[f.name for f in schema.fields])
+
+        df = rounded.groupBy("vars", *[f"__tgt_{d}" for d in dims]).applyInPandas(
+            assemble, schema
+        )
+        return Dataset(self.spark, df, self.template, tgt, self.split_vars)
+
+    def rechunk(
+        self,
+        target_chunks: Mapping[str, int],
+        max_mem: int = rechunk_plan.DEFAULT_MAX_MEM,
+    ) -> "Dataset":
+        """Multistage rechunk (reference ``rechunk.py:520-605`` +
+        ``dataset.py:968-1038``): plan stages, then per stage an optional
+        narrow split and an optional shuffle consolidate, with elision when
+        divisibility allows."""
+        sizes = self.sizes
+        tgt = core.normalize_chunks(target_chunks, sizes)
+        if tgt == self.chunks:
+            return self
+        stages = rechunk_plan.plan_stages(
+            sizes, self.chunks, tgt, self.template.itemsize(self.split_vars), max_mem
+        )
+        out = self
+        for frm, to in zip(stages, stages[1:]):
+            # split to gcd grid so every piece lands in exactly one target cell
+            gcd_chunks = {d: math.gcd(frm[d], to[d]) for d in sizes}
+            if gcd_chunks != frm:
+                out = out.split_chunks(gcd_chunks)
+            if gcd_chunks != to:
+                out = out.consolidate_chunks(to)
+            else:
+                out = Dataset(out.spark, out.df, out.template, to, out.split_vars)
+        return out
+
+    # -- aggregations ------------------------------------------------------
+
+    def mean(self, dim: str | Sequence[str], skipna: bool = True) -> "Dataset":
+        return self._agg("mean", dim, skipna)
+
+    def sum(self, dim: str | Sequence[str], skipna: bool = True) -> "Dataset":
+        return self._agg("sum", dim, skipna)
+
+    def min(self, dim: str | Sequence[str], skipna: bool = True) -> "Dataset":
+        return self._agg("min", dim, skipna)
+
+    def max(self, dim: str | Sequence[str], skipna: bool = True) -> "Dataset":
+        return self._agg("max", dim, skipna)
+
+    def std(self, dim: str | Sequence[str], skipna: bool = True, ddof: int = 0) -> "Dataset":
+        return self._agg("std", dim, skipna, ddof=ddof)
+
+    def var(self, dim: str | Sequence[str], skipna: bool = True, ddof: int = 0) -> "Dataset":
+        return self._agg("var", dim, skipna, ddof=ddof)
+
+    def _agg(self, op: str, dim: str | Sequence[str], skipna: bool, ddof: int = 0) -> "Dataset":
+        """Distributed reduction over dims: per-chunk pre-aggregate
+        (narrow — the combiner lift, reference ``combiners.py:37-147``),
+        then groupBy remaining offsets + merge + finalize."""
+        red_dims = [dim] if isinstance(dim, str) else list(dim)
+        for d in red_dims:
+            if d not in self.sizes:
+                raise KeyError(f"no dimension {d!r}")
+        if self.split_vars:
+            return self.consolidate_variables()._agg(op, red_dims, skipna, ddof)
+
+        keep_dims = [d for d in self.dims if d not in red_dims]
+        tmpl = self.template
+        out_vm = {}
+        for v, (dims_v, dt) in tmpl.var_meta.items():
+            new_dims = tuple(d for d in dims_v if d not in red_dims)
+            out_dt = dt if op in ("min", "max") else np.dtype("float64").str
+            out_vm[v] = (new_dims, out_dt)
+        out_tmpl = Template(
+            sizes={d: s for d, s in tmpl.sizes.items() if d in keep_dims},
+            var_meta=out_vm,
+            coords={k: c for k, c in tmpl.coords.items() if set(c.dims) <= set(keep_dims)},
+            attrs=tmpl.attrs,
+        )
+        out_chunks = {d: self.chunks[d] for d in keep_dims}
+        schema = chunk_row_schema(keep_dims)
+        offc = [off_col(d) for d in keep_dims]
+        var_names = tmpl.var_names
+
+        def pre(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for _, r in pdf.iterrows():
+                    ds = decode_chunk(r["payload"])
+                    acc = _pre_aggregate(ds, var_names, red_dims, op, skipna)
+                    row = {off_col(d): int(r[off_col(d)]) for d in keep_dims}
+                    row["vars"] = r["vars"]
+                    row["payload"] = encode_chunk(acc)
+                    rows.append(row)
+                if rows:
+                    yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+        def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            parts = [decode_chunk(p) for p in pdf["payload"]]
+            out = _merge_finalize(parts, var_names, op, skipna, ddof)
+            row = dict(zip(["vars"] + offc, [key[0]] + [int(k) for k in key[1:]]))
+            row["payload"] = encode_chunk(out)
+            return pd.DataFrame([row], columns=[f.name for f in schema.fields])
+
+        pre_df = self.df.mapInPandas(pre, schema)
+        df = pre_df.groupBy("vars", *offc).applyInPandas(merge, schema)
+        return Dataset(self.spark, df, out_tmpl, out_chunks, self.split_vars)
+
+
+# ---------------------------------------------------------------------------
+# aggregation kernels (pure NumPy, run inside executors)
+# ---------------------------------------------------------------------------
+
+
+def _pre_aggregate(
+    ds: NDDataset, var_names: list[str], red_dims: list[str], op: str, skipna: bool
+) -> NDDataset:
+    """Per-chunk partial aggregate → accumulator variables.
+
+    mean/sum: (sum, count); min/max: (min|max); std/var: (sum, sumsq, count).
+    Reference: ``combiners.py:37-64`` (_SumAndCount).
+    """
+    out: dict[str, Variable] = {}
+    for v in var_names:
+        var = ds.data_vars[v]
+        axes = tuple(var.dims.index(d) for d in red_dims if d in var.dims)
+        new_dims = tuple(d for d in var.dims if d not in red_dims)
+        a = var.values
+        isf = np.issubdtype(a.dtype, np.floating)
+        nan_aware = skipna and isf
+        if op in ("mean", "sum", "std", "var"):
+            af = a.astype(np.float64, copy=False)
+            s = np.nansum(af, axis=axes) if nan_aware else np.sum(af, axis=axes)
+            if nan_aware:
+                cnt = np.sum(~np.isnan(af), axis=axes)
+            else:
+                cnt = np.full(s.shape, _prod(a.shape) // max(1, _prod(s.shape)), dtype=np.int64)
+            out[f"{v}__sum"] = Variable(new_dims, np.asarray(s, dtype=np.float64))
+            out[f"{v}__cnt"] = Variable(new_dims, np.asarray(cnt, dtype=np.int64))
+            if op in ("std", "var"):
+                sq = np.nansum(af * af, axis=axes) if nan_aware else np.sum(af * af, axis=axes)
+                out[f"{v}__ssq"] = Variable(new_dims, np.asarray(sq, dtype=np.float64))
+        elif op in ("min", "max"):
+            fn = (np.nanmin if nan_aware else np.min) if op == "min" else (np.nanmax if nan_aware else np.max)
+            with np.errstate(all="ignore"):
+                m = fn(a, axis=axes)
+            out[f"{v}__{op}"] = Variable(new_dims, np.asarray(m))
+        else:
+            raise ValueError(op)
+    keep = {d for var in out.values() for d in var.dims}
+    coords = {k: c for k, c in ds.coords.items() if set(c.dims) <= keep}
+    return NDDataset(out, coords, ds.attrs)
+
+
+def _merge_finalize(
+    parts: list[NDDataset], var_names: list[str], op: str, skipna: bool, ddof: int
+) -> NDDataset:
+    first = parts[0]
+    out: dict[str, Variable] = {}
+    for v in var_names:
+        if op in ("mean", "sum", "std", "var"):
+            s = np.sum([p.data_vars[f"{v}__sum"].values for p in parts], axis=0)
+            cnt = np.sum([p.data_vars[f"{v}__cnt"].values for p in parts], axis=0)
+            dims_v = first.data_vars[f"{v}__sum"].dims
+            with np.errstate(all="ignore"):
+                if op == "sum":
+                    res = s
+                elif op == "mean":
+                    res = s / cnt
+                else:
+                    sq = np.sum([p.data_vars[f"{v}__ssq"].values for p in parts], axis=0)
+                    varr = (sq - s * s / cnt) / (cnt - ddof)
+                    varr = np.maximum(varr, 0.0)
+                    res = np.sqrt(varr) if op == "std" else varr
+            out[v] = Variable(dims_v, np.asarray(res, dtype=np.float64))
+        else:
+            key = f"{v}__{op}"
+            arrs = [p.data_vars[key].values for p in parts]
+            fn = np.fmin if op == "min" else np.fmax
+            res = arrs[0]
+            for a in arrs[1:]:
+                res = fn(res, a)
+            out[v] = Variable(first.data_vars[key].dims, res)
+    keep = {d for var in out.values() for d in var.dims}
+    coords = {k: c for k, c in first.coords.items() if set(c.dims) <= keep}
+    return NDDataset(out, coords, first.attrs)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _prod(shape) -> int:
+    n = 1
+    for s in shape:
+        n *= int(s)
+    return n
+
+
+def _default_parallelism(spark: SparkSession) -> int:
+    return spark.sparkContext.defaultParallelism or 8
+
+
+def _np_to_spark_type(dt: np.dtype) -> T.DataType:
+    kind = dt.kind
+    if kind == "f":
+        return T.DoubleType() if dt.itemsize == 8 else T.FloatType()
+    if kind in "iu":
+        return T.LongType() if dt.itemsize >= 8 else T.IntegerType() if dt.itemsize >= 4 else T.ShortType()
+    if kind == "b":
+        return T.BooleanType()
+    if kind == "M":
+        return T.TimestampNTZType()
+    if kind in "US":
+        return T.StringType()
+    raise TypeError(f"unsupported dtype {dt}")
+
+
+def _dummy_chunk(template: Template, chunks: Mapping[str, int]) -> NDDataset:
+    sizes = {d: min(chunks.get(d, s), s) for d, s in template.sizes.items()}
+    dv = {
+        v: Variable(dims, np.zeros([sizes[d] for d in dims], dtype=np.dtype(dt)))
+        for v, (dims, dt) in template.var_meta.items()
+    }
+    coords = template.coords_for_chunk({d: 0 for d in sizes}, sizes)
+    return NDDataset(dv, coords, template.attrs)
+
+
+def _infer_result_meta(
+    in_tmpl: Template,
+    in_chunks: Mapping[str, int],
+    dummy_in: NDDataset,
+    dummy_out: NDDataset,
+) -> tuple[Template, dict[str, int]]:
+    """Infer output template + chunks from a dummy application
+    (reference ``dataset.py:202-233`` _infer_new_chunks)."""
+    out_sizes: dict[str, int] = {}
+    out_chunks: dict[str, int] = {}
+    for d, s_out in dummy_out.sizes.items():
+        if d in dummy_in.sizes and dummy_in.sizes[d] == s_out:
+            out_sizes[d] = in_tmpl.sizes.get(d, s_out)
+            out_chunks[d] = in_chunks.get(d, s_out)
+        elif d in dummy_in.sizes:
+            # proportional rescale of the dim
+            ratio = s_out / dummy_in.sizes[d]
+            total = in_tmpl.sizes.get(d, dummy_in.sizes[d])
+            out_sizes[d] = max(1, int(round(total * ratio)))
+            out_chunks[d] = max(1, int(round(in_chunks.get(d, total) * ratio)))
+        else:
+            out_sizes[d] = s_out
+            out_chunks[d] = s_out
+    vm = {
+        v: (var.dims, var.values.dtype.str) for v, var in dummy_out.data_vars.items()
+    }
+    coords = {
+        k: c
+        for k, c in in_tmpl.coords.items()
+        if set(c.dims) <= set(d for d in out_sizes if out_sizes[d] == in_tmpl.sizes.get(d))
+    }
+    tmpl = Template(sizes=out_sizes, var_meta=vm, coords=coords, attrs=dummy_out.attrs)
+    return tmpl, out_chunks

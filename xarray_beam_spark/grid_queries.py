@@ -1,0 +1,217 @@
+"""Correctness-gate queries that exercise the chunked-array engine.
+
+Each query builds a dense grid (day × hour × event_type) from the long
+``events`` table via ``Dataset.from_table``, runs an array-engine operator
+(rechunk / mean / sum / max / std / head / transpose / map_blocks /
+split+consolidate), converts back with ``Dataset.to_table``, and is
+compared against an equivalent pure-SQL DuckDB oracle.
+
+Determinism: grid cells are integer-valued COUNTs carried as float64.
+Integer-valued float64 sums are exact and order-independent, so the array
+engine's NumPy reductions are bit-identical to the oracle's integer SQL
+aggregation followed by one fp division — no tolerance needed at the
+value-hash gate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xarray_beam_spark.dataset import Dataset
+from xarray_beam_spark.tables import load
+
+REGISTRY: dict = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+_CELLS_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+       event_type,
+       CAST(COUNT(*) AS DOUBLE) AS cnt
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def _events_grid(spark: SparkSession, sf_dir: str, chunks=None) -> Dataset:
+    """events → dense (day, hour, event_type) grid of event counts."""
+    e = load(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.hour(F.col("ts")).cast("long").alias("hour"),
+        F.col("event_type"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    days = np.array(
+        [r[0] for r in cells.select("day").distinct().orderBy("day").collect()],
+        dtype="datetime64[us]",
+    )
+    etypes = np.array(
+        sorted(r[0] for r in cells.select("event_type").distinct().collect())
+    )
+    coords = {
+        "day": days,
+        "hour": np.arange(24, dtype=np.int64),
+        "event_type": etypes,
+    }
+    return Dataset.from_table(
+        cells,
+        dims=["day", "hour", "event_type"],
+        coords=coords,
+        var_cols=["cnt"],
+        chunks=chunks or {"day": 7},
+    )
+
+
+@_register("xb_grid_roundtrip", _CELLS_SQL)
+def xb_grid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_table → rechunk (shuffle) → to_table identity round-trip
+    (the reference's canonical integration test, integration_test.py:68-120)."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    r = d.rechunk({"day": -1, "hour": 6})
+    return r.to_table(dropna=True)
+
+
+@_register("xb_grid_split_consolidate", _CELLS_SQL)
+def xb_grid_split_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SplitChunks → ConsolidateChunks identity (rechunk.py:400-454,85-197)."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 10})
+    s = d.split_chunks({"day": 2, "hour": 5})
+    c = s.consolidate_chunks({"day": 10, "hour": 24})
+    return c.to_table(dropna=True)
+
+
+@_register("xb_grid_splitvars_roundtrip", _CELLS_SQL)
+def xb_grid_splitvars_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SplitVariables → ConsolidateVariables identity (rechunk.py:457-489,200-238)."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    return d.split_variables().consolidate_variables().to_table(dropna=True)
+
+
+@_register(
+    "xb_grid_mean_hour",
+    f"""
+SELECT day, event_type,
+       CAST(SUM(CAST(cnt AS BIGINT)) AS DOUBLE) / COUNT(*) AS cnt
+FROM ({_CELLS_SQL}) GROUP BY day, event_type
+""",
+)
+def xb_grid_mean_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed mean over a dimension (combiners.py:108-147)."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7, "hour": 6})
+    return d.mean("hour").to_table(dropna=True)
+
+
+@_register(
+    "xb_grid_sum_hour",
+    f"""
+SELECT day, event_type,
+       CAST(SUM(CAST(cnt AS BIGINT)) AS DOUBLE) AS cnt
+FROM ({_CELLS_SQL}) GROUP BY day, event_type
+""",
+)
+def xb_grid_sum_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _events_grid(spark, sf_dir, chunks={"day": 7, "hour": 6})
+    return d.sum("hour").to_table(dropna=True)
+
+
+@_register(
+    "xb_grid_max_day",
+    f"""
+SELECT hour, event_type, MAX(cnt) AS cnt
+FROM ({_CELLS_SQL}) GROUP BY hour, event_type
+""",
+)
+def xb_grid_max_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    return d.max("day").to_table(dropna=True)
+
+
+@_register(
+    "xb_grid_std_day",
+    f"""
+SELECT hour, event_type,
+       sqrt((SUM(CAST(cnt AS BIGINT) * CAST(cnt AS BIGINT))
+             - CAST(SUM(CAST(cnt AS BIGINT)) AS DOUBLE)
+               * SUM(CAST(cnt AS BIGINT)) / COUNT(*)) / COUNT(*)) AS cnt
+FROM ({_CELLS_SQL}) GROUP BY hour, event_type
+""",
+)
+def xb_grid_std_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed std via (sum, sumsq, count) accumulators — the formula
+    is written out in the oracle so both sides do identical fp ops."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    return d.std("day", ddof=0).to_table(dropna=True)
+
+
+@_register(
+    "xb_grid_head",
+    f"""
+SELECT * FROM ({_CELLS_SQL})
+WHERE day < (SELECT MIN(day) FROM ({_CELLS_SQL})) + INTERVAL 7 DAY
+""",
+)
+def xb_grid_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """head(): offset-predicate chunk pruning (dataset.py:1105-1133)."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 2})
+    return d.head(day=7).to_table(dropna=True)
+
+
+@_register("xb_grid_transpose", _CELLS_SQL)
+def xb_grid_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transpose is metadata-only per chunk; values unchanged."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    return d.transpose("event_type", "hour", "day").to_table(dropna=True)
+
+
+@_register(
+    "xb_map_blocks_affine",
+    f"""
+SELECT day, hour, event_type, cnt * 2 + 1 AS cnt FROM ({_CELLS_SQL})
+""",
+)
+def xb_map_blocks_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_blocks elementwise compute (dataset.py:880-964)."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    return d.map_blocks(lambda ds: ds.map(lambda a: a * 2 + 1)).to_table(dropna=True)
+
+
+@_register(
+    "xb_grid_getitem",
+    f"""
+SELECT day, hour, event_type, cnt FROM ({_CELLS_SQL})
+""",
+)
+def xb_grid_getitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable selection fast path (projection)."""
+    e = load(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.hour(F.col("ts")).cast("long").alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+        F.countDistinct("user_id").cast("double").alias("users"),
+    )
+    days = np.array(
+        [r[0] for r in cells.select("day").distinct().orderBy("day").collect()],
+        dtype="datetime64[us]",
+    )
+    etypes = np.array(sorted(r[0] for r in cells.select("event_type").distinct().collect()))
+    d = Dataset.from_table(
+        cells,
+        dims=["day", "hour", "event_type"],
+        coords={"day": days, "hour": np.arange(24, dtype=np.int64), "event_type": etypes},
+        var_cols=["cnt", "users"],
+        chunks={"day": 7},
+    )
+    return d["cnt"].to_table(dropna=True)

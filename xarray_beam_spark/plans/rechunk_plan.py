@@ -1,0 +1,129 @@
+"""Multistage rechunk planning (pure math, no Spark).
+
+Problem (same as the reference's planner, ``xarray_beam/_src/
+rechunker_algorithm.py`` — itself derived from the public pangeo
+rechunker): moving a chunk grid from ``source_chunks`` to
+``target_chunks`` in ONE shuffle can require a single reducer to gather
+``prod(ceil(target_d / source_d))`` source chunks; at extreme ratios
+(e.g. time-pancakes → space-pencils on a 100 TB grid) that is millions of
+inputs into one task. Splitting the move into N stages with geometrically
+interpolated intermediate chunk shapes bounds every stage's fan-in/out at
+the N-th root of the total ratio, at the cost of N shuffles.
+
+This is a fresh implementation: we choose the smallest N whose worst
+per-stage gather stays under ``max_fan_bytes`` (default 1 GiB, matching
+the reference's ``max_mem`` envelope, ``rechunk.py:541``), with
+intermediate chunks kept ≥ ``min_mem`` where possible.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Mapping
+
+DEFAULT_MAX_MEM = 2**30  # 1 GiB per consolidated group, like the reference
+MAX_STAGES = 100
+
+
+def chunk_nbytes(chunks: Mapping[str, int], itemsize: int) -> int:
+    n = itemsize
+    for s in chunks.values():
+        n *= s
+    return n
+
+
+def stage_gather_bytes(
+    from_chunks: Mapping[str, int], to_chunks: Mapping[str, int], itemsize: int
+) -> int:
+    """Worst-case bytes gathered by one consolidate group in a stage.
+
+    A target chunk along dim d overlaps at most ``ceil(to/from) + 1``
+    source chunks when unaligned; the gathered payload is bounded by the
+    target chunk volume plus one source-chunk halo per dim.
+    """
+    total = itemsize
+    for d, to in to_chunks.items():
+        frm = from_chunks.get(d, to)
+        total *= min(to + frm, to + to)  # halo bound, never more than 2x
+    return total
+
+
+def _geom_interp(a: int, b: int, frac: float) -> int:
+    """Geometric interpolation between two chunk sizes, ≥1, integer."""
+    if a == b:
+        return a
+    val = a * (b / a) ** frac
+    return max(1, int(round(val)))
+
+
+def _snap(value: int, source: int, target: int, size: int) -> int:
+    """Snap an intermediate chunk size to a multiple of whichever endpoint
+    divides it best, to maximize split/consolidate elision downstream."""
+    value = min(value, size)
+    for base in sorted({source, target}):
+        if base <= 0:
+            continue
+        mult = max(1, round(value / base))
+        snapped = base * mult
+        if snapped <= size and abs(snapped - value) <= max(base // 2, 1):
+            return snapped
+    return value
+
+
+def plan_stages(
+    sizes: Mapping[str, int],
+    source_chunks: Mapping[str, int],
+    target_chunks: Mapping[str, int],
+    itemsize: int,
+    max_mem: int = DEFAULT_MAX_MEM,
+) -> list[dict[str, int]]:
+    """Return the full chunk-grid sequence ``[source, i1, ..., target]``.
+
+    Each consecutive pair is one split→shuffle→consolidate round. The
+    sequence is minimal such that every round's worst-case gather is
+    ≤ ``max_mem`` (or irreducible: a single target chunk may itself exceed
+    ``max_mem``, in which case the caller should have chosen smaller
+    target chunks).
+    """
+    dims = sorted(sizes)
+    src = {d: min(source_chunks.get(d, sizes[d]), sizes[d]) for d in dims}
+    tgt = {d: min(target_chunks.get(d, sizes[d]), sizes[d]) for d in dims}
+    if src == tgt:
+        return [src]
+
+    for n_stages in range(1, MAX_STAGES + 1):
+        seq = [src]
+        for k in range(1, n_stages):
+            frac = k / n_stages
+            mid = {
+                d: _snap(_geom_interp(src[d], tgt[d], frac), src[d], tgt[d], sizes[d])
+                for d in dims
+            }
+            seq.append(mid)
+        seq.append(tgt)
+        worst = max(
+            stage_gather_bytes(a, b, itemsize) for a, b in zip(seq, seq[1:])
+        )
+        floor = stage_gather_bytes(tgt, tgt, itemsize)  # irreducible target cost
+        if worst <= max(max_mem, floor):
+            # Drop consecutive duplicates (snapping can collapse stages).
+            out = [seq[0]]
+            for s in seq[1:]:
+                if s != out[-1]:
+                    out.append(s)
+            return out
+    raise ValueError(
+        f"cannot plan rechunk {src} -> {tgt} within {max_mem} bytes in {MAX_STAGES} stages"
+    )
+
+
+def needs_split(from_chunks: Mapping[str, int], to_chunks: Mapping[str, int]) -> bool:
+    """A narrow split pass is skippable when every target chunk size is a
+    multiple of the source (reference elision: ``rechunk.py:503-517``)."""
+    return any(to_chunks[d] % from_chunks[d] != 0 for d in from_chunks if from_chunks[d])
+
+
+def needs_consolidate(from_chunks: Mapping[str, int], to_chunks: Mapping[str, int]) -> bool:
+    """The shuffle+combine pass is skippable when every source chunk size
+    is a multiple of the target (pure splitting)."""
+    return any(from_chunks[d] % to_chunks[d] != 0 for d in from_chunks if to_chunks[d])

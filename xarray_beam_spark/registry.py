@@ -34,8 +34,20 @@ def _collect() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     return merged
 
 
+def _wrap(fn: Callable) -> Callable:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from xarray_beam_spark.shipping import ensure_shipped
+
+        ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    run.__name__ = getattr(fn, "__name__", "query")
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _) in _collect().items()}
+    return {name: _wrap(fn) for name, (fn, _) in _collect().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -30,6 +30,9 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # Timestamp semantics must match DuckDB's (naive/UTC) for the oracle
+    # comparison — pin the session timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects; read it as long and truncate to microseconds.
