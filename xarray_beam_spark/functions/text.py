@@ -1,0 +1,199 @@
+"""Text-analysis functions for training-data pipelines.
+
+Language ID (marker-word heuristic), quality scoring, token counting and
+document fingerprinting — all as JVM-side Spark SQL expressions so they
+run at corpus scale without Python in the hot path. Each has an exact
+DuckDB oracle: the heuristics are defined purely in terms of string
+primitives (length/replace/regexp) both engines implement identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xarray_beam_spark.tables import load
+
+REGISTRY: dict = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (split semantics shared with DuckDB)."""
+    return F.size(F.split(text, r"\s+")).cast("long")
+
+
+def substr_count(text: Column, sub: str) -> Column:
+    """Occurrences of ``sub`` via length arithmetic (engine-portable)."""
+    return (F.length(text) - F.length(F.replace(text, F.lit(sub), F.lit("")))) / F.lit(len(sub))
+
+
+def sql_substr_count(col: str, sub: str) -> str:
+    return f"(length({col}) - length(replace({col}, '{sub}', ''))) / {len(sub)}"
+
+
+# Marker words per language (surrounded by spaces to approximate word
+# boundaries). The corpus is synthetic, so this is a *determinism* surface,
+# not a linguistics claim — the same counts are computed in both engines.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " die ", " und "],
+    "fr": [" le ", " la ", " et "],
+    "es": [" el ", " los ", " y "],
+    "zh": [" zh ", " zhong ", " hua "],
+}
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    return {
+        lang: sum((substr_count(padded, m) for m in markers), F.lit(0.0)).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def detect_language(text: Column) -> Column:
+    """argmax over marker-word scores, ties broken by language-code order;
+    'und' when every score is zero."""
+    scores = lang_scores(text)
+    langs = sorted(scores)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    out = F.lit("und")
+    # reverse order so earlier languages win ties
+    for lang in reversed(langs):
+        out = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def sql_lang_score(col: str, lang: str) -> str:
+    padded = f"(' ' || {col} || ' ')"
+    parts = " + ".join(sql_substr_count(padded, m) for m in LANG_MARKERS[lang])
+    return f"CAST({parts} AS BIGINT)"
+
+
+def sql_detect_language(col: str) -> str:
+    langs = sorted(LANG_MARKERS)
+    score = {lang: sql_lang_score(col, lang) for lang in langs}
+    best = "GREATEST(" + ", ".join(score[lang] for lang in langs) + ")"
+    expr = "'und'"
+    for lang in reversed(langs):
+        expr = f"CASE WHEN {score[lang]} = {best} AND {best} > 0 THEN '{lang}' ELSE {expr} END"
+    return expr
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio quality signals (exact int
+    counts; ratios as single fp divisions)."""
+    n_chars = F.length(text).cast("long")
+    tokens = token_count(text)
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    stop = sum(
+        (substr_count(padded, f" {w} ") for w in ["the", "a", "and", "of", "to"]),
+        F.lit(0.0),
+    ).cast("long")
+    punct = (
+        F.length(text) - F.length(F.regexp_replace(text, r"[\.,;:!\?]", ""))
+    ).cast("long")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": tokens,
+        "n_stopwords": stop,
+        "n_punct": punct,
+        "stopword_ratio": stop.cast("double") / tokens,
+        "mean_token_len": (n_chars - tokens + 1).cast("double") / tokens,
+    }
+
+
+# ---------------------------------------------------------------------------
+# gate queries
+# ---------------------------------------------------------------------------
+
+_STATS_ORACLE = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+       CAST({sql_substr_count("(' ' || text || ' ')", ' the ')}
+          + {sql_substr_count("(' ' || text || ' ')", ' a ')}
+          + {sql_substr_count("(' ' || text || ' ')", ' and ')}
+          + {sql_substr_count("(' ' || text || ' ')", ' of ')}
+          + {sql_substr_count("(' ' || text || ' ')", ' to ')} AS BIGINT) AS n_stopwords,
+       CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS BIGINT) AS n_punct,
+       CAST({sql_substr_count("(' ' || text || ' ')", ' the ')}
+          + {sql_substr_count("(' ' || text || ' ')", ' a ')}
+          + {sql_substr_count("(' ' || text || ' ')", ' and ')}
+          + {sql_substr_count("(' ' || text || ' ')", ' of ')}
+          + {sql_substr_count("(' ' || text || ' ')", ' to ')} AS DOUBLE)
+         / len(regexp_split_to_array(text, '\\s+')) AS stopword_ratio,
+       CAST(length(text) - len(regexp_split_to_array(text, '\\s+')) + 1 AS DOUBLE)
+         / len(regexp_split_to_array(text, '\\s+')) AS mean_token_len
+FROM documents
+"""
+
+
+@_register("text_quality_stats", _STATS_ORACLE)
+def text_quality_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select("doc_id", *[feats[k].alias(k) for k in
+                                   ["n_chars", "n_tokens", "n_stopwords", "n_punct",
+                                    "stopword_ratio", "mean_token_len"]])
+
+
+_LANGID_ORACLE = f"""
+SELECT doc_id, {sql_detect_language('text')} AS detected,
+       lang AS labeled
+FROM documents
+"""
+
+
+@_register("text_langid", _LANGID_ORACLE)
+def text_langid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        detect_language(F.col("text")).alias("detected"),
+        F.col("lang").alias("labeled"),
+    )
+
+
+_LANG_AGG_ORACLE = f"""
+SELECT {sql_detect_language('text')} AS detected, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@_register("text_lang_rollup", _LANG_AGG_ORACLE)
+def text_lang_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(detect_language(F.col("text")).alias("detected"), "source", "text")
+        .groupBy("detected", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text").cast("long")).alias("total_chars"),
+        )
+    )
+
+
+_FP_ORACLE = """
+SELECT doc_id, md5(text) AS fingerprint,
+       substr(md5(text), 1, 8) AS shard_key
+FROM documents
+"""
+
+
+@_register("doc_fingerprint", _FP_ORACLE)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text"))
+    return docs.select("doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("shard_key"))

@@ -1,0 +1,286 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are JVM-side Spark SQL expressions (no Python UDFs):
+shingling, hashing, MinHash, LSH banding, SimHash, and exact Jaccard all
+compile to Catalyst expressions, so they scale to 100 TB corpora with
+map-side combine and AQE skew handling. The only shuffles are the
+candidate-pair groupBys on hash keys.
+
+Gate queries at the bottom register with DuckDB oracles wherever the
+semantics are SQL-expressible; MinHash/SimHash signatures use xxhash64
+(no DuckDB equivalent), so their end-to-end checks go through an exact
+Jaccard verification step that IS oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xarray_beam_spark.tables import load
+
+REGISTRY: dict = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# building blocks (all JVM-side)
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>).
+
+    Pure Spark SQL: split → sequence → transform → array_distinct.
+    """
+    words = F.split(text, r"\s+")
+    k = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return F.when(k >= n, F.array_distinct(grams)).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def minhash_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    n_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signatures in ONE aggregation pass: explode shingles, hash
+    each shingle once per hash function (``xxhash64(shingle, i)``), take
+    per-doc minima as 64 map-side-combinable ``min`` aggregates.
+
+    (A per-row ``array_min(transform(...))×64`` expression is 100x slower:
+    it re-evaluates the shingle array per hash function and defeats
+    whole-stage codegen.)
+    """
+    exploded = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"mh{i}") for i in range(n_hashes)]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def band_hash_cols(n_bands: int, rows_per_band: int) -> list[Column]:
+    """LSH band hashes from ``mh*`` signature columns."""
+    return [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+
+
+def exact_jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays — integer set sizes,
+    one double division (deterministic across engines)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter.cast("double") / union
+
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2, bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document (JVM-side, no UDF).
+
+    Standard SimHash (Charikar 2002): explode shingles, hash each once
+    with xxhash64, then one aggregation pass computes all bit-position
+    ±1 sums (map-side combinable); the fingerprint assembles sign bits
+    with shiftleft. One shuffle on ``id_col``.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    ).withColumn("h", F.xxhash64("sh"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), pos).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{pos}")
+        for pos in range(bits)
+    ]
+    agg = exploded.groupBy(id_col).agg(*bit_sums)
+    fp = F.lit(0).cast("long")
+    for pos in range(bits):
+        fp = fp + F.when(F.col(f"b{pos}") > 0, F.shiftleft(F.lit(1).cast("long"), pos)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: keep the minimum id per distinct text.
+    Hash-groupBy — fully map-side-combinable, one shuffle on the digest."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    n_hashes: int = 64,
+    n_bands: int = 32,
+    min_jaccard: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash+LSH with exact-Jaccard verification.
+
+    Pipeline (all JVM): shingle → signature → explode band hashes →
+    self-join within buckets (the only shuffle; band hash is the join key,
+    uniformly distributed by construction) → dedupe candidate pairs →
+    exact Jaccard filter. Scales as O(candidates), not O(n²).
+    """
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_table(docs, text_col, id_col, shingle_n, n_hashes)
+    banded = sig.select(
+        id_col, F.explode(F.array(*band_hash_cols(n_bands, rows_per_band))).alias("band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, on="band_hash")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    shingles = docs.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
+    )
+    sa = shingles.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = shingles.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .withColumn("jaccard", exact_jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# gate queries
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+@_register("dedup_exact", _EXACT_ORACLE)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+# Near-dup corpus constructed inside the query: every document plus a
+# "twin" with the last 2 words dropped (ids shifted by 10^9). Ground-truth
+# near-dup pairs are (id, id + 10^9); the oracle computes exact word-3gram
+# Jaccard for exactly those pairs. The Spark side must *discover* them via
+# MinHash+LSH (no peeking at the construction) and verify with the same
+# exact Jaccard — with 32 bands × 2 rows the miss probability at j≥0.6 is
+# < 1e-6 per pair, so the outputs agree.
+_TWIN_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id,
+         array_to_string(list_slice(regexp_split_to_array(text, '\\s+'), 1,
+                         greatest(len(regexp_split_to_array(text, '\\s+')) - 2, 1)), ' ') AS text
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         ELSE [array_to_string(w, ' ')] END AS s
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM corpus)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000000
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.6
+"""
+
+
+@_register("dedup_minhash_lsh", _TWIN_ORACLE)
+def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), r"\s+")
+    twins = docs.select(
+        (F.col("doc_id") + F.lit(1000000000)).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(words, 1, F.greatest(F.size(words) - 2, F.lit(1))),
+        ).alias("text"),
+    )
+    corpus = docs.unionAll(twins)
+    pairs = minhash_lsh_pairs(corpus, min_jaccard=0.6)
+    # keep only ground-truth twin pairs (discovered, then filtered the same
+    # way the oracle enumerates them)
+    return pairs.where(F.col("doc_b") - F.col("doc_a") == 1000000000)
+
+
+_NGRAM_PAIRS_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         ELSE [array_to_string(w, ' ')] END AS s
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+
+@_register("ngram_jaccard_adjacent", _NGRAM_PAIRS_ORACLE)
+def ngram_jaccard_adjacent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard between consecutive doc ids — validates the
+    shingling + set-similarity machinery against pure SQL."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("s")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            exact_jaccard(F.col("a.s"), F.col("b.s")).alias("jaccard"),
+        )
+    )
+
+
+@_register("dedup_simhash", None)  # xxhash64 not expressible in DuckDB
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + bucket sizes (rows-only check: deterministic
+    output, no SQL oracle because DuckDB lacks xxhash64)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = simhash_table(docs)
+    return (
+        sh.groupBy(F.pmod(F.col("simhash"), F.lit(1024)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
+    )
