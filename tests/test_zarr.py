@@ -1,0 +1,150 @@
+"""Zarr store + distributed read/write tests.
+
+Mirrors the reference's zarr test strategy (``zarr_test.py:33-800``,
+``integration_test.py:68-120``): metadata round-trips, region-write
+alignment safety, missing-chunk fills, and the distributed
+to_zarr → from_zarr identity on a multi-var, multi-dtype dataset.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from xarray_beam_spark.dataset import Dataset
+from xarray_beam_spark.ndarray_ds import NDDataset
+from xarray_beam_spark.sources import zarr_io, zarrlite
+
+
+def _fixture_ds(nt=20, nx=7) -> NDDataset:
+    rng = np.random.default_rng(42)
+    return NDDataset(
+        data_vars={
+            "temp": (("time", "x"), rng.normal(size=(nt, nx)).astype(np.float32)),
+            "count": (("time", "x"), rng.integers(0, 100, size=(nt, nx)).astype(np.int64)),
+            "static": (("x",), rng.normal(size=nx)),
+        },
+        coords={
+            "time": np.arange("2020-01-01", nt, dtype="datetime64[D]").astype("datetime64[us]"),
+            "x": np.arange(nx, dtype=np.int64),
+        },
+        attrs={"title": "fixture"},
+    )
+
+
+class TestZarrlite:
+    def test_array_roundtrip_dtypes(self, tmp_path):
+        path = str(tmp_path / "store")
+        zarrlite.create_group(path, {"a": 1})
+        for name, arr in {
+            "f4": np.arange(24, dtype=np.float32).reshape(4, 6),
+            "i8": np.arange(24, dtype=np.int64).reshape(4, 6),
+            "b": (np.arange(24).reshape(4, 6) % 2 == 0),
+            "dt": (np.datetime64("2021-01-01", "M") + np.arange(24))
+            .astype("datetime64[us]")
+            .reshape(4, 6),
+        }.items():
+            meta = zarrlite.create_array(
+                path, name, arr.shape, (3, 4), arr.dtype, ("r", "c")
+            )
+            zarrlite.write_full(meta, arr)
+            got = zarrlite.read_full(zarrlite.open_array(path, name))
+            np.testing.assert_array_equal(got, arr)
+
+    def test_unicode_roundtrip(self, tmp_path):
+        path = str(tmp_path / "store")
+        zarrlite.create_group(path)
+        arr = np.array(["alpha", "beta", "gamma", "d"], dtype="<U5")
+        meta = zarrlite.create_array(path, "s", arr.shape, (3,), arr.dtype, ("i",))
+        zarrlite.write_full(meta, arr)
+        np.testing.assert_array_equal(zarrlite.read_full(zarrlite.open_array(path, "s")), arr)
+
+    def test_edge_chunk_padding_on_disk(self, tmp_path):
+        """Edge chunks are stored padded to full chunk shape (v2 spec)."""
+        path = str(tmp_path / "store")
+        zarrlite.create_group(path)
+        arr = np.arange(10, dtype=np.float64)
+        meta = zarrlite.create_array(path, "v", arr.shape, (4,), arr.dtype, ("x",), compressor=None)
+        zarrlite.write_full(meta, arr)
+        # chunk 2 holds elements 8..9 padded to 4
+        raw = open(os.path.join(path, "v", "2"), "rb").read()
+        assert len(raw) == 4 * 8
+        vals = np.frombuffer(raw, dtype=np.float64)
+        np.testing.assert_array_equal(vals[:2], [8.0, 9.0])
+        assert math.isnan(vals[2]) and math.isnan(vals[3])
+
+    def test_missing_chunk_reads_fill(self, tmp_path):
+        path = str(tmp_path / "store")
+        zarrlite.create_group(path)
+        meta = zarrlite.create_array(path, "v", (8,), (4,), np.float64, ("x",))
+        got = zarrlite.read_full(meta)
+        assert got.shape == (8,) and np.isnan(got).all()
+
+    def test_unaligned_region_write_rejected(self, tmp_path):
+        path = str(tmp_path / "store")
+        zarrlite.create_group(path)
+        meta = zarrlite.create_array(path, "v", (10,), (4,), np.float64, ("x",))
+        with pytest.raises(ValueError, match="not aligned"):
+            zarrlite.write_region(meta, {"x": 2}, np.zeros(4))
+        with pytest.raises(ValueError, match="neither chunk-aligned"):
+            zarrlite.write_region(meta, {"x": 4}, np.zeros(3))
+        # aligned-to-edge is fine
+        zarrlite.write_region(meta, {"x": 8}, np.zeros(2))
+
+    def test_read_region_across_chunks(self, tmp_path):
+        path = str(tmp_path / "store")
+        zarrlite.create_group(path)
+        arr = np.arange(48, dtype=np.int64).reshape(6, 8)
+        meta = zarrlite.create_array(path, "v", arr.shape, (2, 3), arr.dtype, ("r", "c"))
+        zarrlite.write_full(meta, arr)
+        got = zarrlite.read_region(meta, {"r": 1, "c": 2}, {"r": 4, "c": 5})
+        np.testing.assert_array_equal(got, arr[1:5, 2:7])
+
+
+class TestDistributedZarr:
+    def test_to_from_zarr_identity(self, spark, tmp_path):
+        src = _fixture_ds()
+        d = Dataset.from_numpy(spark, src, chunks={"time": 6, "x": 4})
+        stats = zarr_io.to_zarr(d, str(tmp_path / "out"), zarr_chunks={"time": 3, "x": 4})
+        assert stats["chunks_written"] > 0
+        back = zarr_io.from_zarr(spark, str(tmp_path / "out"))
+        got = back.collect()
+        assert got.identical(src) or got.equals(src)
+
+    def test_from_zarr_respects_store_chunks(self, spark, tmp_path):
+        src = _fixture_ds()
+        d = Dataset.from_numpy(spark, src, chunks={"time": 5})
+        zarr_io.to_zarr(d, str(tmp_path / "out"), zarr_chunks={"time": 5, "x": 7})
+        back = zarr_io.from_zarr(spark, str(tmp_path / "out"))
+        assert back.chunks == {"time": 5, "x": 7}
+
+    def test_from_zarr_custom_chunks_and_split_vars(self, spark, tmp_path):
+        src = _fixture_ds()
+        d = Dataset.from_numpy(spark, src, chunks={"time": 5})
+        zarr_io.to_zarr(d, str(tmp_path / "out"))
+        back = zarr_io.from_zarr(
+            spark, str(tmp_path / "out"), chunks={"time": 8, "x": 3}, split_vars=True
+        )
+        assert back.split_vars
+        got = back.consolidate_variables().collect()
+        assert got.equals(src)
+
+    def test_misaligned_to_zarr_raises(self, spark, tmp_path):
+        src = _fixture_ds()
+        d = Dataset.from_numpy(spark, src, chunks={"time": 6})
+        with pytest.raises(ValueError, match="rechunk first"):
+            zarr_io.to_zarr(d, str(tmp_path / "out"), zarr_chunks={"time": 4})
+
+    def test_rechunk_then_write(self, spark, tmp_path):
+        """Zarr → rechunk → Zarr round-trip (reference integration test)."""
+        src = _fixture_ds()
+        d = Dataset.from_numpy(spark, src, chunks={"time": 4, "x": 7})
+        zarr_io.to_zarr(d, str(tmp_path / "a"))
+        a = zarr_io.from_zarr(spark, str(tmp_path / "a"))
+        r = a.rechunk({"time": 10, "x": 2})
+        zarr_io.to_zarr(r, str(tmp_path / "b"), zarr_chunks={"time": 5, "x": 2})
+        back = zarr_io.from_zarr(spark, str(tmp_path / "b"))
+        assert back.collect().equals(src)

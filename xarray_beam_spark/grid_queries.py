@@ -81,6 +81,23 @@ def xb_grid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.to_table(dropna=True)
 
 
+@_register("xb_zarr_roundtrip", _CELLS_SQL)
+def xb_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed to_zarr → from_zarr identity through the engine's own
+    Zarr v2 store (reference ``zarr_test.py`` round-trips +
+    ``integration_test.py:68-120``): executors region-write aligned chunks,
+    then a second job re-reads them lazily."""
+    import tempfile
+
+    from xarray_beam_spark.sources import zarr_io
+
+    d = _events_grid(spark, sf_dir, chunks={"day": 8})
+    path = tempfile.mkdtemp(prefix="xbs_zarr_gate_")
+    zarr_io.to_zarr(d, path, zarr_chunks={"day": 4, "hour": 24})
+    back = zarr_io.from_zarr(spark, path, chunks={"day": 8})
+    return back.to_table(dropna=True)
+
+
 @_register("xb_grid_split_consolidate", _CELLS_SQL)
 def xb_grid_split_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SplitChunks → ConsolidateChunks identity (rechunk.py:400-454,85-197)."""

@@ -1,0 +1,236 @@
+"""Distributed Zarr read/write for the chunked-array engine.
+
+Spark-first re-expression of the reference's Zarr pipeline stages
+(``xarray_beam/_src/zarr.py``: ``DatasetToChunks`` for reads,
+``setup_zarr``/``validate_zarr_chunk``/``write_chunk_to_zarr``/
+``ChunksToZarr`` for writes):
+
+- **read**: driver opens only metadata (one JSON per array) and builds the
+  Template; chunk enumeration is ``spark.range(chunk_count)`` so no key
+  list ever materializes on the driver (scales past the reference's 200k
+  sharding threshold by construction); executors re-open the store by path
+  and read their region — predicate pushdown on offsets happens naturally
+  because ``spark.range`` is lazily filtered by Catalyst.
+- **write**: driver writes the store skeleton + coordinate arrays eagerly
+  (no barrier needed — Spark actions are synchronous, reference needed a
+  side-input barrier ``zarr.py:810-821``); executors region-write their
+  chunks after the alignment validation that makes retried/speculative
+  task writes idempotent (full-chunk-aligned only, ``zarr.py:516-587``).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Iterator, Mapping
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xarray_beam_spark import core
+from xarray_beam_spark.codec import decode_chunk, encode_chunk
+from xarray_beam_spark.dataset import Dataset, Template, chunk_row_schema, off_col
+from xarray_beam_spark.ndarray_ds import NDDataset, Variable
+from xarray_beam_spark.sources import zarrlite
+
+
+def _is_index_coord(meta: zarrlite.ZArray) -> bool:
+    return len(meta.dims) == 1 and meta.dims[0] == meta.name
+
+
+def open_zarr_template(path: str) -> tuple[Template, dict[str, int]]:
+    """Open a Zarr group as (Template, zarr chunk dict) — metadata +
+    coordinate arrays only, no data chunks (reference ``open_zarr`` +
+    ``_infer_chunks``, ``zarr.py:48-96``)."""
+    arrays, group_attrs = zarrlite.open_group(path)
+    sizes: dict[str, int] = {}
+    var_meta: dict[str, tuple[tuple[str, ...], str]] = {}
+    coords: dict[str, Variable] = {}
+    chunks: dict[str, int] = {}
+    for name, meta in arrays.items():
+        for d, s in zip(meta.dims, meta.shape):
+            if sizes.setdefault(d, s) != s:
+                raise ValueError(f"conflicting size for dim {d!r} in {path}")
+        if _is_index_coord(meta):
+            coords[name] = Variable(meta.dims, zarrlite.read_full(meta))
+        else:
+            var_meta[name] = (meta.dims, meta.dtype.str)
+            for d, c in zip(meta.dims, meta.chunks):
+                prev = chunks.setdefault(d, c)
+                if prev != c:
+                    # differing per-var encodings: use the finest grid
+                    chunks[d] = math.gcd(prev, c)
+    tmpl = Template(sizes=sizes, var_meta=var_meta, coords=coords, attrs=group_attrs)
+    return tmpl, {d: chunks.get(d, s) for d, s in sizes.items()}
+
+
+def from_zarr(
+    spark: SparkSession,
+    path: str,
+    chunks: Mapping[str, int] | None = None,
+    split_vars: bool = False,
+) -> Dataset:
+    """Lazily read a Zarr group as a distributed Dataset.
+
+    ``chunks`` defaults to the store's own chunk grid; any in-flight chunk
+    size works (executors assemble regions across zarr chunks).
+    Reference: ``Dataset.from_zarr`` (``dataset.py:662-703``).
+    """
+    template, store_chunks = open_zarr_template(path)
+    sizes = dict(template.sizes)
+    cchunks = core.normalize_chunks(dict(chunks) if chunks else store_chunks, sizes)
+    n_grid = core.chunk_count(cchunks, sizes)
+    var_groups: list[str | None] = sorted(template.var_meta) if split_vars else [None]
+    dims_sorted = sorted(sizes)
+    schema = chunk_row_schema(dims_sorted)
+    # Ship only small plain values into the closure: path + grid math.
+    coords_bc = spark.sparkContext.broadcast(template.coords)
+    var_names = sorted(template.var_meta)
+
+    def read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        arrays, _ = zarrlite.open_group(path)
+        coords_all = coords_bc.value
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                grid_i, var_i = divmod(int(i), len(var_groups))
+                offsets = core.key_for_index(grid_i, sizes, cchunks)
+                shape = {
+                    d: min(cchunks[d], sizes[d] - offsets[d]) for d in dims_sorted
+                }
+                vg = var_groups[var_i]
+                names = [vg] if vg is not None else var_names
+                dv = {}
+                for v in names:
+                    meta = arrays[v]
+                    dv[v] = Variable(
+                        meta.dims,
+                        zarrlite.read_region(
+                            meta,
+                            {d: offsets[d] for d in meta.dims},
+                            {d: shape[d] for d in meta.dims},
+                        ),
+                    )
+                used = {d for var in dv.values() for d in var.dims}
+                ch_coords = {
+                    k: Variable(
+                        c.dims,
+                        c.values[
+                            tuple(
+                                slice(offsets[d], offsets[d] + shape[d]) for d in c.dims
+                            )
+                        ],
+                    )
+                    for k, c in coords_all.items()
+                    if set(c.dims) <= used
+                }
+                ds = NDDataset(dv, ch_coords)
+                row = {off_col(d): offsets[d] for d in dims_sorted}
+                row["vars"] = vg
+                row["payload"] = encode_chunk(ds)
+                rows.append(row)
+            if rows:
+                yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    total = n_grid * len(var_groups)
+    rng = spark.range(0, total, 1, max(1, min(total, spark.sparkContext.defaultParallelism)))
+    df = rng.mapInPandas(read, schema)
+    return Dataset(spark, df, template, cchunks, split_vars)
+
+
+def setup_zarr(
+    template: Template,
+    path: str,
+    zarr_chunks: Mapping[str, int],
+    compressor: str | None = "zlib",
+) -> None:
+    """Driver-side store skeleton: group + array metadata + coordinate
+    arrays written eagerly (reference ``setup_zarr``, ``zarr.py:389-513``;
+    unchunked coords written with the template, ``zarr.py:609-612``)."""
+    zarrlite.create_group(path, template.attrs)
+    for name, coord in template.coords.items():
+        meta = zarrlite.create_array(
+            path,
+            name,
+            shape=coord.values.shape,
+            chunks=coord.values.shape,  # coords: single chunk
+            dtype=coord.values.dtype,
+            dims=coord.dims,
+            compressor=compressor,
+        )
+        zarrlite.write_full(meta, coord.values)
+    for name, (dims, dtype) in template.var_meta.items():
+        shape = [template.sizes[d] for d in dims]
+        zarrlite.create_array(
+            path,
+            name,
+            shape=shape,
+            chunks=[min(zarr_chunks.get(d, template.sizes[d]), template.sizes[d]) for d in dims],
+            dtype=np.dtype(dtype),
+            dims=dims,
+            compressor=compressor,
+        )
+
+
+_WRITE_STATS = T.StructType(
+    [
+        T.StructField("chunks_written", T.LongType()),
+        T.StructField("bytes_written", T.LongType()),
+    ]
+)
+
+
+def to_zarr(
+    ds: Dataset,
+    path: str,
+    zarr_chunks: Mapping[str, int] | None = None,
+    compressor: str | None = "zlib",
+) -> dict[str, int]:
+    """Write the dataset to a Zarr group; returns write stats.
+
+    ``zarr_chunks`` defaults to the in-flight chunk grid. In-flight chunks
+    must align to the zarr grid (each chunk offset a multiple of the zarr
+    chunk, reference ``validate_zarr_chunk`` ``zarr.py:516-587``) — call
+    ``rechunk`` first otherwise. One Spark action; no driver barrier
+    needed since setup happens synchronously before it.
+    """
+    work = ds.consolidate_variables() if ds.split_vars else ds
+    sizes = dict(work.sizes)
+    zchunks = core.normalize_chunks(dict(zarr_chunks) if zarr_chunks else work.chunks, sizes)
+    for d in sizes:
+        if work.chunks[d] % zchunks[d] != 0 and work.chunks[d] != sizes[d]:
+            raise ValueError(
+                f"in-flight chunk {work.chunks[d]} along {d!r} is not a multiple of "
+                f"zarr chunk {zchunks[d]}; rechunk first (reference zarr.py:557-583)"
+            )
+    setup_zarr(work.template, path, zchunks, compressor)
+    dims_sorted = sorted(sizes)
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        arrays, _ = zarrlite.open_group(path)
+        n_chunks = 0
+        n_bytes = 0
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                chunk = decode_chunk(r["payload"])
+                for v, var in chunk.data_vars.items():
+                    meta = arrays[v]
+                    off = {d: int(r[off_col(d)]) for d in meta.dims}
+                    n_bytes += zarrlite.write_region(meta, off, var.values)
+                    n_chunks += 1
+        yield pd.DataFrame({"chunks_written": [n_chunks], "bytes_written": [n_bytes]})
+
+    stats = work.df.mapInPandas(write, _WRITE_STATS).agg(
+        F.sum("chunks_written").alias("chunks_written"),
+        F.sum("bytes_written").alias("bytes_written"),
+    ).collect()[0]
+    return {"chunks_written": stats[0] or 0, "bytes_written": stats[1] or 0}
+
+
+# Convenience methods on Dataset (no circular import: this module imports
+# dataset, not vice versa; importing xarray_beam_spark wires these up).
+Dataset.to_zarr = to_zarr  # type: ignore[attr-defined]
+Dataset.from_zarr = staticmethod(from_zarr)  # type: ignore[attr-defined]
