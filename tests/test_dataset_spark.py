@@ -167,3 +167,41 @@ def test_table_bridge_roundtrip(spark):
         src.data_vars["asn"].values.astype(np.float64),
         rtol=1e-7,
     )
+
+
+def test_tail(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 10})
+    got = d.tail(time=7).collect()
+    want = era5.isel({"time": slice(-7, None)})
+    assert got.equals(want)
+    # unaligned straddle: tail window cuts mid-chunk
+    got2 = d.tail(time=13, latitude=3).collect()
+    want2 = era5.isel({"time": slice(-13, None), "latitude": slice(-3, None)})
+    assert got2.equals(want2)
+
+
+def test_groupby_reduce_mean(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 7})
+    labels = (np.arange(24) % 5).astype(np.int64)  # 5 uneven groups
+    got = d.groupby_reduce("time", labels, op="mean", new_dim="phase").collect()
+    arr = era5.data_vars["asn"].values.astype(np.float64)
+    want = np.stack([arr[labels == g].mean(axis=0) for g in range(5)])
+    np.testing.assert_allclose(got.data_vars["asn"].values, want, rtol=1e-12)
+    np.testing.assert_array_equal(got.coords["phase"].values, np.arange(5))
+
+
+def test_groupby_reduce_min_max_sum(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 5, "latitude": 4})
+    labels = (np.arange(24) % 3).astype(np.int64)
+    arr = era5.data_vars["asn"].values.astype(np.float64)
+    for op, fn in [("sum", np.sum), ("min", np.min), ("max", np.max)]:
+        got = d.groupby_reduce("time", labels, op=op, new_dim="g").collect()
+        want = np.stack([fn(arr[labels == g], axis=0) for g in range(3)])
+        np.testing.assert_allclose(got.data_vars["asn"].values, want, rtol=1e-12)
+
+
+def test_groupby_reduce_string_keys(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 10})
+    labels = np.array(["b" if i % 2 else "a" for i in range(24)])
+    got = d.groupby_reduce("time", labels, op="mean", new_dim="parity").collect()
+    np.testing.assert_array_equal(got.coords["parity"].values, np.array(["a", "b"]))

@@ -487,6 +487,71 @@ class Dataset:
         df = pruned.mapInPandas(trim_map, schema)
         return Dataset(self.spark, df, tmpl, chunks, self.split_vars)
 
+    def tail(self, **counts: int) -> "Dataset":
+        """Last N elements per dim (reference ``dataset.py:1105-1133``).
+
+        Catalyst prunes chunks entirely outside the tail window via the
+        offset predicate; the straddling chunk is trimmed and offsets are
+        rebased to 0, then a narrow ``split_chunks`` restores a regular
+        grid.
+        """
+        sizes = self.sizes
+        starts = {d: max(0, sizes[d] - n) for d, n in counts.items()}
+        new_sizes = {d: (sizes[d] - starts.get(d, 0)) for d in sizes}
+        cond = F.lit(True)
+        for d, st in starts.items():
+            cond = cond & (F.col(off_col(d)) + F.lit(self.chunks[d]) > st)
+        pruned = self.df.filter(cond)
+        tmpl = Template(
+            sizes=new_sizes,
+            var_meta=self.template.var_meta,
+            coords={
+                k: Variable(
+                    v.dims,
+                    v.values[tuple(slice(starts.get(d, 0), None) for d in v.dims)],
+                )
+                for k, v in self.template.coords.items()
+            },
+            attrs=self.template.attrs,
+        )
+        all_dims = self.dims
+        st_map = dict(starts)
+
+        def trim_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for _, r in pdf.iterrows():
+                    ds = decode_chunk(r["payload"])
+                    sl = {}
+                    new_offs = {}
+                    for d in all_dims:
+                        off = int(r[off_col(d)])
+                        st = st_map.get(d, 0)
+                        if d in ds.sizes and off < st:
+                            sl[d] = slice(st - off, None)
+                            new_offs[d] = 0
+                        else:
+                            new_offs[d] = off - st
+                    rows.append(
+                        {
+                            **{off_col(d): new_offs[d] for d in all_dims},
+                            "vars": r["vars"],
+                            "payload": encode_chunk(ds.isel(sl) if sl else ds),
+                        }
+                    )
+                if rows:
+                    yield pd.DataFrame(rows)
+
+        schema = chunk_row_schema(all_dims)
+        df = pruned.mapInPandas(trim_map, schema)
+        chunks = {d: min(self.chunks[d], new_sizes[d]) for d in new_sizes}
+        out = Dataset(self.spark, df, tmpl, chunks, self.split_vars)
+        if all(st % self.chunks[d] == 0 for d, st in starts.items()):
+            return out  # window is chunk-aligned: offsets stayed regular
+        # realign the irregular boundary chunks to the regular grid:
+        # narrow split + one consolidate shuffle
+        return out.split_chunks(chunks).consolidate_chunks(chunks)
+
     def transpose(self, *order: str) -> "Dataset":
         order = order or tuple(reversed(self.dims))
         return self.map_blocks(
@@ -599,7 +664,6 @@ class Dataset:
         dims = self.dims
         schema = chunk_row_schema(dims)
         offc = [off_col(d) for d in dims]
-        src_chunks = self.chunks
 
         rounded = self.df
         for d in dims:
@@ -615,8 +679,10 @@ class Dataset:
             parts: dict[tuple[int, ...], NDDataset] = {}
             for _, r in pdf.iterrows():
                 ds = decode_chunk(r["payload"])
+                # index by raw relative offset; the dense remap below
+                # handles any (even irregular) sub-grid
                 idx = tuple(
-                    (int(r[off_col(d)]) - koffs[d]) // max(1, src_chunks[d]) if d in ds.sizes else 0
+                    (int(r[off_col(d)]) - koffs[d]) if d in ds.sizes else 0
                     for d in dims
                 )
                 parts[idx] = ds
@@ -738,6 +804,147 @@ class Dataset:
         pre_df = self.df.mapInPandas(pre, schema)
         df = pre_df.groupBy("vars", *offc).applyInPandas(merge, schema)
         return Dataset(self.spark, df, out_tmpl, out_chunks, self.split_vars)
+
+    def groupby_reduce(
+        self,
+        dim: str,
+        by: np.ndarray,
+        op: str = "mean",
+        new_dim: str = "group",
+        skipna: bool = True,
+    ) -> "Dataset":
+        """Group elements along ``dim`` by a per-element key and reduce —
+        the climatology pattern (reference ``examples/era5_climatology.py``:
+        ``SplitChunks({'time':1}) → rekey → Mean.PerKey``).
+
+        ``by``: array of group keys, one per element of ``dim`` (computed
+        driver-side from a coordinate, e.g. month-of-timestamp). The result
+        replaces ``dim`` with ``new_dim`` indexed by the sorted unique keys.
+
+        Spark plan: one narrow stage computes the full per-group partial
+        accumulator per chunk — vectorized ``np.add.at`` over the dense
+        (group, ...) accumulator, the combiner lift of ``Mean.PerKey``
+        (``combiners.py:168-187``) — then one shuffle on the remaining
+        offsets merges and finalizes. Group count is small (months, hours,
+        weekdays), so the dense accumulator is cheap and no per-element
+        re-keying or SplitChunks-to-size-1 is ever materialized.
+        """
+        if op not in ("mean", "sum", "min", "max"):
+            raise ValueError(f"unsupported groupby op {op!r}")
+        if self.split_vars:
+            return self.consolidate_variables().groupby_reduce(dim, by, op, new_dim, skipna)
+        sizes = self.sizes
+        if len(by) != sizes[dim]:
+            raise ValueError(f"`by` has {len(by)} entries, dim {dim!r} has {sizes[dim]}")
+        for v, (dims_v, _) in self.template.var_meta.items():
+            if dim not in dims_v:
+                raise ValueError(f"variable {v!r} lacks dim {dim!r}")
+        uniq, inverse = np.unique(np.asarray(by), return_inverse=True)
+        n_groups = len(uniq)
+        bc_labels = self.spark.sparkContext.broadcast((inverse.astype(np.int64), uniq))
+
+        keep_dims = [d for d in self.dims if d != dim]
+        out_dims = sorted(keep_dims + [new_dim])
+        tmpl = self.template
+        out_vm = {}
+        for v, (dims_v, dt) in tmpl.var_meta.items():
+            nd = tuple([new_dim] + [d for d in dims_v if d != dim])
+            out_vm[v] = (nd, dt if op in ("min", "max") else np.dtype("float64").str)
+        out_tmpl = Template(
+            sizes={**{d: s for d, s in sizes.items() if d != dim}, new_dim: n_groups},
+            var_meta=out_vm,
+            coords={
+                **{k: c for k, c in tmpl.coords.items() if dim not in c.dims},
+                new_dim: Variable((new_dim,), uniq),
+            },
+            attrs=tmpl.attrs,
+        )
+        out_chunks = {**{d: self.chunks[d] for d in keep_dims}, new_dim: n_groups}
+        schema = chunk_row_schema(out_dims)
+        offc = [off_col(d) for d in keep_dims]
+        var_names = tmpl.var_names
+        g_dim = dim
+
+        def pre(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            labels_all, group_vals = bc_labels.value
+            for pdf in batches:
+                rows = []
+                for _, r in pdf.iterrows():
+                    ds = decode_chunk(r["payload"])
+                    off = int(r[off_col(g_dim)])
+                    labels = labels_all[off : off + ds.sizes[g_dim]]
+                    acc_vars: dict[str, Variable] = {}
+                    for v in var_names:
+                        var = ds.data_vars[v]
+                        ax = var.dims.index(g_dim)
+                        a = np.moveaxis(var.values, ax, 0)
+                        rest = tuple(d for d in var.dims if d != g_dim)
+                        if op in ("mean", "sum"):
+                            af = a.astype(np.float64, copy=False)
+                            nanm = np.isnan(af) if af.dtype.kind == "f" and skipna else None
+                            s = np.zeros((n_groups,) + a.shape[1:], np.float64)
+                            cnt = np.zeros((n_groups,) + a.shape[1:], np.int64)
+                            np.add.at(s, labels, np.where(nanm, 0.0, af) if nanm is not None else af)
+                            np.add.at(
+                                cnt,
+                                labels,
+                                (~nanm).astype(np.int64) if nanm is not None else np.ones(a.shape, np.int64),
+                            )
+                            acc_vars[f"{v}__sum"] = Variable((new_dim,) + rest, s)
+                            acc_vars[f"{v}__cnt"] = Variable((new_dim,) + rest, cnt)
+                        else:
+                            init = np.inf if op == "min" else -np.inf
+                            m = np.full((n_groups,) + a.shape[1:], init, np.float64)
+                            af = a.astype(np.float64, copy=False)
+                            filled = np.where(np.isnan(af), init, af) if skipna else af
+                            (np.minimum if op == "min" else np.maximum).at(m, labels, filled)
+                            acc_vars[f"{v}__{op}"] = Variable((new_dim,) + rest, m)
+                    kept_coords = {
+                        k: c for k, c in ds.coords.items() if g_dim not in c.dims
+                    }
+                    kept_coords[new_dim] = Variable((new_dim,), group_vals)
+                    acc = NDDataset(acc_vars, kept_coords, ds.attrs)
+                    row = {off_col(d): (0 if d == new_dim else int(r[off_col(d)])) for d in out_dims}
+                    row["vars"] = r["vars"]
+                    row["payload"] = encode_chunk(acc)
+                    rows.append(row)
+                if rows:
+                    yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+        out_dtypes = {v: np.dtype(dt) for v, (_, dt) in out_vm.items()}
+
+        def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            parts = [decode_chunk(p) for p in pdf["payload"]]
+            first = parts[0]
+            out: dict[str, Variable] = {}
+            for v in var_names:
+                if op in ("mean", "sum"):
+                    s = np.sum([p.data_vars[f"{v}__sum"].values for p in parts], axis=0)
+                    cnt = np.sum([p.data_vars[f"{v}__cnt"].values for p in parts], axis=0)
+                    with np.errstate(all="ignore"):
+                        res = s if op == "sum" else s / cnt
+                        if op == "sum":
+                            res = np.where(cnt == 0, np.nan, res)
+                    out[v] = Variable(first.data_vars[f"{v}__sum"].dims, np.asarray(res, np.float64))
+                else:
+                    arrs = [p.data_vars[f"{v}__{op}"].values for p in parts]
+                    res = arrs[0]
+                    fn = np.minimum if op == "min" else np.maximum
+                    for a in arrs[1:]:
+                        res = fn(res, a)
+                    res = np.where(np.isinf(res), np.nan, res)
+                    out[v] = Variable(
+                        first.data_vars[f"{v}__{op}"].dims, res.astype(out_dtypes[v], copy=False)
+                    )
+            merged = NDDataset(out, first.coords, first.attrs)
+            row = dict(zip(["vars"] + [off_col(d) for d in keep_dims], [key[0]] + [int(k) for k in key[1:]]))
+            row[off_col(new_dim)] = 0
+            row["payload"] = encode_chunk(merged)
+            return pd.DataFrame([row], columns=[f.name for f in schema.fields])
+
+        pre_df = self.df.mapInPandas(pre, schema)
+        df = pre_df.groupBy("vars", *offc).applyInPandas(merge, schema)
+        return Dataset(self.spark, df, out_tmpl, out_chunks, False)
 
 
 # ---------------------------------------------------------------------------

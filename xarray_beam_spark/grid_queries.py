@@ -183,6 +183,41 @@ def xb_grid_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.head(day=7).to_table(dropna=True)
 
 
+@_register(
+    "xb_grid_climatology_dow",
+    f"""
+SELECT CAST(dayofweek(day) AS BIGINT) AS dow, hour, event_type,
+       CAST(SUM(CAST(cnt AS BIGINT)) AS DOUBLE) / COUNT(*) AS cnt
+FROM ({_CELLS_SQL}) GROUP BY 1, 2, 3
+""",
+)
+def xb_grid_climatology_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Climatology: mean by day-of-week — the reference's flagship pattern
+    (``examples/era5_climatology.py``: SplitChunks → rekey → Mean.PerKey),
+    expressed as one narrow per-chunk dense-group pre-aggregation + one
+    shuffle (``Dataset.groupby_reduce``)."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    days = d.template.coords["day"].values
+    # numpy day-of-week with DuckDB's convention (Sunday = 0)
+    dow = (days.astype("datetime64[D]").view("int64") + 4) % 7
+    g = d.groupby_reduce("day", dow, op="mean", new_dim="dow")
+    return g.to_table(dropna=True)
+
+
+@_register(
+    "xb_grid_tail",
+    f"""
+SELECT * FROM ({_CELLS_SQL})
+WHERE day >= (SELECT MAX(day) FROM ({_CELLS_SQL})) - INTERVAL 9 DAY
+""",
+)
+def xb_grid_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tail(): last-N window with chunk pruning + offset rebase
+    (reference ``dataset.py:1105-1133``)."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 4})
+    return d.tail(day=10).to_table(dropna=True)
+
+
 @_register("xb_grid_transpose", _CELLS_SQL)
 def xb_grid_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transpose is metadata-only per chunk; values unchanged."""
