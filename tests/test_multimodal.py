@@ -1,0 +1,76 @@
+"""Multimodal plumbing: deterministic fake decoder, features, resize,
+frame sampling — exact-value checks against pure-NumPy recomputation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xarray_beam_spark.operators import multimodal as mm
+
+
+def test_fake_decode_deterministic():
+    a = mm.fake_decode(b"hello world", 8, 8)
+    b = mm.fake_decode(b"hello world", 8, 8)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (8, 8) and a.dtype == np.uint8
+    assert mm.fake_decode(b"", 4, 4).shape == (4, 4)
+
+
+def test_decode_image_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG...")
+
+
+def test_resize_nearest():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    out = mm.resize_nearest(img, 4, 4)
+    np.testing.assert_array_equal(out, img[::2, ::2])
+
+
+def test_sample_frames():
+    blob = bytes(range(30))
+    frames = mm.sample_frames(blob, frame_bytes=10, every=2)
+    assert frames == [bytes(range(10)), bytes(range(20, 30))]
+
+
+def test_extract_features_exact(spark):
+    pdf_texts = ["alpha beta", "x", "the quick brown fox"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(pdf_texts)], "doc_id long, text string"
+    )
+    assets = mm.documents_as_assets(docs)
+    got = {
+        r["asset_id"]: r
+        for r in mm.extract_features(assets).collect()
+    }
+    for i, t in enumerate(pdf_texts):
+        img = mm.fake_decode(t.encode(), 8, 8).astype(np.float64)
+        assert got[i]["mean_px"] == pytest.approx(img.mean(), abs=0)
+        assert got[i]["std_px"] == pytest.approx(img.std(), abs=0)
+        hist = np.zeros(16, np.int64)
+        np.add.at(hist, (img.astype(np.int64).ravel() * 16) // 256, 1)
+        np.testing.assert_array_equal(np.array(got[i]["histogram"]), hist)
+
+
+def test_resize_assets_roundtrip(spark):
+    docs = spark.createDataFrame([(1, "some content here")], "doc_id long, text string")
+    assets = mm.documents_as_assets(docs)
+    out = mm.resize_assets(assets, 4, 4).collect()[0]
+    want = mm.resize_nearest(mm.fake_decode("some content here".encode(), 8, 8), 4, 4)
+    np.testing.assert_array_equal(
+        np.frombuffer(out["blob"], np.uint8).reshape(4, 4), want
+    )
+    assert out["meta"]["width"] == 4 and out["meta"]["n_bytes"] == 16
+
+
+def test_meta_blob_column_pruned(spark, sf_dir):
+    """The metadata rollup must not read the blob column: its physical
+    plan's parquet ReadSchema contains only doc_id/source/text-derived
+    columns actually needed."""
+    from xarray_beam_spark.operators.multimodal import multimodal_meta_rollup_q
+
+    df = multimodal_meta_rollup_q(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan

@@ -30,6 +30,42 @@ def token_count(text: Column) -> Column:
     return F.size(F.split(text, r"\s+")).cast("long")
 
 
+# GPT-2-flavoured pre-tokenizer classes (simplified to an engine-portable
+# regex): word = letters, number = digits, else one punctuation char.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-style pre-token count: contiguous letter runs, digit runs, and
+    individual punctuation marks each count as one token (the unit a
+    byte-pair encoder would start merging from)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)).cast("long")
+
+
+def rolling_hash(text: Column, base: int = 131, mod: int = 1_000_003) -> Column:
+    """Polynomial rolling hash over whitespace words (Rabin-Karp style):
+    ``h = (h*base + (first_char_code + len(word))) % mod`` per word.
+
+    Pure JVM expression (``aggregate`` over the split array); the per-step
+    modulo keeps every intermediate < 2^40, so bigint arithmetic is exact
+    in both Spark and DuckDB."""
+    words = F.split(text, r"\s+")
+    step = lambda acc, w: (acc * base + F.ascii(w) + F.length(w)) % mod  # noqa: E731
+    return F.aggregate(words, F.lit(0).cast("long"), step)
+
+
+def sql_rolling_hash(col: str, base: int = 131, mod: int = 1_000_003) -> str:
+    # list_reduce has no init accumulator: prepend a 0 sentinel word whose
+    # contribution (ascii('')=0 + len… ) must equal Spark's init path; we
+    # instead fold with an explicit seed element mapped to 0.
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(regexp_split_to_array({col}, '\\s+'), "
+        f"w -> CAST(ascii(w) + length(w) AS BIGINT))), "
+        f"(acc, x) -> (acc * {base} + x) % {mod})"
+    )
+
+
 def substr_count(text: Column, sub: str) -> Column:
     """Occurrences of ``sub`` via length arithmetic (engine-portable)."""
     return (F.length(text) - F.length(F.replace(text, F.lit(sub), F.lit("")))) / F.lit(len(sub))
@@ -183,6 +219,42 @@ def text_lang_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text").cast("long")).alias("total_chars"),
         )
     )
+
+
+_BPE_ORACLE = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+@_register("text_token_counts", _BPE_ORACLE)
+def text_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-style pre-token counts per document."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+_ROLLHASH_ORACLE = f"""
+SELECT doc_id, {sql_rolling_hash('text')} AS rhash,
+       {sql_rolling_hash('text')} % 1024 AS shard
+FROM documents
+"""
+
+
+@_register("doc_rolling_hash", _ROLLHASH_ORACLE)
+def doc_rolling_hash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (word-level
+    Rabin-Karp) — order-sensitive unlike the md5 content hash, usable for
+    incremental / windowed fingerprinting."""
+    docs = load(spark, sf_dir, "documents")
+    rh = rolling_hash(F.col("text"))
+    return docs.select("doc_id", rh.alias("rhash"), (rh % 1024).alias("shard"))
 
 
 _FP_ORACLE = """
