@@ -1,0 +1,163 @@
+"""Structured Streaming surface over the events table.
+
+The reference has no streaming semantics at all (every Beam source is
+bounded, ``range_source.py:29``) — this module is the engine's
+forward-looking extension: the same event-time analytics users run in
+batch, expressed as Structured Streaming jobs with watermarks, tumbling
+windows, and session windows.
+
+Determinism for the correctness gate: queries run with
+``Trigger.AvailableNow`` over the parquet input and an in-memory sink.
+The input is a single file → a single micro-batch → the watermark never
+discards anything (it only gates *subsequent* batches), so the streaming
+result equals the batch/SQL answer bit-for-bit while still exercising the
+real streaming operators (StateStore-backed window aggregation). On a
+live unbounded source the same code runs continuously; the watermark
+bounds state size at scale.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xarray_beam_spark.tables import load
+
+REGISTRY: dict = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file stream (schema from the static reader,
+    same ns→µs timestamp normalization as ``tables.load``)."""
+    static = load(spark, sf_dir, "events")  # also sets nanosAsLong conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(f"{sf_dir}", pathGlobFilter="events.parquet")
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(result: DataFrame, complete: bool = True) -> DataFrame:
+    """Execute a streaming DataFrame to completion (AvailableNow) into an
+    in-memory table and return the final result as a batch DataFrame."""
+    name = f"xbs_stream_{uuid.uuid4().hex[:12]}"
+    spark = result.sparkSession
+    # A streaming query pins its state-store partition count at start from
+    # spark.sql.shuffle.partitions; the vanilla default (200) is far too
+    # many state stores for a local run and too few for a large cluster —
+    # size it to the session's parallelism (set-and-restore).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete" if complete else "append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = spark.table(name)
+    # materialize before the writer is garbage-collected
+    return spark.createDataFrame(out.collect(), out.schema) if complete else out
+
+
+def hourly_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows with a 2-hour watermark."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+    flat = agg.select(
+        F.col("w.start").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+    return _run_to_memory(flat)
+
+
+def user_sessions(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Session windows per user (30-min inactivity gap) — the canonical
+    stateful-streaming operator (merging session state across batches)."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.session_window(F.col("ts"), f"{gap_minutes} minutes").alias("s"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    flat = agg.select(
+        "user_id",
+        F.col("s.start").alias("session_start"),
+        F.col("s.end").alias("session_end"),
+        "n_events",
+    )
+    return _run_to_memory(flat)
+
+
+# ---------------------------------------------------------------------------
+# gate queries
+# ---------------------------------------------------------------------------
+
+_HOURLY_ORACLE = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@_register("stream_hourly_counts", _HOURLY_ORACLE)
+def stream_hourly_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_windowed_counts(spark, sf_dir)
+
+
+# Session oracle: gaps-and-islands in pure SQL. Spark's session_window end
+# is last_event + gap, mirrored exactly.
+_SESSIONS_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+@_register("stream_user_sessions", _SESSIONS_ORACLE)
+def stream_user_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_sessions(spark, sf_dir, gap_minutes=30)

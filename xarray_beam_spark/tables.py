@@ -39,7 +39,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (Queries must not emit raw `ts` — DuckDB keeps full ns precision.)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # exact integer division — double division loses precision at
+        # ns-epoch magnitude (~1.8e18 > 2^53)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
