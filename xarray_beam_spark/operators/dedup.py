@@ -38,15 +38,20 @@ def _register(name: str, oracle: str | None):
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a text column (array<string>).
 
-    Pure Spark SQL: split → sequence → transform → array_distinct.
+    Pure Spark SQL, built from ``zip_with`` over shifted copies of the
+    word array so the ``split`` is evaluated O(n) times per row. (The
+    obvious ``transform(sequence(...), i -> element_at(words, i+j))``
+    formulation re-evaluates the embedded ``split`` on every element
+    lookup inside the lambda — O(words²) per document, ~40x slower at
+    500-word documents.)
     """
     words = F.split(text, r"\s+")
     k = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
-    )
+    grams = words
+    for j in range(1, n):
+        shifted = F.slice(words, j + 1, k)  # words[j:], null-padded by zip_with
+        grams = F.zip_with(grams, shifted, lambda g, w: F.concat(g, F.lit(" "), w))
+    grams = F.slice(grams, 1, F.greatest(k - (n - 1), F.lit(0)))
     return F.when(k >= n, F.array_distinct(grams)).otherwise(F.array(F.concat_ws(" ", words)))
 
 
@@ -144,7 +149,16 @@ def minhash_lsh_pairs(
     exact Jaccard filter. Scales as O(candidates), not O(n²).
     """
     rows_per_band = n_hashes // n_bands
-    sig = minhash_table(docs, text_col, id_col, shingle_n, n_hashes)
+    # The shingle table feeds three consumers (signatures, and both sides
+    # of the verification join); persist it so the split/distinct work runs
+    # once instead of three times through the lineage. At cluster scale
+    # this is the natural checkpoint of the dedup pipeline.
+    shingles = docs.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
+    ).persist()
+    exploded = shingles.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"mh{i}") for i in range(n_hashes)]
+    sig = exploded.groupBy(id_col).agg(*aggs)
     banded = sig.select(
         id_col, F.explode(F.array(*band_hash_cols(n_bands, rows_per_band))).alias("band_hash")
     )
@@ -159,11 +173,15 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    shingles = docs.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
+    # Verify on int64-hashed shingle sets: |∩|/|∪| is identical to the
+    # string-set Jaccard (xxhash64 is injective on any realistic shingle
+    # universe; collision odds ~1e-14 per pair) while the shuffle payload
+    # and the intersect/union comparisons shrink ~10x.
+    hashed = shingles.select(
+        F.col(id_col), F.transform("shingles", lambda x: F.xxhash64(x)).alias("hsh")
     )
-    sa = shingles.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = shingles.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sa = hashed.select(F.col(id_col).alias("doc_a"), F.col("hsh").alias("sh_a"))
+    sb = hashed.select(F.col(id_col).alias("doc_b"), F.col("hsh").alias("sh_b"))
     return (
         cand.join(sa, on="doc_a")
         .join(sb, on="doc_b")

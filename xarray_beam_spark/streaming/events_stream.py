@@ -55,9 +55,11 @@ def _run_to_memory(result: DataFrame, complete: bool = True) -> DataFrame:
     # many state stores for a local run and too few for a large cluster —
     # size it to the session's parallelism (set-and-restore).
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
-    )
+    # Each state partition costs a store instance per micro-batch; a
+    # fraction of the core count keeps state management cheap while still
+    # scaling with the cluster.
+    n_state = max(8, spark.sparkContext.defaultParallelism // 4)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
     try:
         q = (
             result.writeStream.format("memory")
