@@ -205,3 +205,43 @@ def test_groupby_reduce_string_keys(spark, era5):
     labels = np.array(["b" if i % 2 else "a" for i in range(24)])
     got = d.groupby_reduce("time", labels, op="mean", new_dim="parity").collect()
     np.testing.assert_array_equal(got.coords["parity"].values, np.array(["a", "b"]))
+
+
+def test_validate_passes_good_chunks(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 10})
+    v = Dataset.from_dataframe(spark, d.df, d.template, d.chunks, validate=True)
+    assert v.collect().identical(era5)
+
+
+def test_validate_catches_bad_offset(spark, era5):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 10})
+    broken = d.df.withColumn("off_time", F.col("off_time") + 1)
+    v = Dataset.from_dataframe(spark, broken, d.template, d.chunks, validate=True)
+    with _pytest.raises(Exception, match="not a\n?\\s*multiple|multiple of chunk"):
+        v.collect()
+
+
+def test_pipe_and_expand_dims(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 10})
+    assert d.pipe(lambda x, k: x.chunks[k], "time") == 10
+    e = d.expand_dims(member=3)
+    got = e.collect()
+    assert got.sizes["member"] == 3
+    np.testing.assert_array_equal(
+        got.data_vars["asn"].values[0], got.data_vars["asn"].values[2]
+    )
+
+
+def test_observability_counters(spark, era5):
+    from xarray_beam_spark.observability import get_counters
+
+    c = get_counters(spark)
+    c.reset()
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 6})
+    d.map_blocks(lambda ds: ds.map(lambda a: a + 1)).collect()
+    snap = c.snapshot()
+    assert snap.get("map_blocks.inputs", 0) >= 4
+    assert snap.get("map_blocks.input_bytes", 0) > 0

@@ -148,3 +148,94 @@ class TestDistributedZarr:
         zarr_io.to_zarr(r, str(tmp_path / "b"), zarr_chunks={"time": 5, "x": 2})
         back = zarr_io.from_zarr(spark, str(tmp_path / "b"))
         assert back.collect().equals(src)
+
+
+class TestZarrV3:
+    def test_v3_array_roundtrip(self, tmp_path):
+        path = str(tmp_path / "s3")
+        zarrlite.create_group(path, {"g": 1}, zarr_format=3)
+        arr = np.arange(48, dtype=np.float64).reshape(6, 8)
+        meta = zarrlite.create_array(
+            path, "v", arr.shape, (2, 3), arr.dtype, ("r", "c"), zarr_format=3
+        )
+        zarrlite.write_full(meta, arr)
+        got_meta = zarrlite.open_array(path, "v")
+        assert got_meta.zarr_format == 3 and got_meta.shards is None
+        np.testing.assert_array_equal(zarrlite.read_full(got_meta), arr)
+        arrays, attrs = zarrlite.open_group(path)
+        assert attrs == {"g": 1} and "v" in arrays
+
+    def test_v3_sharded_roundtrip(self, tmp_path):
+        import os
+
+        path = str(tmp_path / "s3")
+        zarrlite.create_group(path, zarr_format=3)
+        arr = np.arange(240, dtype=np.int32).reshape(12, 20)
+        meta = zarrlite.create_array(
+            path, "v", arr.shape, (2, 5), arr.dtype, ("r", "c"),
+            zarr_format=3, shards=(4, 10),
+        )
+        zarrlite.write_full(meta, arr)
+        # shard files: 3 x 2 shard grid under c/
+        assert sorted(os.listdir(os.path.join(path, "v", "c"))) == ["0", "1", "2"]
+        got = zarrlite.open_array(path, "v")
+        assert got.shards == (4, 10) and got.chunks == (2, 5)
+        np.testing.assert_array_equal(zarrlite.read_full(got), arr)
+        # single inner chunk read from inside a shard
+        np.testing.assert_array_equal(
+            zarrlite.read_chunk(got, (3, 1)), arr[6:8, 5:10]
+        )
+
+    def test_v3_sharded_edge_shards(self, tmp_path):
+        path = str(tmp_path / "s3")
+        zarrlite.create_group(path, zarr_format=3)
+        arr = np.arange(70, dtype=np.float32).reshape(7, 10)
+        meta = zarrlite.create_array(
+            path, "v", arr.shape, (2, 4), arr.dtype, ("r", "c"),
+            zarr_format=3, shards=(4, 8),
+        )
+        zarrlite.write_full(meta, arr)
+        got = zarrlite.read_full(zarrlite.open_array(path, "v"))
+        np.testing.assert_array_equal(got, arr)
+
+    def test_v3_shard_alignment_enforced(self, tmp_path):
+        path = str(tmp_path / "s3")
+        zarrlite.create_group(path, zarr_format=3)
+        meta = zarrlite.create_array(
+            path, "v", (16,), (2,), np.float64, ("x",), zarr_format=3, shards=(8,)
+        )
+        with pytest.raises(ValueError, match="shard"):
+            zarrlite.write_region(meta, {"x": 2}, np.zeros(2))
+        zarrlite.write_region(meta, {"x": 8}, np.zeros(8))
+
+    def test_v3_wrapped_dtypes(self, tmp_path):
+        path = str(tmp_path / "s3")
+        zarrlite.create_group(path, zarr_format=3)
+        dt = (np.datetime64("2022-01-01", "h") + np.arange(10)).astype("datetime64[us]")
+        meta = zarrlite.create_array(
+            path, "time", dt.shape, (4,), dt.dtype, ("time",), zarr_format=3
+        )
+        zarrlite.write_full(meta, dt)
+        got = zarrlite.open_array(path, "time")
+        assert got.wrapped and got.logical_dtype == dt.dtype
+        np.testing.assert_array_equal(zarrlite.read_full(got), dt)
+        ss = np.array(["aa", "bbb", "c"], dtype="<U3")
+        m2 = zarrlite.create_array(path, "s", ss.shape, (2,), ss.dtype, ("s",), zarr_format=3)
+        zarrlite.write_full(m2, ss)
+        np.testing.assert_array_equal(zarrlite.read_full(zarrlite.open_array(path, "s")), ss)
+
+    def test_distributed_v3_sharded_roundtrip(self, spark, tmp_path):
+        src = _fixture_ds()
+        d = Dataset.from_numpy(spark, src, chunks={"time": 10})
+        stats = zarr_io.to_zarr(
+            d,
+            str(tmp_path / "out3"),
+            zarr_chunks={"time": 5, "x": 7},
+            zarr_format=3,
+            zarr_chunks_per_shard={"time": 2},
+        )
+        assert stats["chunks_written"] > 0
+        back = zarr_io.from_zarr(spark, str(tmp_path / "out3"))
+        assert back.chunks == {"time": 5, "x": 7}
+        got = back.collect()
+        assert got.equals(src)

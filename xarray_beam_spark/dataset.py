@@ -297,6 +297,98 @@ class Dataset:
         )
         return Dataset(spark, grouped, tmpl, cchunks, False)
 
+    @staticmethod
+    def from_dataframe(
+        spark: SparkSession,
+        df: DataFrame,
+        template: Template,
+        chunks: Mapping[str, int],
+        split_vars: bool = False,
+        validate: bool = True,
+    ) -> "Dataset":
+        """Wrap an arbitrary chunk-row DataFrame produced by user code
+        (reference ``Dataset.from_ptransform``, ``dataset.py:561-622``),
+        optionally inserting the per-chunk validation stage."""
+        out = Dataset(spark, df, template, chunks, split_vars)
+        return out.validate() if validate else out
+
+    def validate(self) -> "Dataset":
+        """Insert a narrow per-chunk validation stage (reference
+        ``ValidateEachChunk`` ``core.py:809-818`` + the from_ptransform
+        validator ``dataset.py:236-332``): offsets on the chunk grid,
+        chunk extents matching the grid cell (smaller only at the array
+        edge), dims/dtypes consistent with the template, and var subsets
+        consistent with ``split_vars``. Raises inside the executor on the
+        first violation, failing the job with a precise message."""
+        tmpl = self.template
+        sizes = dict(tmpl.sizes)
+        chunks = dict(self.chunks)
+        split_vars = self.split_vars
+        var_meta = dict(tmpl.var_meta)
+        dims_sorted = self.dims
+        schema = chunk_row_schema(dims_sorted)
+
+        def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for _, r in pdf.iterrows():
+                    ds = decode_chunk(r["payload"])
+                    offs = {d: int(r[off_col(d)]) for d in dims_sorted}
+                    for d, off in offs.items():
+                        if d in ds.sizes:
+                            if off % chunks[d] != 0:
+                                raise ValueError(
+                                    f"chunk offset {off} along {d!r} is not a "
+                                    f"multiple of chunk size {chunks[d]}"
+                                )
+                            expect = min(chunks[d], sizes[d] - off)
+                            if ds.sizes[d] != expect:
+                                raise ValueError(
+                                    f"chunk at {offs} has size {ds.sizes[d]} along "
+                                    f"{d!r}; grid expects {expect}"
+                                )
+                    vtoken = r["vars"]
+                    if split_vars and vtoken is None:
+                        raise ValueError(f"split_vars dataset has chunk at {offs} with vars=None")
+                    for name, var in ds.data_vars.items():
+                        if name not in var_meta:
+                            raise ValueError(f"unexpected variable {name!r} at {offs}")
+                        want_dims, want_dtype = var_meta[name]
+                        if var.dims != tuple(want_dims):
+                            raise ValueError(
+                                f"variable {name!r} dims {var.dims} != template {want_dims}"
+                            )
+                        if var.values.dtype.str != want_dtype:
+                            raise ValueError(
+                                f"variable {name!r} dtype {var.values.dtype.str} != "
+                                f"template {want_dtype}"
+                            )
+                yield pdf
+
+        return Dataset(
+            self.spark, self.df.mapInPandas(check, schema), tmpl, chunks, split_vars
+        )
+
+    def pipe(self, func: Callable, *args, **kwargs):
+        """Method-chaining helper (reference ``dataset.py:1139-1141``)."""
+        return func(self, *args, **kwargs)
+
+    def expand_dims(self, **dim_sizes: int) -> "Dataset":
+        """Add new leading dims of the given sizes by broadcasting every
+        chunk (new dims are unchunked)."""
+        tmpl = self.template
+        new_tmpl = Template(
+            sizes={**dim_sizes, **tmpl.sizes},
+            var_meta={
+                v: (tuple(dim_sizes) + dims, dt) for v, (dims, dt) in tmpl.var_meta.items()
+            },
+            coords=tmpl.coords,
+            attrs=tmpl.attrs,
+        )
+        new_chunks = {**dim_sizes, **self.chunks}
+        return self.map_blocks(
+            lambda ds: ds.expand_dims(dim_sizes), template=new_tmpl, chunks=new_chunks
+        )
+
     # -- conversion --------------------------------------------------------
 
     def to_table(self, dropna: bool = True) -> DataFrame:
@@ -399,13 +491,24 @@ class Dataset:
         in_sizes = self.sizes
         in_chunks = self.chunks
         out_sizes = template.sizes
+        from xarray_beam_spark.observability import get_counters
+
+        _c = get_counters(self.spark)
+        acc_in, acc_in_b, acc_out_b = (
+            _c.acc("map_blocks.inputs"),
+            _c.acc("map_blocks.input_bytes"),
+            _c.acc("map_blocks.output_bytes"),
+        )
 
         def apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 rows = []
                 for _, r in pdf.iterrows():
                     ds = decode_chunk(r["payload"])
+                    acc_in.add(1)
+                    acc_in_b.add(ds.nbytes)
                     res = func(ds)
+                    acc_out_b.add(res.nbytes)
                     row = {}
                     for d in out_dims:
                         if d in in_sizes:

@@ -98,6 +98,29 @@ def xb_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.to_table(dropna=True)
 
 
+@_register("xb_zarr_v3_sharded_roundtrip", _CELLS_SQL)
+def xb_zarr_v3_sharded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_zarr → from_zarr identity through a Zarr v3 store with the
+    sharding_indexed codec (reference shard surface ``dataset.py:705-866``):
+    executors write whole shards (4-day shards of 2-day chunks), the
+    re-read addresses inner chunks through the shard index."""
+    import tempfile
+
+    from xarray_beam_spark.sources import zarr_io
+
+    d = _events_grid(spark, sf_dir, chunks={"day": 8})
+    path = tempfile.mkdtemp(prefix="xbs_zarr3_gate_")
+    zarr_io.to_zarr(
+        d,
+        path,
+        zarr_chunks={"day": 2, "hour": 24},
+        zarr_format=3,
+        zarr_chunks_per_shard={"day": 2},
+    )
+    back = zarr_io.from_zarr(spark, path, chunks={"day": 8})
+    return back.to_table(dropna=True)
+
+
 @_register("xb_grid_split_consolidate", _CELLS_SQL)
 def xb_grid_split_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SplitChunks → ConsolidateChunks identity (rechunk.py:400-454,85-197)."""

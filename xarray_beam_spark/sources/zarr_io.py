@@ -38,7 +38,8 @@ from xarray_beam_spark.sources import zarrlite
 
 
 def _is_index_coord(meta: zarrlite.ZArray) -> bool:
-    return len(meta.dims) == 1 and meta.dims[0] == meta.name
+    dims = meta.logical_dims
+    return len(dims) == 1 and dims[0] == meta.name
 
 
 def open_zarr_template(path: str) -> tuple[Template, dict[str, int]]:
@@ -51,14 +52,14 @@ def open_zarr_template(path: str) -> tuple[Template, dict[str, int]]:
     coords: dict[str, Variable] = {}
     chunks: dict[str, int] = {}
     for name, meta in arrays.items():
-        for d, s in zip(meta.dims, meta.shape):
+        for d, s in zip(meta.logical_dims, meta.logical_shape):
             if sizes.setdefault(d, s) != s:
                 raise ValueError(f"conflicting size for dim {d!r} in {path}")
         if _is_index_coord(meta):
-            coords[name] = Variable(meta.dims, zarrlite.read_full(meta))
+            coords[name] = Variable(meta.logical_dims, zarrlite.read_full(meta))
         else:
-            var_meta[name] = (meta.dims, meta.dtype.str)
-            for d, c in zip(meta.dims, meta.chunks):
+            var_meta[name] = (meta.logical_dims, meta.logical_dtype.str)
+            for d, c in zip(meta.logical_dims, meta.logical_chunks):
                 prev = chunks.setdefault(d, c)
                 if prev != c:
                     # differing per-var encodings: use the finest grid
@@ -90,6 +91,11 @@ def from_zarr(
     coords_bc = spark.sparkContext.broadcast(template.coords)
     var_names = sorted(template.var_meta)
 
+    from xarray_beam_spark.observability import get_counters
+
+    _c = get_counters(spark)
+    acc_chunks, acc_bytes = _c.acc("read.chunks"), _c.acc("read.bytes")
+
     def read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         arrays, _ = zarrlite.open_group(path)
         coords_all = coords_bc.value
@@ -106,12 +112,13 @@ def from_zarr(
                 dv = {}
                 for v in names:
                     meta = arrays[v]
+                    ldims = meta.logical_dims
                     dv[v] = Variable(
-                        meta.dims,
+                        ldims,
                         zarrlite.read_region(
                             meta,
-                            {d: offsets[d] for d in meta.dims},
-                            {d: shape[d] for d in meta.dims},
+                            {d: offsets[d] for d in ldims},
+                            {d: shape[d] for d in ldims},
                         ),
                     )
                 used = {d for var in dv.values() for d in var.dims}
@@ -128,6 +135,8 @@ def from_zarr(
                     if set(c.dims) <= used
                 }
                 ds = NDDataset(dv, ch_coords)
+                acc_chunks.add(1)
+                acc_bytes.add(ds.nbytes)
                 row = {off_col(d): offsets[d] for d in dims_sorted}
                 row["vars"] = vg
                 row["payload"] = encode_chunk(ds)
@@ -146,11 +155,17 @@ def setup_zarr(
     path: str,
     zarr_chunks: Mapping[str, int],
     compressor: str | None = "zlib",
+    zarr_format: int = 2,
+    zarr_shards: Mapping[str, int] | None = None,
 ) -> None:
     """Driver-side store skeleton: group + array metadata + coordinate
     arrays written eagerly (reference ``setup_zarr``, ``zarr.py:389-513``;
-    unchunked coords written with the template, ``zarr.py:609-612``)."""
-    zarrlite.create_group(path, template.attrs)
+    unchunked coords written with the template, ``zarr.py:609-612``).
+
+    ``zarr_shards`` (v3 only): per-dim shard extents in elements, each a
+    multiple of the zarr chunk (reference shard surface,
+    ``dataset.py:705-866``)."""
+    zarrlite.create_group(path, template.attrs, zarr_format=zarr_format)
     for name, coord in template.coords.items():
         meta = zarrlite.create_array(
             path,
@@ -160,18 +175,27 @@ def setup_zarr(
             dtype=coord.values.dtype,
             dims=coord.dims,
             compressor=compressor,
+            zarr_format=zarr_format,
         )
         zarrlite.write_full(meta, coord.values)
     for name, (dims, dtype) in template.var_meta.items():
         shape = [template.sizes[d] for d in dims]
+        chunks = [min(zarr_chunks.get(d, template.sizes[d]), template.sizes[d]) for d in dims]
+        shards = None
+        if zarr_shards is not None:
+            shards = [
+                min(zarr_shards.get(d, c), template.sizes[d]) for d, c in zip(dims, chunks)
+            ]
         zarrlite.create_array(
             path,
             name,
             shape=shape,
-            chunks=[min(zarr_chunks.get(d, template.sizes[d]), template.sizes[d]) for d in dims],
+            chunks=chunks,
             dtype=np.dtype(dtype),
             dims=dims,
             compressor=compressor,
+            zarr_format=zarr_format,
+            shards=shards,
         )
 
 
@@ -188,26 +212,43 @@ def to_zarr(
     path: str,
     zarr_chunks: Mapping[str, int] | None = None,
     compressor: str | None = "zlib",
+    zarr_format: int = 2,
+    zarr_chunks_per_shard: Mapping[str, int] | None = None,
 ) -> dict[str, int]:
     """Write the dataset to a Zarr group; returns write stats.
 
     ``zarr_chunks`` defaults to the in-flight chunk grid. In-flight chunks
-    must align to the zarr grid (each chunk offset a multiple of the zarr
-    chunk, reference ``validate_zarr_chunk`` ``zarr.py:516-587``) — call
-    ``rechunk`` first otherwise. One Spark action; no driver barrier
-    needed since setup happens synchronously before it.
+    must align to the write unit — the zarr chunk, or the shard when
+    ``zarr_chunks_per_shard`` is given (v3 only; reference
+    ``validate_zarr_chunk`` ``zarr.py:516-587`` + shard math
+    ``dataset.py:705-752``) — call ``rechunk`` first otherwise. One Spark
+    action; no driver barrier needed since setup happens synchronously
+    before it.
     """
     work = ds.consolidate_variables() if ds.split_vars else ds
     sizes = dict(work.sizes)
     zchunks = core.normalize_chunks(dict(zarr_chunks) if zarr_chunks else work.chunks, sizes)
+    zshards: dict[str, int] | None = None
+    if zarr_chunks_per_shard is not None:
+        if zarr_format != 3:
+            raise ValueError("shards require zarr_format=3")
+        zshards = {
+            d: min(zchunks[d] * int(zarr_chunks_per_shard.get(d, 1)), sizes[d])
+            for d in sizes
+        }
+    unit = zshards or zchunks
     for d in sizes:
-        if work.chunks[d] % zchunks[d] != 0 and work.chunks[d] != sizes[d]:
+        if work.chunks[d] % unit[d] != 0 and work.chunks[d] != sizes[d]:
             raise ValueError(
                 f"in-flight chunk {work.chunks[d]} along {d!r} is not a multiple of "
-                f"zarr chunk {zchunks[d]}; rechunk first (reference zarr.py:557-583)"
+                f"the zarr write unit {unit[d]}; rechunk first (reference zarr.py:557-583)"
             )
-    setup_zarr(work.template, path, zchunks, compressor)
+    setup_zarr(work.template, path, zchunks, compressor, zarr_format, zshards)
     dims_sorted = sorted(sizes)
+    from xarray_beam_spark.observability import get_counters
+
+    _c = get_counters(ds.spark)
+    acc_wchunks, acc_wbytes = _c.acc("write.chunks"), _c.acc("write.bytes")
 
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         arrays, _ = zarrlite.open_group(path)
@@ -218,9 +259,11 @@ def to_zarr(
                 chunk = decode_chunk(r["payload"])
                 for v, var in chunk.data_vars.items():
                     meta = arrays[v]
-                    off = {d: int(r[off_col(d)]) for d in meta.dims}
+                    off = {d: int(r[off_col(d)]) for d in meta.logical_dims}
                     n_bytes += zarrlite.write_region(meta, off, var.values)
                     n_chunks += 1
+        acc_wchunks.add(n_chunks)
+        acc_wbytes.add(n_bytes)
         yield pd.DataFrame({"chunks_written": [n_chunks], "bytes_written": [n_bytes]})
 
     stats = work.df.mapInPandas(write, _WRITE_STATS).agg(

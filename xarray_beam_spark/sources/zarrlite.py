@@ -1,19 +1,26 @@
-"""Minimal pure-Python Zarr v2 store (local/shared filesystem).
+"""Minimal pure-Python Zarr v2 + v3 store (local/shared filesystem).
 
 The container has no ``zarr``/``xarray``/``dask``, so the engine carries
-its own spec-compliant subset of the Zarr v2 format — enough to give the
-Spark engine the reference's headline capability (scalable Zarr read/write,
-reference ``xarray_beam/_src/zarr.py``) with stores readable by any
-standard Zarr implementation:
+its own spec-compliant subset of the Zarr formats — enough to give the
+Spark engine the reference's headline capability (scalable Zarr read/write
+incl. v3 sharding, reference ``xarray_beam/_src/zarr.py``,
+``dataset.py:705-866``) with stores readable by any standard Zarr
+implementation:
 
-- group layout: ``.zgroup`` / ``.zattrs`` at the root, one directory per
-  array with ``.zarray`` / ``.zattrs`` and C-order chunk files ``i.j.k``;
-- xarray conventions: every array's ``.zattrs`` carries
-  ``_ARRAY_DIMENSIONS`` (named dims); 1-D arrays named after their dim are
-  index coordinates;
-- dtypes: any NumPy dtype string (floats, ints, bool, ``<M8[us]``,
-  ``<U#``); compressor ``null`` or numcodecs-standard ``{"id": "zlib"}``
-  (stdlib); edge chunks stored padded to full chunk shape per spec.
+- **v2**: ``.zgroup`` / ``.zattrs`` at the root, one directory per array
+  with ``.zarray`` / ``.zattrs`` and C-order chunk files ``i.j.k``;
+  compressor ``null`` or numcodecs ``{"id": "zlib"}`` (stdlib); xarray's
+  ``_ARRAY_DIMENSIONS`` attribute names the dims.
+- **v3**: ``zarr.json`` per node; chunk files under ``c/i/j`` (default
+  ``/`` key encoding); ``bytes``(+``gzip``) codecs; optional
+  ``sharding_indexed`` codec — a shard file stores a C-order grid of
+  inner chunks plus an end-located little-endian (offset, nbytes) uint64
+  index with a crc32c checksum; ``dimension_names`` names the dims.
+- dtypes: any NumPy dtype for v2 (incl. ``<M8[us]``, ``<U#``); v3 core
+  numeric/bool dtypes natively, with non-core dtypes round-tripped via a
+  ``__xbs_dtype`` attribute over the raw little-endian bytes (readable by
+  any v3 implementation as ``uint8``).
+- edge chunks stored padded to full chunk shape per spec (both versions).
 
 Everything here is driver/executor-agnostic pure functions over a path —
 executors re-open metadata by path (one small JSON read per task) instead
@@ -23,6 +30,7 @@ of shipping driver objects, the reference's "compact serialization" rule
 
 from __future__ import annotations
 
+import gzip as _gzip
 import json
 import math
 import os
@@ -34,6 +42,49 @@ import numpy as np
 
 ZARR_FORMAT = 2
 _DIMS_ATTR = "_ARRAY_DIMENSIONS"
+_DTYPE_ATTR = "__xbs_dtype"
+
+# v3 core data types <-> numpy dtype strings (little-endian)
+_V3_DTYPES = {
+    "bool": "|b1",
+    "int8": "|i1",
+    "int16": "<i2",
+    "int32": "<i4",
+    "int64": "<i8",
+    "uint8": "|u1",
+    "uint16": "<u2",
+    "uint32": "<u4",
+    "uint64": "<u8",
+    "float32": "<f4",
+    "float64": "<f8",
+}
+_V3_FROM_NP = {np.dtype(v).str: k for k, v in _V3_DTYPES.items()}
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli), required by the v3 sharding index."""
+    table = _crc32c_table()
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = table[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+_CRC_TABLE: list[int] | None = None
+
+
+def _crc32c_table() -> list[int]:
+    global _CRC_TABLE
+    if _CRC_TABLE is None:
+        poly = 0x82F63B78
+        table = []
+        for i in range(256):
+            crc = i
+            for _ in range(8):
+                crc = (crc >> 1) ^ poly if crc & 1 else crc >> 1
+            table.append(crc)
+        _CRC_TABLE = table
+    return _CRC_TABLE
 
 
 # ---------------------------------------------------------------------------
@@ -43,21 +94,38 @@ _DIMS_ATTR = "_ARRAY_DIMENSIONS"
 
 @dataclass(frozen=True)
 class ZArray:
-    """Metadata of one Zarr v2 array."""
+    """Metadata of one Zarr array (v2 or v3, optionally sharded)."""
 
-    path: str  # directory containing .zarray
+    path: str  # directory containing .zarray / zarr.json
     name: str
     shape: tuple[int, ...]
-    chunks: tuple[int, ...]
+    chunks: tuple[int, ...]  # inner (addressable) chunk shape
     dtype: np.dtype
     dims: tuple[str, ...]
     fill_value: Any
-    compressor: str | None  # None or "zlib"
+    compressor: str | None  # None or "zlib" (v2) / "gzip" (v3)
     attrs: dict[str, Any]
+    zarr_format: int = 2
+    shards: tuple[int, ...] | None = None  # v3 shard shape (multiple of chunks)
 
     @property
     def grid_shape(self) -> tuple[int, ...]:
         return tuple(math.ceil(s / c) for s, c in zip(self.shape, self.chunks))
+
+    @property
+    def shard_grid_shape(self) -> tuple[int, ...]:
+        assert self.shards is not None
+        return tuple(math.ceil(s / c) for s, c in zip(self.shape, self.shards))
+
+    @property
+    def chunks_per_shard(self) -> tuple[int, ...]:
+        assert self.shards is not None
+        return tuple(s // c for s, c in zip(self.shards, self.chunks))
+
+    @property
+    def write_unit(self) -> tuple[int, ...]:
+        """Smallest safely-writable grid unit (shard if sharded else chunk)."""
+        return self.shards if self.shards is not None else self.chunks
 
     @property
     def nbytes(self) -> int:
@@ -65,6 +133,29 @@ class ZArray:
         for s in self.shape:
             n *= s
         return n
+
+    # logical view: non-core v3 dtypes are stored as uint8 with a trailing
+    # itemsize axis; these accessors hide the wrapping from callers.
+
+    @property
+    def wrapped(self) -> bool:
+        return _DTYPE_ATTR in self.attrs
+
+    @property
+    def logical_dtype(self) -> np.dtype:
+        return np.dtype(self.attrs[_DTYPE_ATTR]) if self.wrapped else self.dtype
+
+    @property
+    def logical_dims(self) -> tuple[str, ...]:
+        return self.dims[:-1] if self.wrapped else self.dims
+
+    @property
+    def logical_shape(self) -> tuple[int, ...]:
+        return self.shape[:-1] if self.wrapped else self.shape
+
+    @property
+    def logical_chunks(self) -> tuple[int, ...]:
+        return self.chunks[:-1] if self.wrapped else self.chunks
 
 
 def _encode_fill(value: Any, dtype: np.dtype) -> Any:
@@ -93,12 +184,31 @@ def _default_fill(dtype: np.dtype) -> Any:
     return math.nan if dtype.kind == "f" else None
 
 
-def create_group(path: str, attrs: Mapping[str, Any] | None = None) -> None:
+def create_group(path: str, attrs: Mapping[str, Any] | None = None, zarr_format: int = 2) -> None:
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, ".zgroup"), "w") as f:
-        json.dump({"zarr_format": ZARR_FORMAT}, f)
-    with open(os.path.join(path, ".zattrs"), "w") as f:
-        json.dump(dict(attrs or {}), f, sort_keys=True)
+    if zarr_format == 2:
+        with open(os.path.join(path, ".zgroup"), "w") as f:
+            json.dump({"zarr_format": 2}, f)
+        with open(os.path.join(path, ".zattrs"), "w") as f:
+            json.dump(dict(attrs or {}), f, sort_keys=True)
+    elif zarr_format == 3:
+        with open(os.path.join(path, "zarr.json"), "w") as f:
+            json.dump(
+                {"zarr_format": 3, "node_type": "group", "attributes": dict(attrs or {})},
+                f,
+                sort_keys=True,
+            )
+    else:
+        raise ValueError(f"unsupported zarr_format {zarr_format}")
+
+
+def _v3_codecs(compressor: str | None) -> list[dict]:
+    codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
+    if compressor in ("zlib", "gzip"):
+        codecs.append({"name": "gzip", "configuration": {"level": 1}})
+    elif compressor is not None:
+        raise ValueError(f"unsupported v3 compressor {compressor}")
+    return codecs
 
 
 def create_array(
@@ -111,9 +221,17 @@ def create_array(
     attrs: Mapping[str, Any] | None = None,
     fill_value: Any = "__default__",
     compressor: str | None = "zlib",
+    zarr_format: int = 2,
+    shards: Sequence[int] | None = None,
 ) -> ZArray:
     """Write array metadata (no chunk data) — the driver-side skeleton
-    (reference ``setup_zarr``, ``zarr.py:462-513``)."""
+    (reference ``setup_zarr``, ``zarr.py:462-513``).
+
+    v3 with ``shards``: ``chunks`` is the inner chunk shape; ``shards``
+    (a per-dim multiple of ``chunks``) is the storage-object shape —
+    the reference's ``zarr_chunks_per_shard`` surface
+    (``dataset.py:705-752``).
+    """
     dtype = np.dtype(dtype)
     if len(shape) != len(chunks) or len(shape) != len(dims):
         raise ValueError(f"rank mismatch for {name!r}: {shape} {chunks} {dims}")
@@ -121,38 +239,123 @@ def create_array(
         fill_value = _default_fill(dtype)
     apath = os.path.join(group_path, name)
     os.makedirs(apath, exist_ok=True)
-    meta = {
-        "zarr_format": ZARR_FORMAT,
-        "shape": list(int(s) for s in shape),
-        "chunks": list(int(c) for c in chunks),
-        "dtype": dtype.str,
-        "compressor": {"id": "zlib", "level": 1} if compressor == "zlib" else None,
-        "fill_value": _encode_fill(fill_value, dtype),
-        "order": "C",
-        "filters": None,
+    shape_t = tuple(int(s) for s in shape)
+    chunks_t = tuple(int(c) for c in chunks)
+    extra_attrs = dict(attrs or {})
+
+    if zarr_format == 2:
+        if shards is not None:
+            raise ValueError("sharding requires zarr_format=3")
+        meta = {
+            "zarr_format": 2,
+            "shape": list(shape_t),
+            "chunks": list(chunks_t),
+            "dtype": dtype.str,
+            "compressor": {"id": "zlib", "level": 1} if compressor == "zlib" else None,
+            "fill_value": _encode_fill(fill_value, dtype),
+            "order": "C",
+            "filters": None,
+        }
+        with open(os.path.join(apath, ".zarray"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(apath, ".zattrs"), "w") as f:
+            json.dump({_DIMS_ATTR: list(dims), **extra_attrs}, f, sort_keys=True)
+        return ZArray(
+            path=apath, name=name, shape=shape_t, chunks=chunks_t, dtype=dtype,
+            dims=tuple(dims), fill_value=fill_value, compressor=compressor,
+            attrs=extra_attrs, zarr_format=2, shards=None,
+        )
+
+    if zarr_format != 3:
+        raise ValueError(f"unsupported zarr_format {zarr_format}")
+
+    # v3: non-core dtypes ride as uint8 bytes + __xbs_dtype marker
+    stored_dtype = dtype
+    if dtype.str not in _V3_FROM_NP:
+        extra_attrs[_DTYPE_ATTR] = dtype.str
+        itemsize = dtype.itemsize
+        shape_t = shape_t + (itemsize,)
+        chunks_t = chunks_t + (itemsize,)
+        if shards is not None:
+            shards = tuple(int(s) for s in shards) + (itemsize,)
+        dims = tuple(dims) + ("__bytes__",)
+        stored_dtype = np.dtype("|u1")
+        fill_store: Any = 0
+    else:
+        fill_store = fill_value
+
+    shards_t = tuple(int(s) for s in shards) if shards is not None else None
+    if shards_t is not None:
+        for s, c in zip(shards_t, chunks_t):
+            if s % c != 0:
+                raise ValueError(f"shard shape {shards_t} not a multiple of chunks {chunks_t}")
+        grid_chunk_shape = list(shards_t)
+        codecs = [
+            {
+                "name": "sharding_indexed",
+                "configuration": {
+                    "chunk_shape": list(chunks_t),
+                    "codecs": _v3_codecs(compressor),
+                    "index_codecs": [
+                        {"name": "bytes", "configuration": {"endian": "little"}},
+                        {"name": "crc32c"},
+                    ],
+                    "index_location": "end",
+                },
+            }
+        ]
+    else:
+        grid_chunk_shape = list(chunks_t)
+        codecs = _v3_codecs(compressor)
+
+    meta3 = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(shape_t),
+        "data_type": _V3_FROM_NP[stored_dtype.str],
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": grid_chunk_shape}},
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "fill_value": _encode_fill_v3(fill_store, stored_dtype),
+        "codecs": codecs,
+        "dimension_names": list(dims),
+        "attributes": extra_attrs,
     }
-    with open(os.path.join(apath, ".zarray"), "w") as f:
-        json.dump(meta, f)
-    with open(os.path.join(apath, ".zattrs"), "w") as f:
-        json.dump({_DIMS_ATTR: list(dims), **dict(attrs or {})}, f, sort_keys=True)
+    with open(os.path.join(apath, "zarr.json"), "w") as f:
+        json.dump(meta3, f, sort_keys=True)
     return ZArray(
-        path=apath,
-        name=name,
-        shape=tuple(int(s) for s in shape),
-        chunks=tuple(int(c) for c in chunks),
-        dtype=dtype,
-        dims=tuple(dims),
-        fill_value=fill_value,
-        compressor=compressor,
-        attrs=dict(attrs or {}),
+        path=apath, name=name, shape=shape_t, chunks=chunks_t, dtype=stored_dtype,
+        dims=tuple(dims), fill_value=fill_store, compressor=compressor,
+        attrs=extra_attrs, zarr_format=3, shards=shards_t,
     )
+
+
+def _encode_fill_v3(value: Any, dtype: np.dtype) -> Any:
+    if value is None:
+        return 0
+    if dtype.kind == "f":
+        if math.isnan(value):
+            return "NaN"
+        if math.isinf(value):
+            return "Infinity" if value > 0 else "-Infinity"
+        return float(value)
+    if dtype.kind == "b":
+        return bool(value)
+    return int(value)
 
 
 def open_array(group_path: str, name: str) -> ZArray:
     apath = os.path.join(group_path, name)
+    if os.path.exists(os.path.join(apath, ".zarray")):
+        return _open_array_v2(apath, name)
+    if os.path.exists(os.path.join(apath, "zarr.json")):
+        return _open_array_v3(apath, name)
+    raise FileNotFoundError(f"no zarr array at {apath}")
+
+
+def _open_array_v2(apath: str, name: str) -> ZArray:
     with open(os.path.join(apath, ".zarray")) as f:
         meta = json.load(f)
-    if meta.get("zarr_format") != ZARR_FORMAT:
+    if meta.get("zarr_format") != 2:
         raise ValueError(f"{name}: unsupported zarr_format {meta.get('zarr_format')}")
     if meta.get("order", "C") != "C":
         raise ValueError(f"{name}: only C order supported")
@@ -182,21 +385,69 @@ def open_array(group_path: str, name: str) -> ZArray:
         fill_value=_decode_fill(meta.get("fill_value"), dtype),
         compressor=compressor,
         attrs=attrs,
+        zarr_format=2,
+        shards=None,
+    )
+
+
+def _open_array_v3(apath: str, name: str) -> ZArray:
+    with open(os.path.join(apath, "zarr.json")) as f:
+        meta = json.load(f)
+    if meta.get("zarr_format") != 3 or meta.get("node_type") != "array":
+        raise ValueError(f"{name}: not a v3 array")
+    dtype = np.dtype(_V3_DTYPES[meta["data_type"]])
+    grid_shape = tuple(meta["chunk_grid"]["configuration"]["chunk_shape"])
+    codecs = meta["codecs"]
+    shards: tuple[int, ...] | None = None
+    chunks = grid_shape
+    compressor = None
+    if codecs and codecs[0].get("name") == "sharding_indexed":
+        cfg = codecs[0]["configuration"]
+        shards = grid_shape
+        chunks = tuple(cfg["chunk_shape"])
+        inner = cfg["codecs"]
+        compressor = "zlib" if any(c.get("name") == "gzip" for c in inner) else None
+    else:
+        compressor = "zlib" if any(c.get("name") == "gzip" for c in codecs) else None
+    attrs = dict(meta.get("attributes") or {})
+    dims = tuple(meta.get("dimension_names") or [f"dim_{i}" for i in range(len(meta["shape"]))])
+    return ZArray(
+        path=apath,
+        name=name,
+        shape=tuple(meta["shape"]),
+        chunks=chunks,
+        dtype=dtype,
+        dims=dims,
+        fill_value=_decode_fill(meta.get("fill_value"), dtype),
+        compressor=compressor,
+        attrs=attrs,
+        zarr_format=3,
+        shards=shards,
     )
 
 
 def open_group(path: str) -> tuple[dict[str, ZArray], dict[str, Any]]:
-    """Open a Zarr group: ``{array_name: ZArray}`` plus group attrs."""
-    if not os.path.exists(os.path.join(path, ".zgroup")):
-        raise FileNotFoundError(f"not a zarr group: {path}")
+    """Open a Zarr group (v2 or v3): ``{array_name: ZArray}`` + attrs."""
     attrs: dict[str, Any] = {}
-    zattrs = os.path.join(path, ".zattrs")
-    if os.path.exists(zattrs):
-        with open(zattrs) as f:
-            attrs = json.load(f)
+    if os.path.exists(os.path.join(path, ".zgroup")):
+        zattrs = os.path.join(path, ".zattrs")
+        if os.path.exists(zattrs):
+            with open(zattrs) as f:
+                attrs = json.load(f)
+    elif os.path.exists(os.path.join(path, "zarr.json")):
+        with open(os.path.join(path, "zarr.json")) as f:
+            gmeta = json.load(f)
+        if gmeta.get("node_type") != "group":
+            raise ValueError(f"{path}: zarr.json is not a group node")
+        attrs = dict(gmeta.get("attributes") or {})
+    else:
+        raise FileNotFoundError(f"not a zarr group: {path}")
     arrays: dict[str, ZArray] = {}
     for entry in sorted(os.listdir(path)):
-        if os.path.exists(os.path.join(path, entry, ".zarray")):
+        sub = os.path.join(path, entry)
+        if os.path.exists(os.path.join(sub, ".zarray")) or (
+            os.path.isdir(sub) and os.path.exists(os.path.join(sub, "zarr.json"))
+        ):
             arrays[entry] = open_array(path, entry)
     return arrays, attrs
 
@@ -206,46 +457,117 @@ def open_group(path: str) -> tuple[dict[str, ZArray], dict[str, Any]]:
 # ---------------------------------------------------------------------------
 
 
-def _chunk_fname(grid_idx: tuple[int, ...]) -> str:
-    return ".".join(str(i) for i in grid_idx) if grid_idx else "0"
+def _chunk_fname(meta: ZArray, grid_idx: tuple[int, ...]) -> str:
+    if meta.zarr_format == 2:
+        return ".".join(str(i) for i in grid_idx) if grid_idx else "0"
+    return "c/" + "/".join(str(i) for i in grid_idx) if grid_idx else "c"
 
 
 def _compress(meta: ZArray, raw: bytes) -> bytes:
-    return zlib.compress(raw, 1) if meta.compressor == "zlib" else raw
+    if meta.compressor is None:
+        return raw
+    return zlib.compress(raw, 1) if meta.zarr_format == 2 else _gzip.compress(raw, 1)
 
 
 def _decompress(meta: ZArray, data: bytes) -> bytes:
-    return zlib.decompress(data) if meta.compressor == "zlib" else data
+    if meta.compressor is None:
+        return bytes(data)
+    return zlib.decompress(data) if meta.zarr_format == 2 else _gzip.decompress(data)
+
+
+def _atomic_write(fname: str, payload: bytes) -> None:
+    os.makedirs(os.path.dirname(fname), exist_ok=True)
+    tmp = f"{fname}.tmp.{os.getpid()}.{id(payload)}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, fname)
+
+
+def _fill_chunk(meta: ZArray) -> np.ndarray:
+    out = np.empty(meta.chunks, dtype=meta.dtype)
+    out[...] = meta.fill_value if meta.fill_value is not None else 0
+    return out
+
+
+_MISSING = 2**64 - 1
 
 
 def write_chunk(meta: ZArray, grid_idx: tuple[int, ...], values: np.ndarray) -> int:
-    """Write one full (padded) chunk; returns bytes written.
+    """Write one full (padded) unsharded chunk; returns bytes written.
 
     Atomic rename so Spark task retries / speculative re-writes are safe
     (the reference relies on full-chunk alignment for the same reason,
     ``zarr.py:557-583``).
     """
+    if meta.shards is not None:
+        raise ValueError(f"{meta.name}: sharded array — use write_shard")
     if values.shape != meta.chunks:
         raise ValueError(
             f"{meta.name}: chunk {grid_idx} must be padded to {meta.chunks}, got {values.shape}"
         )
     raw = np.ascontiguousarray(values, dtype=meta.dtype).tobytes()
     payload = _compress(meta, raw)
-    fname = os.path.join(meta.path, _chunk_fname(grid_idx))
-    tmp = f"{fname}.tmp.{os.getpid()}.{id(values)}"
-    with open(tmp, "wb") as f:
-        f.write(payload)
-    os.replace(tmp, fname)
+    _atomic_write(os.path.join(meta.path, _chunk_fname(meta, grid_idx)), payload)
     return len(payload)
 
 
-def read_chunk(meta: ZArray, grid_idx: tuple[int, ...]) -> np.ndarray:
-    """Read one chunk (padded shape); missing chunk file → fill_value."""
-    fname = os.path.join(meta.path, _chunk_fname(grid_idx))
+def write_shard(meta: ZArray, shard_idx: tuple[int, ...], values: np.ndarray) -> int:
+    """Write one full (padded-to-shard) shard: inner chunks serialized in
+    C-order with an end-located (offset, nbytes) uint64 index + crc32c
+    (v3 ``sharding_indexed`` codec). One atomic file per shard."""
+    assert meta.shards is not None
+    if values.shape != meta.shards:
+        raise ValueError(
+            f"{meta.name}: shard {shard_idx} must be padded to {meta.shards}, got {values.shape}"
+        )
+    cps = meta.chunks_per_shard
+    blobs: list[bytes] = []
+    for inner_idx in np.ndindex(*cps):
+        sl = tuple(
+            slice(i * c, (i + 1) * c) for i, c in zip(inner_idx, meta.chunks)
+        )
+        raw = np.ascontiguousarray(values[sl], dtype=meta.dtype).tobytes()
+        blobs.append(_compress(meta, raw))
+    index = np.empty((len(blobs), 2), dtype="<u8")
+    pos = 0
+    for i, b in enumerate(blobs):
+        index[i] = (pos, len(b))
+        pos += len(b)
+    index_bytes = index.tobytes()
+    index_bytes += _crc32c(index_bytes).to_bytes(4, "little")
+    payload = b"".join(blobs) + index_bytes
+    _atomic_write(os.path.join(meta.path, _chunk_fname(meta, shard_idx)), payload)
+    return len(payload)
+
+
+def _read_shard_file(meta: ZArray, shard_idx: tuple[int, ...]) -> bytes | None:
+    fname = os.path.join(meta.path, _chunk_fname(meta, shard_idx))
     if not os.path.exists(fname):
-        out = np.empty(meta.chunks, dtype=meta.dtype)
-        out[...] = meta.fill_value if meta.fill_value is not None else 0
-        return out
+        return None
+    with open(fname, "rb") as f:
+        return f.read()
+
+
+def read_chunk(meta: ZArray, grid_idx: tuple[int, ...]) -> np.ndarray:
+    """Read one inner chunk (padded shape); missing → fill_value."""
+    if meta.shards is not None:
+        cps = meta.chunks_per_shard
+        shard_idx = tuple(g // c for g, c in zip(grid_idx, cps))
+        inner_idx = tuple(g % c for g, c in zip(grid_idx, cps))
+        data = _read_shard_file(meta, shard_idx)
+        if data is None:
+            return _fill_chunk(meta)
+        n_inner = int(np.prod(cps))
+        index = np.frombuffer(data[-(n_inner * 16 + 4) : -4], dtype="<u8").reshape(n_inner, 2)
+        flat = int(np.ravel_multi_index(inner_idx, cps))
+        off, nb = int(index[flat, 0]), int(index[flat, 1])
+        if off == _MISSING:
+            return _fill_chunk(meta)
+        raw = _decompress(meta, data[off : off + nb])
+        return np.frombuffer(raw, dtype=meta.dtype).reshape(meta.chunks).copy()
+    fname = os.path.join(meta.path, _chunk_fname(meta, grid_idx))
+    if not os.path.exists(fname):
+        return _fill_chunk(meta)
     with open(fname, "rb") as f:
         raw = _decompress(meta, f.read())
     return np.frombuffer(raw, dtype=meta.dtype).reshape(meta.chunks).copy()
@@ -265,8 +587,26 @@ def _grid_range(offset: int, length: int, chunk: int) -> Iterator[tuple[int, int
         yield gi, lo - clo, hi - clo, lo - offset, hi - offset
 
 
+def _is_wrapped(meta: ZArray) -> bool:
+    return _DTYPE_ATTR in meta.attrs
+
+
+def _wrap_values(meta: ZArray, values: np.ndarray) -> np.ndarray:
+    """Logical array → stored uint8 array with trailing itemsize axis."""
+    true_dtype = np.dtype(meta.attrs[_DTYPE_ATTR])
+    arr = np.ascontiguousarray(values, dtype=true_dtype)
+    return np.frombuffer(arr.tobytes(), "|u1").reshape(arr.shape + (true_dtype.itemsize,))
+
+
+def _unwrap_values(meta: ZArray, stored: np.ndarray) -> np.ndarray:
+    true_dtype = np.dtype(meta.attrs[_DTYPE_ATTR])
+    flat = np.ascontiguousarray(stored, dtype="|u1").tobytes()
+    return np.frombuffer(flat, dtype=true_dtype).reshape(stored.shape[:-1]).copy()
+
+
 def read_region(meta: ZArray, offsets: Mapping[str, int], shape: Mapping[str, int]) -> np.ndarray:
-    """Read an arbitrary hyper-rectangle (assembles across zarr chunks)."""
+    """Read an arbitrary hyper-rectangle (assembles across zarr chunks;
+    wrapped non-core-v3 dtypes are transparently decoded)."""
     off = tuple(int(offsets.get(d, 0)) for d in meta.dims)
     shp = tuple(int(shape.get(d, meta.shape[i])) for i, d in enumerate(meta.dims))
     out = np.empty(shp, dtype=meta.dtype)
@@ -283,21 +623,25 @@ def read_region(meta: ZArray, offsets: Mapping[str, int], shape: Mapping[str, in
             rec(axis + 1, grid_idx + [gi], src_sl + [slice(slo, shi)], dst_sl + [slice(dlo, dhi)])
 
     rec(0, [], [], [])
-    return out
+    return _unwrap_values(meta, out) if _is_wrapped(meta) else out
 
 
 def write_region(meta: ZArray, offsets: Mapping[str, int], values: np.ndarray) -> int:
-    """Region-write: offsets must be zarr-chunk-aligned and the region must
-    cover whole chunks (or reach the array edge) along every dim — the
+    """Region-write: offsets must align to the array's *write unit* (the
+    shard for sharded v3 arrays, the chunk otherwise) and the region must
+    cover whole units (or reach the array edge) along every dim — the
     reference's no-partial-chunk-writes safety rule (``zarr.py:516-587``)
     which makes concurrent/retried task writes race-free. Returns bytes
     written (compressed)."""
+    if _is_wrapped(meta) and values.ndim == len(meta.dims) - 1:
+        values = _wrap_values(meta, values)
     off = tuple(int(offsets.get(d, 0)) for d in meta.dims)
     if values.ndim != len(meta.dims):
         raise ValueError(f"{meta.name}: rank mismatch {values.shape} vs dims {meta.dims}")
+    unit = meta.write_unit
     validate_region_alignment(meta, off, values.shape)
     written = 0
-    per_dim = [list(_grid_range(off[i], values.shape[i], meta.chunks[i])) for i in range(len(off))]
+    per_dim = [list(_grid_range(off[i], values.shape[i], unit[i])) for i in range(len(off))]
     if not per_dim:
         return write_chunk(meta, (), np.asarray(values, dtype=meta.dtype))
 
@@ -305,8 +649,8 @@ def write_region(meta: ZArray, offsets: Mapping[str, int], values: np.ndarray) -
         nonlocal written
         if axis == len(per_dim):
             block = values[tuple(src_sl)]
-            if block.shape != meta.chunks:  # pad edge chunk per spec
-                padded = np.empty(meta.chunks, dtype=meta.dtype)
+            if block.shape != tuple(unit):  # pad edge unit per spec
+                padded = np.empty(unit, dtype=meta.dtype)
                 padded[...] = (
                     meta.fill_value
                     if meta.fill_value is not None and meta.dtype.kind == "f"
@@ -314,7 +658,10 @@ def write_region(meta: ZArray, offsets: Mapping[str, int], values: np.ndarray) -
                 )
                 padded[tuple(slice(0, s) for s in block.shape)] = block
                 block = padded
-            written += write_chunk(meta, tuple(grid_idx), block)
+            if meta.shards is not None:
+                written += write_shard(meta, tuple(grid_idx), block)
+            else:
+                written += write_chunk(meta, tuple(grid_idx), block)
             return
         for gi, _slo, _shi, dlo, dhi in per_dim[axis]:
             rec(axis + 1, grid_idx + [gi], src_sl + [slice(dlo, dhi)])
@@ -324,17 +671,19 @@ def write_region(meta: ZArray, offsets: Mapping[str, int], values: np.ndarray) -
 
 
 def validate_region_alignment(meta: ZArray, off: tuple[int, ...], shape: tuple[int, ...]) -> None:
+    unit = meta.write_unit
+    unit_word = "shard" if meta.shards is not None else "chunk"
     for i, d in enumerate(meta.dims):
-        if off[i] % meta.chunks[i] != 0:
+        if off[i] % unit[i] != 0:
             raise ValueError(
                 f"{meta.name}: write offset {off[i]} along {d!r} not aligned to "
-                f"zarr chunk {meta.chunks[i]} — partial-chunk writes race under "
+                f"zarr {unit_word} {unit[i]} — partial-{unit_word} writes race under "
                 f"task retries (rechunk first)"
             )
         end = off[i] + shape[i]
-        if end % meta.chunks[i] != 0 and end != meta.shape[i]:
+        if end % unit[i] != 0 and end != meta.shape[i]:
             raise ValueError(
-                f"{meta.name}: write end {end} along {d!r} is neither chunk-aligned "
+                f"{meta.name}: write end {end} along {d!r} is neither {unit_word}-aligned "
                 f"nor the array edge {meta.shape[i]}"
             )
         if end > meta.shape[i]:
