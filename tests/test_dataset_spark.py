@@ -245,3 +245,16 @@ def test_observability_counters(spark, era5):
     snap = c.snapshot()
     assert snap.get("map_blocks.inputs", 0) >= 4
     assert snap.get("map_blocks.input_bytes", 0) > 0
+
+
+def test_isel_window(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 10, "latitude": 3})
+    got = d.isel(time=slice(5, 17), latitude=slice(2, 6)).collect()
+    want = era5.isel({"time": slice(5, 17), "latitude": slice(2, 6)})
+    assert got.equals(want)
+    # aligned start stays narrow and exact
+    got2 = d.isel(time=slice(10, 22)).collect()
+    assert got2.equals(era5.isel({"time": slice(10, 22)}))
+    # negative-stop slice via python semantics
+    got3 = d.isel(time=slice(-9, None)).collect()
+    assert got3.equals(era5.isel({"time": slice(-9, None)}))

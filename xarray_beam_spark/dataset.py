@@ -541,69 +541,35 @@ class Dataset:
         out = self.map_blocks(lambda ds: ds[sel], template=tmpl, chunks={d: self.chunks[d] for d in tmpl.sizes})
         return out
 
-    def head(self, **counts: int) -> "Dataset":
-        """First N elements per dim (reference ``dataset.py:1105-1133``).
-        Chunk pruning is a Catalyst filter on offset columns — only the
-        chunks overlapping the head window are read/computed."""
-        new_sizes = {d: min(counts.get(d, s), s) for d, s in self.sizes.items()}
-        cond = F.lit(True)
-        for d, n in counts.items():
-            cond = cond & (F.col(off_col(d)) < n)
-        pruned = self.df.filter(cond)
-        tmpl = Template(
-            sizes=new_sizes,
-            var_meta=self.template.var_meta,
-            coords={
-                k: Variable(v.dims, v.values[tuple(slice(0, new_sizes.get(d, None)) for d in v.dims)])
-                for k, v in self.template.coords.items()
-            },
-            attrs=self.template.attrs,
-        )
-        chunks = {d: min(self.chunks[d], new_sizes[d]) for d in new_sizes}
-        # Trim the boundary chunk(s) per dim inside a narrow map.
-        all_dims = self.dims
-        off_cols = {d: off_col(d) for d in all_dims}
-        limits = dict(counts)
+    def isel(self, indexers: Mapping[str, slice] | None = None, **kw: slice) -> "Dataset":
+        """Contiguous integer-window selection per dim (xarray ``isel``
+        with step-1 slices; reference does this via ``map_blocks`` with no
+        pruning — here Catalyst prunes non-overlapping chunks via the
+        offset predicate before anything is read or computed).
 
-        def trim_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                rows = []
-                for _, r in pdf.iterrows():
-                    ds = decode_chunk(r["payload"])
-                    sl = {}
-                    for d, lim in limits.items():
-                        if d in ds.sizes:
-                            start = int(r[off_cols[d]])
-                            keep = max(0, min(ds.sizes[d], lim - start))
-                            sl[d] = slice(0, keep)
-                    rows.append(
-                        {
-                            **{off_cols[d]: int(r[off_cols[d]]) for d in all_dims},
-                            "vars": r["vars"],
-                            "payload": encode_chunk(ds.isel(sl)),
-                        }
-                    )
-                if rows:
-                    yield pd.DataFrame(rows)
-
-        schema = chunk_row_schema(self.dims)
-        df = pruned.mapInPandas(trim_map, schema)
-        return Dataset(self.spark, df, tmpl, chunks, self.split_vars)
-
-    def tail(self, **counts: int) -> "Dataset":
-        """Last N elements per dim (reference ``dataset.py:1105-1133``).
-
-        Catalyst prunes chunks entirely outside the tail window via the
-        offset predicate; the straddling chunk is trimmed and offsets are
-        rebased to 0, then a narrow ``split_chunks`` restores a regular
-        grid.
+        Boundary chunks are trimmed and offsets rebased in a narrow map;
+        when the window start is not chunk-aligned, one narrow split + one
+        consolidate shuffle restore the regular grid.
         """
+        idx = {**(indexers or {}), **kw}
         sizes = self.sizes
-        starts = {d: max(0, sizes[d] - n) for d, n in counts.items()}
-        new_sizes = {d: (sizes[d] - starts.get(d, 0)) for d in sizes}
+        windows: dict[str, tuple[int, int]] = {}
+        for d, sl in idx.items():
+            if d not in sizes:
+                raise KeyError(f"no dimension {d!r}")
+            if not isinstance(sl, slice) or (sl.step not in (None, 1)):
+                raise ValueError(f"isel supports contiguous step-1 slices, got {sl!r} for {d!r}")
+            start, stop, _ = sl.indices(sizes[d])
+            if stop <= start:
+                raise ValueError(f"empty selection for dim {d!r}: {sl!r}")
+            windows[d] = (start, stop)
+
+        new_sizes = {d: windows.get(d, (0, s))[1] - windows.get(d, (0, s))[0] for d, s in sizes.items()}
         cond = F.lit(True)
-        for d, st in starts.items():
-            cond = cond & (F.col(off_col(d)) + F.lit(self.chunks[d]) > st)
+        for d, (start, stop) in windows.items():
+            cond = cond & (F.col(off_col(d)) + F.lit(self.chunks[d]) > start) & (
+                F.col(off_col(d)) < stop
+            )
         pruned = self.df.filter(cond)
         tmpl = Template(
             sizes=new_sizes,
@@ -611,14 +577,19 @@ class Dataset:
             coords={
                 k: Variable(
                     v.dims,
-                    v.values[tuple(slice(starts.get(d, 0), None) for d in v.dims)],
+                    v.values[
+                        tuple(
+                            slice(windows.get(d, (0, None))[0], windows.get(d, (None, None))[1])
+                            for d in v.dims
+                        )
+                    ],
                 )
                 for k, v in self.template.coords.items()
             },
             attrs=self.template.attrs,
         )
         all_dims = self.dims
-        st_map = dict(starts)
+        win = dict(windows)
 
         def trim_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -629,12 +600,15 @@ class Dataset:
                     new_offs = {}
                     for d in all_dims:
                         off = int(r[off_col(d)])
-                        st = st_map.get(d, 0)
-                        if d in ds.sizes and off < st:
-                            sl[d] = slice(st - off, None)
-                            new_offs[d] = 0
+                        start, stop = win.get(d, (0, None))
+                        if d in ds.sizes:
+                            lo = max(0, start - off)
+                            hi = ds.sizes[d] if stop is None else min(ds.sizes[d], stop - off)
+                            if (lo, hi) != (0, ds.sizes[d]):
+                                sl[d] = slice(lo, hi)
+                            new_offs[d] = max(0, off - start)
                         else:
-                            new_offs[d] = off - st
+                            new_offs[d] = max(0, off - start)
                     rows.append(
                         {
                             **{off_col(d): new_offs[d] for d in all_dims},
@@ -649,11 +623,22 @@ class Dataset:
         df = pruned.mapInPandas(trim_map, schema)
         chunks = {d: min(self.chunks[d], new_sizes[d]) for d in new_sizes}
         out = Dataset(self.spark, df, tmpl, chunks, self.split_vars)
-        if all(st % self.chunks[d] == 0 for d, st in starts.items()):
-            return out  # window is chunk-aligned: offsets stayed regular
+        if all(start % self.chunks[d] == 0 for d, (start, _) in windows.items()):
+            return out  # start is chunk-aligned: offsets stayed regular
         # realign the irregular boundary chunks to the regular grid:
         # narrow split + one consolidate shuffle
         return out.split_chunks(chunks).consolidate_chunks(chunks)
+
+    def head(self, **counts: int) -> "Dataset":
+        """First N elements per dim (reference ``dataset.py:1105-1133``).
+        Chunk pruning is a Catalyst filter on offset columns — only the
+        chunks overlapping the head window are read/computed."""
+        return self.isel({d: slice(0, n) for d, n in counts.items()})
+
+    def tail(self, **counts: int) -> "Dataset":
+        """Last N elements per dim (reference ``dataset.py:1105-1133``)."""
+        sizes = self.sizes
+        return self.isel({d: slice(max(0, sizes[d] - n), sizes[d]) for d, n in counts.items()})
 
     def transpose(self, *order: str) -> "Dataset":
         order = order or tuple(reversed(self.dims))

@@ -20,8 +20,10 @@ from __future__ import annotations
 
 import uuid
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from xarray_beam_spark.tables import load
 
@@ -45,7 +47,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def _run_to_memory(result: DataFrame, complete: bool = True) -> DataFrame:
+def _run_to_memory(result: DataFrame, mode: str = "complete") -> DataFrame:
     """Execute a streaming DataFrame to completion (AvailableNow) into an
     in-memory table and return the final result as a batch DataFrame."""
     name = f"xbs_stream_{uuid.uuid4().hex[:12]}"
@@ -64,7 +66,7 @@ def _run_to_memory(result: DataFrame, complete: bool = True) -> DataFrame:
         q = (
             result.writeStream.format("memory")
             .queryName(name)
-            .outputMode("complete" if complete else "append")
+            .outputMode(mode)
             .trigger(availableNow=True)
             .start()
         )
@@ -73,7 +75,7 @@ def _run_to_memory(result: DataFrame, complete: bool = True) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     out = spark.table(name)
     # materialize before the writer is garbage-collected
-    return spark.createDataFrame(out.collect(), out.schema) if complete else out
+    return spark.createDataFrame(out.collect(), out.schema) if mode == "complete" else out
 
 
 def hourly_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,6 +117,63 @@ def user_sessions(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> Da
         "n_events",
     )
     return _run_to_memory(flat)
+
+
+def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running aggregates (count, exact decimal-accumulated value sum, last
+    event time) held in explicit state across micro-batches — the escape
+    hatch for stateful logic Spark's built-in windows can't express.
+
+    With ``AvailableNow`` the final per-user emission is deterministic and
+    equals the batch GROUP BY, which is the correctness oracle.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = stream_events(spark, sf_dir).select("user_id", "ts", "value")
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("last_ts", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("micros", T.LongType()),  # value sum in exact 1e-6 units
+            T.StructField("last_us", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, micros, last_us = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # exact integer accumulation of 6-dp values (order-independent)
+            micros += int(round(pdf["value"].mul(1_000_000).round().sum()))
+            if len(pdf):
+                # datetime64[ns] int view → microseconds
+                last_us = max(last_us, int(pdf["ts"].astype("int64").max()) // 1000)
+        state.update((n, micros, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [micros / 1_000_000],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(result, mode="update")
 
 
 # ---------------------------------------------------------------------------
@@ -163,3 +222,17 @@ FROM numbered GROUP BY user_id, session_id
 @_register("stream_user_sessions", _SESSIONS_ORACLE)
 def stream_user_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_sessions(spark, sf_dir, gap_minutes=30)
+
+
+_STATEFUL_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       CAST(MAX(ts) AS TIMESTAMP) AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
+@_register("stream_stateful_user_stats", _STATEFUL_ORACLE)
+def stream_stateful_user_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stateful_user_stats(spark, sf_dir)
