@@ -239,3 +239,68 @@ class TestZarrV3:
         assert back.chunks == {"time": 5, "x": 7}
         got = back.collect()
         assert got.equals(src)
+
+
+class TestScanRewrite:
+    """The reference's `_whole_dataset_method` fast path: indexing ops on a
+    pristine scan re-plan the read instead of filtering materialized
+    chunks. Verified behaviorally AND via read counters."""
+
+    def test_isel_rewrites_scan_and_reads_less(self, spark, tmp_path):
+        from xarray_beam_spark.observability import get_counters
+
+        src = _fixture_ds(nt=20, nx=7)
+        Dataset.from_numpy(spark, src, chunks={"time": 5}).pipe(
+            zarr_io.to_zarr, str(tmp_path / "s")
+        )
+        d = zarr_io.from_zarr(spark, str(tmp_path / "s"), chunks={"time": 5})
+        assert d._scan is not None
+        c = get_counters(spark)
+        c.reset()
+        got = d.isel(time=slice(3, 8)).collect()
+        assert got.equals(src.isel({"time": slice(3, 8)}))
+        # only the overlapping window was read: 5 elements of 20 → far
+        # fewer chunk-reads than the full 4-chunk × 3-var grid
+        snap = c.snapshot()
+        assert snap["read.chunks"] <= 2 * len(src.data_vars)
+
+    def test_getitem_pushes_projection(self, spark, tmp_path):
+        from xarray_beam_spark.observability import get_counters
+
+        src = _fixture_ds()
+        Dataset.from_numpy(spark, src, chunks={"time": 10}).pipe(
+            zarr_io.to_zarr, str(tmp_path / "s")
+        )
+        d = zarr_io.from_zarr(spark, str(tmp_path / "s"))
+        c = get_counters(spark)
+        c.reset()
+        got = d["temp"].collect()
+        assert got.equals(src[["temp"]])
+        assert c.snapshot()["read.chunks"] <= 4  # temp only, not count/static
+
+    def test_rechunk_on_scan_is_reread(self, spark, tmp_path):
+        src = _fixture_ds()
+        Dataset.from_numpy(spark, src, chunks={"time": 4}).pipe(
+            zarr_io.to_zarr, str(tmp_path / "s")
+        )
+        d = zarr_io.from_zarr(spark, str(tmp_path / "s"))
+        r = d.rechunk({"time": 10, "x": 3})
+        assert r._scan is not None  # still a scan, not a shuffle chain
+        assert r.chunks == {"time": 10, "x": 3}
+        assert r.collect().equals(src)
+
+    def test_shuffle_rechunk_still_used_after_transform(self, spark, tmp_path):
+        src = _fixture_ds()
+        d = Dataset.from_numpy(spark, src, chunks={"time": 4})
+        m = d.map_blocks(lambda ds: ds.map(lambda a: a * 1))
+        assert m._scan is None
+        r = m.rechunk({"time": 10})
+        assert r.collect().equals(src.map(lambda a: a * 1))
+
+    def test_memory_scan_rewrite(self, spark):
+        src = _fixture_ds()
+        d = Dataset.from_numpy(spark, src, chunks={"time": 6})
+        got = d.head(time=7).collect()
+        assert got.equals(src.isel({"time": slice(0, 7)}))
+        got2 = d["count"].tail(time=5).collect()
+        assert got2.equals(src[["count"]].isel({"time": slice(-5, None)}))

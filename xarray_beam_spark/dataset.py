@@ -140,6 +140,13 @@ class Dataset:
         self.template = template
         self.chunks = core.normalize_chunks(chunks, template.sizes)
         self.split_vars = split_vars
+        # Scan-rewrite hook (reference `_whole_dataset_method` fast path,
+        # dataset.py:379-394): when this Dataset is still a pristine scan,
+        # `_scan` holds a spec with `.reread(spark, chunks, split_vars,
+        # rel_window=, var_subset=)` so isel/head/tail/__getitem__/rechunk
+        # re-plan the read (reading only what's needed, no shuffle) instead
+        # of filtering materialized chunks. Dropped on any transform.
+        self._scan = None
 
     # -- properties --------------------------------------------------------
 
@@ -221,7 +228,9 @@ class Dataset:
         total = n_chunks * len(var_groups)
         rng = spark.range(0, total, 1, min(total, _default_parallelism(spark)))
         df = rng.mapInPandas(gen, schema)
-        return Dataset(spark, df, template, cchunks, split_vars)
+        out = Dataset(spark, df, template, cchunks, split_vars)
+        out._scan = MemoryScan(source)
+        return out
 
     @staticmethod
     def from_table(
@@ -533,6 +542,15 @@ class Dataset:
         if isinstance(names, str):
             names = [names]
         tmpl = self.template.select_vars(names)
+        if self._scan is not None:
+            # projection pushdown into the scan: unread variables are
+            # never fetched (true column pruning at the store)
+            return self._scan.reread(
+                self.spark,
+                chunks={d: self.chunks[d] for d in tmpl.sizes},
+                split_vars=self.split_vars,
+                var_subset=list(names),
+            )
         if self.split_vars:
             df = self.df.filter(F.col("vars").isin(list(names)))
             df = df.select(*[off_col(d) for d in sorted(tmpl.sizes)], "vars", "payload")
@@ -565,6 +583,14 @@ class Dataset:
             windows[d] = (start, stop)
 
         new_sizes = {d: windows.get(d, (0, s))[1] - windows.get(d, (0, s))[0] for d, s in sizes.items()}
+        if self._scan is not None:
+            # scan rewrite: re-plan the read over the window only
+            return self._scan.reread(
+                self.spark,
+                chunks={d: min(self.chunks[d], new_sizes[d]) for d in new_sizes},
+                split_vars=self.split_vars,
+                rel_window=dict(windows),
+            )
         cond = F.lit(True)
         for d, (start, stop) in windows.items():
             cond = cond & (F.col(off_col(d)) + F.lit(self.chunks[d]) > start) & (
@@ -805,6 +831,14 @@ class Dataset:
         tgt = core.normalize_chunks(target_chunks, sizes)
         if tgt == self.chunks:
             return self
+        if self._scan is not None:
+            # rechunk fast path (reference dataset.py:1010-1019, made
+            # fully general): a pristine scan is simply re-read at the
+            # target grid — zero shuffles at any chunk ratio, since the
+            # read stage assembles arbitrary regions from store chunks.
+            return self._scan.reread(
+                self.spark, chunks=tgt, split_vars=self.split_vars
+            )
         stages = rechunk_plan.plan_stages(
             sizes, self.chunks, tgt, self.template.itemsize(self.split_vars), max_mem
         )
@@ -1033,6 +1067,30 @@ class Dataset:
         pre_df = self.df.mapInPandas(pre, schema)
         df = pre_df.groupBy("vars", *offc).applyInPandas(merge, schema)
         return Dataset(self.spark, df, out_tmpl, out_chunks, False)
+
+
+class MemoryScan:
+    """Scan spec for in-memory sources: reread = driver-side slice of the
+    source + fresh distribution (mirrors the reference fast path where the
+    lazy source dataset itself is indexed, ``dataset.py:379-394``)."""
+
+    def __init__(self, source: NDDataset):
+        self.source = source
+
+    def reread(
+        self,
+        spark: SparkSession,
+        chunks: Mapping[str, int],
+        split_vars: bool,
+        rel_window: Mapping[str, tuple[int, int]] | None = None,
+        var_subset: Sequence[str] | None = None,
+    ) -> Dataset:
+        src = self.source
+        if rel_window:
+            src = src.isel({d: slice(a, b) for d, (a, b) in rel_window.items()})
+        if var_subset is not None:
+            src = src[list(var_subset)]
+        return Dataset.from_numpy(spark, src, chunks=chunks, split_vars=split_vars)
 
 
 # ---------------------------------------------------------------------------

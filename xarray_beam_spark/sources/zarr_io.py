@@ -22,7 +22,8 @@ from __future__ import annotations
 
 import math
 import os
-from typing import Iterator, Mapping
+from dataclasses import dataclass
+from typing import Iterator, Mapping, Sequence
 
 import numpy as np
 import pandas as pd
@@ -73,15 +74,48 @@ def from_zarr(
     path: str,
     chunks: Mapping[str, int] | None = None,
     split_vars: bool = False,
+    window: Mapping[str, tuple[int, int]] | None = None,
+    var_subset: Sequence[str] | None = None,
 ) -> Dataset:
     """Lazily read a Zarr group as a distributed Dataset.
 
     ``chunks`` defaults to the store's own chunk grid; any in-flight chunk
     size works (executors assemble regions across zarr chunks).
+    ``window``/``var_subset`` restrict the scan to an element window /
+    variable subset — the target of the scan-rewrite fast path (reference
+    ``_whole_dataset_method``, ``dataset.py:379-394``): ``isel``/``head``/
+    ``tail``/``__getitem__``/``rechunk`` on a pristine scan re-plan the
+    read instead of filtering materialized chunks, so only the needed
+    bytes are ever read.
     Reference: ``Dataset.from_zarr`` (``dataset.py:662-703``).
     """
     template, store_chunks = open_zarr_template(path)
-    sizes = dict(template.sizes)
+    if var_subset is not None:
+        template = template.select_vars(var_subset)
+    win = {d: (int(a), int(b)) for d, (a, b) in (window or {}).items()}
+    full_sizes = dict(template.sizes)
+    for d, (a, b) in win.items():
+        if not (0 <= a < b <= full_sizes[d]):
+            raise ValueError(f"window {win[d]} out of range for dim {d!r} of size {full_sizes[d]}")
+    sizes = {d: win.get(d, (0, s))[1] - win.get(d, (0, s))[0] for d, s in full_sizes.items()}
+    base_off = {d: win.get(d, (0, 0))[0] for d in full_sizes}
+    if win:
+        template = Template(
+            sizes=sizes,
+            var_meta=template.var_meta,
+            coords={
+                k: Variable(
+                    c.dims,
+                    c.values[
+                        tuple(
+                            slice(base_off[d], base_off[d] + sizes[d]) for d in c.dims
+                        )
+                    ],
+                )
+                for k, c in template.coords.items()
+            },
+            attrs=template.attrs,
+        )
     cchunks = core.normalize_chunks(dict(chunks) if chunks else store_chunks, sizes)
     n_grid = core.chunk_count(cchunks, sizes)
     var_groups: list[str | None] = sorted(template.var_meta) if split_vars else [None]
@@ -117,7 +151,7 @@ def from_zarr(
                         ldims,
                         zarrlite.read_region(
                             meta,
-                            {d: offsets[d] for d in ldims},
+                            {d: base_off[d] + offsets[d] for d in ldims},
                             {d: shape[d] for d in ldims},
                         ),
                     )
@@ -147,7 +181,41 @@ def from_zarr(
     total = n_grid * len(var_groups)
     rng = spark.range(0, total, 1, max(1, min(total, spark.sparkContext.defaultParallelism)))
     df = rng.mapInPandas(read, schema)
-    return Dataset(spark, df, template, cchunks, split_vars)
+    out = Dataset(spark, df, template, cchunks, split_vars)
+    # Register the scan spec so Dataset.isel/head/tail/__getitem__/rechunk
+    # can rewrite the read instead of post-filtering (reference fast path).
+    out._scan = ZarrScan(path=path, window=win, var_subset=tuple(var_names))
+    return out
+
+
+@dataclass(frozen=True)
+class ZarrScan:
+    """Scan spec registered on pristine ``from_zarr`` Datasets. ``reread``
+    composes windows/projections into a new scan — the engine's projection
+    and predicate pushdown into the Zarr store."""
+
+    path: str
+    window: dict  # absolute element windows {dim: (start, stop)}
+    var_subset: tuple
+
+    def reread(
+        self,
+        spark: SparkSession,
+        chunks: Mapping[str, int],
+        split_vars: bool,
+        rel_window: Mapping[str, tuple[int, int]] | None = None,
+        var_subset: Sequence[str] | None = None,
+    ) -> Dataset:
+        base = dict(self.window)
+        if rel_window:
+            for d, (a, b) in rel_window.items():
+                s0 = base.get(d, (0, 0))[0]
+                base[d] = (s0 + a, s0 + b)
+        vs = list(var_subset) if var_subset is not None else list(self.var_subset)
+        return from_zarr(
+            spark, self.path, chunks=chunks, split_vars=split_vars,
+            window=base, var_subset=vs,
+        )
 
 
 def setup_zarr(
