@@ -1,0 +1,38 @@
+"""Example scripts run end-to-end on the bundled test data (the
+reference tests its examples the same way, ``examples/*_test.py``)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(script: str, *args: str) -> str:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", script), *args],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        check=True,
+    )
+    return out.stdout
+
+
+def test_events_climatology_example(tmp_path):
+    out = _run(
+        "events_climatology.py", "/root/testdata/sf0.001", str(tmp_path / "clim.zarr")
+    )
+    assert "wrote" in out and "NDDataset" in out
+    assert os.path.exists(tmp_path / "clim.zarr" / "zarr.json")
+
+
+def test_zarr_rechunk_example(tmp_path):
+    src = str(tmp_path / "src.zarr")
+    out_path = str(tmp_path / "out.zarr")
+    # synthesize + rechunk in one invocation (no-arg synth writes to /tmp;
+    # pass explicit paths instead)
+    stdout = _run("zarr_rechunk.py")
+    assert "wrote" in stdout and "counters" in stdout
