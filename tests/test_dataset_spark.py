@@ -258,3 +258,28 @@ def test_isel_window(spark, era5):
     # negative-stop slice via python semantics
     got3 = d.isel(time=slice(-9, None)).collect()
     assert got3.equals(era5.isel({"time": slice(-9, None)}))
+
+
+def test_sel_labels(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 10})
+    got = d.sel(time=slice(5, 12)).collect()   # inclusive label slice
+    want = era5.isel({"time": slice(5, 13)})
+    assert got.equals(want)
+    got2 = d.sel(time=7).collect()
+    assert got2.equals(era5.isel({"time": slice(7, 8)}))
+
+
+def test_coarsen_mean_vs_numpy(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 8})
+    got = d.coarsen({"time": 4}, op="mean").collect()
+    arr = era5.data_vars["asn"].values.astype(np.float64)
+    want = arr.reshape(6, 4, 7, 9).mean(axis=1)
+    np.testing.assert_allclose(got.data_vars["asn"].values, want, rtol=1e-12)
+    np.testing.assert_array_equal(got.coords["time"].values, np.arange(0, 24, 4))
+
+
+def test_coarsen_unaligned_chunks_rechunks_first(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 5})  # 5 % 4 != 0
+    got = d.coarsen({"time": 4}, op="max").collect()
+    want = era5.data_vars["asn"].values.reshape(6, 4, 7, 9).max(axis=1)
+    np.testing.assert_array_equal(got.data_vars["asn"].values, want)

@@ -655,6 +655,103 @@ class Dataset:
         # narrow split + one consolidate shuffle
         return out.split_chunks(chunks).consolidate_chunks(chunks)
 
+    def sel(self, indexers: Mapping[str, Any] | None = None, **kw: Any) -> "Dataset":
+        """Label-based contiguous selection: coordinate values (or label
+        slices) are translated to integer windows on the driver via the
+        template's coordinate arrays, then delegated to :meth:`isel` (so
+        the scan rewrite / chunk pruning applies). Labels follow xarray
+        semantics: slices are inclusive of both endpoints."""
+        idx = {**(indexers or {}), **kw}
+        windows: dict[str, slice] = {}
+        for d, sel in idx.items():
+            coord = self.template.coords.get(d)
+            if coord is None:
+                raise KeyError(f"dim {d!r} has no coordinate for label-based selection")
+            vals = coord.values
+            if isinstance(sel, slice):
+                if sel.step is not None:
+                    raise ValueError(f"sel slices must have step=None, got {sel!r}")
+                lo = 0 if sel.start is None else int(np.searchsorted(vals, np.asarray(sel.start, vals.dtype), "left"))
+                hi = len(vals) if sel.stop is None else int(np.searchsorted(vals, np.asarray(sel.stop, vals.dtype), "right"))
+                windows[d] = slice(lo, hi)
+            else:
+                pos = int(np.searchsorted(vals, np.asarray(sel, vals.dtype), "left"))
+                if pos >= len(vals) or vals[pos] != np.asarray(sel, vals.dtype):
+                    raise KeyError(f"label {sel!r} not found in coordinate {d!r}")
+                windows[d] = slice(pos, pos + 1)
+        return self.isel(windows)
+
+    def coarsen(self, factors: Mapping[str, int], op: str = "mean", skipna: bool = True) -> "Dataset":
+        """Block-aggregate downsampling (xarray ``coarsen``; the reference
+        does this via rechunk + map_blocks, ``docs/high-level.ipynb``
+        Example 2): every ``factors[d]``-sized block along ``d`` reduces to
+        one element.
+
+        Plan: dims whose chunk size is divisible by the factor coarsen in
+        place (narrow); otherwise one rechunk round aligns them first.
+        Coordinates take the first value of each block.
+        """
+        if op not in ("mean", "sum", "min", "max"):
+            raise ValueError(f"unsupported coarsen op {op!r}")
+        sizes = self.sizes
+        for d, f in factors.items():
+            if d not in sizes:
+                raise KeyError(f"no dimension {d!r}")
+            if sizes[d] % f != 0:
+                raise ValueError(f"size {sizes[d]} of dim {d!r} not divisible by factor {f}")
+        work = self
+        fixed = {
+            d: (self.chunks[d] if self.chunks[d] % f == 0 else f * max(1, self.chunks[d] // f))
+            for d, f in factors.items()
+        }
+        if any(self.chunks[d] % f != 0 for d, f in factors.items()):
+            work = self.rechunk({**self.chunks, **fixed})
+        tmpl = work.template
+        out_sizes = {d: (s // factors.get(d, 1)) for d, s in sizes.items()}
+        out_chunks = {d: max(1, work.chunks[d] // factors.get(d, 1)) for d in sizes}
+        out_coords = {}
+        for k, c in tmpl.coords.items():
+            sl = tuple(slice(None, None, factors.get(d, 1)) for d in c.dims)
+            out_coords[k] = Variable(c.dims, c.values[sl])
+        out_vm = {
+            v: (dims, dt if op in ("min", "max") else np.dtype("float64").str)
+            for v, (dims, dt) in tmpl.var_meta.items()
+        }
+        out_tmpl = Template(sizes=out_sizes, var_meta=out_vm, coords=out_coords, attrs=tmpl.attrs)
+        fac = dict(factors)
+        red = {
+            "mean": (np.nanmean, np.mean),
+            "sum": (np.nansum, np.sum),
+            "min": (np.nanmin, np.min),
+            "max": (np.nanmax, np.max),
+        }[op]
+
+        def block_reduce(ds: NDDataset) -> NDDataset:
+            out_vars = {}
+            for v, var in ds.data_vars.items():
+                a = var.values
+                newshape: list[int] = []
+                red_axes: list[int] = []
+                for ax, d in enumerate(var.dims):
+                    f = fac.get(d, 1)
+                    newshape.extend([a.shape[ax] // f, f])
+                    red_axes.append(2 * ax + 1)
+                a = a.reshape(newshape)
+                isf = np.issubdtype(var.values.dtype, np.floating)
+                fn = red[0] if (skipna and isf) else red[1]
+                if op in ("mean", "sum"):
+                    a = a.astype(np.float64, copy=False)
+                with np.errstate(all="ignore"):
+                    out = fn(a, axis=tuple(red_axes))
+                out_vars[v] = Variable(var.dims, np.asarray(out))
+            coords = {
+                k: Variable(c.dims, c.values[tuple(slice(None, None, fac.get(d, 1)) for d in c.dims)])
+                for k, c in ds.coords.items()
+            }
+            return NDDataset(out_vars, coords, ds.attrs)
+
+        return work.map_blocks(block_reduce, template=out_tmpl, chunks=out_chunks)
+
     def head(self, **counts: int) -> "Dataset":
         """First N elements per dim (reference ``dataset.py:1105-1133``).
         Chunk pruning is a Catalyst filter on offset columns — only the

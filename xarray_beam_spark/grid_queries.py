@@ -241,6 +241,28 @@ def xb_grid_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.tail(day=10).to_table(dropna=True)
 
 
+@_register(
+    "xb_grid_coarsen",
+    f"""
+SELECT day, CAST(hour // 6 AS BIGINT) AS hour,  -- 6-hour blocks
+       event_type,
+       CAST(SUM(CAST(cnt AS BIGINT)) AS DOUBLE) / COUNT(*) AS cnt
+FROM ({_CELLS_SQL}) GROUP BY 1, 2, 3
+""",
+)
+def xb_grid_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coarsen: 24 hourly cells → 4 six-hour blocks (block mean; the
+    reference's rechunk + map_blocks coarsen pattern,
+    ``docs/high-level.ipynb`` Example 2). NaN holes are skipped, matching
+    the oracle's COUNT(*) over present rows."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7, "hour": 6})
+    c = d.coarsen({"hour": 6}, op="mean")
+    t = c.to_table(dropna=True)
+    # the coarse hour coordinate is the block start (0,6,12,18) — map to
+    # block index to match the oracle's hour // 6
+    return t.withColumn("hour", (F.col("hour") / 6).cast("long"))
+
+
 @_register("xb_grid_transpose", _CELLS_SQL)
 def xb_grid_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transpose is metadata-only per chunk; values unchanged."""

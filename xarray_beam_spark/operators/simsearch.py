@@ -226,6 +226,105 @@ def lsh_topk(
     )
 
 
+def _kmeans(sample: np.ndarray, n_centroids: int, iters: int = 8, seed: int = 7) -> np.ndarray:
+    """Tiny seeded k-means on normalized vectors (driver-side, on a
+    bounded sample — the IVF coarse quantizer's training step)."""
+    rng = np.random.default_rng(seed)
+    X = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                C[c] = m / max(np.linalg.norm(m), 1e-30)
+    return C
+
+
+def _with_ivf_cells(df: DataFrame, C: np.ndarray, vec_col: str, id_col: str, out_id: str, n_probe: int) -> DataFrame:
+    """Assign each vector its ``n_probe`` nearest coarse cells (one GEMM
+    per Arrow batch) + quantized vector/norm for exact re-ranking."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+    schema = T.StructType(
+        [
+            T.StructField(out_id, T.LongType()),
+            T.StructField("qvec", T.ArrayType(T.LongType())),
+            T.StructField("qnorm", T.DoubleType()),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cl = bc.value
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qv = np.floor(M * QUANT).astype(np.int64)
+            qn = np.sqrt((qv * qv).sum(axis=1).astype(np.float64))
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+            sims = Mn @ Cl.T  # (n, centroids)
+            p = min(n_probe, sims.shape[1])
+            cells = np.argpartition(-sims, p - 1, axis=1)[:, :p]  # (n, p)
+            rows = {out_id: [], "qvec": [], "qnorm": [], "cell": []}
+            for j in range(p):
+                rows[out_id].extend(ids.tolist())
+                rows["qvec"].extend(list(qv))
+                rows["qnorm"].extend(qn.tolist())
+                rows["cell"].extend(cells[:, j].tolist())
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 32,
+    n_probe: int = 6,
+    train_limit: int = 4096,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer (the third scale
+    path next to brute force and hyperplane LSH): k-means centroids are
+    trained driver-side on a bounded sample, base vectors live in ONE
+    cell each, queries probe their ``n_probe`` nearest cells, and the
+    candidate equi-join on ``cell`` replaces the crossJoin. At 100 TB the
+    base assignment is a narrow GEMM stage and the only shuffle is the
+    cell join; recall is tuned by ``n_probe``/``n_centroids``.
+    """
+    sample = np.stack(
+        [r[0] for r in emb.select(vec_col).limit(train_limit).collect()]
+    ).astype(np.float64)
+    C = _kmeans(sample, n_centroids, seed=seed)
+    base = _with_ivf_cells(emb, C, vec_col, id_col, "neighbor_id", n_probe=1)
+    qs = (
+        _with_ivf_cells(queries, C, vec_col, id_col, "query_id", n_probe=n_probe)
+        .withColumnRenamed("qvec", "q_qvec")
+        .withColumnRenamed("qnorm", "q_qnorm")
+    )
+    cand = (
+        base.join(qs, on="cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            qcosine(F.col("q_qvec"), F.col("qvec"), F.col("q_qnorm"), F.col("qnorm")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # gate queries
 # ---------------------------------------------------------------------------
@@ -308,3 +407,10 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
     return lsh_topk(emb, queries, k=10)
+
+
+@_register("ann_ivf_topk", None)  # approximate: recall depends on probes
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    return ivf_topk(emb, queries, k=10)
