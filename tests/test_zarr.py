@@ -304,3 +304,49 @@ class TestScanRewrite:
         assert got.equals(src.isel({"time": slice(0, 7)}))
         got2 = d["count"].tail(time=5).collect()
         assert got2.equals(src[["count"]].isel({"time": slice(-5, None)}))
+
+
+class TestIncrementalWrites:
+    def test_append_pattern_with_origin(self, spark, tmp_path):
+        """Setup the store once for the full extent, then two jobs
+        region-write their halves (reference replace_template_dims +
+        needs_setup pattern)."""
+        src = _fixture_ds(nt=20)
+        full_tmpl = None
+        d_all = Dataset.from_numpy(spark, src, chunks={"time": 5})
+        full_tmpl = d_all.template
+        path = str(tmp_path / "inc")
+        zarr_io.setup_zarr(full_tmpl, path, {"time": 5, "x": 7})
+        first = Dataset.from_numpy(spark, src.isel({"time": slice(0, 10)}), chunks={"time": 5})
+        second = Dataset.from_numpy(spark, src.isel({"time": slice(10, 20)}), chunks={"time": 5})
+        zarr_io.to_zarr(first, path, needs_setup=False)
+        zarr_io.to_zarr(second, path, needs_setup=False, origin={"time": 10})
+        got = zarr_io.from_zarr(spark, path).collect()
+        assert got.equals(src)
+
+    def test_unaligned_origin_rejected(self, spark, tmp_path):
+        src = _fixture_ds(nt=20)
+        d = Dataset.from_numpy(spark, src, chunks={"time": 5})
+        path = str(tmp_path / "inc")
+        zarr_io.setup_zarr(d.template, path, {"time": 5, "x": 7})
+        part = Dataset.from_numpy(spark, src.isel({"time": slice(0, 5)}), chunks={"time": 5})
+        with pytest.raises(ValueError, match="origin"):
+            zarr_io.to_zarr(part, path, needs_setup=False, origin={"time": 3})
+
+    def test_replace_template_dims(self, spark):
+        src = _fixture_ds(nt=4)
+        tmpl = Dataset.from_numpy(spark, src, chunks={}).template
+        big_time = (np.datetime64("2020-01-01", "D") + np.arange(100)).astype("datetime64[us]")
+        big = zarr_io.replace_template_dims(tmpl, coords={"time": big_time})
+        assert big.sizes["time"] == 100
+        assert len(big.coords["time"].values) == 100
+        assert big.var_meta == tmpl.var_meta
+
+
+def test_byte_string_chunks(spark):
+    src = _fixture_ds(nt=20, nx=7)
+    # itemsize = 4+8+8 = 20 B/element (split_vars=False); '1KB' along time
+    # with x=7 resolved → 1000 // (20*7) = 7 elements
+    d = Dataset.from_numpy(spark, src, chunks={"time": "1KB"})
+    assert d.chunks["time"] == 7
+    assert d.collect().identical(src)

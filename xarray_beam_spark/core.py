@@ -59,22 +59,66 @@ class Key:
         return f"Key({ov}; vars={vv})"
 
 
-def normalize_chunks(chunks: Mapping[str, int], sizes: Mapping[str, int]) -> dict[str, int]:
-    """Resolve ``-1``/oversized chunk specs to concrete per-dim chunk sizes.
+_BYTE_UNITS = {
+    "B": 1,
+    "KB": 10**3,
+    "MB": 10**6,
+    "GB": 10**9,
+    "TB": 10**12,
+    "KIB": 2**10,
+    "MIB": 2**20,
+    "GIB": 2**30,
+}
+
+
+def parse_bytes(spec: str) -> int:
+    """``'100MB'`` → 100_000_000 (reference accepts dask byte-strings,
+    ``dataset.py:167-175``)."""
+    s = spec.strip().upper().replace(" ", "")
+    for unit in sorted(_BYTE_UNITS, key=len, reverse=True):
+        if s.endswith(unit):
+            return int(float(s[: -len(unit)]) * _BYTE_UNITS[unit])
+    return int(float(s))
+
+
+def normalize_chunks(
+    chunks: Mapping[str, int | str],
+    sizes: Mapping[str, int],
+    itemsize: int | None = None,
+) -> dict[str, int]:
+    """Resolve ``-1``/oversized/byte-string chunk specs to concrete
+    per-dim chunk sizes.
 
     Dims absent from ``chunks`` are unchunked (single chunk spanning the
-    whole dim). Reference: ``dataset.py:83-199`` (the int/-1 subset; byte
-    strings and ``...`` are handled in :mod:`xarray_beam_spark.plans`).
+    whole dim). A byte-string spec (``'100MB'``) for a dim resolves to
+    the element count such that one chunk holds ~that many bytes given
+    ``itemsize`` and the other dims' resolved chunk extents (reference:
+    ``dataset.py:83-199``).
     """
     out: dict[str, int] = {}
+    pending: dict[str, str] = {}
     for dim, size in sizes.items():
         c = chunks.get(dim, -1)
+        if isinstance(c, str):
+            pending[dim] = c
+            continue
         if c == -1 or c >= size:
             out[dim] = size
         elif c <= 0:
             raise ValueError(f"invalid chunk size {c} for dim {dim!r}")
         else:
             out[dim] = c
+    for dim, spec in pending.items():
+        if itemsize is None:
+            raise ValueError(
+                f"byte-string chunk spec {spec!r} for dim {dim!r} requires itemsize"
+            )
+        target = parse_bytes(spec)
+        per_element = max(1, itemsize)
+        for d, c in out.items():
+            if d != dim:
+                per_element *= c
+        out[dim] = max(1, min(sizes[dim], target // per_element))
     return out
 
 

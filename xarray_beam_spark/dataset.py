@@ -138,7 +138,9 @@ class Dataset:
         self.spark = spark
         self.df = df
         self.template = template
-        self.chunks = core.normalize_chunks(chunks, template.sizes)
+        self.chunks = core.normalize_chunks(
+            chunks, template.sizes, itemsize=template.itemsize(split_vars)
+        )
         self.split_vars = split_vars
         # Scan-rewrite hook (reference `_whole_dataset_method` fast path,
         # dataset.py:379-394): when this Dataset is still a pristine scan,
@@ -193,7 +195,9 @@ class Dataset:
         via distributed key enumeration over ``spark.range``."""
         template = Template.from_ndds(source)
         sizes = dict(source.sizes)
-        cchunks = core.normalize_chunks(chunks or {}, sizes)
+        cchunks = core.normalize_chunks(
+            chunks or {}, sizes, itemsize=template.itemsize(split_vars)
+        )
         n_chunks = core.chunk_count(cchunks, sizes)
         bc = spark.sparkContext.broadcast(source)
         var_groups: list[str | None] = (
@@ -925,7 +929,9 @@ class Dataset:
         narrow split and an optional shuffle consolidate, with elision when
         divisibility allows."""
         sizes = self.sizes
-        tgt = core.normalize_chunks(target_chunks, sizes)
+        tgt = core.normalize_chunks(
+            target_chunks, sizes, itemsize=self.template.itemsize(self.split_vars)
+        )
         if tgt == self.chunks:
             return self
         if self._scan is not None:

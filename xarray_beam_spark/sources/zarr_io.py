@@ -116,7 +116,10 @@ def from_zarr(
             },
             attrs=template.attrs,
         )
-    cchunks = core.normalize_chunks(dict(chunks) if chunks else store_chunks, sizes)
+    cchunks = core.normalize_chunks(
+        dict(chunks) if chunks else store_chunks, sizes,
+        itemsize=template.itemsize(split_vars),
+    )
     n_grid = core.chunk_count(cchunks, sizes)
     var_groups: list[str | None] = sorted(template.var_meta) if split_vars else [None]
     dims_sorted = sorted(sizes)
@@ -186,6 +189,34 @@ def from_zarr(
     # can rewrite the read instead of post-filtering (reference fast path).
     out._scan = ZarrScan(path=path, window=win, var_subset=tuple(var_names))
     return out
+
+
+def replace_template_dims(
+    template: Template,
+    sizes: Mapping[str, int] | None = None,
+    coords: Mapping[str, np.ndarray] | None = None,
+) -> Template:
+    """Rewrite dimension sizes/coordinates of a template (reference
+    ``replace_template_dims``, ``zarr.py:149-226``): the driver can set up
+    a Zarr store for the FULL output extent (e.g. the whole forecast
+    period) while individual jobs region-write only their slice via
+    ``to_zarr(..., needs_setup=False)``."""
+    new_sizes = dict(template.sizes)
+    new_coords = dict(template.coords)
+    for d, s in (sizes or {}).items():
+        new_sizes[d] = int(s)
+        if d in new_coords and len(new_coords[d].values) != s:
+            del new_coords[d]  # stale coord; caller may supply a new one
+    for d, vals in (coords or {}).items():
+        arr = np.asarray(vals)
+        new_sizes[d] = len(arr)
+        new_coords[d] = Variable((d,), arr)
+    for k, c in list(new_coords.items()):
+        if any(new_sizes.get(d) != len(c.values) for d in c.dims if len(c.dims) == 1):
+            del new_coords[k]
+    return Template(
+        sizes=new_sizes, var_meta=template.var_meta, coords=new_coords, attrs=template.attrs
+    )
 
 
 @dataclass(frozen=True)
@@ -282,6 +313,8 @@ def to_zarr(
     compressor: str | None = "zlib",
     zarr_format: int = 2,
     zarr_chunks_per_shard: Mapping[str, int] | None = None,
+    needs_setup: bool = True,
+    origin: Mapping[str, int] | None = None,
 ) -> dict[str, int]:
     """Write the dataset to a Zarr group; returns write stats.
 
@@ -292,26 +325,60 @@ def to_zarr(
     ``dataset.py:705-752``) — call ``rechunk`` first otherwise. One Spark
     action; no driver barrier needed since setup happens synchronously
     before it.
+
+    Incremental writes (reference's large-output pattern,
+    ``zarr.py:149-226`` + ``needs_setup``, ``zarr.py:700-716``): set the
+    store up ONCE for the full extent via :func:`setup_zarr` on a
+    template rewritten with :func:`replace_template_dims`, then each job
+    calls ``to_zarr(..., needs_setup=False, origin={dim: start})`` to
+    region-write its slice; ``origin`` must align to the store's write
+    unit.
     """
     work = ds.consolidate_variables() if ds.split_vars else ds
     sizes = dict(work.sizes)
-    zchunks = core.normalize_chunks(dict(zarr_chunks) if zarr_chunks else work.chunks, sizes)
-    zshards: dict[str, int] | None = None
-    if zarr_chunks_per_shard is not None:
-        if zarr_format != 3:
-            raise ValueError("shards require zarr_format=3")
-        zshards = {
-            d: min(zchunks[d] * int(zarr_chunks_per_shard.get(d, 1)), sizes[d])
-            for d in sizes
-        }
-    unit = zshards or zchunks
+    base = {d: int((origin or {}).get(d, 0)) for d in sizes}
+    if needs_setup:
+        if origin:
+            raise ValueError("origin only makes sense with needs_setup=False")
+        zchunks = core.normalize_chunks(dict(zarr_chunks) if zarr_chunks else work.chunks, sizes)
+        zshards: dict[str, int] | None = None
+        if zarr_chunks_per_shard is not None:
+            if zarr_format != 3:
+                raise ValueError("shards require zarr_format=3")
+            zshards = {
+                d: min(zchunks[d] * int(zarr_chunks_per_shard.get(d, 1)), sizes[d])
+                for d in sizes
+            }
+        unit = zshards or zchunks
+        setup_zarr(work.template, path, zchunks, compressor, zarr_format, zshards)
+    else:
+        arrays, _ = zarrlite.open_group(path)
+        unit = {}
+        for v, (dims, dtype) in work.template.var_meta.items():
+            if v not in arrays:
+                raise ValueError(f"store {path} has no array {v!r} (needs_setup=False)")
+            meta = arrays[v]
+            if meta.logical_dtype.str != dtype:
+                raise ValueError(
+                    f"{v!r}: dtype {dtype} != store {meta.logical_dtype.str}"
+                )
+            wu = meta.write_unit[: len(meta.logical_dims)]
+            for d, u, s in zip(meta.logical_dims, wu, meta.logical_shape):
+                unit.setdefault(d, u)
+                end = base.get(d, 0) + sizes.get(d, s)
+                if end > s:
+                    raise ValueError(f"{v!r}: write along {d!r} ends at {end} > store size {s}")
+        for d, off in base.items():
+            if d in unit and off % unit[d] != 0:
+                raise ValueError(
+                    f"origin {off} along {d!r} not aligned to store write unit {unit[d]}"
+                )
     for d in sizes:
-        if work.chunks[d] % unit[d] != 0 and work.chunks[d] != sizes[d]:
+        if d in unit and work.chunks[d] % unit[d] != 0 and work.chunks[d] != sizes[d]:
             raise ValueError(
                 f"in-flight chunk {work.chunks[d]} along {d!r} is not a multiple of "
                 f"the zarr write unit {unit[d]}; rechunk first (reference zarr.py:557-583)"
             )
-    setup_zarr(work.template, path, zchunks, compressor, zarr_format, zshards)
     dims_sorted = sorted(sizes)
     from xarray_beam_spark.observability import get_counters
 
@@ -327,7 +394,9 @@ def to_zarr(
                 chunk = decode_chunk(r["payload"])
                 for v, var in chunk.data_vars.items():
                     meta = arrays[v]
-                    off = {d: int(r[off_col(d)]) for d in meta.logical_dims}
+                    off = {
+                        d: base.get(d, 0) + int(r[off_col(d)]) for d in meta.logical_dims
+                    }
                     n_bytes += zarrlite.write_region(meta, off, var.values)
                     n_chunks += 1
         acc_wchunks.add(n_chunks)
