@@ -1,0 +1,48 @@
+"""Physical-plan shape assertions: the optimizations the engine claims
+(predicate pushdown to parquet, column pruning, broadcast joins) must be
+visible in the executed plan, not just intended."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from xarray_beam_spark import tabular
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    plan = _formatted_plan(tabular.q6_revenue_change(spark, sf_dir))
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # predicate reached the scan
+    assert "LessThan(l_shipdate" in plan
+    # column pruning: the 11-column lineitem scan reads only the 4 needed
+    read = [l for l in plan.splitlines() if l.strip().startswith("ReadSchema")][0]
+    assert "l_quantity" in read and "l_extendedprice" in read
+    assert "l_orderkey" not in read and "l_returnflag" not in read
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    plan = _formatted_plan(tabular.q3_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_parts_broadcasts_part(spark, sf_dir):
+    plan = _formatted_plan(tabular.topk_parts_by_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # part is a broadcast dim, never shuffled
+
+
+def test_q1_partial_aggregation_no_python(spark, sf_dir):
+    """The hot aggregation path does map-side partial aggregation before
+    the shuffle and keeps Python out of the loop entirely."""
+    df = tabular.q1_pricing_summary(spark, sf_dir)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in simple  # map-side combine before the Exchange
+    assert simple.index("partial_sum") > simple.index("Exchange")  # partial below exchange in tree
+    assert "ArrowEvalPython" not in simple and "BatchEvalPython" not in simple

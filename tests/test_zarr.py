@@ -350,3 +350,64 @@ def test_byte_string_chunks(spark):
     d = Dataset.from_numpy(spark, src, chunks={"time": "1KB"})
     assert d.chunks["time"] == 7
     assert d.collect().identical(src)
+
+
+class TestZarrProperties:
+    """Hypothesis: random shapes/chunks/shards round-trip bit-exactly
+    (the reference property-tests its plan math the same way,
+    ``rechunker_algorithm_test.py``)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @staticmethod
+    def _store(tmpdir, zarr_format):
+        import os
+        import uuid
+
+        path = os.path.join(str(tmpdir), uuid.uuid4().hex[:8])
+        zarrlite.create_group(path, zarr_format=zarr_format)
+        return path
+
+    @given(
+        shape=st.tuples(st.integers(1, 12), st.integers(1, 9)),
+        chunks=st.tuples(st.integers(1, 6), st.integers(1, 5)),
+        fmt=st.sampled_from([2, 3]),
+        compress=st.booleans(),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_roundtrip_random_grid(self, tmp_path_factory, shape, chunks, fmt, compress):
+        tmp = tmp_path_factory.mktemp("zp")
+        path = self._store(tmp, fmt)
+        rng = np.random.default_rng(abs(hash((shape, chunks, fmt))) % 2**32)
+        arr = rng.normal(size=shape)
+        meta = zarrlite.create_array(
+            path, "v", shape, chunks, arr.dtype, ("a", "b"),
+            zarr_format=fmt, compressor="zlib" if compress else None,
+        )
+        zarrlite.write_full(meta, arr)
+        np.testing.assert_array_equal(zarrlite.read_full(zarrlite.open_array(path, "v")), arr)
+
+    @given(
+        size=st.integers(4, 40),
+        chunk=st.integers(1, 6),
+        mult=st.integers(1, 4),
+        r_start=st.integers(0, 10),
+        r_len=st.integers(1, 20),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_sharded_region_reads(self, tmp_path_factory, size, chunk, mult, r_start, r_len):
+        tmp = tmp_path_factory.mktemp("zp")
+        path = self._store(tmp, 3)
+        shard = chunk * mult
+        arr = np.arange(size, dtype=np.int64)
+        meta = zarrlite.create_array(
+            path, "v", (size,), (chunk,), arr.dtype, ("x",), zarr_format=3, shards=(shard,)
+        )
+        zarrlite.write_full(meta, arr)
+        start = min(r_start, size - 1)
+        stop = min(start + r_len, size)
+        got = zarrlite.read_region(
+            zarrlite.open_array(path, "v"), {"x": start}, {"x": stop - start}
+        )
+        np.testing.assert_array_equal(got, arr[start:stop])
