@@ -48,3 +48,15 @@ def test_gemm_topk_matches_expression_topk(spark, sf_dir):
     gemm = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in gemm_rows}
     agree = sum(expr[key] == gemm.get(key) for key in expr) / len(expr)
     assert agree >= 0.8  # float32-GEMM vs quantized-int ties may differ slightly
+
+
+def test_duplicate_clusters_components(spark):
+    from xarray_beam_spark.operators.dedup import duplicate_clusters
+
+    # chain 1-2-3-4, star 10-(11,12,13), isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}

@@ -191,6 +191,63 @@ def minhash_lsh_pairs(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph → duplicate
+    clusters ``(doc_id, cluster_id)`` with ``cluster_id = min(doc_id)`` of
+    the component — the step that turns pairwise near-dup evidence into
+    keep/drop decisions for a training corpus.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(diameter) rounds (driver checks a convergence count per round —
+    the canonical Spark pattern for iterative graph algorithms; each
+    round is one shuffle on ``node``, AQE-sized). ``persist``/``unpersist``
+    keeps lineage flat across iterations.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # localCheckpoint truncates lineage: without it every iteration's plan
+    # contains all previous iterations (exponential recomputation).
+    und = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            und.join(labels, und.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = new_labels.where(F.col("changed")).count()
+        labels = new_labels.select("node", "label")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 # ---------------------------------------------------------------------------
 # gate queries
 # ---------------------------------------------------------------------------
@@ -290,6 +347,83 @@ def ngram_jaccard_adjacent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_jaccard(F.col("a.s"), F.col("b.s")).alias("jaccard"),
         )
     )
+
+
+# Cluster gate: a 3-variant corpus (doc, doc minus last 2 words, doc minus
+# last 4 words; ids offset by 1e9/2e9) yields chain-shaped components
+# {i, i+1e9, i+2e9} whose A–C edge may fall under the threshold — so the
+# result depends on TRANSITIVE closure, which is what the operator must
+# get right. The oracle reproduces the edges in SQL and closes them with
+# a recursive CTE.
+_CLUSTERS_ORACLE = r"""
+WITH RECURSIVE
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000,
+         array_to_string(list_slice(w, 1, greatest(len(w) - 2, 1)), ' ')
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)
+  UNION ALL
+  SELECT doc_id + 2000000000,
+         array_to_string(list_slice(w, 1, greatest(len(w) - 4, 1)), ' ')
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         ELSE [array_to_string(w, ' ')] END AS s
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM corpus)
+),
+edges AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON b.doc_id % 1000000000 = a.doc_id % 1000000000
+                     AND b.doc_id > a.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.55
+),
+und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach(node, label) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT u.a, r.label FROM reach r JOIN und u ON u.b = r.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+@_register("dedup_duplicate_clusters", _CLUSTERS_ORACLE)
+def dedup_duplicate_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters via iterative min-label
+    propagation (connected components); result must equal the oracle's
+    recursive-CTE transitive closure."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), r"\s+")
+
+    def variant(drop: int, shift: int) -> DataFrame:
+        return docs.select(
+            (F.col("doc_id") + F.lit(shift)).alias("doc_id"),
+            F.concat_ws(
+                " ", F.slice(words, 1, F.greatest(F.size(words) - drop, F.lit(1)))
+            ).alias("text"),
+        )
+
+    corpus = docs.unionAll(variant(2, 10**9)).unionAll(variant(4, 2 * 10**9))
+    sh = corpus.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("s")
+    ).persist()
+    a, b = sh.alias("a"), sh.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("b.doc_id") % 10**9 == F.col("a.doc_id") % 10**9)
+            & (F.col("b.doc_id") > F.col("a.doc_id")),
+        )
+        .where(exact_jaccard(F.col("a.s"), F.col("b.s")) >= 0.55)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return duplicate_clusters(edges)
 
 
 @_register("dedup_simhash", None)  # xxhash64 not expressible in DuckDB
