@@ -773,6 +773,58 @@ class Dataset:
             lambda ds: ds.transpose(*order), template=self.template, chunks=self.chunks
         )
 
+    def zip_map(
+        self,
+        other: "Dataset",
+        func: Callable[[NDDataset, NDDataset], NDDataset],
+        template: Template | None = None,
+    ) -> "Dataset":
+        """Pairwise combine with another Dataset on the same chunk grid —
+        the reference's multi-dataset co-read (``DatasetToChunks([ds1,
+        ds2])`` zip-join by grid position, ``core.py:419-460``), expressed
+        as a chunk-grid equi-join on the offset columns + per-pair
+        ``func(chunk_a, chunk_b)``.
+
+        Catalyst picks broadcast vs sort-merge for the offset join; at
+        equal chunking no data moves beyond the join shuffle (and
+        co-partitioned inputs reuse their exchange under AQE).
+        """
+        if self.split_vars or other.split_vars:
+            return self.consolidate_variables().zip_map(
+                other.consolidate_variables(), func, template
+            )
+        if self.sizes != other.sizes or self.chunks != other.chunks:
+            raise ValueError(
+                f"zip_map requires identical grids: {self.sizes}/{self.chunks} "
+                f"vs {other.sizes}/{other.chunks} (rechunk first)"
+            )
+        if template is None:
+            da = _dummy_chunk(self.template, self.chunks)
+            db = _dummy_chunk(other.template, other.chunks)
+            out_dummy = func(da, db)
+            template, _ = _infer_result_meta(self.template, self.chunks, da, out_dummy)
+        dims = self.dims
+        offc = [off_col(d) for d in dims]
+        schema = chunk_row_schema(dims)
+        a = self.df.select(*offc, F.col("payload").alias("__pa"))
+        b = other.df.select(*offc, F.col("payload").alias("__pb"))
+        joined = a.join(b, on=offc, how="inner")
+
+        def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for _, r in pdf.iterrows():
+                    res = func(decode_chunk(r["__pa"]), decode_chunk(r["__pb"]))
+                    row = {off_col(d): int(r[off_col(d)]) for d in dims}
+                    row["vars"] = None
+                    row["payload"] = encode_chunk(res)
+                    rows.append(row)
+                if rows:
+                    yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+        df = joined.mapInPandas(combine, schema)
+        return Dataset(self.spark, df, template, self.chunks, False)
+
     # -- split / consolidate (reference rechunk.py) ------------------------
 
     def split_variables(self) -> "Dataset":

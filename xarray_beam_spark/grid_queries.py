@@ -263,6 +263,76 @@ def xb_grid_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.withColumn("hour", (F.col("hour") / 6).cast("long"))
 
 
+@_register(
+    "xb_grid_where",
+    f"""
+SELECT day, hour, event_type, cnt FROM ({_CELLS_SQL}) WHERE cnt >= 3
+""",
+)
+def xb_grid_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elementwise masking (reference pattern: ``ds.where()`` inside
+    map_blocks, SURVEY.md §2.3): cells under the threshold become NaN and
+    vanish from the long output."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    masked = d.map_blocks(lambda ds: ds.where(lambda a: a >= 3))
+    return masked.to_table(dropna=True)
+
+
+@_register(
+    "xb_grid_zip_ratio",
+    f"""
+WITH cells AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+         event_type,
+         CAST(COUNT(*) AS DOUBLE) AS cnt,
+         CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS users
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT day, hour, event_type, cnt / users AS events_per_user FROM cells
+""",
+)
+def xb_grid_zip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary dataset arithmetic via zip_map — the reference's
+    multi-dataset co-read / zip-join by grid position
+    (``core.py:419-460``): two same-grid datasets combine per chunk pair
+    after a chunk-grid equi-join on offsets."""
+    e = load(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.hour(F.col("ts")).cast("long").alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+        F.countDistinct("user_id").cast("double").alias("users"),
+    )
+    days = np.array(
+        [r[0] for r in cells.select("day").distinct().orderBy("day").collect()],
+        dtype="datetime64[us]",
+    )
+    etypes = np.array(sorted(r[0] for r in cells.select("event_type").distinct().collect()))
+    both = Dataset.from_table(
+        cells,
+        dims=["day", "hour", "event_type"],
+        coords={"day": days, "hour": np.arange(24, dtype=np.int64), "event_type": etypes},
+        var_cols=["cnt", "users"],
+        chunks={"day": 7},
+    )
+    counts, users = both["cnt"], both["users"]
+
+    def ratio(a, b):
+        from xarray_beam_spark.ndarray_ds import NDDataset, Variable
+
+        va, vb = a.data_vars["cnt"], b.data_vars["users"]
+        return NDDataset(
+            {"events_per_user": Variable(va.dims, va.values / vb.values)},
+            a.coords,
+            a.attrs,
+        )
+
+    return counts.zip_map(users, ratio).to_table(dropna=True)
+
+
 @_register("xb_grid_transpose", _CELLS_SQL)
 def xb_grid_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transpose is metadata-only per chunk; values unchanged."""

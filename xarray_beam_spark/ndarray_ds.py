@@ -221,6 +221,16 @@ class NDDataset:
         )
         return counted._reduce(np.sum, np.sum, dim, skipna=False)
 
+    def where(self, cond_fn: Callable[[np.ndarray], np.ndarray], other=np.nan) -> "NDDataset":
+        """Elementwise mask (xarray ``Dataset.where``): keep values where
+        ``cond_fn(values)`` is True, else ``other``."""
+        def mask(a: np.ndarray) -> np.ndarray:
+            if not np.issubdtype(a.dtype, np.floating):
+                a = a.astype(np.float64)
+            return np.where(cond_fn(a), a, other)
+
+        return self.map(mask)
+
     def fillna(self, value) -> "NDDataset":
         def fill(a: np.ndarray) -> np.ndarray:
             if np.issubdtype(a.dtype, np.floating):
