@@ -283,3 +283,16 @@ def test_coarsen_unaligned_chunks_rechunks_first(spark, era5):
     got = d.coarsen({"time": 4}, op="max").collect()
     want = era5.data_vars["asn"].values.reshape(6, 4, 7, 9).max(axis=1)
     np.testing.assert_array_equal(got.data_vars["asn"].values, want)
+
+
+def test_consolidate_fully(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 7, "latitude": 3}, split_vars=True)
+    one = d.consolidate_fully()
+    assert one.df.count() == 1
+    assert one.collect().identical(era5)
+
+
+def test_repr_human_sizes(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 10})
+    r = repr(d)
+    assert "time=24/10" in r and "split_vars=False" in r and "B " in r or "B>" in r or "KB" in r

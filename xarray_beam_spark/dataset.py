@@ -178,7 +178,8 @@ class Dataset:
         dims = ", ".join(f"{d}={s}/{self.chunks[d]}" for d, s in sorted(self.sizes.items()))
         return (
             f"<xbs.Dataset ({dims}) vars={self.template.var_names} "
-            f"chunks={self.chunk_count} split_vars={self.split_vars}>"
+            f"chunks={self.chunk_count}x{_human_bytes(self.bytes_per_chunk)} "
+            f"split_vars={self.split_vars}>"
         )
 
     # -- constructors ------------------------------------------------------
@@ -922,6 +923,13 @@ class Dataset:
         df = self.df.mapInPandas(split, schema)
         return Dataset(self.spark, df, self.template, tgt, self.split_vars)
 
+    def consolidate_fully(self) -> "Dataset":
+        """Merge + concat everything into one chunk (reference
+        ``consolidate_fully``, ``rechunk.py:241-289``): one group, one
+        shuffle. Use only when the whole dataset fits one task."""
+        out = self.consolidate_variables() if self.split_vars else self
+        return out.consolidate_chunks({d: s for d, s in out.sizes.items()})
+
     def consolidate_chunks(self, target_chunks: Mapping[str, int]) -> "Dataset":
         """Shuffle sub-chunks to their target grid cell and assemble
         (reference ``rechunk.py:85-197,309-336``): groupBy rounded offsets
@@ -1330,6 +1338,15 @@ def _merge_finalize(
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
+
+
+def _human_bytes(n: int) -> str:
+    """Human-readable byte count (reference repr helper, dataset.py:61-77)."""
+    for unit in ("B", "KB", "MB", "GB", "TB"):
+        if n < 1000 or unit == "TB":
+            return f"{n:.0f}{unit}" if unit == "B" else f"{n:.3g}{unit}"
+        n /= 1000
+    return f"{n}B"
 
 
 def _prod(shape) -> int:

@@ -44,13 +44,17 @@ GROUP BY 1, 2, 3
 
 
 def _events_grid(spark: SparkSession, sf_dir: str, chunks=None) -> Dataset:
-    """events → dense (day, hour, event_type) grid of event counts."""
+    """events → dense (day, hour, event_type) grid of event counts.
+
+    ``cells`` feeds three consumers (two coordinate collects + the
+    from_table pipeline) — persist so the events aggregation runs once.
+    """
     e = load(spark, sf_dir, "events")
     cells = e.groupBy(
         F.date_trunc("day", F.col("ts")).alias("day"),
         F.hour(F.col("ts")).cast("long").alias("hour"),
         F.col("event_type"),
-    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt")).persist()
     days = np.array(
         [r[0] for r in cells.select("day").distinct().orderBy("day").collect()],
         dtype="datetime64[us]",
@@ -305,7 +309,7 @@ def xb_grid_zip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).cast("double").alias("cnt"),
         F.countDistinct("user_id").cast("double").alias("users"),
-    )
+    ).persist()
     days = np.array(
         [r[0] for r in cells.select("day").distinct().orderBy("day").collect()],
         dtype="datetime64[us]",
@@ -368,7 +372,7 @@ def xb_grid_getitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).cast("double").alias("cnt"),
         F.countDistinct("user_id").cast("double").alias("users"),
-    )
+    ).persist()
     days = np.array(
         [r[0] for r in cells.select("day").distinct().orderBy("day").collect()],
         dtype="datetime64[us]",
