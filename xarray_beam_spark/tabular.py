@@ -864,3 +864,71 @@ def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dsum(disc_price()).alias("profit"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured: JSON props extraction + aggregation.
+# ---------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_json_props", _JSON_ORACLE)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns: per-row JSON parsing stays JVM-side
+    (``get_json_object``) and aggregates map-side-combine as usual."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("total_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window-function variety: lag deltas + per-user ranking.
+# ---------------------------------------------------------------------------
+
+_LAG_ORACLE = """
+SELECT event_id, user_id,
+       CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w AS_PREV) AS BIGINT) AS gap_us,
+       RANK() OVER (PARTITION BY user_id ORDER BY CAST(value AS DECIMAL(18,6)) DESC, event_id)
+         AS value_rank
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+# DuckDB has no AS_PREV; write it plainly.
+_LAG_ORACLE = """
+SELECT event_id, user_id,
+       CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+            AS BIGINT) AS gap_us,
+       RANK() OVER (PARTITION BY user_id ORDER BY CAST(value AS DECIMAL(18,6)) DESC, event_id)
+         AS value_rank
+FROM events
+"""
+
+
+@register("events_lag_rank", _LAG_ORACLE)
+def events_lag_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + rank window functions over the event stream (inter-event gap
+    in µs and per-user value ranking)."""
+    e = load(spark, sf_dir, "events")
+    w_time = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_val = Window.partitionBy("user_id").orderBy(F.desc(dec("value")), F.asc("event_id"))
+    ts_us = F.unix_micros(F.col("ts"))
+    prev_us = F.unix_micros(F.lag("ts").over(w_time))
+    return e.select(
+        "event_id",
+        "user_id",
+        (ts_us - prev_us).alias("gap_us"),
+        F.rank().over(w_val).alias("value_rank"),
+    )
