@@ -296,3 +296,44 @@ def test_repr_human_sizes(spark, era5):
     d = Dataset.from_numpy(spark, era5, chunks={"time": 10})
     r = repr(d)
     assert "time=24/10" in r and "split_vars=False" in r and "B " in r or "B>" in r or "KB" in r
+
+
+def test_count_reduction(spark):
+    arr = np.array([[1.0, np.nan, 3.0], [np.nan, np.nan, 6.0]])
+    src = NDDataset({"v": (("t", "x"), arr)}, {"t": np.arange(2), "x": np.arange(3)})
+    d = Dataset.from_numpy(spark, src, chunks={"t": 1})
+    got = d.count("t").collect()
+    np.testing.assert_array_equal(got.data_vars["v"].values, [1, 0, 2])
+    assert got.data_vars["v"].values.dtype == np.int64
+
+
+class TestDistributedProperties:
+    """Hypothesis over the distributed engine itself: random grids and
+    chunkings must round-trip split→consolidate and rechunk exactly."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        nt=st.integers(3, 17),
+        nx=st.integers(2, 9),
+        c1=st.integers(1, 8),
+        c2=st.integers(1, 8),
+        s1=st.integers(1, 6),
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_rechunk_roundtrip_random(self, spark, nt, nx, c1, c2, s1):
+        rng = np.random.default_rng(nt * 100 + nx)
+        src = NDDataset(
+            {"v": (("t", "x"), rng.normal(size=(nt, nx)))},
+            {"t": np.arange(nt), "x": np.arange(nx)},
+        )
+        d = Dataset.from_numpy(spark, src, chunks={"t": min(c1, nt)})
+        # force the shuffle path (drop the scan rewrite)
+        d = Dataset.from_dataframe(spark, d.df, d.template, d.chunks, validate=False)
+        r = d.rechunk({"t": min(c2, nt), "x": min(s1, nx)})
+        assert r.collect().equals(src)

@@ -60,3 +60,23 @@ def test_duplicate_clusters_components(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_minhash_bucket_cap(spark, sf_dir):
+    """A tiny cap must still discover high-jaccard twins (they collide in
+    many bands) while bounding bucket join size."""
+    from pyspark.sql import functions as F
+
+    from xarray_beam_spark.operators.dedup import minhash_lsh_pairs
+    from xarray_beam_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").limit(100)
+    words = F.split(F.col("text"), r"\s+")
+    twins = docs.select(
+        (F.col("doc_id") + 10**9).alias("doc_id"),
+        F.concat_ws(" ", F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(1)))).alias("text"),
+    )
+    corpus = docs.unionAll(twins)
+    pairs = minhash_lsh_pairs(corpus, min_jaccard=0.6, max_bucket_size=4).collect()
+    twin_pairs = {(r["doc_a"], r["doc_b"]) for r in pairs if r["doc_b"] - r["doc_a"] == 10**9}
+    assert len(twin_pairs) >= 95  # near-full recall despite the cap

@@ -1031,11 +1031,17 @@ class Dataset:
     def max(self, dim: str | Sequence[str], skipna: bool = True) -> "Dataset":
         return self._agg("max", dim, skipna)
 
+    def count(self, dim: str | Sequence[str]) -> "Dataset":
+        """Number of non-NaN elements over dims (xarray ``count``)."""
+        return self._agg("count", dim, skipna=True)
+
     def std(self, dim: str | Sequence[str], skipna: bool = True, ddof: int = 0) -> "Dataset":
         return self._agg("std", dim, skipna, ddof=ddof)
 
     def var(self, dim: str | Sequence[str], skipna: bool = True, ddof: int = 0) -> "Dataset":
         return self._agg("var", dim, skipna, ddof=ddof)
+
+    _AGG_OPS = ("mean", "sum", "min", "max", "std", "var", "count")
 
     def _agg(self, op: str, dim: str | Sequence[str], skipna: bool, ddof: int = 0) -> "Dataset":
         """Distributed reduction over dims: per-chunk pre-aggregate
@@ -1053,7 +1059,12 @@ class Dataset:
         out_vm = {}
         for v, (dims_v, dt) in tmpl.var_meta.items():
             new_dims = tuple(d for d in dims_v if d not in red_dims)
-            out_dt = dt if op in ("min", "max") else np.dtype("float64").str
+            if op in ("min", "max"):
+                out_dt = dt
+            elif op == "count":
+                out_dt = np.dtype("int64").str
+            else:
+                out_dt = np.dtype("float64").str
             out_vm[v] = (new_dims, out_dt)
         out_tmpl = Template(
             sizes={d: s for d, s in tmpl.sizes.items() if d in keep_dims},
@@ -1277,7 +1288,7 @@ def _pre_aggregate(
         a = var.values
         isf = np.issubdtype(a.dtype, np.floating)
         nan_aware = skipna and isf
-        if op in ("mean", "sum", "std", "var"):
+        if op in ("mean", "sum", "std", "var", "count"):
             af = a.astype(np.float64, copy=False)
             s = np.nansum(af, axis=axes) if nan_aware else np.sum(af, axis=axes)
             if nan_aware:
@@ -1307,11 +1318,14 @@ def _merge_finalize(
     first = parts[0]
     out: dict[str, Variable] = {}
     for v in var_names:
-        if op in ("mean", "sum", "std", "var"):
+        if op in ("mean", "sum", "std", "var", "count"):
             s = np.sum([p.data_vars[f"{v}__sum"].values for p in parts], axis=0)
             cnt = np.sum([p.data_vars[f"{v}__cnt"].values for p in parts], axis=0)
             dims_v = first.data_vars[f"{v}__sum"].dims
             with np.errstate(all="ignore"):
+                if op == "count":
+                    out[v] = Variable(dims_v, np.asarray(cnt, dtype=np.int64))
+                    continue
                 if op == "sum":
                     res = s
                 elif op == "mean":

@@ -140,6 +140,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 64,
     n_bands: int = 32,
     min_jaccard: float = 0.6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash+LSH with exact-Jaccard verification.
 
@@ -147,6 +148,13 @@ def minhash_lsh_pairs(
     self-join within buckets (the only shuffle; band hash is the join key,
     uniformly distributed by construction) → dedupe candidate pairs →
     exact Jaccard filter. Scales as O(candidates), not O(n²).
+
+    ``max_bucket_size``: at corpus scale a degenerate band bucket (e.g.
+    thousands of boilerplate documents sharing a signature band) turns the
+    self-join quadratic on that key. Setting a cap drops over-full buckets
+    (standard LSH practice: members of such buckets collide in OTHER bands
+    with overwhelming probability, so recall loss is negligible while the
+    worst-case join cost becomes bounded).
     """
     rows_per_band = n_hashes // n_bands
     # The shingle table feeds three consumers (signatures, and both sides
@@ -162,6 +170,12 @@ def minhash_lsh_pairs(
     banded = sig.select(
         id_col, F.explode(F.array(*band_hash_cols(n_bands, rows_per_band))).alias("band_hash")
     )
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band_hash").agg(F.count(F.lit(1)).alias("__n"))
+        banded = (
+            banded.join(sizes.where(F.col("__n") <= max_bucket_size), on="band_hash")
+            .drop("__n")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
