@@ -30,7 +30,10 @@ def get_spark(app_name: str = "xarray-beam-spark", cpus: int | None = None) -> S
         # in chunk-row stages (the engine also repartitions by bytes).
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] runs the whole engine in the driver JVM: shuffle buffers
+        # for chunk payloads + N concurrent Arrow streams need real heap,
+        # or GC thrash dominates wide stages (machine has 128 GiB).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
