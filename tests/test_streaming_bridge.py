@@ -1,0 +1,36 @@
+"""Streaming → Zarr bridge: foreachBatch region-writes into a shared
+pre-set-up store; the final store equals the batch-computed grid."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from xarray_beam_spark.sources import zarr_io
+from xarray_beam_spark.streaming.events_stream import stream_to_zarr_hourly
+from xarray_beam_spark.tables import load
+
+
+def test_stream_to_zarr_hourly(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "stream_grid")
+    info = stream_to_zarr_hourly(spark, sf_dir, out)
+    assert info["days"] > 0
+    back = zarr_io.from_zarr(spark, out)
+    got = back.to_table(dropna=False)
+    # oracle: batch aggregation of the same events
+    want = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            F.hour("ts").cast("long").alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    g = {(r["day"], r["hour"], r["event_type"]): r["cnt"] for r in got.collect()}
+    total = 0.0
+    for r in want.collect():
+        assert g[(r["day"], r["hour"], r["event_type"])] == r["cnt"]
+        total += r["cnt"]
+    # absent cells were written as the fill value 0, not NaN
+    assert sum(g.values()) == total

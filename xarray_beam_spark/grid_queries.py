@@ -337,6 +337,28 @@ def xb_grid_zip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.zip_map(users, ratio).to_table(dropna=True)
 
 
+@_register(
+    "xb_grid_resample_week",
+    f"""
+SELECT CAST(date_trunc('week', day) AS TIMESTAMP) AS week, hour, event_type,
+       CAST(SUM(CAST(cnt AS BIGINT)) AS DOUBLE) AS cnt
+FROM ({_CELLS_SQL}) GROUP BY 1, 2, 3
+""",
+)
+def xb_grid_resample_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar resample (day → ISO week sums) — xarray ``resample``
+    semantics via groupby_reduce with labels computed from the time
+    coordinate (the reference's rechunk-then-groupby pattern,
+    ``dataset_test.py:1328-1354``)."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    days = d.template.coords["day"].values.astype("datetime64[D]")
+    # ISO week start (Monday): epoch day 0 = Thursday → shift by 3
+    week_start = (days.view("int64") + 3) // 7 * 7 - 3
+    labels = week_start.astype("datetime64[D]").astype("datetime64[us]")
+    g = d.groupby_reduce("day", labels, op="sum", new_dim="week")
+    return g.to_table(dropna=True)
+
+
 @_register("xb_grid_transpose", _CELLS_SQL)
 def xb_grid_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transpose is metadata-only per chunk; values unchanged."""

@@ -236,3 +236,86 @@ FROM events GROUP BY user_id
 @_register("stream_stateful_user_stats", _STATEFUL_ORACLE)
 def stream_stateful_user_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stateful_user_stats(spark, sf_dir)
+
+
+def stream_to_zarr_hourly(spark: SparkSession, sf_dir: str, out_path: str) -> dict:
+    """Streaming → chunked-array bridge: each micro-batch aggregates its
+    events into the dense (day, hour, event_type) grid and region-writes
+    the aligned day slices into one shared Zarr store (``foreachBatch`` +
+    ``to_zarr(needs_setup=False, origin=...)``).
+
+    The store is set up once, driver-side, for the full time extent (the
+    reference's ``replace_template_dims`` large-output pattern) so
+    arbitrarily many batches/jobs can land their windows concurrently —
+    full-chunk alignment makes the writes idempotent under retries.
+    """
+    import numpy as np
+
+    from xarray_beam_spark.dataset import Dataset, Template
+    from xarray_beam_spark.ndarray_ds import Variable
+    from xarray_beam_spark.sources import zarr_io
+
+    static = load(spark, sf_dir, "events")
+    days = np.array(
+        [
+            r[0]
+            for r in static.select(F.date_trunc("day", "ts").alias("day"))
+            .distinct()
+            .orderBy("day")
+            .collect()
+        ],
+        dtype="datetime64[us]",
+    )
+    etypes = np.array(
+        sorted(r[0] for r in static.select("event_type").distinct().collect())
+    )
+    day_index = {d: i for i, d in enumerate(days.astype("datetime64[us]"))}
+    template = Template(
+        sizes={"day": len(days), "hour": 24, "event_type": len(etypes)},
+        var_meta={"cnt": (("day", "hour", "event_type"), "<f8")},
+        coords={
+            "day": Variable(("day",), days),
+            "hour": Variable(("hour",), np.arange(24, dtype=np.int64)),
+            "event_type": Variable(("event_type",), etypes),
+        },
+    )
+    zarr_io.setup_zarr(template, out_path, {"day": 1, "hour": 24, "event_type": len(etypes)})
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cells = batch_df.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.hour("ts").cast("long").alias("hour"),
+            F.col("event_type"),
+        ).agg(F.count(F.lit(1)).cast("double").alias("cnt")).persist()
+        batch_days = np.array(
+            [r[0] for r in cells.select("day").distinct().orderBy("day").collect()],
+            dtype="datetime64[us]",
+        )
+        if not len(batch_days):
+            return
+        lo = day_index[batch_days.min()]
+        hi = day_index[batch_days.max()] + 1
+        grid = Dataset.from_table(
+            cells,
+            dims=["day", "hour", "event_type"],
+            coords={
+                "day": days[lo:hi],
+                "hour": np.arange(24, dtype=np.int64),
+                "event_type": etypes,
+            },
+            var_cols=["cnt"],
+            chunks={"day": 1},
+            fill_value=0.0,
+        )
+        zarr_io.to_zarr(grid, out_path, needs_setup=False, origin={"day": lo})
+        cells.unpersist()
+
+    ev = stream_events(spark, sf_dir)
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", out_path + "_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return {"days": len(days)}
