@@ -932,3 +932,70 @@ def events_lag_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ts_us - prev_us).alias("gap_us"),
         F.rank().over(w_val).alias("value_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q16-like — supplier diversity per part attribute: distinct agg after join.
+# ---------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 25
+GROUP BY p_brand, p_size
+"""
+
+
+@register("q16_supplier_diversity", _Q16_ORACLE)
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11-like — important stock: HAVING against a scalar fraction-of-total.
+# ---------------------------------------------------------------------------
+
+_Q11_ORACLE = f"""
+WITH per_nation AS (
+  SELECT n_name, {sql_dsum('l_extendedprice')} AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, value FROM per_nation
+WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * 0.05 FROM per_nation)
+"""
+
+
+@register("q11_important_stock", _Q11_ORACLE)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation supply value filtered by a scalar 5%-of-total
+    subquery — the grand total is a one-row broadcast."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    per_nation = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum("l_extendedprice").alias("value"))
+    )
+    total = per_nation.agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") * F.lit(0.05)).alias("threshold")
+    )
+    return (
+        per_nation.join(F.broadcast(total))
+        .where(F.col("value") > F.col("threshold"))
+        .select("n_name", "value")
+    )
