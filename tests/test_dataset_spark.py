@@ -337,3 +337,14 @@ class TestDistributedProperties:
         d = Dataset.from_dataframe(spark, d.df, d.template, d.chunks, validate=False)
         r = d.rechunk({"t": min(c2, nt), "x": min(s1, nx)})
         assert r.collect().equals(src)
+
+
+def test_median_quantile(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 7})
+    got = d.median("time").collect()
+    arr = era5.data_vars["asn"].values.astype(np.float64)
+    np.testing.assert_allclose(got.data_vars["asn"].values, np.median(arr, axis=0), rtol=0)
+    got_q = d.quantile(0.25, "time").collect()
+    np.testing.assert_allclose(
+        got_q.data_vars["asn"].values, np.quantile(arr, 0.25, axis=0), rtol=0
+    )

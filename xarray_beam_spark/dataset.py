@@ -1035,6 +1035,53 @@ class Dataset:
         """Number of non-NaN elements over dims (xarray ``count``)."""
         return self._agg("count", dim, skipna=True)
 
+    def median(self, dim: str, skipna: bool = True) -> "Dataset":
+        """Median over a dim — the reference's documented pattern for
+        non-decomposable aggregations (``docs/aggregation.ipynb`` "custom
+        aggregations"): rechunk the dim contiguous, then reduce per chunk.
+        One shuffle iff the dim is currently chunked."""
+        return self.reduce_contiguous(
+            dim,
+            lambda ds, d: ds.map(lambda a: a.astype(np.float64, copy=False)).median(
+                d, skipna=skipna
+            ),
+        )
+
+    def quantile(self, q: float, dim: str, skipna: bool = True) -> "Dataset":
+        """Linearly-interpolated quantile over a dim (rechunk-contiguous
+        pattern, see :meth:`median`)."""
+        return self.reduce_contiguous(
+            dim,
+            lambda ds, d: ds.map(lambda a: a.astype(np.float64, copy=False)).quantile(
+                q, d, skipna=skipna
+            ),
+        )
+
+    def reduce_contiguous(
+        self, dim: str, reducer: Callable[[NDDataset, str], NDDataset]
+    ) -> "Dataset":
+        """Apply a whole-dim (non-decomposable) reduction: make ``dim``
+        contiguous within every chunk, then reduce it away per chunk."""
+        if dim not in self.sizes:
+            raise KeyError(f"no dimension {dim!r}")
+        work = self if self.chunks[dim] == self.sizes[dim] else self.rechunk(
+            {**self.chunks, dim: -1}
+        )
+        tmpl = work.template
+        out_tmpl = Template(
+            sizes={d: s for d, s in tmpl.sizes.items() if d != dim},
+            var_meta={
+                v: (tuple(x for x in dims if x != dim), np.dtype("float64").str)
+                for v, (dims, _) in tmpl.var_meta.items()
+            },
+            coords={k: c for k, c in tmpl.coords.items() if dim not in c.dims},
+            attrs=tmpl.attrs,
+        )
+        out_chunks = {d: c for d, c in work.chunks.items() if d != dim}
+        return work.map_blocks(
+            lambda ds: reducer(ds, dim), template=out_tmpl, chunks=out_chunks
+        )
+
     def std(self, dim: str | Sequence[str], skipna: bool = True, ddof: int = 0) -> "Dataset":
         return self._agg("std", dim, skipna, ddof=ddof)
 

@@ -198,6 +198,39 @@ def xb_grid_std_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "xb_grid_median_hour",
+    f"""
+SELECT day, event_type,
+       median(cnt) AS med,
+       quantile_cont(cnt, 0.75) AS q75
+FROM ({_CELLS_SQL}) GROUP BY day, event_type
+""",
+)
+def xb_grid_median_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-decomposable aggregation (median / interpolated quantile) via
+    the reference's rechunk-contiguous-then-reduce pattern
+    (``docs/aggregation.ipynb`` "custom aggregations"): hour is chunked 6,
+    so one rechunk shuffle makes it contiguous, then each chunk reduces
+    locally. Interpolation on integer-valued doubles at dyadic fractions
+    is exact in both engines."""
+    from xarray_beam_spark.ndarray_ds import NDDataset
+
+    d = _events_grid(spark, sf_dir, chunks={"day": 7, "hour": 6})
+    contig = d.rechunk({"day": 7, "hour": -1})
+
+    def both(ds: NDDataset) -> NDDataset:
+        med = ds.median("hour")
+        q75 = ds.quantile(0.75, "hour")
+        return NDDataset(
+            {"med": med.data_vars["cnt"], "q75": q75.data_vars["cnt"]},
+            med.coords,
+            med.attrs,
+        )
+
+    return contig.map_blocks(both).to_table(dropna=True)
+
+
+@_register(
     "xb_grid_head",
     f"""
 SELECT * FROM ({_CELLS_SQL})

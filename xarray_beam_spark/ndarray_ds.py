@@ -208,6 +208,18 @@ class NDDataset:
     def var(self, dim=None, skipna: bool = True, ddof: int = 0) -> "NDDataset":
         return self._reduce(np.var, np.nanvar, dim, skipna, ddof=ddof)
 
+    def median(self, dim=None, skipna: bool = True) -> "NDDataset":
+        return self._reduce(np.median, np.nanmedian, dim, skipna)
+
+    def quantile(self, q: float, dim=None, skipna: bool = True) -> "NDDataset":
+        def qfn(a, axis=None):
+            return np.quantile(a, q, axis=axis)
+
+        def nanqfn(a, axis=None):
+            return np.nanquantile(a, q, axis=axis)
+
+        return self._reduce(qfn, nanqfn, dim, skipna)
+
     def count(self, dim=None) -> "NDDataset":
         counted = NDDataset(
             {
