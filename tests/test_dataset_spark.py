@@ -348,3 +348,33 @@ def test_median_quantile(spark, era5):
     np.testing.assert_allclose(
         got_q.data_vars["asn"].values, np.quantile(arr, 0.25, axis=0), rtol=0
     )
+
+
+def test_consolidate_missing_chunk_fails_loudly(spark, era5):
+    """Reference parity (rechunk.py:85-163): an incomplete consolidate
+    group must raise, not silently mis-assemble."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 6})
+    s = d.split_chunks({"time": 2})
+    # drop one sub-chunk, then try to consolidate back
+    broken = Dataset.from_dataframe(
+        spark, s.df.filter(F.col("off_time") != 2), s.template, s.chunks, validate=False
+    )
+    with _pytest.raises(Exception, match="missing|sub-chunks"):
+        broken.consolidate_chunks({"time": 6}).collect()
+
+
+def test_merge_conflict_fails_loudly(spark, era5):
+    import pytest as _pytest
+
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 10})
+    bumped = d.map_blocks(lambda ds: ds.map(lambda a: a + 1))
+    # same offsets, same var names, different values → merge must raise
+    both = Dataset.from_dataframe(
+        spark, d.df.union(bumped.df), d.template, d.chunks, validate=False
+    )
+    both = Dataset(spark, both.df, d.template, d.chunks, split_vars=True)
+    with _pytest.raises(Exception, match="merge conflict|conflict"):
+        both.consolidate_variables().collect()

@@ -961,14 +961,32 @@ class Dataset:
                     for d in dims
                 )
                 parts[idx] = ds
-            # Re-index grid positions densely per dim.
+            # Re-index grid positions densely per dim; validate the grid is
+            # complete before assembling (reference rechunk.py:85-163 —
+            # a missing sub-chunk must fail loudly, not mis-concatenate).
             uniq = [sorted({i[k] for i in parts}) for k in range(len(dims))]
+            expected = 1
+            for u in uniq:
+                expected *= len(u)
+            if len(parts) != expected:
+                raise ValueError(
+                    f"consolidate group at {koffs} (vars={kvars}) is missing "
+                    f"sub-chunks: got {len(parts)} of {expected} grid cells"
+                )
             remap = {
                 idx: tuple(uniq[k].index(idx[k]) for k in range(len(dims)))
                 for idx in parts
             }
             dense = {remap[idx]: ds for idx, ds in parts.items()}
             merged = NDDataset.block(dense, dims)
+            for d, got_size in merged.sizes.items():
+                want = min(tgt[d], sizes[d] - koffs[d])
+                if got_size != want:
+                    raise ValueError(
+                        f"consolidate group at {koffs} (vars={kvars}) assembled "
+                        f"{got_size} elements along {d!r}, expected {want} — "
+                        f"missing or overlapping sub-chunks"
+                    )
             row = {off_col(d): koffs[d] for d in dims}
             row["vars"] = kvars
             row["payload"] = encode_chunk(merged)
