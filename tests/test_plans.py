@@ -46,3 +46,18 @@ def test_q1_partial_aggregation_no_python(spark, sf_dir):
     assert "partial_sum" in simple  # map-side combine before the Exchange
     assert simple.index("partial_sum") > simple.index("Exchange")  # partial below exchange in tree
     assert "ArrowEvalPython" not in simple and "BatchEvalPython" not in simple
+
+
+def test_grid_mean_preaggregates_before_shuffle(spark, sf_dir):
+    """The chunk engine's combiner lift: the mean plan must show a narrow
+    Python map stage (per-chunk pre-aggregation) BELOW the exchange, and a
+    grouped-map stage above it — i.e. partial aggregation happens before
+    any data moves (applyInPandas has no partial agg of its own)."""
+    from xarray_beam_spark.grid_queries import _events_grid
+
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    plan = d.mean("day").df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan  # merge+finalize (wide)
+    assert "MapInPandas" in plan  # pre-aggregate (narrow)
+    # tree order: the narrow pre-agg sits deeper than the grouped stage
+    assert plan.index("MapInPandas") > plan.index("FlatMapGroupsInPandas")

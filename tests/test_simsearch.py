@@ -80,3 +80,28 @@ def test_minhash_bucket_cap(spark, sf_dir):
     pairs = minhash_lsh_pairs(corpus, min_jaccard=0.6, max_bucket_size=4).collect()
     twin_pairs = {(r["doc_a"], r["doc_b"]) for r in pairs if r["doc_b"] - r["doc_a"] == 10**9}
     assert len(twin_pairs) >= 95  # near-full recall despite the cap
+
+
+def test_minhash_hot_document_bounded_by_cap(spark):
+    """Skew resilience: 300 identical copies of one document create a
+    degenerate LSH bucket (quadratic pairs without mitigation). With the
+    bucket cap, candidate pairs stay bounded and unrelated docs still pair."""
+    from pyspark.sql import functions as F
+
+    from xarray_beam_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, base) for i in range(300)]
+    rows += [(1000 + i, f"document number {i} talks about completely distinct topic "
+              f"{i} with unique trailing words alpha beta gamma {i}") for i in range(20)]
+    rows += [(2000 + i, f"document number {i} talks about completely distinct topic "
+              f"{i} with unique trailing words alpha beta gamma {i} extra") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(docs, min_jaccard=0.6, max_bucket_size=50)
+    n = pairs.count()
+    # hot-doc quadratic blowup (300*299/2 ≈ 45k pairs) is suppressed...
+    assert n < 2000
+    # ...but genuine near-dups across the capped corpus still surface
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    twins = sum(1 for i in range(20) if (1000 + i, 2000 + i) in found)
+    assert twins >= 18
