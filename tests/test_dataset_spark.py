@@ -378,3 +378,57 @@ def test_merge_conflict_fails_loudly(spark, era5):
     both = Dataset(spark, both.df, d.template, d.chunks, split_vars=True)
     with _pytest.raises(Exception, match="merge conflict|conflict"):
         both.consolidate_variables().collect()
+
+
+def test_min_max_skipna_false_propagates_nan(spark):
+    """ADVICE r1: skipna=False min/max must propagate a NaN partial across
+    chunk boundaries (combiner must be minimum/maximum, not fmin/fmax)."""
+    src = dummy_era5(n_time=12, n_vars=1)
+    arr = src.data_vars["asn"].values.copy()
+    arr[2, 0, 0] = np.nan  # NaN lives in the FIRST time-chunk only
+    src = NDDataset({"asn": (("time", "latitude", "longitude"), arr)}, src.coords, src.attrs)
+    d = Dataset.from_numpy(spark, src, chunks={"time": 4})
+    got_strict = d.min("time", skipna=False).collect().data_vars["asn"].values
+    assert np.isnan(got_strict[0, 0])  # NaN poisons the reduced cell
+    want = np.nanmin(arr.astype(np.float64), axis=0)
+    got_skip = d.min("time", skipna=True).collect().data_vars["asn"].values
+    np.testing.assert_array_equal(got_skip, want)
+    got_max = d.max("time", skipna=False).collect().data_vars["asn"].values
+    assert np.isnan(got_max[0, 0])
+
+
+def test_sel_slice_unsorted_coord_raises(spark):
+    """ADVICE r1: label slices on an unsorted coordinate must raise, not
+    silently return a wrong window."""
+    import pytest as _pytest
+
+    src = dummy_era5(n_time=8, n_vars=1)
+    shuffled = np.array([3, 1, 7, 0, 5, 2, 6, 4], dtype=np.int64)
+    src = NDDataset(
+        dict(src.data_vars.items()),
+        {**{k: v for k, v in src.coords.items()}, "time": shuffled},
+        src.attrs,
+    )
+    d = Dataset.from_numpy(spark, src, chunks={"time": 4})
+    with _pytest.raises(ValueError, match="monoton"):
+        d.sel(time=slice(1, 5))
+
+
+def test_groupby_minmax_preserves_infinities(spark):
+    """ADVICE r1: legitimate ±inf data must survive groupby min/max
+    (empty-group detection via counts, not isinf)."""
+    src = dummy_era5(n_time=12, n_vars=1)
+    arr = src.data_vars["asn"].values.astype(np.float64)
+    arr[1, 0, 0] = -np.inf
+    arr[5, 1, 1] = np.inf
+    src = NDDataset({"asn": (("time", "latitude", "longitude"), arr)}, src.coords, src.attrs)
+    d = Dataset.from_numpy(spark, src, chunks={"time": 4})
+    labels = (np.arange(12) % 3).astype(np.int64)
+    got_min = d.groupby_reduce("time", labels, op="min", new_dim="g").collect()
+    want_min = np.stack([arr[labels == g].min(axis=0) for g in range(3)])
+    np.testing.assert_array_equal(got_min.data_vars["asn"].values, want_min)
+    assert got_min.data_vars["asn"].values[1, 0, 0] == -np.inf
+    got_max = d.groupby_reduce("time", labels, op="max", new_dim="g").collect()
+    want_max = np.stack([arr[labels == g].max(axis=0) for g in range(3)])
+    np.testing.assert_array_equal(got_max.data_vars["asn"].values, want_max)
+    assert got_max.data_vars["asn"].values[2, 1, 1] == np.inf

@@ -34,3 +34,15 @@ def test_stream_to_zarr_hourly(spark, sf_dir, tmp_path):
         total += r["cnt"]
     # absent cells were written as the fill value 0, not NaN
     assert sum(g.values()) == total
+
+
+def test_contiguous_runs():
+    """ADVICE r1: batches region-write only PRESENT days (per contiguous
+    run), never a min-to-max slab that zero-fills absent interior days."""
+    from xarray_beam_spark.streaming.events_stream import contiguous_runs
+
+    assert contiguous_runs([]) == []
+    assert contiguous_runs([5]) == [(5, 6)]
+    assert contiguous_runs([0, 1, 2]) == [(0, 3)]
+    assert contiguous_runs([0, 2, 4]) == [(0, 1), (2, 3), (4, 5)]
+    assert contiguous_runs([1, 2, 5, 6, 7, 9]) == [(1, 3), (5, 8), (9, 10)]

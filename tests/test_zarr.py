@@ -342,6 +342,29 @@ class TestIncrementalWrites:
         assert len(big.coords["time"].values) == 100
         assert big.var_meta == tmpl.var_meta
 
+    def test_replace_template_dims_multidim_coord(self, spark):
+        """ADVICE r1: a multi-dim coord must be dropped when ANY of its
+        dims' sizes change, not silently kept stale."""
+        import numpy as np
+
+        from xarray_beam_spark.dataset import Template
+        from xarray_beam_spark.ndarray_ds import Variable
+
+        tmpl = Template(
+            sizes={"y": 3, "x": 4},
+            var_meta={"v": (("y", "x"), "<f8")},
+            coords={
+                "x": Variable(("x",), np.arange(4)),
+                "cell_area": Variable(("y", "x"), np.ones((3, 4))),
+            },
+        )
+        grown = zarr_io.replace_template_dims(tmpl, sizes={"y": 10})
+        assert grown.sizes["y"] == 10
+        assert "cell_area" not in grown.coords  # stale on the y axis
+        assert "x" in grown.coords  # x unchanged, kept
+        same = zarr_io.replace_template_dims(tmpl, sizes={"y": 3})
+        assert "cell_area" in same.coords
+
 
 def test_byte_string_chunks(spark):
     src = _fixture_ds(nt=20, nx=7)

@@ -676,6 +676,13 @@ class Dataset:
             if isinstance(sel, slice):
                 if sel.step is not None:
                     raise ValueError(f"sel slices must have step=None, got {sel!r}")
+                # searchsorted silently returns wrong windows on unsorted
+                # coords (point lookups fail loudly below; slices would not).
+                if len(vals) > 1 and not np.all(vals[1:] >= vals[:-1]):
+                    raise ValueError(
+                        f"sel slice on {d!r} requires a monotonically "
+                        "non-decreasing coordinate"
+                    )
                 lo = 0 if sel.start is None else int(np.searchsorted(vals, np.asarray(sel.start, vals.dtype), "left"))
                 hi = len(vals) if sel.stop is None else int(np.searchsorted(vals, np.asarray(sel.stop, vals.dtype), "right"))
                 windows[d] = slice(lo, hi)
@@ -1257,9 +1264,20 @@ class Dataset:
                             init = np.inf if op == "min" else -np.inf
                             m = np.full((n_groups,) + a.shape[1:], init, np.float64)
                             af = a.astype(np.float64, copy=False)
-                            filled = np.where(np.isnan(af), init, af) if skipna else af
+                            nanm = np.isnan(af) if af.dtype.kind == "f" and skipna else None
+                            filled = np.where(nanm, init, af) if nanm is not None else af
                             (np.minimum if op == "min" else np.maximum).at(m, labels, filled)
+                            # contributing-element count distinguishes "group
+                            # empty in this chunk" (init sentinel survives)
+                            # from legitimate ±inf data values.
+                            cnt = np.zeros((n_groups,) + a.shape[1:], np.int64)
+                            np.add.at(
+                                cnt,
+                                labels,
+                                (~nanm).astype(np.int64) if nanm is not None else np.ones(a.shape, np.int64),
+                            )
                             acc_vars[f"{v}__{op}"] = Variable((new_dim,) + rest, m)
+                            acc_vars[f"{v}__cnt"] = Variable((new_dim,) + rest, cnt)
                     kept_coords = {
                         k: c for k, c in ds.coords.items() if g_dim not in c.dims
                     }
@@ -1293,7 +1311,9 @@ class Dataset:
                     fn = np.minimum if op == "min" else np.maximum
                     for a in arrs[1:]:
                         res = fn(res, a)
-                    res = np.where(np.isinf(res), np.nan, res)
+                    # empty groups (count 0) → NaN; legitimate ±inf survives.
+                    cnt = np.sum([p.data_vars[f"{v}__cnt"].values for p in parts], axis=0)
+                    res = np.where(cnt == 0, np.nan, res)
                     out[v] = Variable(
                         first.data_vars[f"{v}__{op}"].dims, res.astype(out_dtypes[v], copy=False)
                     )
@@ -1404,7 +1424,13 @@ def _merge_finalize(
         else:
             key = f"{v}__{op}"
             arrs = [p.data_vars[key].values for p in parts]
-            fn = np.fmin if op == "min" else np.fmax
+            # skipna=True: fmin/fmax ignore NaN partials (a chunk that was all
+            # NaN). skipna=False: minimum/maximum propagate NaN, matching
+            # xarray's NaN-poisoning semantics across chunk boundaries.
+            if skipna:
+                fn = np.fmin if op == "min" else np.fmax
+            else:
+                fn = np.minimum if op == "min" else np.maximum
             res = arrs[0]
             for a in arrs[1:]:
                 res = fn(res, a)

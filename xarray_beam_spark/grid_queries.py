@@ -43,37 +43,67 @@ GROUP BY 1, 2, 3
 """
 
 
-def _events_grid(spark: SparkSession, sf_dir: str, chunks=None) -> Dataset:
-    """events → dense (day, hour, event_type) grid of event counts.
+# Grid inputs are shared by ~20 gate queries in one session: the events
+# aggregation, the two coordinate collects, and each chunking's assembled
+# chunk-row DataFrame are built once per (session, sf_dir) and persisted.
+# At 100 TB the same pattern holds — the dense cells frame is the reduced
+# (day, hour, event_type) grid, orders of magnitude smaller than events.
+_CACHE: dict = {}
 
-    ``cells`` feeds three consumers (two coordinate collects + the
-    from_table pipeline) — persist so the events aggregation runs once.
-    """
-    e = load(spark, sf_dir, "events")
-    cells = e.groupBy(
-        F.date_trunc("day", F.col("ts")).alias("day"),
-        F.hour(F.col("ts")).cast("long").alias("hour"),
-        F.col("event_type"),
-    ).agg(F.count(F.lit(1)).cast("double").alias("cnt")).persist()
-    days = np.array(
-        [r[0] for r in cells.select("day").distinct().orderBy("day").collect()],
-        dtype="datetime64[us]",
+
+def _cells(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CACHE.get(key)
+    if hit is None:
+        e = load(spark, sf_dir, "events")
+        cells = e.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.hour(F.col("ts")).cast("long").alias("hour"),
+            F.col("event_type"),
+        ).agg(
+            F.count(F.lit(1)).cast("double").alias("cnt"),
+            F.countDistinct("user_id").cast("double").alias("users"),
+        ).persist()
+        days = np.array(
+            [r[0] for r in cells.select("day").distinct().orderBy("day").collect()],
+            dtype="datetime64[us]",
+        )
+        etypes = np.array(
+            sorted(r[0] for r in cells.select("event_type").distinct().collect())
+        )
+        _CACHE[key] = hit = (cells, days, etypes)
+    return hit
+
+
+def _events_grid(
+    spark: SparkSession, sf_dir: str, chunks=None, var_cols: tuple = ("cnt",)
+) -> Dataset:
+    """events → dense (day, hour, event_type) grid of event counts,
+    memoized per (session, sf_dir, chunking, variables)."""
+    chunks = chunks or {"day": 7}
+    cells, days, etypes = _cells(spark, sf_dir)
+    gkey = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        tuple(sorted(chunks.items())),
+        tuple(var_cols),
     )
-    etypes = np.array(
-        sorted(r[0] for r in cells.select("event_type").distinct().collect())
-    )
-    coords = {
-        "day": days,
-        "hour": np.arange(24, dtype=np.int64),
-        "event_type": etypes,
-    }
-    return Dataset.from_table(
-        cells,
-        dims=["day", "hour", "event_type"],
-        coords=coords,
-        var_cols=["cnt"],
-        chunks=chunks or {"day": 7},
-    )
+    ds = _CACHE.get(gkey)
+    if ds is None:
+        ds = Dataset.from_table(
+            cells,
+            dims=["day", "hour", "event_type"],
+            coords={
+                "day": days,
+                "hour": np.arange(24, dtype=np.int64),
+                "event_type": etypes,
+            },
+            var_cols=list(var_cols),
+            chunks=chunks,
+        )
+        ds.df.persist()
+        _CACHE[gkey] = ds
+    return ds
 
 
 @_register("xb_grid_roundtrip", _CELLS_SQL)
@@ -334,27 +364,7 @@ def xb_grid_zip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-dataset co-read / zip-join by grid position
     (``core.py:419-460``): two same-grid datasets combine per chunk pair
     after a chunk-grid equi-join on offsets."""
-    e = load(spark, sf_dir, "events")
-    cells = e.groupBy(
-        F.date_trunc("day", F.col("ts")).alias("day"),
-        F.hour(F.col("ts")).cast("long").alias("hour"),
-        F.col("event_type"),
-    ).agg(
-        F.count(F.lit(1)).cast("double").alias("cnt"),
-        F.countDistinct("user_id").cast("double").alias("users"),
-    ).persist()
-    days = np.array(
-        [r[0] for r in cells.select("day").distinct().orderBy("day").collect()],
-        dtype="datetime64[us]",
-    )
-    etypes = np.array(sorted(r[0] for r in cells.select("event_type").distinct().collect()))
-    both = Dataset.from_table(
-        cells,
-        dims=["day", "hour", "event_type"],
-        coords={"day": days, "hour": np.arange(24, dtype=np.int64), "event_type": etypes},
-        var_cols=["cnt", "users"],
-        chunks={"day": 7},
-    )
+    both = _events_grid(spark, sf_dir, chunks={"day": 7}, var_cols=("cnt", "users"))
     counts, users = both["cnt"], both["users"]
 
     def ratio(a, b):
@@ -419,25 +429,5 @@ SELECT day, hour, event_type, cnt FROM ({_CELLS_SQL})
 )
 def xb_grid_getitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variable selection fast path (projection)."""
-    e = load(spark, sf_dir, "events")
-    cells = e.groupBy(
-        F.date_trunc("day", F.col("ts")).alias("day"),
-        F.hour(F.col("ts")).cast("long").alias("hour"),
-        F.col("event_type"),
-    ).agg(
-        F.count(F.lit(1)).cast("double").alias("cnt"),
-        F.countDistinct("user_id").cast("double").alias("users"),
-    ).persist()
-    days = np.array(
-        [r[0] for r in cells.select("day").distinct().orderBy("day").collect()],
-        dtype="datetime64[us]",
-    )
-    etypes = np.array(sorted(r[0] for r in cells.select("event_type").distinct().collect()))
-    d = Dataset.from_table(
-        cells,
-        dims=["day", "hour", "event_type"],
-        coords={"day": days, "hour": np.arange(24, dtype=np.int64), "event_type": etypes},
-        var_cols=["cnt", "users"],
-        chunks={"day": 7},
-    )
+    d = _events_grid(spark, sf_dir, chunks={"day": 7}, var_cols=("cnt", "users"))
     return d["cnt"].to_table(dropna=True)

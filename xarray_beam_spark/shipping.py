@@ -16,9 +16,41 @@ import zipfile
 from pyspark.sql import SparkSession
 
 _FLAG = "_xbs_package_shipped"
+_TUNE_FLAG = "_xbs_session_tuned"
+
+
+def tune_session(spark: SparkSession) -> None:
+    """Apply the engine's runtime SQL configuration to a vanilla session.
+
+    The engine's operators assume (a) Arrow transfer for the pandas UDF /
+    toPandas surface and (b) shuffle parallelism sized to the cluster, not
+    Spark's static default of 200 (AQE coalescing papers over the partition
+    count for large inputs, but 200-way shuffles of small chunk-row stages
+    still pay per-task Python-worker round-trips). Only runtime-mutable
+    ``spark.sql.*`` settings are touched — cluster-level sizing (executor
+    memory, core counts) stays whatever the deployment chose.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, _TUNE_FLAG, False):
+        return
+    par = sc.defaultParallelism or 8
+    for key, value in (
+        ("spark.sql.shuffle.partitions", str(max(par, 8))),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.execution.arrow.maxRecordsPerBatch", "8192"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # noqa: BLE001 — conf may be static in some deployments
+            pass
+    setattr(sc, _TUNE_FLAG, True)
 
 
 def ensure_shipped(spark: SparkSession) -> None:
+    tune_session(spark)
     sc = spark.sparkContext
     if getattr(sc, _FLAG, False):
         return

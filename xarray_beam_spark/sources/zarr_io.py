@@ -212,7 +212,12 @@ def replace_template_dims(
         new_sizes[d] = len(arr)
         new_coords[d] = Variable((d,), arr)
     for k, c in list(new_coords.items()):
-        if any(new_sizes.get(d) != len(c.values) for d in c.dims if len(c.dims) == 1):
+        # check EVERY dim of every coord (incl. multi-dim coords) against the
+        # new sizes; a stale coord on any axis makes the template inconsistent
+        if any(
+            new_sizes.get(d) != int(np.asarray(c.values).shape[ax])
+            for ax, d in enumerate(c.dims)
+        ):
             del new_coords[k]
     return Template(
         sizes=new_sizes, var_meta=template.var_meta, coords=new_coords, attrs=template.attrs

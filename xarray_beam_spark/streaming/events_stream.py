@@ -238,6 +238,21 @@ def stream_stateful_user_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stateful_user_stats(spark, sf_dir)
 
 
+def contiguous_runs(idxs: list[int]) -> list[tuple[int, int]]:
+    """Maximal [lo, hi) runs of consecutive integers in a sorted list."""
+    runs: list[tuple[int, int]] = []
+    if not idxs:
+        return runs
+    run_lo = prev_i = idxs[0]
+    for i in idxs[1:]:
+        if i != prev_i + 1:
+            runs.append((run_lo, prev_i + 1))
+            run_lo = i
+        prev_i = i
+    runs.append((run_lo, prev_i + 1))
+    return runs
+
+
 def stream_to_zarr_hourly(spark: SparkSession, sf_dir: str, out_path: str) -> dict:
     """Streaming → chunked-array bridge: each micro-batch aggregates its
     events into the dense (day, hour, event_type) grid and region-writes
@@ -293,21 +308,26 @@ def stream_to_zarr_hourly(spark: SparkSession, sf_dir: str, out_path: str) -> di
         )
         if not len(batch_days):
             return
-        lo = day_index[batch_days.min()]
-        hi = day_index[batch_days.max()] + 1
-        grid = Dataset.from_table(
-            cells,
-            dims=["day", "hour", "event_type"],
-            coords={
-                "day": days[lo:hi],
-                "hour": np.arange(24, dtype=np.int64),
-                "event_type": etypes,
-            },
-            var_cols=["cnt"],
-            chunks={"day": 1},
-            fill_value=0.0,
-        )
-        zarr_io.to_zarr(grid, out_path, needs_setup=False, origin={"day": lo})
+        # Region-write each maximal contiguous run of PRESENT days, not one
+        # min-to-max slab: a slab would fill absent interior days with zeros,
+        # clobbering real counts another batch/job already landed there.
+        for lo, hi in contiguous_runs([day_index[d] for d in batch_days]):
+            run_cells = cells.filter(
+                (F.col("day") >= F.lit(days[lo].item())) & (F.col("day") < F.lit(days[hi - 1].item()) + F.expr("INTERVAL 1 DAY"))
+            )
+            grid = Dataset.from_table(
+                run_cells,
+                dims=["day", "hour", "event_type"],
+                coords={
+                    "day": days[lo:hi],
+                    "hour": np.arange(24, dtype=np.int64),
+                    "event_type": etypes,
+                },
+                var_cols=["cnt"],
+                chunks={"day": 1},
+                fill_value=0.0,
+            )
+            zarr_io.to_zarr(grid, out_path, needs_setup=False, origin={"day": lo})
         cells.unpersist()
 
     ev = stream_events(spark, sf_dir)
