@@ -14,14 +14,18 @@ def _collect() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     merged: dict[str, tuple[Callable, str | None]] = {}
     import xarray_beam_spark.tabular as tabular
 
+    # Module order IS the driver's evaluation order. The round-1 driver
+    # stopped ~49 queries in (budget), leaving dedup/ANN/multimodal/stream
+    # unchecked — so the newer operator families run before the grid suite
+    # (whose queries share memoized inputs and were all green in round 1).
     modules = [tabular]
     for modname in (
-        "xarray_beam_spark.grid_queries",
         "xarray_beam_spark.functions.text",
         "xarray_beam_spark.operators.dedup",
         "xarray_beam_spark.operators.simsearch",
         "xarray_beam_spark.operators.multimodal",
         "xarray_beam_spark.streaming.events_stream",
+        "xarray_beam_spark.grid_queries",
     ):
         try:
             mod = __import__(modname, fromlist=["REGISTRY"])
