@@ -105,3 +105,38 @@ def test_minhash_hot_document_bounded_by_cap(spark):
     found = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
     twins = sum(1 for i in range(20) if (1000 + i, 2000 + i) in found)
     assert twins >= 18
+
+
+def test_neardup_blocked_matches_bruteforce_and_plan(spark, sf_dir):
+    """The blocked-GEMM all-pairs scan must (a) equal the naive all-pairs
+    result exactly and (b) compile WITHOUT BroadcastNestedLoopJoin or
+    CartesianProduct (the r1 scale-killer)."""
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") % 10 == 0)
+    df = ss.neardup_pairs_blocked(emb, threshold=0.3, n_blocks=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    got = {(r.vec_a, r.vec_b): r.sim for r in df.collect()}
+    # naive oracle: all pairs via local numpy
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    Q = np.floor(np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows]) * 1024)
+    n = np.sqrt((Q * Q).sum(axis=1))
+    sims = (Q @ Q.T) / np.outer(n, n)
+    want = {}
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and sims[i, j] >= 0.3:
+                want[(ids[i], ids[j])] = sims[i, j]
+    assert set(got) == set(want)
+    for k_ in got:
+        assert got[k_] == want[k_]  # bit-identical doubles
+
+
+def test_neardup_blocked_single_block_degenerate(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 30)
+    a = ss.neardup_pairs_blocked(emb, threshold=0.2, n_blocks=1).collect()
+    b = ss.neardup_pairs_blocked(emb, threshold=0.2, n_blocks=7).collect()
+    assert sorted((r.vec_a, r.vec_b, r.sim) for r in a) == sorted(
+        (r.vec_a, r.vec_b, r.sim) for r in b
+    )
