@@ -432,3 +432,43 @@ def test_groupby_minmax_preserves_infinities(spark):
     want_max = np.stack([arr[labels == g].max(axis=0) for g in range(3)])
     np.testing.assert_array_equal(got_max.data_vars["asn"].values, want_max)
     assert got_max.data_vars["asn"].values[2, 1, 1] == np.inf
+
+
+def test_staged_tree_merge_high_fanin(spark):
+    """VERDICT r1 #2: a reduction with ≥4k chunks per output cell must run
+    through ≥2 intermediate tree-merge rounds (reference MultiStageMean,
+    combiners.py:294-394) and produce the single-stage result exactly."""
+    from pyspark.sql import functions as SF
+
+    n = 4096
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 1000, size=(n, 1, 1)).astype(np.float64)
+    src = NDDataset({"v": (("t", "y", "x"), arr)}, {"t": np.arange(n, dtype=np.int64)}, {})
+    d = Dataset.from_numpy(spark, src, chunks={"t": 1})  # 4096-chunk fan-in
+
+    staged = d._agg("mean", "t", True, merge_fanin=16)  # 4096 → 256 → 16 → final
+    plan = staged.df._jdf.queryExecution().analyzed().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 3  # two partial rounds + final
+    single = d._agg("mean", "t", True, merge_fanin=n + 1)  # forced single-stage
+    got, want = staged.collect(), single.collect()
+    np.testing.assert_array_equal(got.data_vars["v"].values, want.data_vars["v"].values)
+    np.testing.assert_array_equal(got.data_vars["v"].values, arr.mean(axis=0))
+
+    # default fan-in threshold: small reductions stay single-stage
+    small = Dataset.from_numpy(spark, dummy_era5(), chunks={"time": 10}).mean("time")
+    assert small.df._jdf.queryExecution().analyzed().toString().count("FlatMapGroupsInPandas") == 1
+
+
+def test_staged_tree_merge_groupby(spark):
+    """groupby_reduce stages its merge the same way; result identical."""
+    n = 256
+    rng = np.random.default_rng(2)
+    arr = rng.integers(0, 100, size=(n, 2)).astype(np.float64)
+    src = NDDataset({"v": (("t", "y"), arr)}, {"t": np.arange(n, dtype=np.int64)}, {})
+    d = Dataset.from_numpy(spark, src, chunks={"t": 1})
+    labels = (np.arange(n) % 7).astype(np.int64)
+    staged = d.groupby_reduce("t", labels, op="sum", new_dim="g", merge_fanin=8)
+    assert staged.df._jdf.queryExecution().analyzed().toString().count("FlatMapGroupsInPandas") >= 3
+    got = staged.collect()
+    want = np.stack([arr[labels == g].sum(axis=0) for g in range(7)])
+    np.testing.assert_array_equal(got.data_vars["v"].values, want)

@@ -46,6 +46,12 @@ from xarray_beam_spark.plans import rechunk_plan
 
 OFF_PREFIX = "off_"
 
+# Max chunk-accumulators one merge task may gather before the reduction
+# inserts intermediate tree-merge rounds (reference MultiStageMean fanout,
+# combiners.py:294-394). 1024 payloads × ~KB-MB accumulators keeps a task's
+# deserialization bounded while one round covers 1024× fan-in (two cover 1M).
+DEFAULT_MERGE_FANIN = 1024
+
 
 # ---------------------------------------------------------------------------
 # Template: the driver-side schema of the virtual dataset
@@ -1115,10 +1121,27 @@ class Dataset:
 
     _AGG_OPS = ("mean", "sum", "min", "max", "std", "var", "count")
 
-    def _agg(self, op: str, dim: str | Sequence[str], skipna: bool, ddof: int = 0) -> "Dataset":
+    def _agg(
+        self,
+        op: str,
+        dim: str | Sequence[str],
+        skipna: bool,
+        ddof: int = 0,
+        merge_fanin: int | None = None,
+    ) -> "Dataset":
         """Distributed reduction over dims: per-chunk pre-aggregate
         (narrow — the combiner lift, reference ``combiners.py:37-147``),
-        then groupBy remaining offsets + merge + finalize."""
+        then groupBy remaining offsets + merge + finalize.
+
+        When the merge fan-in (number of chunk accumulators landing on one
+        output cell) exceeds ``merge_fanin`` (default
+        ``DEFAULT_MERGE_FANIN``), intermediate tree-merge rounds are
+        inserted — the reference's ``MultiStageMean`` fanout plan
+        (``combiners.py:294-394``): accumulators are re-keyed by
+        ``chunk_index // fanin`` and partially merged, so no single task
+        ever gathers more than ``merge_fanin`` payloads. At 10⁵ chunks per
+        climatology cell this is the difference between a working plan and
+        one Python task deserializing 10⁵ accumulators."""
         red_dims = [dim] if isinstance(dim, str) else list(dim)
         for d in red_dims:
             if d not in self.sizes:
@@ -1146,21 +1169,44 @@ class Dataset:
         )
         out_chunks = {d: self.chunks[d] for d in keep_dims}
         schema = chunk_row_schema(keep_dims)
+        schema_mk = T.StructType(list(schema.fields) + [T.StructField("mkey", T.LongType())])
         offc = [off_col(d) for d in keep_dims]
         var_names = tmpl.var_names
+
+        # linearized reduced-chunk index → the tree-merge re-key base
+        n_chunks = {d: -(-self.sizes[d] // self.chunks[d]) for d in red_dims}
+        strides: dict[str, int] = {}
+        acc_stride = 1
+        for d in red_dims:
+            strides[d] = acc_stride
+            acc_stride *= n_chunks[d]
+        fan_in = acc_stride
+        chunks_in = dict(self.chunks)
 
         def pre(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 rows = []
-                for _, r in pdf.iterrows():
-                    ds = decode_chunk(r["payload"])
+                for r in pdf.itertuples():
+                    rd = r._asdict()
+                    ds = decode_chunk(rd["payload"])
                     acc = _pre_aggregate(ds, var_names, red_dims, op, skipna)
-                    row = {off_col(d): int(r[off_col(d)]) for d in keep_dims}
-                    row["vars"] = r["vars"]
+                    row = {off_col(d): int(rd[off_col(d)]) for d in keep_dims}
+                    row["vars"] = rd["vars"]
                     row["payload"] = encode_chunk(acc)
+                    row["mkey"] = sum(
+                        (int(rd[off_col(d)]) // chunks_in[d]) * strides[d] for d in red_dims
+                    )
                     rows.append(row)
                 if rows:
-                    yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+                    yield pd.DataFrame(rows, columns=[f.name for f in schema_mk.fields])
+
+        def partial(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            parts = [decode_chunk(p) for p in pdf["payload"]]
+            out = _merge_partial(parts, var_names, op, skipna)
+            row = dict(zip(["vars"] + offc, [key[0]] + [int(k) for k in key[1:-1]]))
+            row["mkey"] = int(key[-1])
+            row["payload"] = encode_chunk(out)
+            return pd.DataFrame([row], columns=[f.name for f in schema_mk.fields])
 
         def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             parts = [decode_chunk(p) for p in pdf["payload"]]
@@ -1169,8 +1215,14 @@ class Dataset:
             row["payload"] = encode_chunk(out)
             return pd.DataFrame([row], columns=[f.name for f in schema.fields])
 
-        pre_df = self.df.mapInPandas(pre, schema)
-        df = pre_df.groupBy("vars", *offc).applyInPandas(merge, schema)
+        fanin = int(merge_fanin or DEFAULT_MERGE_FANIN)
+        df = self.df.mapInPandas(pre, schema_mk)
+        expected = fan_in
+        while expected > fanin:
+            df = df.withColumn("mkey", F.floor(F.col("mkey") / fanin).cast("long"))
+            df = df.groupBy("vars", *offc, "mkey").applyInPandas(partial, schema_mk)
+            expected = -(-expected // fanin)
+        df = df.groupBy("vars", *offc).applyInPandas(merge, schema)
         return Dataset(self.spark, df, out_tmpl, out_chunks, self.split_vars)
 
     def groupby_reduce(
@@ -1180,6 +1232,7 @@ class Dataset:
         op: str = "mean",
         new_dim: str = "group",
         skipna: bool = True,
+        merge_fanin: int | None = None,
     ) -> "Dataset":
         """Group elements along ``dim`` by a per-element key and reduce —
         the climatology pattern (reference ``examples/era5_climatology.py``:
@@ -1200,7 +1253,9 @@ class Dataset:
         if op not in ("mean", "sum", "min", "max"):
             raise ValueError(f"unsupported groupby op {op!r}")
         if self.split_vars:
-            return self.consolidate_variables().groupby_reduce(dim, by, op, new_dim, skipna)
+            return self.consolidate_variables().groupby_reduce(
+                dim, by, op, new_dim, skipna, merge_fanin=merge_fanin
+            )
         sizes = self.sizes
         if len(by) != sizes[dim]:
             raise ValueError(f"`by` has {len(by)} entries, dim {dim!r} has {sizes[dim]}")
@@ -1229,9 +1284,12 @@ class Dataset:
         )
         out_chunks = {**{d: self.chunks[d] for d in keep_dims}, new_dim: n_groups}
         schema = chunk_row_schema(out_dims)
+        schema_mk = T.StructType(list(schema.fields) + [T.StructField("mkey", T.LongType())])
         offc = [off_col(d) for d in keep_dims]
         var_names = tmpl.var_names
         g_dim = dim
+        g_chunk = self.chunks[g_dim]
+        fan_in = -(-sizes[g_dim] // g_chunk)
 
         def pre(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             labels_all, group_vals = bc_labels.value
@@ -1286,11 +1344,44 @@ class Dataset:
                     row = {off_col(d): (0 if d == new_dim else int(r[off_col(d)])) for d in out_dims}
                     row["vars"] = r["vars"]
                     row["payload"] = encode_chunk(acc)
+                    row["mkey"] = off // g_chunk
                     rows.append(row)
                 if rows:
-                    yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+                    yield pd.DataFrame(rows, columns=[f.name for f in schema_mk.fields])
 
         out_dtypes = {v: np.dtype(dt) for v, (_, dt) in out_vm.items()}
+
+        def partial(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            """Tree-merge round: combine group accumulators, don't finalize."""
+            parts = [decode_chunk(p) for p in pdf["payload"]]
+            first = parts[0]
+            out: dict[str, Variable] = {}
+            for v in var_names:
+                if op in ("mean", "sum"):
+                    for sfx in ("__sum", "__cnt"):
+                        vals = np.sum([p.data_vars[f"{v}{sfx}"].values for p in parts], axis=0)
+                        dt = np.int64 if sfx == "__cnt" else np.float64
+                        out[f"{v}{sfx}"] = Variable(
+                            first.data_vars[f"{v}{sfx}"].dims, np.asarray(vals, dt)
+                        )
+                else:
+                    # plain minimum/maximum: ±inf init sentinels combine
+                    # correctly and a skipna=False NaN keeps propagating
+                    fn = np.minimum if op == "min" else np.maximum
+                    res = parts[0].data_vars[f"{v}__{op}"].values
+                    for p in parts[1:]:
+                        res = fn(res, p.data_vars[f"{v}__{op}"].values)
+                    cnt = np.sum([p.data_vars[f"{v}__cnt"].values for p in parts], axis=0)
+                    out[f"{v}__{op}"] = Variable(first.data_vars[f"{v}__{op}"].dims, res)
+                    out[f"{v}__cnt"] = Variable(
+                        first.data_vars[f"{v}__cnt"].dims, np.asarray(cnt, np.int64)
+                    )
+            acc = NDDataset(out, first.coords, first.attrs)
+            row = dict(zip(["vars"] + offc, [key[0]] + [int(k) for k in key[1:-1]]))
+            row[off_col(new_dim)] = 0
+            row["mkey"] = int(key[-1])
+            row["payload"] = encode_chunk(acc)
+            return pd.DataFrame([row], columns=[f.name for f in schema_mk.fields])
 
         def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             parts = [decode_chunk(p) for p in pdf["payload"]]
@@ -1323,8 +1414,14 @@ class Dataset:
             row["payload"] = encode_chunk(merged)
             return pd.DataFrame([row], columns=[f.name for f in schema.fields])
 
-        pre_df = self.df.mapInPandas(pre, schema)
-        df = pre_df.groupBy("vars", *offc).applyInPandas(merge, schema)
+        fanin = int(merge_fanin or DEFAULT_MERGE_FANIN)
+        df = self.df.mapInPandas(pre, schema_mk)
+        expected = fan_in
+        while expected > fanin:
+            df = df.withColumn("mkey", F.floor(F.col("mkey") / fanin).cast("long"))
+            df = df.groupBy("vars", *offc, "mkey").applyInPandas(partial, schema_mk)
+            expected = -(-expected // fanin)
+        df = df.groupBy("vars", *offc).applyInPandas(merge, schema)
         return Dataset(self.spark, df, out_tmpl, out_chunks, False)
 
 
@@ -1395,6 +1492,37 @@ def _pre_aggregate(
     keep = {d for var in out.values() for d in var.dims}
     coords = {k: c for k, c in ds.coords.items() if set(c.dims) <= keep}
     return NDDataset(out, coords, ds.attrs)
+
+
+def _merge_partial(
+    parts: list[NDDataset], var_names: list[str], op: str, skipna: bool
+) -> NDDataset:
+    """Combine accumulator NDDatasets WITHOUT finalizing — the associative
+    merge step of the reference's multi-stage combiner tree
+    (``MultiStageMean.add_input``, ``combiners.py:294-345``). Output has
+    the same accumulator schema as ``_pre_aggregate``, so rounds chain."""
+    first = parts[0]
+    out: dict[str, Variable] = {}
+    for v in var_names:
+        if op in ("mean", "sum", "std", "var", "count"):
+            for suffix in ("__sum", "__cnt") + (("__ssq",) if op in ("std", "var") else ()):
+                key = f"{v}{suffix}"
+                vals = np.sum([p.data_vars[key].values for p in parts], axis=0)
+                dt = np.int64 if suffix == "__cnt" else np.float64
+                out[key] = Variable(first.data_vars[key].dims, np.asarray(vals, dtype=dt))
+        else:
+            key = f"{v}__{op}"
+            if skipna:
+                fn = np.fmin if op == "min" else np.fmax
+            else:
+                fn = np.minimum if op == "min" else np.maximum
+            res = parts[0].data_vars[key].values
+            for p in parts[1:]:
+                res = fn(res, p.data_vars[key].values)
+            out[key] = Variable(first.data_vars[key].dims, res)
+    keep = {d for var in out.values() for d in var.dims}
+    coords = {k: c for k, c in first.coords.items() if set(c.dims) <= keep}
+    return NDDataset(out, coords, first.attrs)
 
 
 def _merge_finalize(
