@@ -381,6 +381,52 @@ def xb_grid_zip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "xb_grid_zip_ratio_coread",
+    f"""
+WITH cells AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+         event_type,
+         CAST(COUNT(*) AS DOUBLE) AS cnt,
+         CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS users
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT day, hour, event_type, cnt / users AS events_per_user FROM cells
+""",
+)
+def xb_grid_zip_ratio_coread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same arithmetic as ``xb_grid_zip_ratio`` but through the N-way
+    zero-join co-read (reference ``DatasetToChunks([ds1, ds2])``,
+    ``core.py:419-460``): both grids live in Zarr stores and each scan
+    task reads BOTH regions — no join exchange anywhere in the plan."""
+    import tempfile
+
+    from xarray_beam_spark.ndarray_ds import NDDataset, Variable
+    from xarray_beam_spark.sources import zarr_io
+
+    key = (spark.sparkContext.applicationId, sf_dir, "coread_stores")
+    paths = _CACHE.get(key)
+    if paths is None:
+        both = _events_grid(spark, sf_dir, chunks={"day": 7}, var_cols=("cnt", "users"))
+        p_cnt = tempfile.mkdtemp(prefix="xbs_coread_cnt_")
+        p_users = tempfile.mkdtemp(prefix="xbs_coread_users_")
+        zarr_io.to_zarr(both["cnt"], p_cnt)
+        zarr_io.to_zarr(both["users"], p_users)
+        _CACHE[key] = paths = (p_cnt, p_users)
+
+    def ratio(a: NDDataset, b: NDDataset) -> NDDataset:
+        va, vb = a.data_vars["cnt"], b.data_vars["users"]
+        return NDDataset(
+            {"events_per_user": Variable(va.dims, va.values / vb.values)},
+            a.coords,
+            a.attrs,
+        )
+
+    d = zarr_io.zip_from_zarr(spark, list(paths), ratio, chunks={"day": 7})
+    return d.to_table(dropna=True)
+
+
+@_register(
     "xb_grid_resample_week",
     f"""
 SELECT CAST(date_trunc('week', day) AS TIMESTAMP) AS week, hour, event_type,

@@ -191,6 +191,107 @@ def from_zarr(
     return out
 
 
+def zip_from_zarr(
+    spark: SparkSession,
+    paths: Sequence[str],
+    func,
+    chunks: Mapping[str, int] | None = None,
+    template: Template | None = None,
+) -> Dataset:
+    """N-way co-read: read N same-grid Zarr stores in ONE scan and combine
+    each chunk position with ``func(ds_0, ..., ds_{n-1}) -> NDDataset``.
+
+    The reference's ``DatasetToChunks([ds1, ds2, ...])`` reads multiple
+    datasets per key in a single pipeline stage (``core.py:419-460,
+    538-541``) so multi-dataset arithmetic needs no join; ``Dataset.
+    zip_map`` (two independent scans + offset equi-join) pays one shuffle
+    for the same result. Here each ``spark.range`` task opens every store
+    and reads the SAME element region from each — zero exchange in the
+    plan, and the scan parallelism/pushdown of ``from_zarr`` is preserved.
+
+    ``func`` must keep the chunk grid (elementwise/variable-wise math);
+    the output template is inferred from a dummy application when not
+    given (the reference's template-inference pattern).
+    """
+    if len(paths) < 2:
+        raise ValueError("zip_from_zarr needs >= 2 stores")
+    tmpls: list[Template] = []
+    store_chunks0: dict[str, int] | None = None
+    for p in paths:
+        t, sc = open_zarr_template(p)
+        tmpls.append(t)
+        if store_chunks0 is None:
+            store_chunks0 = sc
+    sizes = dict(tmpls[0].sizes)
+    for p, t in zip(paths[1:], tmpls[1:]):
+        if dict(t.sizes) != sizes:
+            raise ValueError(
+                f"co-read requires identical grids: {p} has {t.sizes}, "
+                f"{paths[0]} has {sizes}"
+            )
+    cchunks = core.normalize_chunks(
+        dict(chunks) if chunks else store_chunks0, sizes,
+        itemsize=sum(t.itemsize(False) for t in tmpls),
+    )
+    from xarray_beam_spark.dataset import _dummy_chunk, _infer_result_meta
+
+    if template is None:
+        dummies = [_dummy_chunk(t, cchunks) for t in tmpls]
+        out_dummy = func(*dummies)
+        template, _ = _infer_result_meta(tmpls[0], cchunks, dummies[0], out_dummy)
+    dims_sorted = sorted(sizes)
+    schema = chunk_row_schema(dims_sorted)
+    n_grid = core.chunk_count(cchunks, sizes)
+    coords_bc = spark.sparkContext.broadcast([t.coords for t in tmpls])
+    var_names_per = [sorted(t.var_meta) for t in tmpls]
+    paths_t = tuple(paths)
+
+    def read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        groups = [zarrlite.open_group(p)[0] for p in paths_t]
+        coords_all = coords_bc.value
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                offsets = core.key_for_index(int(i), sizes, cchunks)
+                shape = {d: min(cchunks[d], sizes[d] - offsets[d]) for d in dims_sorted}
+                dss = []
+                for arrays, names, coords_t in zip(groups, var_names_per, coords_all):
+                    dv = {}
+                    for v in names:
+                        meta = arrays[v]
+                        ldims = meta.logical_dims
+                        dv[v] = Variable(
+                            ldims,
+                            zarrlite.read_region(
+                                meta,
+                                {d: offsets[d] for d in ldims},
+                                {d: shape[d] for d in ldims},
+                            ),
+                        )
+                    used = {d for var in dv.values() for d in var.dims}
+                    ch_coords = {
+                        k: Variable(
+                            c.dims,
+                            c.values[
+                                tuple(slice(offsets[d], offsets[d] + shape[d]) for d in c.dims)
+                            ],
+                        )
+                        for k, c in coords_t.items()
+                        if set(c.dims) <= used
+                    }
+                    dss.append(NDDataset(dv, ch_coords))
+                res = func(*dss)
+                row = {off_col(d): offsets[d] for d in dims_sorted}
+                row["vars"] = None
+                row["payload"] = encode_chunk(res)
+                rows.append(row)
+            if rows:
+                yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    rng = spark.range(0, n_grid, 1, max(1, min(n_grid, spark.sparkContext.defaultParallelism)))
+    return Dataset(spark, rng.mapInPandas(read, schema), template, cchunks, False)
+
+
 def replace_template_dims(
     template: Template,
     sizes: Mapping[str, int] | None = None,
