@@ -198,7 +198,7 @@ def resize_assets(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows = []
-            for _, r in pdf.iterrows():
+            for r in pdf.to_dict("records"):  # row-dict iteration: ~10x iterrows at chunk granularity
                 img = resize_nearest(decoder(r["blob"]), out_h, out_w)
                 raw = img.astype(np.uint8).tobytes()
                 meta = dict(r["meta"]) if r["meta"] is not None else {}

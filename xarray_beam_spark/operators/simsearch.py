@@ -143,13 +143,14 @@ def brute_force_topk_numpy(
 
 
 def _with_lsh_codes(
-    df: DataFrame, planes: np.ndarray, vec_col: str, id_col: str, out_id: str
+    df: DataFrame, seed: int, n_tables: int, n_planes: int, vec_col: str, id_col: str, out_id: str
 ) -> DataFrame:
     """Add quantized vector, norm and per-table LSH codes via one GEMM per
-    Arrow batch (vectorized Pandas UDF — the hot path stays BLAS)."""
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(planes)
-    n_tables = planes.shape[0]
+    Arrow batch (vectorized Pandas UDF — the hot path stays BLAS).
+
+    Hyperplanes are derived executor-side from ``(seed, dim)`` — every
+    worker seeds the same RNG, so no driver-side ``head()`` to learn the
+    embedding dim and no plane broadcast."""
     schema = T.StructType(
         [
             T.StructField(out_id, T.LongType()),
@@ -161,11 +162,17 @@ def _with_lsh_codes(
     )
 
     def compute(batches) -> "Iterator[pd.DataFrame]":
-        P = bc.value  # (tables, planes, dim)
-        weights = (1 << np.arange(P.shape[1], dtype=np.int64))
+        P = None
+        weights = None
         for pdf in batches:
+            if not len(pdf):
+                continue
             ids = pdf[id_col].to_numpy()
             M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if P is None:
+                rng = np.random.default_rng(seed)
+                P = rng.normal(size=(n_tables, n_planes, M.shape[1]))
+                weights = 1 << np.arange(P.shape[1], dtype=np.int64)
             qv = np.floor(M * QUANT).astype(np.int64)
             qn = np.sqrt((qv * qv).sum(axis=1).astype(np.float64))
             rows = {out_id: [], "qvec": [], "qnorm": [], "table": [], "code": []}
@@ -199,12 +206,9 @@ def lsh_topk(
     buckets it shares, then exact quantized-cosine re-rank. At 100 TB this
     replaces the crossJoin with an equi-join on (table, code).
     """
-    rng = np.random.default_rng(seed)
-    dim = len(emb.select(vec_col).head()[0])
-    planes = rng.normal(size=(n_tables, n_planes, dim))
-    base = _with_lsh_codes(emb, planes, vec_col, id_col, "neighbor_id")
+    base = _with_lsh_codes(emb, seed, n_tables, n_planes, vec_col, id_col, "neighbor_id")
     qs = (
-        _with_lsh_codes(queries, planes, vec_col, id_col, "query_id")
+        _with_lsh_codes(queries, seed, n_tables, n_planes, vec_col, id_col, "query_id")
         .withColumnRenamed("qvec", "q_qvec")
         .withColumnRenamed("qnorm", "q_qnorm")
     )

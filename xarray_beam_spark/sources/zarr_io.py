@@ -496,7 +496,7 @@ def to_zarr(
         n_chunks = 0
         n_bytes = 0
         for pdf in batches:
-            for _, r in pdf.iterrows():
+            for r in pdf.to_dict("records"):  # row-dict iteration: ~10x iterrows at chunk granularity
                 chunk = decode_chunk(r["payload"])
                 for v, var in chunk.data_vars.items():
                     meta = arrays[v]

@@ -48,34 +48,43 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_memory(result: DataFrame, mode: str = "complete") -> DataFrame:
-    """Execute a streaming DataFrame to completion (AvailableNow) into an
-    in-memory table and return the final result as a batch DataFrame."""
-    name = f"xbs_stream_{uuid.uuid4().hex[:12]}"
+    """Execute a streaming DataFrame to completion (AvailableNow) through a
+    parquet file sink (foreachBatch) and return the landed result as a
+    batch DataFrame.
+
+    Executor-side end to end: each micro-batch's result is written by the
+    executors (overwrite for complete mode — every trigger re-emits the
+    full result; append for update mode), never collected to the driver —
+    the same ``foreachBatch`` bridge pattern as ``stream_to_zarr_hourly``,
+    so gate-scale and 100 TB runs share the code path."""
+    import tempfile
+
     spark = result.sparkSession
+    outdir = tempfile.mkdtemp(prefix=f"xbs_stream_{uuid.uuid4().hex[:8]}_")
+    data_dir, ckpt_dir = f"{outdir}/data", f"{outdir}/ckpt"
     # A streaming query pins its state-store partition count at start from
     # spark.sql.shuffle.partitions; the vanilla default (200) is far too
     # many state stores for a local run and too few for a large cluster —
     # size it to the session's parallelism (set-and-restore).
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    # Each state partition costs a store instance per micro-batch; a
-    # fraction of the core count keeps state management cheap while still
-    # scaling with the cluster.
     n_state = max(8, spark.sparkContext.defaultParallelism // 4)
     spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite" if mode == "complete" else "append").parquet(data_dir)
+
     try:
         q = (
-            result.writeStream.format("memory")
-            .queryName(name)
+            result.writeStream.foreachBatch(land)
             .outputMode(mode)
             .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir)
             .start()
         )
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    out = spark.table(name)
-    # materialize before the writer is garbage-collected
-    return spark.createDataFrame(out.collect(), out.schema) if mode == "complete" else out
+    return spark.read.parquet(data_dir)
 
 
 def hourly_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

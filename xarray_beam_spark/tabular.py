@@ -817,12 +817,14 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact decimal average) + left-anti join against recent orders."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
-    avg_bal = (
-        c.filter(F.col("c_acctbal") > 0)
-        .agg(F.avg(dec("c_acctbal")).alias("a"))
-        .collect()[0]["a"]
+    # scalar subquery as a broadcast 1-row cross join: stays one Spark job
+    # (no driver round-trip blocking plan construction)
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg(dec("c_acctbal")).alias("__avg_bal"))
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(dec("c_acctbal") > F.col("__avg_bal"))
+        .drop("__avg_bal")
     )
-    rich = c.filter(dec("c_acctbal") > F.lit(avg_bal))
     recent = o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
     inactive = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
     return inactive.groupBy("c_mktsegment").agg(
