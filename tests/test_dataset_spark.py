@@ -472,3 +472,16 @@ def test_staged_tree_merge_groupby(spark):
     got = staged.collect()
     want = np.stack([arr[labels == g].sum(axis=0) for g in range(7)])
     np.testing.assert_array_equal(got.data_vars["v"].values, want)
+
+
+def test_from_numpy_broadcast_budget_guard(spark):
+    """VERDICT r1 #7: from_numpy refuses sources over the broadcast budget
+    and points at the Zarr path."""
+    import pytest as _pytest
+
+    src = dummy_era5(n_time=24)
+    with _pytest.raises(ValueError, match="broadcast budget.*from_zarr"):
+        Dataset.from_numpy(spark, src, chunks={"time": 10}, max_broadcast_bytes=1024)
+    # raising the budget explicitly still works
+    d = Dataset.from_numpy(spark, src, chunks={"time": 10}, max_broadcast_bytes=10**9)
+    assert d.chunk_count == 3
