@@ -70,27 +70,65 @@ def _snap(value: int, source: int, target: int, size: int) -> int:
     return value
 
 
+def stage_io_ops(
+    sizes: Mapping[str, int], from_chunks: Mapping[str, int], to_chunks: Mapping[str, int]
+) -> int:
+    """Elementary read+write regions of one rechunk round: per dim, the
+    union of both boundary grids has ``ceil(s/a) + ceil(s/b) -
+    ceil(s/lcm(a,b))`` intervals (boundaries coincide at lcm multiples);
+    the stage's region count is their product — the lcm IO-op model of
+    the reference planner (``rechunker_algorithm.py:170-213``, after the
+    pangeo rechunker), which the plan search minimizes across stages."""
+    total = 1
+    for d, s in sizes.items():
+        a = from_chunks.get(d, s)
+        b = to_chunks.get(d, s)
+        lcm = a // math.gcd(a, b) * b
+        total *= -(-s // a) + -(-s // b) - -(-s // lcm)
+    return total
+
+
+def plan_io_ops(sizes: Mapping[str, int], seq: list[dict[str, int]]) -> int:
+    return sum(stage_io_ops(sizes, a, b) for a, b in zip(seq, seq[1:]))
+
+
 def plan_stages(
     sizes: Mapping[str, int],
     source_chunks: Mapping[str, int],
     target_chunks: Mapping[str, int],
     itemsize: int,
     max_mem: int = DEFAULT_MAX_MEM,
+    min_mem: int | None = None,
 ) -> list[dict[str, int]]:
     """Return the full chunk-grid sequence ``[source, i1, ..., target]``.
 
-    Each consecutive pair is one split→shuffle→consolidate round. The
-    sequence is minimal such that every round's worst-case gather is
-    ≤ ``max_mem`` (or irreducible: a single target chunk may itself exceed
-    ``max_mem``, in which case the caller should have chosen smaller
-    target chunks).
+    Each consecutive pair is one split→shuffle→consolidate round. Among
+    the geometric-interpolation ladders whose every round's worst-case
+    gather fits ``max_mem`` (or the irreducible single-target-chunk cost),
+    pick the one with the fewest total elementary IO regions (the lcm
+    IO-op model, reference ``rechunker_algorithm.py:170-213``) — more
+    stages bound the per-task gather but re-copy the data an extra time,
+    so the planner only adds a stage when it pays for itself.
+
+    ``min_mem`` (default ``max_mem // 100``): floor on intermediate chunk
+    payloads (reference ``rechunk.py:562-563``) — ladders that pass
+    through chunks tinier than the floor are rejected, preventing
+    pathological many-tiny-chunk intermediates on adversarial shapes.
     """
     dims = sorted(sizes)
     src = {d: min(source_chunks.get(d, sizes[d]), sizes[d]) for d in dims}
     tgt = {d: min(target_chunks.get(d, sizes[d]), sizes[d]) for d in dims}
     if src == tgt:
         return [src]
+    if min_mem is None:
+        min_mem = max_mem // 100
+    # the endpoints themselves bound what any intermediate can promise
+    mem_floor = min(min_mem, chunk_nbytes(src, itemsize), chunk_nbytes(tgt, itemsize))
+    gather_floor = stage_gather_bytes(tgt, tgt, itemsize)  # irreducible target cost
 
+    best: list[dict[str, int]] | None = None
+    best_ops = 0
+    first_feasible: int | None = None
     for n_stages in range(1, MAX_STAGES + 1):
         seq = [src]
         for k in range(1, n_stages):
@@ -101,17 +139,27 @@ def plan_stages(
             }
             seq.append(mid)
         seq.append(tgt)
-        worst = max(
+        fits_mem = max(
             stage_gather_bytes(a, b, itemsize) for a, b in zip(seq, seq[1:])
-        )
-        floor = stage_gather_bytes(tgt, tgt, itemsize)  # irreducible target cost
-        if worst <= max(max_mem, floor):
+        ) <= max(max_mem, gather_floor)
+        fits_floor = all(chunk_nbytes(s, itemsize) >= mem_floor for s in seq[1:-1])
+        if fits_mem and fits_floor:
             # Drop consecutive duplicates (snapping can collapse stages).
             out = [seq[0]]
             for s in seq[1:]:
                 if s != out[-1]:
                     out.append(s)
-            return out
+            ops = plan_io_ops(sizes, out)
+            if best is None or ops < best_ops:
+                best, best_ops = out, ops
+            if first_feasible is None:
+                first_feasible = n_stages
+        # adding stages strictly increases copies once feasible; search a
+        # small window past the first feasible ladder, then stop
+        if first_feasible is not None and n_stages >= first_feasible + 4:
+            break
+    if best is not None:
+        return best
     raise ValueError(
         f"cannot plan rechunk {src} -> {tgt} within {max_mem} bytes in {MAX_STAGES} stages"
     )
