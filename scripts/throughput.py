@@ -40,6 +40,9 @@ def main() -> None:
 
     spark = get_spark("xbs-throughput", cpus=args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    from xarray_beam_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
     cores = spark.sparkContext.defaultParallelism
 
     ny, nx = 512, 512
@@ -62,28 +65,72 @@ def main() -> None:
     mb = nbytes / 1e6
 
     try:
-        # distributed read → staged shuffle rechunk (pancakes → pencils) → write
-        t0 = time.perf_counter()
-        src_ds = zarr_io.from_zarr(spark, a)
-        shuffled = Dataset.from_dataframe(
-            spark, src_ds.df, src_ds.template, src_ds.chunks, validate=False
+        load0 = os.getloadavg()[0]
+
+        # Warm the JVM (codegen, shuffle machinery, Python worker pool)
+        # with a miniature cycle so the measured stages aren't dominated
+        # by one-time startup: first-run vs warm differs ~3x.
+        wpath = os.path.join(work, "warm")
+        zarrlite.create_group(wpath)
+        wmeta = zarrlite.create_array(
+            wpath, "v", (64, ny, nx), (8, ny, nx), np.float32,
+            ("time", "y", "x"), compressor=None,
         )
-        r = shuffled.rechunk({"time": nt, "y": 64, "x": 64})
-        zarr_io.to_zarr(r, b, zarr_chunks={"time": nt, "y": 64, "x": 64}, compressor=None)
-        t_rechunk = time.perf_counter() - t0
+        zarrlite.write_region(wmeta, {"time": 0}, rng.normal(size=(64, ny, nx)).astype(np.float32))
+        wsrc = zarr_io.from_zarr(spark, wpath)
+        wds = Dataset.from_dataframe(spark, wsrc.df, wsrc.template, wsrc.chunks, validate=False)
+        zarr_io.to_zarr(
+            wds.rechunk({"time": 64, "y": 64, "x": 64}),
+            os.path.join(work, "warm_out"),
+            zarr_chunks={"time": 64, "y": 64, "x": 64},
+            compressor=None,
+        )
+
+        def fresh():
+            src_ds = zarr_io.from_zarr(spark, a)
+            # break the scan spec so rechunk can't elide the shuffle
+            return Dataset.from_dataframe(
+                spark, src_ds.df, src_ds.template, src_ds.chunks, validate=False
+            )
+
+        # stage 1: read only (decode + count)
+        t0 = time.perf_counter()
+        fresh().df.count()
+        t_read_src = time.perf_counter() - t0
+
+        # stage 2: read + full shuffle rechunk (pancakes → pencils), no write
+        t0 = time.perf_counter()
+        r = fresh().rechunk({"time": nt, "y": 64, "x": 64})
+        r.df.count()
+        t_read_rechunk = time.perf_counter() - t0
+
+        # stage 3: full cycle read → rechunk → distributed aligned write
+        t0 = time.perf_counter()
+        r2 = fresh().rechunk({"time": nt, "y": 64, "x": 64})
+        zarr_io.to_zarr(r2, b, zarr_chunks={"time": nt, "y": 64, "x": 64}, compressor=None)
+        t_full = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         n_rows = zarr_io.from_zarr(spark, b).df.count()
-        t_read = time.perf_counter() - t0
+        t_read_back = time.perf_counter() - t0
 
         print(
             json.dumps(
                 {
                     "dataset_mb": round(mb, 1),
                     "cores": cores,
-                    "rechunk_roundtrip_mb_s": round(mb / t_rechunk, 1),
-                    "read_mb_s": round(mb / t_read, 1),
-                    "rechunk_mb_s_per_core": round(mb / t_rechunk / cores, 2),
+                    "loadavg_start": round(load0, 1),
+                    "loadavg_end": round(os.getloadavg()[0], 1),
+                    "read_src_mb_s": round(mb / t_read_src, 1),
+                    "read_rechunk_mb_s": round(mb / t_read_rechunk, 1),
+                    "full_cycle_mb_s": round(mb / t_full, 1),
+                    "read_back_mb_s": round(mb / t_read_back, 1),
+                    "full_cycle_mb_s_per_core": round(mb / t_full / cores, 2),
+                    "stage_seconds": {
+                        "read": round(t_read_src, 2),
+                        "rechunk_extra": round(t_read_rechunk - t_read_src, 2),
+                        "write_extra": round(t_full - t_read_rechunk, 2),
+                    },
                     "chunks_out": n_rows,
                 }
             )

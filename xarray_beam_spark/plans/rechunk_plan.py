@@ -24,6 +24,21 @@ from typing import Mapping
 DEFAULT_MAX_MEM = 2**30  # 1 GiB per consolidated group, like the reference
 MAX_STAGES = 100
 
+# Spark-shuffle cost model constants (relative weights, not wall-clock
+# promises). The reference's planner minimizes elementary IO regions
+# because its rechunker MATERIALIZES every stage to an intermediate Zarr
+# store, where each region is a storage op (rechunker_algorithm.py:170-213).
+# A Spark stage instead streams pieces through one shuffle: an extra stage
+# re-copies the ENTIRE dataset through two Arrow hops + shuffle files
+# (~300 MB/s measured end-to-end on local[32], scripts/throughput.py),
+# while one extra shuffle record costs only its serialization overhead
+# (~0.1 ms). One region is therefore worth ~30 KB of byte movement —
+# stages only pay for themselves against region counts in the millions
+# (degenerate pancake↔pencil moves), not the thousands.
+C_BYTE = 1.0 / (300 * 1024 * 1024)  # seconds per byte moved per stage
+C_REC = 1e-4  # seconds per elementary region (shuffle-record overhead)
+C_STAGE = 0.5  # fixed per-stage scheduling cost (reference: combiners.py:241)
+
 
 def chunk_nbytes(chunks: Mapping[str, int], itemsize: int) -> int:
     n = itemsize
@@ -92,6 +107,20 @@ def plan_io_ops(sizes: Mapping[str, int], seq: list[dict[str, int]]) -> int:
     return sum(stage_io_ops(sizes, a, b) for a, b in zip(seq, seq[1:]))
 
 
+def plan_cost(sizes: Mapping[str, int], seq: list[dict[str, int]], itemsize: int) -> float:
+    """Estimated cost of a ladder under the Spark-shuffle model: every
+    stage moves the whole dataset (bytes × C_BYTE + C_STAGE) and each
+    elementary region pays one record overhead (C_REC)."""
+    total_bytes = itemsize
+    for s in sizes.values():
+        total_bytes *= s
+    n_stages = len(seq) - 1
+    return (
+        n_stages * (total_bytes * C_BYTE + C_STAGE)
+        + plan_io_ops(sizes, seq) * C_REC
+    )
+
+
 def plan_stages(
     sizes: Mapping[str, int],
     source_chunks: Mapping[str, int],
@@ -105,10 +134,14 @@ def plan_stages(
     Each consecutive pair is one split→shuffle→consolidate round. Among
     the geometric-interpolation ladders whose every round's worst-case
     gather fits ``max_mem`` (or the irreducible single-target-chunk cost),
-    pick the one with the fewest total elementary IO regions (the lcm
-    IO-op model, reference ``rechunker_algorithm.py:170-213``) — more
-    stages bound the per-task gather but re-copy the data an extra time,
-    so the planner only adds a stage when it pays for itself.
+    pick the cheapest under the Spark-shuffle cost model (``plan_cost``):
+    per-stage whole-dataset copy + per-region record overhead. The lcm
+    region count (reference ``rechunker_algorithm.py:170-213``) survives
+    as the C_REC term, but — unlike the reference, whose stages
+    materialize to intermediate Zarr stores — a Spark stage is a streamed
+    shuffle, so extra stages are expensive and small records are cheap:
+    direct single-shuffle plans win except on degenerate region-count
+    explosions (e.g. (1,N)→(N,1) moves).
 
     ``min_mem`` (default ``max_mem // 100``): floor on intermediate chunk
     payloads (reference ``rechunk.py:562-563``) — ladders that pass
@@ -127,7 +160,7 @@ def plan_stages(
     gather_floor = stage_gather_bytes(tgt, tgt, itemsize)  # irreducible target cost
 
     best: list[dict[str, int]] | None = None
-    best_ops = 0
+    best_cost = 0.0
     first_feasible: int | None = None
     for n_stages in range(1, MAX_STAGES + 1):
         seq = [src]
@@ -149,9 +182,9 @@ def plan_stages(
             for s in seq[1:]:
                 if s != out[-1]:
                     out.append(s)
-            ops = plan_io_ops(sizes, out)
-            if best is None or ops < best_ops:
-                best, best_ops = out, ops
+            cost = plan_cost(sizes, out, itemsize)
+            if best is None or cost < best_cost:
+                best, best_cost = out, cost
             if first_feasible is None:
                 first_feasible = n_stages
         # adding stages strictly increases copies once feasible; search a
