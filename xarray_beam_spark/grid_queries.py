@@ -155,6 +155,23 @@ def xb_zarr_v3_sharded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.to_table(dropna=True)
 
 
+@_register("xb_chunkfiles_roundtrip", _CELLS_SQL)
+def xb_chunkfiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_chunk_parquet → from_chunk_parquet identity: the reference's
+    file-per-chunk pattern (``docs/read-write.ipynb``) with XBS1 chunk
+    payloads in a distributed parquet sink instead of loose netCDF files
+    (no netCDF lib in this container)."""
+    import tempfile
+
+    from xarray_beam_spark.sources import chunk_files
+
+    d = _events_grid(spark, sf_dir, chunks={"day": 8})
+    path = tempfile.mkdtemp(prefix="xbs_chunkpq_gate_")
+    chunk_files.to_chunk_parquet(d, path, mode="overwrite")
+    back = chunk_files.from_chunk_parquet(spark, path)
+    return back.to_table(dropna=True)
+
+
 @_register("xb_grid_split_consolidate", _CELLS_SQL)
 def xb_grid_split_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SplitChunks → ConsolidateChunks identity (rechunk.py:400-454,85-197)."""
