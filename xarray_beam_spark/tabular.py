@@ -1001,3 +1001,214 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("value") > F.col("threshold"))
         .select("n_name", "value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2-like — minimum-cost supplier: correlated MIN subquery over supply
+# offers. The synthetic schema has no partsupp, so the offer table is
+# derived from lineitem (min extended price per part/supplier pair) —
+# the correlated-aggregate shape is identical (reference has no
+# relational ops; TPC-H Q2 shape on Spark SQL).
+# ---------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+WITH offers AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), eu AS (
+  SELECT partkey, cost, s_name, n_name, s_acctbal
+  FROM offers
+  JOIN supplier ON suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), best AS (
+  SELECT *, MIN(cost) OVER (PARTITION BY partkey) AS best_cost FROM eu
+)
+SELECT p_partkey, p_brand, s_name, n_name,
+       CAST(s_acctbal AS DOUBLE) AS s_acctbal,
+       CAST(cost AS DOUBLE) AS min_cost
+FROM best JOIN part ON partkey = p_partkey
+WHERE cost = best_cost AND p_size <= 10
+"""
+
+
+@register("q2_min_cost_supplier", _Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-MIN subquery as a window MIN over the offer table.
+
+    Scale shape: the offer aggregation is one map-side-combinable
+    shuffle on (partkey, suppkey); supplier/nation/region are broadcast;
+    the per-part MIN is a window over the *aggregated* (small) offers,
+    not the fact table. Ties keep all best-cost suppliers (standard Q2
+    semantics) so no LIMIT nondeterminism.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    offers = l.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(dec("l_extendedprice")).alias("cost"))
+    eu = (
+        offers.join(F.broadcast(s), F.col("suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("partkey", "cost", "s_name", "n_name", "s_acctbal")
+    )
+    w = Window.partitionBy("partkey")
+    best = eu.withColumn("best_cost", F.min("cost").over(w)).filter(
+        F.col("cost") == F.col("best_cost")
+    )
+    return best.join(F.broadcast(p), F.col("partkey") == p.p_partkey).select(
+        "p_partkey",
+        "p_brand",
+        "s_name",
+        "n_name",
+        F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        F.col("cost").cast("double").alias("min_cost"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12-like — priority classification: conditional aggregation over a
+# fact-fact join (no l_shipmode in the synthetic schema; l_linestatus is
+# the grouping attribute, order priority is the CASE condition).
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+"""
+
+
+@register("q12_priority_lines", _Q12_ORACLE)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-count aggregation; the shipdate filter is pushed to the
+    lineitem scan and the orderkey join shuffles only the filtered year."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20-like — excess suppliers: semi-join against an aggregated-threshold
+# subquery (no partsupp; "heavy supply lines" derived from lineitem).
+# ---------------------------------------------------------------------------
+
+_Q20_ORACLE = """
+WITH heavy AS (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,1))) > 60
+)
+SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_12', 'NATION_21')
+  AND s_suppkey IN (SELECT l_suppkey FROM heavy)
+"""
+
+
+@register("q20_excess_suppliers", _Q20_ORACLE)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery as a left-semi join; the HAVING threshold shrinks the
+    build side before the semi-join so only qualifying suppkeys shuffle."""
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= "1998-01-01")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_12", "NATION_21")
+    )
+    heavy = (
+        l.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 60)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21-like — sole returned supplier: EXISTS / NOT EXISTS self-joins on the
+# fact table (no l_receiptdate; "kept waiting" adapted to "only supplier
+# with a returned line in a multi-supplier finished order").
+# ---------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+GROUP BY s_name
+"""
+
+
+@register("q21_sole_returned_supplier", _Q21_ORACLE)
+def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left-semi, NOT EXISTS as left-anti self-joins.
+
+    Both self-joins are orderkey equi-joins with the supplier inequality
+    as a residual predicate — they shuffle on orderkey (co-partitioned
+    with the fact scan), never nested-loop. The supplier dim broadcasts.
+    """
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_returnflag").filter(
+        F.col("l_returnflag") == "R"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    cand = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .join(o, F.col("l_orderkey") == o.o_orderkey, "left_semi")
+    )
+    return (
+        cand.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
