@@ -53,6 +53,34 @@ class Key:
     def replace_vars(self, vars: frozenset[str] | set[str] | None) -> "Key":
         return Key.make(self.offsets_dict, vars)
 
+    # -- indices mode (reference ``core.py:71-80``: a newer data model the
+    # reference itself marks "not yet fully supported"; here it's a pure
+    # view — keys store element offsets, indices convert on a chunk grid,
+    # so both addressing modes name the same chunk row). ----------------
+
+    @staticmethod
+    def from_indices(
+        indices: Mapping[str, int],
+        chunks: Mapping[str, int],
+        vars: frozenset[str] | set[str] | None = None,
+    ) -> "Key":
+        """Build a Key from chunk *indices* on a chunk grid:
+        ``indices={'x': 4}`` with ``chunks={'x': 100}`` ≡ ``offsets={'x': 400}``."""
+        return Key.make({d: i * chunks[d] for d, i in indices.items()}, vars)
+
+    def indices(self, chunks: Mapping[str, int]) -> dict[str, int]:
+        """Chunk indices of this key on a chunk grid. Raises if any offset
+        is not aligned to the grid (such a chunk has no index address)."""
+        out = {}
+        for d, off in self.offsets:
+            c = chunks[d]
+            if c <= 0 or off % c:
+                raise ValueError(
+                    f"offset {off} along {d!r} is not a multiple of chunk {c}"
+                )
+            out[d] = off // c
+        return out
+
     def __repr__(self) -> str:
         ov = ", ".join(f"{d}={o}" for d, o in self.offsets)
         vv = "None" if self.vars is None else "{" + ", ".join(sorted(self.vars)) + "}"
