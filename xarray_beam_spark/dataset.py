@@ -1053,11 +1053,18 @@ class Dataset:
         )
         out = self
         for frm, to in zip(stages, stages[1:]):
-            # split to gcd grid so every piece lands in exactly one target cell
-            gcd_chunks = {d: math.gcd(frm[d], to[d]) for d in sizes}
-            if gcd_chunks != frm:
-                out = out.split_chunks(gcd_chunks)
-            if gcd_chunks != to:
+            # Split at TARGET grid boundaries only (the refinement of the
+            # two grids): every piece still lands in exactly one target
+            # cell, but pieces stay as large as possible — splitting to
+            # the uniform gcd grid would e.g. cut (30,·,·)→(1953,·,·)
+            # moves into gcd=3 slivers, 10x the shuffle records for the
+            # same bytes. Piece count now equals the planner's lcm region
+            # model (stage_io_ops), so plan cost and execution agree.
+            split_needed = any(to[d] % frm[d] != 0 for d in sizes)
+            consolidate_needed = any(frm[d] % to[d] != 0 for d in sizes)
+            if split_needed:
+                out = out.split_chunks(to)
+            if consolidate_needed:
                 out = out.consolidate_chunks(to)
             else:
                 out = Dataset(out.spark, out.df, out.template, to, out.split_vars)

@@ -494,3 +494,80 @@ def xb_grid_getitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variable selection fast path (projection)."""
     d = _events_grid(spark, sf_dir, chunks={"day": 7}, var_cols=("cnt", "users"))
     return d["cnt"].to_table(dropna=True)
+
+
+@_register(
+    "xb_grid_anomaly_dow",
+    f"""
+WITH cells AS ({_CELLS_SQL}), clim AS (
+  SELECT CAST(dayofweek(day) AS BIGINT) AS dow, hour, event_type,
+         CAST(SUM(CAST(cnt AS BIGINT)) AS DOUBLE) / COUNT(*) AS clim_cnt
+  FROM cells GROUP BY 1, 2, 3
+)
+SELECT c.day, c.hour, c.event_type, c.cnt - clim_cnt AS cnt
+FROM cells c
+JOIN clim ON CAST(dayofweek(c.day) AS BIGINT) = clim.dow
+         AND c.hour = clim.hour AND c.event_type = clim.event_type
+""",
+)
+def xb_grid_anomaly_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly from climatology — the reference's flagship two-phase
+    pattern (``examples/era5_climatology.py`` + anomaly subtraction in
+    the docs): reduce to a small climatology, then subtract it from
+    every chunk. Spark shape: the climatology is a driver-side collect
+    of the reduced grid (7x24xK values — tiny at ANY source scale, same
+    role as a Beam side input), closed over by a narrow map_blocks —
+    no second shuffle, no join against the full grid."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    days = d.template.coords["day"].values
+    dow = (days.astype("datetime64[D]").view("int64") + 4) % 7
+    clim = d.groupby_reduce("day", dow, op="mean", new_dim="dow").collect()
+    cvar = clim.data_vars["cnt"]
+    dow_coord = clim.coords["dow"].values
+    dow_axis = cvar.dims.index("dow")
+    sel_dims = tuple("day" if x == "dow" else x for x in cvar.dims)
+
+    def subtract(chunk):
+        from xarray_beam_spark.ndarray_ds import NDDataset as _NDD
+
+        cdays = chunk.coords["day"].values
+        cdow = (cdays.astype("datetime64[D]").view("int64") + 4) % 7
+        pos = np.searchsorted(dow_coord, cdow)
+        sel = np.take(cvar.values, pos, axis=dow_axis)
+        tgt_dims = chunk.data_vars["cnt"].dims
+        perm = [sel_dims.index(x) for x in tgt_dims]
+        vals = chunk.data_vars["cnt"].values - np.transpose(sel, perm)
+        return _NDD({"cnt": (tgt_dims, vals)}, dict(chunk.coords), dict(chunk.attrs))
+
+    return d.map_blocks(subtract).to_table(dropna=True)
+
+
+@_register(
+    "xb_grid_cumsum_day",
+    f"""
+SELECT day, hour, event_type,
+       SUM(cnt) OVER (PARTITION BY hour, event_type ORDER BY day) AS cnt
+FROM ({_CELLS_SQL})
+""",
+)
+def xb_grid_cumsum_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total along a dimension: window-function semantics on the
+    grid via the rechunk-contiguous pattern (make ``day`` one chunk per
+    series, scan inside the chunk — the same shape the reference uses
+    for medians/quantiles over docs patterns). Present-cell semantics
+    match SQL: absent (NaN) cells contribute nothing and stay absent."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    r = d.rechunk({"day": -1})
+
+    def scan(chunk):
+        from xarray_beam_spark.ndarray_ds import NDDataset as _NDD
+
+        var = chunk.data_vars["cnt"]
+        axis = var.dims.index("day")
+        vals = var.values
+        mask = np.isnan(vals)
+        run = np.nancumsum(vals, axis=axis)
+        run[mask] = np.nan
+        return _NDD({"cnt": (var.dims, run)}, dict(chunk.coords), dict(chunk.attrs))
+
+    return r.map_blocks(scan).to_table(dropna=True)
