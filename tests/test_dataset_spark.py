@@ -485,3 +485,45 @@ def test_from_numpy_broadcast_budget_guard(spark):
     # raising the budget explicitly still works
     d = Dataset.from_numpy(spark, src, chunks={"time": 10}, max_broadcast_bytes=10**9)
     assert d.chunk_count == 3
+
+
+def _np_lag_diff(vals, n, axis):
+    out = np.full(vals.shape, np.nan)
+    src = [slice(None)] * vals.ndim
+    src[axis] = slice(n, None)
+    prev = [slice(None)] * vals.ndim
+    prev[axis] = slice(None, vals.shape[axis] - n)
+    out[tuple(src)] = vals[tuple(src)].astype(np.float64) - vals[tuple(prev)]
+    return out
+
+
+def test_diff_halo_exchange(spark, era5):
+    """diff across chunk boundaries equals the single-array lag diff."""
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 7})
+    got = d.diff("time").collect()
+    for v, var in era5.data_vars.items():
+        np.testing.assert_array_equal(
+            got.data_vars[v].values,
+            _np_lag_diff(var.values, 1, var.dims.index("time")),
+        )
+    # coords and grid preserved
+    assert got.sizes == era5.sizes
+
+
+def test_diff_n2_and_single_chunk(spark, era5):
+    d_multi = Dataset.from_numpy(spark, era5, chunks={"time": 6})
+    d_one = Dataset.from_numpy(spark, era5, chunks={"time": 24})
+    a = d_multi.diff("time", n=2).collect()
+    b = d_one.diff("time", n=2).collect()
+    for v in era5.data_vars:
+        np.testing.assert_array_equal(a.data_vars[v].values, b.data_vars[v].values)
+
+
+def test_diff_halo_wider_than_chunk_falls_back(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 3})
+    got = d.diff("time", n=5).collect()
+    for v, var in era5.data_vars.items():
+        np.testing.assert_array_equal(
+            got.data_vars[v].values,
+            _np_lag_diff(var.values, 5, var.dims.index("time")),
+        )

@@ -802,6 +802,106 @@ class Dataset:
             lambda ds: ds.transpose(*order), template=self.template, chunks=self.chunks
         )
 
+    def diff(self, dim: str, n: int = 1) -> "Dataset":
+        """Lag difference along ``dim`` (``x[i] - x[i-n]``; the first ``n``
+        positions become NaN — SQL ``LAG`` semantics, so the chunk grid is
+        preserved; xarray's ``diff`` instead shortens the dim).
+
+        Scale shape — HALO EXCHANGE, not series gathering: every chunk
+        donates its trailing ``n``-wide sliver to its successor, then one
+        offsets-grouped shuffle co-locates each chunk with its halo (groups
+        of ≤ 2 rows). Memory per task stays one chunk + one sliver at ANY
+        series length, where the rechunk-contiguous pattern (used for
+        median/quantile, which truly need the whole series) would gather
+        entire series into single tasks. The reference reaches this op via
+        rechunk-then-map (docs pattern); the halo formulation is what
+        survives a 100 TB time axis.
+        """
+        if self.split_vars:
+            return self.consolidate_variables().diff(dim, n)
+        sizes = self.sizes
+        if dim not in sizes:
+            raise ValueError(f"no dimension {dim!r} in {sorted(sizes)}")
+        if n < 1:
+            raise ValueError("diff requires n >= 1")
+        if n > self.chunks[dim] and self.chunks[dim] < sizes[dim]:
+            # halo wider than a chunk: make dim contiguous first
+            return self.rechunk({dim: sizes[dim]}).diff(dim, n)
+        dims = self.dims
+        chunk_d = self.chunks[dim]
+        schema = chunk_row_schema(dims)
+        halo_schema = T.StructType(
+            list(schema.fields) + [T.StructField("__halo", T.LongType(), False)]
+        )
+        size_d = sizes[dim]
+
+        def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for r in pdf.to_dict("records"):  # row-dict iteration: rows ARE chunks
+                    base = {c: r[c] for c in pdf.columns}
+                    rows.append({**base, "__halo": 0})
+                    off = int(r[off_col(dim)])
+                    if off + chunk_d < size_d:
+                        ds = decode_chunk(r["payload"])
+                        sliver = ds.isel({dim: slice(-n, None)})
+                        hrow = dict(base)
+                        hrow[off_col(dim)] = off + chunk_d
+                        hrow["payload"] = encode_chunk(sliver)
+                        rows.append({**hrow, "__halo": 1})
+                if rows:
+                    yield pd.DataFrame(rows, columns=[f.name for f in halo_schema.fields])
+
+        def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            main = sliver = None
+            for r in pdf.to_dict("records"):
+                if int(r["__halo"]) == 0:
+                    main = decode_chunk(r["payload"])
+                else:
+                    sliver = decode_chunk(r["payload"])
+            if main is None:
+                raise ValueError(f"diff group {key} has a halo but no chunk")
+            out_vars: dict[str, Variable] = {}
+            for v, var in main.data_vars.items():
+                if dim not in var.dims:
+                    out_vars[v] = var
+                    continue
+                axis = var.dims.index(dim)
+                arr = var.values.astype(np.float64, copy=False)
+                if sliver is not None:
+                    ext = np.concatenate([sliver.data_vars[v].values, arr], axis=axis)
+                    out = np.take(ext, range(n, ext.shape[axis]), axis=axis) - np.take(
+                        ext, range(ext.shape[axis] - n), axis=axis
+                    )
+                else:  # first chunk along dim: NaN head
+                    out = np.full_like(arr, np.nan, dtype=np.float64)
+                    head = [slice(None)] * arr.ndim
+                    head[axis] = slice(n, None)
+                    tail = [slice(None)] * arr.ndim
+                    tail[axis] = slice(None, arr.shape[axis] - n)
+                    out[tuple(head)] = arr[tuple(head)] - arr[tuple(tail)]
+                out_vars[v] = Variable(var.dims, out)
+            res = NDDataset(out_vars, dict(main.coords), dict(main.attrs))
+            row = {off_col(d): int(key[i + 1]) for i, d in enumerate(dims)}
+            row["vars"] = key[0]
+            row["payload"] = encode_chunk(res)
+            return pd.DataFrame([row], columns=[f.name for f in schema.fields])
+
+        with_halo = self.df.mapInPandas(emit, halo_schema)
+        offc = [off_col(d) for d in dims]
+        df = with_halo.groupBy("vars", *offc).applyInPandas(assemble, schema)
+        var_meta = {
+            v: (vd, np.dtype(np.float64).str if dim in vd else dt)
+            for v, (vd, dt) in self.template.var_meta.items()
+        }
+        tmpl = Template(
+            sizes=dict(self.template.sizes),
+            var_meta=var_meta,
+            coords=dict(self.template.coords),
+            attrs=dict(self.template.attrs),
+        )
+        return Dataset(self.spark, df, tmpl, self.chunks, self.split_vars)
+
     def zip_map(
         self,
         other: "Dataset",

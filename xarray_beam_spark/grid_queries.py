@@ -571,3 +571,30 @@ def xb_grid_cumsum_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _NDD({"cnt": (var.dims, run)}, dict(chunk.coords), dict(chunk.attrs))
 
     return r.map_blocks(scan).to_table(dropna=True)
+
+
+@_register(
+    "xb_grid_diff_day",
+    f"""
+WITH cells AS ({_CELLS_SQL}),
+dense AS (
+  SELECT d.day, h.hour, t.event_type, c.cnt
+  FROM (SELECT DISTINCT day FROM cells) d
+  CROSS JOIN (SELECT DISTINCT hour FROM cells) h
+  CROSS JOIN (SELECT DISTINCT event_type FROM cells) t
+  LEFT JOIN cells c USING (day, hour, event_type)
+),
+diffed AS (
+  SELECT day, hour, event_type,
+         cnt - LAG(cnt) OVER (PARTITION BY hour, event_type ORDER BY day) AS cnt
+  FROM dense
+)
+SELECT * FROM diffed WHERE cnt IS NOT NULL
+""",
+)
+def xb_grid_diff_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day change via halo-exchange ``Dataset.diff`` — window
+    semantics along a dimension with bounded per-task memory (each chunk
+    meets only its neighbor's n-wide sliver; no whole-series gathering)."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    return d.diff("day").to_table(dropna=True)
