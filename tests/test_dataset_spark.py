@@ -527,3 +527,34 @@ def test_diff_halo_wider_than_chunk_falls_back(spark, era5):
             got.data_vars[v].values,
             _np_lag_diff(var.values, 5, var.dims.index("time")),
         )
+
+
+def test_shift_matches_numpy(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 7})
+    got = d.shift("time", n=3).collect()
+    for v, var in era5.data_vars.items():
+        ax = var.dims.index("time")
+        want = np.full(var.values.shape, np.nan)
+        src = [slice(None)] * var.values.ndim
+        src[ax] = slice(3, None)
+        prev = [slice(None)] * var.values.ndim
+        prev[ax] = slice(None, var.values.shape[ax] - 3)
+        want[tuple(src)] = var.values[tuple(prev)]
+        np.testing.assert_array_equal(got.data_vars[v].values, want)
+
+
+def test_rolling_reduce_matches_pandas(spark, era5):
+    import pandas as _pd
+
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 6})
+    for op in ("mean", "sum", "min", "max"):
+        got = d.rolling_reduce("time", 5, op=op).collect()
+        for v, var in era5.data_vars.items():
+            ax = var.dims.index("time")
+            flat = np.moveaxis(var.values.astype(np.float64), ax, 0)
+            rolled = getattr(
+                _pd.DataFrame(flat.reshape(flat.shape[0], -1)).rolling(5, min_periods=1),
+                op,
+            )().to_numpy().reshape(flat.shape)
+            want = np.moveaxis(rolled, 0, ax)
+            np.testing.assert_allclose(got.data_vars[v].values, want, rtol=1e-12)

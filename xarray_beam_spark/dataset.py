@@ -817,16 +817,101 @@ class Dataset:
         rechunk-then-map (docs pattern); the halo formulation is what
         survives a 100 TB time axis.
         """
+        if n < 1:
+            raise ValueError("diff requires n >= 1")
+
+        def lag(ext: np.ndarray, axis: int) -> np.ndarray:
+            out = np.full(ext.shape, np.nan)
+            head = [slice(None)] * ext.ndim
+            head[axis] = slice(n, None)
+            tail = [slice(None)] * ext.ndim
+            tail[axis] = slice(None, ext.shape[axis] - n)
+            out[tuple(head)] = ext[tuple(head)] - ext[tuple(tail)]
+            return out
+
+        return self._left_halo_map(dim, n, lag, "diff")
+
+    def shift(self, dim: str, n: int = 1) -> "Dataset":
+        """Shift values forward along ``dim`` by ``n`` (``out[i] = x[i-n]``,
+        NaN head — xarray ``Dataset.shift`` semantics for positive shifts),
+        via the same halo exchange as :meth:`diff`."""
+        if n < 1:
+            raise ValueError("shift requires n >= 1 (trailing shifts only)")
+
+        def kernel(ext: np.ndarray, axis: int) -> np.ndarray:
+            out = np.full(ext.shape, np.nan)
+            head = [slice(None)] * ext.ndim
+            head[axis] = slice(n, None)
+            tail = [slice(None)] * ext.ndim
+            tail[axis] = slice(None, ext.shape[axis] - n)
+            out[tuple(head)] = ext[tuple(tail)]
+            return out
+
+        return self._left_halo_map(dim, n, kernel, "shift")
+
+    def rolling_reduce(self, dim: str, window: int, op: str = "mean") -> "Dataset":
+        """Trailing rolling-window reduction along ``dim`` (window ``[i -
+        window + 1, i]``, partial at the head, NaN cells skipped — SQL
+        ``AGG(...) OVER (ORDER BY dim ROWS window-1 PRECEDING)`` semantics
+        with NULLs ignored; all-missing windows stay NaN).
+
+        Same halo-exchange plan as :meth:`diff` with a ``window - 1`` halo:
+        bounded per-task memory at any series length.
+        """
+        if op not in ("mean", "sum", "min", "max"):
+            raise ValueError(f"unsupported rolling op {op!r}")
+        if window < 1:
+            raise ValueError("rolling_reduce requires window >= 1")
+
+        def kernel(ext: np.ndarray, axis: int) -> np.ndarray:
+            # NaN-pad so every output position sees a full-width view (the
+            # pad covers the global head; interior halos arrive real).
+            fill_shape = list(ext.shape)
+            fill_shape[axis] = window - 1
+            padded = np.concatenate(
+                [np.full(fill_shape, np.nan), ext], axis=axis
+            )
+            sw = np.lib.stride_tricks.sliding_window_view(padded, window, axis=axis)
+            with np.errstate(all="ignore"):
+                cnt = (~np.isnan(sw)).sum(axis=-1)
+                if op == "mean":
+                    out = np.nansum(sw, axis=-1) / np.where(cnt == 0, np.nan, cnt)
+                elif op == "sum":
+                    out = np.where(cnt == 0, np.nan, np.nansum(sw, axis=-1))
+                else:
+                    import warnings
+
+                    with warnings.catch_warnings():
+                        warnings.simplefilter("ignore")
+                        out = (np.nanmin if op == "min" else np.nanmax)(sw, axis=-1)
+            return out
+
+        return self._left_halo_map(dim, window - 1, kernel, f"rolling_{op}")
+
+    def _left_halo_map(
+        self,
+        dim: str,
+        halo: int,
+        kernel: Callable[[np.ndarray, int], np.ndarray],
+        op_name: str,
+    ) -> "Dataset":
+        """Shared halo-exchange plumbing for window ops along ``dim``.
+
+        ``kernel(ext, axis) -> ext-shaped float64`` runs on each chunk's
+        values EXTENDED by its predecessor's ``halo``-wide sliver (absent
+        for the first chunk); the pad positions are sliced off afterwards,
+        so the kernel sees global context but the grid is preserved.
+        """
         if self.split_vars:
-            return self.consolidate_variables().diff(dim, n)
+            return self.consolidate_variables()._left_halo_map(dim, halo, kernel, op_name)
         sizes = self.sizes
         if dim not in sizes:
             raise ValueError(f"no dimension {dim!r} in {sorted(sizes)}")
-        if n < 1:
-            raise ValueError("diff requires n >= 1")
-        if n > self.chunks[dim] and self.chunks[dim] < sizes[dim]:
+        if halo > self.chunks[dim] and self.chunks[dim] < sizes[dim]:
             # halo wider than a chunk: make dim contiguous first
-            return self.rechunk({dim: sizes[dim]}).diff(dim, n)
+            return self.rechunk({dim: sizes[dim]})._left_halo_map(
+                dim, halo, kernel, op_name
+            )
         dims = self.dims
         chunk_d = self.chunks[dim]
         schema = chunk_row_schema(dims)
@@ -842,9 +927,9 @@ class Dataset:
                     base = {c: r[c] for c in pdf.columns}
                     rows.append({**base, "__halo": 0})
                     off = int(r[off_col(dim)])
-                    if off + chunk_d < size_d:
+                    if halo > 0 and off + chunk_d < size_d:
                         ds = decode_chunk(r["payload"])
-                        sliver = ds.isel({dim: slice(-n, None)})
+                        sliver = ds.isel({dim: slice(-halo, None)})
                         hrow = dict(base)
                         hrow[off_col(dim)] = off + chunk_d
                         hrow["payload"] = encode_chunk(sliver)
@@ -860,7 +945,7 @@ class Dataset:
                 else:
                     sliver = decode_chunk(r["payload"])
             if main is None:
-                raise ValueError(f"diff group {key} has a halo but no chunk")
+                raise ValueError(f"{op_name} group {key} has a halo but no chunk")
             out_vars: dict[str, Variable] = {}
             for v, var in main.data_vars.items():
                 if dim not in var.dims:
@@ -870,21 +955,19 @@ class Dataset:
                 arr = var.values.astype(np.float64, copy=False)
                 if sliver is not None:
                     ext = np.concatenate([sliver.data_vars[v].values, arr], axis=axis)
-                    out = np.take(ext, range(n, ext.shape[axis]), axis=axis) - np.take(
-                        ext, range(ext.shape[axis] - n), axis=axis
-                    )
-                else:  # first chunk along dim: NaN head
-                    out = np.full_like(arr, np.nan, dtype=np.float64)
-                    head = [slice(None)] * arr.ndim
-                    head[axis] = slice(n, None)
-                    tail = [slice(None)] * arr.ndim
-                    tail[axis] = slice(None, arr.shape[axis] - n)
-                    out[tuple(head)] = arr[tuple(head)] - arr[tuple(tail)]
-                out_vars[v] = Variable(var.dims, out)
-            res = NDDataset(out_vars, dict(main.coords), dict(main.attrs))
+                    pad = sliver.sizes[dim]
+                else:
+                    ext, pad = arr, 0
+                res = kernel(ext, axis)
+                if pad:
+                    keep = [slice(None)] * res.ndim
+                    keep[axis] = slice(pad, None)
+                    res = res[tuple(keep)]
+                out_vars[v] = Variable(var.dims, res)
+            res_ds = NDDataset(out_vars, dict(main.coords), dict(main.attrs))
             row = {off_col(d): int(key[i + 1]) for i, d in enumerate(dims)}
             row["vars"] = key[0]
-            row["payload"] = encode_chunk(res)
+            row["payload"] = encode_chunk(res_ds)
             return pd.DataFrame([row], columns=[f.name for f in schema.fields])
 
         with_halo = self.df.mapInPandas(emit, halo_schema)

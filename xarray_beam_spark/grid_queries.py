@@ -598,3 +598,30 @@ def xb_grid_diff_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     meets only its neighbor's n-wide sliver; no whole-series gathering)."""
     d = _events_grid(spark, sf_dir, chunks={"day": 7})
     return d.diff("day").to_table(dropna=True)
+
+
+@_register(
+    "xb_grid_rolling7_mean",
+    f"""
+WITH cells AS ({_CELLS_SQL}),
+dense AS (
+  SELECT d.day, h.hour, t.event_type, c.cnt
+  FROM (SELECT DISTINCT day FROM cells) d
+  CROSS JOIN (SELECT DISTINCT hour FROM cells) h
+  CROSS JOIN (SELECT DISTINCT event_type FROM cells) t
+  LEFT JOIN cells c USING (day, hour, event_type)
+),
+rolled AS (
+  SELECT day, hour, event_type,
+         AVG(cnt) OVER (PARTITION BY hour, event_type ORDER BY day
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS cnt
+  FROM dense
+)
+SELECT * FROM rolled WHERE cnt IS NOT NULL
+""",
+)
+def xb_grid_rolling7_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing rolling mean via halo-exchange ``rolling_reduce`` —
+    each chunk meets only its predecessor's 6-wide sliver."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 10})
+    return d.rolling_reduce("day", 7, op="mean").to_table(dropna=True)
