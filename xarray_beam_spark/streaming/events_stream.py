@@ -348,3 +348,27 @@ def stream_to_zarr_hourly(spark: SparkSession, sf_dir: str, out_path: str) -> di
     )
     q.awaitTermination()
     return {"days": len(days)}
+
+
+# Streaming dedup: the ingestion-side half of the dedup story (the batch
+# side is operators/dedup.py) — state-store-backed drop-duplicates with a
+# watermark bounding how long keys are remembered. (user_id, ts,
+# event_type) is unique in the synthetic data, so the deduplicated stream
+# equals the input deterministically while the operator still runs the
+# real dedup state machine per micro-batch.
+_DEDUP_ORACLE = """
+SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+"""
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir).select("user_id", "ts", "event_type", "value")
+    dd = ev.withWatermark("ts", "2 hours").dropDuplicates(
+        ["user_id", "ts", "event_type"]
+    )
+    return _run_to_memory(dd, mode="append")
+
+
+@_register("stream_dedup_events", _DEDUP_ORACLE)
+def stream_dedup_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_dedup(spark, sf_dir)
