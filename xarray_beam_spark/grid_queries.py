@@ -172,6 +172,24 @@ def xb_chunkfiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.to_table(dropna=True)
 
 
+@_register("xb_netcdf_roundtrip", _CELLS_SQL)
+def xb_netcdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_netcdf_files → from_netcdf_files identity: the reference's
+    literal "one netCDF file per chunk" pattern (``docs/read-write.ipynb``)
+    with a from-spec pure-Python NetCDF3 classic (CDF-2) codec — each
+    chunk file is standalone, self-describing, readable by standard
+    netCDF tools."""
+    import tempfile
+
+    from xarray_beam_spark.sources import netcdf3
+
+    d = _events_grid(spark, sf_dir, chunks={"day": 8})
+    path = tempfile.mkdtemp(prefix="xbs_nc_gate_")
+    netcdf3.to_netcdf_files(d, path)
+    back = netcdf3.from_netcdf_files(spark, path)
+    return back.to_table(dropna=True)
+
+
 @_register("xb_grid_split_consolidate", _CELLS_SQL)
 def xb_grid_split_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SplitChunks → ConsolidateChunks identity (rechunk.py:400-454,85-197)."""
