@@ -62,6 +62,40 @@ def test_duplicate_clusters_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
 
 
+def test_duplicate_clusters_star_equals_label(spark):
+    """Two-phase star CC (Kiveris et al. 2014) must agree with min-label
+    propagation on random graphs."""
+    import numpy as np
+
+    from xarray_beam_spark.operators.dedup import duplicate_clusters
+
+    rng = np.random.default_rng(11)
+    n, m = 120, 150
+    pairs = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(m, 2)) if a != b]
+    edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    star = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(edges, algorithm="star").collect()}
+    label = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(edges, algorithm="label").collect()}
+    assert star == label and len(star) > 0
+
+
+def test_duplicate_clusters_star_beats_diameter(spark):
+    """On a 64-node path the star algorithm converges in O(log n) rounds
+    while label propagation needs O(diameter) — the 100 TB property."""
+    from xarray_beam_spark.operators.dedup import duplicate_clusters
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    star_rounds, label_rounds = [], []
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(edges, algorithm="star", _rounds_out=star_rounds).collect()
+    }
+    assert got == {i: 0 for i in range(64)}
+    duplicate_clusters(edges, algorithm="label", max_iters=100, _rounds_out=label_rounds).collect()
+    assert star_rounds[0] <= 8 < label_rounds[0]
+
+
 def test_minhash_bucket_cap(spark, sf_dir):
     """A tiny cap must still discover high-jaccard twins (they collide in
     many bands) while bounding bucket join size."""
