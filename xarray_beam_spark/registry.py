@@ -22,6 +22,7 @@ def _collect() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     for modname in (
         "xarray_beam_spark.functions.text",
         "xarray_beam_spark.operators.dedup",
+        "xarray_beam_spark.operators.corpus",
         "xarray_beam_spark.operators.simsearch",
         "xarray_beam_spark.operators.multimodal",
         "xarray_beam_spark.streaming.events_stream",
