@@ -1,0 +1,95 @@
+"""xbs_zarr Python DataSource: schema, values, and pushdown pruning."""
+
+import datetime
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, In, LessThan
+
+from xarray_beam_spark.dataset import Dataset
+from xarray_beam_spark.ndarray_ds import NDDataset
+from xarray_beam_spark.sources import spark_datasource, zarr_io
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    rng = np.random.default_rng(0)
+    nd = NDDataset(
+        {
+            "t2m": (("time", "lat"), rng.normal(size=(24, 5))),
+            "rain": (("lat", "time"), rng.normal(size=(5, 24))),  # transposed dims
+        },
+        coords={
+            "time": np.arange(24, dtype=np.int64) * 3600,
+            "lat": np.linspace(-60, 60, 5),
+        },
+    )
+    p = str(tmp_path / "store")
+    zarr_io.to_zarr(Dataset.from_numpy(spark, nd, chunks={"time": 6}), p)
+    return p, nd
+
+
+def test_read_values_and_schema(spark, store):
+    p, nd = store
+    spark_datasource.register(spark)
+    df = spark.read.format("xbs_zarr").option("path", p).load()
+    assert df.schema.simpleString() == "struct<lat:double,time:bigint,rain:double,t2m:double>"
+    rows = df.orderBy("time", "lat").collect()
+    assert len(rows) == 120
+    # values line up per-cell across differently-ordered variable dims
+    r = rows[10 * 5 + 2]  # time index 10, lat index 2
+    assert r["time"] == 36000 and r["lat"] == 0.0
+    assert r["t2m"] == nd.data_vars["t2m"].values[10, 2]
+    assert r["rain"] == nd.data_vars["rain"].values[2, 10]
+
+
+def test_filter_pushdown_prunes_partitions(spark, store):
+    p, _ = store
+    src = spark_datasource.ZarrDataSource({"path": p})
+    rd = src.reader(src.schema())
+    assert len(rd.partitions()) == 4  # 24/6 time chunks x 1 lat chunk
+    rd.pushFilters([GreaterThanOrEqual(("time",), 36000), LessThan(("time",), 64800)])
+    parts = rd.partitions()
+    spans = sorted(pt.value["time"] for pt in parts)
+    assert spans == [(10, 12), (12, 18)]  # window [10, 18) clamped + chunk-aligned
+    # equality on a float coord: one chunk
+    rd2 = src.reader(src.schema())
+    rd2.pushFilters([EqualTo(("lat",), 0.0), In(("time",), (0, 3600))])
+    parts2 = rd2.partitions()
+    assert len(parts2) == 1
+    assert parts2[0].value == {"lat": (2, 3), "time": (0, 2)}
+    # contradictory window: no partitions at all
+    rd3 = src.reader(src.schema())
+    rd3.pushFilters([EqualTo(("lat",), 999.0)])
+    assert rd3.partitions() == []
+
+
+def test_pushdown_is_best_effort_only(spark, store):
+    """Every filter is re-evaluated by Spark post-scan: a filter the
+    reader cannot translate must not change results."""
+    p, nd = store
+    spark_datasource.register(spark)
+    df = spark.read.format("xbs_zarr").option("path", p).load()
+    got = df.where("t2m > 0.5 AND time % 7200 = 0").count()  # t2m: not a dim
+    want = int(
+        ((nd.data_vars["t2m"].values[::2, :]) > 0.5).sum()
+    )
+    assert got == want
+
+
+def test_datetime_coord_pushdown(spark, tmp_path):
+    nd = NDDataset(
+        {"v": (("day",), np.arange(10.0))},
+        coords={"day": np.array(["2024-01-%02d" % d for d in range(1, 11)], "datetime64[us]")},
+    )
+    p = str(tmp_path / "dt")
+    zarr_io.to_zarr(Dataset.from_numpy(spark, nd, chunks={"day": 2}), p)
+    src = spark_datasource.ZarrDataSource({"path": p})
+    rd = src.reader(src.schema())
+    rd.pushFilters([GreaterThanOrEqual(("day",), datetime.datetime(2024, 1, 8))])
+    assert sorted(pt.value["day"] for pt in rd.partitions()) == [(7, 8), (8, 10)]
+    spark_datasource.register(spark)
+    df = spark.read.format("xbs_zarr").option("path", p).load()
+    got = df.where(F.col("day") >= "2024-01-08").agg(F.sum("v")).collect()[0][0]
+    assert got == 7.0 + 8.0 + 9.0

@@ -172,6 +172,43 @@ def xb_chunkfiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.to_table(dropna=True)
 
 
+@_register(
+    "xb_sql_on_zarr",
+    f"""
+SELECT day, event_type,
+       CAST(SUM(CAST(cnt AS BIGINT)) AS BIGINT) AS total,
+       COUNT(*) AS n_cells
+FROM ({_CELLS_SQL})
+WHERE hour >= 6 AND hour < 18
+GROUP BY day, event_type
+""",
+)
+def xb_sql_on_zarr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain Spark SQL over a Zarr store through the ``xbs_zarr`` Python
+    DataSource (SURVEY §2.1's idiomatic ``ReadDataset`` mapping): the
+    grid lands in Zarr, then a declarative filter+aggregate runs against
+    ``spark.read.format("xbs_zarr")`` — the hour predicate prunes store
+    chunks via ``pushFilters`` before any byte is read."""
+    import tempfile
+
+    from xarray_beam_spark.sources import spark_datasource, zarr_io
+
+    d = _events_grid(spark, sf_dir, chunks={"day": 8})
+    path = tempfile.mkdtemp(prefix="xbs_dsv2_gate_")
+    zarr_io.to_zarr(d, path, zarr_chunks={"day": 8, "hour": 6})
+    spark_datasource.register(spark)
+    cells = spark.read.format("xbs_zarr").option("path", path).load()
+    return (
+        cells.where((F.col("hour") >= 6) & (F.col("hour") < 18))
+        .where(~F.isnan("cnt"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum(F.col("cnt").cast("long")).alias("total"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+    )
+
+
 @_register("xb_netcdf_roundtrip", _CELLS_SQL)
 def xb_netcdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """to_netcdf_files → from_netcdf_files identity: the reference's

@@ -1,0 +1,237 @@
+"""``xbs_zarr``: a Spark Python DataSource exposing Zarr stores to SQL.
+
+SURVEY §2.1 maps the reference's ``ReadDataset`` splittable source
+(``core.py:675-761``) to "a DataSourceV2 (Python ``DataSource`` API,
+Spark 4) 'zarr' format" — this is that source. It turns a Zarr group
+into a *long-format* table (one row per grid cell: dim-coordinate
+columns + one column per data variable), so plain Spark SQL runs
+directly against array stores:
+
+    spark.dataSource.register(ZarrDataSource)
+    cells = spark.read.format("xbs_zarr").option("path", p).load()
+    cells.where("day >= DATE'2024-02-01'").groupBy("event_type").sum()
+
+Scale design:
+- **one input partition per store chunk** (optionally coarsened via the
+  ``chunks`` option) — Spark schedules them like any other scan, AQE
+  coalesces small ones;
+- **predicate pushdown → partition pruning**: ``pushFilters`` keeps
+  comparison/equality/IN filters on monotonic 1-D dim coordinates,
+  converts them to index windows on the driver (coords are metadata-
+  sized), and ``partitions()`` skips chunks outside the window. All
+  filters are also returned to Spark for post-scan evaluation, so
+  pruning is pure optimization — correctness never depends on it;
+- **Arrow-native reads**: ``read()`` yields one pyarrow RecordBatch per
+  chunk, assembled from the zarrlite region read with numpy
+  repeat/tile coordinate expansion — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from xarray_beam_spark.sources import zarr_io, zarrlite
+
+
+def _np_to_spark(dt: np.dtype) -> T.DataType:
+    kind, size = dt.kind, dt.itemsize
+    if kind == "f":
+        return T.DoubleType() if size == 8 else T.FloatType()
+    if kind == "i":
+        return {1: T.ByteType(), 2: T.ShortType(), 4: T.IntegerType(), 8: T.LongType()}[size]
+    if kind == "u":
+        return T.LongType()
+    if kind == "b":
+        return T.BooleanType()
+    if kind == "M":
+        return T.TimestampNTZType()
+    if kind in "US":
+        return T.StringType()
+    raise TypeError(f"no Spark SQL type for numpy dtype {dt}")
+
+
+class ZarrDataSource(DataSource):
+    """See module docstring. Options: ``path`` (required), ``chunks``
+    (optional JSON dict of per-dim partition granularity in elements;
+    defaults to the store chunk grid)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "xbs_zarr"
+
+    def _plan(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("xbs_zarr requires .option('path', <zarr group>)")
+        template, store_chunks = zarr_io.open_zarr_template(path)
+        chunks = dict(store_chunks)
+        if self.options.get("chunks"):
+            chunks.update({d: int(c) for d, c in json.loads(self.options["chunks"]).items()})
+        dims = sorted(template.sizes)
+        var_names = sorted(template.var_meta)
+        for v in var_names:
+            vdims, _ = template.var_meta[v]
+            if set(vdims) != set(dims):
+                raise ValueError(
+                    f"xbs_zarr long format needs every variable on the same dims; "
+                    f"{v!r} has {vdims}, store has {tuple(dims)}"
+                )
+        return path, template, chunks, dims, var_names
+
+    def schema(self) -> T.StructType:
+        _, template, _, dims, var_names = self._plan()
+        fields = []
+        for d in dims:
+            if d in template.coords:
+                dt = _np_to_spark(template.coords[d].values.dtype)
+            else:
+                dt = T.LongType()  # bare index for coordinate-less dims
+            fields.append(T.StructField(d, dt, False))
+        for v in var_names:
+            fields.append(
+                T.StructField(v, _np_to_spark(np.dtype(template.var_meta[v][1])), True)
+            )
+        return T.StructType(fields)
+
+    def reader(self, schema: T.StructType) -> "ZarrReader":
+        return ZarrReader(*self._plan())
+
+
+class ZarrReader(DataSourceReader):
+    def __init__(self, path, template, chunks, dims, var_names):
+        self.path = path
+        self.chunks = chunks
+        self.dims = dims
+        self.var_names = var_names
+        self.sizes = {d: int(template.sizes[d]) for d in dims}
+        # 1-D dim coords only; metadata-sized, shipped with the (pickled) reader
+        self.coords = {
+            d: np.asarray(template.coords[d].values)
+            for d in dims
+            if d in template.coords and template.coords[d].dims == (d,)
+        }
+        # index windows [lo, hi) per dim, tightened by pushFilters
+        self.window = {d: (0, self.sizes[d]) for d in dims}
+
+    # -- pushdown ---------------------------------------------------------
+    def _axis(self, d: str) -> np.ndarray:
+        return self.coords.get(d, np.arange(self.sizes[d]))
+
+    def _tighten(self, d: str, lo: int, hi: int) -> None:
+        a, b = self.window[d]
+        self.window[d] = (max(a, lo), min(b, hi))
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr and len(attr) == 1 and attr[0] in self.dims:
+                d = attr[0]
+                vals = self._axis(d)
+                if vals.ndim == 1 and bool((vals[1:] >= vals[:-1]).all()):
+                    v = getattr(f, "value", None)
+                    try:
+                        if isinstance(f, EqualTo):
+                            self._tighten(d, *_eq_window(vals, v))
+                        elif isinstance(f, In):
+                            los, his = zip(*[_eq_window(vals, x) for x in f.value])
+                            self._tighten(d, min(los), max(his))
+                        elif isinstance(f, GreaterThan):
+                            self._tighten(d, int(np.searchsorted(vals, _np(v, vals), "right")), self.sizes[d])
+                        elif isinstance(f, GreaterThanOrEqual):
+                            self._tighten(d, int(np.searchsorted(vals, _np(v, vals), "left")), self.sizes[d])
+                        elif isinstance(f, LessThan):
+                            self._tighten(d, 0, int(np.searchsorted(vals, _np(v, vals), "left")))
+                        elif isinstance(f, LessThanOrEqual):
+                            self._tighten(d, 0, int(np.searchsorted(vals, _np(v, vals), "right")))
+                    except (TypeError, ValueError):
+                        pass  # incomparable literal: no pruning from this filter
+        # Spark re-evaluates everything post-scan; pruning stays best-effort.
+        return iter(filters)
+
+    # -- planning ---------------------------------------------------------
+    def partitions(self) -> Sequence[InputPartition]:
+        spans = []
+        for d in self.dims:
+            lo, hi = self.window[d]
+            if lo >= hi:
+                return []
+            c = self.chunks[d]
+            spans.append(
+                [(o, min(o + c, hi)) for o in range((lo // c) * c, hi, c)]
+            )
+            # clamp the first chunk's leading edge to the window start
+            spans[-1][0] = (max(spans[-1][0][0], lo), spans[-1][0][1])
+        out = []
+        for idx in np.ndindex(*[len(s) for s in spans]):
+            part = {d: spans[i][idx[i]] for i, d in enumerate(self.dims)}
+            out.append(InputPartition(part))
+        return out
+
+    # -- execution --------------------------------------------------------
+    def read(self, partition: InputPartition):
+        import pyarrow as pa
+
+        part: dict[str, tuple[int, int]] = partition.value
+        offsets = {d: lo for d, (lo, _) in part.items()}
+        shape = {d: hi - lo for d, (lo, hi) in part.items()}
+        ext = [shape[d] for d in self.dims]
+        cells = int(math.prod(ext))
+        if cells == 0:
+            return
+        arrays, _ = zarrlite.open_group(self.path)
+        cols = []
+        for i, d in enumerate(self.dims):
+            axis = self._axis(d)[offsets[d] : offsets[d] + ext[i]]
+            inner = int(math.prod(ext[i + 1 :]))
+            outer = int(math.prod(ext[:i]))
+            cols.append(pa.array(np.tile(np.repeat(axis, inner), outer)))
+        for v in self.var_names:
+            meta = arrays[v]
+            region = zarrlite.read_region(meta, offsets, shape)
+            # store dim order may differ from the sorted column order
+            order = [meta.logical_dims.index(d) for d in self.dims]
+            cols.append(pa.array(np.ascontiguousarray(region.transpose(order)).reshape(cells)))
+        yield pa.RecordBatch.from_arrays(cols, names=self.dims + self.var_names)
+
+
+def _np(v, like: np.ndarray):
+    """Convert a Spark literal to the coord's numpy domain for searchsorted."""
+    if like.dtype.kind == "M":
+        return np.datetime64(v).astype(like.dtype)
+    return v
+
+
+def _eq_window(vals: np.ndarray, v) -> tuple[int, int]:
+    x = _np(v, vals)
+    return (
+        int(np.searchsorted(vals, x, "left")),
+        int(np.searchsorted(vals, x, "right")),
+    )
+
+
+def register(spark) -> None:
+    """Idempotent registration of the ``xbs_zarr`` format.
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` (runtime
+    conf, default false): with it off, Spark refuses any reader that
+    implements ``pushFilters``."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ZarrDataSource)
