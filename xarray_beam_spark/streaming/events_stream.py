@@ -41,10 +41,16 @@ def _register(name: str, oracle: str | None):
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file stream (schema from the static reader,
     same ns→µs timestamp normalization as ``tables.load``)."""
-    static = load(spark, sf_dir, "events")  # also sets nanosAsLong conf
+    load(spark, sf_dir, "events")  # sets session tz (+ nanosAsLong conf)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(raw_schema).parquet(f"{sf_dir}", pathGlobFilter="events.parquet")
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
+        # NTZ → LTZ relabel (session tz pinned UTC by tables.load): watermarks
+        # require TIMESTAMP, not TIMESTAMP_NTZ.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def _run_to_memory(result: DataFrame, mode: str = "complete") -> DataFrame:

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = (
     "region",
@@ -34,14 +35,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # comparison — pin the session timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as long and truncate to microseconds.
-        # (Queries must not emit raw `ts` — DuckDB keeps full ns precision.)
+        # Some generator versions write events.ts as parquet TIMESTAMP(NANOS),
+        # which Spark's vectorized reader rejects; read those as long and
+        # truncate to microseconds. Newer data is plain TIMESTAMP(MICROS) and
+        # needs no conversion — detect from the loaded schema.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # exact integer division — double division loses precision at
-        # ns-epoch magnitude (~1.8e18 > 2^53)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # exact integer division — double division loses precision at
+            # ns-epoch magnitude (~1.8e18 > 2^53)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) loads as NTZ, which
+            # watermarks / unix_micros reject; with the session tz pinned to
+            # UTC this cast is a pure metadata relabel to LTZ, matching
+            # DuckDB's naive-timestamp view of the same column.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
