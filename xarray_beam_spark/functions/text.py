@@ -269,3 +269,157 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     fp = F.md5(F.col("text"))
     return docs.select("doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("shard_key"))
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+
+def repetition_signals(text: Column) -> dict[str, Column]:
+    """Within-document repetition quality signals (the Gopher / MassiveText
+    filter family): fraction of duplicated words and the share of the most
+    frequent word-bigram.
+
+    Both are single JVM expressions over the split-word array — zero
+    shuffles, zero Python, so they run as a row-local filter at any corpus
+    scale. The bigram mode is computed by sorting the bigram array and
+    folding a (prev, run, best) struct over it with ``aggregate`` instead
+    of an explode + groupBy, trading a per-row O(g log g) sort for not
+    shuffling the corpus."""
+    words = F.split(text, r"\s+")
+    n = F.size(words)
+    n_unique = F.size(F.array_distinct(words))
+    dup_word_fraction = F.lit(1.0) - n_unique.cast("double") / n.cast("double")
+
+    grams = F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+    )
+
+    def step(acc, g):
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            g.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    best_run = F.aggregate(F.array_sort(grams), acc0, step, lambda acc: acc["best"])
+    max_2gram_fraction = F.when(
+        n > 1, best_run.cast("double") / (n - 1).cast("double")
+    ).otherwise(F.lit(0.0))
+    return {
+        "dup_word_fraction": dup_word_fraction,
+        "max_2gram_fraction": max_2gram_fraction,
+    }
+
+
+# Oracle computes the same numbers relationally (unnest → group → mode
+# share) — different algorithm, same definition, so agreement is a real
+# cross-check rather than the same code run twice.
+_REPETITION_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS words FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words)),
+                               i -> words[i] || ' ' || words[i + 1])) AS gram
+  FROM w
+), c AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2
+), m AS (
+  SELECT doc_id, MAX(cnt) AS best, SUM(cnt) AS total FROM c GROUP BY 1
+)
+SELECT w.doc_id,
+       1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+         AS dup_word_fraction,
+       COALESCE(CAST(m.best AS DOUBLE) / m.total, 0.0) AS max_2gram_fraction
+FROM w LEFT JOIN m USING (doc_id)
+"""
+
+
+@_register("text_repetition_signals", _REPETITION_ORACLE)
+def text_repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sig = repetition_signals(F.col("text"))
+    return docs.select(
+        "doc_id",
+        sig["dup_word_fraction"].alias("dup_word_fraction"),
+        sig["max_2gram_fraction"].alias("max_2gram_fraction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary
+# ---------------------------------------------------------------------------
+
+_VOCAB_ORACLE = r"""
+SELECT w AS word, COUNT(*) AS cnt
+FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents)
+WHERE w <> ''
+GROUP BY 1
+ORDER BY cnt DESC, word ASC
+LIMIT 50
+"""
+
+
+@_register("doc_vocab_topk", _VOCAB_ORACLE)
+def doc_vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-50 vocabulary by frequency — the tokenizer-training /
+    corpus-stats primitive. One explode + one map-side-combinable count
+    shuffle on the word key; the top-k is a driver-size sort of the
+    (distinct-words)-row aggregate, never of the corpus. Ties broken by
+    word so the result set is deterministic."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# normalization / scrubbing
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonicalizing scrub for dedup keys and tokenizer input: lowercase,
+    digit runs → ``0``, punctuation → space, whitespace collapsed+trimmed.
+    All JVM regexp primitives shared verbatim with the oracle dialect."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[0-9]+", "0")
+    t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)
+
+
+_SCRUB_SQL_EXPR = (
+    "trim(regexp_replace(regexp_replace(regexp_replace(lower(text), "
+    "'[0-9]+', '0', 'g'), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+)
+
+_SCRUB_ORACLE = f"""
+SELECT doc_id,
+       CAST(length({_SCRUB_SQL_EXPR}) AS BIGINT) AS n_chars_norm,
+       md5({_SCRUB_SQL_EXPR}) AS norm_fingerprint
+FROM documents
+"""
+
+
+@_register("text_normalize_scrub", _SCRUB_ORACLE)
+def text_normalize_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        F.md5(norm).alias("norm_fingerprint"),
+    )
