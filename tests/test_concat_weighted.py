@@ -1,0 +1,101 @@
+"""concat / weighted_mean / fillna operator semantics vs in-memory NumPy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from xarray_beam_spark import dataset as dsmod
+from xarray_beam_spark.dataset import Dataset
+from xarray_beam_spark.ndarray_ds import NDDataset
+
+from tests.test_dataset_spark import dummy_era5
+
+
+@pytest.fixture(scope="module")
+def era5():
+    return dummy_era5(n_time=24)
+
+
+def test_concat_identity_roundtrip(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 6})
+    a = d.isel(time=slice(0, 12))
+    b = d.isel(time=slice(12, 24))
+    got = dsmod.concat([a, b], "time").collect()
+    assert got.identical(era5)
+
+
+def test_concat_three_way_uneven_tail(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 6})
+    parts = [d.isel(time=slice(0, 6)), d.isel(time=slice(6, 18)), d.isel(time=slice(18, 23))]
+    got = dsmod.concat(parts, "time").collect()
+    assert got.identical(era5.isel({"time": slice(0, 23)}))
+
+
+def test_concat_offsets_stay_on_grid(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 6})
+    out = dsmod.concat([d.isel(time=slice(0, 12)), d.isel(time=slice(12, 24))], "time")
+    offs = sorted(r["off_time"] for r in out.df.select("off_time").collect())
+    assert offs == [0, 6, 12, 18]
+
+
+def test_concat_rejects_misaligned_split(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 6})
+    a = d.isel(time=slice(0, 8))  # 8 % 6 != 0
+    b = d.isel(time=slice(8, 24))
+    with pytest.raises(ValueError, match="not a multiple of chunk"):
+        dsmod.concat([a, b], "time")
+
+
+def test_concat_rejects_size_mismatch(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 6})
+    a = d.isel(time=slice(0, 6))
+    b = d.isel(time=slice(6, 12), latitude=slice(0, 3))
+    with pytest.raises(ValueError, match="size mismatch"):
+        dsmod.concat([a, b], "time")
+
+
+def test_weighted_mean_matches_numpy(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 6})
+    w = np.linspace(1.0, 3.0, 24)
+    got = d.weighted_mean("time", w).collect()
+    for v, var in era5.data_vars.items():
+        vals = var.values.astype(np.float64)
+        want = np.tensordot(w, vals, axes=(0, 0)) / w.sum()
+        np.testing.assert_allclose(got.data_vars[v].values, want, rtol=1e-12)
+
+
+def test_weighted_mean_skips_nan_cells(spark):
+    vals = np.array([[1.0, np.nan], [3.0, 5.0], [np.nan, np.nan]])
+    src = NDDataset(
+        {"x": (("t", "y"), vals)},
+        {"t": np.arange(3, dtype=np.int64), "y": np.arange(2, dtype=np.int64)},
+    )
+    d = Dataset.from_numpy(spark, src, chunks={"t": 2})
+    w = np.array([2.0, 3.0, 5.0])
+    got = d.weighted_mean("t", w).collect().data_vars["x"].values
+    # col 0: (2*1 + 3*3) / (2+3); col 1: (3*5)/3
+    np.testing.assert_allclose(got, [11.0 / 5.0, 5.0])
+
+
+def test_weighted_mean_all_nan_cell_is_nan(spark):
+    vals = np.array([[np.nan], [np.nan]])
+    src = NDDataset({"x": (("t", "y"), vals)},
+                    {"t": np.arange(2, dtype=np.int64), "y": np.arange(1, dtype=np.int64)})
+    d = Dataset.from_numpy(spark, src, chunks={"t": 1})
+    got = d.weighted_mean("t", np.array([1.0, 1.0])).collect()
+    assert np.isnan(got.data_vars["x"].values).all()
+
+
+def test_weighted_mean_rejects_bad_shape(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 6})
+    with pytest.raises(ValueError, match="weights shape"):
+        d.weighted_mean("time", np.ones(7))
+
+
+def test_fillna(spark):
+    vals = np.array([1.0, np.nan, 3.0])
+    src = NDDataset({"x": (("t",), vals)}, {"t": np.arange(3, dtype=np.int64)})
+    d = Dataset.from_numpy(spark, src, chunks={"t": 2})
+    got = d.fillna(-1.0).collect().data_vars["x"].values
+    np.testing.assert_array_equal(got, [1.0, -1.0, 3.0])

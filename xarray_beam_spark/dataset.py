@@ -802,6 +802,71 @@ class Dataset:
             lambda ds: ds.transpose(*order), template=self.template, chunks=self.chunks
         )
 
+    def fillna(self, value: float) -> "Dataset":
+        """Replace NaN holes with ``value`` (xarray ``Dataset.fillna`` with
+        a scalar): embarrassingly parallel map_blocks, no shuffle."""
+        return self.map_blocks(
+            lambda ds: ds.fillna(value), template=self.template, chunks=self.chunks
+        )
+
+    def weighted_mean(self, dim: str, weights: np.ndarray) -> "Dataset":
+        """Weighted mean over ``dim`` (xarray ``ds.weighted(w).mean(dim)``):
+        ``Σ wᵢxᵢ / Σ wᵢ`` over non-NaN cells.
+
+        ``weights`` is a 1-D array aligned with the template coordinate of
+        ``dim``. Shape: one narrow map_blocks multiplies values and the
+        NaN-mask by the per-position weight (weights located by coordinate
+        lookup, so any chunking works), then the standard pre-aggregated
+        ``sum`` reduction (tree-merged at high fan-in) and a final narrow
+        divide — the same single shuffle as an unweighted mean.
+        """
+        if dim not in self.template.coords:
+            raise KeyError(f"weighted_mean needs a coordinate for {dim!r}")
+        coord_vals = np.asarray(self.template.coords[dim].values)
+        if len(coord_vals) > 1 and not np.all(coord_vals[:-1] <= coord_vals[1:]):
+            raise ValueError(f"coordinate {dim!r} must be sorted for weight lookup")
+        w_full = np.asarray(weights, dtype=np.float64)
+        if w_full.shape != (self.sizes[dim],):
+            raise ValueError(
+                f"weights shape {w_full.shape} != ({self.sizes[dim]},) for dim {dim!r}"
+            )
+        var_names = list(self.template.var_names)
+        for v, (dims_v, _) in self.template.var_meta.items():
+            if dim not in dims_v:
+                raise ValueError(f"variable {v!r} has no dim {dim!r}")
+
+        def apply_w(ds: NDDataset) -> NDDataset:
+            pos = np.searchsorted(coord_vals, np.asarray(ds.coords[dim].values))
+            w = w_full[pos]
+            out: dict[str, Variable] = {}
+            for v in var_names:
+                var = ds.data_vars[v]
+                ax = var.dims.index(dim)
+                shape = [1] * var.values.ndim
+                shape[ax] = len(w)
+                wb = w.reshape(shape)
+                vals = np.asarray(var.values, dtype=np.float64)
+                mask = ~np.isnan(vals)
+                out[f"{v}__wsum"] = Variable(var.dims, np.where(mask, vals * wb, np.nan))
+                out[f"{v}__wden"] = Variable(
+                    var.dims, np.where(mask, np.broadcast_to(wb, vals.shape), np.nan)
+                )
+            return NDDataset(out, dict(ds.coords), dict(ds.attrs))
+
+        summed = self.map_blocks(apply_w).sum(dim, skipna=True)
+
+        def finalize(ds: NDDataset) -> NDDataset:
+            out: dict[str, Variable] = {}
+            for v in var_names:
+                num = ds.data_vars[f"{v}__wsum"]
+                den = ds.data_vars[f"{v}__wden"].values
+                with np.errstate(all="ignore"):
+                    res = num.values / den
+                out[v] = Variable(num.dims, np.where(den == 0, np.nan, res))
+            return NDDataset(out, dict(ds.coords), dict(ds.attrs))
+
+        return summed.map_blocks(finalize)
+
     def diff(self, dim: str, n: int = 1) -> "Dataset":
         """Lag difference along ``dim`` (``x[i] - x[i-n]``; the first ``n``
         positions become NaN — SQL ``LAG`` semantics, so the chunk grid is
@@ -1628,6 +1693,82 @@ class Dataset:
             expected = -(-expected // fanin)
         df = df.groupBy("vars", *offc).applyInPandas(merge, schema)
         return Dataset(self.spark, df, out_tmpl, out_chunks, False)
+
+
+def concat(datasets: Sequence[Dataset], dim: str) -> Dataset:
+    """Concatenate datasets along an existing dimension (xarray
+    ``concat(..., dim=)``; the reference reaches this by unioning chunk
+    streams with re-keyed offsets, ``core.py:165-183`` key arithmetic).
+
+    Spark shape: a pure ``unionByName`` of the chunk-row DataFrames with
+    each input's offset column shifted by the cumulative size of its
+    predecessors — zero shuffle, zero payload rewrite (chunk payloads carry
+    their own coordinate slices, which are position-independent). Catalyst
+    unions scans, so downstream offset-filter pushdown still prunes.
+
+    Every input except the last must have ``sizes[dim]`` divisible by the
+    shared chunk size so shifted offsets stay on the uniform chunk grid
+    (rechunk first otherwise).
+    """
+    if not datasets:
+        raise ValueError("concat needs at least one dataset")
+    first = datasets[0]
+    if len(datasets) == 1:
+        return first
+    c = first.chunks[dim]
+    for i, ds in enumerate(datasets):
+        if ds.split_vars != first.split_vars:
+            raise ValueError("concat: mixed split_vars")
+        if ds.template.var_meta != first.template.var_meta:
+            raise ValueError("concat: variable schemas differ")
+        for d, s in ds.sizes.items():
+            if d != dim and s != first.sizes[d]:
+                raise ValueError(f"concat: size mismatch on {d!r}: {s} != {first.sizes[d]}")
+            if ds.chunks[d] != first.chunks[d]:
+                # the final input may be one ragged chunk (normalize_chunks
+                # clamps chunk to size); its single offset still lands on
+                # the uniform grid
+                tail_ok = (
+                    d == dim
+                    and i == len(datasets) - 1
+                    and ds.chunks[d] >= ds.sizes[d]
+                )
+                if not tail_ok:
+                    raise ValueError(f"concat: chunk mismatch on {d!r}")
+        if i < len(datasets) - 1 and ds.sizes[dim] % c != 0:
+            raise ValueError(
+                f"concat: input {i} has sizes[{dim!r}]={ds.sizes[dim]}, not a "
+                f"multiple of chunk {c}; rechunk before concat"
+            )
+
+    off = off_col(dim)
+    dfs, shift = [], 0
+    for ds in datasets:
+        dfs.append(ds.df.withColumn(off, (F.col(off) + F.lit(shift)).cast("long")))
+        shift += ds.sizes[dim]
+
+    out_df = dfs[0]
+    for d in dfs[1:]:
+        out_df = out_df.unionByName(d)
+
+    tmpl = first.template
+    new_sizes = dict(tmpl.sizes)
+    new_sizes[dim] = shift
+    new_coords: dict[str, Variable] = {}
+    for name, coord in tmpl.coords.items():
+        if dim in coord.dims:
+            ax = coord.dims.index(dim)
+            parts = [d.template.coords[name].values for d in datasets]
+            new_coords[name] = Variable(coord.dims, np.concatenate(parts, axis=ax))
+        else:
+            for d in datasets[1:]:
+                if not np.array_equal(d.template.coords[name].values, coord.values):
+                    raise ValueError(f"concat: coordinate {name!r} differs between inputs")
+            new_coords[name] = coord
+    out_tmpl = Template(
+        sizes=new_sizes, var_meta=dict(tmpl.var_meta), coords=new_coords, attrs=tmpl.attrs
+    )
+    return Dataset(first.spark, out_df, out_tmpl, dict(first.chunks), first.split_vars)
 
 
 class MemoryScan:

@@ -680,3 +680,57 @@ def xb_grid_rolling7_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     each chunk meets only its predecessor's 6-wide sliver."""
     d = _events_grid(spark, sf_dir, chunks={"day": 10})
     return d.rolling_reduce("day", 7, op="mean").to_table(dropna=True)
+
+
+@_register("xb_grid_concat_halves", _CELLS_SQL)
+def xb_grid_concat_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split the day axis into two windows with ``isel`` (scan-rewritten,
+    pruned reads) and ``concat`` them back — xarray ``concat`` along an
+    existing dim as a zero-shuffle union of offset-shifted chunk streams.
+    Identity against the cells oracle proves offset re-keying is exact."""
+    from xarray_beam_spark import dataset as dsmod
+
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    half = (d.sizes["day"] // 2 // 7) * 7 or 7
+    a = d.isel(day=slice(0, half))
+    b = d.isel(day=slice(half, None))
+    return dsmod.concat([a, b], "day").to_table(dropna=True)
+
+
+@_register(
+    "xb_grid_weighted_mean_hour",
+    f"""
+SELECT day, event_type,
+       SUM(cnt * (hour + 1)) / SUM(hour + 1) AS cnt
+FROM ({_CELLS_SQL})
+GROUP BY 1, 2
+""",
+)
+def xb_grid_weighted_mean_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean over the hour axis (weight = hour index + 1):
+    ``ds.weighted(w).mean(dim)`` semantics — weights applied to present
+    cells only, one narrow weighting pass + the standard pre-aggregated
+    sum shuffle. Exactness: integer-valued products/sums, one division."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    w = np.arange(1, 25, dtype=np.float64)
+    return d.weighted_mean("hour", w).to_table(dropna=True)
+
+
+@_register(
+    "xb_grid_fillna_dense",
+    f"""
+WITH cells AS ({_CELLS_SQL})
+SELECT d.day, h.hour, t.event_type, COALESCE(c.cnt, 0.0) AS cnt
+FROM (SELECT DISTINCT day FROM cells) d
+CROSS JOIN (SELECT DISTINCT hour FROM cells) h
+CROSS JOIN (SELECT DISTINCT event_type FROM cells) t
+LEFT JOIN cells c USING (day, hour, event_type)
+""",
+)
+def xb_grid_fillna_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``fillna(0)`` then densified output (``dropna=False``): every grid
+    cell materializes, absent cells as 0 — the oracle builds the same dense
+    grid relationally. Note the hour axis densifies only hours present in
+    the data-derived coordinate (all 24 at gate scale)."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    return d.fillna(0.0).to_table(dropna=False)
