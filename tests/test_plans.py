@@ -61,3 +61,42 @@ def test_grid_mean_preaggregates_before_shuffle(spark, sf_dir):
     assert "MapInPandas" in plan  # pre-aggregate (narrow)
     # tree order: the narrow pre-agg sits deeper than the grouped stage
     assert plan.index("MapInPandas") > plan.index("FlatMapGroupsInPandas")
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Co-bucketed fact tables must join with zero Exchange — the storage
+    layout that makes repeated fact-fact joins viable at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from xarray_beam_spark import sinks
+    from xarray_beam_spark.tables import load
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS buckdemo LOCATION '{tmp_path}'")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        tables = sinks.cobucket_tables(
+            spark,
+            {
+                "li_b": (load(spark, sf_dir, "lineitem"), ["l_orderkey"]),
+                "ord_b": (load(spark, sf_dir, "orders"), ["o_orderkey"]),
+            },
+            n_buckets=8,
+            database="buckdemo",
+        )
+        joined = (
+            tables["li_b"]
+            .join(tables["ord_b"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        plan = _formatted_plan(joined)
+        join_section = plan.split("HashAggregate")[0]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in join_section  # bucket metadata co-locates both scans
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS buckdemo.li_b")
+        spark.sql("DROP TABLE IF EXISTS buckdemo.ord_b")
+        spark.sql("DROP DATABASE IF EXISTS buckdemo")

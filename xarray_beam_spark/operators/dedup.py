@@ -529,3 +529,120 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.groupBy(F.pmod(F.col("simhash"), F.lit(1024)).alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
     )
+
+
+def canonical_docs(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """Pick one canonical representative per duplicate cluster — the
+    keep/drop decision that follows clustering in a corpus pipeline.
+    Canonical = longest document, ties to the smallest id (deterministic).
+
+    One broadcast-sized shuffle on cluster_id over the *clusters* frame
+    (already orders of magnitude smaller than the corpus); the corpus
+    itself is only semi-joined, never reshuffled."""
+    joined = clusters.join(docs.select(id_col, length_col), on=id_col)
+    best = F.max(
+        F.struct(
+            F.col(length_col).alias("len"), (-F.col(id_col)).alias("negid")
+        )
+    ).alias("b")
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            best,
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("b.negid")).alias("canonical_doc"),
+            F.col("b.len").alias("canonical_chars"),
+            "n_members",
+        )
+    )
+
+
+_CANONICAL_ORACLE = r"""
+WITH RECURSIVE
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000,
+         array_to_string(list_slice(w, 1, greatest(len(w) - 2, 1)), ' ')
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)
+  UNION ALL
+  SELECT doc_id + 2000000000,
+         array_to_string(list_slice(w, 1, greatest(len(w) - 4, 1)), ' ')
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         ELSE [array_to_string(w, ' ')] END AS s
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM corpus)
+),
+edges AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON b.doc_id % 1000000000 = a.doc_id % 1000000000
+                     AND b.doc_id > a.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.55
+),
+und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach(node, label) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT u.a, r.label FROM reach r JOIN und u ON u.b = r.node
+),
+clusters AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, length(t.text) AS n_chars,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY length(t.text) DESC, c.doc_id ASC) AS rn
+  FROM clusters c JOIN corpus t USING (doc_id)
+)
+SELECT cluster_id, doc_id AS canonical_doc, n_chars AS canonical_chars,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+
+@_register("dedup_canonical_docs", _CANONICAL_ORACLE)
+def dedup_canonical_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clusters → canonical representative per cluster (longest text, ties
+    to min id) — the full near-dup keep/drop pipeline end to end; oracle
+    re-derives clusters with a recursive CTE and ranks with SQL windows."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), r"\s+")
+
+    def variant(drop: int, shift: int) -> DataFrame:
+        return docs.select(
+            (F.col("doc_id") + F.lit(shift)).alias("doc_id"),
+            F.concat_ws(
+                " ", F.slice(words, 1, F.greatest(F.size(words) - drop, F.lit(1)))
+            ).alias("text"),
+        )
+
+    corpus = docs.unionAll(variant(2, 10**9)).unionAll(variant(4, 2 * 10**9))
+    sh = corpus.select("doc_id", word_shingles(F.col("text"), 3).alias("s")).persist()
+    a, b = sh.alias("a"), sh.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("b.doc_id") % 10**9 == F.col("a.doc_id") % 10**9)
+            & (F.col("b.doc_id") > F.col("a.doc_id")),
+        )
+        .where(exact_jaccard(F.col("a.s"), F.col("b.s")) >= 0.55)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    clusters = duplicate_clusters(edges)
+    lengths = corpus.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+    return canonical_docs(clusters, lengths)

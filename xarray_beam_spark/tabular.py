@@ -1212,3 +1212,58 @@ def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization — session_window outside streaming, validated against
+# the classic SQL gaps-and-islands formulation.
+# ---------------------------------------------------------------------------
+
+_SESSIONIZE_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, sess
+"""
+
+
+@register("events_sessionize_batch", _SESSIONIZE_ORACLE)
+def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization of the event log in BATCH mode via
+    ``session_window`` — the same builtin the streaming pipeline uses, so
+    backfill and live paths share one definition. The oracle is the
+    equivalent gaps-and-islands SQL (LAG ≥ gap starts an island), proving
+    the two formulations agree row-for-row.
+
+    Scale shape: session_window is a single keyed aggregation — one
+    shuffle on user_id, sessions assembled executor-side. The SQL-window
+    alternative needs the same shuffle plus a full per-user sort, so the
+    builtin is strictly cheaper at 100 TB. Boundary semantics: a gap of
+    exactly 30:00 closes the session in both engines (window end is
+    exclusive)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).alias("_tv"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            F.col("_tv").cast("double").alias("total_value"),
+        )
+    )
