@@ -35,3 +35,52 @@ def test_clean_corpus_plan_is_jvm_only(spark):
     for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert node not in plan
     assert plan.count("Exchange") <= 2  # window hash shuffle (+ AQE read)
+
+
+def test_token_windows_shapes(spark):
+    from xarray_beam_spark.operators.corpus import token_windows
+
+    rows = [(1, "web", " ".join(f"w{i}" for i in range(70))),  # 70 tokens -> 3 windows
+            (2, "web", "only three words")]                     # 1 window
+    out = token_windows(_docs(spark, rows), window_tokens=32).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 3 and len(by_doc[2]) == 1
+    w1 = sorted(by_doc[1], key=lambda r: r["window_id"])
+    assert [r["n_tokens"] for r in w1] == [32, 32, 6]
+    assert [r["token_start"] for r in w1] == [1, 33, 65]
+    assert w1[0]["window_text"].startswith("w0 ") and w1[2]["window_text"] == "w64 w65 w66 w67 w68 w69"
+    # reassembling windows reproduces the document
+    assert " ".join(r["window_text"] for r in w1) == rows[0][2]
+
+
+def test_token_windows_no_shuffle_no_python(spark):
+    from xarray_beam_spark.operators.corpus import token_windows
+
+    out = token_windows(_docs(spark, [(1, "web", "a b c")]), window_tokens=2)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    for node in ("Exchange", "BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    from xarray_beam_spark.operators.corpus import hash_split
+
+    rows = [(i, "web", f"document number {i} body") for i in range(200)]
+    d = _docs(spark, rows)
+    a = {r["doc_id"]: r["split"] for r in hash_split(d, {"train": 90, "val": 5, "test": 5}).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(d, {"train": 90, "val": 5, "test": 5}).collect()}
+    assert a == b  # deterministic across runs
+    assert set(a.values()) <= {"train", "val", "test"}
+    assert sum(v == "train" for v in a.values()) > 150  # roughly 90%
+
+
+def test_hash_split_salt_changes_assignment(spark):
+    from xarray_beam_spark.operators.corpus import hash_split
+
+    rows = [(i, "web", f"document number {i} body") for i in range(200)]
+    d = _docs(spark, rows)
+    a = {r["doc_id"]: r["split"] for r in hash_split(d, {"a": 1, "b": 1}).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(d, {"a": 1, "b": 1}, salt="other").collect()}
+    assert a != b

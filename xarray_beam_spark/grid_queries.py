@@ -64,13 +64,13 @@ def _cells(spark: SparkSession, sf_dir: str):
             F.count(F.lit(1)).cast("double").alias("cnt"),
             F.countDistinct("user_id").cast("double").alias("users"),
         ).persist()
-        days = np.array(
-            [r[0] for r in cells.select("day").distinct().orderBy("day").collect()],
-            dtype="datetime64[us]",
-        )
-        etypes = np.array(
-            sorted(r[0] for r in cells.select("event_type").distinct().collect())
-        )
+        # one job for both coordinate axes (collect_set on the tiny
+        # persisted cells frame), not one job each
+        row = cells.agg(
+            F.collect_set("day").alias("d"), F.collect_set("event_type").alias("e")
+        ).first()
+        days = np.array(sorted(row["d"]), dtype="datetime64[us]")
+        etypes = np.array(sorted(row["e"]))
         _CACHE[key] = hit = (cells, days, etypes)
     return hit
 

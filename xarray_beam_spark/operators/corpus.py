@@ -115,3 +115,122 @@ def corpus_clean_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking (sequence preparation for training)
+# ---------------------------------------------------------------------------
+
+
+def token_windows(
+    docs: DataFrame,
+    window_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-token-budget windows — the
+    context-window chunking step that turns a cleaned corpus into training
+    sequences. One row per (doc, window) with the window's text slice and
+    token count.
+
+    Scale shape: pure row-local JVM expressions — split once, explode a
+    ``sequence`` of window indices, slice the word array per window. No
+    shuffle, no Python; output row count is Σ⌈tokens/window⌉, produced
+    streaming per input partition."""
+    words = F.split(F.col(text_col), r"\s+")
+    n_windows = F.ceil(F.col("_n").cast("double") / window_tokens).cast("int")
+    w = F.explode(F.sequence(F.lit(0), n_windows - 1)).alias("window_id")
+    start = F.col("window_id") * window_tokens
+    return (
+        docs.select(id_col, words.alias("_w"), F.size(words).alias("_n"))
+        .select(id_col, "_w", "_n", w)
+        .select(
+            F.col(id_col),
+            F.col("window_id").cast("long").alias("window_id"),
+            (start + 1).cast("long").alias("token_start"),  # 1-based, matches SQL slicing
+            F.least(F.lit(window_tokens), F.col("_n") - start).cast("long").alias("n_tokens"),
+            F.concat_ws(" ", F.slice(F.col("_w"), start + 1, window_tokens)).alias("window_text"),
+        )
+    )
+
+
+_WINDOWS_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS words FROM documents
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS window_id,
+       CAST(i * 32 + 1 AS BIGINT) AS token_start,
+       CAST(least(32, len(words) - i * 32) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(words, i * 32 + 1, i * 32 + 32), ' ') AS window_text
+FROM w, unnest(generate_series(0, CAST(ceil(len(words) / 32.0) AS BIGINT) - 1)) AS t(i)
+"""
+
+
+@_register("doc_token_windows", _WINDOWS_ORACLE)
+def doc_token_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return token_windows(docs, window_tokens=32)
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash splits / sampling (repeatable train-val-test)
+# ---------------------------------------------------------------------------
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, int],
+    key_col: str = "text",
+    salt: str = "xbs-split",
+) -> DataFrame:
+    """Assign every row to a named split with probability proportional to
+    ``weights``, deterministically from a content hash — the repeatable
+    train/val/test assignment a training pipeline needs (re-runs, late
+    data, and multi-team reads all agree; no RNG state, no coordination).
+
+    Uses the last 8 hex digits of md5(salt ‖ key) as a uniform integer:
+    row-local, engine-portable, and stable under repartitioning — unlike
+    ``rand()``-based splits, which reshuffle membership every run."""
+    total = sum(weights.values())
+    bucket = F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col))), 25, 8), 16, 10).cast(
+        "long"
+    ) % total
+    expr = F.when(F.lit(False), F.lit(""))
+    lo = 0
+    for name, share in weights.items():
+        expr = expr.when(bucket < lo + share, F.lit(name))
+        lo += share
+    return docs.withColumn("split", expr)
+
+
+def sql_hash_bucket(key_sql: str, total: int, salt: str = "xbs-split") -> str:
+    """DuckDB expression matching :func:`hash_split`'s bucket assignment."""
+    return f"CAST('0x' || substr(md5('{salt}' || {key_sql}), 25, 8) AS BIGINT) % {total}"
+
+
+_SPLIT_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, source, {sql_hash_bucket('text', 100)} AS bucket FROM documents
+)
+SELECT CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       source,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc
+FROM b GROUP BY 1, 2
+"""
+
+
+@_register("corpus_hash_split", _SPLIT_ORACLE)
+def corpus_hash_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split, rolled up per source —
+    both engines derive membership from the same md5 bucket, so the split
+    is reproducible anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    split = hash_split(docs, {"train": 90, "val": 5, "test": 5})
+    return (
+        split.groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
+    )

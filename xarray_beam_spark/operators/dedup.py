@@ -14,6 +14,8 @@ Jaccard verification step that IS oracle-checkable.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -96,18 +98,26 @@ def exact_jaccard(a: Column, b: Column) -> Column:
 
 
 def simhash_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2, bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    bits: int = 64,
+    hash_fn: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
-    """64-bit SimHash per document (JVM-side, no UDF).
+    """SimHash per document (JVM-side, no UDF).
 
     Standard SimHash (Charikar 2002): explode shingles, hash each once
-    with xxhash64, then one aggregation pass computes all bit-position
-    ±1 sums (map-side combinable); the fingerprint assembles sign bits
-    with shiftleft. One shuffle on ``id_col``.
+    (default xxhash64 — fastest JVM hash; pass ``hash_fn`` to swap in an
+    engine-portable hash for cross-engine verification), then one
+    aggregation pass computes all bit-position ±1 sums (map-side
+    combinable); the fingerprint assembles sign bits with shiftleft. One
+    shuffle on ``id_col``.
     """
+    hf = hash_fn if hash_fn is not None else F.xxhash64
     exploded = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
-    ).withColumn("h", F.xxhash64("sh"))
+    ).withColumn("h", hf(F.col("sh")))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), pos).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -519,16 +529,102 @@ def dedup_duplicate_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(edges)
 
 
-@_register("dedup_simhash", None)  # xxhash64 not expressible in DuckDB
+# Engine-portable SimHash for the gate: per-shingle hash = first 15 hex
+# digits of md5 (60 bits, positive in both engines), 32-bit
+# fingerprint. The production default stays xxhash64 (fastest JVM path);
+# swapping ONLY the hash function exercises identical shingle/bit-sum/
+# sign-assembly logic, so the oracle now checks values, not just rows.
+_SIMHASH_ORACLE = r"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 2 THEN
+             list_distinct(list_transform(generate_series(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1]))
+           ELSE [array_to_string(w, ' ')] END) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)
+),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h FROM sh),
+b AS (
+  SELECT doc_id,
+       SUM(CASE WHEN (h >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS b0,
+       SUM(CASE WHEN (h >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS b1,
+       SUM(CASE WHEN (h >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS b2,
+       SUM(CASE WHEN (h >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS b3,
+       SUM(CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS b4,
+       SUM(CASE WHEN (h >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS b5,
+       SUM(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS b6,
+       SUM(CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS b7,
+       SUM(CASE WHEN (h >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS b8,
+       SUM(CASE WHEN (h >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS b9,
+       SUM(CASE WHEN (h >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS b10,
+       SUM(CASE WHEN (h >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS b11,
+       SUM(CASE WHEN (h >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS b12,
+       SUM(CASE WHEN (h >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS b13,
+       SUM(CASE WHEN (h >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS b14,
+       SUM(CASE WHEN (h >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS b15,
+       SUM(CASE WHEN (h >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS b16,
+       SUM(CASE WHEN (h >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS b17,
+       SUM(CASE WHEN (h >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS b18,
+       SUM(CASE WHEN (h >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS b19,
+       SUM(CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS b20,
+       SUM(CASE WHEN (h >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS b21,
+       SUM(CASE WHEN (h >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS b22,
+       SUM(CASE WHEN (h >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS b23,
+       SUM(CASE WHEN (h >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS b24,
+       SUM(CASE WHEN (h >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS b25,
+       SUM(CASE WHEN (h >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS b26,
+       SUM(CASE WHEN (h >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS b27,
+       SUM(CASE WHEN (h >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS b28,
+       SUM(CASE WHEN (h >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS b29,
+       SUM(CASE WHEN (h >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS b30,
+       SUM(CASE WHEN (h >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS b31
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN b0 > 0 THEN CAST(1 AS BIGINT) << 0 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b1 > 0 THEN CAST(1 AS BIGINT) << 1 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b2 > 0 THEN CAST(1 AS BIGINT) << 2 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b3 > 0 THEN CAST(1 AS BIGINT) << 3 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b4 > 0 THEN CAST(1 AS BIGINT) << 4 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b5 > 0 THEN CAST(1 AS BIGINT) << 5 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b6 > 0 THEN CAST(1 AS BIGINT) << 6 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b7 > 0 THEN CAST(1 AS BIGINT) << 7 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b8 > 0 THEN CAST(1 AS BIGINT) << 8 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b9 > 0 THEN CAST(1 AS BIGINT) << 9 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b10 > 0 THEN CAST(1 AS BIGINT) << 10 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b11 > 0 THEN CAST(1 AS BIGINT) << 11 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b12 > 0 THEN CAST(1 AS BIGINT) << 12 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b13 > 0 THEN CAST(1 AS BIGINT) << 13 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b14 > 0 THEN CAST(1 AS BIGINT) << 14 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b15 > 0 THEN CAST(1 AS BIGINT) << 15 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b16 > 0 THEN CAST(1 AS BIGINT) << 16 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b17 > 0 THEN CAST(1 AS BIGINT) << 17 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b18 > 0 THEN CAST(1 AS BIGINT) << 18 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b19 > 0 THEN CAST(1 AS BIGINT) << 19 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b20 > 0 THEN CAST(1 AS BIGINT) << 20 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b21 > 0 THEN CAST(1 AS BIGINT) << 21 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b22 > 0 THEN CAST(1 AS BIGINT) << 22 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b23 > 0 THEN CAST(1 AS BIGINT) << 23 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b24 > 0 THEN CAST(1 AS BIGINT) << 24 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b25 > 0 THEN CAST(1 AS BIGINT) << 25 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b26 > 0 THEN CAST(1 AS BIGINT) << 26 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b27 > 0 THEN CAST(1 AS BIGINT) << 27 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b28 > 0 THEN CAST(1 AS BIGINT) << 28 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b29 > 0 THEN CAST(1 AS BIGINT) << 29 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b30 > 0 THEN CAST(1 AS BIGINT) << 30 ELSE CAST(0 AS BIGINT) END
+     + CASE WHEN b31 > 0 THEN CAST(1 AS BIGINT) << 31 ELSE CAST(0 AS BIGINT) END AS simhash
+FROM b
+"""
+
+
+@_register("dedup_simhash", _SIMHASH_ORACLE)
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints + bucket sizes (rows-only check: deterministic
-    output, no SQL oracle because DuckDB lacks xxhash64)."""
+    """SimHash fingerprints with an engine-portable md5-derived shingle
+    hash (value-checked against DuckDB); production callers use the
+    xxhash64 default of :func:`simhash_table`."""
     docs = load(spark, sf_dir, "documents")
-    sh = simhash_table(docs)
-    return (
-        sh.groupBy(F.pmod(F.col("simhash"), F.lit(1024)).alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
-    )
+    portable = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    return simhash_table(docs, bits=32, hash_fn=portable)
 
 
 def canonical_docs(
