@@ -1,0 +1,78 @@
+"""Training-corpus preparation pipeline, end to end.
+
+The LLM-data shape this engine is built for: raw documents → quality +
+language filter → exact dedup → near-dup clustering → canonical doc
+selection → context-window chunking → deterministic train/val/test split
+→ partitioned parquet, all as declarative Spark plans (the only Python
+in the hot path is none at all — every stage is JVM expressions).
+
+Run:  python examples/corpus_pipeline.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from xarray_beam_spark.operators.corpus import clean_corpus, hash_split, token_windows
+from xarray_beam_spark.operators.dedup import (
+    canonical_docs,
+    duplicate_clusters,
+    exact_jaccard,
+    minhash_lsh_pairs,
+    word_shingles,
+)
+from xarray_beam_spark.session import get_spark
+from xarray_beam_spark.tables import load
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001", out: str = "/tmp/corpus_out") -> None:
+    spark = get_spark("corpus-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    from xarray_beam_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+
+    docs = load(spark, sf_dir, "documents")
+    n_raw = docs.count()
+
+    # 1. quality + language + exact-dedup funnel (one fused scan)
+    kept = clean_corpus(docs.select("doc_id", "source", "text"), min_tokens=10, max_tokens=500)
+    kept = kept.select("doc_id", "source", "text").persist()
+    n_clean = kept.count()
+
+    # 2. near-dup clustering on the survivors → canonical per cluster
+    pairs = minhash_lsh_pairs(kept, min_jaccard=0.8, max_bucket_size=200)
+    clusters = duplicate_clusters(pairs)
+    lengths = kept.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+    canon = canonical_docs(clusters, lengths)
+    # survivors = docs not in any cluster, plus each cluster's canonical
+    drop = clusters.join(
+        canon.select(F.col("canonical_doc").alias("doc_id")), on="doc_id", how="left_anti"
+    ).select("doc_id")
+    survivors = kept.join(drop, on="doc_id", how="left_anti")
+    n_canon = survivors.count()
+
+    # 3. context windows + deterministic split, landed partitioned by split
+    windows = token_windows(survivors, window_tokens=64)
+    split = hash_split(
+        windows.join(survivors.select("doc_id", "text"), on="doc_id"),
+        {"train": 90, "val": 5, "test": 5},
+    ).select("doc_id", "window_id", "n_tokens", "window_text", "split")
+    split.write.mode("overwrite").partitionBy("split").parquet(out)
+
+    back = spark.read.parquet(out)
+    per_split = {r["split"]: r["n"] for r in back.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    print(
+        f"corpus pipeline: raw={n_raw} clean={n_clean} after near-dup={n_canon} "
+        f"windows={sum(per_split.values())} splits={per_split}"
+    )
+    print(f"wrote partitioned parquet to {out}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

@@ -99,3 +99,14 @@ def test_fillna(spark):
     d = Dataset.from_numpy(spark, src, chunks={"t": 2})
     got = d.fillna(-1.0).collect().data_vars["x"].values
     np.testing.assert_array_equal(got, [1.0, -1.0, 3.0])
+
+
+def test_concat_plan_has_no_exchange(spark, era5):
+    """concat must be a pure union of offset-shifted scans — no shuffle."""
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 6})
+    out = dsmod.concat([d.isel(time=slice(0, 12)), d.isel(time=slice(12, 24))], "time")
+    plan = out.df._sc._jvm.PythonSQLUtils.explainString(
+        out.df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
+    assert "Union" in plan

@@ -36,3 +36,11 @@ def test_zarr_rechunk_example(tmp_path):
     # pass explicit paths instead)
     stdout = _run("zarr_rechunk.py")
     assert "wrote" in stdout and "counters" in stdout
+
+
+def test_corpus_pipeline_example(tmp_path):
+    out = _run("corpus_pipeline.py", "/root/testdata/sf0.001", str(tmp_path / "corpus"))
+    assert "corpus pipeline: raw=500" in out
+    assert "wrote partitioned parquet" in out
+    import glob
+    assert glob.glob(str(tmp_path / "corpus" / "split=train" / "*.parquet"))

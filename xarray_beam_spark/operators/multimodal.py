@@ -241,11 +241,34 @@ def multimodal_meta_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("multimodal_features", None)  # decode is the (stubbed) fake codec
+# The fake decoder tiles the utf-8 bytes of the doc into a 64-pixel image,
+# so every feature is exact integer-derived arithmetic the oracle can
+# reproduce: mean = Σpx/64 (exact: integer sum, /2^6), std via explicit
+# two-pass mean-of-squared-deviations (all quantities exactly representable:
+# px-mean has a 1/64-granular fraction, its square ≤ 28 mantissa bits), and
+# bin0 = #px < 16. Writing the oracle's std EXPLICITLY (not stddev_pop,
+# which is Welford-accumulated) keeps both engines bit-identical.
+_FEATURES_ORACLE = """
+WITH px AS (
+  SELECT doc_id AS asset_id,
+         list_transform(range(1, 65),
+           i -> CAST(ascii(substr(text, CAST(((i - 1) % length(text)) + 1 AS INT), 1)) AS DOUBLE)) AS p
+  FROM documents
+), m AS (
+  SELECT asset_id, p, list_sum(p) / 64.0 AS mean_px FROM px
+)
+SELECT asset_id, mean_px,
+       sqrt(list_sum(list_transform(p, x -> (x - mean_px) * (x - mean_px))) / 64.0) AS std_px,
+       CAST(len(list_filter(p, x -> x < 16)) AS BIGINT) AS bin0
+FROM m
+"""
+
+
+@_register("multimodal_features", _FEATURES_ORACLE)
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + feature plumbing over every asset (deterministic fake
-    decoder; rows-only check — exact values are unit-tested in
-    tests/test_multimodal.py)."""
+    """Decode + feature extraction over every asset (deterministic fake
+    decoder) — value-checked: the oracle re-derives the tiled-byte image
+    and its exact mean/std/histogram-bin arithmetic in SQL."""
     docs = load(spark, sf_dir, "documents")
     assets = documents_as_assets(docs)
     feats = extract_features(assets)
