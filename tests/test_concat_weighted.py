@@ -110,3 +110,31 @@ def test_concat_plan_has_no_exchange(spark, era5):
     )
     assert "Exchange" not in plan
     assert "Union" in plan
+
+
+def test_rename_astype_dropvars_assign_attrs(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 6})
+    r = d.rename({"asn": "snow"})
+    assert "snow" in r.template.var_names and "asn" not in r.template.var_names
+    got = r.collect()
+    np.testing.assert_array_equal(got.data_vars["snow"].values, era5.data_vars["asn"].values)
+
+    c = d.astype("float64")
+    assert all(m[1] == "<f8" for m in c.template.var_meta.values())
+    np.testing.assert_allclose(
+        c.collect().data_vars["asn"].values, era5.data_vars["asn"].values.astype("float64")
+    )
+
+    dv = d.drop_vars("asn")
+    assert dv.template.var_names == ["d2m"]
+
+    aa = d.assign_attrs(source="unit-test")
+    assert aa.template.attrs["source"] == "unit-test"
+    assert aa.df is d.df  # metadata-only: no new plan
+
+
+def test_rename_collision_raises(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 6})
+    import pytest as _pt
+    with _pt.raises(ValueError, match="collides"):
+        d.rename({"asn": "d2m"})
