@@ -138,3 +138,32 @@ def test_rename_collision_raises(spark, era5):
     import pytest as _pt
     with _pt.raises(ValueError, match="collides"):
         d.rename({"asn": "d2m"})
+
+
+def test_argmin_argmax_vs_numpy(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 6})
+    got_min = d.argmin("time").collect()
+    got_max = d.argmax("time").collect()
+    for v, var in era5.data_vars.items():
+        np.testing.assert_array_equal(
+            got_min.data_vars[v].values, np.argmin(var.values, axis=0).astype(np.float64)
+        )
+        np.testing.assert_array_equal(
+            got_max.data_vars[v].values, np.argmax(var.values, axis=0).astype(np.float64)
+        )
+
+
+def test_argmin_ties_and_nans_chunking_independent(spark):
+    vals = np.array(
+        [[5.0, np.nan, 1.0], [2.0, np.nan, 1.0], [2.0, np.nan, 0.5], [9.0, np.nan, 0.5]]
+    )
+    src = NDDataset(
+        {"x": (("t", "y"), vals)},
+        {"t": np.arange(4, dtype=np.int64), "y": np.arange(3, dtype=np.int64)},
+    )
+    for c in (1, 2, 3, 4):
+        got = Dataset.from_numpy(spark, src, chunks={"t": c}).argmin("t").collect()
+        res = got.data_vars["x"].values
+        assert res[0] == 1.0  # min 2.0 first occurs at t=1 (tie with t=2)
+        assert np.isnan(res[1])  # all-NaN series
+        assert res[2] == 2.0  # min 0.5 first occurs at t=2

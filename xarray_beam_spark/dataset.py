@@ -1403,6 +1403,23 @@ class Dataset:
     def max(self, dim: str | Sequence[str], skipna: bool = True) -> "Dataset":
         return self._agg("max", dim, skipna)
 
+    def argmin(self, dim: str) -> "Dataset":
+        """Global element index of the minimum along ``dim`` (xarray
+        ``argmin``; first occurrence on ties, so the answer is independent
+        of chunking). Same single-shuffle pre-aggregated plan as ``min`` —
+        the accumulator carries (value, index) pairs. All-NaN series
+        yield NaN. skipna=True semantics only."""
+        if not isinstance(dim, str):
+            raise TypeError("argmin reduces exactly one dim")
+        return self._agg("argmin", dim, True)
+
+    def argmax(self, dim: str) -> "Dataset":
+        """Global element index of the maximum along ``dim`` (see
+        :meth:`argmin`)."""
+        if not isinstance(dim, str):
+            raise TypeError("argmax reduces exactly one dim")
+        return self._agg("argmax", dim, True)
+
     def count(self, dim: str | Sequence[str]) -> "Dataset":
         """Number of non-NaN elements over dims (xarray ``count``)."""
         return self._agg("count", dim, skipna=True)
@@ -1530,7 +1547,14 @@ class Dataset:
                 for r in pdf.itertuples():
                     rd = r._asdict()
                     ds = decode_chunk(rd["payload"])
-                    acc = _pre_aggregate(ds, var_names, red_dims, op, skipna)
+                    acc = _pre_aggregate(
+                        ds,
+                        var_names,
+                        red_dims,
+                        op,
+                        skipna,
+                        offsets={d: int(rd[off_col(d)]) for d in red_dims},
+                    )
                     row = {off_col(d): int(rd[off_col(d)]) for d in keep_dims}
                     row["vars"] = rd["vars"]
                     row["payload"] = encode_chunk(acc)
@@ -1871,12 +1895,30 @@ class MemoryScan:
 # ---------------------------------------------------------------------------
 
 
+def _arg_combine(val_a, arg_a, val_b, arg_b, op: str):
+    """Elementwise associative combine for arg-extremum accumulators:
+    prefer the better value; NaN (empty) loses to any value; ties go to
+    the smaller global index (first-occurrence semantics, so the result
+    is chunking-independent)."""
+    better = (val_b < val_a) if op == "argmin" else (val_b > val_a)
+    better = better | (np.isnan(val_a) & ~np.isnan(val_b))
+    tie = (val_b == val_a) & (arg_b < arg_a)
+    take_b = better | tie
+    return np.where(take_b, val_b, val_a), np.where(take_b, arg_b, arg_a)
+
+
 def _pre_aggregate(
-    ds: NDDataset, var_names: list[str], red_dims: list[str], op: str, skipna: bool
+    ds: NDDataset,
+    var_names: list[str],
+    red_dims: list[str],
+    op: str,
+    skipna: bool,
+    offsets: Mapping[str, int] | None = None,
 ) -> NDDataset:
     """Per-chunk partial aggregate → accumulator variables.
 
-    mean/sum: (sum, count); min/max: (min|max); std/var: (sum, sumsq, count).
+    mean/sum: (sum, count); min/max: (min|max); std/var: (sum, sumsq,
+    count); argmin/argmax: (extremum value, global element index).
     Reference: ``combiners.py:37-64`` (_SumAndCount).
     """
     out: dict[str, Variable] = {}
@@ -1887,7 +1929,20 @@ def _pre_aggregate(
         a = var.values
         isf = np.issubdtype(a.dtype, np.floating)
         nan_aware = skipna and isf
-        if op in ("mean", "sum", "std", "var", "count"):
+        if op in ("argmin", "argmax"):
+            d0 = red_dims[0]
+            ax = var.dims.index(d0)
+            af = a.astype(np.float64, copy=False)
+            fill = np.inf if op == "argmin" else -np.inf
+            filled = np.where(np.isnan(af), fill, af)
+            pick = np.argmin if op == "argmin" else np.argmax
+            idx = pick(filled, axis=ax)
+            val = np.take_along_axis(filled, np.expand_dims(idx, ax), ax).squeeze(axis=ax)
+            empty = np.all(np.isnan(af), axis=ax)
+            garg = idx.astype(np.float64) + (offsets or {}).get(d0, 0)
+            out[f"{v}__val"] = Variable(new_dims, np.where(empty, np.nan, val))
+            out[f"{v}__arg"] = Variable(new_dims, np.where(empty, np.nan, garg))
+        elif op in ("mean", "sum", "std", "var", "count"):
             af = a.astype(np.float64, copy=False)
             s = np.nansum(af, axis=axes) if nan_aware else np.sum(af, axis=axes)
             if nan_aware:
@@ -1921,7 +1976,16 @@ def _merge_partial(
     first = parts[0]
     out: dict[str, Variable] = {}
     for v in var_names:
-        if op in ("mean", "sum", "std", "var", "count"):
+        if op in ("argmin", "argmax"):
+            val = first.data_vars[f"{v}__val"].values
+            arg = first.data_vars[f"{v}__arg"].values
+            for p in parts[1:]:
+                val, arg = _arg_combine(
+                    val, arg, p.data_vars[f"{v}__val"].values, p.data_vars[f"{v}__arg"].values, op
+                )
+            out[f"{v}__val"] = Variable(first.data_vars[f"{v}__val"].dims, val)
+            out[f"{v}__arg"] = Variable(first.data_vars[f"{v}__arg"].dims, arg)
+        elif op in ("mean", "sum", "std", "var", "count"):
             for suffix in ("__sum", "__cnt") + (("__ssq",) if op in ("std", "var") else ()):
                 key = f"{v}{suffix}"
                 vals = np.sum([p.data_vars[key].values for p in parts], axis=0)
@@ -1948,7 +2012,17 @@ def _merge_finalize(
     first = parts[0]
     out: dict[str, Variable] = {}
     for v in var_names:
-        if op in ("mean", "sum", "std", "var", "count"):
+        if op in ("argmin", "argmax"):
+            val = first.data_vars[f"{v}__val"].values
+            arg = first.data_vars[f"{v}__arg"].values
+            for p in parts[1:]:
+                val, arg = _arg_combine(
+                    val, arg, p.data_vars[f"{v}__val"].values, p.data_vars[f"{v}__arg"].values, op
+                )
+            # result = the global element index (float64; NaN for series
+            # that were all-NaN — dropped by to_table like any empty cell)
+            out[v] = Variable(first.data_vars[f"{v}__arg"].dims, arg)
+        elif op in ("mean", "sum", "std", "var", "count"):
             s = np.sum([p.data_vars[f"{v}__sum"].values for p in parts], axis=0)
             cnt = np.sum([p.data_vars[f"{v}__cnt"].values for p in parts], axis=0)
             dims_v = first.data_vars[f"{v}__sum"].dims

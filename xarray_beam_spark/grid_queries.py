@@ -682,6 +682,28 @@ def xb_grid_rolling7_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.rolling_reduce("day", 7, op="mean").to_table(dropna=True)
 
 
+@_register(
+    "xb_grid_argmin_hour",
+    f"""
+WITH cells AS ({_CELLS_SQL}), r AS (
+  SELECT day, event_type, hour, cnt,
+         ROW_NUMBER() OVER (PARTITION BY day, event_type
+                            ORDER BY cnt ASC, hour ASC) AS rn
+  FROM cells
+)
+SELECT day, event_type, CAST(hour AS DOUBLE) AS cnt FROM r WHERE rn = 1
+""",
+)
+def xb_grid_argmin_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin over the hour axis: which hour had the fewest events, per
+    (day, event_type). First-occurrence tie-breaking makes the result
+    chunking-independent and matches the oracle's (cnt, hour) ordering.
+    Same pre-aggregated single-shuffle plan as min — the accumulator just
+    carries (value, global index) pairs."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    return d.argmin("hour").to_table(dropna=True)
+
+
 @_register("xb_grid_concat_halves", _CELLS_SQL)
 def xb_grid_concat_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split the day axis into two windows with ``isel`` (scan-rewritten,

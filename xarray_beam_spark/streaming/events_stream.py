@@ -378,3 +378,54 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("stream_dedup_events", _DEDUP_ORACLE)
 def stream_dedup_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# stream-static enrichment join
+# ---------------------------------------------------------------------------
+
+# Enrich the event stream against a static per-user profile (derived from
+# the same table batch-side: each user's historical event count). The
+# stream-static join is the canonical enrichment shape: the static side is
+# re-read per micro-batch and broadcast when small — no stream-state, no
+# watermark interaction, so at 100 TB the cost is the broadcast + a narrow
+# map per batch.
+_ENRICHED_ORACLE = """
+WITH profile AS (
+  SELECT user_id, COUNT(*) AS user_total FROM events GROUP BY user_id
+)
+SELECT e.event_type,
+       CASE WHEN p.user_total >= 20 THEN 'heavy' ELSE 'light' END AS user_class,
+       COUNT(*) AS n_events
+FROM events e JOIN profile p USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xarray_beam_spark.tables import load as _load
+
+    static_profile = (
+        _load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_total"))
+    )
+    ev = stream_events(spark, sf_dir).select("user_id", "event_type")
+    joined = ev.join(F.broadcast(static_profile), on="user_id")
+    out = (
+        joined.withColumn(
+            "user_class",
+            F.when(F.col("user_total") >= 20, F.lit("heavy")).otherwise(F.lit("light")),
+        )
+        .groupBy("event_type", "user_class")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return _run_to_memory(out)
+
+
+@_register("stream_enriched_counts", _ENRICHED_ORACLE)
+def stream_enriched_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join: live events classified against a
+    batch-computed user profile, then aggregated — executor-side via the
+    foreachBatch parquet sink like every other streaming gate."""
+    return enriched_counts(spark, sf_dir)
