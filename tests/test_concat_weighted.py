@@ -167,3 +167,14 @@ def test_argmin_ties_and_nans_chunking_independent(spark):
         assert res[0] == 1.0  # min 2.0 first occurs at t=1 (tie with t=2)
         assert np.isnan(res[1])  # all-NaN series
         assert res[2] == 2.0  # min 0.5 first occurs at t=2
+
+
+def test_cumulative_matches_numpy(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 6})
+    got = d.cumulative("time", op="sum").collect()
+    for v, var in era5.data_vars.items():
+        np.testing.assert_allclose(
+            got.data_vars[v].values,
+            np.cumsum(var.values.astype(np.float64), axis=0),
+            rtol=1e-12,
+        )

@@ -1403,6 +1403,31 @@ class Dataset:
     def max(self, dim: str | Sequence[str], skipna: bool = True) -> "Dataset":
         return self._agg("max", dim, skipna)
 
+    def cumulative(self, dim: str, op: str = "sum") -> "Dataset":
+        """Running reduction along ``dim`` (``cumsum``-family; SQL window
+        semantics: NaN cells contribute nothing and stay NaN). The dim is
+        rechunked contiguous (one shuffle, elided when already whole),
+        then each series scans inside its chunk — the pattern the
+        reference documents for order-dependent per-series ops."""
+        fns = {"sum": np.nancumsum, "prod": np.nancumprod}
+        if op not in fns:
+            raise ValueError(f"cumulative op must be one of {sorted(fns)}")
+        scan_fn = fns[op]
+        r = self.rechunk({dim: -1})
+
+        def scan(ds: NDDataset) -> NDDataset:
+            out: dict[str, Variable] = {}
+            for v, var in ds.data_vars.items():
+                ax = var.dims.index(dim)
+                vals = np.asarray(var.values, dtype=np.float64)
+                mask = np.isnan(vals)
+                run = scan_fn(vals, axis=ax)
+                run[mask] = np.nan
+                out[v] = Variable(var.dims, run)
+            return NDDataset(out, dict(ds.coords), dict(ds.attrs))
+
+        return r.map_blocks(scan)
+
     def argmin(self, dim: str) -> "Dataset":
         """Global element index of the minimum along ``dim`` (xarray
         ``argmin``; first occurrence on ties, so the answer is independent

@@ -612,20 +612,7 @@ def xb_grid_cumsum_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     for medians/quantiles over docs patterns). Present-cell semantics
     match SQL: absent (NaN) cells contribute nothing and stay absent."""
     d = _events_grid(spark, sf_dir, chunks={"day": 7})
-    r = d.rechunk({"day": -1})
-
-    def scan(chunk):
-        from xarray_beam_spark.ndarray_ds import NDDataset as _NDD
-
-        var = chunk.data_vars["cnt"]
-        axis = var.dims.index("day")
-        vals = var.values
-        mask = np.isnan(vals)
-        run = np.nancumsum(vals, axis=axis)
-        run[mask] = np.nan
-        return _NDD({"cnt": (var.dims, run)}, dict(chunk.coords), dict(chunk.attrs))
-
-    return r.map_blocks(scan).to_table(dropna=True)
+    return d.cumulative("day", op="sum").to_table(dropna=True)
 
 
 @_register(

@@ -496,11 +496,15 @@ SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
 """
 
 
-@_register("dedup_duplicate_clusters", _CLUSTERS_ORACLE)
-def dedup_duplicate_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs → duplicate clusters via iterative min-label
-    propagation (connected components); result must equal the oracle's
-    recursive-CTE transitive closure."""
+# The clusters gate and the canonical-docs gate share the identical
+# 3-variant corpus + clustering; computing it once per (session, sf_dir)
+# and localCheckpoint-ing the (tiny) cluster table halves the pair of
+# queries' cost — the duplicate_clusters iteration already truncates
+# lineage, so the cached frame is a handful of in-memory label rows.
+_CLUSTER_CACHE: dict = {}
+
+
+def _variant_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     words = F.split(F.col("text"), r"\s+")
 
@@ -512,7 +516,15 @@ def dedup_duplicate_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
 
-    corpus = docs.unionAll(variant(2, 10**9)).unionAll(variant(4, 2 * 10**9))
+    return docs.unionAll(variant(2, 10**9)).unionAll(variant(4, 2 * 10**9))
+
+
+def _variant_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CLUSTER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    corpus = _variant_corpus(spark, sf_dir)
     sh = corpus.select(
         "doc_id", word_shingles(F.col("text"), 3).alias("s")
     ).persist()
@@ -526,7 +538,17 @@ def dedup_duplicate_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(exact_jaccard(F.col("a.s"), F.col("b.s")) >= 0.55)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
-    return duplicate_clusters(edges)
+    clusters = duplicate_clusters(edges).localCheckpoint(eager=True)
+    _CLUSTER_CACHE[key] = clusters
+    return clusters
+
+
+@_register("dedup_duplicate_clusters", _CLUSTERS_ORACLE)
+def dedup_duplicate_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters via iterative connected
+    components; result must equal the oracle's recursive-CTE transitive
+    closure."""
+    return _variant_clusters(spark, sf_dir)
 
 
 # Engine-portable SimHash for the gate: per-shingle hash = first 15 hex
@@ -715,30 +737,9 @@ FROM ranked WHERE rn = 1
 def dedup_canonical_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clusters → canonical representative per cluster (longest text, ties
     to min id) — the full near-dup keep/drop pipeline end to end; oracle
-    re-derives clusters with a recursive CTE and ranks with SQL windows."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    words = F.split(F.col("text"), r"\s+")
-
-    def variant(drop: int, shift: int) -> DataFrame:
-        return docs.select(
-            (F.col("doc_id") + F.lit(shift)).alias("doc_id"),
-            F.concat_ws(
-                " ", F.slice(words, 1, F.greatest(F.size(words) - drop, F.lit(1)))
-            ).alias("text"),
-        )
-
-    corpus = docs.unionAll(variant(2, 10**9)).unionAll(variant(4, 2 * 10**9))
-    sh = corpus.select("doc_id", word_shingles(F.col("text"), 3).alias("s")).persist()
-    a, b = sh.alias("a"), sh.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("b.doc_id") % 10**9 == F.col("a.doc_id") % 10**9)
-            & (F.col("b.doc_id") > F.col("a.doc_id")),
-        )
-        .where(exact_jaccard(F.col("a.s"), F.col("b.s")) >= 0.55)
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    )
-    clusters = duplicate_clusters(edges)
+    re-derives clusters with a recursive CTE and ranks with SQL windows.
+    Shares the session-memoized clustering with the clusters gate."""
+    clusters = _variant_clusters(spark, sf_dir)
+    corpus = _variant_corpus(spark, sf_dir)
     lengths = corpus.select("doc_id", F.length("text").cast("long").alias("n_chars"))
     return canonical_docs(clusters, lengths)
