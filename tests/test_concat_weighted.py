@@ -178,3 +178,62 @@ def test_cumulative_matches_numpy(spark, era5):
             np.cumsum(var.values.astype(np.float64), axis=0),
             rtol=1e-12,
         )
+
+
+def _nan_era5(era5, seed=5, frac=0.35):
+    rng = np.random.default_rng(seed)
+    dvs = {}
+    for v, var in era5.data_vars.items():
+        vals = var.values.astype(np.float64).copy()
+        vals[rng.random(vals.shape) < frac] = np.nan
+        dvs[v] = (var.dims, vals)
+    return NDDataset(dvs, dict(era5.coords), dict(era5.attrs))
+
+
+@pytest.mark.parametrize("limit", [None, 2])
+def test_ffill_bfill_match_pandas(spark, era5, limit):
+    import pandas as pd
+
+    nd = _nan_era5(era5)
+    d = Dataset.from_numpy(spark, nd, chunks={"time": 6})
+    for method in ("ffill", "bfill"):
+        got = getattr(d, method)("time", limit=limit).collect()
+        for v, var in nd.data_vars.items():
+            flat = var.values.reshape(var.values.shape[0], -1)
+            want = (
+                getattr(pd.DataFrame(flat), method)(limit=limit)
+                .to_numpy()
+                .reshape(var.values.shape)
+            )
+            np.testing.assert_array_equal(got.data_vars[v].values, want, err_msg=f"{method} {v}")
+
+
+def test_ffill_all_nan_series_stays_nan(spark):
+    nd = NDDataset(
+        {"x": (("time",), np.full(10, np.nan))},
+        {"time": np.arange(10, dtype=np.int64)},
+        {},
+    )
+    d = Dataset.from_numpy(spark, nd, chunks={"time": 4})
+    assert np.all(np.isnan(d.ffill("time").collect().data_vars["x"].values))
+
+
+@pytest.mark.parametrize("method", ["average", "min", "max", "dense"])
+def test_rank_matches_pandas(spark, era5, method):
+    import pandas as pd
+
+    nd = _nan_era5(era5, seed=9)
+    # integer-quantize so ties actually occur
+    nd = NDDataset(
+        {v: (var.dims, np.floor(var.values * 2.0)) for v, var in nd.data_vars.items()},
+        dict(nd.coords),
+        dict(nd.attrs),
+    )
+    d = Dataset.from_numpy(spark, nd, chunks={"time": 6})
+    got = d.rank("time", method=method).collect()
+    for v, var in nd.data_vars.items():
+        flat = var.values.reshape(var.values.shape[0], -1)
+        want = (
+            pd.DataFrame(flat).rank(method=method).to_numpy().reshape(var.values.shape)
+        )
+        np.testing.assert_array_equal(got.data_vars[v].values, want, err_msg=f"{v}")

@@ -1,0 +1,188 @@
+"""asof_join vs pandas merge_asof; interval_join vs brute-force filter."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from xarray_beam_spark.operators.temporal import asof_join, interval_join
+
+
+def _rand_frames(seed, n_left=400, n_right=300, keys=7):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, keys, n_left),
+            "t": rng.integers(0, 1000, n_left).astype("int64"),
+            "lid": np.arange(n_left, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, keys, n_right),
+            "rt": rng.integers(0, 1000, n_right).astype("int64"),
+            "val": rng.normal(size=n_right),
+        }
+    )
+    # merge_asof demands unique-ish ordering; dedupe right on (k, rt) so the
+    # asof winner is well-defined in both engines
+    right = right.drop_duplicates(["k", "rt"], keep="last").reset_index(drop=True)
+    return left, right
+
+
+def _pandas_asof(left, right, direction, allow_exact, tolerance=None):
+    out = pd.merge_asof(
+        left.sort_values(["t", "lid"], kind="mergesort"),
+        right.sort_values("rt", kind="mergesort"),
+        left_on="t",
+        right_on="rt",
+        by="k",
+        direction=direction,
+        allow_exact_matches=allow_exact,
+        tolerance=tolerance,
+    )
+    return out.sort_values("lid").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("allow_exact", [True, False])
+def test_asof_matches_pandas(spark, direction, allow_exact):
+    left, right = _rand_frames(seed=42)
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on=["k"],
+            left_time="t",
+            right_time="rt",
+            direction=direction,
+            allow_exact_matches=allow_exact,
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = _pandas_asof(left, right, direction, allow_exact)
+    pd.testing.assert_frame_equal(
+        got[["lid", "rt", "val"]], want[["lid", "rt", "val"]], check_dtype=False
+    )
+
+
+def test_asof_tolerance_and_inner(spark):
+    left, right = _rand_frames(seed=7)
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on=["k"],
+            left_time="t",
+            right_time="rt",
+            tolerance=F.lit(50),
+            how="inner",
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = _pandas_asof(left, right, "backward", True, tolerance=50)
+    want = want[want["rt"].notna()].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["lid", "rt", "val"]], want[["lid", "rt", "val"]], check_dtype=False
+    )
+
+
+def test_asof_null_keys_never_match(spark):
+    left = pd.DataFrame({"k": [1.0, None], "t": [10, 10], "lid": [0, 1]})
+    right = pd.DataFrame({"k": [1.0, None], "rt": [5, 5], "val": [1.0, 2.0]})
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on=["k"],
+            left_time="t",
+            right_time="rt",
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    assert got.loc[0, "val"] == 1.0
+    assert pd.isna(got.loc[1, "val"])  # NULL key row gets no match
+
+
+def test_asof_no_nested_loop_in_plan(spark):
+    left, right = _rand_frames(seed=3)
+    df = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on=["k"],
+        left_time="t",
+        right_time="rt",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def _brute_interval(points, intervals, closed):
+    rows = []
+    for _, p in points.iterrows():
+        for _, iv in intervals.iterrows():
+            if p["k"] != iv["k"]:
+                continue
+            hi_ok = p["t"] < iv["hi"] if closed == "left" else p["t"] <= iv["hi"]
+            if iv["lo"] <= p["t"] and hi_ok:
+                rows.append((p["pid"], iv["iid"]))
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("closed", ["left", "both"])
+@pytest.mark.parametrize("bin_width", [None, 3, 1000])
+def test_interval_join_matches_brute_force(spark, closed, bin_width):
+    rng = np.random.default_rng(11)
+    points = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 300),
+            "t": rng.integers(0, 500, 300).astype("int64"),
+            "pid": np.arange(300, dtype="int64"),
+        }
+    )
+    lo = rng.integers(0, 480, 80).astype("int64")
+    intervals = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 80),
+            "lo": lo,
+            "hi": lo + rng.integers(0, 40, 80),
+            "iid": np.arange(80, dtype="int64"),
+        }
+    )
+    got = interval_join(
+        spark.createDataFrame(points),
+        spark.createDataFrame(intervals),
+        on=["k"],
+        point_time="t",
+        lo="lo",
+        hi="hi",
+        bin_width=bin_width,
+        closed=closed,
+    ).toPandas()
+    assert sorted(zip(got["pid"], got["iid"])) == _brute_interval(
+        points, intervals, closed
+    )
+
+
+def test_interval_join_no_nested_loop_in_plan(spark):
+    points = pd.DataFrame({"k": [1], "t": [5], "pid": [0]})
+    intervals = pd.DataFrame({"k": [1], "lo": [0], "hi": [10], "iid": [0]})
+    df = interval_join(
+        spark.createDataFrame(points),
+        spark.createDataFrame(intervals),
+        on=["k"],
+        point_time="t",
+        lo="lo",
+        hi="hi",
+        bin_width=10,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan

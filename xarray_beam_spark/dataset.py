@@ -1428,6 +1428,101 @@ class Dataset:
 
         return r.map_blocks(scan)
 
+    def ffill(self, dim: str, limit: int | None = None) -> "Dataset":
+        """Forward-fill NaN along ``dim`` (xarray ``ds.ffill``): each NaN
+        takes the most recent non-NaN value, optionally at most ``limit``
+        steps away. Same order-dependent-scan shape as :meth:`cumulative`:
+        rechunk the dim contiguous (one shuffle, elided when already
+        whole), then an index-propagation fill per series — no Python
+        loop over elements."""
+        return self._fill(dim, limit, reverse=False)
+
+    def bfill(self, dim: str, limit: int | None = None) -> "Dataset":
+        """Backward-fill NaN along ``dim`` (xarray ``ds.bfill``)."""
+        return self._fill(dim, limit, reverse=True)
+
+    def _fill(self, dim: str, limit: int | None, reverse: bool) -> "Dataset":
+        if limit is not None and limit < 0:
+            raise ValueError(f"limit must be >= 0, got {limit}")
+        r = self.rechunk({dim: -1})
+
+        def fill(ds: NDDataset) -> NDDataset:
+            out: dict[str, Variable] = {}
+            for v, var in ds.data_vars.items():
+                ax = var.dims.index(dim)
+                vals = np.asarray(var.values, dtype=np.float64)
+                moved = np.moveaxis(vals, ax, 0)
+                if reverse:
+                    moved = moved[::-1]
+                shp = moved.shape
+                flatv = moved.reshape(shp[0], -1)
+                valid = ~np.isnan(flatv)
+                # index of the most recent valid step, propagated forward
+                idx = np.where(valid, np.arange(shp[0])[:, None], 0)
+                np.maximum.accumulate(idx, axis=0, out=idx)
+                filled = np.take_along_axis(flatv, idx, axis=0)
+                # positions before the first valid step stay NaN
+                seen = np.logical_or.accumulate(valid, axis=0)
+                filled[~seen] = np.nan
+                if limit is not None:
+                    dist = np.arange(shp[0])[:, None] - idx
+                    filled[(dist > limit) & ~valid] = np.nan
+                filled = filled.reshape(shp)
+                if reverse:
+                    filled = filled[::-1]
+                out[v] = Variable(var.dims, np.moveaxis(filled, 0, ax))
+            return NDDataset(out, dict(ds.coords), dict(ds.attrs))
+
+        return r.map_blocks(fill)
+
+    def rank(self, dim: str, method: str = "average") -> "Dataset":
+        """Rank values along ``dim`` per series (xarray ``ds.rank``).
+
+        ``method``: ``average`` (xarray/bottleneck default), ``min``
+        (SQL ``RANK()``), ``max``, or ``dense`` (SQL ``DENSE_RANK()``).
+        NaN ranks as NaN and is excluded from other values' ranks, like
+        pandas. Same rechunk-contiguous shape as :meth:`cumulative`;
+        per-series ``sort`` + ``searchsorted`` (O(n log n)), no Python
+        loop over elements — only over series within a chunk."""
+        if method not in ("average", "min", "max", "dense"):
+            raise ValueError(f"unknown rank method {method!r}")
+        r = self.rechunk({dim: -1})
+
+        def rank_block(ds: NDDataset) -> NDDataset:
+            out: dict[str, Variable] = {}
+            for v, var in ds.data_vars.items():
+                ax = var.dims.index(dim)
+                vals = np.asarray(var.values, dtype=np.float64)
+                moved = np.moveaxis(vals, ax, 0)
+                shp = moved.shape
+                flat = moved.reshape(shp[0], -1)
+                res = np.full_like(flat, np.nan)
+                for j in range(flat.shape[1]):
+                    col = flat[:, j]
+                    ok = ~np.isnan(col)
+                    if not ok.any():
+                        continue
+                    present = col[ok]
+                    sv = np.sort(present)
+                    lo = np.searchsorted(sv, present, side="left")
+                    if method == "min":
+                        rk = lo + 1.0
+                    elif method == "max":
+                        rk = np.searchsorted(sv, present, side="right").astype(
+                            np.float64
+                        )
+                    elif method == "average":
+                        hi = np.searchsorted(sv, present, side="right")
+                        rk = (lo + 1.0 + hi) / 2.0
+                    else:  # dense
+                        uniq = np.unique(present)
+                        rk = np.searchsorted(uniq, present, side="left") + 1.0
+                    res[ok, j] = rk
+                out[v] = Variable(var.dims, np.moveaxis(res.reshape(shp), 0, ax))
+            return NDDataset(out, dict(ds.coords), dict(ds.attrs))
+
+        return r.map_blocks(rank_block)
+
     def argmin(self, dim: str) -> "Dataset":
         """Global element index of the minimum along ``dim`` (xarray
         ``argmin``; first occurrence on ties, so the answer is independent

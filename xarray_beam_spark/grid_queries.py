@@ -616,6 +616,52 @@ def xb_grid_cumsum_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "xb_grid_ffill_day",
+    f"""
+WITH cells AS ({_CELLS_SQL}),
+dense AS (
+  SELECT d.day, h.hour, t.event_type, c.cnt
+  FROM (SELECT DISTINCT day FROM cells) d
+  CROSS JOIN (SELECT DISTINCT hour FROM cells) h
+  CROSS JOIN (SELECT DISTINCT event_type FROM cells) t
+  LEFT JOIN cells c USING (day, hour, event_type)
+)
+SELECT day, hour, event_type, cnt FROM (
+  SELECT day, hour, event_type,
+         last_value(cnt IGNORE NULLS) OVER (
+           PARTITION BY hour, event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt
+  FROM dense
+) WHERE cnt IS NOT NULL
+""",
+)
+def xb_grid_ffill_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill gaps along ``day``: absent cells take the most recent
+    present count per (hour, event_type) series — xarray ``ds.ffill``
+    via the rechunk-contiguous scan; oracle is ``last_value IGNORE
+    NULLS`` over the densified grid. Leading gaps stay absent."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    return d.ffill("day").to_table(dropna=True)
+
+
+@_register(
+    "xb_grid_rank_day",
+    f"""
+SELECT day, hour, event_type,
+       CAST(RANK() OVER (PARTITION BY hour, event_type ORDER BY cnt) AS DOUBLE) AS cnt
+FROM ({_CELLS_SQL})
+""",
+)
+def xb_grid_rank_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank each day's count within its (hour, event_type) series —
+    xarray ``ds.rank`` with SQL ``RANK()`` (min-tie) semantics; counts
+    tie heavily, so this exercises the tie paths. Absent (NaN) cells
+    rank as NaN and drop from the output."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    return d.rank("day", method="min").to_table(dropna=True)
+
+
+@_register(
     "xb_grid_diff_day",
     f"""
 WITH cells AS ({_CELLS_SQL}),

@@ -23,6 +23,7 @@ def _collect() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "xarray_beam_spark.functions.text",
         "xarray_beam_spark.operators.dedup",
         "xarray_beam_spark.operators.corpus",
+        "xarray_beam_spark.operators.temporal",
         "xarray_beam_spark.operators.simsearch",
         "xarray_beam_spark.operators.multimodal",
         "xarray_beam_spark.streaming.events_stream",

@@ -1267,3 +1267,33 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_tv").cast("double").alias("total_value"),
         )
     )
+
+
+_PIVOT_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events
+GROUP BY 1
+"""
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register("events_pivot_types", _PIVOT_ORACLE)
+def events_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: one row per day, one count column per event type
+    (``groupBy().pivot()`` with the value list pinned — pinning skips
+    Spark's extra distinct-values job AND fixes the output schema, both
+    required at scale). Missing (day, type) combos coalesce to 0 to match
+    SQL's FILTER counts; oracle is conditional aggregation."""
+    e = load(spark, sf_dir, "events")
+    wide = (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return wide.na.fill(0, subset=_EVENT_TYPES)
