@@ -237,3 +237,22 @@ def test_rank_matches_pandas(spark, era5, method):
             pd.DataFrame(flat).rank(method=method).to_numpy().reshape(var.values.shape)
         )
         np.testing.assert_array_equal(got.data_vars[v].values, want, err_msg=f"{v}")
+
+
+def test_interpolate_na_matches_pandas(spark, era5):
+    import pandas as pd
+
+    nd = _nan_era5(era5, seed=13, frac=0.4)
+    d = Dataset.from_numpy(spark, nd, chunks={"time": 6})
+    got = d.interpolate_na("time").collect()
+    for v, var in nd.data_vars.items():
+        flat = var.values.reshape(var.values.shape[0], -1)
+        want = (
+            pd.DataFrame(flat)
+            .interpolate(method="linear", limit_area="inside")
+            .to_numpy()
+            .reshape(var.values.shape)
+        )
+        np.testing.assert_allclose(
+            got.data_vars[v].values, want, rtol=1e-12, err_msg=v
+        )

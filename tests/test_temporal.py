@@ -186,3 +186,19 @@ def test_interval_join_no_nested_loop_in_plan(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_single_exchange(spark):
+    """The union-scan asof shuffles exactly once (hash on the keys for the
+    window); no join node appears at all."""
+    left, right = _rand_frames(seed=19)
+    df = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on=["k"],
+        left_time="t",
+        right_time="rt",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan

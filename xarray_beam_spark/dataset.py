@@ -1475,6 +1475,48 @@ class Dataset:
 
         return r.map_blocks(fill)
 
+    def interpolate_na(self, dim: str) -> "Dataset":
+        """Linear interpolation of interior NaN runs along ``dim``
+        (xarray ``ds.interpolate_na(dim, method="linear",
+        use_coordinate=False)`` — index-based distances). Leading and
+        trailing NaNs stay NaN. Same rechunk-contiguous scan shape as
+        :meth:`ffill`; the fill is
+        ``prev + (next - prev) * ((i - pi) / (ni - pi))`` evaluated in
+        float64 with exactly that expression tree, so results are
+        bit-identical to any engine computing the same formula."""
+        r = self.rechunk({dim: -1})
+
+        def interp(ds: NDDataset) -> NDDataset:
+            out: dict[str, Variable] = {}
+            for v, var in ds.data_vars.items():
+                ax = var.dims.index(dim)
+                vals = np.asarray(var.values, dtype=np.float64)
+                moved = np.moveaxis(vals, ax, 0)
+                shp = moved.shape
+                flatv = moved.reshape(shp[0], -1).copy()
+                n = shp[0]
+                valid = ~np.isnan(flatv)
+                steps = np.arange(n, dtype=np.int64)[:, None]
+                pidx = np.where(valid, steps, -1)
+                np.maximum.accumulate(pidx, axis=0, out=pidx)
+                rrev = np.where(valid[::-1], steps, -1)
+                np.maximum.accumulate(rrev, axis=0, out=rrev)
+                nidx = (n - 1) - rrev[::-1]
+                has_next = rrev[::-1] >= 0
+                interior = (~valid) & (pidx >= 0) & has_next
+                pv = np.take_along_axis(flatv, np.clip(pidx, 0, n - 1), axis=0)
+                nv = np.take_along_axis(flatv, np.clip(nidx, 0, n - 1), axis=0)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    frac = (steps - pidx).astype(np.float64) / (
+                        nidx - pidx
+                    ).astype(np.float64)
+                    fill_vals = pv + (nv - pv) * frac
+                flatv[interior] = fill_vals[interior]
+                out[v] = Variable(var.dims, np.moveaxis(flatv.reshape(shp), 0, ax))
+            return NDDataset(out, dict(ds.coords), dict(ds.attrs))
+
+        return r.map_blocks(interp)
+
     def rank(self, dim: str, method: str = "average") -> "Dataset":
         """Rank values along ``dim`` per series (xarray ``ds.rank``).
 

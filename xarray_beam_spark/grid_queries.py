@@ -645,6 +645,55 @@ def xb_grid_ffill_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "xb_grid_interp_day",
+    f"""
+WITH cells AS ({_CELLS_SQL}),
+dense AS (
+  SELECT d.day, h.hour, t.event_type, c.cnt
+  FROM (SELECT DISTINCT day FROM cells) d
+  CROSS JOIN (SELECT DISTINCT hour FROM cells) h
+  CROSS JOIN (SELECT DISTINCT event_type FROM cells) t
+  LEFT JOIN cells c USING (day, hour, event_type)
+),
+idx AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY hour, event_type ORDER BY day) - 1 AS i
+  FROM dense
+),
+ends AS (
+  SELECT *,
+    last_value(CASE WHEN cnt IS NOT NULL THEN i END IGNORE NULLS) OVER (
+      PARTITION BY hour, event_type ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+    last_value(cnt IGNORE NULLS) OVER (
+      PARTITION BY hour, event_type ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    first_value(CASE WHEN cnt IS NOT NULL THEN i END IGNORE NULLS) OVER (
+      PARTITION BY hour, event_type ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni,
+    first_value(cnt IGNORE NULLS) OVER (
+      PARTITION BY hour, event_type ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+  FROM idx
+)
+SELECT day, hour, event_type,
+       CASE WHEN cnt IS NOT NULL THEN cnt
+            WHEN pv IS NOT NULL AND nv IS NOT NULL
+            THEN pv + (nv - pv) * (CAST(i - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE))
+       END AS cnt
+FROM ends
+WHERE cnt IS NOT NULL OR (pv IS NOT NULL AND nv IS NOT NULL)
+""",
+)
+def xb_grid_interp_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of interior gaps along ``day`` per
+    (hour, event_type) series — xarray ``interpolate_na``; the oracle
+    computes the identical ``pv + (nv-pv) * ((i-pi)/(ni-pi))`` float64
+    expression via SQL windows, so values hash-match bit-for-bit."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    return d.interpolate_na("day").to_table(dropna=True)
+
+
+@_register(
     "xb_grid_rank_day",
     f"""
 SELECT day, hour, event_type,

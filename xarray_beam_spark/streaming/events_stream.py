@@ -429,3 +429,62 @@ def stream_enriched_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-computed user profile, then aggregated — executor-side via the
     foreachBatch parquet sink like every other streaming gate."""
     return enriched_counts(spark, sf_dir)
+
+
+_STREAM_JOIN_ORACLE = """
+SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+       s.event_id AS signup_id, s.ts AS signup_ts
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup') s
+  ON c.user_id = s.user_id
+ AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 6 HOUR
+"""
+
+
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition: the
+    clicks stream joins the signups stream on user within 6 hours after
+    the signup. Watermarks on BOTH sides + the time-range predicate let
+    Spark bound each side's join state (signups kept only until
+    click-watermark passes signup_ts + 6h) — the unbounded-state-safe
+    formulation of :func:`~xarray_beam_spark.operators.temporal.interval_join`
+    for live pipelines. Append mode; AvailableNow = one micro-batch, so
+    nothing is watermark-dropped and the result equals the batch oracle."""
+    clicks = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    signups = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user_id"),
+            F.col("event_id").alias("signup_id"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "1 hour")
+    )
+    joined = clicks.join(
+        signups,
+        F.expr(
+            """
+            user_id = s_user_id AND
+            click_ts >= signup_ts AND
+            click_ts < signup_ts + INTERVAL 6 HOURS
+            """
+        ),
+        "inner",
+    ).select("user_id", "click_id", "click_ts", "signup_id", "signup_ts")
+    return _run_to_memory(joined, mode="append")
+
+
+@_register("stream_interval_join", _STREAM_JOIN_ORACLE)
+def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-range join gate (see stream_interval_join)."""
+    return stream_interval_join(spark, sf_dir)

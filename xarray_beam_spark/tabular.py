@@ -1297,3 +1297,37 @@ def events_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
     )
     return wide.na.fill(0, subset=_EVENT_TYPES)
+
+
+_MEDIAN_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, value AS median_value, n AS n_events
+FROM ranked WHERE rn = (n + 1) // 2
+"""
+
+
+@register("events_median_value_by_type", _MEDIAN_ORACLE)
+def events_median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group lower median by rank selection (rn = (n+1)/2 over
+    the value ordering) — no interpolation arithmetic, so the result is
+    a bit-exact element of the input in any engine. One shuffle on the
+    group key; at scale the same shape as any keyed window. Ties broken
+    by event_id so both engines pick the identical row."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    return ranked.where(F.col("rn") == F.floor((F.col("n") + 1) / 2)).select(
+        "event_type",
+        F.col("value").alias("median_value"),
+        F.col("n").alias("n_events"),
+    )
