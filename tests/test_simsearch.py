@@ -174,3 +174,46 @@ def test_neardup_blocked_single_block_degenerate(spark, sf_dir):
     assert sorted((r.vec_a, r.vec_b, r.sim) for r in a) == sorted(
         (r.vec_a, r.vec_b, r.sim) for r in b
     )
+
+
+def test_edit_distance_pairs_finds_mutated_twins(spark):
+    """LSH-candidate + Levenshtein-verify fuzzy dedup: every lightly
+    mutated twin is recovered with the exact python-Levenshtein distance;
+    unrelated docs never pair."""
+    import numpy as np
+
+    from xarray_beam_spark.operators.dedup import edit_distance_pairs
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(50)]
+    base = [
+        " ".join(rng.choice(vocab, 30).tolist()) for _ in range(40)
+    ]
+    rows = [(i, t) for i, t in enumerate(base)]
+    # twin = drop the 2nd word (small interior edit)
+    rows += [
+        (1000 + i, " ".join(t.split()[:1] + t.split()[2:]))
+        for i, t in enumerate(base)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = edit_distance_pairs(docs, max_dist=8).toPandas()
+    twin_pairs = got[(got.doc_b - got.doc_a) == 1000]
+    assert len(twin_pairs) == 40  # all twins found
+
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[lb]
+
+    texts = dict(rows)
+    for r in twin_pairs.itertuples():
+        assert r.dist == lev(texts[r.doc_a], texts[r.doc_b])

@@ -546,3 +546,40 @@ class TestCoRead:
         zarr_io.to_zarr(Dataset.from_numpy(spark, dsb, chunks={"t": 4}), pb)
         with _pytest.raises(ValueError, match="identical grids"):
             zarr_io.zip_from_zarr(spark, [pa, pb], lambda a, b: a)
+
+
+class TestConsolidatedMetadata:
+    def test_setup_writes_zmetadata_and_open_uses_it_alone(self, spark, tmp_path):
+        import json
+
+        from tests.test_zarr import _fixture_ds
+
+        src = _fixture_ds()
+        d = Dataset.from_numpy(spark, src, chunks={"time": 6, "x": 4})
+        out = str(tmp_path / "out")
+        zarr_io.to_zarr(d, out, zarr_chunks={"time": 3, "x": 4})
+        doc = json.load(open(os.path.join(out, ".zmetadata")))
+        assert doc["zarr_consolidated_format"] == 1
+        assert any(k.endswith("/.zarray") for k in doc["metadata"])
+
+        # delete every loose metadata object: open must succeed from the
+        # consolidated doc alone (proves the single-GET path is real)
+        for root, _dirs, files in os.walk(out):
+            for f in files:
+                if f in (".zarray", ".zattrs", ".zgroup"):
+                    os.remove(os.path.join(root, f))
+        arrays, attrs = zarrlite.open_group(out)
+        assert set(arrays) >= set(src.data_vars)
+        back = zarr_io.from_zarr(spark, out).collect()
+        assert back.identical(src) or back.equals(src)
+
+    def test_v3_store_opens_without_zmetadata(self, spark, tmp_path):
+        from tests.test_zarr import _fixture_ds
+
+        src = _fixture_ds()
+        d = Dataset.from_numpy(spark, src, chunks={"time": 6, "x": 4})
+        out = str(tmp_path / "v3")
+        zarr_io.to_zarr(d, out, zarr_chunks={"time": 3, "x": 4}, zarr_format=3)
+        assert not os.path.exists(os.path.join(out, ".zmetadata"))
+        back = zarr_io.from_zarr(spark, out).collect()
+        assert back.identical(src) or back.equals(src)

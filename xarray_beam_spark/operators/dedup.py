@@ -452,6 +452,92 @@ def ngram_jaccard_adjacent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def edit_distance_pairs(
+    docs: DataFrame,
+    max_dist: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int | None = None,
+    candidate_jaccard: float = 0.3,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Fuzzy (edit-distance) near-duplicate pairs: MinHash-LSH candidate
+    generation, Levenshtein verification — the standard two-phase shape
+    for fuzzy dedup at corpus scale (all-pairs Levenshtein is O(n²·L²)
+    and never viable; LSH candidates make it O(candidates·L²)).
+
+    ``prefix_len`` bounds the DP cost per pair by comparing only the
+    first N characters (edit distance on a prefix lower-bounds full-text
+    distance for prefix-aligned edits; choose it ≥ the edit window you
+    care about). ``candidate_jaccard`` is the loose recall knob for the
+    LSH phase — pairs below it are never considered (documents within a
+    small edit distance share almost all shingles, so a loose 0.3
+    default loses essentially nothing).
+
+    Returns (doc_a, doc_b, dist) with ``dist <= max_dist``; Levenshtein
+    is JVM-side (`F.levenshtein`), no Python in the verify path.
+    """
+    cand = minhash_lsh_pairs(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        min_jaccard=candidate_jaccard,
+        **lsh_kwargs,
+    ).select("doc_a", "doc_b")
+    txt = F.col(text_col)
+    if prefix_len is not None:
+        txt = F.substring(txt, 1, prefix_len)
+    t = docs.select(F.col(id_col), txt.alias("__t"))
+    ta = t.select(F.col(id_col).alias("doc_a"), F.col("__t").alias("__ta"))
+    tb = t.select(F.col(id_col).alias("doc_b"), F.col("__t").alias("__tb"))
+    return (
+        cand.join(ta, on="doc_a")
+        .join(tb, on="doc_b")
+        .withColumn("dist", F.levenshtein("__ta", "__tb"))
+        .where(F.col("dist") <= max_dist)
+        .select("doc_a", "doc_b", "dist")
+    )
+
+
+_LEVENSHTEIN_ORACLE = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id,
+         array_to_string(list_slice(w, 3, len(w)), ' ') AS text
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(left(a.text, 200), left(b.text, 200)) AS BIGINT) AS dist
+FROM corpus a JOIN corpus b ON b.doc_id = a.doc_id + 1000000000
+WHERE levenshtein(left(a.text, 200), left(b.text, 200)) <= 100
+"""
+
+
+@_register("dedup_levenshtein_twins", _LEVENSHTEIN_ORACLE)
+def dedup_levenshtein_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup end to end: a head-mutated twin corpus (drop the FIRST
+    two words, so the edit lands inside the compared prefix), LSH
+    candidate discovery, Levenshtein-≤-100 verification on the first 200
+    chars; ground-truth twin pairs kept, like the MinHash gate. The
+    oracle enumerates the same pairs by id and computes the same
+    ``levenshtein(left(…))`` in SQL — both engines run the classic DP,
+    so the integer distances match exactly."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), r"\s+")
+    twins = docs.select(
+        (F.col("doc_id") + F.lit(1000000000)).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(words, 3, F.greatest(F.size(words) - 2, F.lit(1)))
+        ).alias("text"),
+    )
+    corpus = docs.unionAll(twins)
+    pairs = edit_distance_pairs(corpus, max_dist=100, prefix_len=200)
+    return pairs.where(F.col("doc_b") - F.col("doc_a") == 1000000000).withColumn(
+        "dist", F.col("dist").cast("long")
+    )
+
+
 # Cluster gate: a 3-variant corpus (doc, doc minus last 2 words, doc minus
 # last 4 words; ids offset by 1e9/2e9) yields chain-shaped components
 # {i, i+1e9, i+2e9} whose A–C edge may fall under the threshold — so the

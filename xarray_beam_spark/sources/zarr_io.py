@@ -402,6 +402,10 @@ def setup_zarr(
             zarr_format=zarr_format,
             shards=shards,
         )
+    # One .zmetadata GET instead of 2+2n metadata round-trips per open —
+    # setup is the only writer of metadata, so region writes never
+    # invalidate it (v2 only; no-op for v3).
+    zarrlite.consolidate_metadata(path)
 
 
 _WRITE_STATS = T.StructType(

@@ -383,6 +383,14 @@ def open_array(group_path: str, name: str) -> ZArray:
 
 def _open_array_v2(apath: str, name: str) -> ZArray:
     meta = _get_json(_join(apath, ".zarray"))
+    zattrs = _get(_join(apath, ".zattrs"))
+    attrs: dict[str, Any] = json.loads(zattrs) if zattrs is not None else {}
+    return _zarray_from_v2_meta(apath, name, meta, attrs)
+
+
+def _zarray_from_v2_meta(
+    apath: str, name: str, meta: dict, attrs: dict[str, Any]
+) -> ZArray:
     if meta.get("zarr_format") != 2:
         raise ValueError(f"{name}: unsupported zarr_format {meta.get('zarr_format')}")
     if meta.get("order", "C") != "C":
@@ -397,8 +405,7 @@ def _open_array_v2(apath: str, name: str) -> ZArray:
     else:
         raise ValueError(f"{name}: unsupported compressor {comp}")
     dtype = np.dtype(meta["dtype"])
-    zattrs = _get(_join(apath, ".zattrs"))
-    attrs: dict[str, Any] = json.loads(zattrs) if zattrs is not None else {}
+    attrs = dict(attrs)
     dims = tuple(attrs.pop(_DIMS_ATTR, [f"dim_{i}" for i in range(len(meta["shape"]))]))
     return ZArray(
         path=apath,
@@ -450,8 +457,58 @@ def _open_array_v3(apath: str, name: str) -> ZArray:
     )
 
 
+def consolidate_metadata(path: str) -> dict:
+    """Write v2 consolidated metadata (``.zmetadata``): every ``.zgroup``/
+    ``.zattrs``/``.zarray`` document gathered into ONE store object, the
+    standard cloud-Zarr convention (zarr v2 spec; xarray writes it by
+    default, and the reference's ``open_zarr``/``setup_zarr`` path
+    consumes it). At object-store scale this turns group opening from
+    ``2 + 2·n_arrays`` round-trips into one GET. v3 stores have one
+    ``zarr.json`` per node and no finalized consolidated convention —
+    v3 callers are a no-op here."""
+    if not _exists(_join(path, ".zgroup")):
+        return {}
+    meta: dict[str, Any] = {".zgroup": _get_json(_join(path, ".zgroup"))}
+    zattrs = _get(_join(path, ".zattrs"))
+    if zattrs is not None:
+        meta[".zattrs"] = json.loads(zattrs)
+    for entry in _list_dir(path):
+        sub = _join(path, entry)
+        if _exists(_join(sub, ".zarray")):
+            meta[f"{entry}/.zarray"] = _get_json(_join(sub, ".zarray"))
+            za = _get(_join(sub, ".zattrs"))
+            if za is not None:
+                meta[f"{entry}/.zattrs"] = json.loads(za)
+    doc = {"zarr_consolidated_format": 1, "metadata": meta}
+    _put_json(_join(path, ".zmetadata"), doc)
+    return doc
+
+
+def _open_group_consolidated(
+    path: str, doc: dict
+) -> tuple[dict[str, ZArray], dict[str, Any]]:
+    meta = doc.get("metadata", {})
+    attrs = dict(meta.get(".zattrs", {}))
+    arrays: dict[str, ZArray] = {}
+    for key, m in meta.items():
+        if key.endswith("/.zarray"):
+            name = key[: -len("/.zarray")]
+            arrays[name] = _zarray_from_v2_meta(
+                _join(path, name), name, m, meta.get(f"{name}/.zattrs", {})
+            )
+    return arrays, attrs
+
+
 def open_group(path: str) -> tuple[dict[str, ZArray], dict[str, Any]]:
-    """Open a Zarr group (v2 or v3): ``{array_name: ZArray}`` + attrs."""
+    """Open a Zarr group (v2 or v3): ``{array_name: ZArray}`` + attrs.
+    A v2 ``.zmetadata`` (consolidated) document, when present, is the
+    single source — one store read instead of a listing + per-array
+    reads."""
+    zmeta = _get(_join(path, ".zmetadata"))
+    if zmeta is not None:
+        doc = json.loads(zmeta)
+        if doc.get("zarr_consolidated_format") == 1:
+            return _open_group_consolidated(path, doc)
     attrs: dict[str, Any] = {}
     if _exists(_join(path, ".zgroup")):
         zattrs = _get(_join(path, ".zattrs"))
