@@ -256,3 +256,30 @@ def test_interpolate_na_matches_pandas(spark, era5):
         np.testing.assert_allclose(
             got.data_vars[v].values, want, rtol=1e-12, err_msg=v
         )
+
+
+def test_trend_matches_polyfit(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 5})
+    got = d.trend("time").collect()
+    for v, var in era5.data_vars.items():
+        vals = var.values.astype(np.float64)
+        flat = vals.reshape(vals.shape[0], -1)
+        want = np.polyfit(np.arange(vals.shape[0]), flat, 1)[0].reshape(vals.shape[1:])
+        np.testing.assert_allclose(got.data_vars[v].values, want, rtol=1e-8, err_msg=v)
+
+
+def test_trend_skipna_and_degenerate(spark):
+    vals = np.array(
+        [[1.0, np.nan, 5.0], [2.0, np.nan, np.nan], [3.0, np.nan, np.nan], [4.0, 7.0, 2.0]]
+    )
+    nd = NDDataset(
+        {"x": (("time", "s"), vals)},
+        {"time": np.arange(4, dtype=np.int64), "s": np.arange(3, dtype=np.int64)},
+        {},
+    )
+    d = Dataset.from_numpy(spark, nd, chunks={"time": 2})
+    got = d.trend("time").collect().data_vars["x"].values
+    assert np.isclose(got[0], 1.0)  # perfect line
+    assert np.isnan(got[1])  # single point -> undefined
+    # two points at i=0 (y=5) and i=3 (y=2): slope -1
+    assert np.isclose(got[2], -1.0)

@@ -558,3 +558,38 @@ def test_rolling_reduce_matches_pandas(spark, era5):
             )().to_numpy().reshape(flat.shape)
             want = np.moveaxis(rolled, 0, ax)
             np.testing.assert_allclose(got.data_vars[v].values, want, rtol=1e-12)
+
+
+def test_groupby_reduce_std_var(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 5, "latitude": 4})
+    labels = (np.arange(24) % 3).astype(np.int64)
+    arr = era5.data_vars["asn"].values.astype(np.float64)
+    for op, fn in [("var", np.var), ("std", np.std)]:
+        got = d.groupby_reduce("time", labels, op=op, new_dim="g").collect()
+        want = np.stack([fn(arr[labels == g], axis=0) for g in range(3)])
+        np.testing.assert_allclose(got.data_vars["asn"].values, want, rtol=1e-10)
+
+
+def test_groupby_reduce_std_skipna_and_staged_merge(spark, era5):
+    import copy
+
+    vals = era5.data_vars["asn"].values.astype(np.float64).copy()
+    vals[::4] = np.nan
+    from xarray_beam_spark.ndarray_ds import NDDataset
+
+    nd = NDDataset(
+        {"asn": (era5.data_vars["asn"].dims, vals)}, dict(era5.coords), {}
+    )
+    d = Dataset.from_numpy(spark, nd, chunks={"time": 2})
+    labels = (np.arange(24) % 3).astype(np.int64)
+    # merge_fanin=2 forces multiple tree-merge rounds over the 12 chunks
+    got = d.groupby_reduce(
+        "time", labels, op="std", new_dim="g", merge_fanin=2
+    ).collect()
+    want = np.stack(
+        [
+            np.sqrt(np.nanvar(vals[labels == g], axis=0))
+            for g in range(3)
+        ]
+    )
+    np.testing.assert_allclose(got.data_vars["asn"].values, want, rtol=1e-10)

@@ -1575,6 +1575,18 @@ class Dataset:
             raise TypeError("argmin reduces exactly one dim")
         return self._agg("argmin", dim, True)
 
+    def trend(self, dim: str, skipna: bool = True) -> "Dataset":
+        """OLS slope of each series over its global element index along
+        ``dim`` (``xarray.polyfit(deg=1)``'s degree-1 coefficient with
+        index coordinates) — e.g. the per-cell linear trend of a
+        climatology. Accumulators (n, Σy, Σiy, Σi, Σi²) ride the same
+        narrow pre-aggregate + tree-merge path as mean/std; NaN cells drop
+        out per-cell when ``skipna``. Series with <2 present points
+        finalize to NaN."""
+        if not isinstance(dim, str):
+            raise TypeError("trend reduces exactly one dim")
+        return self._agg("trend", dim, skipna)
+
     def argmax(self, dim: str) -> "Dataset":
         """Global element index of the maximum along ``dim`` (see
         :meth:`argmin`)."""
@@ -1777,7 +1789,7 @@ class Dataset:
         weekdays), so the dense accumulator is cheap and no per-element
         re-keying or SplitChunks-to-size-1 is ever materialized.
         """
-        if op not in ("mean", "sum", "min", "max"):
+        if op not in ("mean", "sum", "min", "max", "std", "var"):
             raise ValueError(f"unsupported groupby op {op!r}")
         if self.split_vars:
             return self.consolidate_variables().groupby_reduce(
@@ -1832,12 +1844,13 @@ class Dataset:
                         ax = var.dims.index(g_dim)
                         a = np.moveaxis(var.values, ax, 0)
                         rest = tuple(d for d in var.dims if d != g_dim)
-                        if op in ("mean", "sum"):
+                        if op in ("mean", "sum", "std", "var"):
                             af = a.astype(np.float64, copy=False)
                             nanm = np.isnan(af) if af.dtype.kind == "f" and skipna else None
                             s = np.zeros((n_groups,) + a.shape[1:], np.float64)
                             cnt = np.zeros((n_groups,) + a.shape[1:], np.int64)
-                            np.add.at(s, labels, np.where(nanm, 0.0, af) if nanm is not None else af)
+                            filled0 = np.where(nanm, 0.0, af) if nanm is not None else af
+                            np.add.at(s, labels, filled0)
                             np.add.at(
                                 cnt,
                                 labels,
@@ -1845,6 +1858,10 @@ class Dataset:
                             )
                             acc_vars[f"{v}__sum"] = Variable((new_dim,) + rest, s)
                             acc_vars[f"{v}__cnt"] = Variable((new_dim,) + rest, cnt)
+                            if op in ("std", "var"):
+                                s2 = np.zeros((n_groups,) + a.shape[1:], np.float64)
+                                np.add.at(s2, labels, filled0 * filled0)
+                                acc_vars[f"{v}__sum2"] = Variable((new_dim,) + rest, s2)
                         else:
                             init = np.inf if op == "min" else -np.inf
                             m = np.full((n_groups,) + a.shape[1:], init, np.float64)
@@ -1884,8 +1901,9 @@ class Dataset:
             first = parts[0]
             out: dict[str, Variable] = {}
             for v in var_names:
-                if op in ("mean", "sum"):
-                    for sfx in ("__sum", "__cnt"):
+                if op in ("mean", "sum", "std", "var"):
+                    sfxs = ("__sum", "__cnt") + (("__sum2",) if op in ("std", "var") else ())
+                    for sfx in sfxs:
                         vals = np.sum([p.data_vars[f"{v}{sfx}"].values for p in parts], axis=0)
                         dt = np.int64 if sfx == "__cnt" else np.float64
                         out[f"{v}{sfx}"] = Variable(
@@ -1915,12 +1933,24 @@ class Dataset:
             first = parts[0]
             out: dict[str, Variable] = {}
             for v in var_names:
-                if op in ("mean", "sum"):
+                if op in ("mean", "sum", "std", "var"):
                     s = np.sum([p.data_vars[f"{v}__sum"].values for p in parts], axis=0)
                     cnt = np.sum([p.data_vars[f"{v}__cnt"].values for p in parts], axis=0)
                     with np.errstate(all="ignore"):
-                        res = s if op == "sum" else s / cnt
                         if op == "sum":
+                            res = np.where(cnt == 0, np.nan, s)
+                        elif op == "mean":
+                            res = s / cnt
+                        else:
+                            s2 = np.sum(
+                                [p.data_vars[f"{v}__sum2"].values for p in parts], axis=0
+                            )
+                            # population variance, evaluated with exactly this
+                            # expression tree so SQL oracles writing
+                            # (SUM(x²) - SUM(x)*SUM(x)/n)/n match bit-for-bit
+                            res = (s2 - s * s / cnt) / cnt
+                            if op == "std":
+                                res = np.sqrt(res)
                             res = np.where(cnt == 0, np.nan, res)
                     out[v] = Variable(first.data_vars[f"{v}__sum"].dims, np.asarray(res, np.float64))
                 else:
@@ -2104,6 +2134,22 @@ def _pre_aggregate(
             garg = idx.astype(np.float64) + (offsets or {}).get(d0, 0)
             out[f"{v}__val"] = Variable(new_dims, np.where(empty, np.nan, val))
             out[f"{v}__arg"] = Variable(new_dims, np.where(empty, np.nan, garg))
+        elif op == "trend":
+            d0 = red_dims[0]
+            ax = var.dims.index(d0)
+            af = a.astype(np.float64, copy=False)
+            off0 = (offsets or {}).get(d0, 0)
+            ishape = [1] * af.ndim
+            ishape[ax] = af.shape[ax]
+            ii = (off0 + np.arange(af.shape[ax], dtype=np.float64)).reshape(ishape)
+            valid = ~np.isnan(af) if skipna else np.ones(af.shape, bool)
+            w = valid.astype(np.float64)
+            y0 = np.where(valid, af, 0.0)
+            out[f"{v}__n"] = Variable(new_dims, np.sum(w, axis=ax))
+            out[f"{v}__sy"] = Variable(new_dims, np.sum(y0, axis=ax))
+            out[f"{v}__siy"] = Variable(new_dims, np.sum(ii * y0, axis=ax))
+            out[f"{v}__si"] = Variable(new_dims, np.sum(ii * w, axis=ax))
+            out[f"{v}__si2"] = Variable(new_dims, np.sum(ii * ii * w, axis=ax))
         elif op in ("mean", "sum", "std", "var", "count"):
             af = a.astype(np.float64, copy=False)
             s = np.nansum(af, axis=axes) if nan_aware else np.sum(af, axis=axes)
@@ -2147,6 +2193,11 @@ def _merge_partial(
                 )
             out[f"{v}__val"] = Variable(first.data_vars[f"{v}__val"].dims, val)
             out[f"{v}__arg"] = Variable(first.data_vars[f"{v}__arg"].dims, arg)
+        elif op == "trend":
+            for suffix in ("__n", "__sy", "__siy", "__si", "__si2"):
+                key = f"{v}{suffix}"
+                vals = np.sum([p.data_vars[key].values for p in parts], axis=0)
+                out[key] = Variable(first.data_vars[key].dims, np.asarray(vals, np.float64))
         elif op in ("mean", "sum", "std", "var", "count"):
             for suffix in ("__sum", "__cnt") + (("__ssq",) if op in ("std", "var") else ()):
                 key = f"{v}{suffix}"
@@ -2184,6 +2235,21 @@ def _merge_finalize(
             # result = the global element index (float64; NaN for series
             # that were all-NaN — dropped by to_table like any empty cell)
             out[v] = Variable(first.data_vars[f"{v}__arg"].dims, arg)
+        elif op == "trend":
+            acc = {
+                sfx: np.sum([p.data_vars[f"{v}__{sfx}"].values for p in parts], axis=0)
+                for sfx in ("n", "sy", "siy", "si", "si2")
+            }
+            n, sy, siy, si, si2 = (acc[k] for k in ("n", "sy", "siy", "si", "si2"))
+            with np.errstate(all="ignore"):
+                # OLS slope over the global element index, evaluated with
+                # exactly this expression tree so SQL oracles writing
+                # (n·Σiy − Σi·Σy)/(n·Σi² − Σi·Σi) match bit-for-bit
+                res = (n * siy - si * sy) / (n * si2 - si * si)
+            res = np.where(n >= 2, res, np.nan)
+            out[v] = Variable(
+                first.data_vars[f"{v}__n"].dims, np.asarray(res, np.float64)
+            )
         elif op in ("mean", "sum", "std", "var", "count"):
             s = np.sum([p.data_vars[f"{v}__sum"].values for p in parts], axis=0)
             cnt = np.sum([p.data_vars[f"{v}__cnt"].values for p in parts], axis=0)

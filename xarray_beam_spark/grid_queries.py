@@ -333,6 +333,52 @@ def xb_grid_median_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "xb_grid_trend_day",
+    f"""
+WITH cells AS ({_CELLS_SQL}),
+days AS (
+  SELECT day, CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS DOUBLE) AS i
+  FROM (SELECT DISTINCT day FROM cells)
+)
+SELECT hour, event_type,
+       (COUNT(*) * SUM(i * cnt) - SUM(i) * SUM(cnt))
+       / (COUNT(*) * SUM(i * i) - SUM(i) * SUM(i)) AS cnt
+FROM cells JOIN days USING (day)
+GROUP BY hour, event_type
+""",
+)
+def xb_grid_trend_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series linear trend (OLS slope over the day index) — the
+    polyfit/detrend building block as a distributed reduction; the
+    oracle writes the same (n·Σiy−Σi·Σy)/(n·Σi²−Σi·Σi) expression, and
+    present-cell (NaN-skipping) semantics match the SQL join's."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    return d.trend("day").to_table(dropna=True)
+
+
+@_register(
+    "xb_grid_climatology_std_dow",
+    f"""
+SELECT CAST(dayofweek(day) AS BIGINT) AS dow, hour, event_type,
+       sqrt((SUM(CAST(cnt AS BIGINT) * CAST(cnt AS BIGINT))
+             - CAST(SUM(CAST(cnt AS BIGINT)) AS DOUBLE)
+               * SUM(CAST(cnt AS BIGINT)) / COUNT(*)) / COUNT(*)) AS cnt
+FROM ({_CELLS_SQL}) GROUP BY 1, 2, 3
+""",
+)
+def xb_grid_climatology_std_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group population std by day-of-week — groupby_reduce's
+    (sum, sum², count) accumulator family; the finalize uses the exact
+    ``(Σx² - Σx·Σx/n)/n`` expression tree the oracle writes, so integer
+    counts hash-match bit-for-bit."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    days = d.template.coords["day"].values
+    dow = (days.astype("datetime64[D]").view("int64") + 4) % 7
+    g = d.groupby_reduce("day", dow, op="std", new_dim="dow")
+    return g.to_table(dropna=True)
+
+
+@_register(
     "xb_grid_head",
     f"""
 SELECT * FROM ({_CELLS_SQL})
