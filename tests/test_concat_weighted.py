@@ -283,3 +283,31 @@ def test_trend_skipna_and_degenerate(spark):
     assert np.isnan(got[1])  # single point -> undefined
     # two points at i=0 (y=5) and i=3 (y=2): slope -1
     assert np.isclose(got[2], -1.0)
+
+
+def test_corr_matches_numpy(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 5})
+    got = d.corr("asn", "d2m", "time").collect()
+    a = era5.data_vars["asn"].values.astype(np.float64)
+    b = era5.data_vars["d2m"].values.astype(np.float64)
+    flat_a = a.reshape(a.shape[0], -1)
+    flat_b = b.reshape(b.shape[0], -1)
+    want = np.array(
+        [np.corrcoef(flat_a[:, j], flat_b[:, j])[0, 1] for j in range(flat_a.shape[1])]
+    ).reshape(a.shape[1:])
+    np.testing.assert_allclose(got.data_vars["corr"].values, want, rtol=1e-10)
+
+
+def test_corr_pairwise_nan_and_constant(spark):
+    x = np.array([[1.0, 1.0], [2.0, 1.0], [np.nan, 1.0], [4.0, 1.0]])
+    y = np.array([[2.0, 3.0], [4.0, 4.0], [9.0, 5.0], [8.0, 6.0]])
+    nd = NDDataset(
+        {"x": (("time", "s"), x), "y": (("time", "s"), y)},
+        {"time": np.arange(4, dtype=np.int64), "s": np.arange(2, dtype=np.int64)},
+        {},
+    )
+    d = Dataset.from_numpy(spark, nd, chunks={"time": 2})
+    got = d.corr("x", "y", "time").collect().data_vars["corr"].values
+    # series 0: pairwise-drop the NaN row -> corr of (1,2,4) vs (2,4,8) = 1
+    assert np.isclose(got[0], 1.0)
+    assert np.isnan(got[1])  # constant x -> undefined

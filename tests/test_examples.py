@@ -44,3 +44,9 @@ def test_corpus_pipeline_example(tmp_path):
     assert "wrote partitioned parquet" in out
     import glob
     assert glob.glob(str(tmp_path / "corpus" / "split=train" / "*.parquet"))
+
+
+def test_temporal_analytics_example():
+    out = _run("temporal_analytics.py", "/root/testdata/sf0.001")
+    assert "asof:" in out and "interval:" in out
+    assert "trend NDDataset:" in out and "corr map:" in out

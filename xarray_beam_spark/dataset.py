@@ -1653,6 +1653,23 @@ class Dataset:
 
     _AGG_OPS = ("mean", "sum", "min", "max", "std", "var", "count")
 
+    def corr(self, var_a: str, var_b: str, dim: str, skipna: bool = True) -> "Dataset":
+        """Pearson correlation of two variables along ``dim`` per remaining
+        cell (xarray ``xr.corr`` over one dim) — e.g. a teleconnection /
+        co-variation map. Accumulators (n, Σx, Σy, Σxy, Σx², Σy²) ride the
+        same narrow pre-aggregate + tree-merge path as mean/std; cells
+        where either side is NaN drop out pairwise when ``skipna``.
+        Output: one variable named ``corr``."""
+        for v in (var_a, var_b):
+            if v not in self.template.var_meta:
+                raise KeyError(f"no variable {v!r}")
+        da, db = self.template.var_meta[var_a][0], self.template.var_meta[var_b][0]
+        if da != db:
+            raise ValueError(f"corr vars must share dims: {da} != {db}")
+        if dim not in da:
+            raise KeyError(f"variables lack dim {dim!r}")
+        return self._agg("corr", dim, skipna, var_pair=(var_a, var_b))
+
     def _agg(
         self,
         op: str,
@@ -1660,6 +1677,7 @@ class Dataset:
         skipna: bool,
         ddof: int = 0,
         merge_fanin: int | None = None,
+        var_pair: tuple[str, str] | None = None,
     ) -> "Dataset":
         """Distributed reduction over dims: per-chunk pre-aggregate
         (narrow — the combiner lift, reference ``combiners.py:37-147``),
@@ -1679,20 +1697,29 @@ class Dataset:
             if d not in self.sizes:
                 raise KeyError(f"no dimension {d!r}")
         if self.split_vars:
-            return self.consolidate_variables()._agg(op, red_dims, skipna, ddof)
+            return self.consolidate_variables()._agg(
+                op, red_dims, skipna, ddof, merge_fanin, var_pair
+            )
 
         keep_dims = [d for d in self.dims if d not in red_dims]
         tmpl = self.template
         out_vm = {}
-        for v, (dims_v, dt) in tmpl.var_meta.items():
-            new_dims = tuple(d for d in dims_v if d not in red_dims)
-            if op in ("min", "max"):
-                out_dt = dt
-            elif op == "count":
-                out_dt = np.dtype("int64").str
-            else:
-                out_dt = np.dtype("float64").str
-            out_vm[v] = (new_dims, out_dt)
+        if op == "corr":
+            assert var_pair is not None
+            new_dims = tuple(
+                d for d in tmpl.var_meta[var_pair[0]][0] if d not in red_dims
+            )
+            out_vm["corr"] = (new_dims, np.dtype("float64").str)
+        else:
+            for v, (dims_v, dt) in tmpl.var_meta.items():
+                new_dims = tuple(d for d in dims_v if d not in red_dims)
+                if op in ("min", "max"):
+                    out_dt = dt
+                elif op == "count":
+                    out_dt = np.dtype("int64").str
+                else:
+                    out_dt = np.dtype("float64").str
+                out_vm[v] = (new_dims, out_dt)
         out_tmpl = Template(
             sizes={d: s for d, s in tmpl.sizes.items() if d in keep_dims},
             var_meta=out_vm,
@@ -1703,7 +1730,7 @@ class Dataset:
         schema = chunk_row_schema(keep_dims)
         schema_mk = T.StructType(list(schema.fields) + [T.StructField("mkey", T.LongType())])
         offc = [off_col(d) for d in keep_dims]
-        var_names = tmpl.var_names
+        var_names = list(var_pair) if op == "corr" else tmpl.var_names
 
         # linearized reduced-chunk index → the tree-merge re-key base
         n_chunks = {d: -(-self.sizes[d] // self.chunks[d]) for d in red_dims}
@@ -2114,6 +2141,29 @@ def _pre_aggregate(
     Reference: ``combiners.py:37-64`` (_SumAndCount).
     """
     out: dict[str, Variable] = {}
+    if op == "corr":
+        va, vb = var_names
+        A, B = ds.data_vars[va], ds.data_vars[vb]
+        axes = tuple(A.dims.index(d) for d in red_dims if d in A.dims)
+        new_dims = tuple(d for d in A.dims if d not in red_dims)
+        x = A.values.astype(np.float64, copy=False)
+        y = B.values.astype(np.float64, copy=False)
+        valid = (~np.isnan(x)) & (~np.isnan(y)) if skipna else np.ones(x.shape, bool)
+        w = valid.astype(np.float64)
+        x0 = np.where(valid, x, 0.0)
+        y0 = np.where(valid, y, 0.0)
+        for name, arr in (
+            ("c__n", w),
+            ("c__sx", x0),
+            ("c__sy", y0),
+            ("c__sxy", x0 * y0),
+            ("c__sx2", x0 * x0),
+            ("c__sy2", y0 * y0),
+        ):
+            out[name] = Variable(new_dims, np.sum(arr, axis=axes))
+        keep = {d for var in out.values() for d in var.dims}
+        coords = {k: c for k, c in ds.coords.items() if set(c.dims) <= keep}
+        return NDDataset(out, coords, ds.attrs)
     for v in var_names:
         var = ds.data_vars[v]
         axes = tuple(var.dims.index(d) for d in red_dims if d in var.dims)
@@ -2183,6 +2233,13 @@ def _merge_partial(
     the same accumulator schema as ``_pre_aggregate``, so rounds chain."""
     first = parts[0]
     out: dict[str, Variable] = {}
+    if op == "corr":
+        for key in ("c__n", "c__sx", "c__sy", "c__sxy", "c__sx2", "c__sy2"):
+            vals = np.sum([p.data_vars[key].values for p in parts], axis=0)
+            out[key] = Variable(first.data_vars[key].dims, np.asarray(vals, np.float64))
+        keep = {d for var in out.values() for d in var.dims}
+        coords = {k: c for k, c in first.coords.items() if set(c.dims) <= keep}
+        return NDDataset(out, coords, first.attrs)
     for v in var_names:
         if op in ("argmin", "argmax"):
             val = first.data_vars[f"{v}__val"].values
@@ -2224,6 +2281,28 @@ def _merge_finalize(
 ) -> NDDataset:
     first = parts[0]
     out: dict[str, Variable] = {}
+    if op == "corr":
+        acc = {
+            k: np.sum([p.data_vars[f"c__{k}"].values for p in parts], axis=0)
+            for k in ("n", "sx", "sy", "sxy", "sx2", "sy2")
+        }
+        n, sx, sy, sxy, sx2, sy2 = (
+            acc[k] for k in ("n", "sx", "sy", "sxy", "sx2", "sy2")
+        )
+        with np.errstate(all="ignore"):
+            # Pearson r, evaluated with exactly this expression tree so SQL
+            # oracles writing (n·Σxy−Σx·Σy)/sqrt((n·Σx²−Σx·Σx)·(n·Σy²−Σy·Σy))
+            # match bit-for-bit
+            num = n * sxy - sx * sy
+            den = np.sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+            res = num / den
+        res = np.where((n >= 2) & (den > 0), res, np.nan)
+        out["corr"] = Variable(
+            first.data_vars["c__n"].dims, np.asarray(res, np.float64)
+        )
+        keep = {d for var in out.values() for d in var.dims}
+        coords = {k: c for k, c in first.coords.items() if set(c.dims) <= keep}
+        return NDDataset(out, coords, first.attrs)
     for v in var_names:
         if op in ("argmin", "argmax"):
             val = first.data_vars[f"{v}__val"].values

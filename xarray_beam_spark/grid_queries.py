@@ -333,6 +333,36 @@ def xb_grid_median_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "xb_grid_corr_day",
+    """
+WITH cells AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+         event_type,
+         CAST(COUNT(*) AS DOUBLE) AS cnt,
+         CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS users
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT hour, event_type,
+       (COUNT(*) * SUM(cnt * users) - SUM(cnt) * SUM(users))
+       / sqrt((COUNT(*) * SUM(cnt * cnt) - SUM(cnt) * SUM(cnt))
+              * (COUNT(*) * SUM(users * users) - SUM(users) * SUM(users))) AS corr
+FROM cells GROUP BY hour, event_type
+HAVING COUNT(*) >= 2
+   AND (COUNT(*) * SUM(cnt * cnt) - SUM(cnt) * SUM(cnt)) > 0
+   AND (COUNT(*) * SUM(users * users) - SUM(users) * SUM(users)) > 0
+""",
+)
+def xb_grid_corr_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell Pearson correlation of event count vs distinct users
+    along the day axis — the co-variation/teleconnection-map reduction;
+    the oracle writes the identical moment formula, and pairwise-present
+    semantics match the SQL group (both variables share presence)."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7}, var_cols=("cnt", "users"))
+    return d.corr("cnt", "users", "day").to_table(dropna=True)
+
+
+@_register(
     "xb_grid_trend_day",
     f"""
 WITH cells AS ({_CELLS_SQL}),
