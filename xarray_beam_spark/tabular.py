@@ -1331,3 +1331,41 @@ def events_median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("median_value"),
         F.col("n").alias("n_events"),
     )
+
+
+_RANGE_WINDOW_ORACLE = """
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS hour_value,
+       COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS hour_events
+FROM events
+"""
+
+
+@register("events_range_window_hour", _RANGE_WINDOW_ORACLE)
+def events_range_window_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window per row: each event's trailing-1-hour
+    sum/count for its user — a RANGE (value-based) window frame, not a
+    ROWS frame. Spark's rangeBetween needs a numeric ordering column, so
+    the frame runs over ``unix_micros(ts)`` with a µs-exact bound; DuckDB
+    expresses the same frame natively over the timestamp. Exact-decimal
+    accumulation keeps the float sum order-independent."""
+    e = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(dec("value")).over(w).cast("double").alias("hour_value"),
+        F.count(F.lit(1)).over(w).alias("hour_events"),
+    )
