@@ -311,3 +311,42 @@ def test_corr_pairwise_nan_and_constant(spark):
     # series 0: pairwise-drop the NaN row -> corr of (1,2,4) vs (2,4,8) = 1
     assert np.isclose(got[0], 1.0)
     assert np.isnan(got[1])  # constant x -> undefined
+
+
+def test_histogram_matches_numpy(spark, era5):
+    nd = _nan_era5(era5, seed=21)
+    d = Dataset.from_numpy(spark, nd, chunks={"time": 6})
+    edges = np.linspace(-3.0, 3.0, 13)
+    got = d.histogram("time", edges).collect()
+    for v, var in nd.data_vars.items():
+        vals = var.values
+        flat = vals.reshape(vals.shape[0], -1)
+        want = np.stack(
+            [
+                np.histogram(col[~np.isnan(col)], bins=edges)[0]
+                for col in flat.T
+            ],
+            axis=1,
+        ).reshape((len(edges) - 1,) + vals.shape[1:])
+        # np.histogram closes the last bin on the right; our semantics are
+        # half-open everywhere, so drop any value exactly == edges[-1]
+        exact_top = np.nansum(flat == edges[-1], axis=0).reshape(vals.shape[1:])
+        want[-1] = want[-1] - exact_top
+        np.testing.assert_array_equal(got.data_vars[v].values, want, err_msg=v)
+    assert got.coords["bin"].values.tolist() == list(range(12))
+
+
+def test_histogram_tree_merge_and_out_of_range(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 2})
+    edges = np.array([-0.5, 0.0, 0.5])
+    got = d.histogram("time", edges, merge_fanin=2).collect()
+    single = Dataset.from_numpy(spark, era5, chunks={"time": 24}).histogram(
+        "time", edges
+    ).collect()
+    for v in era5.data_vars:
+        np.testing.assert_array_equal(
+            got.data_vars[v].values, single.data_vars[v].values
+        )
+        vals = era5.data_vars[v].values
+        in_range = ((vals >= -0.5) & (vals < 0.5)).sum(axis=0)
+        np.testing.assert_array_equal(got.data_vars[v].values.sum(axis=0), in_range)

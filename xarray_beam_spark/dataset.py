@@ -2008,6 +2008,140 @@ class Dataset:
         df = df.groupBy("vars", *offc).applyInPandas(merge, schema)
         return Dataset(self.spark, df, out_tmpl, out_chunks, False)
 
+    def histogram(
+        self,
+        dim: str,
+        edges: np.ndarray,
+        new_dim: str = "bin",
+        merge_fanin: int | None = None,
+    ) -> "Dataset":
+        """Per-cell value histogram along ``dim``: replaces ``dim`` with
+        ``new_dim`` (one coordinate per bin INDEX) holding int64 counts of
+        elements falling in ``[edges[i], edges[i+1])``; NaN and
+        out-of-range values drop. The distribution-summary reduction
+        (value-space, unlike :meth:`groupby_reduce`'s coordinate-space
+        labels) — same one-narrow-stage + one-shuffle plan with dense
+        per-chunk accumulators and tree-merge rounds for extreme fan-in.
+        Bin membership via ``searchsorted``, so any monotone ``edges``
+        work (uniform or not)."""
+        edges = np.asarray(edges, dtype=np.float64)
+        if edges.ndim != 1 or len(edges) < 2 or np.any(np.diff(edges) <= 0):
+            raise ValueError("edges must be a strictly increasing 1-D array")
+        if self.split_vars:
+            return self.consolidate_variables().histogram(
+                dim, edges, new_dim, merge_fanin
+            )
+        sizes = self.sizes
+        if dim not in sizes:
+            raise KeyError(f"no dimension {dim!r}")
+        n_bins = len(edges) - 1
+        bc_edges = self.spark.sparkContext.broadcast(edges)
+
+        keep_dims = [d for d in self.dims if d != dim]
+        out_dims = sorted(keep_dims + [new_dim])
+        tmpl = self.template
+        out_vm = {
+            v: (tuple([new_dim] + [d for d in dims_v if d != dim]), np.dtype("int64").str)
+            for v, (dims_v, _) in tmpl.var_meta.items()
+        }
+        out_tmpl = Template(
+            sizes={**{d: s for d, s in sizes.items() if d != dim}, new_dim: n_bins},
+            var_meta=out_vm,
+            coords={
+                **{k: c for k, c in tmpl.coords.items() if dim not in c.dims},
+                new_dim: Variable((new_dim,), np.arange(n_bins, dtype=np.int64)),
+            },
+            attrs=tmpl.attrs,
+        )
+        out_chunks = {**{d: self.chunks[d] for d in keep_dims}, new_dim: n_bins}
+        schema = chunk_row_schema(out_dims)
+        schema_mk = T.StructType(list(schema.fields) + [T.StructField("mkey", T.LongType())])
+        offc = [off_col(d) for d in keep_dims]
+        var_names = tmpl.var_names
+        g_dim = dim
+        g_chunk = self.chunks[g_dim]
+        fan_in = -(-sizes[g_dim] // g_chunk)
+
+        def pre(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            e = bc_edges.value
+            for pdf in batches:
+                rows = []
+                for r in pdf.to_dict("records"):
+                    ds = decode_chunk(r["payload"])
+                    acc_vars: dict[str, Variable] = {}
+                    for v in var_names:
+                        var = ds.data_vars[v]
+                        ax = var.dims.index(g_dim)
+                        a = np.moveaxis(
+                            var.values.astype(np.float64, copy=False), ax, 0
+                        )
+                        rest = tuple(d for d in var.dims if d != g_dim)
+                        idx = np.searchsorted(e, a, side="right") - 1
+                        ok = (~np.isnan(a)) & (idx >= 0) & (idx < n_bins)
+                        counts = np.zeros((n_bins,) + a.shape[1:], np.int64)
+                        rest_ix = np.indices(a.shape)[1:]
+                        np.add.at(
+                            counts,
+                            (idx[ok],) + tuple(ri[ok] for ri in rest_ix),
+                            1,
+                        )
+                        acc_vars[v] = Variable((new_dim,) + rest, counts)
+                    kept = {k: c for k, c in ds.coords.items() if g_dim not in c.dims}
+                    kept[new_dim] = Variable(
+                        (new_dim,), np.arange(n_bins, dtype=np.int64)
+                    )
+                    acc = NDDataset(acc_vars, kept, ds.attrs)
+                    row = {
+                        off_col(d): (0 if d == new_dim else int(r[off_col(d)]))
+                        for d in out_dims
+                    }
+                    row["vars"] = r["vars"]
+                    row["payload"] = encode_chunk(acc)
+                    row["mkey"] = int(r[off_col(g_dim)]) // g_chunk
+                    rows.append(row)
+                if rows:
+                    yield pd.DataFrame(rows, columns=[f.name for f in schema_mk.fields])
+
+        def combine(key: tuple, pdf: pd.DataFrame, with_mkey: bool) -> pd.DataFrame:
+            parts = [decode_chunk(p) for p in pdf["payload"]]
+            first = parts[0]
+            out = {
+                v: Variable(
+                    first.data_vars[v].dims,
+                    np.sum([p.data_vars[v].values for p in parts], axis=0).astype(
+                        np.int64
+                    ),
+                )
+                for v in var_names
+            }
+            acc = NDDataset(out, first.coords, first.attrs)
+            ncols = schema_mk if with_mkey else schema
+            row = dict(
+                zip(
+                    ["vars"] + offc,
+                    [key[0]] + [int(k) for k in key[1 : 1 + len(offc)]],
+                )
+            )
+            row[off_col(new_dim)] = 0
+            if with_mkey:
+                row["mkey"] = int(key[-1])
+            row["payload"] = encode_chunk(acc)
+            return pd.DataFrame([row], columns=[f.name for f in ncols.fields])
+
+        fanin = int(merge_fanin or DEFAULT_MERGE_FANIN)
+        df = self.df.mapInPandas(pre, schema_mk)
+        expected = fan_in
+        while expected > fanin:
+            df = df.withColumn("mkey", F.floor(F.col("mkey") / fanin).cast("long"))
+            df = df.groupBy("vars", *offc, "mkey").applyInPandas(
+                lambda k, p: combine(k, p, True), schema_mk
+            )
+            expected = -(-expected // fanin)
+        df = df.groupBy("vars", *offc).applyInPandas(
+            lambda k, p: combine(k, p, False), schema
+        )
+        return Dataset(self.spark, df, out_tmpl, out_chunks, False)
+
 
 def concat(datasets: Sequence[Dataset], dim: str) -> Dataset:
     """Concatenate datasets along an existing dimension (xarray

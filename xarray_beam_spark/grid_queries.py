@@ -333,6 +333,27 @@ def xb_grid_median_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "xb_grid_histogram_day",
+    f"""
+SELECT CAST(floor(cnt / 5) AS BIGINT) AS bin, hour, event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM ({_CELLS_SQL})
+WHERE cnt >= 0 AND cnt < 200
+GROUP BY 1, 2, 3
+""",
+)
+def xb_grid_histogram_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-space histogram along ``day``: per (hour, event_type) cell,
+    how many days fell in each count bucket ``[5i, 5i+5)`` — the
+    distribution-summary reduction. Integer edges make numpy's
+    ``searchsorted`` binning equal SQL's ``floor(x/5)``; zero buckets are
+    filtered to match GROUP BY sparsity."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    h = d.histogram("day", np.arange(0, 201, 5, dtype=np.float64))
+    return h.to_table(dropna=False).where(F.col("cnt") > 0)
+
+
+@_register(
     "xb_grid_corr_day",
     """
 WITH cells AS (

@@ -1369,3 +1369,60 @@ def events_range_window_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("value")).over(w).cast("double").alias("hour_value"),
         F.count(F.lit(1)).over(w).alias("hour_events"),
     )
+
+
+_CUBE_ORACLE = """
+SELECT event_type,
+       CAST(date_part('dow', ts) AS BIGINT) AS dow,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY CUBE (event_type, dow)
+"""
+
+
+@register("events_cube_counts", _CUBE_ORACLE)
+def events_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE — all 2^k grouping sets in one pass (completes the
+    grouping-sets family next to the ROLLUP gate). Spark expands the
+    cube before the shuffle, so it stays one map-side-combinable
+    aggregation."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            (F.dayofweek("ts").cast("long") - 1).alias("dow"),
+            "user_id",
+        )
+        .cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+_PRANK_ORACLE = """
+SELECT event_id, user_id, value,
+       percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id) AS pr,
+       cume_dist() OVER (PARTITION BY user_id ORDER BY value, event_id) AS cd,
+       ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS quartile
+FROM events
+"""
+
+
+@register("events_percent_rank", _PRANK_ORACLE)
+def events_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window family: percent_rank ((rank−1)/(n−1)),
+    cume_dist, ntile — all exact rational arithmetic on integer ranks,
+    identical in any engine; event_id tiebreak makes ntile deterministic."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
