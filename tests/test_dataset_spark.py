@@ -593,3 +593,32 @@ def test_groupby_reduce_std_skipna_and_staged_merge(spark, era5):
         ]
     )
     np.testing.assert_allclose(got.data_vars["asn"].values, want, rtol=1e-10)
+
+
+def test_groupby_reduce_median_quantile(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 5, "latitude": 4})
+    labels = (np.arange(24) % 3).astype(np.int64)
+    arr = era5.data_vars["asn"].values.astype(np.float64)
+    got = d.groupby_reduce("time", labels, op="median", new_dim="g").collect()
+    want = np.stack([np.median(arr[labels == g], axis=0) for g in range(3)])
+    np.testing.assert_allclose(got.data_vars["asn"].values, want, rtol=1e-12)
+    got_q = d.groupby_reduce("time", labels, op="quantile", new_dim="g", q=0.25).collect()
+    want_q = np.stack([np.quantile(arr[labels == g], 0.25, axis=0) for g in range(3)])
+    np.testing.assert_allclose(got_q.data_vars["asn"].values, want_q, rtol=1e-12)
+
+
+def test_groupby_median_nan_and_tree_merge(spark, era5):
+    from xarray_beam_spark.ndarray_ds import NDDataset
+
+    vals = era5.data_vars["asn"].values.astype(np.float64).copy()
+    vals[::3] = np.nan
+    nd = NDDataset({"asn": (era5.data_vars["asn"].dims, vals)}, dict(era5.coords), {})
+    d = Dataset.from_numpy(spark, nd, chunks={"time": 2})
+    labels = (np.arange(24) % 4).astype(np.int64)
+    got = d.groupby_reduce(
+        "time", labels, op="median", new_dim="g", merge_fanin=2
+    ).collect()
+    want = np.stack(
+        [np.nanmedian(vals[labels == g], axis=0) for g in range(4)]
+    )
+    np.testing.assert_allclose(got.data_vars["asn"].values, want, rtol=1e-12)

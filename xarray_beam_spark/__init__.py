@@ -20,8 +20,9 @@ docstrings as ``xarray_beam/_src/<file>.py:<lines>`` for parity checks.
 """
 
 from xarray_beam_spark.core import Key  # noqa: F401
-from xarray_beam_spark.dataset import Dataset, Template  # noqa: F401
+from xarray_beam_spark.dataset import Dataset, Template, concat  # noqa: F401
 from xarray_beam_spark.ndarray_ds import NDDataset, Variable  # noqa: F401
+from xarray_beam_spark.operators.temporal import asof_join, interval_join  # noqa: F401
 from xarray_beam_spark.sources import zarr_io as _zarr_io  # noqa: F401  (wires Dataset.to_zarr/from_zarr)
 from xarray_beam_spark.sources.zarr_io import from_zarr, to_zarr  # noqa: F401
 

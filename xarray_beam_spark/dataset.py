@@ -1799,6 +1799,7 @@ class Dataset:
         new_dim: str = "group",
         skipna: bool = True,
         merge_fanin: int | None = None,
+        q: float = 0.5,
     ) -> "Dataset":
         """Group elements along ``dim`` by a per-element key and reduce —
         the climatology pattern (reference ``examples/era5_climatology.py``:
@@ -1816,11 +1817,13 @@ class Dataset:
         weekdays), so the dense accumulator is cheap and no per-element
         re-keying or SplitChunks-to-size-1 is ever materialized.
         """
-        if op not in ("mean", "sum", "min", "max", "std", "var"):
+        if op not in ("mean", "sum", "min", "max", "std", "var", "median", "quantile"):
             raise ValueError(f"unsupported groupby op {op!r}")
+        if op == "median":
+            op, q = "quantile", 0.5
         if self.split_vars:
             return self.consolidate_variables().groupby_reduce(
-                dim, by, op, new_dim, skipna, merge_fanin=merge_fanin
+                dim, by, op, new_dim, skipna, merge_fanin=merge_fanin, q=q
             )
         sizes = self.sizes
         if len(by) != sizes[dim]:
@@ -1871,7 +1874,18 @@ class Dataset:
                         ax = var.dims.index(g_dim)
                         a = np.moveaxis(var.values, ax, 0)
                         rest = tuple(d for d in var.dims if d != g_dim)
-                        if op in ("mean", "sum", "std", "var"):
+                        if op == "quantile":
+                            # gather, not a moment accumulator: one ragged
+                            # slab per group (its own dim name, so sizes may
+                            # differ). Memory at the final merge = one
+                            # group's full slab — the same envelope as the
+                            # rechunk-contiguous median path.
+                            af = a.astype(np.float64, copy=False)
+                            for gi in range(n_groups):
+                                acc_vars[f"{v}__g{gi}"] = Variable(
+                                    (f"__q{gi}",) + rest, af[labels == gi]
+                                )
+                        elif op in ("mean", "sum", "std", "var"):
                             af = a.astype(np.float64, copy=False)
                             nanm = np.isnan(af) if af.dtype.kind == "f" and skipna else None
                             s = np.zeros((n_groups,) + a.shape[1:], np.float64)
@@ -1928,7 +1942,14 @@ class Dataset:
             first = parts[0]
             out: dict[str, Variable] = {}
             for v in var_names:
-                if op in ("mean", "sum", "std", "var"):
+                if op == "quantile":
+                    for gi in range(n_groups):
+                        gk = f"{v}__g{gi}"
+                        vals = np.concatenate(
+                            [p.data_vars[gk].values for p in parts], axis=0
+                        )
+                        out[gk] = Variable(first.data_vars[gk].dims, vals)
+                elif op in ("mean", "sum", "std", "var"):
                     sfxs = ("__sum", "__cnt") + (("__sum2",) if op in ("std", "var") else ())
                     for sfx in sfxs:
                         vals = np.sum([p.data_vars[f"{v}{sfx}"].values for p in parts], axis=0)
@@ -1960,7 +1981,37 @@ class Dataset:
             first = parts[0]
             out: dict[str, Variable] = {}
             for v in var_names:
-                if op in ("mean", "sum", "std", "var"):
+                if op == "quantile":
+                    stacked = []
+                    for gi in range(n_groups):
+                        vals = np.concatenate(
+                            [p.data_vars[f"{v}__g{gi}"].values for p in parts], axis=0
+                        )
+                        rest_shape = vals.shape[1:]
+                        if vals.shape[0] == 0:
+                            stacked.append(np.full(rest_shape, np.nan))
+                            continue
+                        if skipna:
+                            any_valid = np.any(~np.isnan(vals), axis=0)
+                            safe = np.where(np.isnan(vals), 0.0, vals)
+                            # nanquantile warns on all-NaN columns; compute on
+                            # a safe copy only where nothing is valid
+                            import warnings as _w
+
+                            with _w.catch_warnings():
+                                _w.simplefilter("ignore")
+                                res_g = np.nanquantile(
+                                    np.where(any_valid, vals, safe), q, axis=0
+                                )
+                            res_g = np.where(any_valid, res_g, np.nan)
+                        else:
+                            res_g = np.quantile(vals, q, axis=0)
+                        stacked.append(res_g)
+                    gdims = (new_dim,) + first.data_vars[f"{v}__g0"].dims[1:]
+                    out[v] = Variable(
+                        gdims, np.stack(stacked, axis=0).astype(np.float64)
+                    )
+                elif op in ("mean", "sum", "std", "var"):
                     s = np.sum([p.data_vars[f"{v}__sum"].values for p in parts], axis=0)
                     cnt = np.sum([p.data_vars[f"{v}__cnt"].values for p in parts], axis=0)
                     with np.errstate(all="ignore"):

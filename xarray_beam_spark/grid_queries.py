@@ -333,6 +333,27 @@ def xb_grid_median_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "xb_grid_groupby_median_dow",
+    f"""
+SELECT CAST(dayofweek(day) AS BIGINT) AS dow, hour, event_type,
+       median(cnt) AS cnt
+FROM ({_CELLS_SQL}) GROUP BY 1, 2, 3
+""",
+)
+def xb_grid_groupby_median_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median count by day-of-week — the order-statistic climatology.
+    ``groupby_reduce(op="median")`` gathers each group's value slab via
+    per-group ragged accumulators (not a moment formula) and takes the
+    per-cell nan-median; DuckDB's ``median`` (quantile_cont 0.5)
+    midpoints integer counts exactly, so values hash-match."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    days = d.template.coords["day"].values
+    dow = (days.astype("datetime64[D]").view("int64") + 4) % 7
+    g = d.groupby_reduce("day", dow, op="median", new_dim="dow")
+    return g.to_table(dropna=True)
+
+
+@_register(
     "xb_grid_histogram_day",
     f"""
 SELECT CAST(floor(cnt / 5) AS BIGINT) AS bin, hour, event_type,
