@@ -622,3 +622,42 @@ def test_groupby_median_nan_and_tree_merge(spark, era5):
         [np.nanmedian(vals[labels == g], axis=0) for g in range(4)]
     )
     np.testing.assert_allclose(got.data_vars["asn"].values, want, rtol=1e-12)
+
+
+def test_stack_matches_numpy_reshape(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 7})
+    s = d.stack("z", ["latitude", "longitude"]).collect()
+    for v, var in era5.data_vars.items():
+        want = var.values.reshape(var.values.shape[0], -1)
+        np.testing.assert_array_equal(s.data_vars[v].values, want)
+        assert s.data_vars[v].dims == ("time", "z")
+
+
+def test_stack_unstack_roundtrip(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 7, "latitude": 3})
+    s = d.stack("z", ["latitude", "longitude"])
+    # stacking rechunked latitude to whole; z chunk = lat_chunk * n_lon
+    back = s.unstack(
+        "z",
+        {"latitude": 7, "longitude": 9},
+        coords={
+            "latitude": era5.coords["latitude"].values,
+            "longitude": era5.coords["longitude"].values,
+        },
+    ).collect()
+    got = back.transpose("time", "latitude", "longitude")
+    for v, var in era5.data_vars.items():
+        np.testing.assert_array_equal(got.data_vars[v].values, var.values)
+    np.testing.assert_array_equal(
+        got.coords["latitude"].values, era5.coords["latitude"].values
+    )
+
+
+def test_stack_first_dim_stays_chunked(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 6})
+    s = d.stack("z", ["time", "latitude", "longitude"])
+    assert s.chunks["z"] == 6 * 7 * 9
+    offs = sorted(r["off_z"] for r in s.df.select("off_z").collect())
+    assert offs == [0, 378, 756, 1134]
+    vals = s.collect().data_vars["asn"].values
+    np.testing.assert_array_equal(vals, era5.data_vars["asn"].values.reshape(-1))

@@ -814,6 +814,200 @@ class Dataset:
             lambda ds: ds.transpose(*order), template=self.template, chunks=self.chunks
         )
 
+    def stack(self, new_dim: str, dims: Sequence[str]) -> "Dataset":
+        """Merge ``dims`` (in order) into one trailing dimension
+        ``new_dim`` (xarray ``ds.stack``; positional index, row-major) —
+        the flatten step for feature-matrix exports. All stacked dims
+        except the first must be single-chunk so every chunk's stacked
+        slab is contiguous in the flattened index space (the dask rule);
+        they are rechunked automatically when not. The payload rewrite is
+        narrow; offsets map exactly: ``off_z = off_first * prod(tail)``."""
+        dims = list(dims)
+        if len(dims) < 2:
+            raise ValueError("stack needs >= 2 dims")
+        for d in dims:
+            if d not in self.sizes:
+                raise KeyError(f"no dimension {d!r}")
+        if new_dim in self.sizes:
+            raise ValueError(f"dimension {new_dim!r} already exists")
+        base = self.consolidate_variables() if self.split_vars else self
+        need = {d: -1 for d in dims[1:] if base.chunks[d] != base.sizes[d]}
+        if need:
+            base = base.rechunk(need)
+        dset = set(dims)
+        tmpl = base.template
+        for v, (dims_v, _) in tmpl.var_meta.items():
+            if not dset <= set(dims_v):
+                raise ValueError(f"variable {v!r} lacks stacked dims {dims}")
+        tail = _prod([base.sizes[d] for d in dims[1:]])
+        z_size = base.sizes[dims[0]] * tail
+        z_chunk = base.chunks[dims[0]] * tail
+        out_vm = {}
+        for v, (dims_v, dt) in tmpl.var_meta.items():
+            others_v = tuple(d for d in dims_v if d not in dset)
+            out_vm[v] = (others_v + (new_dim,), dt)
+        out_tmpl = Template(
+            sizes={
+                **{d: s for d, s in base.sizes.items() if d not in dset},
+                new_dim: z_size,
+            },
+            var_meta=out_vm,
+            coords={k: c for k, c in tmpl.coords.items() if not (set(c.dims) & dset)},
+            attrs=tmpl.attrs,
+        )
+        out_chunks = {
+            **{d: base.chunks[d] for d in base.dims if d not in dset},
+            new_dim: z_chunk,
+        }
+        out_dims = sorted(out_tmpl.sizes)
+        schema = chunk_row_schema(out_dims)
+        d0 = dims[0]
+
+        def apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for r in pdf.to_dict("records"):
+                    ds = decode_chunk(r["payload"])
+                    out_vars: dict[str, Variable] = {}
+                    for v, var in ds.data_vars.items():
+                        others_v = [d for d in var.dims if d not in dset]
+                        perm = others_v + dims
+                        arr = np.transpose(
+                            var.values, [var.dims.index(d) for d in perm]
+                        )
+                        out_vars[v] = Variable(
+                            tuple(others_v) + (new_dim,),
+                            arr.reshape(arr.shape[: len(others_v)] + (-1,)),
+                        )
+                    coords = {
+                        k: c
+                        for k, c in ds.coords.items()
+                        if not (set(c.dims) & dset)
+                    }
+                    row = {
+                        off_col(d): int(r[off_col(d)])
+                        for d in out_dims
+                        if d != new_dim
+                    }
+                    row[off_col(new_dim)] = int(r[off_col(d0)]) * tail
+                    row["vars"] = r["vars"]
+                    row["payload"] = encode_chunk(
+                        NDDataset(out_vars, coords, ds.attrs)
+                    )
+                    rows.append(row)
+                if rows:
+                    yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+        df = base.df.mapInPandas(apply, schema)
+        return Dataset(self.spark, df, out_tmpl, out_chunks, False)
+
+    def unstack(
+        self, dim: str, sizes: Mapping[str, int], coords: Mapping[str, np.ndarray] | None = None
+    ) -> "Dataset":
+        """Split ``dim`` back into the ordered ``sizes`` dims (inverse of
+        :meth:`stack`; row-major). The chunk along ``dim`` must cover whole
+        rows of the trailing dims — rechunked automatically to a multiple
+        when not. ``coords`` optionally restores per-dim coordinates."""
+        if dim not in self.sizes:
+            raise KeyError(f"no dimension {dim!r}")
+        new_names = list(sizes)
+        if len(new_names) < 2:
+            raise ValueError("unstack needs >= 2 target dims")
+        tail = _prod([sizes[d] for d in new_names[1:]])
+        total = _prod(list(sizes.values()))
+        if total != self.sizes[dim]:
+            raise ValueError(
+                f"sizes product {total} != size of {dim!r} ({self.sizes[dim]})"
+            )
+        base = self.consolidate_variables() if self.split_vars else self
+        if base.chunks[dim] % tail != 0:
+            mult = max(1, base.chunks[dim] // tail) * tail
+            base = base.rechunk({dim: int(mult)})
+        tmpl = base.template
+        for v, (dims_v, _) in tmpl.var_meta.items():
+            if dim not in dims_v:
+                raise ValueError(f"variable {v!r} lacks dim {dim!r}")
+        coord_vars = {
+            d: Variable((d,), np.asarray(vals)) for d, vals in (coords or {}).items()
+        }
+        out_vm = {
+            v: (
+                tuple(d for d in dims_v if d != dim) + tuple(new_names),
+                dt,
+            )
+            for v, (dims_v, dt) in tmpl.var_meta.items()
+        }
+        out_tmpl = Template(
+            sizes={
+                **{d: s for d, s in base.sizes.items() if d != dim},
+                **{d: int(s) for d, s in sizes.items()},
+            },
+            var_meta=out_vm,
+            coords={
+                **{k: c for k, c in tmpl.coords.items() if dim not in c.dims},
+                **coord_vars,
+            },
+            attrs=tmpl.attrs,
+        )
+        out_chunks = {
+            **{d: base.chunks[d] for d in base.dims if d != dim},
+            new_names[0]: base.chunks[dim] // tail,
+            **{d: int(sizes[d]) for d in new_names[1:]},
+        }
+        out_dims = sorted(out_tmpl.sizes)
+        schema = chunk_row_schema(out_dims)
+        tail_shape = tuple(int(sizes[d]) for d in new_names[1:])
+        bc_coords = self.spark.sparkContext.broadcast(
+            {d: np.asarray(vals) for d, vals in (coords or {}).items()}
+        )
+
+        def apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cvals = bc_coords.value
+            for pdf in batches:
+                rows = []
+                for r in pdf.to_dict("records"):
+                    ds = decode_chunk(r["payload"])
+                    out_vars: dict[str, Variable] = {}
+                    k_rows = ds.sizes[dim] // tail
+                    for v, var in ds.data_vars.items():
+                        ax = var.dims.index(dim)
+                        others_v = [d for d in var.dims if d != dim]
+                        arr = np.moveaxis(var.values, ax, -1)
+                        arr = arr.reshape(arr.shape[:-1] + (k_rows,) + tail_shape)
+                        out_vars[v] = Variable(tuple(others_v) + tuple(new_names), arr)
+                    off0 = int(r[off_col(dim)]) // tail
+                    coords_out = {
+                        k2: c
+                        for k2, c in ds.coords.items()
+                        if dim not in c.dims
+                    }
+                    for i, d in enumerate(new_names):
+                        if d in cvals:
+                            if i == 0:
+                                coords_out[d] = Variable(
+                                    (d,), cvals[d][off0 : off0 + k_rows]
+                                )
+                            else:
+                                coords_out[d] = Variable((d,), cvals[d])
+                    row = {
+                        off_col(d): int(r[off_col(d)])
+                        for d in out_dims
+                        if d not in sizes
+                    }
+                    row[off_col(new_names[0])] = off0
+                    for d in new_names[1:]:
+                        row[off_col(d)] = 0
+                    row["vars"] = r["vars"]
+                    row["payload"] = encode_chunk(
+                        NDDataset(out_vars, coords_out, ds.attrs)
+                    )
+                    rows.append(row)
+                if rows:
+                    yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+        df = base.df.mapInPandas(apply, schema)
+        return Dataset(self.spark, df, out_tmpl, out_chunks, False)
+
     def fillna(self, value: float) -> "Dataset":
         """Replace NaN holes with ``value`` (xarray ``Dataset.fillna`` with
         a scalar): embarrassingly parallel map_blocks, no shuffle."""

@@ -332,6 +332,27 @@ def xb_grid_median_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contig.map_blocks(both).to_table(dropna=True)
 
 
+@_register("xb_grid_stack_roundtrip", _CELLS_SQL)
+def xb_grid_stack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stack (hour, event_type) → one flattened ``z`` axis → unstack back
+    (xarray ``stack``/``unstack``, the feature-matrix flatten): a pure
+    narrow reshape each way (offsets map as ``off_z = off_hour·n_types``),
+    identity on the grid."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    n_hour = d.template.sizes["hour"]
+    n_et = d.template.sizes["event_type"]
+    s = d.stack("z", ["hour", "event_type"])
+    back = s.unstack(
+        "z",
+        {"hour": n_hour, "event_type": n_et},
+        coords={
+            "hour": d.template.coords["hour"].values,
+            "event_type": d.template.coords["event_type"].values,
+        },
+    )
+    return back.to_table(dropna=True)
+
+
 @_register(
     "xb_grid_groupby_median_dow",
     f"""
