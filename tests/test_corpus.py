@@ -84,3 +84,57 @@ def test_hash_split_salt_changes_assignment(spark):
     a = {r["doc_id"]: r["split"] for r in hash_split(d, {"a": 1, "b": 1}).collect()}
     b = {r["doc_id"]: r["split"] for r in hash_split(d, {"a": 1, "b": 1}, salt="other").collect()}
     assert a != b
+
+
+class TestPackSequences:
+    def _toks(self, spark, seed=0, n=400, budget=128):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        rows = [(int(i), int(t)) for i, t in enumerate(rng.integers(5, 90, n))]
+        rows.append((10_000, budget + 50))  # oversize doc
+        return spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+
+    def test_capacity_and_exactly_once(self, spark):
+        from xarray_beam_spark.operators.corpus import pack_sequences
+
+        budget = 128
+        toks = self._toks(spark, budget=budget)
+        got = pack_sequences(toks, budget=budget).toPandas()
+        assert len(got) == got["doc_id"].nunique() == toks.count()
+        fills = got.groupby("pack_id")["n_tokens"].agg(["sum", "count"])
+        over = fills[fills["sum"] > budget]
+        # only the oversize doc's singleton pack may exceed budget
+        assert len(over) == 1 and over["count"].iloc[0] == 1
+
+    def test_deterministic_across_partitioning(self, spark):
+        from xarray_beam_spark.operators.corpus import pack_sequences
+
+        toks = self._toks(spark, seed=3)
+        a = (
+            pack_sequences(toks.repartition(17), budget=128)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            pack_sequences(toks.coalesce(1), budget=128)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
+
+    def test_packing_efficiency(self, spark):
+        from xarray_beam_spark.operators.corpus import pack_sequences
+
+        import numpy as np
+
+        budget = 128
+        toks = self._toks(spark, seed=5, n=2000)
+        got = pack_sequences(toks, budget=budget, n_buckets=8).toPandas()
+        total = got["n_tokens"].sum()
+        n_packs = got["pack_id"].nunique()
+        ideal = np.ceil(total / budget)
+        # best-fit-decreasing within 8 buckets: within 15% + slack of ideal
+        assert n_packs <= ideal * 1.15 + 8

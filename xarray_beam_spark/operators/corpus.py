@@ -20,8 +20,11 @@ partial-agg rollup. Nothing is driver-side.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from xarray_beam_spark.functions.text import (
     detect_language,
@@ -233,4 +236,102 @@ def corpus_hash_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         split.groupBy("split", "source")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
+    )
+
+
+_PACK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("pack_id", T.LongType()),
+    ]
+)
+
+
+def pack_sequences(
+    doc_tokens: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Sequence packing: assign documents to packs so each pack's token
+    total stays ≤ ``budget`` — the batch-assembly step of an LLM
+    pretraining pipeline (padding waste = unused budget).
+
+    Scale shape: docs scatter to ``n_buckets`` deterministic hash buckets
+    (one shuffle), and each bucket packs independently with
+    best-fit-decreasing (sort by tokens desc, binary-search the tightest
+    open pack; O(n log n) per bucket, deterministic regardless of input
+    partitioning). Bucketing caps per-task state and parallelizes the
+    inherently sequential packing loop; the waste penalty vs one global
+    pack is at most one underfull pack per bucket. Documents longer than
+    ``budget`` get a singleton pack (flagged by their token count).
+
+    Returns (doc_id, n_tokens, pack_id); ``pack_id`` encodes
+    ``bucket * 2^32 + local_pack``.
+    """
+    df = doc_tokens.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets)).alias(
+            "__bucket"
+        ),
+    )
+
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+
+        bucket = int(key[0])
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        # best-fit-decreasing over a sorted list of (remaining, pack_idx)
+        remaining: list = []  # sorted by remaining capacity
+        assignment = np.empty(len(pdf), dtype=np.int64)
+        n_packs = 0
+        for i, tok in enumerate(pdf["n_tokens"].to_numpy()):
+            j = bisect.bisect_left(remaining, (tok,))
+            if j < len(remaining):
+                cap, idx = remaining.pop(j)
+                cap -= int(tok)
+                bisect.insort(remaining, (cap, idx))
+                assignment[i] = idx
+            else:
+                assignment[i] = n_packs
+                cap = max(int(budget) - int(tok), 0)
+                bisect.insort(remaining, (cap, n_packs))
+                n_packs += 1
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pdf["n_tokens"],
+                "pack_id": (bucket << 32) + assignment,
+            }
+        )
+
+    return df.groupBy("__bucket").applyInPandas(pack, _PACK_SCHEMA)
+
+
+@_register("corpus_pack_sequences", None)
+def corpus_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the documents table into 1024-token training batches and
+    report per-pack fill — rows-only gate (the packing loop is not
+    SQL-expressible; determinism is guaranteed by bucketed best-fit over
+    sorted inputs, so row counts and values are stable)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tokens")
+    )
+    # bucket count sized so each bucket packs >> budget worth of
+    # tokens (rule: n_buckets ~ total_tokens / (budget * 100));
+    # 256 (the scale default) would leave 500 gate docs ~2 per bucket
+    packed = pack_sequences(toks, budget=1024, n_buckets=8)
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+        .orderBy("pack_id")
     )
