@@ -47,6 +47,17 @@ def test_concat_rejects_misaligned_split(spark, era5):
         dsmod.concat([a, b], "time")
 
 
+def test_concat_rejects_oversized_single_chunk_tail(spark, era5):
+    # A final single-chunk input LARGER than the shared chunk size must be
+    # rejected: declaring chunks[time]=6 over an 18-row chunk would let
+    # offset pruning (bounded by off + chunks) silently drop 12 rows.
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 6})
+    a = d.isel(time=slice(0, 6))
+    tail = Dataset.from_numpy(spark, era5.isel({"time": slice(6, 24)}), chunks={"time": 18})
+    with pytest.raises(ValueError, match="chunk mismatch"):
+        dsmod.concat([a, tail], "time")
+
+
 def test_concat_rejects_size_mismatch(spark, era5):
     d = Dataset.from_numpy(spark, era5, chunks={"time": 6})
     a = d.isel(time=slice(0, 6))

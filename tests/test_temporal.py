@@ -93,6 +93,64 @@ def test_asof_tolerance_and_inner(spark):
     )
 
 
+def test_asof_shared_time_column_name(spark):
+    # right_time defaults to left_time's name: the shared time column is
+    # carried internally for matching/tolerance but not re-emitted, so no
+    # column clash. Match results must equal the renamed-column run.
+    left, right = _rand_frames(seed=11)
+    right_t = right.rename(columns={"rt": "t"})
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right_t),
+            on=["k"],
+            left_time="t",
+            tolerance=F.lit(50),
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == ["k", "t", "lid", "val"]
+    want = _pandas_asof(left, right, "backward", True, tolerance=50)
+    pd.testing.assert_frame_equal(
+        got[["lid", "val"]], want[["lid", "val"]], check_dtype=False
+    )
+    # left's own time column must be untouched
+    pd.testing.assert_series_equal(
+        got.sort_values("lid")["t"].reset_index(drop=True),
+        left.sort_values("lid")["t"].reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_interval_join_large_magnitude_keys(spark):
+    # Bin assignment must use exact int64 floor division: near 2^53+ a
+    # double divide can misround across a bin boundary and silently drop
+    # qualifying pairs.
+    base = 2**60
+    w = 1_000_003  # not a power of two: exercises true division
+    pts = pd.DataFrame(
+        {"k": [1] * 4, "pt": [base - 1, base, base + w - 1, base + w], "pid": [0, 1, 2, 3]}
+    )
+    iv = pd.DataFrame({"k": [1], "lo": [base], "hi": [base + w], "iid": [7]})
+    got = (
+        interval_join(
+            spark.createDataFrame(pts),
+            spark.createDataFrame(iv),
+            on=["k"],
+            point_time="pt",
+            lo="lo",
+            hi="hi",
+            bin_width=w,
+        )
+        .toPandas()
+        .sort_values("pid")
+        .reset_index(drop=True)
+    )
+    assert list(got["pid"]) == [1, 2]  # [lo, hi) exactly, no drops at 2^60
+
+
 def test_asof_null_keys_never_match(spark):
     left = pd.DataFrame({"k": [1.0, None], "t": [10, 10], "lid": [0, 1]})
     right = pd.DataFrame({"k": [1.0, None], "rt": [5, 5], "val": [1.0, 2.0]})

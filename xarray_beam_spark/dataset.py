@@ -2014,7 +2014,13 @@ class Dataset:
         if op not in ("mean", "sum", "min", "max", "std", "var", "median", "quantile"):
             raise ValueError(f"unsupported groupby op {op!r}")
         if op == "median":
-            op, q = "quantile", 0.5
+            if q != 0.5:
+                raise ValueError("op='median' fixes q=0.5; use op='quantile' to set q")
+            op = "quantile"
+        if op == "quantile":
+            q = float(q)
+            if not 0.0 <= q <= 1.0:
+                raise ValueError(f"q must be in [0, 1], got {q}")
         if self.split_vars:
             return self.consolidate_variables().groupby_reduce(
                 dim, by, op, new_dim, skipna, merge_fanin=merge_fanin, q=q
@@ -2219,8 +2225,13 @@ class Dataset:
                             )
                             # population variance, evaluated with exactly this
                             # expression tree so SQL oracles writing
-                            # (SUM(x²) - SUM(x)*SUM(x)/n)/n match bit-for-bit
+                            # (SUM(x²) - SUM(x)*SUM(x)/n)/n match bit-for-bit.
+                            # Clamped at 0: catastrophic cancellation (mean >>
+                            # spread, e.g. Kelvin/epoch data) can push the
+                            # textbook formula fractionally negative; oracles
+                            # wrap the same expression in GREATEST(..., 0).
                             res = (s2 - s * s / cnt) / cnt
+                            res = np.maximum(res, 0.0)
                             if op == "std":
                                 res = np.sqrt(res)
                             res = np.where(cnt == 0, np.nan, res)
@@ -2420,11 +2431,16 @@ def concat(datasets: Sequence[Dataset], dim: str) -> Dataset:
             if ds.chunks[d] != first.chunks[d]:
                 # the final input may be one ragged chunk (normalize_chunks
                 # clamps chunk to size); its single offset still lands on
-                # the uniform grid
+                # the uniform grid. It must be no larger than the shared
+                # chunk size c: a bigger single chunk would exceed the
+                # declared grid step and downstream offset pruning (which
+                # bounds each chunk's extent by off+chunks[dim]) would
+                # silently drop its overhanging rows.
                 tail_ok = (
                     d == dim
                     and i == len(datasets) - 1
                     and ds.chunks[d] >= ds.sizes[d]
+                    and ds.sizes[d] <= c
                 )
                 if not tail_ok:
                     raise ValueError(f"concat: chunk mismatch on {d!r}")

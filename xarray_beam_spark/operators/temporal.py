@@ -49,6 +49,20 @@ def _register(name: str, oracle: str | None):
 _SIDE = "__xbs_side"
 _TIME = "__xbs_t"
 _CARRY = "__xbs_match"
+_RT = "__xbs_rt"
+
+
+def _floor_div(x: Column, w: int) -> Column:
+    """Exact floor division on int64 — never a double divide.
+
+    ``floor(x / w)`` detours through a double, which misrounds across an
+    integer boundary for |x| above ~2^53 (silently binning a point or
+    interval into the wrong bucket). Instead subtract the non-negative
+    remainder (``pmod``) and integer-divide the exact multiple: ``div``
+    truncates toward zero, but on an exact multiple truncation == floor.
+    """
+    xl = x.cast("long")
+    return F.call_function("div", xl - F.pmod(xl, F.lit(w)), F.lit(w))
 
 
 def asof_join(
@@ -93,7 +107,13 @@ def asof_join(
         raise ValueError(f"how must be left|inner, got {how!r}")
     on = list(on)
     right_time = right_time or left_time
-    payload = [c for c in right.columns if c not in on]
+    # When both sides share the time column name, the right time is still
+    # carried internally (struct field _RT, used by the tolerance check)
+    # but not emitted — the left column keeps the name.
+    payload = [
+        c for c in right.columns
+        if c not in on and not (c == right_time == left_time)
+    ]
     clash = set(payload) & set(left.columns)
     if clash:
         raise ValueError(
@@ -113,7 +133,9 @@ def asof_join(
             *on,
             F.col(right_time).alias(_TIME),
             F.lit(right_rank).alias(_SIDE),
-            F.struct(*payload).alias(_CARRY),
+            F.struct(
+                *payload, F.col(right_time).alias(_RT)
+            ).alias(_CARRY),
         )
     )
     l = left.select(
@@ -147,7 +169,7 @@ def asof_join(
     out = out.withColumn(_CARRY, F.when(null_left, None).otherwise(F.col(_CARRY)))
 
     if tolerance is not None:
-        rt = F.col(_CARRY)[right_time]
+        rt = F.col(_CARRY)[_RT]
         ok = (
             rt >= F.col(left_time) - tolerance
             if direction == "backward"
@@ -224,11 +246,11 @@ def interval_join(
     iv = intervals.where(hi_bin_end >= lo_u).select(
         "*",
         F.explode(
-            F.sequence(F.floor(lo_u / width), F.floor(hi_bin_end / width))
+            F.sequence(_floor_div(lo_u, width), _floor_div(hi_bin_end, width))
         ).alias("__xbs_bin"),
     )
     pt = points.select(
-        "*", F.floor(_to_long(points, point_time) / width).alias("__xbs_bin")
+        "*", _floor_div(_to_long(points, point_time), width).alias("__xbs_bin")
     )
     t = F.col(f"p.{point_time}")
     in_range = (t >= F.col(f"i.{lo}")) & (
