@@ -93,3 +93,64 @@ def test_datetime_coord_pushdown(spark, tmp_path):
     df = spark.read.format("xbs_zarr").option("path", p).load()
     got = df.where(F.col("day") >= "2024-01-08").agg(F.sum("v")).collect()[0][0]
     assert got == 7.0 + 8.0 + 9.0
+
+
+def test_sql_write_roundtrip(spark, store, tmp_path):
+    # INSERT path: copy a store's rows into a fresh (setup, empty) store
+    # via df.write.format("xbs_zarr"), then read back and compare
+    p, nd = store
+    spark_datasource.register(spark)
+    dst = str(tmp_path / "dst")
+    # create destination with identical metadata but no data chunks
+    zarr_io.setup_zarr(
+        Dataset.from_numpy(spark, nd, chunks={"time": 6}).template,
+        dst,
+        {"time": 6, "lat": 5},
+    )
+    src_df = spark.read.format("xbs_zarr").option("path", p).load()
+    # co-locate whole chunks per task: time is the only chunked dim
+    (
+        src_df.repartition(4, F.floor(F.col("time") / (6 * 3600)))
+        .write.format("xbs_zarr")
+        .option("path", dst)
+        .mode("append")
+        .save()
+    )
+    back = spark.read.format("xbs_zarr").option("path", dst).load()
+    a = src_df.orderBy("time", "lat").collect()
+    b = back.orderBy("time", "lat").collect()
+    assert a == b
+
+
+def test_sql_write_rejects_unknown_column(spark, store, tmp_path):
+    p, nd = store
+    spark_datasource.register(spark)
+    dst = str(tmp_path / "dst2")
+    zarr_io.setup_zarr(
+        Dataset.from_numpy(spark, nd, chunks={"time": 6}).template,
+        dst,
+        {"time": 6, "lat": 5},
+    )
+    df = (
+        spark.read.format("xbs_zarr").option("path", p).load()
+        .withColumn("bogus", F.lit(1))
+    )
+    with pytest.raises(Exception, match="unknown columns"):
+        df.write.format("xbs_zarr").option("path", dst).mode("append").save()
+
+
+def test_sql_write_rejects_off_axis_values(spark, store, tmp_path):
+    p, nd = store
+    spark_datasource.register(spark)
+    dst = str(tmp_path / "dst3")
+    zarr_io.setup_zarr(
+        Dataset.from_numpy(spark, nd, chunks={"time": 6}).template,
+        dst,
+        {"time": 6, "lat": 5},
+    )
+    df = (
+        spark.read.format("xbs_zarr").option("path", p).load()
+        .withColumn("time", F.col("time") + F.lit(1))  # off the axis
+    )
+    with pytest.raises(Exception, match="coordinate axis"):
+        df.write.format("xbs_zarr").option("path", dst).mode("append").save()

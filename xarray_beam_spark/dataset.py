@@ -35,6 +35,7 @@ from typing import Any, Callable, Iterable, Iterator, Mapping, Sequence
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -846,13 +847,30 @@ class Dataset:
         for v, (dims_v, dt) in tmpl.var_meta.items():
             others_v = tuple(d for d in dims_v if d not in dset)
             out_vm[v] = (others_v + (new_dim,), dt)
+        # MultiIndex-style product coords (xarray ``stack`` keeps each
+        # stacked dim's index coordinate as a (new_dim,)-shaped coord with
+        # its values expanded over the C-order product) — the positional
+        # inverse that lets ``unstack`` restore labels exactly.
+        stacked_coords: dict[str, Variable] = {}
+        for j, d in enumerate(dims):
+            c = tmpl.coords.get(d)
+            if c is None or c.dims != (d,):
+                continue
+            reps_inner = _prod([base.sizes[d2] for d2 in dims[j + 1 :]])
+            reps_outer = _prod([base.sizes[d2] for d2 in dims[:j]])
+            stacked_coords[d] = Variable(
+                (new_dim,), np.tile(np.repeat(c.values, reps_inner), reps_outer)
+            )
         out_tmpl = Template(
             sizes={
                 **{d: s for d, s in base.sizes.items() if d not in dset},
                 new_dim: z_size,
             },
             var_meta=out_vm,
-            coords={k: c for k, c in tmpl.coords.items() if not (set(c.dims) & dset)},
+            coords={
+                **{k: c for k, c in tmpl.coords.items() if not (set(c.dims) & dset)},
+                **stacked_coords,
+            },
             attrs=tmpl.attrs,
         )
         out_chunks = {
@@ -884,6 +902,21 @@ class Dataset:
                         for k, c in ds.coords.items()
                         if not (set(c.dims) & dset)
                     }
+                    # per-chunk slab of the product coords: d0's local
+                    # values expand over the full tail, tail dims tile
+                    # over the local d0 length
+                    for j, d in enumerate(dims):
+                        c = ds.coords.get(d)
+                        if c is None or c.dims != (d,):
+                            continue
+                        reps_inner = _prod(
+                            [ds.sizes[d2] for d2 in dims[j + 1 :]]
+                        )
+                        reps_outer = _prod([ds.sizes[d2] for d2 in dims[:j]])
+                        coords[d] = Variable(
+                            (new_dim,),
+                            np.tile(np.repeat(c.values, reps_inner), reps_outer),
+                        )
                     row = {
                         off_col(d): int(r[off_col(d)])
                         for d in out_dims
@@ -1161,6 +1194,65 @@ class Dataset:
 
         return self._left_halo_map(dim, n, lag, "diff")
 
+    def roll(self, dim: str, n: int, roll_coords: bool = True) -> "Dataset":
+        """Circular shift along ``dim`` by ``n`` positions (xarray
+        ``ds.roll``): ``out[i] = x[(i - n) mod size]``. With
+        ``roll_coords=True`` (xarray's historical default) the dim's
+        coordinates roll with the data; with ``False`` data moves under
+        fixed coordinates (the phase-shift use case).
+
+        Same rechunk-contiguous shape as :meth:`ffill`/:meth:`rank` — one
+        shuffle (elided when the dim is already whole), then a narrow
+        ``np.roll`` per chunk; other dims stay chunked, so per-task memory
+        is one series-slab, the same envelope as median/quantile. The
+        result leaves ``dim`` single-chunk; rechunk after if a finer grid
+        is needed."""
+        size = self.sizes[dim]
+        if size == 0:
+            return self
+        k = int(n) % size
+        if k == 0:
+            return self
+        base = self.consolidate_variables() if self.split_vars else self
+        r = base.rechunk({dim: -1})
+        tmpl = r.template
+
+        def _roll_coord(c: Variable) -> Variable:
+            ax = c.dims.index(dim)
+            return Variable(c.dims, np.roll(c.values, k, axis=ax))
+
+        out_coords = {
+            name: (_roll_coord(c) if roll_coords and dim in c.dims else c)
+            for name, c in tmpl.coords.items()
+        }
+        out_tmpl = Template(
+            sizes=dict(tmpl.sizes),
+            var_meta=dict(tmpl.var_meta),
+            coords=out_coords,
+            attrs=tmpl.attrs,
+        )
+
+        def roll_block(ds: NDDataset) -> NDDataset:
+            out_vars = {
+                v: (
+                    Variable(var.dims, np.roll(var.values, k, axis=var.dims.index(dim)))
+                    if dim in var.dims
+                    else var
+                )
+                for v, var in ds.data_vars.items()
+            }
+            coords = {
+                name: (
+                    Variable(c.dims, np.roll(c.values, k, axis=c.dims.index(dim)))
+                    if roll_coords and dim in c.dims
+                    else c
+                )
+                for name, c in ds.coords.items()
+            }
+            return NDDataset(out_vars, coords, dict(ds.attrs))
+
+        return r.map_blocks(roll_block, template=out_tmpl, chunks=dict(r.chunks))
+
     def shift(self, dim: str, n: int = 1) -> "Dataset":
         """Shift values forward along ``dim`` by ``n`` (``out[i] = x[i-n]``,
         NaN head — xarray ``Dataset.shift`` semantics for positive shifts),
@@ -1406,15 +1498,23 @@ class Dataset:
         schema = chunk_row_schema(dims)
         offc = [off_col(d) for d in dims]
 
-        def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            parts = [decode_chunk(p) for p in pdf["payload"]]
+        def merge(key: tuple, tbl: pa.Table) -> pa.Table:
+            payloads = tbl.column("payload")
+            parts = [
+                decode_chunk(memoryview(payloads[i].as_buffer()))
+                for i in range(tbl.num_rows)
+            ]
             ds = NDDataset.merge(parts)
-            row = dict(zip(offc, [int(k) for k in key]))
-            row["vars"] = None
-            row["payload"] = encode_chunk(ds)
-            return pd.DataFrame([row], columns=[f.name for f in schema.fields])
+            return pa.Table.from_arrays(
+                [pa.array([int(k.as_py())], pa.int64()) for k in key]
+                + [
+                    pa.array([None], pa.string()),
+                    pa.array([encode_chunk(ds)], pa.binary()),
+                ],
+                names=offc + ["vars", "payload"],
+            )
 
-        df = self.df.groupBy(*offc).applyInPandas(merge, schema)
+        df = self.df.groupBy(*offc).applyInArrow(merge, schema)
         return Dataset(self.spark, df, self.template, self.chunks, False)
 
     def split_chunks(self, target_chunks: Mapping[str, int]) -> "Dataset":
@@ -1425,12 +1525,22 @@ class Dataset:
         dims = self.dims
         schema = chunk_row_schema(dims)
 
-        def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                rows = []
-                for r in pdf.to_dict("records"):  # row-dict iteration: ~10x iterrows at chunk granularity
-                    ds = decode_chunk(r["payload"])
-                    base = {d: int(r[off_col(d)]) for d in dims}
+        names = [off_col(d) for d in dims] + ["vars", "payload"]
+
+        def split(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            # Arrow-native: payloads decode zero-copy from the batch's
+            # binary value buffer; each sub-chunk is encoded once into the
+            # output batch (no pandas object-cell round trip).
+            for batch in batches:
+                off_arrs = {d: batch.column(off_col(d)).to_numpy() for d in dims}
+                vars_arr = batch.column("vars")
+                payloads = batch.column("payload")
+                out_offs: dict[str, list[int]] = {d: [] for d in dims}
+                out_vars: list[str | None] = []
+                out_payloads: list[bytes] = []
+                for i in range(batch.num_rows):
+                    ds = decode_chunk(memoryview(payloads[i].as_buffer()))
+                    base = {d: int(off_arrs[d][i]) for d in dims}
                     pieces = [({}, {})]  # (global offsets, local slices)
                     for d in dims:
                         if d not in ds.sizes:
@@ -1446,22 +1556,27 @@ class Dataset:
                                 s2[d] = slice(lo - start, hi - start)
                                 new_pieces.append((g2, s2))
                         pieces = new_pieces
+                    kvars = vars_arr[i].as_py()
                     for goff, lsl in pieces:
                         sub = ds.isel(lsl)
                         # sub-chunk key offset = start of its overlap range
-                        row = {}
                         for d in dims:
-                            if d in lsl:
-                                row[off_col(d)] = base[d] + lsl[d].start
-                            else:
-                                row[off_col(d)] = base[d]
-                        row["vars"] = r["vars"]
-                        row["payload"] = encode_chunk(sub)
-                        rows.append(row)
-                if rows:
-                    yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+                            out_offs[d].append(
+                                base[d] + lsl[d].start if d in lsl else base[d]
+                            )
+                        out_vars.append(kvars)
+                        out_payloads.append(encode_chunk(sub))
+                if out_vars:
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(out_offs[d], pa.int64()) for d in dims]
+                        + [
+                            pa.array(out_vars, pa.string()),
+                            pa.array(out_payloads, pa.binary()),
+                        ],
+                        names=names,
+                    )
 
-        df = self.df.mapInPandas(split, schema)
+        df = self.df.mapInArrow(split, schema)
         return Dataset(self.spark, df, self.template, tgt, self.split_vars)
 
     def consolidate_fully(self) -> "Dataset":
@@ -1474,7 +1589,14 @@ class Dataset:
     def consolidate_chunks(self, target_chunks: Mapping[str, int]) -> "Dataset":
         """Shuffle sub-chunks to their target grid cell and assemble
         (reference ``rechunk.py:85-197,309-336``): groupBy rounded offsets
-        + applyInPandas block assembly. This is the engine's one wide op."""
+        + applyInArrow block assembly. This is the engine's one wide op.
+
+        Arrow-native on purpose: chunk rows are few but payloads are tens
+        of MB, and ``applyInPandas`` would copy every payload twice more
+        (Arrow → pandas object cells, pandas → Arrow on return). Here the
+        payloads are decoded zero-copy straight from the Arrow value
+        buffers (``BinaryScalar.as_buffer`` → ``np.frombuffer``) and the
+        assembled block is emitted as a one-row RecordBatch."""
         sizes = self.sizes
         tgt = core.normalize_chunks(target_chunks, sizes)
         dims = self.dims
@@ -1487,18 +1609,20 @@ class Dataset:
                 f"__tgt_{d}", F.col(off_col(d)) - (F.col(off_col(d)) % F.lit(tgt[d]))
             )
 
-        def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        def assemble(key: tuple, tbl: pa.Table) -> pa.Table:
             # key = (vars, tgt offsets...) — group also by vars so
             # var-split datasets consolidate per variable.
-            kvars = key[0]
-            koffs = dict(zip(dims, [int(k) for k in key[1:]]))
+            kvars = key[0].as_py()
+            koffs = dict(zip(dims, [int(k.as_py()) for k in key[1:]]))
+            off_arrs = {d: tbl.column(off_col(d)).to_numpy() for d in dims}
+            payloads = tbl.column("payload")
             parts: dict[tuple[int, ...], NDDataset] = {}
-            for r in pdf.to_dict("records"):  # row-dict iteration: ~10x iterrows at chunk granularity
-                ds = decode_chunk(r["payload"])
+            for i in range(tbl.num_rows):
+                ds = decode_chunk(memoryview(payloads[i].as_buffer()))
                 # index by raw relative offset; the dense remap below
                 # handles any (even irregular) sub-grid
                 idx = tuple(
-                    (int(r[off_col(d)]) - koffs[d]) if d in ds.sizes else 0
+                    (int(off_arrs[d][i]) - koffs[d]) if d in ds.sizes else 0
                     for d in dims
                 )
                 parts[idx] = ds
@@ -1528,12 +1652,16 @@ class Dataset:
                         f"{got_size} elements along {d!r}, expected {want} — "
                         f"missing or overlapping sub-chunks"
                     )
-            row = {off_col(d): koffs[d] for d in dims}
-            row["vars"] = kvars
-            row["payload"] = encode_chunk(merged)
-            return pd.DataFrame([row], columns=[f.name for f in schema.fields])
+            return pa.Table.from_arrays(
+                [pa.array([koffs[d]], pa.int64()) for d in dims]
+                + [
+                    pa.array([kvars], pa.string()),
+                    pa.array([encode_chunk(merged)], pa.binary()),
+                ],
+                names=[off_col(d) for d in dims] + ["vars", "payload"],
+            )
 
-        df = rounded.groupBy("vars", *[f"__tgt_{d}" for d in dims]).applyInPandas(
+        df = rounded.groupBy("vars", *[f"__tgt_{d}" for d in dims]).applyInArrow(
             assemble, schema
         )
         return Dataset(self.spark, df, self.template, tgt, self.split_vars)
@@ -1710,6 +1838,108 @@ class Dataset:
             return NDDataset(out, dict(ds.coords), dict(ds.attrs))
 
         return r.map_blocks(interp)
+
+    def interp(self, dim: str, new_coords: np.ndarray) -> "Dataset":
+        """Linear interpolation onto NEW coordinate values along ``dim``
+        (xarray ``ds.interp(dim=new_coords)`` — regridding). Points outside
+        the source coordinate range become NaN; exact coordinate hits
+        reproduce the source value bit-for-bit (weight 0).
+
+        Requires a monotonically increasing index coordinate on ``dim``
+        (numeric or datetime64). Auxiliary coordinates that depend on
+        ``dim`` are dropped (they have no values at the new points).
+
+        Plan: bracketing indices and weights are computed driver-side from
+        the template coordinate (bounded metadata, like the anomaly gate's
+        climatology side-input) and broadcast; the dim is rechunked
+        contiguous (one shuffle, elided when already whole), then a narrow
+        gather evaluates ``lo + (hi - lo) * w`` in float64 with exactly
+        that expression tree — oracle-matchable like
+        :meth:`interpolate_na`. Datetime/integer coordinate distances are
+        differenced in int64 before the float divide, so weights stay
+        exact far from the epoch."""
+        if dim not in self.sizes:
+            raise KeyError(f"no dimension {dim!r}")
+        tmpl = self.template
+        if dim not in tmpl.coords or tmpl.coords[dim].dims != (dim,):
+            raise ValueError(f"interp needs a 1-D index coordinate on {dim!r}")
+        old_vals = tmpl.coords[dim].values
+        new_vals = np.asarray(new_coords)
+        if old_vals.dtype.kind == "M" or new_vals.dtype.kind == "M":
+            if old_vals.dtype.kind != "M" or new_vals.dtype.kind != "M":
+                raise TypeError("datetime coordinate requires datetime new_coords")
+            unit = np.datetime_data(old_vals.dtype)[0]
+            x_old = old_vals.astype(f"datetime64[{unit}]").view("int64")
+            x_new = new_vals.astype(f"datetime64[{unit}]").view("int64")
+        elif old_vals.dtype.kind in "iu" and new_vals.dtype.kind in "iu":
+            x_old = old_vals.astype(np.int64)
+            x_new = new_vals.astype(np.int64)
+        else:
+            x_old = old_vals.astype(np.float64)
+            x_new = new_vals.astype(np.float64)
+        if len(x_old) < 1 or np.any(np.diff(x_old) <= 0):
+            raise ValueError(f"coordinate on {dim!r} must be strictly increasing")
+        n = len(x_old)
+        j = np.searchsorted(x_old, x_new, side="left")
+        exact = (j < n) & (x_old[np.clip(j, 0, n - 1)] == x_new)
+        lo = np.clip(np.where(exact, j, j - 1), 0, n - 1)
+        hi = np.clip(np.where(exact, j, j), 0, n - 1)
+        oob = (x_new < x_old[0]) | (x_new > x_old[-1])
+        den = x_old[hi] - x_old[lo]
+        num = x_new - x_old[lo]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            w = np.where(den == 0, 0.0, num.astype(np.float64) / den.astype(np.float64))
+
+        base = self.consolidate_variables() if self.split_vars else self
+        r = base.rechunk({dim: -1})
+        bc = self.spark.sparkContext.broadcast(
+            (lo.astype(np.int64), hi.astype(np.int64), w, oob, new_vals)
+        )
+        n_new = len(new_vals)
+
+        out_vm = {
+            v: (dims_v, np.dtype("float64").str)
+            for v, (dims_v, _) in tmpl.var_meta.items()
+            if dim in dims_v
+        }
+        for v, (dims_v, dt) in tmpl.var_meta.items():
+            if dim not in dims_v:
+                out_vm[v] = (dims_v, dt)
+        out_tmpl = Template(
+            sizes={**{d: s for d, s in tmpl.sizes.items() if d != dim}, dim: n_new},
+            var_meta=out_vm,
+            coords={
+                **{k: c for k, c in tmpl.coords.items() if dim not in c.dims},
+                dim: Variable((dim,), new_vals),
+            },
+            attrs=tmpl.attrs,
+        )
+
+        def regrid(ds: NDDataset) -> NDDataset:
+            blo, bhi, bw, boob, bnew = bc.value
+            out: dict[str, Variable] = {}
+            for v, var in ds.data_vars.items():
+                if dim not in var.dims:
+                    out[v] = var
+                    continue
+                ax = var.dims.index(dim)
+                vals = np.asarray(var.values, dtype=np.float64)
+                a_lo = np.take(vals, blo, axis=ax)
+                a_hi = np.take(vals, bhi, axis=ax)
+                shape = [1] * vals.ndim
+                shape[ax] = len(bw)
+                wv = bw.reshape(shape)
+                res = a_lo + (a_hi - a_lo) * wv
+                if boob.any():
+                    mask = boob.reshape(shape)
+                    res = np.where(mask, np.nan, res)
+                out[v] = Variable(var.dims, res)
+            coords = {k: c for k, c in ds.coords.items() if dim not in c.dims}
+            coords[dim] = Variable((dim,), bnew)
+            return NDDataset(out, coords, dict(ds.attrs))
+
+        out = r.map_blocks(regrid, template=out_tmpl, chunks={**{d: r.chunks[d] for d in r.dims if d != dim}, dim: n_new})
+        return out
 
     def rank(self, dim: str, method: str = "average") -> "Dataset":
         """Rank values along ``dim`` per series (xarray ``ds.rank``).
@@ -1988,7 +2218,7 @@ class Dataset:
     def groupby_reduce(
         self,
         dim: str,
-        by: np.ndarray,
+        by: "np.ndarray | Mapping[str, np.ndarray]",
         op: str = "mean",
         new_dim: str = "group",
         skipna: bool = True,
@@ -2002,6 +2232,17 @@ class Dataset:
         ``by``: array of group keys, one per element of ``dim`` (computed
         driver-side from a coordinate, e.g. month-of-timestamp). The result
         replaces ``dim`` with ``new_dim`` indexed by the sorted unique keys.
+
+        Multi-key: pass ``by`` as a mapping ``{name: key_array, ...}`` —
+        e.g. ``{"month": months, "hour": hours}`` — and ``dim`` is replaced
+        by one output dimension per key (sorted unique values as coords),
+        the month × hour climatology in ONE pass. Internally the keys fuse
+        into a single dense composite label (``np.ravel_multi_index`` over
+        the full product, so empty combinations surface as NaN/empty cells),
+        the one-shuffle single-key machinery runs unchanged, and a narrow
+        :meth:`unstack` splits the composite axis back out. The reference
+        reaches the same result only by composing two rekey+reduce passes
+        (two shuffles); this stays at one.
 
         Spark plan: one narrow stage computes the full per-group partial
         accumulator per chunk — vectorized ``np.add.at`` over the dense
@@ -2026,12 +2267,40 @@ class Dataset:
                 dim, by, op, new_dim, skipna, merge_fanin=merge_fanin, q=q
             )
         sizes = self.sizes
-        if len(by) != sizes[dim]:
-            raise ValueError(f"`by` has {len(by)} entries, dim {dim!r} has {sizes[dim]}")
+        multi: tuple[list[str], list[np.ndarray], list[int]] | None = None
+        if isinstance(by, Mapping):
+            key_names = list(by)
+            if len(key_names) == 1:
+                # degenerate single-key mapping: plain path, named dim
+                (kn,) = key_names
+                return self.groupby_reduce(
+                    dim, np.asarray(by[kn]), op, kn, skipna,
+                    merge_fanin=merge_fanin, q=q,
+                )
+            for kn in key_names:
+                if kn in sizes and kn != dim:
+                    raise ValueError(f"key dim {kn!r} already exists")
+                if len(by[kn]) != sizes[dim]:
+                    raise ValueError(
+                        f"key {kn!r} has {len(by[kn])} entries, dim {dim!r} "
+                        f"has {sizes[dim]}"
+                    )
+            pairs = [np.unique(np.asarray(a), return_inverse=True) for a in by.values()]
+            key_uniqs = [u for u, _ in pairs]
+            key_ns = [len(u) for u in key_uniqs]
+            inverse = np.ravel_multi_index(
+                tuple(i.astype(np.int64).ravel() for _, i in pairs), key_ns
+            )
+            uniq = np.arange(_prod(key_ns), dtype=np.int64)
+            multi = (key_names, key_uniqs, key_ns)
+            new_dim = "__xbs_comp"
+        else:
+            if len(by) != sizes[dim]:
+                raise ValueError(f"`by` has {len(by)} entries, dim {dim!r} has {sizes[dim]}")
+            uniq, inverse = np.unique(np.asarray(by), return_inverse=True)
         for v, (dims_v, _) in self.template.var_meta.items():
             if dim not in dims_v:
                 raise ValueError(f"variable {v!r} lacks dim {dim!r}")
-        uniq, inverse = np.unique(np.asarray(by), return_inverse=True)
         n_groups = len(uniq)
         bc_labels = self.spark.sparkContext.broadcast((inverse.astype(np.int64), uniq))
 
@@ -2262,7 +2531,17 @@ class Dataset:
             df = df.groupBy("vars", *offc, "mkey").applyInPandas(partial, schema_mk)
             expected = -(-expected // fanin)
         df = df.groupBy("vars", *offc).applyInPandas(merge, schema)
-        return Dataset(self.spark, df, out_tmpl, out_chunks, False)
+        out = Dataset(self.spark, df, out_tmpl, out_chunks, False)
+        if multi is not None:
+            key_names, key_uniqs, key_ns = multi
+            # composite axis is single-chunk and C-ordered over the full
+            # key product, so the unstack is a narrow exact reshape
+            out = out.unstack(
+                new_dim,
+                sizes=dict(zip(key_names, key_ns)),
+                coords=dict(zip(key_names, key_uniqs)),
+            )
+        return out
 
     def histogram(
         self,

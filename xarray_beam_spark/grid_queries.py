@@ -525,6 +525,64 @@ def xb_grid_climatology_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "xb_grid_regrid",
+    f"""
+WITH cells AS ({_CELLS_SQL}),
+days AS (SELECT DISTINCT day FROM cells),
+pairs AS (
+  SELECT day AS d0, lead(day) OVER (ORDER BY day) AS d1 FROM days
+  QUALIFY d1 IS NOT NULL
+)
+SELECT p.d0 + INTERVAL 12 HOUR AS day, c0.hour, c0.event_type,
+       c0.cnt + (c1.cnt - c0.cnt)
+         * (CAST(43200000000 AS DOUBLE)
+            / CAST(epoch_us(p.d1) - epoch_us(p.d0) AS DOUBLE)) AS cnt
+FROM pairs p
+JOIN cells c0 ON c0.day = p.d0
+JOIN cells c1 ON c1.day = p.d1
+  AND c1.hour = c0.hour AND c1.event_type = c0.event_type
+""",
+)
+def xb_grid_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regridding: linear interp of the day axis onto inter-day midpoints
+    (``Dataset.interp`` — xarray ``ds.interp(day=...)``). Weights derive
+    from int64 microsecond distances before the float divide, and the
+    oracle evaluates the identical ``lo + (hi-lo) * (num/den)`` float64
+    tree, so values hash-match bit-for-bit. Cells NaN on either bracket
+    drop, matching the oracle's inner joins."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    days = d.template.coords["day"].values
+    mids = days[:-1] + np.timedelta64(12, "h")
+    return d.interp("day", mids).to_table(dropna=True)
+
+
+@_register(
+    "xb_grid_climatology_month_dow",
+    f"""
+SELECT CAST(month(day) AS BIGINT) AS month,
+       CAST(dayofweek(day) AS BIGINT) AS dow,
+       hour, event_type,
+       CAST(SUM(CAST(cnt AS BIGINT)) AS DOUBLE) / COUNT(*) AS cnt
+FROM ({_CELLS_SQL}) GROUP BY 1, 2, 3, 4
+""",
+)
+def xb_grid_climatology_month_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-key climatology (month × day-of-week) in ONE pass — the
+    reference's era5 pattern composes two rekey+reduce rounds for this;
+    ``groupby_reduce`` with a key mapping fuses them into a single dense
+    composite accumulator + one shuffle, then unstacks the composite axis
+    narrowly. Empty (month, dow) cells drop as NaN, matching the SQL
+    group's observed-combinations semantics."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    days = d.template.coords["day"].values
+    # numpy conventions matched to DuckDB: Sunday = 0, January = 1
+    dow = (days.astype("datetime64[D]").view("int64") + 4) % 7
+    month = days.astype("datetime64[M]").view("int64") % 12 + 1
+    g = d.groupby_reduce("day", {"month": month, "dow": dow}, op="mean")
+    return g.to_table(dropna=True)
+
+
+@_register(
     "xb_grid_tail",
     f"""
 SELECT * FROM ({_CELLS_SQL})

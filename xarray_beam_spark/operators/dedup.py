@@ -499,6 +499,149 @@ def edit_distance_pairs(
     )
 
 
+def passjoin_pairs(
+    docs: DataFrame,
+    max_dist: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """COMPLETE edit-distance pair discovery (PassJoin, Li et al. 2011):
+    every pair with ``levenshtein <= max_dist`` is found — no recall
+    loss, unlike the MinHash-LSH candidates of :func:`edit_distance_pairs`.
+
+    Pigeonhole: partition each indexed string into ``k+1`` contiguous
+    segments (k = ``max_dist``). Any string within edit distance k must
+    contain at least one segment EXACTLY, shifted by at most k positions
+    (an alignment has ≤ k indels), with overall lengths differing by
+    ≤ k. So:
+
+    - index side: each doc emits its k+1 (length, seg_idx, segment)
+      keys — O(k) keys per doc;
+    - probe side: each doc emits, for every candidate indexed length
+      m1 ∈ [m2-k, m2+k] and segment i, the substrings of b at start
+      positions within ±k of segment i's position — O(k³) keys per doc
+      (k is small: 1-4 for fuzzy dedup);
+    - candidates are the (m1, i, substring) hash equi-join of the two —
+      never an all-pairs comparison — then one JVM ``levenshtein``
+      verifies each distinct pair.
+
+    Strings shorter than k+1 cannot be segmented (a zero-length segment
+    matches everywhere); they pair all-vs-all within the sub-(k+1)-char
+    population — a deliberate, documented exception that stays tiny for
+    any real document corpus (and such strings are all trivially within
+    a few edits of each other anyway).
+
+    Use this for small k where exactness matters; for large k (loose
+    fuzzy matching) the LSH path's O(k)-independent candidates win.
+    Returns (doc_a, doc_b, dist) with doc_a < doc_b.
+    """
+    k = int(max_dist)
+    if k < 1:
+        raise ValueError("max_dist must be >= 1 (use exact_dedup for 0)")
+    k1 = k + 1
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(id_col).alias("__id"), t.alias("__t"), F.length(t).alias("__m")
+    ).where(F.col("__t").isNotNull())
+
+    # ---- index side: k+1 segments of every string with m >= k+1 --------
+    seg_struct = f"""
+      transform(sequence(0, {k}), i -> struct(
+        i AS i,
+        substring(__t,
+          CAST(i * (__m DIV {k1}) + greatest(i - ({k1} - __m % {k1}), 0) + 1 AS INT),
+          CAST(IF(i < {k1} - __m % {k1}, __m DIV {k1}, __m DIV {k1} + 1) AS INT)
+        ) AS s))
+    """
+    idx = (
+        base.where(F.col("__m") >= k1)
+        .select("__id", F.col("__m").alias("m1"), F.explode(F.expr(seg_struct)).alias("e"))
+        .select(
+            F.col("__id").alias("id_a"),
+            "m1",
+            F.col("e.i").alias("si"),
+            F.col("e.s").alias("seg"),
+        )
+    )
+
+    # ---- probe side: candidate substrings per (m1, segment, ±k shift) --
+    probe = base.select(
+        F.col("__id").alias("id_b"),
+        "__t",
+        "__m",
+        F.explode(
+            F.expr(f"sequence(greatest(__m - {k}, {k1}), __m + {k})")
+        ).alias("m1"),
+    )
+    pos_struct = f"""
+      transform(sequence(0, {k}), i -> struct(
+        i AS i,
+        CAST(i * (m1 DIV {k1}) + greatest(i - ({k1} - m1 % {k1}), 0) AS INT) AS p,
+        CAST(IF(i < {k1} - m1 % {k1}, m1 DIV {k1}, m1 DIV {k1} + 1) AS INT) AS ln))
+    """
+    probe_keys = (
+        probe.select(
+            "id_b", "__t", "__m", "m1", F.explode(F.expr(pos_struct)).alias("e")
+        )
+        .where(F.expr(f"least(e.p + {k}, __m - e.ln) >= greatest(e.p - {k}, 0)"))
+        .select(
+            "id_b",
+            "m1",
+            F.col("e.i").alias("si"),
+            F.explode(
+                F.expr(
+                    f"""array_distinct(transform(
+                        sequence(greatest(e.p - {k}, 0), least(e.p + {k}, __m - e.ln)),
+                        s -> substring(__t, CAST(s + 1 AS INT), e.ln)))"""
+                )
+            ).alias("seg"),
+        )
+    )
+
+    cand = (
+        idx.join(probe_keys, ["m1", "si", "seg"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    # ---- short-string band: all pairs among sub-(k+1)-char strings -----
+    # one tiny reduce group (collect ids, explode the pair triangle) — no
+    # join node, so the plan stays free of nested-loop joins; the
+    # sub-(k+1)-char population is bounded for any real corpus (k is 1-4)
+    short_pairs = (
+        base.where(F.col("__m") < k1)
+        .groupBy(F.lit(0).alias("__band"))
+        .agg(F.collect_list("__id").alias("ids"))
+        .select(
+            F.explode(
+                F.expr(
+                    """flatten(transform(ids, (a, i) ->
+                         transform(slice(ids, i + 2, size(ids)), b ->
+                           struct(least(a, b) AS doc_a,
+                                  greatest(a, b) AS doc_b))))"""
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+    )
+    cand = cand.unionByName(short_pairs).distinct()
+
+    # ---- verify: one JVM levenshtein per distinct candidate pair -------
+    ta = base.select(F.col("__id").alias("doc_a"), F.col("__t").alias("__ta"))
+    tb = base.select(F.col("__id").alias("doc_b"), F.col("__t").alias("__tb"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("dist", F.levenshtein("__ta", "__tb"))
+        .where(F.col("dist") <= k)
+        .select("doc_a", "doc_b", "dist")
+    )
+
+
 _LEVENSHTEIN_ORACLE = r"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -534,6 +677,44 @@ def dedup_levenshtein_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.unionAll(twins)
     pairs = edit_distance_pairs(corpus, max_dist=100, prefix_len=200)
     return pairs.where(F.col("doc_b") - F.col("doc_a") == 1000000000).withColumn(
+        "dist", F.col("dist").cast("long")
+    )
+
+
+_PASSJOIN_ORACLE = r"""
+WITH corpus AS (
+  SELECT doc_id, left(text, 24) AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000,
+         concat(left(text, 2), 'X', substring(left(text, 24), 4)) FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.t, b.t) <= 2
+"""
+
+
+@_register("dedup_passjoin_exact", _PASSJOIN_ORACLE)
+def dedup_passjoin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE fuzzy dedup: PassJoin segment pigeonhole over a corpus of
+    24-char prefixes plus single-substitution twins, k=2. The oracle is a
+    BRUTE-FORCE all-pairs Levenshtein — so this gate certifies recall:
+    every pair within distance 2 that exists must be emitted, which LSH
+    candidates cannot promise. Candidate generation is a hash equi-join
+    on (length, segment_idx, segment) keys; no all-pairs comparison runs
+    on the Spark side at any scale."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    t24 = F.substring(F.col("text"), 1, 24)
+    orig = docs.select("doc_id", t24.alias("text"))
+    twins = docs.select(
+        (F.col("doc_id") + F.lit(1000000000)).alias("doc_id"),
+        F.concat(
+            F.substring(t24, 1, 2), F.lit("X"), F.substring(t24, 4, 21)
+        ).alias("text"),
+    )
+    corpus = orig.unionAll(twins)
+    return passjoin_pairs(corpus, max_dist=2).withColumn(
         "dist", F.col("dist").cast("long")
     )
 

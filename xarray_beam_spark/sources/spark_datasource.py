@@ -37,6 +37,7 @@ import numpy as np
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -46,6 +47,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 from xarray_beam_spark.sources import zarr_io, zarrlite
@@ -113,6 +115,30 @@ class ZarrDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> "ZarrReader":
         return ZarrReader(*self._plan())
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> "ZarrWriter":
+        """SQL write path: ``df.write.format("xbs_zarr").option("path", p)
+        .mode("append").save()`` region-writes long-format rows into an
+        EXISTING Zarr store (create the store with ``zarr_io.setup_zarr``
+        / ``to_zarr`` first — array shapes and coordinates are store
+        metadata, not inferable from a row stream).
+
+        Contract for distributed safety: each task's rows must cover
+        disjoint store chunks (e.g. ``df.repartition(F.col(dim))`` on the
+        chunk-determining dims) — chunk files are written whole via
+        atomic rename, so cross-task chunk splits would race. Cells of a
+        touched chunk absent from the task's rows take the array fill
+        value (NaN), matching the dropna'd long format."""
+        path, template, chunks, dims, var_names = self._plan()
+        cols = [f.name for f in schema.fields]
+        missing = [d for d in dims if d not in cols]
+        if missing:
+            raise ValueError(f"xbs_zarr write needs all dim columns; missing {missing}")
+        unknown = [c for c in cols if c not in dims and c not in var_names]
+        if unknown:
+            raise ValueError(f"xbs_zarr write: unknown columns {unknown}")
+        write_vars = [v for v in var_names if v in cols]
+        return ZarrWriter(path, template, chunks, dims, write_vars)
 
 
 class ZarrReader(DataSourceReader):
@@ -210,6 +236,105 @@ class ZarrReader(DataSourceReader):
             order = [meta.logical_dims.index(d) for d in self.dims]
             cols.append(pa.array(np.ascontiguousarray(region.transpose(order)).reshape(cells)))
         yield pa.RecordBatch.from_arrays(cols, names=self.dims + self.var_names)
+
+
+class ZarrWriter(DataSourceArrowWriter):
+    """Executor-side chunk assembly for the ``xbs_zarr`` write path.
+
+    Each task buffers its rows, maps dim-coordinate values to global
+    indices via ``searchsorted`` on the (metadata-sized) coordinate axes,
+    groups cells by store chunk, assembles each touched chunk as a dense
+    array (fill value for uncovered cells), and region-writes it through
+    ``zarrlite.write_region`` — chunk-aligned, atomic-rename, idempotent
+    under task retries (same rows → same bytes), the same guarantees as
+    ``zarr_io.to_zarr`` (reference ``zarr.py:590-633`` parity)."""
+
+    def __init__(self, path, template, chunks, dims, var_names):
+        self.path = path
+        self.dims = dims
+        self.var_names = var_names
+        self.chunks = {d: int(chunks[d]) for d in dims}
+        self.sizes = {d: int(template.sizes[d]) for d in dims}
+        self.axes = {
+            d: np.asarray(template.coords[d].values)
+            for d in dims
+            if d in template.coords and template.coords[d].dims == (d,)
+        }
+
+    def _index(self, d: str, vals: np.ndarray) -> np.ndarray:
+        axis = self.axes.get(d)
+        if axis is None:
+            idx = vals.astype(np.int64)
+            if (idx < 0).any() or (idx >= self.sizes[d]).any():
+                raise ValueError(f"index out of range for coordinate-less dim {d!r}")
+            return idx
+        v = vals.astype(axis.dtype) if axis.dtype.kind == "M" else vals
+        idx = np.searchsorted(axis, v, side="left")
+        idx_c = np.clip(idx, 0, len(axis) - 1)
+        if not (axis[idx_c] == v).all():
+            bad = v[axis[idx_c] != v][:3]
+            raise ValueError(f"values not on the {d!r} coordinate axis: {bad!r}")
+        return idx_c.astype(np.int64)
+
+    def write(self, iterator):
+        import pyarrow as pa
+
+        batches = list(iterator)
+        if not batches:
+            return WriterCommitMessage()
+        tbl = pa.Table.from_batches(batches)
+        n = tbl.num_rows
+        idx = {d: self._index(d, tbl.column(d).to_numpy(zero_copy_only=False)) for d in self.dims}
+        cdims = self.dims
+        chunk_of = {d: idx[d] // self.chunks[d] for d in cdims}
+        # linear chunk key for grouping
+        key = np.zeros(n, dtype=np.int64)
+        for d in cdims:
+            n_chunks = -(-self.sizes[d] // self.chunks[d])
+            key = key * n_chunks + chunk_of[d]
+        arrays, _ = zarrlite.open_group(self.path)
+        order = np.argsort(key, kind="stable")
+        bounds = np.flatnonzero(np.diff(key[order])) + 1
+        groups = np.split(order, bounds)
+        written = 0
+        for rows in groups:
+            r0 = rows[0]
+            offsets = {
+                d: int(chunk_of[d][r0]) * self.chunks[d] for d in cdims
+            }
+            extent = {
+                d: min(self.chunks[d], self.sizes[d] - offsets[d]) for d in cdims
+            }
+            local = [idx[d][rows] - offsets[d] for d in cdims]
+            flat = np.ravel_multi_index(local, [extent[d] for d in cdims])
+            for v in self.var_names:
+                meta = arrays[v]
+                vals = tbl.column(v).to_numpy(zero_copy_only=False)[rows]
+                dt = np.dtype(meta.dtype)
+                buf = np.full(
+                    int(math.prod(extent.values())),
+                    np.nan if dt.kind == "f" else 0,
+                    dtype=dt,
+                )
+                buf[flat] = vals
+                block = buf.reshape([extent[d] for d in cdims])
+                # store dim order may differ from sorted column order
+                perm = [cdims.index(d) for d in meta.logical_dims]
+                zarrlite.write_region(
+                    meta,
+                    {d: offsets[d] for d in meta.logical_dims},
+                    np.ascontiguousarray(block.transpose(perm)),
+                )
+            written += 1
+        return WriterCommitMessage()
+
+    def commit(self, messages):
+        return None
+
+    def abort(self, messages):
+        # chunk writes are atomic renames; a failed job leaves either the
+        # old or the new version of each chunk, never a torn file
+        return None
 
 
 def _np(v, like: np.ndarray):
