@@ -228,6 +228,57 @@ def xb_sql_on_zarr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("xb_sql_zarr_insert", _CELLS_SQL)
+def xb_sql_zarr_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL WRITE path round-trip: read the cached grid store through
+    ``xbs_zarr``, ``df.write.format("xbs_zarr")`` the rows into a second
+    (setup-only) store — executors assemble and region-write aligned
+    chunks, atomic renames — then read the destination back and emit the
+    dense grid. Oracle is the same cells aggregation, proving the
+    write→read cycle is lossless."""
+    from xarray_beam_spark.sources import spark_datasource, zarr_io
+
+    d = _events_grid(spark, sf_dir, chunks={"day": 8})
+    src = _materialized(
+        spark, sf_dir, "dsv2",
+        lambda p: zarr_io.to_zarr(d, p, zarr_chunks={"day": 8, "hour": 6}),
+    )
+    spark_datasource.register(spark)
+
+    def _build_dst(p: str) -> None:
+        zarr_io.setup_zarr(d.template, p, {"day": 8, "hour": 24, "event_type": 64})
+        rows = spark.read.format("xbs_zarr").option("path", src).load()
+        days = d.template.coords["day"].values
+        n_day_chunks = max(1, -(-len(days) // 8))
+        # partition key = the store's day-chunk index (metadata-sized
+        # boundary list, the same side-input pattern as the anomaly gate)
+        # so every task owns whole destination chunks — the writer's
+        # atomic-rename safety contract
+        bounds = [str(x).replace("T", " ")[:19] for x in days[8::8]]
+        if bounds:
+            key = F.aggregate(
+                F.array(*[F.lit(b) for b in bounds]),
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col("day").cast("string") >= b, 1).otherwise(0),
+            )
+        else:
+            key = F.lit(0)
+        (
+            rows.repartition(n_day_chunks, key)
+            .write.format("xbs_zarr")
+            .option("path", p)
+            .mode("append")
+            .save()
+        )
+
+    dst = _materialized(spark, sf_dir, "sqlins", _build_dst)
+    back = spark.read.format("xbs_zarr").option("path", dst).load()
+    return back.where(~F.isnan("cnt")).select(
+        "day", "hour", "event_type", "cnt"
+    )
+
+
 @_register("xb_netcdf_roundtrip", _CELLS_SQL)
 def xb_netcdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """to_netcdf_files → from_netcdf_files identity: the reference's

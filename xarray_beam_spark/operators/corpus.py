@@ -295,12 +295,16 @@ def pack_sequences(
             if j < len(remaining):
                 cap, idx = remaining.pop(j)
                 cap -= int(tok)
-                bisect.insort(remaining, (cap, idx))
+                if cap > 0:
+                    bisect.insort(remaining, (cap, idx))
                 assignment[i] = idx
             else:
                 assignment[i] = n_packs
                 cap = max(int(budget) - int(tok), 0)
-                bisect.insort(remaining, (cap, n_packs))
+                # full packs (incl. over-budget singletons) never rejoin
+                # the open list — a zero-token doc must not land in one
+                if cap > 0:
+                    bisect.insort(remaining, (cap, n_packs))
                 n_packs += 1
         return pd.DataFrame(
             {

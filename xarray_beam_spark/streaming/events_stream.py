@@ -299,6 +299,14 @@ def stream_to_zarr_hourly(spark: SparkSession, sf_dir: str, out_path: str) -> di
     etypes = np.array(
         sorted(r[0] for r in static.select("event_type").distinct().collect())
     )
+    # template axes are driver-side metadata (calendar days × event types);
+    # bound them explicitly so a pathological input fails loudly instead
+    # of materializing an unbounded coordinate list on the driver
+    if len(days) * len(etypes) > 10_000_000:
+        raise ValueError(
+            f"stream template grid too large for driver-side coordinates: "
+            f"{len(days)} days x {len(etypes)} event types"
+        )
     day_index = {d: i for i, d in enumerate(days.astype("datetime64[us]"))}
     template = Template(
         sizes={"day": len(days), "hour": 24, "event_type": len(etypes)},
