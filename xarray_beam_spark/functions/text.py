@@ -97,15 +97,23 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def detect_language(text: Column) -> Column:
     """argmax over marker-word scores, ties broken by language-code order;
-    'und' when every score is zero."""
+    'und' when every score is zero.
+
+    Expressed as a compute-once score array + ``array_position(scores,
+    array_max(scores))`` — NOT a nested CASE chain re-evaluating every
+    score per branch: the chain form expands each marker count (two
+    string scans) once per WHEN arm, and composed pipelines (langid +
+    quality + dedup in one fused projection) blew whole-stage codegen
+    past janino's 64 KB method limit, silently dropping the whole stage
+    to interpreted mode. ``array_position`` returns the FIRST index of
+    the max, which is exactly the earliest-language tie-break."""
     scores = lang_scores(text)
     langs = sorted(scores)
-    best = F.greatest(*[scores[lang] for lang in langs])
-    out = F.lit("und")
-    # reverse order so earlier languages win ties
-    for lang in reversed(langs):
-        out = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
-    return out
+    scores_arr = F.array(*[scores[lang] for lang in langs])
+    langs_arr = F.array(*[F.lit(lang) for lang in langs])
+    best = F.array_max(scores_arr)
+    idx = F.array_position(scores_arr, best).cast("int")
+    return F.when(best > 0, F.element_at(langs_arr, idx)).otherwise(F.lit("und"))
 
 
 def sql_lang_score(col: str, lang: str) -> str:
