@@ -69,19 +69,27 @@ ASSET_SCHEMA = T.StructType(
 
 
 def decode_image(blob: bytes) -> np.ndarray:
-    """Real image decode — unavailable in this container (no PIL/ffmpeg).
+    """Real image decode. PNG decodes natively via the from-spec pure-
+    Python codec (``sources/png.py`` — zlib + scanline filters, no PIL
+    needed); other formats (JPEG etc.) need PIL, which this container
+    lacks, and raise ``NotImplementedError`` honestly."""
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        from xarray_beam_spark.sources.png import decode_png
 
-    The Spark-side plumbing is exercised through :func:`fake_decode`,
-    which honors the same contract (bytes in, HxW uint8 array out).
-    """
+        img = decode_png(blob)
+        if img.ndim == 3:  # luma approximation for feature extraction
+            img = (
+                img[:, :, :3].astype(np.uint16).sum(axis=2) // 3
+            ).astype(np.uint8)
+        return img
     try:
         import io
 
         from PIL import Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "image codecs not installed in this environment; use fake_decode "
-            "for plumbing tests"
+            "non-PNG image codecs not installed in this environment; PNG "
+            "decodes natively, use fake_decode for other plumbing tests"
         ) from exc
     return np.asarray(Image.open(io.BytesIO(blob)).convert("L"))
 
