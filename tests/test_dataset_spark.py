@@ -385,6 +385,22 @@ def test_pipe_and_expand_dims(spark, era5):
     )
 
 
+def test_squeeze_inverse_of_expand_dims(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 10})
+    e = d.expand_dims(member=1)
+    back = e.squeeze("member").collect()
+    assert back.identical(era5)
+    # squeeze() with no dim drops every size-1 dim
+    back2 = e.squeeze().collect()
+    assert back2.identical(era5)
+    with pytest.raises(ValueError, match="cannot squeeze"):
+        d.squeeze("time")
+    with pytest.raises(KeyError):
+        d.squeeze("nope")
+    # no size-1 dims -> identity object
+    assert d.squeeze() is d
+
+
 def test_observability_counters(spark, era5):
     from xarray_beam_spark.observability import get_counters
 

@@ -425,6 +425,71 @@ class Dataset:
             lambda ds: ds.expand_dims(dim_sizes), template=new_tmpl, chunks=new_chunks
         )
 
+    def squeeze(self, dim: str | None = None) -> "Dataset":
+        """Drop size-1 dimensions (xarray ``ds.squeeze`` — the inverse of
+        :meth:`expand_dims`). ``dim=None`` drops every size-1 dim; naming
+        a dim with size > 1 raises. Narrow (template surgery + per-chunk
+        ``np.squeeze``); aux coords spanning a squeezed dim lose that
+        axis, the dim's own index coord is dropped."""
+        sizes = self.sizes
+        if dim is None:
+            drop = {d for d, s in sizes.items() if s == 1}
+        else:
+            if dim not in sizes:
+                raise KeyError(f"no dimension {dim!r}")
+            if sizes[dim] != 1:
+                raise ValueError(f"cannot squeeze {dim!r} of size {sizes[dim]}")
+            drop = {dim}
+        if not drop:
+            return self
+        tmpl = self.template
+        out_coords = {}
+        for name, c in tmpl.coords.items():
+            if name in drop:
+                continue
+            if set(c.dims) & drop:
+                ax = tuple(i for i, d in enumerate(c.dims) if d in drop)
+                out_coords[name] = Variable(
+                    tuple(d for d in c.dims if d not in drop),
+                    np.squeeze(c.values, axis=ax),
+                )
+            else:
+                out_coords[name] = c
+        out_tmpl = Template(
+            sizes={d: s for d, s in tmpl.sizes.items() if d not in drop},
+            var_meta={
+                v: (tuple(d for d in dims_v if d not in drop), dt)
+                for v, (dims_v, dt) in tmpl.var_meta.items()
+            },
+            coords=out_coords,
+            attrs=tmpl.attrs,
+        )
+        out_chunks = {d: c for d, c in self.chunks.items() if d not in drop}
+
+        def f(ds: NDDataset) -> NDDataset:
+            out_vars = {}
+            for v, var in ds.data_vars.items():
+                ax = tuple(i for i, d in enumerate(var.dims) if d in drop)
+                out_vars[v] = Variable(
+                    tuple(d for d in var.dims if d not in drop),
+                    np.squeeze(var.values, axis=ax) if ax else var.values,
+                )
+            coords = {}
+            for name, c in ds.coords.items():
+                if name in drop:
+                    continue
+                if set(c.dims) & drop:
+                    cax = tuple(i for i, d in enumerate(c.dims) if d in drop)
+                    coords[name] = Variable(
+                        tuple(d for d in c.dims if d not in drop),
+                        np.squeeze(c.values, axis=cax),
+                    )
+                else:
+                    coords[name] = c
+            return NDDataset(out_vars, coords, dict(ds.attrs))
+
+        return self.map_blocks(f, template=out_tmpl, chunks=out_chunks)
+
     # -- conversion --------------------------------------------------------
 
     def to_table(self, dropna: bool = True) -> DataFrame:
