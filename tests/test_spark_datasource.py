@@ -154,3 +154,20 @@ def test_sql_write_rejects_off_axis_values(spark, store, tmp_path):
     )
     with pytest.raises(Exception, match="coordinate axis"):
         df.write.format("xbs_zarr").option("path", dst).mode("append").save()
+
+
+def test_vars_option_prunes_columns(spark, store):
+    p, nd = store
+    spark_datasource.register(spark)
+    df = (
+        spark.read.format("xbs_zarr")
+        .option("path", p)
+        .option("vars", "t2m")
+        .load()
+    )
+    assert [f.name for f in df.schema.fields] == ["lat", "time", "t2m"]
+    rows = df.orderBy("time", "lat").collect()
+    assert len(rows) == 120
+    assert rows[52]["t2m"] == nd.data_vars["t2m"].values[10, 2]
+    with pytest.raises(Exception, match="unknown vars"):
+        spark.read.format("xbs_zarr").option("path", p).option("vars", "nope").load().count()

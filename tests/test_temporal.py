@@ -46,7 +46,7 @@ def _pandas_asof(left, right, direction, allow_exact, tolerance=None):
     return out.sort_values("lid").reset_index(drop=True)
 
 
-@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 @pytest.mark.parametrize("allow_exact", [True, False])
 def test_asof_matches_pandas(spark, direction, allow_exact):
     left, right = _rand_frames(seed=42)
@@ -88,6 +88,28 @@ def test_asof_tolerance_and_inner(spark):
     )
     want = _pandas_asof(left, right, "backward", True, tolerance=50)
     want = want[want["rt"].notna()].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["lid", "rt", "val"]], want[["lid", "rt", "val"]], check_dtype=False
+    )
+
+
+def test_asof_nearest_with_tolerance(spark):
+    left, right = _rand_frames(seed=19)
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on=["k"],
+            left_time="t",
+            right_time="rt",
+            direction="nearest",
+            tolerance=F.lit(25),
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = _pandas_asof(left, right, "nearest", True, tolerance=25)
     pd.testing.assert_frame_equal(
         got[["lid", "rt", "val"]], want[["lid", "rt", "val"]], check_dtype=False
     )

@@ -81,7 +81,10 @@ def asof_join(
 
     For every left row, attach the single right row with the same ``on``
     keys whose ``right_time`` is the closest at-or-before ``left_time``
-    (``direction="backward"``; ``"forward"`` = closest at-or-after).
+    (``direction="backward"``; ``"forward"`` = closest at-or-after;
+    ``"nearest"`` = smaller absolute distance of the two, ties to the
+    backward row like pandas — computed as two carries over the SAME
+    hash partitioning, so still exactly one Exchange).
 
     Implementation (union-scan, no join node): both sides are unioned
     with a side tag, shuffled once on ``on``, sorted by
@@ -101,8 +104,10 @@ def asof_join(
     ``F.expr("INTERVAL 7 DAYS")``; farther matches become NULL (or are
     dropped under ``how="inner"``).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     if how not in ("left", "inner"):
         raise ValueError(f"how must be left|inner, got {how!r}")
     on = list(on)
@@ -155,14 +160,45 @@ def asof_join(
         )
     )
 
-    t = F.col(_TIME).asc() if direction == "backward" else F.col(_TIME).desc()
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(t, F.col(_SIDE).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = F.last(_CARRY, ignorenulls=True).over(w)
-    out = u.withColumn(_CARRY, matched).where(F.col(_SIDE) == (1 - right_rank))
+    def _carry(time_order) -> Column:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(time_order, F.col(_SIDE).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last(_CARRY, ignorenulls=True).over(w)
+
+    if direction == "nearest":
+        # both carries over the SAME partitioning: one Exchange, two sorts.
+        # Ties (equal distance) prefer the backward row, matching pandas.
+        rt_dtype = right.schema[right_time].dataType
+        if isinstance(rt_dtype, (TimestampType, TimestampNTZType)):
+            def _num(c: Column) -> Column:
+                return F.unix_micros(c.cast("timestamp"))
+        else:
+            def _num(c: Column) -> Column:
+                return c.cast("double")
+        back_m = _carry(F.col(_TIME).asc())
+        fwd_m = _carry(F.col(_TIME).desc())
+        u = u.withColumn("__xbs_b", back_m).withColumn("__xbs_f", fwd_m)
+        dist_b = _num(F.col(_TIME)) - _num(F.col(f"__xbs_b.{_RT}"))
+        dist_f = _num(F.col(f"__xbs_f.{_RT}")) - _num(F.col(_TIME))
+        chosen = (
+            F.when(F.col("__xbs_b").isNull(), F.col("__xbs_f"))
+            .when(F.col("__xbs_f").isNull(), F.col("__xbs_b"))
+            .when(dist_b <= dist_f, F.col("__xbs_b"))
+            .otherwise(F.col("__xbs_f"))
+        )
+        out = (
+            u.withColumn(_CARRY, chosen)
+            .drop("__xbs_b", "__xbs_f")
+            .where(F.col(_SIDE) == (1 - right_rank))
+        )
+    else:
+        t = F.col(_TIME).asc() if direction == "backward" else F.col(_TIME).desc()
+        out = u.withColumn(_CARRY, _carry(t)).where(
+            F.col(_SIDE) == (1 - right_rank)
+        )
 
     # Left rows with NULL key/time never match.
     null_left = null_key | F.col(left_time).isNull()
@@ -170,11 +206,14 @@ def asof_join(
 
     if tolerance is not None:
         rt = F.col(_CARRY)[_RT]
-        ok = (
-            rt >= F.col(left_time) - tolerance
-            if direction == "backward"
-            else rt <= F.col(left_time) + tolerance
-        )
+        if direction == "backward":
+            ok = rt >= F.col(left_time) - tolerance
+        elif direction == "forward":
+            ok = rt <= F.col(left_time) + tolerance
+        else:  # nearest: bounded on both sides
+            ok = (rt >= F.col(left_time) - tolerance) & (
+                rt <= F.col(left_time) + tolerance
+            )
         out = out.withColumn(_CARRY, F.when(ok, F.col(_CARRY)))
     if how == "inner":
         out = out.where(F.col(_CARRY).isNotNull())

@@ -89,6 +89,15 @@ class ZarrDataSource(DataSource):
             chunks.update({d: int(c) for d, c in json.loads(self.options["chunks"]).items()})
         dims = sorted(template.sizes)
         var_names = sorted(template.var_meta)
+        # explicit column pruning (the Python DataSource API has no
+        # pruneColumns pushdown yet): .option("vars", "a,b") reads only
+        # those arrays from the store
+        if self.options.get("vars"):
+            want = [v.strip() for v in self.options["vars"].split(",") if v.strip()]
+            unknown = sorted(set(want) - set(var_names))
+            if unknown:
+                raise ValueError(f"xbs_zarr: unknown vars {unknown}")
+            var_names = sorted(want)
         for v in var_names:
             vdims, _ = template.var_meta[v]
             if set(vdims) != set(dims):
