@@ -30,6 +30,39 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert _recall(approx, exact) >= 0.6  # probing half the cells
 
 
+def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    exact = ss.brute_force_topk(emb, queries, k=10).collect()
+    approx = ss.ivfpq_topk(
+        emb, queries, k=10, n_centroids=16, n_probe=8, rerank=6
+    ).collect()
+    assert _recall(approx, exact) >= 0.6
+
+
+def test_ivfpq_exact_rerank_sims(spark, sf_dir):
+    # whatever candidates survive, the reported sim must be the EXACT
+    # quantized cosine (re-rank uses raw vectors, not codes)
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in ss.brute_force_topk(emb, queries, k=200).collect()
+    }
+    for r in ss.ivfpq_topk(emb, queries, k=10, n_centroids=8, n_probe=8).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert r["sim"] == exact[key]
+
+
+def test_ivfpq_deterministic(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 4)
+    a = sorted(map(tuple, ss.ivfpq_topk(emb, queries, k=5).collect()))
+    b = sorted(map(tuple, ss.ivfpq_topk(emb, queries, k=5).collect()))
+    assert a == b
+
+
 def test_lsh_recall_vs_brute_force(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)

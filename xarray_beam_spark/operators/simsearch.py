@@ -384,6 +384,189 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+def _kmeans_l2(X: np.ndarray, k: int, iters: int = 10, seed: int = 7) -> np.ndarray:
+    """Seeded Euclidean k-means on a bounded sample (PQ sub-codebook
+    training; unlike :func:`_kmeans` this is NOT cosine/normalized)."""
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return C
+
+
+def _pq_train(sample: np.ndarray, m_sub: int, k_sub: int, seed: int) -> np.ndarray:
+    """Train the (m_sub, k_sub, d_sub) product-quantization codebooks."""
+    n, D = sample.shape
+    if D % m_sub != 0:
+        raise ValueError(f"dim {D} not divisible by m_sub={m_sub}")
+    d = D // m_sub
+    return np.stack(
+        [
+            _kmeans_l2(sample[:, m * d : (m + 1) * d], k_sub, seed=seed + m)
+            for m in range(m_sub)
+        ]
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 32,
+    n_probe: int = 6,
+    m_sub: int = 8,
+    k_sub: int = 32,
+    rerank: int = 4,
+    train_limit: int = 4096,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k via IVF + Product Quantization (the billion-scale
+    ANN layout: Jégou et al. 2011, FAISS `IVFxx,PQyy`).
+
+    Why it matters at 100 TB: the candidate-scoring stage touches only
+    ``m_sub`` CODE BYTES per base vector (not the float vector), so the
+    joined/scored data is ~32× smaller than IVF with raw vectors. Plan:
+
+    1. driver trains the coarse quantizer (cosine k-means) and per-subspace
+       codebooks (Euclidean k-means) on a bounded sample — metadata-sized,
+       broadcast;
+    2. base vectors: one narrow stage assigns (cell, pq_code[m_sub]);
+       queries: (n_probe cells, per-query ADC lookup table — the
+       ``m_sub × k_sub`` dot products of each query sub-vector with the
+       sub-codebooks, flattened to one array column);
+    3. candidates = hash equi-join on cell; the ADC score
+       ``Σ_m lut[m·k_sub + code[m]]`` is a pure JVM ``aggregate`` over the
+       zipped arrays — no Python, no floats from the base side;
+    4. the top ``rerank × k`` ADC candidates per query join back to the
+       original embeddings by id for EXACT quantized-cosine re-ranking,
+       then the final top-k window.
+
+    Approximate (recall tuned by n_probe / k_sub / rerank); the gate is
+    rows-only like the other ANN paths, with recall pytests vs brute force.
+    """
+    sample = np.stack(
+        [r[0] for r in emb.select(vec_col).limit(train_limit).collect()]
+    ).astype(np.float64)
+    C = _kmeans(sample, n_centroids, seed=seed)
+    books = _pq_train(sample, m_sub, k_sub, seed=seed + 101)  # (M, K, d)
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast((C, books))
+    d_sub = books.shape[2]
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("code", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cl, Bk = bc.value
+        # argmin ||x-c||² == argmax (x·c - ||c||²/2), one GEMM per subspace
+        half = [(Bk[m] ** 2).sum(axis=1) / 2.0 for m in range(m_sub)]
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+            cells = np.argmax(Mn @ Cl.T, axis=1).astype(np.int32)
+            codes = np.empty((len(ids), m_sub), dtype=np.int32)
+            for m in range(m_sub):
+                sub = M[:, m * d_sub : (m + 1) * d_sub]
+                codes[:, m] = np.argmax(sub @ Bk[m].T - half[m][None, :], axis=1)
+            yield pd.DataFrame(
+                {"neighbor_id": ids, "cell": cells, "code": list(codes)}
+            )
+
+    q_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("lut", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def qside(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cl, Bk = bc.value
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+            sims = Mn @ Cl.T
+            p = min(n_probe, sims.shape[1])
+            cells = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+            # ADC tables: lut[m*k_sub + j] = q_sub_m · book[m][j]
+            lut = np.concatenate(
+                [M[:, m * d_sub : (m + 1) * d_sub] @ Bk[m].T for m in range(m_sub)],
+                axis=1,
+            )  # (n, m_sub*k_sub)
+            rows = {"query_id": [], "cell": [], "lut": []}
+            for j in range(p):
+                rows["query_id"].extend(ids.tolist())
+                rows["cell"].extend(cells[:, j].astype("int32").tolist())
+                rows["lut"].extend(list(lut))
+            yield pd.DataFrame(rows)
+
+    base = emb.select(id_col, vec_col).mapInPandas(encode, enc_schema)
+    qs = queries.select(id_col, vec_col).mapInPandas(qside, q_schema)
+    adc = (
+        base.join(qs, on="cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn(
+            "adc",
+            F.expr(
+                f"""aggregate(
+                     zip_with(code, sequence(0, {m_sub - 1}),
+                              (c, m) -> element_at(lut, m * {k_sub} + c + 1)),
+                     0D, (acc, x) -> acc + x)"""
+            ),
+        )
+        .select("query_id", "neighbor_id", "adc")
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    cand = (
+        adc.withColumn("r", F.row_number().over(w_adc))
+        .where(F.col("r") <= rerank * k)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank: join the survivors back to the raw vectors by id
+    nb = with_qnorm(
+        emb.select(
+            F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("qvec")
+        )
+    )
+    qv = with_qnorm(
+        queries.select(
+            F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qvec")
+        )
+    ).withColumnsRenamed({"qvec": "q_qvec", "qnorm": "q_qnorm"})
+    scored = (
+        cand.join(nb, on="neighbor_id")
+        .join(qv, on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            qcosine(
+                F.col("q_qvec"), F.col("qvec"), F.col("q_qnorm"), F.col("qnorm")
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
 def neardup_pairs_blocked(
     emb: DataFrame,
     threshold: float = 0.3,
@@ -493,3 +676,13 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
     return ivf_topk(emb, queries, k=10)
+
+
+@_register("ann_ivfpq_topk", None)  # approximate: recall depends on probes/codes
+def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k (the billion-scale ANN layout): candidate scoring
+    touches only the 8 code bytes per base vector via a pure-JVM ADC
+    lookup-table sum, then exact re-rank of the shortlist."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    return ivfpq_topk(emb, queries, k=10)
