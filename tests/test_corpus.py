@@ -138,3 +138,42 @@ class TestPackSequences:
         ideal = np.ceil(total / budget)
         # best-fit-decreasing within 8 buckets: within 15% + slack of ideal
         assert n_packs <= ideal * 1.15 + 8
+
+
+class TestDecontaminate:
+    def test_flags_only_overlapping_docs(self, spark):
+        from xarray_beam_spark.operators.corpus import decontaminate
+
+        bench = spark.createDataFrame(
+            [(100, "The quick brown fox jumps over the lazy dog")],
+            ["doc_id", "text"],
+        )
+        corpus = spark.createDataFrame(
+            [
+                # shares "quick brown fox jumps" (n=4, case/punct-folded)
+                (1, "A QUICK, brown fox JUMPS today"),
+                # no 4-gram overlap
+                (2, "completely unrelated text about spark engines here"),
+                # shares two distinct 4-grams
+                (3, "the quick brown fox jumps over something"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: r["n_hits"] for r in decontaminate(corpus, bench, n=4).collect()}
+        assert got == {1: 1, 3: 3}
+
+    def test_short_docs_never_flagged(self, spark):
+        from xarray_beam_spark.operators.corpus import decontaminate
+
+        bench = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+        corpus = spark.createDataFrame([(2, "a b c")], ["doc_id", "text"])  # < n tokens
+        assert decontaminate(corpus, bench, n=4).count() == 0
+
+    def test_broadcast_join_in_plan(self, spark):
+        from xarray_beam_spark.operators.corpus import decontaminate
+
+        bench = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+        corpus = spark.createDataFrame([(2, "a b c d e f")], ["doc_id", "text"])
+        plan = decontaminate(corpus, bench, n=4)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -239,6 +239,100 @@ def corpus_hash_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _token_ngrams(text_col: str, n: int):
+    """Token n-grams of a text column as an array<string> column:
+    lowercase → split on non-alphanumeric runs → drop empties → join
+    each n-token window with single spaces. Pure JVM expressions."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    return F.expr(
+        # greatest(..., 1): Spark's sequence(1, 0) is DESCENDING [1, 0],
+        # not empty; callers also filter size >= n before exploding
+        f"transform(sequence(1, greatest(size(__xbs_toks) - {n} + 1, 1)), "
+        f"i -> concat_ws(' ', slice(__xbs_toks, i, {n})))"
+    ), toks
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any token
+    ``n``-gram with an eval/benchmark set (the GPT-3/PaLM-style 13-gram
+    overlap check a training pipeline must run before training, so eval
+    scores aren't inflated by memorized test data).
+
+    Returns ``(id_col, n_hits)`` — one row per contaminated document with
+    its count of distinct overlapping n-grams. Join back to ``docs`` (or
+    anti-join) to drop or audit.
+
+    Scale design: the benchmark's distinct n-gram set is bounded by the
+    benchmark's size (fixed, small — eval suites are MBs, not TBs), so it
+    is **broadcast**; the corpus side is a narrow explode feeding a
+    broadcast-hash semi-join — no shuffle of corpus n-grams. The only
+    Exchange is the per-doc hit aggregation, keyed by doc id. For a
+    benchmark too large to broadcast, swap the broadcast join for a
+    bloom-filter prepass + shuffle join on the surviving grams; the
+    explode/agg shape is unchanged.
+    """
+    g_docs, toks = _token_ngrams(text_col, n)
+    corpus_grams = (
+        docs.withColumn("__xbs_toks", toks)
+        .where(F.size("__xbs_toks") >= n)
+        .select(F.col(id_col), F.explode(g_docs).alias("g"))
+    )
+    g_bench, btoks = _token_ngrams(text_col, n)
+    bench_grams = (
+        benchmark.withColumn("__xbs_toks", btoks)
+        .where(F.size("__xbs_toks") >= n)
+        .select(F.explode(g_bench).alias("g"))
+        .distinct()
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.countDistinct("g").alias("n_hits"))
+    )
+
+
+_DECONTAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 4 + 2),
+                               i -> array_to_string(list_slice(t, i, i + 3), ' '))) AS g
+  FROM toks WHERE len(t) >= 4
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 23 = 0
+), corpus AS (
+  SELECT doc_id, g FROM grams WHERE doc_id % 23 <> 0
+)
+SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_hits
+FROM corpus c JOIN bench b USING (g)
+GROUP BY c.doc_id
+"""
+
+
+@_register("corpus_decontaminate", _DECONTAM_ORACLE)
+def corpus_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination gate: a deterministic slice of the documents table
+    (doc_id % 23 == 0) plays the held-out benchmark; every other doc is
+    scanned for 4-gram overlap (4, not the production-default 13, because
+    the synthetic docs are tens of tokens long). Oracle re-derives the
+    identical tokenization, n-grams, and counts in SQL."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 23 == 0)
+    corpus = docs.where(F.col("doc_id") % 23 != 0)
+    return decontaminate(corpus, bench, n=4)
+
+
 _PACK_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

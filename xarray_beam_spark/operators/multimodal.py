@@ -94,6 +94,21 @@ def decode_image(blob: bytes) -> np.ndarray:
     return np.asarray(Image.open(io.BytesIO(blob)).convert("L"))
 
 
+def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
+    """Real audio decode for WAV (RIFF/PCM + IEEE-float) via the from-spec
+    pure-Python codec (``sources/wav.py`` — no audio libs needed); other
+    containers (mp3/ogg/flac) need codecs this container lacks and raise
+    ``NotImplementedError`` honestly."""
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        from xarray_beam_spark.sources.wav import decode_wav
+
+        return decode_wav(blob)
+    raise NotImplementedError(
+        "non-WAV audio codecs not installed in this environment; WAV "
+        "decodes natively via xarray_beam_spark.sources.wav"
+    )
+
+
 def fake_decode(blob: bytes, height: int = 8, width: int = 8) -> np.ndarray:
     """Deterministic stand-in decoder: tile/truncate the raw bytes into an
     (height, width) uint8 'image'. Same contract as a real decoder."""
@@ -217,6 +232,94 @@ def resize_assets(
     return assets.mapInPandas(run, schema)
 
 
+_AUDIO_TILE = 256  # frames per synthesized demo clip
+_AUDIO_RATE = 16000
+
+
+def documents_as_audio_assets(docs: DataFrame) -> DataFrame:
+    """Demo audio-asset table: each document's utf-8 bytes tiled into
+    ``_AUDIO_TILE`` int16 PCM samples (``(byte - 128) * 256``) and encoded
+    through the REAL WAV codec. Narrow Arrow-batched stage; the same
+    mapInPandas shape a real ingest (bytes already WAV) would skip."""
+    from xarray_beam_spark.sources.wav import encode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                if len(raw) == 0:
+                    raw = np.zeros(1, np.uint8)
+                reps = -(-_AUDIO_TILE // len(raw))
+                s = (
+                    np.tile(raw, reps)[:_AUDIO_TILE].astype(np.int16) - 128
+                ) * 256
+                blob = encode_wav(s, _AUDIO_RATE)
+                rows.append(
+                    {
+                        "asset_id": doc_id,
+                        "blob": blob,
+                        "meta": {
+                            "mime": "audio/wav",
+                            "width": 0,
+                            "height": 0,
+                            "n_frames": _AUDIO_TILE,
+                            "sample_rate": _AUDIO_RATE,
+                            "n_bytes": len(blob),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(run, ASSET_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def audio_features(
+    assets: DataFrame,
+    decoder: Callable[[bytes], tuple[np.ndarray, int]] = decode_audio,
+) -> DataFrame:
+    """Decode + per-clip audio features (duration, RMS, peak amplitude,
+    zero-crossing count) — the triage scan an audio-training pipeline runs
+    before expensive resampling/transcription. Arrow-batched mapInPandas,
+    REAL WAV decode by default; multi-channel clips are analyzed on the
+    channel-mean mixdown. No shuffle anywhere."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, blob in zip(pdf["asset_id"], pdf["blob"]):
+                samples, rate = decoder(blob)
+                s = samples.astype(np.float64)
+                mono = s[:, 0] if s.shape[1] == 1 else s.mean(axis=1)
+                n = len(mono)
+                neg = mono < 0
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "n_frames": n,
+                        "duration_s": n / rate if rate else float("nan"),
+                        "rms": float(np.sqrt((mono * mono).sum() / n)) if n else float("nan"),
+                        "peak": int(np.abs(mono).max()) if n else 0,
+                        "zero_crossings": int((neg[1:] != neg[:-1]).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "blob").mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # gate queries
 # ---------------------------------------------------------------------------
@@ -270,6 +373,40 @@ SELECT asset_id, mean_px,
        CAST(len(list_filter(p, x -> x < 16)) AS BIGINT) AS bin0
 FROM m
 """
+
+
+# The demo clip tiles the utf-8 bytes into 256 int16 samples
+# ((byte - 128) * 256), so every feature is exact integer-derived
+# arithmetic the oracle reproduces: Σs² ≤ 2^38 (exactly representable),
+# /256 exact, one IEEE sqrt; peak and zero-crossing counts are pure
+# integer. Both engines are bit-identical by construction.
+_AUDIO_ORACLE = """
+WITH px AS (
+  SELECT doc_id AS asset_id,
+         list_transform(range(1, 257),
+           i -> (CAST(ascii(substr(text, CAST(((i - 1) % length(text)) + 1 AS INT), 1)) AS BIGINT) - 128) * 256) AS s
+  FROM documents
+)
+SELECT asset_id,
+       CAST(256 AS BIGINT) AS n_frames,
+       sqrt(list_sum(list_transform(s, x -> CAST(x * x AS DOUBLE))) / 256.0) AS rms,
+       CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak,
+       CAST(len(list_filter(range(2, 257), i -> (s[i - 1] < 0) != (s[i] < 0))) AS BIGINT) AS zero_crossings
+FROM px
+"""
+
+
+@_register("multimodal_audio_features", _AUDIO_ORACLE)
+def multimodal_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode + feature extraction: every document becomes a
+    WAV clip through the from-spec encoder, then :func:`audio_features`
+    decodes it back with the from-spec parser and computes RMS / peak /
+    zero-crossings — value-checked against an oracle that re-derives the
+    synthesized samples and the exact same arithmetic in SQL."""
+    docs = load(spark, sf_dir, "documents")
+    assets = documents_as_audio_assets(docs)
+    feats = audio_features(assets)
+    return feats.select("asset_id", "n_frames", "rms", "peak", "zero_crossings")
 
 
 @_register("multimodal_features", _FEATURES_ORACLE)
