@@ -59,3 +59,55 @@ def test_signals_are_jvm_only(spark):
     )
     for node in ("BatchEvalPython", "ArrowEvalPython", "Exchange"):
         assert node not in plan
+
+
+class TestScrubPII:
+    def test_scrub_and_counts(self, spark):
+        from pyspark.sql import functions as F
+
+        from xarray_beam_spark.functions.text import pii_counts, scrub_pii
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail a.smith+x@sub.example.org or b@c.io from 192.168.0.1 call 555-867-5309"),
+                (2, "no pii here, just 1.2 numbers and an @ sign"),
+            ],
+            ["id", "t"],
+        )
+        out = df.select(
+            "id",
+            scrub_pii(F.col("t")).alias("s"),
+            *[c.alias(k) for k, c in pii_counts(F.col("t")).items()],
+        ).collect()
+        r1 = next(r for r in out if r["id"] == 1)
+        assert r1["s"] == "mail <EMAIL> or <EMAIL> from <IP> call <PHONE>"
+        assert (r1["n_email"], r1["n_ipv4"], r1["n_phone"]) == (2, 1, 1)
+        r2 = next(r for r in out if r["id"] == 2)
+        assert r2["s"] == "no pii here, just 1.2 numbers and an @ sign"
+        assert (r2["n_email"], r2["n_ipv4"], r2["n_phone"]) == (0, 0, 0)
+
+
+class TestStratifiedCap:
+    def test_exact_cap_and_determinism(self, spark):
+        from xarray_beam_spark.operators.corpus import stratified_cap
+
+        rows = [(i, f"s{i % 3}", f"doc text {i}") for i in range(100)]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        a = stratified_cap(df, cap=5).toPandas().sort_values("doc_id").reset_index(drop=True)
+        assert a.groupby("source").size().max() == 5
+        # repartitioned input selects the identical rows
+        b = (
+            stratified_cap(df.repartition(13), cap=5)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
+
+    def test_small_strata_untouched(self, spark):
+        from xarray_beam_spark.operators.corpus import stratified_cap
+
+        df = spark.createDataFrame(
+            [(1, "a", "x"), (2, "a", "y"), (3, "b", "z")], ["doc_id", "source", "text"]
+        )
+        assert stratified_cap(df, cap=10).count() == 3

@@ -431,3 +431,88 @@ def text_normalize_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(norm).cast("long").alias("n_chars_norm"),
         F.md5(norm).alias("norm_fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Engine-portable patterns (no lookarounds/backrefs — valid in both Java
+# regex and DuckDB's RE2): scrub order matters — emails first (their
+# domains contain dots/digits an IP pattern could bite into).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    "phone": (r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+}
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails, IPv4 addresses and phone numbers with typed
+    placeholder tokens — the C4/RefinedWeb-style PII pass a web corpus
+    runs before training. Pure JVM ``regexp_replace`` chain: zero
+    shuffle, whole-stage-codegen friendly, identical RE2-safe patterns
+    shared with the SQL oracle dialect."""
+    out = text
+    for pat, token in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category PII match counts on the raw text (audit metrics)."""
+    return {
+        f"n_{name}": F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("long")
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+
+
+def sql_scrub_pii(col: str) -> str:
+    """DuckDB expression mirroring :func:`scrub_pii` (global-flag
+    replaces; DuckDB's default replaces only the first match)."""
+    out = col
+    for pat, token in PII_PATTERNS.values():
+        out = f"regexp_replace({out}, '{pat}', '{token}', 'g')"
+    return out
+
+
+# The synthetic docs carry no PII, so the gate plants deterministic PII
+# derived from doc_id — both engines build the identical augmented text,
+# scrub it, and must agree on counts and the scrubbed fingerprint.
+_PII_AUG_SQL = (
+    "text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.7 tel 555-123-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+_PII_ORACLE = f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{PII_PATTERNS["email"][0]}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{PII_PATTERNS["ipv4"][0]}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t, '{PII_PATTERNS["phone"][0]}')) AS BIGINT) AS n_phone,
+       md5({sql_scrub_pii('t')}) AS scrubbed_fp
+FROM aug
+"""
+
+
+@_register("text_scrub_pii", _PII_ORACLE)
+def text_scrub_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    d = docs.select("doc_id", aug.alias("t"))
+    counts = pii_counts(F.col("t"))
+    return d.select(
+        "doc_id",
+        counts["n_email"].alias("n_email"),
+        counts["n_ipv4"].alias("n_ipv4"),
+        counts["n_phone"].alias("n_phone"),
+        F.md5(scrub_pii(F.col("t"))).alias("scrubbed_fp"),
+    )

@@ -239,6 +239,55 @@ def corpus_hash_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stratified_cap(
+    docs: DataFrame,
+    by: str = "source",
+    cap: int = 1000,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "xbs-cap",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per stratum, chosen deterministically by
+    content-hash order — the data-balancing step that stops one domain
+    (one crawl host, one language) from dominating the training mix.
+    Hash order makes the selection a uniform random sample that is stable
+    under reruns, late-arriving data and repartitioning; ``id_col``
+    breaks ties so the result is total-order deterministic.
+
+    Scale design: one shuffle on the stratum key; each task sorts only
+    its strata. A pathologically hot stratum concentrates on one task —
+    for that shape, pre-thin with an approximate hash-quantile threshold
+    (keep rows with hash below ~cap/n_stratum quantile, slightly over-
+    selected) and run this exact cap on the survivors; the window here
+    is unchanged."""
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col)))
+    w = Window.partitionBy(by).orderBy(h, F.col(id_col))
+    return (
+        docs.withColumn("__xbs_rn", F.row_number().over(w))
+        .where(F.col("__xbs_rn") <= cap)
+        .drop("__xbs_rn")
+    )
+
+
+_CAP_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5('xbs-cap' || text), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rn <= 10
+"""
+
+
+@_register("corpus_stratified_cap", _CAP_ORACLE)
+def corpus_stratified_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap of 10 docs — hash-verified that both engines pick
+    the IDENTICAL documents, not just the same counts."""
+    docs = load(spark, sf_dir, "documents")
+    return stratified_cap(docs, by="source", cap=10).select("doc_id", "source")
+
+
 def _token_ngrams(text_col: str, n: int):
     """Token n-grams of a text column as an array<string> column:
     lowercase → split on non-alphanumeric runs → drop empties → join
