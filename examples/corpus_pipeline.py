@@ -1,10 +1,11 @@
 """Training-corpus preparation pipeline, end to end.
 
-The LLM-data shape this engine is built for: raw documents → quality +
-language filter → exact dedup → near-dup clustering → canonical doc
-selection → context-window chunking → deterministic train/val/test split
-→ partitioned parquet, all as declarative Spark plans (the only Python
-in the hot path is none at all — every stage is JVM expressions).
+The LLM-data shape this engine is built for: raw documents → PII scrub →
+quality + language filter → exact dedup → near-dup clustering →
+canonical doc selection → benchmark decontamination → per-source
+stratified cap → context-window chunking → deterministic train/val/test
+split → partitioned parquet, all as declarative Spark plans (the only
+Python in the hot path is none at all — every stage is JVM expressions).
 
 Run:  python examples/corpus_pipeline.py [sf_dir] [out_dir]
 """
@@ -18,7 +19,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from xarray_beam_spark.operators.corpus import clean_corpus, hash_split, token_windows
+from xarray_beam_spark.functions.text import scrub_pii
+from xarray_beam_spark.operators.corpus import (
+    clean_corpus,
+    decontaminate,
+    hash_split,
+    stratified_cap,
+    token_windows,
+)
 from xarray_beam_spark.operators.dedup import (
     canonical_docs,
     duplicate_clusters,
@@ -40,6 +48,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out: str = "/tmp/corpus_out") -
     docs = load(spark, sf_dir, "documents")
     n_raw = docs.count()
 
+    # 0. PII scrub — a narrow JVM regexp stage Catalyst fuses into the
+    # same scan pass as the quality filter below
+    docs = docs.withColumn("text", scrub_pii(F.col("text")))
+
     # 1. quality + language + exact-dedup funnel (one fused scan)
     kept = clean_corpus(docs.select("doc_id", "source", "text"), min_tokens=10, max_tokens=500)
     kept = kept.select("doc_id", "source", "text").persist()
@@ -57,10 +69,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out: str = "/tmp/corpus_out") -
     survivors = kept.join(drop, on="doc_id", how="left_anti")
     n_canon = survivors.count()
 
+    # 2b. benchmark decontamination: drop docs overlapping the held-out
+    # eval slice (stand-in: doc_id % 23), then cap any over-represented
+    # source so one domain can't dominate the mix
+    bench = survivors.where(F.col("doc_id") % 23 == 0)
+    pool = survivors.where(F.col("doc_id") % 23 != 0)
+    contaminated = decontaminate(pool, bench, n=4).select("doc_id")
+    decont = pool.join(contaminated, on="doc_id", how="left_anti")
+    balanced = stratified_cap(decont, by="source", cap=1000)
+    n_final = balanced.count()
+
     # 3. context windows + deterministic split, landed partitioned by split
-    windows = token_windows(survivors, window_tokens=64)
+    windows = token_windows(balanced, window_tokens=64)
     split = hash_split(
-        windows.join(survivors.select("doc_id", "text"), on="doc_id"),
+        windows.join(balanced.select("doc_id", "text"), on="doc_id"),
         {"train": 90, "val": 5, "test": 5},
     ).select("doc_id", "window_id", "n_tokens", "window_text", "split")
     split.write.mode("overwrite").partitionBy("split").parquet(out)
@@ -69,6 +91,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out: str = "/tmp/corpus_out") -
     per_split = {r["split"]: r["n"] for r in back.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
     print(
         f"corpus pipeline: raw={n_raw} clean={n_clean} after near-dup={n_canon} "
+        f"after decontam+cap={n_final} "
         f"windows={sum(per_split.values())} splits={per_split}"
     )
     print(f"wrote partitioned parquet to {out}")
