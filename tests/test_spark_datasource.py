@@ -171,3 +171,89 @@ def test_vars_option_prunes_columns(spark, store):
     assert rows[52]["t2m"] == nd.data_vars["t2m"].values[10, 2]
     with pytest.raises(Exception, match="unknown vars"):
         spark.read.format("xbs_zarr").option("path", p).option("vars", "nope").load().count()
+
+
+class TestStreamingRead:
+    def _setup_store(self, spark, tmp_path, nt=12):
+        rng = np.random.default_rng(7)
+        nd = NDDataset(
+            {"v": (("time", "x"), rng.normal(size=(nt, 3)))},
+            coords={
+                "time": np.arange(nt, dtype=np.int64),
+                "x": np.arange(3, dtype=np.int64),
+            },
+        )
+        p = str(tmp_path / "stream_store")
+        full = Dataset.from_numpy(spark, nd, chunks={"time": 4})
+        zarr_io.setup_zarr(full.template, p, {"time": 4, "x": 3})
+        return p, nd
+
+    def _append(self, spark, nd, path, lo, hi):
+        part = Dataset.from_numpy(
+            spark, nd.isel({"time": slice(lo, hi)}), chunks={"time": 4}
+        )
+        zarr_io.to_zarr(part, path, needs_setup=False, origin={"time": lo})
+
+    def test_tail_growing_store(self, spark, tmp_path):
+        p, nd = self._setup_store(spark, tmp_path)
+        spark_datasource.register(spark)
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+
+        def drain():
+            q = (
+                spark.readStream.format("xbs_zarr")
+                .option("path", p)
+                .option("stream_dim", "time")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return spark.read.schema("time long, x long, v double").parquet(out)
+
+        # two complete slabs available (times 0-7)
+        self._append(spark, nd, p, 0, 8)
+        got = drain()
+        assert got.count() == 8 * 3
+        assert got.agg(F.max("time")).first()[0] == 7
+
+        # one more slab lands; a resumed stream reads ONLY the new slab
+        self._append(spark, nd, p, 8, 12)
+        got = drain()
+        assert got.count() == 12 * 3
+        vals = {
+            (r["time"], r["x"]): r["v"] for r in got.collect()
+        }
+        for i in range(12):
+            for j in range(3):
+                assert vals[(i, j)] == pytest.approx(nd.data_vars["v"].values[i, j])
+
+    def test_incomplete_slab_not_emitted(self, spark, tmp_path):
+        p, nd = self._setup_store(spark, tmp_path)
+        from xarray_beam_spark.sources.spark_datasource import ZarrStreamReader
+        from xarray_beam_spark.sources import zarr_io as zio
+
+        self._append(spark, nd, p, 0, 4)
+        template, chunks = zio.open_zarr_template(p)
+        r = ZarrStreamReader(p, template, chunks, sorted(template.sizes), ["v"], "time")
+        assert r.latestOffset() == {"slab": 1}
+        # slab 1 (times 4-7) absent; slab 2 written out of order doesn't
+        # advance the contiguous frontier past the gap
+        self._append(spark, nd, p, 8, 12)
+        assert r.latestOffset() == {"slab": 1}
+        self._append(spark, nd, p, 4, 8)
+        assert r.latestOffset() == {"slab": 3}
+
+    def test_stream_requires_stream_dim(self, spark, tmp_path):
+        p, nd = self._setup_store(spark, tmp_path)
+        spark_datasource.register(spark)
+        q = (
+            spark.readStream.format("xbs_zarr").option("path", p).load()
+            .writeStream.format("noop").trigger(availableNow=True).start()
+        )
+        with pytest.raises(Exception, match="stream_dim"):
+            q.awaitTermination(60)

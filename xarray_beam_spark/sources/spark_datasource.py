@@ -39,6 +39,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -124,6 +125,29 @@ class ZarrDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> "ZarrReader":
         return ZarrReader(*self._plan())
+
+    def streamReader(self, schema: T.StructType) -> "ZarrStreamReader":
+        """Streaming read path: tail a Zarr store along a growing
+        dimension. ``spark.readStream.format("xbs_zarr")
+        .option("path", p).option("stream_dim", "day").load()``.
+
+        The store's extent is fixed at stream start (the reference's
+        incremental-write pattern: ``setup_zarr`` the full template once,
+        jobs region-write aligned slices as data lands,
+        ``zarr.py:149-226,700-716``); *availability* advances as chunk
+        files appear. The offset is the count of complete chunk-slabs
+        along ``stream_dim``: slab k is available once every variable's
+        write-unit files intersecting it exist — aligned atomic writes
+        make file presence mean "fully durable"."""
+        path, template, chunks, dims, var_names = self._plan()
+        sd = self.options.get("stream_dim")
+        if not sd:
+            raise ValueError(
+                "xbs_zarr streaming requires .option('stream_dim', <dim>)"
+            )
+        if sd not in dims:
+            raise ValueError(f"stream_dim {sd!r} not in store dims {dims}")
+        return ZarrStreamReader(path, template, chunks, dims, var_names, sd)
 
     def writer(self, schema: T.StructType, overwrite: bool) -> "ZarrWriter":
         """SQL write path: ``df.write.format("xbs_zarr").option("path", p)
@@ -245,6 +269,79 @@ class ZarrReader(DataSourceReader):
             order = [meta.logical_dims.index(d) for d in self.dims]
             cols.append(pa.array(np.ascontiguousarray(region.transpose(order)).reshape(cells)))
         yield pa.RecordBatch.from_arrays(cols, names=self.dims + self.var_names)
+
+
+class ZarrStreamReader(DataSourceStreamReader):
+    """Micro-batch reader over a growing Zarr store (see
+    ``ZarrDataSource.streamReader``). Composition: batch planning and
+    Arrow chunk reads are delegated to :class:`ZarrReader` with its
+    stream-dim window pinned to the batch's slab range, so executors run
+    the exact same pruned-scan code path as the batch source.
+
+    Scale note: ``latestOffset`` advances a driver-side frontier by
+    probing write-unit file presence for the next slab(s) — one
+    ``exists`` per (variable × unit) per new slab, metadata-sized work
+    like any file-listing streaming source. A store written with a
+    commit-marker convention could answer this with one group-attr read;
+    the probe needs no writer cooperation."""
+
+    def __init__(self, path, template, chunks, dims, var_names, stream_dim):
+        self.inner = ZarrReader(path, template, chunks, dims, var_names)
+        self.stream_dim = stream_dim
+        self.slab = int(chunks[stream_dim])
+        self.size_sd = int(template.sizes[stream_dim])
+        self.n_slabs = -(-self.size_sd // self.slab)
+        self._frontier_cache = 0
+
+    # -- offsets ----------------------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"slab": 0}
+
+    def _slab_ready(self, arrays, k: int) -> bool:
+        lo, hi = k * self.slab, min((k + 1) * self.slab, self.size_sd)
+        for v in self.inner.var_names:
+            meta = arrays[v]
+            ax = meta.dims.index(self.stream_dim)
+            c = meta.chunks[ax]
+            sd_range = range(lo // c, -(-hi // c))
+            other = [
+                range(-(-s // cc)) if i != ax else [0]
+                for i, (s, cc) in enumerate(zip(meta.shape, meta.chunks))
+            ]
+            for idx in np.ndindex(*[len(r) for r in other]):
+                base = [other[i][idx[i]] for i in range(len(other))]
+                for sk in sd_range:
+                    base[ax] = sk
+                    if not zarrlite.chunk_file_exists(meta, tuple(base)):
+                        return False
+        return True
+
+    def latestOffset(self) -> dict:
+        arrays, _ = zarrlite.open_group(self.inner.path)
+        k = self._frontier_cache
+        while k < self.n_slabs and self._slab_ready(arrays, k):
+            k += 1
+        self._frontier_cache = k
+        return {"slab": k}
+
+    # -- planning / execution --------------------------------------------
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        s, e = int(start["slab"]), int(end["slab"])
+        lo, hi = s * self.slab, min(e * self.slab, self.size_sd)
+        if lo >= hi:
+            return [InputPartition({d: (0, 0) for d in self.inner.dims})]
+        saved = self.inner.window[self.stream_dim]
+        try:
+            self.inner.window[self.stream_dim] = (lo, hi)
+            return self.inner.partitions()
+        finally:
+            self.inner.window[self.stream_dim] = saved
+
+    def read(self, partition: InputPartition):
+        return self.inner.read(partition)
+
+    def commit(self, end: dict) -> None:
+        return None
 
 
 class ZarrWriter(DataSourceArrowWriter):

@@ -613,6 +613,18 @@ def _read_shard_file(meta: ZArray, shard_idx: tuple[int, ...]) -> bytes | None:
     return _get(_join(meta.path, _chunk_fname(meta, shard_idx)))
 
 
+def chunk_file_exists(meta: ZArray, grid_idx: tuple[int, ...]) -> bool:
+    """Presence probe for the WRITE UNIT covering inner chunk ``grid_idx``
+    (the shard file when sharded, the chunk file otherwise). Because
+    region writes are unit-aligned and atomic, a present file means the
+    whole unit's data is durable — the availability test streaming
+    readers need."""
+    if meta.shards is not None:
+        cps = meta.chunks_per_shard
+        grid_idx = tuple(g // c for g, c in zip(grid_idx, cps))
+    return _exists(_join(meta.path, _chunk_fname(meta, grid_idx)))
+
+
 def read_chunk(meta: ZArray, grid_idx: tuple[int, ...]) -> np.ndarray:
     """Read one inner chunk (padded shape); missing → fill_value."""
     if meta.shards is not None:
