@@ -257,3 +257,40 @@ class TestStreamingRead:
         )
         with pytest.raises(Exception, match="stream_dim"):
             q.awaitTermination(60)
+
+
+class TestStreamingWrite:
+    def test_stream_copy_store_to_store(self, spark, tmp_path):
+        """readStream xbs_zarr → writeStream xbs_zarr: a streaming
+        grid-to-grid copy. Source partitions are whole chunks and the
+        destination shares the chunk grid, so every task owns whole
+        destination chunks (the writer's safety contract) without any
+        explicit repartition."""
+        rng = np.random.default_rng(11)
+        nd = NDDataset(
+            {"v": (("time", "x"), rng.normal(size=(8, 3)))},
+            coords={
+                "time": np.arange(8, dtype=np.int64),
+                "x": np.arange(3, dtype=np.int64),
+            },
+        )
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        full = Dataset.from_numpy(spark, nd, chunks={"time": 4})
+        zarr_io.to_zarr(full, src, zarr_chunks={"time": 4, "x": 3})
+        zarr_io.setup_zarr(full.template, dst, {"time": 4, "x": 3})
+        spark_datasource.register(spark)
+        q = (
+            spark.readStream.format("xbs_zarr")
+            .option("path", src)
+            .option("stream_dim", "time")
+            .load()
+            .writeStream.format("xbs_zarr")
+            .option("path", dst)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        back = zarr_io.from_zarr(spark, dst).collect()
+        np.testing.assert_allclose(back.data_vars["v"].values, nd.data_vars["v"].values)

@@ -39,6 +39,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -162,6 +163,9 @@ class ZarrDataSource(DataSource):
         atomic rename, so cross-task chunk splits would race. Cells of a
         touched chunk absent from the task's rows take the array fill
         value (NaN), matching the dropna'd long format."""
+        return ZarrWriter(*self._plan_write(schema))
+
+    def _plan_write(self, schema: T.StructType):
         path, template, chunks, dims, var_names = self._plan()
         cols = [f.name for f in schema.fields]
         missing = [d for d in dims if d not in cols]
@@ -171,7 +175,17 @@ class ZarrDataSource(DataSource):
         if unknown:
             raise ValueError(f"xbs_zarr write: unknown columns {unknown}")
         write_vars = [v for v in var_names if v in cols]
-        return ZarrWriter(path, template, chunks, dims, write_vars)
+        return path, template, chunks, dims, write_vars
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool) -> "ZarrStreamWriter":
+        """Streaming write path: ``df.writeStream.format("xbs_zarr")
+        .option("path", p)`` region-writes each micro-batch's long-format
+        rows into an existing store — the native form of the foreachBatch
+        →Zarr bridge (``streaming/events_stream.py``). Same distributed-
+        safety contract as the batch writer (tasks own whole chunks);
+        batch replays after failure rewrite identical bytes, so the sink
+        is idempotent without a commit log."""
+        return ZarrStreamWriter(*self._plan_write(schema))
 
 
 class ZarrReader(DataSourceReader):
@@ -440,6 +454,25 @@ class ZarrWriter(DataSourceArrowWriter):
     def abort(self, messages):
         # chunk writes are atomic renames; a failed job leaves either the
         # old or the new version of each chunk, never a torn file
+        return None
+
+
+class ZarrStreamWriter(DataSourceStreamArrowWriter):
+    """Micro-batch sink delegating chunk assembly to :class:`ZarrWriter`
+    (identical executor code path as the batch SQL write)."""
+
+    def __init__(self, *args):
+        self._writer = ZarrWriter(*args)
+
+    def write(self, iterator):
+        return self._writer.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        return None
+
+    def abort(self, messages, batchId: int) -> None:
+        # aligned atomic chunk renames: a failed batch leaves whole old or
+        # whole new chunks; the replayed batch rewrites identical bytes
         return None
 
 
