@@ -848,3 +848,35 @@ def test_stack_first_dim_stays_chunked(spark, era5):
     assert offs == [0, 378, 756, 1134]
     vals = s.collect().data_vars["asn"].values
     np.testing.assert_array_equal(vals, era5.data_vars["asn"].values.reshape(-1))
+
+
+def test_sortby_restores_shuffled_order(spark, era5):
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(era5.sizes["time"])
+    shuffled = era5.isel({"time": perm})
+    d = Dataset.from_numpy(spark, shuffled, chunks={"time": 6})
+    got = d.sortby("time").collect()
+    for v in era5.data_vars:
+        np.testing.assert_array_equal(got.data_vars[v].values, era5.data_vars[v].values)
+    np.testing.assert_array_equal(got.coords["time"].values, era5.coords["time"].values)
+
+
+def test_sortby_descending_and_identity(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 6})
+    assert d.sortby("time") is d  # already sorted: no job at all
+    got = d.sortby("time", ascending=False).collect()
+    np.testing.assert_array_equal(
+        got.coords["time"].values, era5.coords["time"].values[::-1]
+    )
+    for v in era5.data_vars:
+        ax = era5.data_vars[v].dims.index("time")
+        np.testing.assert_array_equal(
+            got.data_vars[v].values,
+            np.flip(era5.data_vars[v].values, axis=ax),
+        )
+
+
+def test_sortby_requires_coordinate(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 6})
+    with pytest.raises(ValueError, match="coordinate"):
+        d.sortby("nonexistent_dim")

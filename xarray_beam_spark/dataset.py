@@ -1318,6 +1318,66 @@ class Dataset:
 
         return r.map_blocks(roll_block, template=out_tmpl, chunks=dict(r.chunks))
 
+    def sortby(self, dim: str, ascending: bool = True) -> "Dataset":
+        """Reorder ``dim`` so its coordinate is sorted (xarray
+        ``ds.sortby``) — the fix-up after a :func:`concat` of
+        out-of-order parts or an unordered ingest. The permutation is a
+        stable argsort of the (driver-side, metadata-sized) coordinate,
+        broadcast into a narrow ``np.take`` per chunk after the same
+        rechunk-contiguous shuffle as :meth:`roll`/:meth:`rank` — one
+        Exchange, elided when the dim is already whole and a no-op when
+        the coordinate is already sorted."""
+        coord = self.template.coords.get(dim)
+        if coord is None:
+            raise ValueError(f"sortby needs a coordinate on {dim!r}")
+        vals = np.asarray(coord.values)
+        if vals.ndim != 1:
+            raise ValueError(f"sortby needs a 1-D coordinate on {dim!r}")
+        perm = np.argsort(vals, kind="stable")
+        if not ascending:
+            perm = perm[::-1].copy()
+        if (perm == np.arange(len(perm))).all():
+            return self
+        base = self.consolidate_variables() if self.split_vars else self
+        r = base.rechunk({dim: -1})
+        tmpl = r.template
+
+        def _take(c: Variable) -> Variable:
+            ax = c.dims.index(dim)
+            return Variable(c.dims, np.take(c.values, perm, axis=ax))
+
+        out_coords = {
+            name: (_take(c) if dim in c.dims else c)
+            for name, c in tmpl.coords.items()
+        }
+        out_tmpl = Template(
+            sizes=dict(tmpl.sizes),
+            var_meta=dict(tmpl.var_meta),
+            coords=out_coords,
+            attrs=tmpl.attrs,
+        )
+
+        def sort_block(ds: NDDataset) -> NDDataset:
+            out_vars = {
+                v: (
+                    Variable(var.dims, np.take(var.values, perm, axis=var.dims.index(dim)))
+                    if dim in var.dims
+                    else var
+                )
+                for v, var in ds.data_vars.items()
+            }
+            coords = {
+                name: (
+                    Variable(c.dims, np.take(c.values, perm, axis=c.dims.index(dim)))
+                    if dim in c.dims
+                    else c
+                )
+                for name, c in ds.coords.items()
+            }
+            return NDDataset(out_vars, coords, dict(ds.attrs))
+
+        return r.map_blocks(sort_block, template=out_tmpl, chunks=dict(r.chunks))
+
     def shift(self, dim: str, n: int = 1) -> "Dataset":
         """Shift values forward along ``dim`` by ``n`` (``out[i] = x[i-n]``,
         NaN head — xarray ``Dataset.shift`` semantics for positive shifts),
