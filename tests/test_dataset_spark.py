@@ -880,3 +880,25 @@ def test_sortby_requires_coordinate(spark, era5):
     d = Dataset.from_numpy(spark, era5, chunks={"time": 6})
     with pytest.raises(ValueError, match="coordinate"):
         d.sortby("nonexistent_dim")
+
+
+def test_shift_negative_matches_numpy(spark, era5):
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 7})
+    for n in (-1, -5, -30):
+        got = d.shift("time", n=n).collect()
+        for v, var in era5.data_vars.items():
+            if "time" not in var.dims:
+                np.testing.assert_array_equal(got.data_vars[v].values, var.values)
+                continue
+            ax = var.dims.index("time")
+            k = -n
+            want = np.full(var.values.shape, np.nan)
+            m = var.values.shape[ax]
+            if k < m:
+                dst = [slice(None)] * var.values.ndim
+                dst[ax] = slice(None, m - k)
+                src = [slice(None)] * var.values.ndim
+                src[ax] = slice(k, None)
+                want[tuple(dst)] = var.values[tuple(src)]
+            np.testing.assert_array_equal(got.data_vars[v].values, want)
+    assert d.shift("time", 0) is d

@@ -1379,11 +1379,48 @@ class Dataset:
         return r.map_blocks(sort_block, template=out_tmpl, chunks=dict(r.chunks))
 
     def shift(self, dim: str, n: int = 1) -> "Dataset":
-        """Shift values forward along ``dim`` by ``n`` (``out[i] = x[i-n]``,
-        NaN head — xarray ``Dataset.shift`` semantics for positive shifts),
-        via the same halo exchange as :meth:`diff`."""
-        if n < 1:
-            raise ValueError("shift requires n >= 1 (trailing shifts only)")
+        """Shift values along ``dim`` by ``n`` (``out[i] = x[i-n]`` —
+        xarray ``Dataset.shift`` semantics: NaN head for positive ``n``,
+        NaN tail for negative). Positive shifts ride the same cheap
+        left-halo exchange as :meth:`diff`; negative shifts fall back to
+        the rechunk-contiguous shape (:meth:`roll`'s one-shuffle
+        envelope), since the halo machinery is leading-edge only."""
+        if n == 0:
+            return self
+        if n < 0:
+            k = -n
+            base = self.consolidate_variables() if self.split_vars else self
+            r = base.rechunk({dim: -1})
+
+            def lead_block(ds: NDDataset) -> NDDataset:
+                out_vars = {}
+                for v, var in ds.data_vars.items():
+                    if dim not in var.dims:
+                        out_vars[v] = var
+                        continue
+                    ax = var.dims.index(dim)
+                    out = np.full(var.values.shape, np.nan)
+                    m = var.values.shape[ax]
+                    if k < m:
+                        head = [slice(None)] * out.ndim
+                        head[ax] = slice(None, m - k)
+                        tail = [slice(None)] * out.ndim
+                        tail[ax] = slice(k, None)
+                        out[tuple(head)] = var.values[tuple(tail)]
+                    out_vars[v] = Variable(var.dims, out)
+                return NDDataset(out_vars, dict(ds.coords), dict(ds.attrs))
+
+            float_meta = {
+                v: (dims, "<f8" if dim in dims else dt)
+                for v, (dims, dt) in r.template.var_meta.items()
+            }
+            out_tmpl = Template(
+                sizes=dict(r.template.sizes),
+                var_meta=float_meta,
+                coords=dict(r.template.coords),
+                attrs=r.template.attrs,
+            )
+            return r.map_blocks(lead_block, template=out_tmpl, chunks=dict(r.chunks))
 
         def kernel(ext: np.ndarray, axis: int) -> np.ndarray:
             out = np.full(ext.shape, np.nan)
