@@ -397,6 +397,8 @@ def pack_sequences(
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
     n_buckets: int = 256,
+    strategy: str = "best_fit",
+    bucket_expr=None,
 ) -> DataFrame:
     """Sequence packing: assign documents to packs so each pack's token
     total stays ≤ ``budget`` — the batch-assembly step of an LLM
@@ -411,15 +413,28 @@ def pack_sequences(
     pack is at most one underfull pack per bucket. Documents longer than
     ``budget`` get a singleton pack (flagged by their token count).
 
+    ``strategy`` picks the per-bucket loop: ``best_fit`` (default —
+    tightest open pack, lowest waste) or ``next_fit`` (single running
+    pack: join it iff ``fill + tokens <= budget`` else open a new one).
+    Next-fit's one-scalar state makes it expressible as a recursive SQL
+    CTE, which is how the oracle gate certifies the packing end to end;
+    its waste bound is 2× optimal vs best-fit's 11/9 — both deterministic.
+
+    ``bucket_expr`` overrides the bucket-assignment Column (default:
+    xxhash64 of the id). The gate passes an md5-derived bucket so DuckDB
+    computes the identical scatter.
+
     Returns (doc_id, n_tokens, pack_id); ``pack_id`` encodes
     ``bucket * 2^32 + local_pack``.
     """
+    if strategy not in ("best_fit", "next_fit"):
+        raise ValueError(f"unknown packing strategy {strategy!r}")
+    if bucket_expr is None:
+        bucket_expr = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets))
     df = doc_tokens.select(
         F.col(id_col).alias("doc_id"),
         F.col(tokens_col).cast("long").alias("n_tokens"),
-        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets)).alias(
-            "__bucket"
-        ),
+        bucket_expr.alias("__bucket"),
     )
 
     def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -429,26 +444,39 @@ def pack_sequences(
         pdf = pdf.sort_values(
             ["n_tokens", "doc_id"], ascending=[False, True]
         ).reset_index(drop=True)
-        # best-fit-decreasing over a sorted list of (remaining, pack_idx)
-        remaining: list = []  # sorted by remaining capacity
         assignment = np.empty(len(pdf), dtype=np.int64)
-        n_packs = 0
-        for i, tok in enumerate(pdf["n_tokens"].to_numpy()):
-            j = bisect.bisect_left(remaining, (tok,))
-            if j < len(remaining):
-                cap, idx = remaining.pop(j)
-                cap -= int(tok)
-                if cap > 0:
-                    bisect.insort(remaining, (cap, idx))
-                assignment[i] = idx
-            else:
-                assignment[i] = n_packs
-                cap = max(int(budget) - int(tok), 0)
-                # full packs (incl. over-budget singletons) never rejoin
-                # the open list — a zero-token doc must not land in one
-                if cap > 0:
-                    bisect.insort(remaining, (cap, n_packs))
-                n_packs += 1
+        if strategy == "next_fit":
+            fill = None
+            n_packs = 0
+            for i, tok in enumerate(pdf["n_tokens"].to_numpy()):
+                tok = int(tok)
+                if fill is None or fill + tok > budget:
+                    assignment[i] = n_packs
+                    n_packs += 1
+                    fill = tok
+                else:
+                    assignment[i] = n_packs - 1
+                    fill += tok
+        else:
+            # best-fit-decreasing over a sorted list of (remaining, pack_idx)
+            remaining: list = []  # sorted by remaining capacity
+            n_packs = 0
+            for i, tok in enumerate(pdf["n_tokens"].to_numpy()):
+                j = bisect.bisect_left(remaining, (tok,))
+                if j < len(remaining):
+                    cap, idx = remaining.pop(j)
+                    cap -= int(tok)
+                    if cap > 0:
+                        bisect.insort(remaining, (cap, idx))
+                    assignment[i] = idx
+                else:
+                    assignment[i] = n_packs
+                    cap = max(int(budget) - int(tok), 0)
+                    # full packs (incl. over-budget singletons) never rejoin
+                    # the open list — a zero-token doc must not land in one
+                    if cap > 0:
+                        bisect.insort(remaining, (cap, n_packs))
+                    n_packs += 1
         return pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -460,12 +488,45 @@ def pack_sequences(
     return df.groupBy("__bucket").applyInPandas(pack, _PACK_SCHEMA)
 
 
-@_register("corpus_pack_sequences", None)
+# The pack oracle replays next-fit-decreasing as a recursive CTE: `walk`
+# advances one document per iteration per bucket, carrying (pack, fill)
+# — the exact loop the engine runs inside each hash bucket. Bucket
+# assignment is the engine-portable md5 bucket (same as hash_split).
+_PACK_ORACLE = rf"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+         {sql_hash_bucket("CAST(doc_id AS VARCHAR)", 8, salt="xbs-pack")} AS bucket
+  FROM documents
+),
+ordered AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM toks
+),
+walk AS (
+  SELECT bucket, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS pack, n_tokens AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN w.fill + o.n_tokens <= 1024 THEN w.pack ELSE w.pack + 1 END,
+         CASE WHEN w.fill + o.n_tokens <= 1024 THEN w.fill + o.n_tokens ELSE o.n_tokens END
+  FROM walk w JOIN ordered o ON o.bucket = w.bucket AND o.rn = w.rn + 1
+)
+SELECT bucket * 4294967296 + pack AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+FROM walk GROUP BY 1
+"""
+
+
+@_register("corpus_pack_sequences", _PACK_ORACLE)
 def corpus_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack the documents table into 1024-token training batches and
-    report per-pack fill — rows-only gate (the packing loop is not
-    SQL-expressible; determinism is guaranteed by bucketed best-fit over
-    sorted inputs, so row counts and values are stable)."""
+    report per-pack fill. The gate uses the ``next_fit`` strategy with an
+    md5 bucket scatter so the whole packing loop — bucket, order, pack
+    boundaries — is replayed by a recursive-CTE DuckDB oracle and
+    hash-certified (best-fit stays the production default, covered by
+    capacity/determinism pytests)."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tokens")
@@ -473,7 +534,17 @@ def corpus_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket count sized so each bucket packs >> budget worth of
     # tokens (rule: n_buckets ~ total_tokens / (budget * 100));
     # 256 (the scale default) would leave 500 gate docs ~2 per bucket
-    packed = pack_sequences(toks, budget=1024, n_buckets=8)
+    md5_bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("xbs-pack"), F.col("doc_id").cast("string"))), 25, 8),
+            16,
+            10,
+        ).cast("long")
+        % 8
+    )
+    packed = pack_sequences(
+        toks, budget=1024, n_buckets=8, strategy="next_fit", bucket_expr=md5_bucket
+    )
     return (
         packed.groupBy("pack_id")
         .agg(

@@ -142,15 +142,38 @@ def brute_force_topk_numpy(
     )
 
 
+def rademacher_planes(n_tables: int, n_planes: int, dim: int, seed: int) -> np.ndarray:
+    """Seeded ±1 (Rademacher) hyperplanes for sign-random-projection LSH.
+
+    Sign projections onto ±1 planes are a standard SimHash/LSH family
+    (Charikar 2002 uses Gaussian; Achlioptas 2003 shows ±1 entries give
+    the same JL guarantees). The payoff here: the plane·vector dot on the
+    QUANTIZED integer vectors is exact integer math, so bucket codes are
+    bit-identical in any engine — which makes the LSH gate fully
+    DuckDB-oracle-checkable (the plane constants inline into the SQL)."""
+    rng = np.random.default_rng(seed)
+    return np.where(rng.random((n_tables, n_planes, dim)) < 0.5, -1, 1).astype(np.int64)
+
+
 def _with_lsh_codes(
-    df: DataFrame, seed: int, n_tables: int, n_planes: int, vec_col: str, id_col: str, out_id: str
+    df: DataFrame,
+    seed: int,
+    n_tables: int,
+    n_planes: int,
+    vec_col: str,
+    id_col: str,
+    out_id: str,
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Add quantized vector, norm and per-table LSH codes via one GEMM per
     Arrow batch (vectorized Pandas UDF — the hot path stays BLAS).
 
     Hyperplanes are derived executor-side from ``(seed, dim)`` — every
     worker seeds the same RNG, so no driver-side ``head()`` to learn the
-    embedding dim and no plane broadcast."""
+    embedding dim and no plane broadcast. When ``planes`` (an int ±1
+    array from :func:`rademacher_planes`) is given, codes are sign bits
+    of EXACT integer dots on the quantized vectors instead — engine-
+    portable determinism for the oracle gate."""
     schema = T.StructType(
         [
             T.StructField(out_id, T.LongType()),
@@ -162,8 +185,8 @@ def _with_lsh_codes(
     )
 
     def compute(batches) -> "Iterator[pd.DataFrame]":
-        P = None
-        weights = None
+        P = planes
+        weights = None if P is None else (1 << np.arange(P.shape[1], dtype=np.int64))
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -176,7 +199,11 @@ def _with_lsh_codes(
             qv = np.floor(M * QUANT).astype(np.int64)
             qn = np.sqrt((qv * qv).sum(axis=1).astype(np.float64))
             rows = {out_id: [], "qvec": [], "qnorm": [], "table": [], "code": []}
-            codes = np.einsum("tpd,nd->tnp", P, M) > 0  # (tables, n, planes)
+            if planes is not None:
+                # exact: sign of integer plane·qvec dots (|dot| << 2^63)
+                codes = np.einsum("tpd,nd->tnp", planes, qv) > 0
+            else:
+                codes = np.einsum("tpd,nd->tnp", P, M) > 0  # (tables, n, planes)
             code_vals = (codes * weights).sum(axis=2)  # (tables, n)
             for t in range(P.shape[0]):
                 rows[out_id].extend(ids.tolist())
@@ -198,6 +225,7 @@ def lsh_topk(
     seed: int = 7,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH.
 
@@ -205,10 +233,18 @@ def lsh_topk(
     ``n_planes`` fixed random hyperplanes; query candidates come only from
     buckets it shares, then exact quantized-cosine re-rank. At 100 TB this
     replaces the crossJoin with an equi-join on (table, code).
+
+    With ``planes`` (±1 ints from :func:`rademacher_planes`) the bucket
+    codes are exact integer signs on the quantized vectors — the whole
+    query becomes engine-portable and DuckDB-oracle-checkable.
     """
-    base = _with_lsh_codes(emb, seed, n_tables, n_planes, vec_col, id_col, "neighbor_id")
+    base = _with_lsh_codes(
+        emb, seed, n_tables, n_planes, vec_col, id_col, "neighbor_id", planes=planes
+    )
     qs = (
-        _with_lsh_codes(queries, seed, n_tables, n_planes, vec_col, id_col, "query_id")
+        _with_lsh_codes(
+            queries, seed, n_tables, n_planes, vec_col, id_col, "query_id", planes=planes
+        )
         .withColumnRenamed("qvec", "q_qvec")
         .withColumnRenamed("qnorm", "q_qnorm")
     )
@@ -282,6 +318,76 @@ def _with_ivf_cells(df: DataFrame, C: np.ndarray, vec_col: str, id_col: str, out
     return df.select(id_col, vec_col).mapInPandas(assign, schema)
 
 
+def _collect_qcentroids(
+    emb: DataFrame, n: int, vec_col: str, id_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Quantized vectors of the ``n`` lowest-id rows as coarse centroids.
+
+    Data-point centroids skip k-means training entirely: the centroid set
+    is a deterministic FUNCTION OF THE TABLE, so any engine (including the
+    DuckDB oracle) reproduces it exactly. The collect is a pushed-filter
+    scan of n metadata-sized rows — fine at any corpus scale."""
+    rows = (
+        emb.where(F.col(id_col) < n)
+        .select(F.col(id_col).alias("_id"), quantize(F.col(vec_col)).alias("qv"))
+        .orderBy("_id")
+        .collect()
+    )
+    Cq = np.stack([np.asarray(r["qv"], dtype=np.int64) for r in rows])
+    Cn = np.sqrt((Cq * Cq).sum(axis=1).astype(np.float64))
+    return Cq, Cn
+
+
+def _with_cells_exact(
+    df: DataFrame,
+    Cq: np.ndarray,
+    Cn: np.ndarray,
+    vec_col: str,
+    id_col: str,
+    out_id: str,
+    n_probe: int,
+) -> DataFrame:
+    """Exact-arithmetic cell assignment against quantized centroids.
+
+    Integer dots are < 2^53 so the float64 GEMM is exact; norms and the
+    division are IEEE-correctly-rounded from exact ints, so the argmax
+    (stable sort, ties → lowest centroid index) is bit-identical to the
+    SQL ``ROW_NUMBER() OVER (ORDER BY sim DESC, cid)`` the oracle runs."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((Cq, Cn))
+    schema = T.StructType(
+        [
+            T.StructField(out_id, T.LongType()),
+            T.StructField("qvec", T.ArrayType(T.LongType())),
+            T.StructField("qnorm", T.DoubleType()),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cq_l, Cn_l = bc.value
+        Cf = Cq_l.astype(np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qv = np.floor(M * QUANT).astype(np.int64)
+            qn = np.sqrt((qv * qv).sum(axis=1).astype(np.float64))
+            sims = (qv.astype(np.float64) @ Cf.T) / (qn[:, None] * Cn_l[None, :])
+            p = min(n_probe, sims.shape[1])
+            cells = np.argsort(-sims, axis=1, kind="stable")[:, :p]  # ties → low idx
+            rows = {out_id: [], "qvec": [], "qnorm": [], "cell": []}
+            for j in range(p):
+                rows[out_id].extend(ids.tolist())
+                rows["qvec"].extend(list(qv))
+                rows["qnorm"].extend(qn.tolist())
+                rows["cell"].extend(cells[:, j].astype("int32").tolist())
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -292,6 +398,7 @@ def ivf_topk(
     seed: int = 7,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    data_centroids: bool = False,
 ) -> DataFrame:
     """Approximate top-k via an IVF coarse quantizer (the third scale
     path next to brute force and hyperplane LSH): k-means centroids are
@@ -300,17 +407,32 @@ def ivf_topk(
     candidate equi-join on ``cell`` replaces the crossJoin. At 100 TB the
     base assignment is a narrow GEMM stage and the only shuffle is the
     cell join; recall is tuned by ``n_probe``/``n_centroids``.
+
+    ``data_centroids=True`` skips k-means and uses the ``n_centroids``
+    lowest-id vectors as centroids with exact quantized-integer cosine
+    assignment — deterministic in ANY engine, so the gate query is fully
+    DuckDB-oracle-checkable (recall is slightly lower than trained
+    centroids; the production default remains k-means).
     """
-    sample = np.stack(
-        [r[0] for r in emb.select(vec_col).limit(train_limit).collect()]
-    ).astype(np.float64)
-    C = _kmeans(sample, n_centroids, seed=seed)
-    base = _with_ivf_cells(emb, C, vec_col, id_col, "neighbor_id", n_probe=1)
-    qs = (
-        _with_ivf_cells(queries, C, vec_col, id_col, "query_id", n_probe=n_probe)
-        .withColumnRenamed("qvec", "q_qvec")
-        .withColumnRenamed("qnorm", "q_qnorm")
-    )
+    if data_centroids:
+        Cq, Cn = _collect_qcentroids(emb, n_centroids, vec_col, id_col)
+        base = _with_cells_exact(emb, Cq, Cn, vec_col, id_col, "neighbor_id", n_probe=1)
+        qs = (
+            _with_cells_exact(queries, Cq, Cn, vec_col, id_col, "query_id", n_probe=n_probe)
+            .withColumnRenamed("qvec", "q_qvec")
+            .withColumnRenamed("qnorm", "q_qnorm")
+        )
+    else:
+        sample = np.stack(
+            [r[0] for r in emb.select(vec_col).limit(train_limit).collect()]
+        ).astype(np.float64)
+        C = _kmeans(sample, n_centroids, seed=seed)
+        base = _with_ivf_cells(emb, C, vec_col, id_col, "neighbor_id", n_probe=1)
+        qs = (
+            _with_ivf_cells(queries, C, vec_col, id_col, "query_id", n_probe=n_probe)
+            .withColumnRenamed("qvec", "q_qvec")
+            .withColumnRenamed("qnorm", "q_qnorm")
+        )
     cand = (
         base.join(qs, on="cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -426,6 +548,7 @@ def ivfpq_topk(
     seed: int = 7,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    data_codebooks: bool = False,
 ) -> DataFrame:
     """Approximate top-k via IVF + Product Quantization (the billion-scale
     ANN layout: Jégou et al. 2011, FAISS `IVFxx,PQyy`).
@@ -448,17 +571,15 @@ def ivfpq_topk(
        original embeddings by id for EXACT quantized-cosine re-ranking,
        then the final top-k window.
 
-    Approximate (recall tuned by n_probe / k_sub / rerank); the gate is
-    rows-only like the other ANN paths, with recall pytests vs brute force.
+    Approximate (recall tuned by n_probe / k_sub / rerank). With
+    ``data_codebooks=True`` both the coarse centroids and the PQ
+    sub-codebooks are quantized sub-slices of the ``max(n_centroids,
+    k_sub)`` lowest-id vectors, all assignment/ADC arithmetic is exact
+    integer math, and the whole query is DuckDB-oracle-checkable; the
+    production default remains trained k-means codebooks (recall pytests
+    cover that path vs brute force).
     """
-    sample = np.stack(
-        [r[0] for r in emb.select(vec_col).limit(train_limit).collect()]
-    ).astype(np.float64)
-    C = _kmeans(sample, n_centroids, seed=seed)
-    books = _pq_train(sample, m_sub, k_sub, seed=seed + 101)  # (M, K, d)
     spark = emb.sparkSession
-    bc = spark.sparkContext.broadcast((C, books))
-    d_sub = books.shape[2]
 
     enc_schema = T.StructType(
         [
@@ -467,52 +588,122 @@ def ivfpq_topk(
             T.StructField("code", T.ArrayType(T.IntegerType())),
         ]
     )
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        Cl, Bk = bc.value
-        # argmin ||x-c||² == argmax (x·c - ||c||²/2), one GEMM per subspace
-        half = [(Bk[m] ** 2).sum(axis=1) / 2.0 for m in range(m_sub)]
-        for pdf in batches:
-            ids = pdf[id_col].to_numpy()
-            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
-            cells = np.argmax(Mn @ Cl.T, axis=1).astype(np.int32)
-            codes = np.empty((len(ids), m_sub), dtype=np.int32)
-            for m in range(m_sub):
-                sub = M[:, m * d_sub : (m + 1) * d_sub]
-                codes[:, m] = np.argmax(sub @ Bk[m].T - half[m][None, :], axis=1)
-            yield pd.DataFrame(
-                {"neighbor_id": ids, "cell": cells, "code": list(codes)}
-            )
-
+    lut_type = T.LongType() if data_codebooks else T.DoubleType()
     q_schema = T.StructType(
         [
             T.StructField("query_id", T.LongType()),
             T.StructField("cell", T.IntegerType()),
-            T.StructField("lut", T.ArrayType(T.DoubleType())),
+            T.StructField("lut", T.ArrayType(lut_type)),
         ]
     )
 
-    def qside(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        Cl, Bk = bc.value
-        for pdf in batches:
-            ids = pdf[id_col].to_numpy()
-            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
-            sims = Mn @ Cl.T
-            p = min(n_probe, sims.shape[1])
-            cells = np.argpartition(-sims, p - 1, axis=1)[:, :p]
-            # ADC tables: lut[m*k_sub + j] = q_sub_m · book[m][j]
-            lut = np.concatenate(
-                [M[:, m * d_sub : (m + 1) * d_sub] @ Bk[m].T for m in range(m_sub)],
-                axis=1,
-            )  # (n, m_sub*k_sub)
-            rows = {"query_id": [], "cell": [], "lut": []}
-            for j in range(p):
-                rows["query_id"].extend(ids.tolist())
-                rows["cell"].extend(cells[:, j].astype("int32").tolist())
-                rows["lut"].extend(list(lut))
-            yield pd.DataFrame(rows)
+    if data_codebooks:
+        n_pts = max(n_centroids, k_sub)
+        Cq_all, Cn_all = _collect_qcentroids(emb, n_pts, vec_col, id_col)
+        Cq, Cn = Cq_all[:n_centroids], Cn_all[:n_centroids]
+        D = Cq_all.shape[1]
+        if D % m_sub != 0:
+            raise ValueError(f"dim {D} not divisible by m_sub={m_sub}")
+        d_sub = D // m_sub
+        # books[m][j] = quantized sub-slice m of the j-th lowest-id vector
+        books_q = np.stack(
+            [Cq_all[:k_sub, m * d_sub : (m + 1) * d_sub] for m in range(m_sub)]
+        )  # (M, K, d) int64
+        bc = spark.sparkContext.broadcast((Cq, Cn, books_q))
+
+        def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Cq_l, Cn_l, Bk = bc.value
+            Cf = Cq_l.astype(np.float64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids = pdf[id_col].to_numpy()
+                M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                qv = np.floor(M * QUANT).astype(np.int64)
+                qn = np.sqrt((qv * qv).sum(axis=1).astype(np.float64))
+                sims = (qv.astype(np.float64) @ Cf.T) / (qn[:, None] * Cn_l[None, :])
+                cells = np.argsort(-sims, axis=1, kind="stable")[:, 0].astype(np.int32)
+                codes = np.empty((len(ids), m_sub), dtype=np.int32)
+                for m in range(m_sub):
+                    sub = qv[:, m * d_sub : (m + 1) * d_sub]  # int64
+                    d2 = ((sub[:, None, :] - Bk[m][None, :, :]) ** 2).sum(axis=2)
+                    codes[:, m] = np.argmin(d2, axis=1)  # exact ints, ties → low j
+                yield pd.DataFrame({"neighbor_id": ids, "cell": cells, "code": list(codes)})
+
+        def qside(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Cq_l, Cn_l, Bk = bc.value
+            Cf = Cq_l.astype(np.float64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids = pdf[id_col].to_numpy()
+                M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                qv = np.floor(M * QUANT).astype(np.int64)
+                qn = np.sqrt((qv * qv).sum(axis=1).astype(np.float64))
+                sims = (qv.astype(np.float64) @ Cf.T) / (qn[:, None] * Cn_l[None, :])
+                p = min(n_probe, sims.shape[1])
+                cells = np.argsort(-sims, axis=1, kind="stable")[:, :p]
+                # integer ADC tables: lut[m*k_sub + j] = q_sub_m · book[m][j]
+                lut = np.concatenate(
+                    [qv[:, m * d_sub : (m + 1) * d_sub] @ Bk[m].T for m in range(m_sub)],
+                    axis=1,
+                )  # (n, m_sub*k_sub) int64
+                rows = {"query_id": [], "cell": [], "lut": []}
+                for j in range(p):
+                    rows["query_id"].extend(ids.tolist())
+                    rows["cell"].extend(cells[:, j].astype("int32").tolist())
+                    rows["lut"].extend(list(lut))
+                yield pd.DataFrame(rows)
+
+        adc_init = "CAST(0 AS BIGINT)"
+    else:
+        sample = np.stack(
+            [r[0] for r in emb.select(vec_col).limit(train_limit).collect()]
+        ).astype(np.float64)
+        C = _kmeans(sample, n_centroids, seed=seed)
+        books = _pq_train(sample, m_sub, k_sub, seed=seed + 101)  # (M, K, d)
+        bc = spark.sparkContext.broadcast((C, books))
+        d_sub = books.shape[2]
+
+        def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Cl, Bk = bc.value
+            # argmin ||x-c||² == argmax (x·c - ||c||²/2), one GEMM per subspace
+            half = [(Bk[m] ** 2).sum(axis=1) / 2.0 for m in range(m_sub)]
+            for pdf in batches:
+                ids = pdf[id_col].to_numpy()
+                M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+                cells = np.argmax(Mn @ Cl.T, axis=1).astype(np.int32)
+                codes = np.empty((len(ids), m_sub), dtype=np.int32)
+                for m in range(m_sub):
+                    sub = M[:, m * d_sub : (m + 1) * d_sub]
+                    codes[:, m] = np.argmax(sub @ Bk[m].T - half[m][None, :], axis=1)
+                yield pd.DataFrame(
+                    {"neighbor_id": ids, "cell": cells, "code": list(codes)}
+                )
+
+        def qside(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Cl, Bk = bc.value
+            for pdf in batches:
+                ids = pdf[id_col].to_numpy()
+                M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+                sims = Mn @ Cl.T
+                p = min(n_probe, sims.shape[1])
+                cells = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+                # ADC tables: lut[m*k_sub + j] = q_sub_m · book[m][j]
+                lut = np.concatenate(
+                    [M[:, m * d_sub : (m + 1) * d_sub] @ Bk[m].T for m in range(m_sub)],
+                    axis=1,
+                )  # (n, m_sub*k_sub)
+                rows = {"query_id": [], "cell": [], "lut": []}
+                for j in range(p):
+                    rows["query_id"].extend(ids.tolist())
+                    rows["cell"].extend(cells[:, j].astype("int32").tolist())
+                    rows["lut"].extend(list(lut))
+                yield pd.DataFrame(rows)
+
+        adc_init = "0D"
 
     base = emb.select(id_col, vec_col).mapInPandas(encode, enc_schema)
     qs = queries.select(id_col, vec_col).mapInPandas(qside, q_schema)
@@ -526,7 +717,7 @@ def ivfpq_topk(
                 f"""aggregate(
                      zip_with(code, sequence(0, {m_sub - 1}),
                               (c, m) -> element_at(lut, m * {k_sub} + c + 1)),
-                     0D, (acc, x) -> acc + x)"""
+                     {adc_init}, (acc, x) -> acc + x)"""
             ),
         )
         .select("query_id", "neighbor_id", "adc")
@@ -664,25 +855,168 @@ def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pairs_blocked(emb, threshold=0.3, n_blocks=8)
 
 
-@_register("ann_lsh_topk", None)  # approximate: candidates depend on seed
+# The gate variants pin every random input to a deterministic, engine-
+# portable construction (±1 planes inlined into the SQL; centroids /
+# codebooks = quantized sub-slices of the 32 lowest-id vectors), so the
+# DuckDB oracle reproduces the FULL approximate pipeline — bucket codes,
+# candidate sets, ADC shortlists and the exact re-rank — bit for bit.
+# The embeddings test table is dim-64 at every scale factor.
+_GATE_DIM = 64
+_GATE_PLANES = rademacher_planes(n_tables=6, n_planes=8, dim=_GATE_DIM, seed=7)
+
+
+def _planes_values_sql(P: np.ndarray) -> str:
+    return ", ".join(
+        f"({t}, {p}, [{','.join(str(int(v)) for v in P[t, p])}])"
+        for t in range(P.shape[0])
+        for p in range(P.shape[1])
+    )
+
+
+_SQL_BASE_CTE = f"""base AS (
+  SELECT vec_id, {_SQL_QUANT} AS qv,
+         sqrt(CAST(list_sum(list_transform({_SQL_QUANT}, x -> x * x)) AS DOUBLE)) AS n
+  FROM embeddings
+)"""
+
+
+def _sql_rerank_topk(cand_cte: str, k: int = 10) -> str:
+    """Exact quantized-cosine scoring + per-query top-k over a CTE of
+    (query_id, neighbor_id) candidate pairs — the shared tail of every
+    ANN oracle (mirrors the engine's re-rank stage)."""
+    return f"""scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+                       i -> q.qv[i] * b.qv[i])) AS DOUBLE) / (q.n * b.n) AS sim
+  FROM {cand_cte} c
+  JOIN base q ON q.vec_id = c.query_id
+  JOIN base b ON b.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= {k}"""
+
+
+_LSH_GATE_ORACLE = f"""
+WITH planes(tbl, pl, s) AS (VALUES {_planes_values_sql(_GATE_PLANES)}),
+{_SQL_BASE_CTE},
+codes AS (
+  SELECT b.vec_id, p.tbl,
+         SUM(CASE WHEN CAST(list_sum(list_transform(generate_series(1, len(b.qv)),
+                       i -> b.qv[i] * p.s[i])) AS BIGINT) > 0
+                  THEN (CAST(1 AS BIGINT) << p.pl) ELSE 0 END) AS code
+  FROM base b CROSS JOIN planes p
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT qc.vec_id AS query_id, bc.vec_id AS neighbor_id
+  FROM codes qc JOIN codes bc ON qc.tbl = bc.tbl AND qc.code = bc.code
+  WHERE qc.vec_id < 8 AND bc.vec_id != qc.vec_id
+),
+{_sql_rerank_topk('cand')}
+"""
+
+# coarse cells shared by the IVF and IVF-PQ oracles: centroids are the 32
+# lowest-id vectors; assignment = exact quantized cosine, ties → lowest id
+_SQL_CELLS_CTE = """cent AS (
+  SELECT vec_id AS cid, qv AS cqv, n AS cn FROM base WHERE vec_id < 32
+),
+csims AS (
+  SELECT b.vec_id, c.cid,
+         CAST(list_sum(list_transform(generate_series(1, len(b.qv)),
+                       i -> b.qv[i] * c.cqv[i])) AS DOUBLE) / (b.n * c.cn) AS csim
+  FROM base b CROSS JOIN cent c
+),
+rcells AS (
+  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rnk
+  FROM csims
+),
+bcell AS (SELECT vec_id, cid AS cell FROM rcells WHERE rnk = 1),
+qcell AS (SELECT vec_id AS query_id, cid AS cell FROM rcells WHERE vec_id < 8 AND rnk <= 6),
+cand AS (
+  SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+  FROM qcell q JOIN bcell b USING (cell) WHERE b.vec_id != q.query_id
+)"""
+
+_IVF_GATE_ORACLE = f"""
+WITH {_SQL_BASE_CTE},
+{_SQL_CELLS_CTE},
+{_sql_rerank_topk('cand')}
+"""
+
+_IVFPQ_GATE_ORACLE = f"""
+WITH {_SQL_BASE_CTE},
+{_SQL_CELLS_CTE},
+books AS (
+  SELECT ms.m, c.cid AS j, list_slice(c.cqv, ms.m * 8 + 1, ms.m * 8 + 8) AS cw
+  FROM cent c CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) ms
+),
+dists AS (
+  SELECT b.vec_id, bk.m, bk.j,
+         CAST(list_sum(list_transform(generate_series(1, 8),
+              i -> (b.qv[bk.m * 8 + i] - bk.cw[i]) * (b.qv[bk.m * 8 + i] - bk.cw[i]))) AS BIGINT) AS d2
+  FROM base b CROSS JOIN books bk
+),
+codes AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT vec_id, m, j, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rnk
+    FROM dists
+  ) WHERE rnk = 1
+),
+luts AS (
+  SELECT b.vec_id AS query_id, bk.m, bk.j,
+         CAST(list_sum(list_transform(generate_series(1, 8),
+              i -> b.qv[bk.m * 8 + i] * bk.cw[i])) AS BIGINT) AS val
+  FROM base b CROSS JOIN books bk WHERE b.vec_id < 8
+),
+adc AS (
+  SELECT c.query_id, c.neighbor_id, SUM(l.val) AS adcv
+  FROM cand c
+  JOIN codes cd ON cd.vec_id = c.neighbor_id
+  JOIN luts l ON l.query_id = c.query_id AND l.m = cd.m AND l.j = cd.code
+  GROUP BY 1, 2
+),
+shortl AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adcv DESC, neighbor_id) AS r
+    FROM adc
+  ) WHERE r <= 40
+),
+{_sql_rerank_topk('shortl')}
+"""
+
+
+@_register("ann_lsh_topk", _LSH_GATE_ORACLE)
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH top-k with deterministic ±1 planes: bucket codes are
+    exact integer signs, so the approximate pipeline (candidate generation
+    included) hash-matches the DuckDB oracle."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
-    return lsh_topk(emb, queries, k=10)
+    return lsh_topk(emb, queries, k=10, planes=_GATE_PLANES)
 
 
-@_register("ann_ivf_topk", None)  # approximate: recall depends on probes
+@_register("ann_ivf_topk", _IVF_GATE_ORACLE)
 def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with data-point centroids (32 lowest-id vectors) and
+    exact-integer cell assignment — fully oracle-checkable; the trained
+    k-means path keeps its recall pytests."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
-    return ivf_topk(emb, queries, k=10)
+    return ivf_topk(emb, queries, k=10, data_centroids=True)
 
 
-@_register("ann_ivfpq_topk", None)  # approximate: recall depends on probes/codes
+@_register("ann_ivfpq_topk", _IVFPQ_GATE_ORACLE)
 def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k (the billion-scale ANN layout): candidate scoring
     touches only the 8 code bytes per base vector via a pure-JVM ADC
-    lookup-table sum, then exact re-rank of the shortlist."""
+    lookup-table sum, then exact re-rank of the shortlist. Gate variant
+    uses data-point codebooks and integer ADC, so even the PQ shortlist
+    is reproduced exactly by the DuckDB oracle."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
-    return ivfpq_topk(emb, queries, k=10)
+    return ivfpq_topk(emb, queries, k=10, data_codebooks=True)
