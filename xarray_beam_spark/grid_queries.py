@@ -106,22 +106,54 @@ def _events_grid(
     return ds
 
 
-def _materialized(spark: SparkSession, sf_dir: str, tag: str, write) -> str:
+# bump when a persistent gate store's layout changes (chunking, codec,
+# template shape) so stale cross-process caches are never reused
+_STORE_LAYOUT_VERSION = "v1"
+
+
+def _materialized(
+    spark: SparkSession, sf_dir: str, tag: str, write, persistent: bool = False
+) -> str:
     """Write-once store materialization per (session, sf_dir, tag).
 
     Round-trip gates need a populated store on disk; building it is setup
     cost, not query cost. Like the ``_cells``/coread caches above, the
     written path is memoized so repeat invocations (driver sweep retries,
     bench warm runs) skip the write job entirely.
+
+    ``persistent=True`` additionally reuses the store ACROSS processes
+    (build-once per machine under a layout-versioned path, atomic-rename
+    publish) — only for stores that are pure INPUTS to the gate under
+    test, never for a store whose write path is itself being certified.
     """
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     key = (spark.sparkContext.applicationId, sf_dir, tag)
     path = _CACHE.get(key)
-    if path is None:
+    if path is not None:
+        return path
+    if persistent:
+        digest = hashlib.md5(
+            f"{sf_dir}|{tag}|{_STORE_LAYOUT_VERSION}".encode()
+        ).hexdigest()[:10]
+        final = os.path.join(tempfile.gettempdir(), f"xbs_gate_cache_{tag}_{digest}")
+        if not os.path.isdir(final):
+            tmp = tempfile.mkdtemp(prefix=f"xbs_{tag}_build_")
+            write(tmp)
+            try:
+                os.rename(tmp, final)  # atomic publish; loser keeps its copy
+            except OSError:
+                final = tmp if not os.path.isdir(final) else final
+                if final != tmp:
+                    shutil.rmtree(tmp, ignore_errors=True)
+        path = final
+    else:
         path = tempfile.mkdtemp(prefix=f"xbs_{tag}_gate_")
         write(path)
-        _CACHE[key] = path
+    _CACHE[key] = path
     return path
 
 
@@ -211,9 +243,12 @@ def xb_sql_on_zarr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xarray_beam_spark.sources import spark_datasource, zarr_io
 
     d = _events_grid(spark, sf_dir, chunks={"day": 8})
+    # the store is a pure INPUT here (the SQL read with pushFilters is
+    # what's under test) → safe to build once per machine, not per process
     path = _materialized(
         spark, sf_dir, "dsv2",
         lambda p: zarr_io.to_zarr(d, p, zarr_chunks={"day": 8, "hour": 6}),
+        persistent=True,
     )
     spark_datasource.register(spark)
     cells = spark.read.format("xbs_zarr").option("path", path).load()
@@ -239,9 +274,12 @@ def xb_sql_zarr_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xarray_beam_spark.sources import spark_datasource, zarr_io
 
     d = _events_grid(spark, sf_dir, chunks={"day": 8})
+    # source store is shared, persistent input; the DESTINATION build below
+    # (the write path actually being certified) always runs fresh per process
     src = _materialized(
         spark, sf_dir, "dsv2",
         lambda p: zarr_io.to_zarr(d, p, zarr_chunks={"day": 8, "hour": 6}),
+        persistent=True,
     )
     spark_datasource.register(spark)
 
@@ -707,11 +745,15 @@ def xb_grid_zip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, users = both["cnt"], both["users"]
 
     def ratio(a, b):
+        import numpy as np
+
         from xarray_beam_spark.ndarray_ds import NDDataset, Variable
 
         va, vb = a.data_vars["cnt"], b.data_vars["users"]
+        with np.errstate(invalid="ignore"):  # empty cells: NaN/NaN → NaN by design
+            vals = va.values / vb.values
         return NDDataset(
-            {"events_per_user": Variable(va.dims, va.values / vb.values)},
+            {"events_per_user": Variable(va.dims, vals)},
             a.coords,
             a.attrs,
         )
@@ -754,9 +796,13 @@ def xb_grid_zip_ratio_coread(spark: SparkSession, sf_dir: str) -> DataFrame:
         _CACHE[key] = paths = (p_cnt, p_users)
 
     def ratio(a: NDDataset, b: NDDataset) -> NDDataset:
+        import numpy as np
+
         va, vb = a.data_vars["cnt"], b.data_vars["users"]
+        with np.errstate(invalid="ignore"):  # empty cells: NaN/NaN → NaN by design
+            vals = va.values / vb.values
         return NDDataset(
-            {"events_per_user": Variable(va.dims, va.values / vb.values)},
+            {"events_per_user": Variable(va.dims, vals)},
             a.coords,
             a.attrs,
         )
