@@ -122,6 +122,58 @@ def test_sql_write_roundtrip(spark, store, tmp_path):
     assert a == b
 
 
+def test_sql_write_rejects_cross_task_chunk_split(spark, store, tmp_path):
+    """Adversarial partitioning — cells of one store chunk scattered
+    across tasks — must FAIL the job (commit-time ownership check), not
+    silently drop the cells that lost the atomic-rename race."""
+    p, nd = store
+    spark_datasource.register(spark)
+    dst = str(tmp_path / "dst_adv")
+    zarr_io.setup_zarr(
+        Dataset.from_numpy(spark, nd, chunks={"time": 6}).template,
+        dst,
+        {"time": 6, "lat": 5},
+    )
+    src_df = spark.read.format("xbs_zarr").option("path", p).load()
+    # round-robin over 8 tasks: every time-chunk is split across tasks
+    with pytest.raises(Exception, match="more than one task"):
+        (
+            src_df.repartition(8)
+            .write.format("xbs_zarr")
+            .option("path", dst)
+            .mode("append")
+            .save()
+        )
+
+
+def test_repartition_for_write_satisfies_contract(spark, store, tmp_path):
+    """The one-call helper makes an arbitrarily-partitioned DataFrame
+    writable: chunk-key hash shuffle → disjoint ownership → lossless
+    round-trip."""
+    p, nd = store
+    spark_datasource.register(spark)
+    dst = str(tmp_path / "dst_rep")
+    zarr_io.setup_zarr(
+        Dataset.from_numpy(spark, nd, chunks={"time": 6}).template,
+        dst,
+        {"time": 6, "lat": 5},
+    )
+    src_df = spark.read.format("xbs_zarr").option("path", p).load()
+    scattered = src_df.repartition(8)  # would fail the ownership check
+    (
+        spark_datasource.repartition_for_write(scattered, dst)
+        .write.format("xbs_zarr")
+        .option("path", dst)
+        .mode("append")
+        .save()
+    )
+    back = spark.read.format("xbs_zarr").option("path", dst).load()
+    assert (
+        back.orderBy("time", "lat").collect()
+        == src_df.orderBy("time", "lat").collect()
+    )
+
+
 def test_sql_write_rejects_unknown_column(spark, store, tmp_path):
     p, nd = store
     spark_datasource.register(spark)

@@ -33,6 +33,7 @@ import math
 from typing import Iterator, Sequence
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
@@ -358,6 +359,14 @@ class ZarrStreamReader(DataSourceStreamReader):
         return None
 
 
+class ZarrCommitMessage(WriterCommitMessage):
+    """Per-task commit payload: the linear keys of every store chunk the
+    task wrote, so ``commit()`` can reject cross-task chunk splits."""
+
+    def __init__(self, chunk_keys: tuple = ()):
+        self.chunk_keys = tuple(chunk_keys)
+
+
 class ZarrWriter(DataSourceArrowWriter):
     """Executor-side chunk assembly for the ``xbs_zarr`` write path.
 
@@ -396,48 +405,73 @@ class ZarrWriter(DataSourceArrowWriter):
             raise ValueError(f"values not on the {d!r} coordinate axis: {bad!r}")
         return idx_c.astype(np.int64)
 
-    def write(self, iterator):
-        import pyarrow as pa
-
-        batches = list(iterator)
-        if not batches:
-            return WriterCommitMessage()
-        tbl = pa.Table.from_batches(batches)
-        n = tbl.num_rows
-        idx = {d: self._index(d, tbl.column(d).to_numpy(zero_copy_only=False)) for d in self.dims}
-        cdims = self.dims
-        chunk_of = {d: idx[d] // self.chunks[d] for d in cdims}
-        # linear chunk key for grouping
-        key = np.zeros(n, dtype=np.int64)
-        for d in cdims:
+    def _key_to_offsets(self, key: int) -> dict[str, int]:
+        """Inverse of the linear chunk key: per-dim element offsets."""
+        out: dict[str, int] = {}
+        for d in reversed(self.dims):
             n_chunks = -(-self.sizes[d] // self.chunks[d])
-            key = key * n_chunks + chunk_of[d]
-        arrays, _ = zarrlite.open_group(self.path)
-        order = np.argsort(key, kind="stable")
-        bounds = np.flatnonzero(np.diff(key[order])) + 1
-        groups = np.split(order, bounds)
-        written = 0
-        for rows in groups:
-            r0 = rows[0]
-            offsets = {
-                d: int(chunk_of[d][r0]) * self.chunks[d] for d in cdims
+            key, c = divmod(key, n_chunks)
+            out[d] = c * self.chunks[d]
+        return out
+
+    def write(self, iterator):
+        # Streaming chunk assembly: process one Arrow batch at a time into
+        # dense per-chunk buffers (fill value for uncovered cells) instead
+        # of materializing the whole task partition.  Task memory is
+        # bounded by (touched chunks x chunk nbytes), which under the
+        # chunk-ownership contract enforced in commit() is the task's own
+        # chunks — independent of row count.
+        cdims = self.dims
+        n_chunks_d = {d: -(-self.sizes[d] // self.chunks[d]) for d in cdims}
+        arrays = None
+        bufs: dict[int, dict[str, np.ndarray]] = {}
+        extents: dict[int, dict[str, int]] = {}
+        for batch in iterator:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            if arrays is None:
+                arrays, _ = zarrlite.open_group(self.path)
+            names = batch.schema.names
+            col = {
+                nm: batch.column(i).to_numpy(zero_copy_only=False)
+                for i, nm in enumerate(names)
             }
-            extent = {
-                d: min(self.chunks[d], self.sizes[d] - offsets[d]) for d in cdims
-            }
-            local = [idx[d][rows] - offsets[d] for d in cdims]
-            flat = np.ravel_multi_index(local, [extent[d] for d in cdims])
+            idx = {d: self._index(d, col[d]) for d in cdims}
+            chunk_of = {d: idx[d] // self.chunks[d] for d in cdims}
+            key = np.zeros(n, dtype=np.int64)
+            for d in cdims:
+                key = key * n_chunks_d[d] + chunk_of[d]
+            order = np.argsort(key, kind="stable")
+            bounds = np.flatnonzero(np.diff(key[order])) + 1
+            for rows in np.split(order, bounds):
+                k = int(key[rows[0]])
+                if k not in bufs:
+                    offsets = self._key_to_offsets(k)
+                    extent = {
+                        d: min(self.chunks[d], self.sizes[d] - offsets[d])
+                        for d in cdims
+                    }
+                    extents[k] = extent
+                    cells = int(math.prod(extent.values()))
+                    bufs[k] = {}
+                    for v in self.var_names:
+                        dt = np.dtype(arrays[v].dtype)
+                        bufs[k][v] = np.full(
+                            cells, np.nan if dt.kind == "f" else 0, dtype=dt
+                        )
+                offsets = self._key_to_offsets(k)
+                extent = extents[k]
+                local = [idx[d][rows] - offsets[d] for d in cdims]
+                flat = np.ravel_multi_index(local, [extent[d] for d in cdims])
+                for v in self.var_names:
+                    bufs[k][v][flat] = col[v][rows]  # later rows win
+        for k in sorted(bufs):
+            offsets = self._key_to_offsets(k)
+            extent = extents[k]
             for v in self.var_names:
                 meta = arrays[v]
-                vals = tbl.column(v).to_numpy(zero_copy_only=False)[rows]
-                dt = np.dtype(meta.dtype)
-                buf = np.full(
-                    int(math.prod(extent.values())),
-                    np.nan if dt.kind == "f" else 0,
-                    dtype=dt,
-                )
-                buf[flat] = vals
-                block = buf.reshape([extent[d] for d in cdims])
+                block = bufs[k][v].reshape([extent[d] for d in cdims])
                 # store dim order may differ from sorted column order
                 perm = [cdims.index(d) for d in meta.logical_dims]
                 zarrlite.write_region(
@@ -445,10 +479,37 @@ class ZarrWriter(DataSourceArrowWriter):
                     {d: offsets[d] for d in meta.logical_dims},
                     np.ascontiguousarray(block.transpose(perm)),
                 )
-            written += 1
-        return WriterCommitMessage()
+        return ZarrCommitMessage(chunk_keys=tuple(sorted(bufs)))
+
+    def _check_ownership(self, messages) -> None:
+        """Fail the job if two tasks wrote the same store chunk.
+
+        Chunk files are written whole via atomic rename, so a chunk split
+        across tasks is last-rename-wins — the losing task's cells would
+        silently vanish.  The reference takes the same stance and rejects
+        unaligned writes outright (``zarr.py:516-587``); here alignment is
+        per-task, so the check must span tasks and live in ``commit()``."""
+        owner: dict[int, int] = {}
+        dups: list[int] = []
+        for t, m in enumerate(messages):
+            for k in getattr(m, "chunk_keys", ()) or ():
+                if k in owner and owner[k] != t:
+                    dups.append(k)
+                else:
+                    owner[k] = t
+        if dups:
+            where = [self._key_to_offsets(k) for k in dups[:3]]
+            raise ValueError(
+                f"xbs_zarr write: {len(dups)} store chunk(s) were written by more "
+                f"than one task (first offsets: {where}); cells from all but the "
+                "last task to commit each chunk were LOST. Partition the DataFrame "
+                "so each task owns whole chunks — e.g. "
+                "xarray_beam_spark.sources.spark_datasource.repartition_for_write("
+                "df, path) — and rewrite the store."
+            )
 
     def commit(self, messages):
+        self._check_ownership(messages)
         return None
 
     def abort(self, messages):
@@ -468,6 +529,8 @@ class ZarrStreamWriter(DataSourceStreamArrowWriter):
         return self._writer.write(iterator)
 
     def commit(self, messages, batchId: int) -> None:
+        # same cross-task chunk-ownership contract, checked per micro-batch
+        self._writer._check_ownership(messages)
         return None
 
     def abort(self, messages, batchId: int) -> None:
@@ -489,6 +552,56 @@ def _eq_window(vals: np.ndarray, v) -> tuple[int, int]:
         int(np.searchsorted(vals, x, "left")),
         int(np.searchsorted(vals, x, "right")),
     )
+
+
+def repartition_for_write(df, path: str, chunks: dict | None = None, num_partitions: int | None = None):
+    """Shuffle a long-format DataFrame so every task owns whole store
+    chunks — the precondition the ``xbs_zarr`` writer enforces in
+    ``commit()``.
+
+    The Python DataSource writer API has no ``requiredDistribution`` hook
+    (unlike JVM DSv2's ``RequiresDistributionAndOrdering``), so the plan
+    can't inject this shuffle itself; this helper is the one-call way to
+    satisfy the contract.  The chunk key is computed by a vectorized
+    (Arrow-batched) pandas UDF capturing only the metadata-sized
+    coordinate axes — same index math as the writer — then
+    ``df.repartition(key)`` hash-partitions on it, so any one chunk key
+    lands in exactly one task (several chunks may share a task, which is
+    fine: ownership stays disjoint)."""
+    from pyspark.sql.functions import pandas_udf
+
+    template, store_chunks = zarr_io.open_zarr_template(path)
+    cchunks = dict(store_chunks)
+    if chunks:
+        cchunks.update({d: int(c) for d, c in chunks.items()})
+    dims = sorted(template.sizes)
+    sizes = {d: int(template.sizes[d]) for d in dims}
+    axes = {
+        d: np.asarray(template.coords[d].values)
+        for d in dims
+        if d in template.coords and template.coords[d].dims == (d,)
+    }
+    n_chunks_d = {d: -(-sizes[d] // cchunks[d]) for d in dims}
+
+    @pandas_udf("long")
+    def _chunk_key(cols: pd.DataFrame) -> pd.Series:
+        key = np.zeros(len(cols), dtype=np.int64)
+        for d in dims:
+            vals = cols[d].to_numpy()
+            axis = axes.get(d)
+            if axis is None:
+                idx = vals.astype(np.int64)
+            else:
+                v = vals.astype(axis.dtype) if axis.dtype.kind == "M" else vals
+                idx = np.clip(np.searchsorted(axis, v, "left"), 0, len(axis) - 1)
+            key = key * n_chunks_d[d] + idx // cchunks[d]
+        return pd.Series(key)
+
+    from pyspark.sql import functions as F
+
+    key_col = _chunk_key(F.struct(*[df[d] for d in dims]))
+    n_parts = num_partitions or int(math.prod(n_chunks_d.values()))
+    return df.repartition(min(n_parts, 2048), key_col)
 
 
 def register(spark) -> None:
