@@ -191,3 +191,39 @@ def test_key_indices_mode():
 
     with _pytest.raises(ValueError, match="not a multiple"):
         Key.make({"x": 450}).indices({"x": 100})
+
+
+def test_in_memory_rechunk():
+    """Pure consolidate+split over (offsets, NDDataset) pairs (reference
+    rechunk.py:492-500 parity)."""
+    import numpy as np
+    from xarray_beam_spark.dataset import in_memory_rechunk
+    from xarray_beam_spark.ndarray_ds import NDDataset
+
+    rng = np.random.default_rng(0)
+    full = NDDataset(
+        {"v": (("x", "y"), rng.normal(size=(12, 6)))},
+        coords={"x": np.arange(12)},
+    )
+    inputs = [
+        ({"x": o, "y": 0}, full.isel({"x": slice(o, o + 3)}))
+        for o in range(0, 12, 3)
+    ]
+    got = list(in_memory_rechunk(inputs, {"x": 4}))
+    assert len(got) == 3
+    for off, ds in got:
+        np.testing.assert_array_equal(
+            ds.data_vars["v"].values, full.data_vars["v"].values[off["x"]: off["x"] + 4]
+        )
+        np.testing.assert_array_equal(
+            ds.coords["x"].values, np.arange(off["x"], off["x"] + 4)
+        )
+    # non-zero base offsets stay on the global target grid
+    inputs2 = [({"x": 4 + o}, full.isel({"x": slice(o, o + 2)})) for o in range(0, 8, 2)]
+    assert [o["x"] for o, _ in in_memory_rechunk(inputs2, {"x": 4})] == [4, 8]
+    # gappy inputs (chunk 0 and 2, no 1) must fail loudly, not mis-concat
+    import pytest as _pytest
+
+    gappy = [inputs[0], inputs[2]]
+    with _pytest.raises(ValueError, match="do not tile"):
+        list(in_memory_rechunk(gappy, {"x": 4}))

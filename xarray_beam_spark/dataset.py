@@ -3307,3 +3307,62 @@ def _infer_result_meta(
     }
     tmpl = Template(sizes=out_sizes, var_meta=vm, coords=coords, attrs=dummy_out.attrs)
     return tmpl, out_chunks
+
+
+def in_memory_rechunk(
+    inputs: Sequence[tuple[Mapping[str, int], NDDataset]],
+    target_chunks: Mapping[str, int],
+) -> Iterator[tuple[dict[str, int], NDDataset]]:
+    """Rechunk in-memory ``(offsets, NDDataset)`` pairs: consolidate the
+    inputs into their bounding block, then split to ``target_chunks``
+    (reference ``in_memory_rechunk``, ``rechunk.py:492-500``).
+
+    Pure driver/executor-agnostic helper — the same consolidate+split
+    semantics the distributed ``Dataset.rechunk`` stages execute, usable
+    on plain pairs without a SparkSession (e.g. inside a custom
+    ``applyInPandas`` stage whose group already holds the needed chunks).
+    The inputs must tile their bounding box exactly (the distributed path
+    enforces the same completeness rule)."""
+    if not inputs:
+        return
+    dims = sorted({d for _, ds in inputs for d in ds.sizes})
+    base = {d: min(int(off.get(d, 0)) for off, _ in inputs) for d in dims}
+    # dense grid positions per dim (consolidate: NDDataset.block)
+    uniq = {
+        d: sorted({int(off.get(d, 0)) for off, _ in inputs}) for d in dims
+    }
+    parts = {
+        tuple(uniq[d].index(int(off.get(d, 0))) for d in dims): ds
+        for off, ds in inputs
+    }
+    expected = math.prod(len(u) for u in uniq.values())
+    if len(parts) != expected:
+        raise ValueError(
+            f"in_memory_rechunk: inputs do not tile their bounding box "
+            f"(got {len(parts)} of {expected} grid cells)"
+        )
+    merged = NDDataset.block(parts, dims)
+    sizes = merged.sizes
+    for d in dims:
+        span = max(
+            int(off.get(d, 0)) + ds.sizes.get(d, 1) for off, ds in inputs
+        ) - base[d]
+        if d in sizes and sizes[d] != span:
+            raise ValueError(
+                f"in_memory_rechunk: inputs do not tile their bounding box "
+                f"along {d!r}: assembled {sizes[d]} elements but offsets "
+                f"span {span} — gap or overlap between chunks"
+            )
+    tgt = {d: int(target_chunks.get(d, sizes[d])) for d in dims}
+    spans = {
+        d: list(core.chunk_bounds_overlap(base[d], base[d] + sizes[d], tgt[d]))
+        for d in dims
+    }
+    for idx in np.ndindex(*[len(spans[d]) for d in dims]):
+        sel: dict[str, slice] = {}
+        offs: dict[str, int] = {}
+        for i, d in enumerate(dims):
+            _grid_off, lo, hi = spans[d][idx[i]]
+            sel[d] = slice(lo - base[d], hi - base[d])
+            offs[d] = lo
+        yield offs, merged.isel(sel)

@@ -136,10 +136,34 @@ def _materialized(
     if path is not None:
         return path
     if persistent:
+        # Digest includes a CONTENT fingerprint of the input directory
+        # (parquet sizes + mtimes), not just its path — regenerated test
+        # data at the same path must never silently reuse a stale store.
+        try:
+            ents = sorted(os.scandir(sf_dir), key=lambda e: e.name)
+            fp = ";".join(
+                f"{e.name}:{e.stat().st_size}:{e.stat().st_mtime_ns}"
+                for e in ents
+                if e.name.endswith(".parquet")
+            )
+        except OSError:
+            fp = "?"
         digest = hashlib.md5(
-            f"{sf_dir}|{tag}|{_STORE_LAYOUT_VERSION}".encode()
+            f"{sf_dir}|{tag}|{_STORE_LAYOUT_VERSION}|{fp}".encode()
         ).hexdigest()[:10]
-        final = os.path.join(tempfile.gettempdir(), f"xbs_gate_cache_{tag}_{digest}")
+        # Per-user cache root: a world-shared predictable path could be
+        # pre-created (poisoned) by another user, or be unreadable 0700
+        # leftovers of a previous user.
+        base = os.environ.get("XBS_CACHE_DIR") or os.path.join(
+            tempfile.gettempdir(), f"xbs_cache_{os.getuid()}"
+        )
+        os.makedirs(base, mode=0o700, exist_ok=True)
+        if os.stat(base).st_uid != os.getuid():
+            raise RuntimeError(
+                f"gate cache dir {base} is owned by another user; set "
+                "XBS_CACHE_DIR to a writable private directory"
+            )
+        final = os.path.join(base, f"xbs_gate_cache_{tag}_{digest}")
         if not os.path.isdir(final):
             tmp = tempfile.mkdtemp(prefix=f"xbs_{tag}_build_")
             write(tmp)

@@ -47,6 +47,22 @@ def quantize(vec: Column) -> Column:
     return F.transform(vec, lambda x: F.floor(x.cast("double") * QUANT).cast("long"))
 
 
+def _qnorms(qv: np.ndarray, what: str = "vector") -> np.ndarray:
+    """Norms of quantized vectors, with the non-zero invariant explicit:
+    an all-zero quantized vector (every component in [0, 1/QUANT)) would
+    make cosine NaN, and numpy's stable argsort and SQL ORDER BY rank NaN
+    differently — silently breaking the bit-identical-to-oracle claim.
+    Fail loudly instead; callers should drop zero vectors upstream."""
+    qn = np.sqrt((qv * qv).sum(axis=1).astype(np.float64))
+    if not (qn > 0).all():
+        raise ValueError(
+            f"all-zero quantized {what} encountered: cosine similarity is "
+            "undefined (NaN) and engine/oracle NaN ordering diverges; filter "
+            "zero embeddings before similarity search"
+        )
+    return qn
+
+
 def int_dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
@@ -192,12 +208,18 @@ def _with_lsh_codes(
                 continue
             ids = pdf[id_col].to_numpy()
             M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if P is not None and M.shape[1] != P.shape[2]:
+                raise ValueError(
+                    f"LSH planes were built for dim {P.shape[2]} but "
+                    f"{vec_col!r} has dim {M.shape[1]}; rebuild the planes "
+                    "(rademacher_planes) for this embedding table"
+                )
             if P is None:
                 rng = np.random.default_rng(seed)
                 P = rng.normal(size=(n_tables, n_planes, M.shape[1]))
                 weights = 1 << np.arange(P.shape[1], dtype=np.int64)
             qv = np.floor(M * QUANT).astype(np.int64)
-            qn = np.sqrt((qv * qv).sum(axis=1).astype(np.float64))
+            qn = _qnorms(qv)
             rows = {out_id: [], "qvec": [], "qnorm": [], "table": [], "code": []}
             if planes is not None:
                 # exact: sign of integer plane·qvec dots (|dot| << 2^63)
@@ -302,7 +324,7 @@ def _with_ivf_cells(df: DataFrame, C: np.ndarray, vec_col: str, id_col: str, out
             ids = pdf[id_col].to_numpy()
             M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             qv = np.floor(M * QUANT).astype(np.int64)
-            qn = np.sqrt((qv * qv).sum(axis=1).astype(np.float64))
+            qn = _qnorms(qv)
             Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
             sims = Mn @ Cl.T  # (n, centroids)
             p = min(n_probe, sims.shape[1])
@@ -334,7 +356,7 @@ def _collect_qcentroids(
         .collect()
     )
     Cq = np.stack([np.asarray(r["qv"], dtype=np.int64) for r in rows])
-    Cn = np.sqrt((Cq * Cq).sum(axis=1).astype(np.float64))
+    Cn = _qnorms(Cq, what="centroid")
     return Cq, Cn
 
 
@@ -373,7 +395,7 @@ def _with_cells_exact(
             ids = pdf[id_col].to_numpy()
             M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             qv = np.floor(M * QUANT).astype(np.int64)
-            qn = np.sqrt((qv * qv).sum(axis=1).astype(np.float64))
+            qn = _qnorms(qv)
             sims = (qv.astype(np.float64) @ Cf.T) / (qn[:, None] * Cn_l[None, :])
             p = min(n_probe, sims.shape[1])
             cells = np.argsort(-sims, axis=1, kind="stable")[:, :p]  # ties → low idx
@@ -620,7 +642,7 @@ def ivfpq_topk(
                 ids = pdf[id_col].to_numpy()
                 M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
                 qv = np.floor(M * QUANT).astype(np.int64)
-                qn = np.sqrt((qv * qv).sum(axis=1).astype(np.float64))
+                qn = _qnorms(qv)
                 sims = (qv.astype(np.float64) @ Cf.T) / (qn[:, None] * Cn_l[None, :])
                 cells = np.argsort(-sims, axis=1, kind="stable")[:, 0].astype(np.int32)
                 codes = np.empty((len(ids), m_sub), dtype=np.int32)
@@ -639,7 +661,7 @@ def ivfpq_topk(
                 ids = pdf[id_col].to_numpy()
                 M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
                 qv = np.floor(M * QUANT).astype(np.int64)
-                qn = np.sqrt((qv * qv).sum(axis=1).astype(np.float64))
+                qn = _qnorms(qv)
                 sims = (qv.astype(np.float64) @ Cf.T) / (qn[:, None] * Cn_l[None, :])
                 p = min(n_probe, sims.shape[1])
                 cells = np.argsort(-sims, axis=1, kind="stable")[:, :p]

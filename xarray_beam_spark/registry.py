@@ -10,13 +10,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # Latest round each query earned a green driver-hash CORRECTNESS row
-# (from CORRECTNESS_r01..r03.json; zero failures ever). The driver
+# (from CORRECTNESS_r01..r04.json; zero failures ever). The driver
 # certifies ~50 queries per round in registry order, so ordering is
 # stalest-evidence-first: never-certified queries lead, then rows by
 # ascending last-green round — every banked row stays at most a couple
-# of rounds old. Queries absent from this map (including the four ANN /
-# packing gates restructured in round 4 to carry real oracles) sort
-# first.
+# of rounds old. Queries absent from this map sort first.
 _LAST_CERTIFIED_ROUND: dict[str, int] = {
     # round 1 (stalest)
     **dict.fromkeys([
@@ -73,6 +71,28 @@ _LAST_CERTIFIED_ROUND: dict[str, int] = {
         "xb_grid_zip_ratio_coread", "xb_netcdf_roundtrip", "xb_sql_on_zarr",
         "xb_sql_zarr_insert",
     ], 3),
+    # round 4 (freshest; overrides earlier tiers — later ** wins)
+    **dict.fromkeys([
+        "ann_ivf_topk", "ann_ivfpq_topk", "ann_lsh_topk",
+        "churned_customers_except", "corpus_pack_sequences",
+        "events_daily_rollup", "events_json_props", "events_lag_rank",
+        "events_rollup_totals", "events_running_totals",
+        "q10_returned_items", "q11_important_stock", "q12_priority_lines",
+        "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
+        "q16_supplier_diversity", "q17_small_quantity", "q18_large_volume",
+        "q19_discounted_revenue", "q22_sales_opportunity",
+        "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
+        "q5_local_supplier_volume", "q6_revenue_change", "q7_volume_shipping",
+        "q8_market_share", "q9_nation_profit", "topk_parts_by_revenue",
+        "xb_grid_climatology_dow", "xb_grid_coarsen", "xb_grid_getitem",
+        "xb_grid_head", "xb_grid_max_day", "xb_grid_mean_hour",
+        "xb_grid_median_hour", "xb_grid_resample_week", "xb_grid_roundtrip",
+        "xb_grid_split_consolidate", "xb_grid_splitvars_roundtrip",
+        "xb_grid_std_day", "xb_grid_sum_hour", "xb_grid_tail",
+        "xb_grid_transpose", "xb_grid_where", "xb_grid_zip_ratio",
+        "xb_map_blocks_affine", "xb_zarr_roundtrip",
+        "xb_zarr_v3_sharded_roundtrip",
+    ], 4),
 }
 
 
