@@ -583,3 +583,74 @@ class TestConsolidatedMetadata:
         assert not os.path.exists(os.path.join(out, ".zmetadata"))
         back = zarr_io.from_zarr(spark, out).collect()
         assert back.identical(src) or back.equals(src)
+
+
+class TestPerVarEncoding:
+    """Reference ``ChunksToZarr(encoding=...)`` surface: per-variable
+    compressor / fill_value overrides on setup_zarr / to_zarr."""
+
+    def test_mixed_compressors_roundtrip(self, spark, tmp_path):
+        nd = _fixture_ds()
+        path = str(tmp_path / "enc")
+        d = Dataset.from_numpy(spark, nd, chunks={"time": 10})
+        zarr_io.to_zarr(
+            d,
+            path,
+            zarr_chunks={"time": 10},
+            compressor="zlib",
+            encoding={
+                "temp": {"compressor": {"id": "blosc", "cname": "lz4", "shuffle": 1}},
+                "count": {"compressor": None},
+            },
+        )
+        import json, os
+
+        meta_t = json.load(open(os.path.join(path, "temp", ".zarray")))
+        meta_c = json.load(open(os.path.join(path, "count", ".zarray")))
+        meta_s = json.load(open(os.path.join(path, "static", ".zarray")))
+        assert meta_t["compressor"]["id"] == "blosc"
+        assert meta_c["compressor"] is None
+        assert meta_s["compressor"]["id"] == "zlib"  # store-wide default
+        back = zarr_io.from_zarr(spark, path).collect()
+        assert back.equals(nd)
+
+    def test_fill_value_override(self, tmp_path):
+        path = str(tmp_path / "fill")
+        from xarray_beam_spark.dataset import Template
+        from xarray_beam_spark.ndarray_ds import Variable
+
+        tmpl = Template(
+            sizes={"x": 6},
+            var_meta={"v": (("x",), "<f8")},
+            coords={"x": Variable(("x",), np.arange(6))},
+            attrs={},
+        )
+        zarr_io.setup_zarr(
+            tmpl, path, {"x": 3}, encoding={"v": {"fill_value": -9999.0}}
+        )
+        meta = zarrlite.open_array(path, "v")
+        assert meta.fill_value == -9999.0
+        # missing chunks read back as the override, not NaN
+        np.testing.assert_array_equal(
+            zarrlite.read_full(meta), np.full(6, -9999.0)
+        )
+
+    def test_unknown_encoding_rejected(self, tmp_path):
+        from xarray_beam_spark.dataset import Template
+        from xarray_beam_spark.ndarray_ds import Variable
+
+        tmpl = Template(
+            sizes={"x": 4},
+            var_meta={"v": (("x",), "<f8")},
+            coords={"x": Variable(("x",), np.arange(4))},
+            attrs={},
+        )
+        with pytest.raises(ValueError, match="unknown variables"):
+            zarr_io.setup_zarr(
+                tmpl, str(tmp_path / "a"), {"x": 2}, encoding={"nope": {}}
+            )
+        with pytest.raises(ValueError, match="unsupported encoding keys"):
+            zarr_io.setup_zarr(
+                tmpl, str(tmp_path / "b"), {"x": 2},
+                encoding={"v": {"scale_factor": 2.0}},
+            )

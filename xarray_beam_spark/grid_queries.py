@@ -177,8 +177,26 @@ def _materialized(
     else:
         path = tempfile.mkdtemp(prefix=f"xbs_{tag}_gate_")
         write(path)
+        _EPHEMERAL_KEYS.add(key)
     _CACHE[key] = path
     return path
+
+
+# keys of _CACHE entries whose build is itself the work under test
+# (non-persistent _materialized stores) — see reset_ephemeral_caches
+_EPHEMERAL_KEYS: set = set()
+
+
+def reset_ephemeral_caches() -> None:
+    """Forget memoized write-under-test store paths so the next gate
+    invocation redoes the certified write work. bench.py calls this
+    between best-of-N runs: pure-INPUT caches (persistent stores, the
+    persisted cells/grid DataFrames) stay warm — they are fixtures — but
+    a gate whose store WRITE is the thing being measured must rebuild
+    per run, or run 2 would silently measure only the read-back."""
+    for key in list(_EPHEMERAL_KEYS):
+        _CACHE.pop(key, None)
+    _EPHEMERAL_KEYS.clear()
 
 
 @_register("xb_grid_roundtrip", _CELLS_SQL)
@@ -202,6 +220,64 @@ def xb_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _materialized(
         spark, sf_dir, "zarr",
         lambda p: zarr_io.to_zarr(d, p, zarr_chunks={"day": 4, "hour": 24}),
+    )
+    back = zarr_io.from_zarr(spark, path, chunks={"day": 8})
+    return back.to_table(dropna=True)
+
+
+@_register("stream_zarr_tail", _CELLS_SQL)
+def stream_zarr_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING read of a Zarr store: ``spark.readStream.format(
+    "xbs_zarr").option("stream_dim", "day")`` tails the store in
+    day-chunk slabs (offset = count of complete slabs, availability
+    probed via write-unit file presence — ``spark_datasource.py``
+    ``ZarrStreamReader``), lands every micro-batch through foreachBatch,
+    and the union of all slabs must equal the dense grid. Certifies the
+    grid→streaming bridge the same way the batch gates certify the scan:
+    against the _CELLS_SQL oracle."""
+    from xarray_beam_spark.sources import spark_datasource, zarr_io
+    from xarray_beam_spark.streaming.events_stream import _run_to_memory
+
+    d = _events_grid(spark, sf_dir, chunks={"day": 8})
+    # pure INPUT store (same layout/cache as the SQL-on-zarr gates)
+    path = _materialized(
+        spark, sf_dir, "dsv2",
+        lambda p: zarr_io.to_zarr(d, p, zarr_chunks={"day": 8, "hour": 6}),
+        persistent=True,
+    )
+    spark_datasource.register(spark)
+    cells = (
+        spark.readStream.format("xbs_zarr")
+        .option("path", path)
+        .option("stream_dim", "day")
+        .load()
+    )
+    out = cells.where(~F.isnan("cnt")).select("day", "hour", "event_type", "cnt")
+    return _run_to_memory(out, mode="append")
+
+
+@_register("xb_zarr_blosc_roundtrip", _CELLS_SQL)
+def xb_zarr_blosc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_zarr → from_zarr identity through a BLOSC-compressed v2 store
+    (the real-world default layout: zarr-python historically writes
+    ``Blosc(cname='lz4', shuffle=SHUFFLE)``). Chunk files are c-blosc1
+    frames produced and decoded by the from-spec pure-Python codec
+    (``sources/blosc1.py``); the per-variable ``encoding`` surface
+    (reference ``ChunksToZarr(encoding=...)``, ``zarr.py:636-821``)
+    selects lz4-inside-blosc for the data variable while the store-wide
+    default stays zlib-inside-blosc."""
+    from xarray_beam_spark.sources import zarr_io
+
+    d = _events_grid(spark, sf_dir, chunks={"day": 8})
+    path = _materialized(
+        spark, sf_dir, "zarrblosc",
+        lambda p: zarr_io.to_zarr(
+            d,
+            p,
+            zarr_chunks={"day": 8, "hour": 24},
+            compressor="blosc",
+            encoding={"cnt": {"compressor": {"id": "blosc", "cname": "lz4", "shuffle": 1}}},
+        ),
     )
     back = zarr_io.from_zarr(spark, path, chunks={"day": 8})
     return back.to_table(dropna=True)

@@ -67,4 +67,15 @@ def ensure_shipped(spark: SparkSession) -> None:
                 rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                 zf.write(full, rel)
     sc.addPyFile(zpath)
+    # addPyFile covers EXECUTOR workers (python includes are fetched into
+    # each worker's files dir), but Spark also spawns DRIVER-side Python
+    # workers — e.g. the streaming DataSource planner
+    # (python_streaming_source_runner) — which build PYTHONPATH from the
+    # function's envVars instead of fetching includes. sc.environment is
+    # exactly that envVars source (_prepare_for_python_RDD), so point it
+    # at the zip + package parent; nonexistent entries are ignored on
+    # remote hosts, where the fetched include serves the import instead.
+    extra = os.pathsep.join([zpath, os.path.dirname(pkg_dir)])
+    prev = sc.environment.get("PYTHONPATH")
+    sc.environment["PYTHONPATH"] = f"{extra}{os.pathsep}{prev}" if prev else extra
     setattr(sc, _FLAG, True)

@@ -277,12 +277,17 @@ class ZarrReader(DataSourceReader):
             inner = int(math.prod(ext[i + 1 :]))
             outer = int(math.prod(ext[:i]))
             cols.append(pa.array(np.tile(np.repeat(axis, inner), outer)))
-        for v in self.var_names:
+        from xarray_beam_spark.sources import iothread
+
+        def read_var(v):
             meta = arrays[v]
             region = zarrlite.read_region(meta, offsets, shape)
             # store dim order may differ from the sorted column order
             order = [meta.logical_dims.index(d) for d in self.dims]
-            cols.append(pa.array(np.ascontiguousarray(region.transpose(order)).reshape(cells)))
+            return pa.array(np.ascontiguousarray(region.transpose(order)).reshape(cells))
+
+        # per-variable IO threading on latency-bound stores
+        cols += iothread.thread_map(read_var, self.var_names, iothread.io_width(self.path))
         yield pa.RecordBatch.from_arrays(cols, names=self.dims + self.var_names)
 
 

@@ -108,7 +108,71 @@ class MemStore(Store):
         return sorted(children)
 
 
+class HttpStore(Store):
+    """Read-only object-store backend over plain HTTP(S) GETs — the
+    minimal cloud seam (the reference reaches S3/GCS through fsspec,
+    ``zarr.py:374-386``; fsspec is absent here, and S3/GCS auth aside,
+    their read path IS ranged/plain GETs over HTTP).
+
+    Semantics: ``get`` = one GET (404/410 → None = missing chunk →
+    fill_value, like a missing file); ``exists`` = HEAD with GET
+    fallback; ``list_dir`` returns [] — object stores have no cheap
+    native listing either, which is exactly why zarr grew consolidated
+    metadata: ``open_group`` reads ``.zmetadata`` in ONE request and
+    never lists. ``put`` raises (publishing is the owning pipeline's
+    job; a writable backend would implement the same four methods).
+
+    ``latency_bound = True`` switches chunk IO to the threaded path
+    (``iothread.thread_map``) — per-request latency, not bandwidth, is
+    what dominates remote small-object reads."""
+
+    latency_bound = True
+
+    def __init__(self, scheme: str) -> None:
+        self.scheme = scheme
+
+    def _url(self, key: str) -> str:
+        return f"{self.scheme}://{key}"
+
+    def get(self, key: str) -> bytes | None:
+        import urllib.error
+        import urllib.request
+
+        try:
+            with urllib.request.urlopen(self._url(key), timeout=60) as r:
+                return r.read()
+        except urllib.error.HTTPError as e:
+            if e.code in (404, 410):
+                return None
+            raise
+
+    def put(self, key: str, data: bytes) -> None:
+        raise NotImplementedError(
+            f"HttpStore is read-only; cannot PUT {self._url(key)}"
+        )
+
+    def exists(self, key: str) -> bool:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(self._url(key), method="HEAD")
+        try:
+            with urllib.request.urlopen(req, timeout=60):
+                return True
+        except urllib.error.HTTPError as e:
+            if e.code in (404, 410):
+                return False
+            if e.code == 405:  # server without HEAD: fall back to GET
+                return self.get(key) is not None
+            raise
+
+    def list_dir(self, key: str) -> list[str]:
+        return []
+
+
 _FS = FsStore()
+_HTTP = HttpStore("http")
+_HTTPS = HttpStore("https")
 _MEM: dict[str, MemStore] = {}
 _MEM_LOCK = threading.Lock()
 
@@ -126,6 +190,10 @@ def resolve(path: str) -> tuple[Store, str]:
     if path.startswith("mem://"):
         name, _, rest = path[len("mem://"):].partition("/")
         return memory_store(name), rest
+    if path.startswith("http://"):
+        return _HTTP, path[len("http://"):]
+    if path.startswith("https://"):
+        return _HTTPS, path[len("https://"):]
     return _FS, path
 
 

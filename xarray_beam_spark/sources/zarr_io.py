@@ -134,8 +134,11 @@ def from_zarr(
     acc_chunks, acc_bytes = _c.acc("read.chunks"), _c.acc("read.bytes")
 
     def read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xarray_beam_spark.sources import iothread
+
         arrays, _ = zarrlite.open_group(path)
         coords_all = coords_bc.value
+        io_w = iothread.io_width(path)
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
@@ -146,11 +149,11 @@ def from_zarr(
                 }
                 vg = var_groups[var_i]
                 names = [vg] if vg is not None else var_names
-                dv = {}
-                for v in names:
+
+                def read_var(v):
                     meta = arrays[v]
                     ldims = meta.logical_dims
-                    dv[v] = Variable(
+                    return v, Variable(
                         ldims,
                         zarrlite.read_region(
                             meta,
@@ -158,6 +161,11 @@ def from_zarr(
                             {d: shape[d] for d in ldims},
                         ),
                     )
+
+                # per-variable IO threading on latency-bound stores
+                # (reference core.py:528-530); read_region threads
+                # per-chunk below this when variables are few
+                dv = dict(iothread.thread_map(read_var, names, io_w))
                 used = {d for var in dv.values() for d in var.dims}
                 ch_coords = {
                     k: Variable(
@@ -359,9 +367,10 @@ def setup_zarr(
     template: Template,
     path: str,
     zarr_chunks: Mapping[str, int],
-    compressor: str | None = "zlib",
+    compressor: str | dict | None = "zlib",
     zarr_format: int = 2,
     zarr_shards: Mapping[str, int] | None = None,
+    encoding: Mapping[str, Mapping] | None = None,
 ) -> None:
     """Driver-side store skeleton: group + array metadata + coordinate
     arrays written eagerly (reference ``setup_zarr``, ``zarr.py:389-513``;
@@ -369,7 +378,25 @@ def setup_zarr(
 
     ``zarr_shards`` (v3 only): per-dim shard extents in elements, each a
     multiple of the zarr chunk (reference shard surface,
-    ``dataset.py:705-866``)."""
+    ``dataset.py:705-866``).
+
+    ``encoding``: per-variable overrides, the reference's
+    ``ChunksToZarr(encoding=...)`` surface (``zarr.py:636-821``, where it
+    is delegated to xarray): ``{var: {"compressor": spec,
+    "fill_value": v}}``. ``compressor`` accepts everything
+    ``zarrlite.create_array`` does (``None``/``"zlib"``/``"blosc"``/a
+    numcodecs-style dict); unknown encoding keys fail loudly."""
+    encoding = {k: dict(v) for k, v in (encoding or {}).items()}
+    unknown_vars = sorted(set(encoding) - set(template.var_meta))
+    if unknown_vars:
+        raise ValueError(f"encoding for unknown variables {unknown_vars}")
+    for v, enc in encoding.items():
+        bad = sorted(set(enc) - {"compressor", "fill_value"})
+        if bad:
+            raise ValueError(
+                f"unsupported encoding keys {bad} for {v!r} "
+                "(supported: compressor, fill_value)"
+            )
     zarrlite.create_group(path, template.attrs, zarr_format=zarr_format)
     for name, coord in template.coords.items():
         meta = zarrlite.create_array(
@@ -391,6 +418,7 @@ def setup_zarr(
             shards = [
                 min(zarr_shards.get(d, c), template.sizes[d]) for d, c in zip(dims, chunks)
             ]
+        enc = encoding.get(name, {})
         zarrlite.create_array(
             path,
             name,
@@ -398,7 +426,8 @@ def setup_zarr(
             chunks=chunks,
             dtype=np.dtype(dtype),
             dims=dims,
-            compressor=compressor,
+            compressor=enc.get("compressor", compressor),
+            fill_value=enc.get("fill_value", "__default__"),
             zarr_format=zarr_format,
             shards=shards,
         )
@@ -420,11 +449,12 @@ def to_zarr(
     ds: Dataset,
     path: str,
     zarr_chunks: Mapping[str, int] | None = None,
-    compressor: str | None = "zlib",
+    compressor: str | dict | None = "zlib",
     zarr_format: int = 2,
     zarr_chunks_per_shard: Mapping[str, int] | None = None,
     needs_setup: bool = True,
     origin: Mapping[str, int] | None = None,
+    encoding: Mapping[str, Mapping] | None = None,
 ) -> dict[str, int]:
     """Write the dataset to a Zarr group; returns write stats.
 
@@ -443,6 +473,10 @@ def to_zarr(
     calls ``to_zarr(..., needs_setup=False, origin={dim: start})`` to
     region-write its slice; ``origin`` must align to the store's write
     unit.
+
+    ``encoding``: per-variable ``{"compressor": ..., "fill_value": ...}``
+    overrides (reference ``ChunksToZarr(encoding=...)``); see
+    :func:`setup_zarr`.
     """
     work = ds.consolidate_variables() if ds.split_vars else ds
     sizes = dict(work.sizes)
@@ -460,7 +494,10 @@ def to_zarr(
                 for d in sizes
             }
         unit = zshards or zchunks
-        setup_zarr(work.template, path, zchunks, compressor, zarr_format, zshards)
+        setup_zarr(
+            work.template, path, zchunks, compressor, zarr_format, zshards,
+            encoding=encoding,
+        )
     else:
         arrays, _ = zarrlite.open_group(path)
         unit = {}
@@ -496,19 +533,29 @@ def to_zarr(
     acc_wchunks, acc_wbytes = _c.acc("write.chunks"), _c.acc("write.bytes")
 
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xarray_beam_spark.sources import iothread
+
         arrays, _ = zarrlite.open_group(path)
+        io_w = iothread.io_width(path)
         n_chunks = 0
         n_bytes = 0
         for pdf in batches:
             for r in pdf.to_dict("records"):  # row-dict iteration: ~10x iterrows at chunk granularity
                 chunk = decode_chunk(r["payload"])
-                for v, var in chunk.data_vars.items():
+
+                def write_var(item):
+                    v, var = item
                     meta = arrays[v]
                     off = {
                         d: base.get(d, 0) + int(r[off_col(d)]) for d in meta.logical_dims
                     }
-                    n_bytes += zarrlite.write_region(meta, off, var.values)
-                    n_chunks += 1
+                    return zarrlite.write_region(meta, off, var.values)
+
+                # per-variable IO threading (reference zarr.py:629)
+                n_bytes += sum(
+                    iothread.thread_map(write_var, chunk.data_vars.items(), io_w)
+                )
+                n_chunks += len(chunk.data_vars)
         acc_wchunks.add(n_chunks)
         acc_wbytes.add(n_bytes)
         yield pd.DataFrame({"chunks_written": [n_chunks], "bytes_written": [n_bytes]})

@@ -9,10 +9,13 @@ implementation:
 
 - **v2**: ``.zgroup`` / ``.zattrs`` at the root, one directory per array
   with ``.zarray`` / ``.zattrs`` and C-order chunk files ``i.j.k``;
-  compressor ``null`` or numcodecs ``{"id": "zlib"}`` (stdlib); xarray's
+  compressors: ``null``, numcodecs ``zlib``/``gzip`` (stdlib), ``lz4``
+  and ``blosc`` with lz4/zlib internal codecs + byte shuffle (c-blosc1
+  frame and LZ4 block formats implemented from spec in ``blosc1.py`` —
+  the zarr-python default layout real cloud stores use); xarray's
   ``_ARRAY_DIMENSIONS`` attribute names the dims.
 - **v3**: ``zarr.json`` per node; chunk files under ``c/i/j`` (default
-  ``/`` key encoding); ``bytes``(+``gzip``) codecs; optional
+  ``/`` key encoding); ``bytes``(+``gzip``/``blosc``) codecs; optional
   ``sharding_indexed`` codec — a shard file stores a C-order grid of
   inner chunks plus an end-located little-endian (offset, nbytes) uint64
   index with a crc32c checksum; ``dimension_names`` names the dims.
@@ -40,6 +43,8 @@ from typing import Any, Iterator, Mapping, Sequence
 
 import numpy as np
 
+from xarray_beam_spark.sources import blosc1
+from xarray_beam_spark.sources import iothread as _iothread
 from xarray_beam_spark.sources import stores as _stores
 
 ZARR_FORMAT = 2
@@ -141,7 +146,9 @@ class ZArray:
     dtype: np.dtype
     dims: tuple[str, ...]
     fill_value: Any
-    compressor: str | None  # None or "zlib" (v2) / "gzip" (v3)
+    # None | "zlib" (legacy shorthand: v2 zlib / v3 gzip) | a numcodecs-
+    # style dict spec: {"id": "gzip"|"lz4"|"blosc", ...params}
+    compressor: str | dict | None
     attrs: dict[str, Any]
     zarr_format: int = 2
     shards: tuple[int, ...] | None = None  # v3 shard shape (multiple of chunks)
@@ -235,13 +242,60 @@ def create_group(path: str, attrs: Mapping[str, Any] | None = None, zarr_format:
         raise ValueError(f"unsupported zarr_format {zarr_format}")
 
 
-def _v3_codecs(compressor: str | None) -> list[dict]:
+_SHUFFLE_V3 = {0: "noshuffle", 1: "shuffle", 2: "bitshuffle"}
+
+
+def _normalize_compressor(compressor: str | dict | None) -> str | dict | None:
+    """Accept user-facing shorthands for create_array/setup_zarr."""
+    if compressor is None or compressor == "zlib":
+        return compressor
+    if compressor == "blosc":
+        # write default inside the blosc frame is the stdlib-speed zlib
+        # codec (any blosc implementation reads it); pass a dict with
+        # cname="lz4" for lz4-inside-blosc
+        return {"id": "blosc", "cname": "zlib", "clevel": 5, "shuffle": 1, "blocksize": 0}
+    if compressor == "gzip":
+        return {"id": "gzip", "level": 1}
+    if compressor == "lz4":
+        return {"id": "lz4"}
+    if isinstance(compressor, dict):
+        return _parse_v2_compressor("<create>", compressor)
+    raise ValueError(f"unsupported compressor {compressor!r}")
+
+
+def _v2_compressor_meta(spec: str | dict | None) -> dict | None:
+    if spec is None:
+        return None
+    if spec == "zlib":
+        return {"id": "zlib", "level": 1}
+    return dict(spec)
+
+
+def _v3_codecs(compressor: str | dict | None, itemsize: int = 1) -> list[dict]:
     codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
-    if compressor in ("zlib", "gzip"):
-        codecs.append({"name": "gzip", "configuration": {"level": 1}})
-    elif compressor is not None:
-        raise ValueError(f"unsupported v3 compressor {compressor}")
-    return codecs
+    if compressor is None:
+        return codecs
+    if compressor == "zlib" or (
+        isinstance(compressor, dict) and compressor.get("id") == "gzip"
+    ):
+        level = compressor.get("level", 1) if isinstance(compressor, dict) else 1
+        codecs.append({"name": "gzip", "configuration": {"level": level}})
+        return codecs
+    if isinstance(compressor, dict) and compressor.get("id") == "blosc":
+        codecs.append(
+            {
+                "name": "blosc",
+                "configuration": {
+                    "cname": compressor.get("cname", "zlib"),
+                    "clevel": int(compressor.get("clevel", 5)),
+                    "shuffle": _SHUFFLE_V3[int(compressor.get("shuffle", 1))],
+                    "typesize": int(itemsize),
+                    "blocksize": int(compressor.get("blocksize", 0)),
+                },
+            }
+        )
+        return codecs
+    raise ValueError(f"unsupported v3 compressor {compressor!r}")
 
 
 def create_array(
@@ -266,6 +320,7 @@ def create_array(
     (``dataset.py:705-752``).
     """
     dtype = np.dtype(dtype)
+    compressor = _normalize_compressor(compressor)
     if len(shape) != len(chunks) or len(shape) != len(dims):
         raise ValueError(f"rank mismatch for {name!r}: {shape} {chunks} {dims}")
     if fill_value == "__default__":
@@ -283,7 +338,7 @@ def create_array(
             "shape": list(shape_t),
             "chunks": list(chunks_t),
             "dtype": dtype.str,
-            "compressor": {"id": "zlib", "level": 1} if compressor == "zlib" else None,
+            "compressor": _v2_compressor_meta(compressor),
             "fill_value": _encode_fill(fill_value, dtype),
             "order": "C",
             "filters": None,
@@ -325,7 +380,7 @@ def create_array(
                 "name": "sharding_indexed",
                 "configuration": {
                     "chunk_shape": list(chunks_t),
-                    "codecs": _v3_codecs(compressor),
+                    "codecs": _v3_codecs(compressor, stored_dtype.itemsize),
                     "index_codecs": [
                         {"name": "bytes", "configuration": {"endian": "little"}},
                         {"name": "crc32c"},
@@ -336,7 +391,7 @@ def create_array(
         ]
     else:
         grid_chunk_shape = list(chunks_t)
-        codecs = _v3_codecs(compressor)
+        codecs = _v3_codecs(compressor, stored_dtype.itemsize)
 
     meta3 = {
         "zarr_format": 3,
@@ -397,13 +452,7 @@ def _zarray_from_v2_meta(
         raise ValueError(f"{name}: only C order supported")
     if meta.get("filters"):
         raise ValueError(f"{name}: filters not supported")
-    comp = meta.get("compressor")
-    if comp is None:
-        compressor = None
-    elif isinstance(comp, dict) and comp.get("id") == "zlib":
-        compressor = "zlib"
-    else:
-        raise ValueError(f"{name}: unsupported compressor {comp}")
+    compressor = _parse_v2_compressor(name, meta.get("compressor"))
     dtype = np.dtype(meta["dtype"])
     attrs = dict(attrs)
     dims = tuple(attrs.pop(_DIMS_ATTR, [f"dim_{i}" for i in range(len(meta["shape"]))]))
@@ -422,6 +471,34 @@ def _zarray_from_v2_meta(
     )
 
 
+_SHUFFLE_FROM_V3 = {"noshuffle": 0, "shuffle": 1, "bitshuffle": 2}
+
+
+def _compressor_from_v3_codecs(name: str, codecs: list[dict]) -> str | dict | None:
+    """Map a v3 codec chain to the internal compressor spec; unknown
+    codecs fail loudly here rather than decoding garbage later."""
+    comp: str | dict | None = None
+    for c in codecs:
+        nm = c.get("name")
+        cfg = c.get("configuration") or {}
+        if nm == "bytes":
+            if cfg.get("endian", "little") != "little":
+                raise ValueError(f"{name}: only little-endian v3 bytes codec supported")
+        elif nm == "gzip":
+            comp = {"id": "gzip", "level": int(cfg.get("level", 1))}
+        elif nm == "blosc":
+            comp = {
+                "id": "blosc",
+                "cname": str(cfg.get("cname", "lz4")),
+                "clevel": int(cfg.get("clevel", 5)),
+                "shuffle": _SHUFFLE_FROM_V3.get(str(cfg.get("shuffle", "noshuffle")), 0),
+                "blocksize": int(cfg.get("blocksize", 0)),
+            }
+        else:
+            raise ValueError(f"{name}: unsupported v3 codec {nm!r}")
+    return comp
+
+
 def _open_array_v3(apath: str, name: str) -> ZArray:
     meta = _get_json(_join(apath, "zarr.json"))
     if meta.get("zarr_format") != 3 or meta.get("node_type") != "array":
@@ -436,10 +513,9 @@ def _open_array_v3(apath: str, name: str) -> ZArray:
         cfg = codecs[0]["configuration"]
         shards = grid_shape
         chunks = tuple(cfg["chunk_shape"])
-        inner = cfg["codecs"]
-        compressor = "zlib" if any(c.get("name") == "gzip" for c in inner) else None
+        compressor = _compressor_from_v3_codecs(name, cfg["codecs"])
     else:
-        compressor = "zlib" if any(c.get("name") == "gzip" for c in codecs) else None
+        compressor = _compressor_from_v3_codecs(name, codecs)
     attrs = dict(meta.get("attributes") or {})
     dims = tuple(meta.get("dimension_names") or [f"dim_{i}" for i in range(len(meta["shape"]))])
     return ZArray(
@@ -540,16 +616,74 @@ def _chunk_fname(meta: ZArray, grid_idx: tuple[int, ...]) -> str:
     return "c/" + "/".join(str(i) for i in grid_idx) if grid_idx else "c"
 
 
+def _parse_v2_compressor(name: str, comp) -> str | dict | None:
+    """Normalize a v2 numcodecs compressor config to the internal spec:
+    ``None``, ``"zlib"`` (legacy shorthand), or a dict keeping the
+    numcodecs ``id`` (+ params) for gzip / blosc / lz4."""
+    if comp is None:
+        return None
+    if not isinstance(comp, dict):
+        raise ValueError(f"{name}: unsupported compressor {comp!r}")
+    cid = comp.get("id")
+    if cid == "zlib":
+        return "zlib"
+    if cid == "gzip":
+        return {"id": "gzip", "level": int(comp.get("level", 1))}
+    if cid == "lz4":
+        return {"id": "lz4"}
+    if cid == "blosc":
+        return {
+            "id": "blosc",
+            "cname": str(comp.get("cname", "lz4")),
+            "clevel": int(comp.get("clevel", 5)),
+            "shuffle": int(comp.get("shuffle", 1)),
+            "blocksize": int(comp.get("blocksize", 0)),
+        }
+    raise ValueError(
+        f"{name}: unsupported compressor {comp!r} (supported: null, zlib, "
+        "gzip, lz4, blosc[lz4/zlib])"
+    )
+
+
 def _compress(meta: ZArray, raw: bytes) -> bytes:
-    if meta.compressor is None:
+    spec = meta.compressor
+    if spec is None:
         return raw
-    return zlib.compress(raw, 1) if meta.zarr_format == 2 else _gzip.compress(raw, 1)
+    if spec == "zlib":
+        return zlib.compress(raw, 1) if meta.zarr_format == 2 else _gzip.compress(raw, 1)
+    cid = spec["id"]
+    if cid == "gzip":
+        return _gzip.compress(raw, spec.get("level", 1))
+    if cid == "lz4":
+        # numcodecs LZ4: u32-LE uncompressed size prefix + one lz4 block
+        return np.uint32(len(raw)).tobytes() + blosc1.lz4_compress_block(raw)
+    if cid == "blosc":
+        return blosc1.blosc_compress(
+            raw,
+            typesize=meta.dtype.itemsize,
+            cname=spec.get("cname", "zlib"),
+            clevel=spec.get("clevel", 5),
+            shuffle=spec.get("shuffle", 1),
+            blocksize=spec.get("blocksize", 0),
+        )
+    raise ValueError(f"{meta.name}: unsupported compressor {spec!r}")
 
 
 def _decompress(meta: ZArray, data: bytes) -> bytes:
-    if meta.compressor is None:
+    spec = meta.compressor
+    if spec is None:
         return bytes(data)
-    return zlib.decompress(data) if meta.zarr_format == 2 else _gzip.decompress(data)
+    if spec == "zlib":
+        return zlib.decompress(data) if meta.zarr_format == 2 else _gzip.decompress(data)
+    cid = spec["id"]
+    if cid == "gzip":
+        return _gzip.decompress(data)
+    if cid == "lz4":
+        (nraw,) = np.frombuffer(data[:4], "<u4")
+        return blosc1.lz4_decompress_block(data[4:], int(nraw))
+    if cid == "blosc":
+        return blosc1.blosc_decompress(data)
+    raise ValueError(f"{meta.name}: unsupported compressor {spec!r}")
 
 
 def _fill_chunk(meta: ZArray) -> np.ndarray:
@@ -690,15 +824,24 @@ def read_region(meta: ZArray, offsets: Mapping[str, int], shape: Mapping[str, in
     if not per_dim:
         return read_chunk(meta, ())[()]
 
+    tasks: list[tuple[tuple[int, ...], tuple[slice, ...], tuple[slice, ...]]] = []
+
     def rec(axis: int, grid_idx: list[int], src_sl: list[slice], dst_sl: list[slice]):
         if axis == len(per_dim):
-            chunk = read_chunk(meta, tuple(grid_idx))
-            out[tuple(dst_sl)] = chunk[tuple(src_sl)]
+            tasks.append((tuple(grid_idx), tuple(src_sl), tuple(dst_sl)))
             return
         for gi, slo, shi, dlo, dhi in per_dim[axis]:
             rec(axis + 1, grid_idx + [gi], src_sl + [slice(slo, shi)], dst_sl + [slice(dlo, dhi)])
 
     rec(0, [], [], [])
+
+    def fetch(task) -> None:
+        grid_idx, src_sl, dst_sl = task
+        out[dst_sl] = read_chunk(meta, grid_idx)[src_sl]  # disjoint slices
+
+    # latency-bound stores: fetch chunk files concurrently (reference
+    # threads chunk IO inside each task, core.py:528-530/threadmap.py:111)
+    _iothread.thread_map(fetch, tasks, _iothread.io_width(meta.path))
     return _unwrap_values(meta, out) if _is_wrapped(meta) else out
 
 
@@ -716,34 +859,38 @@ def write_region(meta: ZArray, offsets: Mapping[str, int], values: np.ndarray) -
         raise ValueError(f"{meta.name}: rank mismatch {values.shape} vs dims {meta.dims}")
     unit = meta.write_unit
     validate_region_alignment(meta, off, values.shape)
-    written = 0
     per_dim = [list(_grid_range(off[i], values.shape[i], unit[i])) for i in range(len(off))]
     if not per_dim:
         return write_chunk(meta, (), np.asarray(values, dtype=meta.dtype))
 
+    tasks: list[tuple[tuple[int, ...], tuple[slice, ...]]] = []
+
     def rec(axis: int, grid_idx: list[int], src_sl: list[slice]):
-        nonlocal written
         if axis == len(per_dim):
-            block = values[tuple(src_sl)]
-            if block.shape != tuple(unit):  # pad edge unit per spec
-                padded = np.empty(unit, dtype=meta.dtype)
-                padded[...] = (
-                    meta.fill_value
-                    if meta.fill_value is not None and meta.dtype.kind == "f"
-                    else np.zeros((), meta.dtype)[()]
-                )
-                padded[tuple(slice(0, s) for s in block.shape)] = block
-                block = padded
-            if meta.shards is not None:
-                written += write_shard(meta, tuple(grid_idx), block)
-            else:
-                written += write_chunk(meta, tuple(grid_idx), block)
+            tasks.append((tuple(grid_idx), tuple(src_sl)))
             return
         for gi, _slo, _shi, dlo, dhi in per_dim[axis]:
             rec(axis + 1, grid_idx + [gi], src_sl + [slice(dlo, dhi)])
 
     rec(0, [], [])
-    return written
+
+    def put_unit(task) -> int:
+        grid_idx, src_sl = task
+        block = values[src_sl]
+        if block.shape != tuple(unit):  # pad edge unit per spec
+            padded = np.empty(unit, dtype=meta.dtype)
+            padded[...] = (
+                meta.fill_value
+                if meta.fill_value is not None and meta.dtype.kind == "f"
+                else np.zeros((), meta.dtype)[()]
+            )
+            padded[tuple(slice(0, s) for s in block.shape)] = block
+            block = padded
+        if meta.shards is not None:
+            return write_shard(meta, grid_idx, block)
+        return write_chunk(meta, grid_idx, block)
+
+    return sum(_iothread.thread_map(put_unit, tasks, _iothread.io_width(meta.path)))
 
 
 def validate_region_alignment(meta: ZArray, off: tuple[int, ...], shape: tuple[int, ...]) -> None:
