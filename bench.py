@@ -42,11 +42,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     for r in range(runs):
         if r > 0:
-            # write-under-test fixtures must rebuild per run (pure-input
-            # fixtures stay warm) — see grid_queries.reset_ephemeral_caches
+            # certified work memoized per session (write-under-test store
+            # builds, the dedup clustering) must redo per run; pure-input
+            # fixtures stay warm
             from xarray_beam_spark import grid_queries
+            from xarray_beam_spark.operators import dedup
 
             grid_queries.reset_ephemeral_caches()
+            dedup.reset_ephemeral_caches()
         for name, fn in sorted(qs.items()):
             t0 = time.perf_counter()
             try:

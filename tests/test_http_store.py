@@ -165,3 +165,28 @@ class TestIoThreading:
         np.testing.assert_array_equal(zarrlite.read_full(arrays["v"]), data)
         threaded = time.perf_counter() - t0
         assert serial / threaded > 2.0, (serial, threaded)
+
+
+class TestDistributedHttpRead:
+    def test_from_zarr_over_http(self, spark, http_root):
+        """Executors resolve http:// chunk paths themselves — the full
+        distributed read path against an object-store-shaped backend
+        (driver opens .zmetadata in one GET; each task GETs its chunks,
+        threaded 16-wide because HttpStore is latency_bound)."""
+        from xarray_beam_spark.dataset import Dataset
+        from xarray_beam_spark.ndarray_ds import NDDataset
+        from xarray_beam_spark.sources import zarr_io
+
+        local, url = http_root
+        rng = np.random.default_rng(11)
+        nd = NDDataset(
+            {"t2m": (("time", "x"), rng.normal(size=(16, 6)))},
+            coords={"time": np.arange(16, dtype=np.int64), "x": np.arange(6, dtype=np.int64)},
+        )
+        zarr_io.to_zarr(
+            Dataset.from_numpy(spark, nd, chunks={"time": 4}),
+            f"{local}/dist",
+            compressor={"id": "blosc", "cname": "lz4", "shuffle": 1},
+        )
+        back = zarr_io.from_zarr(spark, f"{url}/dist", chunks={"time": 4})
+        assert back.collect().equals(nd)

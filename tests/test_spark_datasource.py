@@ -46,7 +46,9 @@ def test_read_values_and_schema(spark, store):
 
 def test_filter_pushdown_prunes_partitions(spark, store):
     p, _ = store
-    src = spark_datasource.ZarrDataSource({"path": p})
+    # target_partition_bytes=0 disables read-side auto-coarsening so the
+    # test observes store-chunk-granular pruning
+    src = spark_datasource.ZarrDataSource({"path": p, "target_partition_bytes": "0"})
     rd = src.reader(src.schema())
     assert len(rd.partitions()) == 4  # 24/6 time chunks x 1 lat chunk
     rd.pushFilters([GreaterThanOrEqual(("time",), 36000), LessThan(("time",), 64800)])
@@ -63,6 +65,21 @@ def test_filter_pushdown_prunes_partitions(spark, store):
     rd3 = src.reader(src.schema())
     rd3.pushFilters([EqualTo(("lat",), 999.0)])
     assert rd3.partitions() == []
+
+
+def test_auto_coarsened_partitions(spark, store):
+    """Default read plan merges tiny store chunks into fewer input
+    partitions (bounded task count at scale); results are unchanged and
+    reads stay store-chunk-aligned."""
+    p, nd = store
+    src = spark_datasource.ZarrDataSource({"path": p})
+    rd = src.reader(src.schema())
+    assert len(rd.partitions()) == 1  # 960-byte store -> one partition
+    fine = spark_datasource.ZarrDataSource({"path": p, "target_partition_bytes": "0"})
+    assert len(fine.reader(fine.schema()).partitions()) == 4
+    spark_datasource.register(spark)
+    df = spark.read.format("xbs_zarr").option("path", p).load()
+    assert df.count() == 120  # values identical either way (checked above)
 
 
 def test_pushdown_is_best_effort_only(spark, store):
@@ -85,7 +102,7 @@ def test_datetime_coord_pushdown(spark, tmp_path):
     )
     p = str(tmp_path / "dt")
     zarr_io.to_zarr(Dataset.from_numpy(spark, nd, chunks={"day": 2}), p)
-    src = spark_datasource.ZarrDataSource({"path": p})
+    src = spark_datasource.ZarrDataSource({"path": p, "target_partition_bytes": "0"})
     rd = src.reader(src.schema())
     rd.pushFilters([GreaterThanOrEqual(("day",), datetime.datetime(2024, 1, 8))])
     assert sorted(pt.value["day"] for pt in rd.partitions()) == [(7, 8), (8, 10)]

@@ -810,6 +810,14 @@ def _variant_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters
 
 
+def reset_ephemeral_caches() -> None:
+    """Forget the session-memoized clustering (bench best-of-N: the
+    iterative clustering IS the certified work of the clusters gates, so
+    each bench run must recompute it; dropping the references lets the
+    ContextCleaner reclaim the old checkpoint blocks)."""
+    _CLUSTER_CACHE.clear()
+
+
 @_register("dedup_duplicate_clusters", _CLUSTERS_ORACLE)
 def dedup_duplicate_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → duplicate clusters via iterative connected

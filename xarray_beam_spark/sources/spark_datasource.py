@@ -82,7 +82,7 @@ class ZarrDataSource(DataSource):
     def name(cls) -> str:
         return "xbs_zarr"
 
-    def _plan(self):
+    def _plan(self, coarsen: bool = False):
         path = self.options.get("path")
         if not path:
             raise ValueError("xbs_zarr requires .option('path', <zarr group>)")
@@ -90,6 +90,35 @@ class ZarrDataSource(DataSource):
         chunks = dict(store_chunks)
         if self.options.get("chunks"):
             chunks.update({d: int(c) for d, c in json.loads(self.options["chunks"]).items()})
+        elif coarsen:
+            # READ path only: auto-coarsen tiny store chunks into fewer
+            # input partitions — one Python read task per small chunk
+            # would mean millions of tasks (and driver-side
+            # InputPartition objects) at large store sizes. Grow the
+            # partition grid in store-chunk multiples until a partition
+            # carries ~target_partition_bytes of cells (default 64 MiB);
+            # reads stay chunk-aligned, each task just fetches more
+            # chunks (threaded on latency-bound stores). The WRITE path
+            # never coarsens: its chunk-ownership grouping must stay at
+            # store-chunk granularity or two tasks could assemble the
+            # same store chunk.
+            target = int(self.options.get("target_partition_bytes", 64 << 20))
+            row_bytes = 8 * max(1, len(template.var_meta))
+            sizes = dict(template.sizes)
+            while True:
+                cells = math.prod(min(chunks[d], sizes[d]) for d in sizes)
+                if cells * row_bytes >= target:
+                    break
+                # grow the dim with the most remaining chunks (keeps the
+                # partition count balanced across dims)
+                cand = max(
+                    (d for d in sizes if chunks[d] < sizes[d]),
+                    key=lambda d: sizes[d] / chunks[d],
+                    default=None,
+                )
+                if cand is None:
+                    break
+                chunks[cand] = min(chunks[cand] * 2, sizes[cand])
         dims = sorted(template.sizes)
         var_names = sorted(template.var_meta)
         # explicit column pruning (the Python DataSource API has no
@@ -126,7 +155,7 @@ class ZarrDataSource(DataSource):
         return T.StructType(fields)
 
     def reader(self, schema: T.StructType) -> "ZarrReader":
-        return ZarrReader(*self._plan())
+        return ZarrReader(*self._plan(coarsen=True))
 
     def streamReader(self, schema: T.StructType) -> "ZarrStreamReader":
         """Streaming read path: tail a Zarr store along a growing
@@ -141,7 +170,7 @@ class ZarrDataSource(DataSource):
         along ``stream_dim``: slab k is available once every variable's
         write-unit files intersecting it exist — aligned atomic writes
         make file presence mean "fully durable"."""
-        path, template, chunks, dims, var_names = self._plan()
+        path, template, chunks, dims, var_names = self._plan(coarsen=True)
         sd = self.options.get("stream_dim")
         if not sd:
             raise ValueError(
@@ -149,6 +178,10 @@ class ZarrDataSource(DataSource):
             )
         if sd not in dims:
             raise ValueError(f"stream_dim {sd!r} not in store dims {dims}")
+        # never coarsen the STREAM dim: the slab is the availability /
+        # offset granularity, and waiting for a coarse slab would delay
+        # emission of already-durable store chunks
+        chunks[sd] = self._plan()[2][sd]
         return ZarrStreamReader(path, template, chunks, dims, var_names, sd)
 
     def writer(self, schema: T.StructType, overwrite: bool) -> "ZarrWriter":
