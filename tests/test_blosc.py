@@ -30,15 +30,18 @@ class TestLZ4Block:
 
     def test_overlapping_match_semantics(self):
         # hand-built stream: 1 literal 'A', then match offset=1 len=20
-        # (RLE via overlap) — the format's byte-at-a-time copy rule
+        # (RLE via overlap) — the format's byte-at-a-time copy rule.
+        # native=False: the stream ends in a match (an encoder-side rule
+        # violation the strict C decoder rejects); the pure decoder is
+        # deliberately lenient there, matching the documented format.
         stream = bytes([(1 << 4) | 15, ord("A"), 1, 0, 1])
-        assert blosc1.lz4_decompress_block(stream, 21) == b"A" * 21
+        assert blosc1.lz4_decompress_block(stream, 21, native=False) == b"A" * 21
 
     def test_rejects_bad_offset(self):
         # match offset pointing before the start of output
         stream = bytes([(1 << 4) | 0, ord("A"), 5, 0])
         with pytest.raises(ValueError, match="offset"):
-            blosc1.lz4_decompress_block(stream, 10)
+            blosc1.lz4_decompress_block(stream, 10, native=False)
 
     @settings(max_examples=60, deadline=None)
     @given(st.binary(max_size=4096))
@@ -158,7 +161,98 @@ class TestBloscZarrStore:
         )
         zmeta_path = os.path.join(path, "v", ".zarray")
         m = json.load(open(zmeta_path))
-        m["compressor"] = {"id": "zstd", "level": 3}
+        m["compressor"] = {"id": "bz2", "level": 3}
         json.dump(m, open(zmeta_path, "w"))
         with pytest.raises(ValueError, match="unsupported compressor"):
             zarrlite.open_array(path, "v")
+
+
+class TestNativeCodecParity:
+    """The pure-Python LZ4 is the spec reference; pyarrow's bundled C lz4
+    is the fast path. They must be bit-compatible in BOTH directions —
+    this is the golden cross-validation against the reference C
+    implementation."""
+
+    def _codec(self):
+        import pyarrow as pa
+
+        if not pa.Codec.is_available("lz4_raw"):
+            pytest.skip("pyarrow lz4_raw not available")
+        return pa.Codec("lz4_raw")
+
+    def test_pure_encoder_decodes_with_c(self):
+        c = self._codec()
+        rng = np.random.default_rng(0)
+        for data in [b"x", b"abcabc" * 1000, rng.bytes(10000),
+                     (np.arange(5000, dtype="<i4") // 7).tobytes()]:
+            ours = blosc1.lz4_compress_block(data, native=False)
+            assert bytes(c.decompress(ours, len(data))) == data
+
+    def test_c_encoder_decodes_with_pure(self):
+        c = self._codec()
+        rng = np.random.default_rng(1)
+        for data in [b"x", b"abcabc" * 1000, rng.bytes(10000),
+                     (np.arange(5000, dtype="<i4") // 7).tobytes()]:
+            theirs = bytes(c.compress(data))
+            assert blosc1.lz4_decompress_block(theirs, len(data), native=False) == data
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.binary(min_size=1, max_size=4096))
+    def test_cross_parity_property(self, data):
+        c = self._codec()
+        assert bytes(c.decompress(blosc1.lz4_compress_block(data, native=False), len(data))) == data
+        assert blosc1.lz4_decompress_block(bytes(c.compress(data)), len(data), native=False) == data
+
+
+class TestZstd:
+    @pytest.mark.parametrize("cname", ["zstd", "snappy"])
+    def test_blosc_internal_codec_roundtrip(self, cname):
+        raw = (np.arange(50000, dtype="<i4") % 1000).tobytes()
+        frame = blosc1.blosc_compress(raw, 4, cname=cname, shuffle=1)
+        assert blosc1.blosc_decompress(frame) == raw
+
+    @pytest.mark.parametrize("zarr_format", [2, 3])
+    def test_zstd_store_roundtrip(self, tmp_path, zarr_format):
+        """zarr-python 3's DEFAULT codec chain is bytes+zstd — reading it
+        is table stakes for v3 interop."""
+        path = str(tmp_path / f"z{zarr_format}")
+        rng = np.random.default_rng(7)
+        data = np.cumsum(rng.normal(size=(20, 12))).reshape(20, 12)
+        zarrlite.create_group(path, zarr_format=zarr_format)
+        meta = zarrlite.create_array(
+            path, "v", shape=(20, 12), chunks=(8, 12), dtype="<f8",
+            dims=("t", "x"), compressor={"id": "zstd", "level": 3},
+            zarr_format=zarr_format,
+        )
+        zarrlite.write_full(meta, data)
+        back = zarrlite.open_array(path, "v")
+        assert back.compressor == {"id": "zstd", "level": 3}
+        np.testing.assert_array_equal(zarrlite.read_full(back), data)
+
+    def test_v3_zstd_metadata_form(self, tmp_path):
+        import json, os
+
+        path = str(tmp_path / "m3")
+        zarrlite.create_group(path, zarr_format=3)
+        zarrlite.create_array(
+            path, "v", shape=(4,), chunks=(4,), dtype="<f8", dims=("x",),
+            compressor="zstd", zarr_format=3,
+        )
+        m = json.load(open(os.path.join(path, "v", "zarr.json")))
+        names = [c["name"] for c in m["codecs"]]
+        assert names == ["bytes", "zstd"]
+
+    def test_zstd_frame_is_standard(self, tmp_path):
+        """Chunk files must be plain zstd frames (magic 0xFD2FB528) so any
+        zstd implementation reads them."""
+        path = str(tmp_path / "magic")
+        zarrlite.create_group(path)
+        meta = zarrlite.create_array(
+            path, "v", shape=(8,), chunks=(8,), dtype="<f8", dims=("x",),
+            compressor="zstd",
+        )
+        zarrlite.write_full(meta, np.zeros(8))
+        import os
+
+        chunk = open(os.path.join(path, "v", "0"), "rb").read()
+        assert chunk[:4] == bytes.fromhex("28B52FFD")  # little-endian magic

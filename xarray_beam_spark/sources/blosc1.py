@@ -26,9 +26,11 @@ different rules, the decoder retries the opposite hypothesis whenever
 stream parsing is inconsistent — decode never depends on guessing the
 encoder's vintage.
 
-Internal codecs supported: lz4 (from spec, here), zlib (stdlib; c-blosc
-uses the standard zlib stream format). zstd/snappy/blosclz raise a
-clear error naming the codec.
+Internal codecs supported: lz4 (from spec here, accelerated by
+pyarrow's C lz4 when present — the two are cross-validated
+bit-compatible in both directions in ``test_blosc.py``), zlib (stdlib),
+and zstd/snappy through pyarrow's bundled C codecs. blosclz and
+bit-shuffle raise a clear error naming the feature.
 """
 
 from __future__ import annotations
@@ -37,6 +39,50 @@ import struct
 import zlib
 
 import numpy as np
+
+
+_ARROW_CODECS: dict = {}
+
+
+def _arrow_codec(name: str):
+    """pyarrow's bundled C codec, or None (pure-Python/stdlib fallback)."""
+    if name not in _ARROW_CODECS:
+        codec = None
+        try:
+            import pyarrow as pa
+
+            if pa.Codec.is_available(name):
+                codec = pa.Codec(name)
+        except Exception:
+            codec = None
+        _ARROW_CODECS[name] = codec
+    return _ARROW_CODECS[name]
+
+
+def zstd_compress(raw: bytes, level: int = 3) -> bytes:
+    """Standard zstd frame (numcodecs-Zstd-compatible) via pyarrow."""
+    codec = _arrow_codec("zstd")
+    if codec is None:
+        raise ValueError("zstd requires pyarrow's bundled zstd codec")
+    try:
+        import pyarrow as pa
+
+        return bytes(pa.Codec("zstd", compression_level=int(level)).compress(raw))
+    except Exception:
+        return bytes(codec.compress(raw))
+
+
+def zstd_decompress(data: bytes, dst_size: int) -> bytes:
+    codec = _arrow_codec("zstd")
+    if codec is None:
+        raise ValueError("zstd requires pyarrow's bundled zstd codec")
+    try:
+        out = bytes(codec.decompress(bytes(data), dst_size))
+    except Exception as e:  # normalize C-codec errors
+        raise ValueError(f"zstd: {e}") from e
+    if len(out) != dst_size:
+        raise ValueError(f"zstd: decoded {len(out)} bytes, expected {dst_size}")
+    return out
 
 # flags bits
 _SHUFFLE = 0x1
@@ -63,8 +109,22 @@ _MIN_BUFFERSIZE = 128
 # ---------------------------------------------------------------------------
 
 
-def lz4_decompress_block(src: bytes, dst_size: int) -> bytes:
-    """Decode one LZ4 block (no frame header) to exactly ``dst_size`` bytes."""
+def lz4_decompress_block(src: bytes, dst_size: int, native: bool = True) -> bytes:
+    """Decode one LZ4 block (no frame header) to exactly ``dst_size`` bytes.
+
+    Uses pyarrow's C lz4 (``lz4_raw``) when present; the pure-Python
+    path below is the spec reference and the fallback, cross-validated
+    bit-compatible against the C codec."""
+    if native and dst_size > 0:
+        codec = _arrow_codec("lz4_raw")
+        if codec is not None:
+            try:
+                out = bytes(codec.decompress(bytes(src), dst_size))
+            except Exception as e:  # normalize C-codec errors (OSError/...)
+                raise ValueError(f"lz4: {e}") from e
+            if len(out) != dst_size:
+                raise ValueError(f"lz4: decoded {len(out)} bytes, expected {dst_size}")
+            return out
     src = bytes(src)
     n = len(src)
     dst = bytearray()
@@ -116,12 +176,17 @@ def lz4_decompress_block(src: bytes, dst_size: int) -> bytes:
     return bytes(dst)
 
 
-def lz4_compress_block(src: bytes, acceleration: int = 1) -> bytes:
-    """Greedy LZ4 block encoder (correctness-grade: always produces valid,
+def lz4_compress_block(src: bytes, acceleration: int = 1, native: bool = True) -> bytes:
+    """LZ4 block encoder: pyarrow's C lz4 when present, else the greedy
+    pure-Python encoder below (correctness-grade: always valid,
     spec-conformant streams; ratio/speed below the C encoder).
 
     End-of-block rules honored: the last 5 bytes are always literals and
     no match starts within the last 12 bytes (``lz4_Block_format.md``)."""
+    if native and len(src) > 0:
+        codec = _arrow_codec("lz4_raw")
+        if codec is not None:
+            return bytes(codec.compress(bytes(src)))
     src = bytes(src)
     n = len(src)
     out = bytearray()
@@ -217,9 +282,21 @@ def _codec_decompress(codec: int, payload: bytes, dst_size: int) -> bytes:
         if len(out) != dst_size:
             raise ValueError(f"zlib stream decoded {len(out)} != {dst_size}")
         return out
+    if codec in (CODEC_ZSTD, CODEC_SNAPPY):
+        name = _CODEC_NAMES[codec]
+        ac = _arrow_codec(name)
+        if ac is None:
+            raise ValueError(f"blosc internal codec {name!r} needs pyarrow's C codec")
+        try:
+            out = bytes(ac.decompress(bytes(payload), dst_size))
+        except Exception as e:  # normalize C-codec errors for hypothesis retry
+            raise ValueError(f"{name}: {e}") from e
+        if len(out) != dst_size:
+            raise ValueError(f"{name} stream decoded {len(out)} != {dst_size}")
+        return out
     raise ValueError(
         f"blosc internal codec {_CODEC_NAMES.get(codec, codec)!r} is not "
-        "supported by this pure-Python decoder (supported: lz4, zlib)"
+        "supported (supported: lz4, zlib, zstd, snappy)"
     )
 
 
@@ -319,8 +396,12 @@ def blosc_compress(
     (a shuffle-aligned ~1 MiB). ``cname`` 'zlib' (stdlib-speed, the write
     default) or 'lz4' (pure-Python encoder, correctness-grade)."""
     data = bytes(data)
-    if cname not in ("zlib", "lz4"):
-        raise ValueError(f"blosc encoder supports cname zlib/lz4, not {cname!r}")
+    if cname not in ("zlib", "lz4", "zstd", "snappy"):
+        raise ValueError(
+            f"blosc encoder supports cname zlib/lz4/zstd/snappy, not {cname!r}"
+        )
+    if cname in ("zstd", "snappy") and _arrow_codec(cname) is None:
+        raise ValueError(f"blosc cname {cname!r} needs pyarrow's C codec")
     codec = _NAME_TO_CODEC[cname]
     typesize = int(typesize)
     if typesize < 1 or typesize > 255:
@@ -344,8 +425,12 @@ def blosc_compress(
     def encode_stream(raw: bytes) -> bytes:
         if codec == CODEC_ZLIB:
             comp = zlib.compress(raw, min(max(clevel, 1), 9))
-        else:
+        elif codec == CODEC_LZ4:
             comp = lz4_compress_block(raw)
+        elif codec == CODEC_ZSTD:
+            comp = zstd_compress(raw, clevel)
+        else:  # snappy
+            comp = bytes(_arrow_codec("snappy").compress(raw))
         if len(comp) >= len(raw):
             return struct.pack("<i", len(raw)) + raw  # stored raw marker
         return struct.pack("<i", len(comp)) + comp

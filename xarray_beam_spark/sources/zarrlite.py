@@ -9,13 +9,15 @@ implementation:
 
 - **v2**: ``.zgroup`` / ``.zattrs`` at the root, one directory per array
   with ``.zarray`` / ``.zattrs`` and C-order chunk files ``i.j.k``;
-  compressors: ``null``, numcodecs ``zlib``/``gzip`` (stdlib), ``lz4``
-  and ``blosc`` with lz4/zlib internal codecs + byte shuffle (c-blosc1
-  frame and LZ4 block formats implemented from spec in ``blosc1.py`` —
-  the zarr-python default layout real cloud stores use); xarray's
-  ``_ARRAY_DIMENSIONS`` attribute names the dims.
+  compressors: ``null``, numcodecs ``zlib``/``gzip`` (stdlib), ``lz4``,
+  ``zstd`` (pyarrow's bundled C codec) and ``blosc`` with
+  lz4/zlib/zstd/snappy internal codecs + byte shuffle (c-blosc1 frame
+  and LZ4 block formats implemented from spec in ``blosc1.py``,
+  C-cross-validated — the zarr-python default layouts real cloud stores
+  use); xarray's ``_ARRAY_DIMENSIONS`` attribute names the dims.
 - **v3**: ``zarr.json`` per node; chunk files under ``c/i/j`` (default
-  ``/`` key encoding); ``bytes``(+``gzip``/``blosc``) codecs; optional
+  ``/`` key encoding); ``bytes``(+``gzip``/``zstd``/``blosc``) codecs
+  (``bytes+zstd`` is zarr-python 3's default chain); optional
   ``sharding_indexed`` codec — a shard file stores a C-order grid of
   inner chunks plus an end-located little-endian (offset, nbytes) uint64
   index with a crc32c checksum; ``dimension_names`` names the dims.
@@ -258,6 +260,8 @@ def _normalize_compressor(compressor: str | dict | None) -> str | dict | None:
         return {"id": "gzip", "level": 1}
     if compressor == "lz4":
         return {"id": "lz4"}
+    if compressor == "zstd":
+        return {"id": "zstd", "level": 3}
     if isinstance(compressor, dict):
         return _parse_v2_compressor("<create>", compressor)
     raise ValueError(f"unsupported compressor {compressor!r}")
@@ -280,6 +284,17 @@ def _v3_codecs(compressor: str | dict | None, itemsize: int = 1) -> list[dict]:
     ):
         level = compressor.get("level", 1) if isinstance(compressor, dict) else 1
         codecs.append({"name": "gzip", "configuration": {"level": level}})
+        return codecs
+    if isinstance(compressor, dict) and compressor.get("id") == "zstd":
+        codecs.append(
+            {
+                "name": "zstd",
+                "configuration": {
+                    "level": int(compressor.get("level", 3)),
+                    "checksum": False,
+                },
+            }
+        )
         return codecs
     if isinstance(compressor, dict) and compressor.get("id") == "blosc":
         codecs.append(
@@ -486,6 +501,8 @@ def _compressor_from_v3_codecs(name: str, codecs: list[dict]) -> str | dict | No
                 raise ValueError(f"{name}: only little-endian v3 bytes codec supported")
         elif nm == "gzip":
             comp = {"id": "gzip", "level": int(cfg.get("level", 1))}
+        elif nm == "zstd":
+            comp = {"id": "zstd", "level": int(cfg.get("level", 3))}
         elif nm == "blosc":
             comp = {
                 "id": "blosc",
@@ -631,6 +648,8 @@ def _parse_v2_compressor(name: str, comp) -> str | dict | None:
         return {"id": "gzip", "level": int(comp.get("level", 1))}
     if cid == "lz4":
         return {"id": "lz4"}
+    if cid == "zstd":
+        return {"id": "zstd", "level": int(comp.get("level", 3))}
     if cid == "blosc":
         return {
             "id": "blosc",
@@ -641,7 +660,7 @@ def _parse_v2_compressor(name: str, comp) -> str | dict | None:
         }
     raise ValueError(
         f"{name}: unsupported compressor {comp!r} (supported: null, zlib, "
-        "gzip, lz4, blosc[lz4/zlib])"
+        "gzip, lz4, zstd, blosc[lz4/zlib/zstd/snappy])"
     )
 
 
@@ -657,6 +676,9 @@ def _compress(meta: ZArray, raw: bytes) -> bytes:
     if cid == "lz4":
         # numcodecs LZ4: u32-LE uncompressed size prefix + one lz4 block
         return np.uint32(len(raw)).tobytes() + blosc1.lz4_compress_block(raw)
+    if cid == "zstd":
+        # numcodecs/zarr-v3 Zstd: one standard zstd frame
+        return blosc1.zstd_compress(raw, spec.get("level", 3))
     if cid == "blosc":
         return blosc1.blosc_compress(
             raw,
@@ -681,6 +703,11 @@ def _decompress(meta: ZArray, data: bytes) -> bytes:
     if cid == "lz4":
         (nraw,) = np.frombuffer(data[:4], "<u4")
         return blosc1.lz4_decompress_block(data[4:], int(nraw))
+    if cid == "zstd":
+        # chunks are stored padded to the full chunk shape, so the raw
+        # size is known from metadata (zstd decode wants it up front)
+        nraw = int(np.prod(meta.chunks)) * meta.dtype.itemsize
+        return blosc1.zstd_decompress(data, nraw)
     if cid == "blosc":
         return blosc1.blosc_decompress(data)
     raise ValueError(f"{meta.name}: unsupported compressor {spec!r}")
