@@ -177,3 +177,18 @@ class TestDecontaminate:
         plan = decontaminate(corpus, bench, n=4)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestMixtureWeights:
+    def test_weights_normalize_and_upweight_tail(self, spark):
+        from xarray_beam_spark.operators.corpus import mixture_weights
+
+        rows = [(i, "en" if i < 90 else "sw", "web") for i in range(100)]
+        docs = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+        got = {r["lang"]: r for r in mixture_weights(docs).collect()}
+        total = sum(r["weight"] for r in got.values())
+        assert abs(total - 1.0) < 1e-12
+        # alpha=0.5: the 10-doc tail gets ~sqrt(10)/ (sqrt(90)+sqrt(10))
+        # ≈ 0.25 share — far above its 0.10 raw share
+        assert got["sw"]["weight"] > 0.2
+        assert got["en"]["n_docs"] == 90

@@ -111,3 +111,40 @@ class TestStratifiedCap:
             [(1, "a", "x"), (2, "a", "y"), (3, "b", "z")], ["doc_id", "source", "text"]
         )
         assert stratified_cap(df, cap=10).count() == 3
+
+
+class TestSubstringDup:
+    def test_hash_fn_equivalence_and_planted_dup(self, spark):
+        """xxhash64 (production) and md5 (oracle-portable) must flag the
+        same windows; a planted 8-token overlap across two docs is
+        detected, unique text is not."""
+        from xarray_beam_spark.functions.text import substring_dup_windows
+
+        shared = "one two three four five six seven eight"
+        rows = [
+            (1, f"{shared} alpha beta gamma"),
+            (2, f"delta {shared} epsilon"),
+            (3, "nothing here repeats in any of the other documents at all"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        a = {
+            r["doc_id"]: (r["n_windows"], r["dup_windows"])
+            for r in substring_dup_windows(docs, hash_fn="xxhash64").collect()
+        }
+        b = {
+            r["doc_id"]: (r["n_windows"], r["dup_windows"])
+            for r in substring_dup_windows(docs, hash_fn="md5").collect()
+        }
+        assert a == b
+        assert a[1][1] >= 1 and a[2][1] >= 1  # the planted span is flagged
+        assert a[3] == (a[3][0], 0)  # unique doc has zero dup windows
+
+    def test_short_docs_have_zero_windows(self, spark):
+        from xarray_beam_spark.functions.text import substring_dup_windows
+
+        docs = spark.createDataFrame(
+            [(1, "too short"), (2, "")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r for r in substring_dup_windows(docs).collect()}
+        assert got[1]["n_windows"] == 0 and got[1]["dup_frac"] == 0.0
+        assert got[2]["n_windows"] == 0

@@ -516,3 +516,91 @@ def text_scrub_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["n_phone"].alias("n_phone"),
         F.md5(scrub_pii(F.col("t"))).alias("scrubbed_fp"),
     )
+
+
+def substring_dup_windows(
+    docs: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Exact-substring duplication detector (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" pipeline
+    shape): every ``window``-token sliding window is hashed; a window
+    whose hash occurs more than once in the corpus is a duplicated span.
+    Returns per-document ``n_windows`` / ``dup_windows`` / ``dup_frac``.
+
+    Scale shape: the explode emits ~one row per corpus token (inherent to
+    substring dedup) with an 8-byte ``xxhash64`` key; the only shuffle is
+    the hash group-by + the hash equi-join back — both partition cleanly
+    at any corpus size, no pairwise comparison anywhere. ``hash_fn="md5"``
+    switches to md5 (4x wider keys) for engine-portable certification —
+    DuckDB has no xxhash64."""
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    positions = F.when(
+        n >= window, F.sequence(F.lit(1), n - window + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    win_text = lambda i: F.concat_ws(" ", F.slice(toks, i, window))  # noqa: E731
+    hasher = F.md5 if hash_fn == "md5" else F.xxhash64
+    wins = docs.select(
+        F.col(id_col),
+        F.explode(F.transform(positions, lambda i: hasher(win_text(i)))).alias("h"),
+    )
+    counts = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        wins.join(counts, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("c") > 1).cast("long")).alias("dup_windows"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) > 0,
+                F.coalesce("dup_windows", F.lit(0))
+                / F.coalesce("n_windows", F.lit(1)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )
+
+
+_SUBSTRING_DUP_ORACLE = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+wins AS (
+  SELECT doc_id, md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS h
+  FROM t, UNNEST(generate_series(1, len(w) - 7)) AS u(i)
+),
+counts AS (SELECT h, COUNT(*) AS c FROM wins GROUP BY h),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_windows,
+         SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS dup_windows
+  FROM wins JOIN counts USING (h) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(dup_windows, 0) AS BIGINT) AS dup_windows,
+       CASE WHEN COALESCE(n_windows, 0) > 0
+            THEN CAST(COALESCE(dup_windows, 0) AS DOUBLE) / n_windows
+            ELSE 0.0 END AS dup_frac
+FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+"""
+
+
+@_register("text_substring_dup", _SUBSTRING_DUP_ORACLE)
+def text_substring_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact-substring duplication stats over 8-token
+    windows (md5-hashed for the DuckDB oracle; production default is
+    xxhash64, covered by an equivalence pytest)."""
+    docs = load(spark, sf_dir, "documents")
+    return substring_dup_windows(docs, window=8, hash_fn="md5")

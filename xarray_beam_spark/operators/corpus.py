@@ -553,3 +553,54 @@ def corpus_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pack_id")
     )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    keys: tuple = ("lang", "source"),
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-weighted data-mixture sampling weights per stratum —
+    the standard multilingual/multi-source rebalancing step (weight per
+    (lang, source) ∝ count^alpha, alpha<1 upweights the tail; the
+    alpha=0.7-ish scheme of multilingual LM training recipes).
+
+    Scale shape: one group-by over the corpus to counts (map-side
+    partial agg), then the weight normalization runs on the tiny strata
+    frame — a single-partition window over dozens of rows, never over
+    data. Determinism: count^alpha is quantized to an integer
+    (floor(·1e6)) so the normalizing sum is exact integer math and the
+    final weight is ONE double division — bit-identical in any engine
+    (alpha=0.5 uses IEEE-exact sqrt; other alphas use pow, whose last
+    bit may differ across libms — fine for production, not for the
+    hash-certified gate)."""
+    from pyspark.sql import Window
+
+    counts = docs.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_docs"))
+    nd = F.col("n_docs").cast("double")
+    raw = F.sqrt(nd) if alpha == 0.5 else F.pow(nd, F.lit(alpha))
+    q = F.floor(raw * 1e6).cast("long")
+    w_all = Window.partitionBy()
+    return (
+        counts.withColumn("__q", q)
+        .select(
+            *keys,
+            "n_docs",
+            (F.col("__q").cast("double") / F.sum("__q").over(w_all)).alias("weight"),
+        )
+    )
+
+
+_MIXTURE_ORACLE = """
+WITH c AS (SELECT lang, source, COUNT(*) AS n_docs FROM documents GROUP BY 1, 2),
+q AS (SELECT *, CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS qw FROM c)
+SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(qw AS DOUBLE) / SUM(qw) OVER () AS weight
+FROM q
+"""
+
+
+@_register("corpus_mixture_weights", _MIXTURE_ORACLE)
+def corpus_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return mixture_weights(docs, keys=("lang", "source"), alpha=0.5)
