@@ -61,9 +61,13 @@ def main() -> None:
                 t = -1.0
                 print(f"# bench error {name}: {exc}", file=sys.stderr)
             prev = timings.get(name)
-            timings[name] = t if prev is None or prev < 0 else (
-                prev if t < 0 else min(prev, t)
-            )
+            # a failure in ANY run marks the query failed — a run-2-only
+            # breakage (e.g. in the rebuild-per-run path) must not hide
+            # behind run 1's clean timing
+            if t < 0 or (prev is not None and prev < 0):
+                timings[name] = -1.0
+            else:
+                timings[name] = t if prev is None else min(prev, t)
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     print(

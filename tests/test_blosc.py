@@ -256,3 +256,9 @@ class TestZstd:
 
         chunk = open(os.path.join(path, "v", "0"), "rb").read()
         assert chunk[:4] == bytes.fromhex("28B52FFD")  # little-endian magic
+
+
+def test_zero_typesize_header_rejected():
+    frame = struct.pack("<BBBB", 2, 1, (1 << 5), 0) + struct.pack("<III", 16, 16, 24)
+    with pytest.raises(ValueError, match="typesize"):
+        blosc1.blosc_decompress(frame + b"\x00" * 8)

@@ -227,3 +227,19 @@ def test_in_memory_rechunk():
     gappy = [inputs[0], inputs[2]]
     with _pytest.raises(ValueError, match="do not tile"):
         list(in_memory_rechunk(gappy, {"x": 4}))
+
+
+def test_in_memory_rechunk_rejects_duplicate_offsets():
+    """Duplicate (offsets, chunk) inputs — e.g. a retried upstream task
+    emitting twice — must fail loudly, not last-write-wins."""
+    import numpy as np
+    import pytest as _pytest
+
+    from xarray_beam_spark.dataset import in_memory_rechunk
+    from xarray_beam_spark.ndarray_ds import NDDataset
+
+    a = NDDataset({"v": (("x",), np.arange(3.0))})
+    b = NDDataset({"v": (("x",), np.full(3, 99.0))})
+    c = NDDataset({"v": (("x",), np.arange(3.0))})
+    with _pytest.raises(ValueError, match="same offsets"):
+        list(in_memory_rechunk([({"x": 0}, a), ({"x": 0}, b), ({"x": 3}, c)], {"x": 3}))

@@ -363,3 +363,25 @@ class TestStreamingWrite:
         q.awaitTermination(120)
         back = zarr_io.from_zarr(spark, dst).collect()
         np.testing.assert_allclose(back.data_vars["v"].values, nd.data_vars["v"].values)
+
+
+def test_sql_write_honors_store_fill_value(spark, tmp_path):
+    """Uncovered cells of a partially-covered chunk take the store's
+    (per-variable) fill_value, consistent with never-written chunks."""
+    from xarray_beam_spark.dataset import Template
+    from xarray_beam_spark.ndarray_ds import Variable
+    from xarray_beam_spark.sources import zarrlite
+
+    tmpl = Template(
+        sizes={"x": 4},
+        var_meta={"v": (("x",), "<f8")},
+        coords={"x": Variable(("x",), np.arange(4, dtype=np.int64))},
+        attrs={},
+    )
+    dst = str(tmp_path / "fillstore")
+    zarr_io.setup_zarr(tmpl, dst, {"x": 4}, encoding={"v": {"fill_value": -9999.0}})
+    spark_datasource.register(spark)
+    df = spark.createDataFrame([(0, 1.5), (2, 2.5)], "x long, v double")
+    df.coalesce(1).write.format("xbs_zarr").option("path", dst).mode("append").save()
+    got = zarrlite.read_full(zarrlite.open_array(dst, "v"))
+    np.testing.assert_array_equal(got, [1.5, -9999.0, 2.5, -9999.0])

@@ -3335,6 +3335,12 @@ def in_memory_rechunk(
         tuple(uniq[d].index(int(off.get(d, 0))) for d in dims): ds
         for off, ds in inputs
     }
+    if len(parts) != len(inputs):
+        raise ValueError(
+            f"in_memory_rechunk: {len(inputs) - len(parts)} input chunk(s) "
+            "share the same offsets — duplicate inputs would silently "
+            "overwrite each other"
+        )
     expected = math.prod(len(u) for u in uniq.values())
     if len(parts) != expected:
         raise ValueError(

@@ -543,6 +543,8 @@ def substring_dup_windows(
         n >= window, F.sequence(F.lit(1), n - window + 1)
     ).otherwise(F.array().cast("array<int>"))
     win_text = lambda i: F.concat_ws(" ", F.slice(toks, i, window))  # noqa: E731
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', not {hash_fn!r}")
     hasher = F.md5 if hash_fn == "md5" else F.xxhash64
     wins = docs.select(
         F.col(id_col),

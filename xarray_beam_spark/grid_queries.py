@@ -193,9 +193,15 @@ def reset_ephemeral_caches() -> None:
     between best-of-N runs: pure-INPUT caches (persistent stores, the
     persisted cells/grid DataFrames) stay warm — they are fixtures — but
     a gate whose store WRITE is the thing being measured must rebuild
-    per run, or run 2 would silently measure only the read-back."""
+    per run, or run 2 would silently measure only the read-back.
+    The forgotten temp stores are deleted so N runs don't leave N copies
+    of every store in /tmp."""
+    import shutil
+
     for key in list(_EPHEMERAL_KEYS):
-        _CACHE.pop(key, None)
+        path = _CACHE.pop(key, None)
+        if isinstance(path, str):
+            shutil.rmtree(path, ignore_errors=True)
     _EPHEMERAL_KEYS.clear()
 
 

@@ -362,6 +362,10 @@ def blosc_decompress(frame: bytes) -> bytes:
             "blosc: bit-shuffle filter not supported by this pure-Python "
             "decoder (byte shuffle and no-shuffle are)"
         )
+    if typesize == 0:
+        # c-blosc always writes 1..255 (oversized itemsizes become 1);
+        # a zero typesize is a corrupt header, not a decodable frame
+        raise ValueError("blosc: zero typesize in header")
     codec = flags >> 5
     if nbytes == 0:
         return b""

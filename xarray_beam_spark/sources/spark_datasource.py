@@ -119,6 +119,12 @@ class ZarrDataSource(DataSource):
                 if cand is None:
                     break
                 chunks[cand] = min(chunks[cand] * 2, sizes[cand])
+            # never coarsen the STREAM dim: the slab is the availability /
+            # offset granularity, and waiting for a coarse slab would
+            # delay emission of already-durable store chunks
+            sd = self.options.get("stream_dim")
+            if sd in chunks:
+                chunks[sd] = store_chunks[sd]
         dims = sorted(template.sizes)
         var_names = sorted(template.var_meta)
         # explicit column pruning (the Python DataSource API has no
@@ -178,10 +184,8 @@ class ZarrDataSource(DataSource):
             )
         if sd not in dims:
             raise ValueError(f"stream_dim {sd!r} not in store dims {dims}")
-        # never coarsen the STREAM dim: the slab is the availability /
-        # offset granularity, and waiting for a coarse slab would delay
-        # emission of already-durable store chunks
-        chunks[sd] = self._plan()[2][sd]
+        # (_plan pinned chunks[sd] back to the store chunk — the slab is
+        # the availability/offset granularity and is never coarsened)
         return ZarrStreamReader(path, template, chunks, dims, var_names, sd)
 
     def writer(self, schema: T.StructType, overwrite: bool) -> "ZarrWriter":
@@ -397,6 +401,40 @@ class ZarrStreamReader(DataSourceStreamReader):
         return None
 
 
+def _dim_index(d: str, axis, size: int, vals: np.ndarray) -> np.ndarray:
+    """Global element indices for one dim's coordinate values
+    (searchsorted on the metadata-sized axis; bare int indices for
+    coordinate-less dims). Raises on values not on the axis.
+
+    The ONE implementation shared by the writer's chunk grouping and
+    :func:`repartition_for_write`'s shuffle key — if these ever
+    diverged, a 'compliant' repartition could still fail the ownership
+    check (or worse, pass it with a different grouping)."""
+    if axis is None:
+        idx = vals.astype(np.int64)
+        if (idx < 0).any() or (idx >= size).any():
+            raise ValueError(f"index out of range for coordinate-less dim {d!r}")
+        return idx
+    v = vals.astype(axis.dtype) if axis.dtype.kind == "M" else vals
+    idx = np.clip(np.searchsorted(axis, v, side="left"), 0, len(axis) - 1)
+    if not (axis[idx] == v).all():
+        bad = np.asarray(v)[axis[idx] != v][:3]
+        raise ValueError(f"values not on the {d!r} coordinate axis: {bad!r}")
+    return idx.astype(np.int64)
+
+
+def _linear_chunk_key(
+    dims, sizes: dict, chunks: dict, idx: dict
+) -> np.ndarray:
+    """Row-wise linear chunk id from per-dim element indices (C-order
+    over the per-dim chunk grids) — shared with repartition_for_write."""
+    key = np.zeros(len(next(iter(idx.values()))), dtype=np.int64)
+    for d in dims:
+        n_chunks = -(-sizes[d] // chunks[d])
+        key = key * n_chunks + idx[d] // chunks[d]
+    return key
+
+
 class ZarrCommitMessage(WriterCommitMessage):
     """Per-task commit payload: the linear keys of every store chunk the
     task wrote, so ``commit()`` can reject cross-task chunk splits."""
@@ -429,19 +467,7 @@ class ZarrWriter(DataSourceArrowWriter):
         }
 
     def _index(self, d: str, vals: np.ndarray) -> np.ndarray:
-        axis = self.axes.get(d)
-        if axis is None:
-            idx = vals.astype(np.int64)
-            if (idx < 0).any() or (idx >= self.sizes[d]).any():
-                raise ValueError(f"index out of range for coordinate-less dim {d!r}")
-            return idx
-        v = vals.astype(axis.dtype) if axis.dtype.kind == "M" else vals
-        idx = np.searchsorted(axis, v, side="left")
-        idx_c = np.clip(idx, 0, len(axis) - 1)
-        if not (axis[idx_c] == v).all():
-            bad = v[axis[idx_c] != v][:3]
-            raise ValueError(f"values not on the {d!r} coordinate axis: {bad!r}")
-        return idx_c.astype(np.int64)
+        return _dim_index(d, self.axes.get(d), self.sizes[d], vals)
 
     def _key_to_offsets(self, key: int) -> dict[str, int]:
         """Inverse of the linear chunk key: per-dim element offsets."""
@@ -460,7 +486,6 @@ class ZarrWriter(DataSourceArrowWriter):
         # chunk-ownership contract enforced in commit() is the task's own
         # chunks — independent of row count.
         cdims = self.dims
-        n_chunks_d = {d: -(-self.sizes[d] // self.chunks[d]) for d in cdims}
         arrays = None
         bufs: dict[int, dict[str, np.ndarray]] = {}
         extents: dict[int, dict[str, int]] = {}
@@ -476,10 +501,7 @@ class ZarrWriter(DataSourceArrowWriter):
                 for i, nm in enumerate(names)
             }
             idx = {d: self._index(d, col[d]) for d in cdims}
-            chunk_of = {d: idx[d] // self.chunks[d] for d in cdims}
-            key = np.zeros(n, dtype=np.int64)
-            for d in cdims:
-                key = key * n_chunks_d[d] + chunk_of[d]
+            key = _linear_chunk_key(cdims, self.sizes, self.chunks, idx)
             order = np.argsort(key, kind="stable")
             bounds = np.flatnonzero(np.diff(key[order])) + 1
             for rows in np.split(order, bounds):
@@ -494,10 +516,15 @@ class ZarrWriter(DataSourceArrowWriter):
                     cells = int(math.prod(extent.values()))
                     bufs[k] = {}
                     for v in self.var_names:
-                        dt = np.dtype(arrays[v].dtype)
-                        bufs[k][v] = np.full(
-                            cells, np.nan if dt.kind == "f" else 0, dtype=dt
-                        )
+                        meta_v = arrays[v]
+                        dt = np.dtype(meta_v.dtype)
+                        # uncovered cells take the store's fill_value so a
+                        # partially-covered chunk is consistent with chunks
+                        # never written at all (incl. per-var overrides)
+                        fv = meta_v.fill_value
+                        if fv is None:
+                            fv = np.nan if dt.kind == "f" else 0
+                        bufs[k][v] = np.full(cells, fv, dtype=dt)
                 offsets = self._key_to_offsets(k)
                 extent = extents[k]
                 local = [idx[d][rows] - offsets[d] for d in cdims]
@@ -623,17 +650,14 @@ def repartition_for_write(df, path: str, chunks: dict | None = None, num_partiti
 
     @pandas_udf("long")
     def _chunk_key(cols: pd.DataFrame) -> pd.Series:
-        key = np.zeros(len(cols), dtype=np.int64)
-        for d in dims:
-            vals = cols[d].to_numpy()
-            axis = axes.get(d)
-            if axis is None:
-                idx = vals.astype(np.int64)
-            else:
-                v = vals.astype(axis.dtype) if axis.dtype.kind == "M" else vals
-                idx = np.clip(np.searchsorted(axis, v, "left"), 0, len(axis) - 1)
-            key = key * n_chunks_d[d] + idx // cchunks[d]
-        return pd.Series(key)
+        # the writer's exact index + key math (shared helpers), incl. its
+        # strict off-axis validation — bad values fail HERE with a clear
+        # message instead of later inside the write job
+        idx = {
+            d: _dim_index(d, axes.get(d), sizes[d], cols[d].to_numpy())
+            for d in dims
+        }
+        return pd.Series(_linear_chunk_key(dims, sizes, cchunks, idx))
 
     from pyspark.sql import functions as F
 

@@ -130,21 +130,58 @@ class HttpStore(Store):
 
     def __init__(self, scheme: str) -> None:
         self.scheme = scheme
+        self._local = threading.local()  # per-thread keep-alive conns
 
     def _url(self, key: str) -> str:
         return f"{self.scheme}://{key}"
 
-    def get(self, key: str) -> bytes | None:
-        import urllib.error
-        import urllib.request
+    def _conn(self, netloc: str):
+        import http.client
 
-        try:
-            with urllib.request.urlopen(self._url(key), timeout=60) as r:
-                return r.read()
-        except urllib.error.HTTPError as e:
-            if e.code in (404, 410):
-                return None
-            raise
+        conns = getattr(self._local, "conns", None)
+        if conns is None:
+            conns = self._local.conns = {}
+        c = conns.get(netloc)
+        if c is None:
+            cls = (
+                http.client.HTTPSConnection
+                if self.scheme == "https"
+                else http.client.HTTPConnection
+            )
+            c = conns[netloc] = cls(netloc, timeout=60)
+        return c
+
+    def _request(self, method: str, key: str) -> tuple[int, bytes]:
+        """One keep-alive request; a fresh TCP(+TLS) handshake per chunk
+        would double the very per-request latency the threaded IO path
+        exists to hide. Connections are per-thread (http.client is not
+        thread-safe) and retried once on a stale/broken socket."""
+        import http.client
+        from urllib.parse import quote
+
+        netloc, _, path = key.partition("/")
+        path = "/" + quote(path)
+        last: Exception | None = None
+        for attempt in (0, 1):
+            conn = self._conn(netloc)
+            try:
+                conn.request(method, path)
+                resp = conn.getresponse()
+                body = resp.read()  # drain so the connection is reusable
+                return resp.status, body
+            except (http.client.HTTPException, ConnectionError, OSError) as e:
+                conn.close()
+                self._local.conns.pop(netloc, None)
+                last = e
+        raise last  # type: ignore[misc]
+
+    def get(self, key: str) -> bytes | None:
+        status, body = self._request("GET", key)
+        if status in (404, 410):
+            return None
+        if status != 200:
+            raise OSError(f"GET {self._url(key)} -> HTTP {status}")
+        return body
 
     def put(self, key: str, data: bytes) -> None:
         raise NotImplementedError(
@@ -152,19 +189,14 @@ class HttpStore(Store):
         )
 
     def exists(self, key: str) -> bool:
-        import urllib.error
-        import urllib.request
-
-        req = urllib.request.Request(self._url(key), method="HEAD")
-        try:
-            with urllib.request.urlopen(req, timeout=60):
-                return True
-        except urllib.error.HTTPError as e:
-            if e.code in (404, 410):
-                return False
-            if e.code == 405:  # server without HEAD: fall back to GET
-                return self.get(key) is not None
-            raise
+        status, _ = self._request("HEAD", key)
+        if status in (404, 410):
+            return False
+        if status == 405:  # server without HEAD: fall back to GET
+            return self.get(key) is not None
+        if status != 200:
+            raise OSError(f"HEAD {self._url(key)} -> HTTP {status}")
+        return True
 
     def list_dir(self, key: str) -> list[str]:
         return []
