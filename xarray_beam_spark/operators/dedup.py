@@ -806,6 +806,10 @@ def _variant_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
     clusters = duplicate_clusters(edges).localCheckpoint(eager=True)
+    # clusters is checkpointed (lineage-free): the shingle frame backing
+    # edge generation can be freed now — leaving it persisted piles up
+    # executor storage on every rebuild (bench best-of-N resets)
+    sh.unpersist()
     _CLUSTER_CACHE[key] = clusters
     return clusters
 
