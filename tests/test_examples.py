@@ -50,3 +50,9 @@ def test_temporal_analytics_example():
     out = _run("temporal_analytics.py", "/root/testdata/sf0.001")
     assert "asof:" in out and "interval:" in out
     assert "trend NDDataset:" in out and "corr map:" in out
+
+
+def test_cloud_zarr_sql_example(tmp_path):
+    out = _run("cloud_zarr_sql.py", str(tmp_path))
+    assert "opened over http:" in out
+    assert "library path agrees:" in out
