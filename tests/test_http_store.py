@@ -21,14 +21,29 @@ import pytest
 from xarray_beam_spark.sources import iothread, stores, zarrlite
 
 
+REQUEST_LOG: list[str] = []
+
+
+class _LoggingHandler(http.server.SimpleHTTPRequestHandler):
+    def log_message(self, *args):  # silence per-request stderr noise
+        pass
+
+    def do_GET(self):
+        REQUEST_LOG.append(self.path)
+        super().do_GET()
+
+    def do_HEAD(self):
+        REQUEST_LOG.append(self.path)
+        super().do_HEAD()
+
+
 @pytest.fixture()
 def http_root(tmp_path):
-    handler = functools.partial(
-        http.server.SimpleHTTPRequestHandler, directory=str(tmp_path)
-    )
+    handler = functools.partial(_LoggingHandler, directory=str(tmp_path))
     srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
+    REQUEST_LOG.clear()
     try:
         yield str(tmp_path), f"http://127.0.0.1:{srv.server_address[1]}"
     finally:
@@ -188,5 +203,14 @@ class TestDistributedHttpRead:
             f"{local}/dist",
             compressor={"id": "blosc", "cname": "lz4", "shuffle": 1},
         )
+        REQUEST_LOG.clear()
         back = zarr_io.from_zarr(spark, f"{url}/dist", chunks={"time": 4})
         assert back.collect().equals(nd)
+        # metadata is fetched ONCE (driver, consolidated .zmetadata) and
+        # shipped to tasks — executors request only chunk files. Per-task
+        # metadata GETs would multiply by the task count at scale (the
+        # reference's stage_locally problem, zarr.py:374-386).
+        meta_reqs = [p for p in REQUEST_LOG if ".zmetadata" in p]
+        assert len(meta_reqs) == 1, REQUEST_LOG
+        data_reqs = [p for p in REQUEST_LOG if "/t2m/" in p]
+        assert len(data_reqs) == 4, REQUEST_LOG  # 16/4 time chunks, once each

@@ -307,8 +307,8 @@ class TestStreamingRead:
         from xarray_beam_spark.sources import zarr_io as zio
 
         self._append(spark, nd, p, 0, 4)
-        template, chunks = zio.open_zarr_template(p)
-        r = ZarrStreamReader(p, template, chunks, sorted(template.sizes), ["v"], "time")
+        template, chunks, arrays = zio.open_zarr_meta(p)
+        r = ZarrStreamReader(p, template, chunks, sorted(template.sizes), ["v"], arrays, "time")
         assert r.latestOffset() == {"slab": 1}
         # slab 1 (times 4-7) absent; slab 2 written out of order doesn't
         # advance the contiguous frontier past the gap

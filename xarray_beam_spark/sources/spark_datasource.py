@@ -86,7 +86,10 @@ class ZarrDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("xbs_zarr requires .option('path', <zarr group>)")
-        template, store_chunks = zarr_io.open_zarr_template(path)
+        # parsed array metadata rides the plan into every reader/writer
+        # instance (pickled per task, KB-sized) — tasks never re-open the
+        # group, so metadata is ONE fetch per job even on object stores
+        template, store_chunks, arrays = zarr_io.open_zarr_meta(path)
         chunks = dict(store_chunks)
         if self.options.get("chunks"):
             chunks.update({d: int(c) for d, c in json.loads(self.options["chunks"]).items()})
@@ -143,10 +146,10 @@ class ZarrDataSource(DataSource):
                     f"xbs_zarr long format needs every variable on the same dims; "
                     f"{v!r} has {vdims}, store has {tuple(dims)}"
                 )
-        return path, template, chunks, dims, var_names
+        return path, template, chunks, dims, var_names, arrays
 
     def schema(self) -> T.StructType:
-        _, template, _, dims, var_names = self._plan()
+        _, template, _, dims, var_names, _arrays = self._plan()
         fields = []
         for d in dims:
             if d in template.coords:
@@ -176,7 +179,7 @@ class ZarrDataSource(DataSource):
         along ``stream_dim``: slab k is available once every variable's
         write-unit files intersecting it exist — aligned atomic writes
         make file presence mean "fully durable"."""
-        path, template, chunks, dims, var_names = self._plan(coarsen=True)
+        path, template, chunks, dims, var_names, arrays = self._plan(coarsen=True)
         sd = self.options.get("stream_dim")
         if not sd:
             raise ValueError(
@@ -186,7 +189,7 @@ class ZarrDataSource(DataSource):
             raise ValueError(f"stream_dim {sd!r} not in store dims {dims}")
         # (_plan pinned chunks[sd] back to the store chunk — the slab is
         # the availability/offset granularity and is never coarsened)
-        return ZarrStreamReader(path, template, chunks, dims, var_names, sd)
+        return ZarrStreamReader(path, template, chunks, dims, var_names, arrays, sd)
 
     def writer(self, schema: T.StructType, overwrite: bool) -> "ZarrWriter":
         """SQL write path: ``df.write.format("xbs_zarr").option("path", p)
@@ -204,7 +207,7 @@ class ZarrDataSource(DataSource):
         return ZarrWriter(*self._plan_write(schema))
 
     def _plan_write(self, schema: T.StructType):
-        path, template, chunks, dims, var_names = self._plan()
+        path, template, chunks, dims, var_names, arrays = self._plan()
         cols = [f.name for f in schema.fields]
         missing = [d for d in dims if d not in cols]
         if missing:
@@ -213,7 +216,7 @@ class ZarrDataSource(DataSource):
         if unknown:
             raise ValueError(f"xbs_zarr write: unknown columns {unknown}")
         write_vars = [v for v in var_names if v in cols]
-        return path, template, chunks, dims, write_vars
+        return path, template, chunks, dims, write_vars, arrays
 
     def streamWriter(self, schema: T.StructType, overwrite: bool) -> "ZarrStreamWriter":
         """Streaming write path: ``df.writeStream.format("xbs_zarr")
@@ -227,8 +230,9 @@ class ZarrDataSource(DataSource):
 
 
 class ZarrReader(DataSourceReader):
-    def __init__(self, path, template, chunks, dims, var_names):
+    def __init__(self, path, template, chunks, dims, var_names, arrays):
         self.path = path
+        self.arrays = arrays
         self.chunks = chunks
         self.dims = dims
         self.var_names = var_names
@@ -307,7 +311,7 @@ class ZarrReader(DataSourceReader):
         cells = int(math.prod(ext))
         if cells == 0:
             return
-        arrays, _ = zarrlite.open_group(self.path)
+        arrays = self.arrays
         cols = []
         for i, d in enumerate(self.dims):
             axis = self._axis(d)[offsets[d] : offsets[d] + ext[i]]
@@ -342,8 +346,8 @@ class ZarrStreamReader(DataSourceStreamReader):
     commit-marker convention could answer this with one group-attr read;
     the probe needs no writer cooperation."""
 
-    def __init__(self, path, template, chunks, dims, var_names, stream_dim):
-        self.inner = ZarrReader(path, template, chunks, dims, var_names)
+    def __init__(self, path, template, chunks, dims, var_names, arrays, stream_dim):
+        self.inner = ZarrReader(path, template, chunks, dims, var_names, arrays)
         self.stream_dim = stream_dim
         self.slab = int(chunks[stream_dim])
         self.size_sd = int(template.sizes[stream_dim])
@@ -374,7 +378,8 @@ class ZarrStreamReader(DataSourceStreamReader):
         return True
 
     def latestOffset(self) -> dict:
-        arrays, _ = zarrlite.open_group(self.inner.path)
+        arrays = self.inner.arrays  # metadata static; availability below
+        # probes chunk FILE presence, which is what actually advances
         k = self._frontier_cache
         while k < self.n_slabs and self._slab_ready(arrays, k):
             k += 1
@@ -454,8 +459,9 @@ class ZarrWriter(DataSourceArrowWriter):
     under task retries (same rows → same bytes), the same guarantees as
     ``zarr_io.to_zarr`` (reference ``zarr.py:590-633`` parity)."""
 
-    def __init__(self, path, template, chunks, dims, var_names):
+    def __init__(self, path, template, chunks, dims, var_names, arrays):
         self.path = path
+        self.arrays = arrays
         self.dims = dims
         self.var_names = var_names
         self.chunks = {d: int(chunks[d]) for d in dims}
@@ -494,7 +500,7 @@ class ZarrWriter(DataSourceArrowWriter):
             if n == 0:
                 continue
             if arrays is None:
-                arrays, _ = zarrlite.open_group(self.path)
+                arrays = self.arrays
             names = batch.schema.names
             col = {
                 nm: batch.column(i).to_numpy(zero_copy_only=False)

@@ -47,6 +47,21 @@ def open_zarr_template(path: str) -> tuple[Template, dict[str, int]]:
     """Open a Zarr group as (Template, zarr chunk dict) — metadata +
     coordinate arrays only, no data chunks (reference ``open_zarr`` +
     ``_infer_chunks``, ``zarr.py:48-96``)."""
+    template, chunks, _ = open_zarr_meta(path)
+    return template, chunks
+
+
+def open_zarr_meta(
+    path: str,
+) -> tuple[Template, dict[str, int], dict[str, zarrlite.ZArray]]:
+    """Like :func:`open_zarr_template` but also returns the parsed
+    per-array metadata, so jobs can SHIP it to executors (broadcast /
+    closure) instead of every task re-opening the group — one metadata
+    fetch per JOB, not per task. On an object store that is the
+    difference the reference's ``stage_locally`` (``zarr.py:374-386``)
+    exists to make; here the metadata is KB-sized and immutable by the
+    setup-once convention, so shipping the parsed form is strictly
+    better than staging files."""
     arrays, group_attrs = zarrlite.open_group(path)
     sizes: dict[str, int] = {}
     var_meta: dict[str, tuple[tuple[str, ...], str]] = {}
@@ -66,7 +81,7 @@ def open_zarr_template(path: str) -> tuple[Template, dict[str, int]]:
                     # differing per-var encodings: use the finest grid
                     chunks[d] = math.gcd(prev, c)
     tmpl = Template(sizes=sizes, var_meta=var_meta, coords=coords, attrs=group_attrs)
-    return tmpl, {d: chunks.get(d, s) for d, s in sizes.items()}
+    return tmpl, {d: chunks.get(d, s) for d, s in sizes.items()}, arrays
 
 
 def from_zarr(
@@ -89,7 +104,7 @@ def from_zarr(
     bytes are ever read.
     Reference: ``Dataset.from_zarr`` (``dataset.py:662-703``).
     """
-    template, store_chunks = open_zarr_template(path)
+    template, store_chunks, arrays_meta = open_zarr_meta(path)
     if var_subset is not None:
         template = template.select_vars(var_subset)
     win = {d: (int(a), int(b)) for d, (a, b) in (window or {}).items()}
@@ -124,8 +139,12 @@ def from_zarr(
     var_groups: list[str | None] = sorted(template.var_meta) if split_vars else [None]
     dims_sorted = sorted(sizes)
     schema = chunk_row_schema(dims_sorted)
-    # Ship only small plain values into the closure: path + grid math.
+    # Ship small values via broadcast: coordinate axes AND the parsed
+    # array metadata — tasks must not re-open the group (one metadata
+    # fetch per JOB; per-task opens would mean per-task GETs on object
+    # stores, the reference's stage_locally problem, zarr.py:374-386).
     coords_bc = spark.sparkContext.broadcast(template.coords)
+    arrays_bc = spark.sparkContext.broadcast(arrays_meta)
     var_names = sorted(template.var_meta)
 
     from xarray_beam_spark.observability import get_counters
@@ -136,7 +155,7 @@ def from_zarr(
     def read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from xarray_beam_spark.sources import iothread
 
-        arrays, _ = zarrlite.open_group(path)
+        arrays = arrays_bc.value
         coords_all = coords_bc.value
         io_w = iothread.io_width(path)
         for pdf in batches:
@@ -224,10 +243,12 @@ def zip_from_zarr(
     if len(paths) < 2:
         raise ValueError("zip_from_zarr needs >= 2 stores")
     tmpls: list[Template] = []
+    arrays_per: list[dict] = []
     store_chunks0: dict[str, int] | None = None
     for p in paths:
-        t, sc = open_zarr_template(p)
+        t, sc, arrs = open_zarr_meta(p)
         tmpls.append(t)
+        arrays_per.append(arrs)
         if store_chunks0 is None:
             store_chunks0 = sc
     sizes = dict(tmpls[0].sizes)
@@ -251,11 +272,11 @@ def zip_from_zarr(
     schema = chunk_row_schema(dims_sorted)
     n_grid = core.chunk_count(cchunks, sizes)
     coords_bc = spark.sparkContext.broadcast([t.coords for t in tmpls])
+    arrays_bc = spark.sparkContext.broadcast(arrays_per)
     var_names_per = [sorted(t.var_meta) for t in tmpls]
-    paths_t = tuple(paths)
 
     def read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        groups = [zarrlite.open_group(p)[0] for p in paths_t]
+        groups = arrays_bc.value  # metadata opened once, driver-side
         coords_all = coords_bc.value
         for pdf in batches:
             rows = []
@@ -498,6 +519,7 @@ def to_zarr(
             work.template, path, zchunks, compressor, zarr_format, zshards,
             encoding=encoding,
         )
+        arrays, _ = zarrlite.open_group(path)
     else:
         arrays, _ = zarrlite.open_group(path)
         unit = {}
@@ -531,11 +553,14 @@ def to_zarr(
 
     _c = get_counters(ds.spark)
     acc_wchunks, acc_wbytes = _c.acc("write.chunks"), _c.acc("write.bytes")
+    # destination metadata parsed ONCE driver-side (it was just written /
+    # validated above) and broadcast — write tasks must not re-fetch it
+    arrays_bc = ds.spark.sparkContext.broadcast(arrays)
 
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from xarray_beam_spark.sources import iothread
 
-        arrays, _ = zarrlite.open_group(path)
+        arrays = arrays_bc.value
         io_w = iothread.io_width(path)
         n_chunks = 0
         n_bytes = 0
