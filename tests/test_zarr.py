@@ -652,5 +652,109 @@ class TestPerVarEncoding:
         with pytest.raises(ValueError, match="unsupported encoding keys"):
             zarr_io.setup_zarr(
                 tmpl, str(tmp_path / "b"), {"x": 2},
-                encoding={"v": {"scale_factor": 2.0}},
+                encoding={"v": {"least_significant_digit": 2}},
             )
+
+
+class TestCFPacking:
+    """CF scale_factor/add_offset/_FillValue conventions — the reference
+    reads stores through xarray, which mask_and_scales by default; write
+    packing is the reference's ``ChunksToZarr(encoding=...)`` dtype
+    surface (ERA5-style int16 packing)."""
+
+    def test_packed_roundtrip_with_nans(self, spark, tmp_path):
+        rng = np.random.default_rng(9)
+        vals = np.round(rng.uniform(250.0, 320.0, size=(12, 5)), 2)
+        vals[3, 2] = np.nan
+        nd = NDDataset(
+            {"t2m": (("time", "x"), vals)},
+            coords={"time": np.arange(12, dtype=np.int64)},
+        )
+        path = str(tmp_path / "packed")
+        zarr_io.to_zarr(
+            Dataset.from_numpy(spark, nd, chunks={"time": 6}),
+            path,
+            encoding={
+                "t2m": {"dtype": "<i2", "scale_factor": 0.01, "add_offset": 273.15}
+            },
+        )
+        # the stored array really is int16 with CF attrs
+        raw = zarrlite.open_array(path, "t2m")
+        assert raw.dtype == np.dtype("<i2")
+        assert raw.attrs["scale_factor"] == 0.01
+        # read back: decoded float64, NaN restored
+        back = zarr_io.from_zarr(spark, path).collect()
+        got = back.data_vars["t2m"].values
+        assert np.isnan(got[3, 2])
+        mask = ~np.isnan(vals)
+        np.testing.assert_allclose(got[mask], vals[mask], atol=0.0051)
+
+    def test_foreign_cf_store_decodes(self, spark, tmp_path):
+        """A store with CF attrs written by ANY tool decodes on read —
+        incl. never-written chunks (fill → NaN) and the SQL surface."""
+        path = str(tmp_path / "foreign")
+        zarrlite.create_group(path)
+        meta = zarrlite.create_array(
+            path, "v", shape=(6,), chunks=(3,), dtype="<i2", dims=("x",),
+            fill_value=-32768,
+            attrs={"scale_factor": 0.5, "add_offset": 100.0, "_FillValue": -32768},
+        )
+        coord = zarrlite.create_array(
+            path, "x", shape=(6,), chunks=(6,), dtype="<i8", dims=("x",),
+            compressor=None,
+        )
+        zarrlite.write_full(coord, np.arange(6, dtype=np.int64))
+        # write only the FIRST chunk of v
+        zarrlite.write_region(meta, {"x": 0}, np.array([2, 4, -32768], "<i2"))
+        ds = zarr_io.from_zarr(spark, path)
+        assert ds.template.var_meta["v"][1] == "<f8"
+        got = ds.collect().data_vars["v"].values
+        np.testing.assert_array_equal(got[:2], [101.0, 102.0])
+        assert np.isnan(got[2:]).all()  # explicit fill + missing chunk
+        # SQL surface sees decoded doubles too
+        from xarray_beam_spark.sources import spark_datasource
+
+        spark_datasource.register(spark)
+        rows = (
+            spark.read.format("xbs_zarr").option("path", path).load()
+            .orderBy("x").collect()
+        )
+        assert rows[0]["v"] == 101.0 and rows[1]["v"] == 102.0
+
+    def test_cf_overflow_rejected(self, spark, tmp_path):
+        nd = NDDataset({"v": (("x",), np.array([1e9]))})
+        with pytest.raises(Exception, match="overflow"):
+            zarr_io.to_zarr(
+                Dataset.from_numpy(spark, nd, chunks={"x": 1}),
+                str(tmp_path / "o"),
+                encoding={"v": {"dtype": "<i2", "scale_factor": 1.0}},
+            )
+
+    def test_sql_write_packs(self, spark, tmp_path):
+        """df.write.format('xbs_zarr') into a CF-packed store encodes
+        through the same helper (buffers in the decoded domain)."""
+        from xarray_beam_spark.dataset import Template
+        from xarray_beam_spark.ndarray_ds import Variable
+        from xarray_beam_spark.sources import spark_datasource
+
+        tmpl = Template(
+            sizes={"x": 4},
+            var_meta={"v": (("x",), "<f8")},
+            coords={"x": Variable(("x",), np.arange(4, dtype=np.int64))},
+            attrs={},
+        )
+        dst = str(tmp_path / "sqlpack")
+        zarr_io.setup_zarr(
+            tmpl, dst, {"x": 4},
+            encoding={"v": {"dtype": "<i2", "scale_factor": 0.25}},
+        )
+        spark_datasource.register(spark)
+        df = spark.createDataFrame([(0, 1.25), (2, 2.5)], "x long, v double")
+        df.coalesce(1).write.format("xbs_zarr").option("path", dst).mode("append").save()
+        raw = zarrlite.read_full(zarrlite.open_array(dst, "v"))
+        np.testing.assert_array_equal(raw, np.array([5, -32768, 10, -32768], "<i2"))
+        decoded = zarr_io.read_region_decoded(
+            zarrlite.open_array(dst, "v"), {}, {}
+        )
+        np.testing.assert_array_equal(decoded[[0, 2]], [1.25, 2.5])
+        assert np.isnan(decoded[[1, 3]]).all()

@@ -262,6 +262,34 @@ def stream_zarr_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, mode="append")
 
 
+@_register("xb_zarr_cf_packed_roundtrip", _CELLS_SQL)
+def xb_zarr_cf_packed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_zarr → from_zarr identity through a CF-PACKED store: the data
+    variable is stored as int32 with ``scale_factor``/``add_offset``/
+    ``_FillValue`` attributes (the ERA5-style packing xarray's
+    ``mask_and_scale`` decodes; reference reads via ``open_zarr``,
+    ``zarr.py:71-96``, and writes via ``ChunksToZarr(encoding=...)``).
+    Counts are integers, so scale=1 packing is LOSSLESS and the dense
+    grid hash-matches the oracle bit-for-bit — certifying the encode →
+    store → decode cycle, including NaN ↔ _FillValue."""
+    from xarray_beam_spark.sources import zarr_io
+
+    d = _events_grid(spark, sf_dir, chunks={"day": 8})
+    path = _materialized(
+        spark, sf_dir, "zarrcf",
+        lambda p: zarr_io.to_zarr(
+            d,
+            p,
+            zarr_chunks={"day": 8, "hour": 24},
+            encoding={
+                "cnt": {"dtype": "<i4", "scale_factor": 1.0, "add_offset": 0.0}
+            },
+        ),
+    )
+    back = zarr_io.from_zarr(spark, path, chunks={"day": 8})
+    return back.to_table(dropna=True)
+
+
 @_register("xb_zarr_blosc_roundtrip", _CELLS_SQL)
 def xb_zarr_blosc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """to_zarr → from_zarr identity through a BLOSC-compressed v2 store

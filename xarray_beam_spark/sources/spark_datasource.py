@@ -322,7 +322,7 @@ class ZarrReader(DataSourceReader):
 
         def read_var(v):
             meta = arrays[v]
-            region = zarrlite.read_region(meta, offsets, shape)
+            region = zarr_io.read_region_decoded(meta, offsets, shape)
             # store dim order may differ from the sorted column order
             order = [meta.logical_dims.index(d) for d in self.dims]
             return pa.array(np.ascontiguousarray(region.transpose(order)).reshape(cells))
@@ -523,13 +523,18 @@ class ZarrWriter(DataSourceArrowWriter):
                     bufs[k] = {}
                     for v in self.var_names:
                         meta_v = arrays[v]
-                        dt = np.dtype(meta_v.dtype)
-                        # uncovered cells take the store's fill_value so a
-                        # partially-covered chunk is consistent with chunks
-                        # never written at all (incl. per-var overrides)
-                        fv = meta_v.fill_value
-                        if fv is None:
-                            fv = np.nan if dt.kind == "f" else 0
+                        # buffers live in the DECODED domain (CF-packed
+                        # arrays: float + NaN); cf_encode packs at write
+                        dt = np.dtype(zarr_io.cf_decoded_dtype(meta_v))
+                        if zarr_io._cf_spec(meta_v) is not None:
+                            fv = np.nan
+                        else:
+                            # uncovered cells take the store's fill_value
+                            # so a partially-covered chunk is consistent
+                            # with chunks never written at all
+                            fv = meta_v.fill_value
+                            if fv is None:
+                                fv = np.nan if dt.kind == "f" else 0
                         bufs[k][v] = np.full(cells, fv, dtype=dt)
                 offsets = self._key_to_offsets(k)
                 extent = extents[k]
@@ -548,7 +553,9 @@ class ZarrWriter(DataSourceArrowWriter):
                 zarrlite.write_region(
                     meta,
                     {d: offsets[d] for d in meta.logical_dims},
-                    np.ascontiguousarray(block.transpose(perm)),
+                    np.ascontiguousarray(
+                        zarr_io.cf_encode(meta, block.transpose(perm))
+                    ),
                 )
         return ZarrCommitMessage(chunk_keys=tuple(sorted(bufs)))
 

@@ -43,6 +43,83 @@ def _is_index_coord(meta: zarrlite.ZArray) -> bool:
     return len(dims) == 1 and dims[0] == meta.name
 
 
+# -- CF conventions (scale_factor / add_offset / _FillValue) ----------------
+#
+# The reference opens stores through xarray, which applies CF decoding by
+# default (``mask_and_scale``): packed integer arrays with scale/offset
+# attributes decode to floats, fill values decode to NaN. Climate stores
+# use this pervasively (ERA5-style int16 packing), so parity requires the
+# same convention here. Encoding (packing on write) is exposed through
+# ``to_zarr(encoding={var: {"dtype", "scale_factor", "add_offset",
+# "fill_value"}})`` — the reference's ``ChunksToZarr(encoding=...)``
+# dtype-encoding surface.
+
+
+def _cf_spec(meta: zarrlite.ZArray):
+    """(scale, add_offset, fill, decoded_dtype_str) when the array carries
+    CF packing attributes, else None. Decoded dtype is float64 (exact for
+    any int32-or-smaller packing; deterministic across engines)."""
+    a = meta.attrs
+    if "scale_factor" not in a and "add_offset" not in a and "_FillValue" not in a:
+        return None
+    return (
+        float(a.get("scale_factor", 1.0)),
+        float(a.get("add_offset", 0.0)),
+        a.get("_FillValue"),
+        "<f8",
+    )
+
+
+def cf_decoded_dtype(meta: zarrlite.ZArray) -> str:
+    spec = _cf_spec(meta)
+    return spec[3] if spec is not None else meta.logical_dtype.str
+
+
+def read_region_decoded(
+    meta: zarrlite.ZArray, offsets: Mapping[str, int], shape: Mapping[str, int]
+) -> np.ndarray:
+    """``zarrlite.read_region`` + CF decode (raw*scale + offset, fill →
+    NaN) — the read every variable path goes through."""
+    raw = zarrlite.read_region(meta, offsets, shape)
+    spec = _cf_spec(meta)
+    if spec is None:
+        return raw
+    scale, add, fill, _ = spec
+    out = raw.astype(np.float64) * scale + add
+    if fill is not None:
+        out[raw == fill] = np.nan
+    return out
+
+
+def cf_encode(meta: zarrlite.ZArray, values: np.ndarray) -> np.ndarray:
+    """Inverse of the CF decode for writes: round((x - offset)/scale) into
+    the packed dtype, NaN → _FillValue (required when NaNs are present)."""
+    spec = _cf_spec(meta)
+    if spec is None:
+        return values
+    scale, add, fill, _ = spec
+    vals = np.asarray(values, dtype=np.float64)
+    nan_mask = np.isnan(vals)
+    if nan_mask.any() and fill is None:
+        raise ValueError(
+            f"{meta.name}: NaN values but no _FillValue in the CF encoding"
+        )
+    packed = np.rint((np.where(nan_mask, 0.0, vals) - add) / scale)
+    dt = meta.logical_dtype
+    if dt.kind in "iu":
+        info = np.iinfo(dt)
+        bad = (packed < info.min) | (packed > info.max)
+        if (bad & ~nan_mask).any():
+            raise ValueError(
+                f"{meta.name}: values overflow the packed dtype {dt} under "
+                f"scale_factor={scale}, add_offset={add}"
+            )
+    out = packed.astype(dt)
+    if fill is not None:
+        out[nan_mask] = fill
+    return out
+
+
 def open_zarr_template(path: str) -> tuple[Template, dict[str, int]]:
     """Open a Zarr group as (Template, zarr chunk dict) — metadata +
     coordinate arrays only, no data chunks (reference ``open_zarr`` +
@@ -74,7 +151,9 @@ def open_zarr_meta(
         if _is_index_coord(meta):
             coords[name] = Variable(meta.logical_dims, zarrlite.read_full(meta))
         else:
-            var_meta[name] = (meta.logical_dims, meta.logical_dtype.str)
+            # CF-packed arrays surface with their DECODED dtype (xarray's
+            # mask_and_scale behavior, the reference's read semantics)
+            var_meta[name] = (meta.logical_dims, cf_decoded_dtype(meta))
             for d, c in zip(meta.logical_dims, meta.logical_chunks):
                 prev = chunks.setdefault(d, c)
                 if prev != c:
@@ -174,7 +253,7 @@ def from_zarr(
                     ldims = meta.logical_dims
                     return v, Variable(
                         ldims,
-                        zarrlite.read_region(
+                        read_region_decoded(
                             meta,
                             {d: base_off[d] + offsets[d] for d in ldims},
                             {d: shape[d] for d in ldims},
@@ -291,7 +370,7 @@ def zip_from_zarr(
                         ldims = meta.logical_dims
                         dv[v] = Variable(
                             ldims,
-                            zarrlite.read_region(
+                            read_region_decoded(
                                 meta,
                                 {d: offsets[d] for d in ldims},
                                 {d: shape[d] for d in ldims},
@@ -412,11 +491,13 @@ def setup_zarr(
     if unknown_vars:
         raise ValueError(f"encoding for unknown variables {unknown_vars}")
     for v, enc in encoding.items():
-        bad = sorted(set(enc) - {"compressor", "fill_value"})
+        bad = sorted(
+            set(enc) - {"compressor", "fill_value", "dtype", "scale_factor", "add_offset"}
+        )
         if bad:
             raise ValueError(
-                f"unsupported encoding keys {bad} for {v!r} "
-                "(supported: compressor, fill_value)"
+                f"unsupported encoding keys {bad} for {v!r} (supported: "
+                "compressor, fill_value, dtype, scale_factor, add_offset)"
             )
     zarrlite.create_group(path, template.attrs, zarr_format=zarr_format)
     for name, coord in template.coords.items():
@@ -440,6 +521,35 @@ def setup_zarr(
                 min(zarr_shards.get(d, c), template.sizes[d]) for d, c in zip(dims, chunks)
             ]
         enc = encoding.get(name, {})
+        if "scale_factor" in enc or "add_offset" in enc or "dtype" in enc:
+            # CF packing: store a narrow integer array + the decode
+            # attributes xarray (and our read path) apply. The .zarray
+            # fill_value matches _FillValue so never-written chunks also
+            # decode to NaN.
+            packed = np.dtype(enc.get("dtype", "<i2"))
+            if packed.kind not in "iu":
+                raise ValueError(
+                    f"{name!r}: CF-packed dtype must be integer, got {packed}"
+                )
+            fillv = enc.get("fill_value", int(np.iinfo(packed).min))
+            zarrlite.create_array(
+                path,
+                name,
+                shape=shape,
+                chunks=chunks,
+                dtype=packed,
+                dims=dims,
+                compressor=enc.get("compressor", compressor),
+                fill_value=int(fillv),
+                attrs={
+                    "scale_factor": float(enc.get("scale_factor", 1.0)),
+                    "add_offset": float(enc.get("add_offset", 0.0)),
+                    "_FillValue": int(fillv),
+                },
+                zarr_format=zarr_format,
+                shards=shards,
+            )
+            continue
         zarrlite.create_array(
             path,
             name,
@@ -527,9 +637,9 @@ def to_zarr(
             if v not in arrays:
                 raise ValueError(f"store {path} has no array {v!r} (needs_setup=False)")
             meta = arrays[v]
-            if meta.logical_dtype.str != dtype:
+            if cf_decoded_dtype(meta) != dtype:
                 raise ValueError(
-                    f"{v!r}: dtype {dtype} != store {meta.logical_dtype.str}"
+                    f"{v!r}: dtype {dtype} != store {cf_decoded_dtype(meta)}"
                 )
             wu = meta.write_unit[: len(meta.logical_dims)]
             for d, u, s in zip(meta.logical_dims, wu, meta.logical_shape):
@@ -574,7 +684,7 @@ def to_zarr(
                     off = {
                         d: base.get(d, 0) + int(r[off_col(d)]) for d in meta.logical_dims
                     }
-                    return zarrlite.write_region(meta, off, var.values)
+                    return zarrlite.write_region(meta, off, cf_encode(meta, var.values))
 
                 # per-variable IO threading (reference zarr.py:629)
                 n_bytes += sum(
