@@ -192,3 +192,27 @@ class TestMixtureWeights:
         # ≈ 0.25 share — far above its 0.10 raw share
         assert got["sw"]["weight"] > 0.2
         assert got["en"]["n_docs"] == 90
+
+
+class TestImportanceSample:
+    def test_deterministic_and_monotone(self, spark):
+        from pyspark.sql import functions as F
+
+        from xarray_beam_spark.operators.corpus import importance_sample
+
+        rows = [(i, f"doc text number {i}", (i % 40 + 1) * 100) for i in range(400)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+        prob = F.least(F.col("n_chars").cast("double") / 2000.0, F.lit(1.0))
+        a = sorted(r["doc_id"] for r in importance_sample(docs, prob).collect())
+        # repartitioning must not change membership (no RNG state)
+        b = sorted(
+            r["doc_id"]
+            for r in importance_sample(docs.repartition(13), prob).collect()
+        )
+        assert a == b and 0 < len(a) < 400
+        # keep-rate grows with probability: p=1 keeps everything, p=0 nothing
+        assert importance_sample(docs, F.lit(1.0)).count() == 400
+        assert importance_sample(docs, F.lit(0.0)).count() == 0
+        # aggregate keep rate tracks the mean probability (hash uniformity)
+        mean_p = sum(min((i % 40 + 1) * 100 / 2000.0, 1.0) for i in range(400)) / 400
+        assert abs(len(a) / 400 - mean_p) < 0.08

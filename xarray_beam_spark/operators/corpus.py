@@ -604,3 +604,67 @@ FROM q
 def corpus_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return mixture_weights(docs, keys=("lang", "source"), alpha=0.5)
+
+
+def importance_sample(
+    docs: DataFrame,
+    prob: Column,
+    key_col: str = "text",
+    salt: str = "xbs-sample",
+) -> DataFrame:
+    """Deterministic per-row importance sampling: keep each row with its
+    OWN probability (a quality score, an inverse-frequency weight, ...),
+    decided by a content hash instead of an RNG — the standard way a
+    training pipeline downsamples low-quality or over-represented slices
+    while re-runs, repartitioning, and late-arriving data all agree on
+    membership. Extends :func:`hash_split`'s fixed-share buckets to
+    continuous per-row probabilities.
+
+    Exactness: the hash bucket is an integer in [0, 1e6); ``prob`` is
+    clamped to [0, 1] and floor-quantized to the same grid, so the keep
+    decision is an integer comparison — bit-identical in any engine.
+    Zero shuffle; the filter fuses into the scan."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col))), 25, 8), 16, 10
+    ).cast("long") % 1000000
+    thresh = F.floor(
+        F.least(F.greatest(prob, F.lit(0.0)), F.lit(1.0)) * 1000000
+    ).cast("long")
+    return docs.where(bucket < thresh)
+
+
+_IMPORTANCE_ORACLE = """
+WITH s AS (
+  SELECT *,
+         CAST('0x' || substr(md5('xbs-sample' || text), 25, 8) AS BIGINT) % 1000000 AS b,
+         CAST(FLOOR(LEAST(GREATEST(CAST(n_chars AS DOUBLE) / 2000, 0.1), 1.0)
+                    * 1000000) AS BIGINT) AS t
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc
+FROM s WHERE b < t GROUP BY source
+"""
+
+
+@_register("corpus_importance_sample", _IMPORTANCE_ORACLE)
+def corpus_importance_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted keep probability (clamp(n_chars/2000, 0.1, 1)) —
+    longer docs kept more often, every doc retains a floor chance; the
+    oracle replays the identical integer keep decision in SQL."""
+    docs = load(spark, sf_dir, "documents")
+    prob = F.least(
+        F.greatest(F.col("n_chars").cast("double") / F.lit(2000.0), F.lit(0.1)),
+        F.lit(1.0),
+    )
+    return (
+        importance_sample(docs, prob)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )
