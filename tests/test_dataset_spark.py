@@ -902,3 +902,53 @@ def test_shift_negative_matches_numpy(spark, era5):
                 want[tuple(dst)] = var.values[tuple(src)]
             np.testing.assert_array_equal(got.data_vars[v].values, want)
     assert d.shift("time", 0) is d
+
+
+class TestArithmetic:
+    """xarray-ergonomics operators: scalar ops are narrow map_blocks,
+    Dataset ops ride zip_map's chunk-grid equi-join."""
+
+    def _pair(self, spark):
+        rng = np.random.default_rng(3)
+        a = NDDataset(
+            {"v": (("x", "y"), rng.normal(size=(8, 5)) + 5)},
+            coords={"x": np.arange(8)},
+        )
+        b = NDDataset(
+            {"v": (("y", "x"), rng.normal(size=(5, 8)) + 2)},  # transposed dims
+            coords={"x": np.arange(8)},
+        )
+        return (
+            a, b,
+            Dataset.from_numpy(spark, a, chunks={"x": 3}),
+            Dataset.from_numpy(spark, b, chunks={"x": 3}),
+        )
+
+    def test_scalar_ops(self, spark):
+        a, _, da, _ = self._pair(spark)
+        got = ((da * 2 + 1) / 4 - 3).collect().data_vars["v"].values
+        np.testing.assert_allclose(got, (a.data_vars["v"].values * 2 + 1) / 4 - 3)
+        got_r = (10.0 / da).collect().data_vars["v"].values
+        np.testing.assert_allclose(got_r, 10.0 / a.data_vars["v"].values)
+        np.testing.assert_allclose(
+            (-da).collect().data_vars["v"].values, -a.data_vars["v"].values
+        )
+
+    def test_dataset_ops_align_dims(self, spark):
+        a, b, da, db = self._pair(spark)
+        got = (da - db).collect().data_vars["v"].values
+        want = a.data_vars["v"].values - b.data_vars["v"].values.T
+        np.testing.assert_allclose(got, want)
+        got2 = (da / db).collect().data_vars["v"].values
+        np.testing.assert_allclose(
+            got2, a.data_vars["v"].values / b.data_vars["v"].values.T
+        )
+
+    def test_mismatched_vars_rejected(self, spark):
+        a, _, da, _ = self._pair(spark)
+        c = NDDataset(
+            {"w": (("x", "y"), np.ones((8, 5)))}, coords={"x": np.arange(8)}
+        )
+        dc = Dataset.from_numpy(spark, c, chunks={"x": 3})
+        with pytest.raises(Exception, match="matching variables"):
+            (da + dc).collect()

@@ -408,6 +408,64 @@ class Dataset:
         """Method-chaining helper (reference ``dataset.py:1139-1141``)."""
         return func(self, *args, **kwargs)
 
+    # -- arithmetic (xarray ergonomics) ---------------------------------
+    #
+    # The reference reaches elementwise math through ``beam.Map(lambda
+    # k, v: v + 1)`` / co-reads; xarray users write ``ds1 - ds2`` and
+    # ``ds * 2``. Scalar operands are a narrow map_blocks (no shuffle);
+    # Dataset operands go through zip_map's chunk-grid equi-join.
+
+    def _arith(self, other, op, reflected: bool = False):
+        if isinstance(other, Dataset):
+            if reflected:
+                return other._arith(self, op)
+            return self.zip_map(other, lambda a, b: _nd_binop(a, b, op))
+        fn = (lambda arr: op(other, arr)) if reflected else (lambda arr: op(arr, other))
+        return self.map_blocks(lambda ds: ds.map(fn))
+
+    def __add__(self, other):
+        import operator
+
+        return self._arith(other, operator.add)
+
+    def __radd__(self, other):
+        import operator
+
+        return self._arith(other, operator.add, reflected=True)
+
+    def __sub__(self, other):
+        import operator
+
+        return self._arith(other, operator.sub)
+
+    def __rsub__(self, other):
+        import operator
+
+        return self._arith(other, operator.sub, reflected=True)
+
+    def __mul__(self, other):
+        import operator
+
+        return self._arith(other, operator.mul)
+
+    def __rmul__(self, other):
+        import operator
+
+        return self._arith(other, operator.mul, reflected=True)
+
+    def __truediv__(self, other):
+        import operator
+
+        return self._arith(other, operator.truediv)
+
+    def __rtruediv__(self, other):
+        import operator
+
+        return self._arith(other, operator.truediv, reflected=True)
+
+    def __neg__(self):
+        return self.map_blocks(lambda ds: ds.map(lambda a: -a))
+
     def expand_dims(self, **dim_sizes: int) -> "Dataset":
         """Add new leading dims of the given sizes by broadcasting every
         chunk (new dims are unchunked)."""
@@ -3372,3 +3430,21 @@ def in_memory_rechunk(
             sel[d] = slice(lo - base[d], hi - base[d])
             offs[d] = lo
         yield offs, merged.isel(sel)
+
+
+def _nd_binop(x: NDDataset, y: NDDataset, op) -> NDDataset:
+    """Variable-wise binary op between two same-grid chunk datasets
+    (backs Dataset.__add__ etc. through zip_map); per-variable dim order
+    is aligned before the numpy op."""
+    if set(x.data_vars) != set(y.data_vars):
+        raise ValueError(
+            f"arithmetic needs matching variables: {sorted(x.data_vars)} "
+            f"vs {sorted(y.data_vars)}"
+        )
+    dv = {}
+    for v, var in x.data_vars.items():
+        other = y.data_vars[v]
+        if other.dims != var.dims:
+            other = other.transpose(var.dims)
+        dv[v] = Variable(var.dims, op(var.values, other.values))
+    return NDDataset(dv, coords=dict(x.coords), attrs=dict(x.attrs))
