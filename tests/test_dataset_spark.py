@@ -952,3 +952,15 @@ class TestArithmetic:
         dc = Dataset.from_numpy(spark, c, chunks={"x": 3})
         with pytest.raises(Exception, match="matching variables"):
             (da + dc).collect()
+
+
+def test_numpy_defers_to_dataset_ops(spark):
+    """ndarray <op> Dataset must defer to our reflected methods (via the
+    __array_ufunc__ opt-out), not coerce the Dataset to an object array."""
+    nd = NDDataset({"v": (("x",), np.arange(4.0) + 1)})
+    d = Dataset.from_numpy(spark, nd, chunks={"x": 2})
+    res = np.float64(2.0) * d
+    assert isinstance(res, Dataset)
+    np.testing.assert_allclose(
+        res.collect().data_vars["v"].values, 2.0 * (np.arange(4.0) + 1)
+    )

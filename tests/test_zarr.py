@@ -758,3 +758,76 @@ class TestCFPacking:
         )
         np.testing.assert_array_equal(decoded[[0, 2]], [1.25, 2.5])
         assert np.isnan(decoded[[1, 3]]).all()
+
+
+class TestCFEdgeCases:
+    """Review findings: float-stored CF arrays must not be quantized,
+    fill-code collisions must fail loudly, packed coordinates decode."""
+
+    def test_float_store_with_fill_mask_not_rounded(self, tmp_path):
+        path = str(tmp_path / "fmask")
+        zarrlite.create_group(path)
+        meta = zarrlite.create_array(
+            path, "v", shape=(4,), chunks=(4,), dtype="<f8", dims=("x",),
+            attrs={"_FillValue": -9999.0},
+        )
+        vals = np.array([1.25, 2.5, np.nan, 0.5])
+        zarrlite.write_region(meta, {"x": 0}, zarr_io.cf_encode(meta, vals))
+        got = zarr_io.read_region_decoded(meta, {}, {})
+        np.testing.assert_array_equal(got[[0, 1, 3]], [1.25, 2.5, 0.5])  # NOT rounded
+        assert np.isnan(got[2])
+        # f4 store keeps f4 decode width
+        meta4 = zarrlite.create_array(
+            path, "w", shape=(2,), chunks=(2,), dtype="<f4", dims=("x",),
+            attrs={"_FillValue": -9.0},
+        )
+        assert zarr_io.cf_decoded_dtype(meta4) == "<f4"
+
+    def test_value_on_fill_code_rejected(self, tmp_path):
+        path = str(tmp_path / "coll")
+        zarrlite.create_group(path)
+        meta = zarrlite.create_array(
+            path, "v", shape=(2,), chunks=(2,), dtype="<i2", dims=("x",),
+            attrs={"scale_factor": 1.0, "add_offset": 0.0, "_FillValue": -32768},
+        )
+        with pytest.raises(ValueError, match="packs exactly to the _FillValue"):
+            zarr_io.cf_encode(meta, np.array([-32768.0, 1.0]))
+
+    def test_unsigned_packing_default_fill_avoids_zero(self, tmp_path):
+        from xarray_beam_spark.dataset import Template
+        from xarray_beam_spark.ndarray_ds import Variable
+
+        tmpl = Template(
+            sizes={"x": 3},
+            var_meta={"v": (("x",), "<f8")},
+            coords={"x": Variable(("x",), np.arange(3, dtype=np.int64))},
+            attrs={},
+        )
+        path = str(tmp_path / "u1")
+        zarr_io.setup_zarr(
+            tmpl, path, {"x": 3}, encoding={"v": {"dtype": "<u1", "scale_factor": 1.0}}
+        )
+        meta = zarrlite.open_array(path, "v")
+        assert meta.attrs["_FillValue"] == 255  # NOT 0
+        # value 0.0 survives the roundtrip
+        zarrlite.write_region(meta, {"x": 0}, zarr_io.cf_encode(meta, np.array([0.0, 1.0, np.nan])))
+        got = zarr_io.read_region_decoded(meta, {}, {})
+        np.testing.assert_array_equal(got[:2], [0.0, 1.0])
+        assert np.isnan(got[2])
+
+    def test_packed_coordinate_decodes(self, spark, tmp_path):
+        path = str(tmp_path / "pc")
+        zarrlite.create_group(path)
+        lat = zarrlite.create_array(
+            path, "lat", shape=(4,), chunks=(4,), dtype="<i2", dims=("lat",),
+            attrs={"scale_factor": 0.5, "add_offset": -90.0},
+        )
+        zarrlite.write_full(lat, np.array([0, 1, 2, 3], "<i2"))
+        v = zarrlite.create_array(
+            path, "v", shape=(4,), chunks=(4,), dtype="<f8", dims=("lat",)
+        )
+        zarrlite.write_full(v, np.arange(4.0))
+        tmpl, _, _ = zarr_io.open_zarr_meta(path)
+        np.testing.assert_array_equal(
+            tmpl.coords["lat"].values, [-90.0, -89.5, -89.0, -88.5]
+        )

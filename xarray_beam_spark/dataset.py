@@ -30,6 +30,7 @@ Scale notes:
 from __future__ import annotations
 
 import math
+import operator
 from dataclasses import dataclass, field
 from typing import Any, Callable, Iterable, Iterator, Mapping, Sequence
 
@@ -423,44 +424,33 @@ class Dataset:
         fn = (lambda arr: op(other, arr)) if reflected else (lambda arr: op(arr, other))
         return self.map_blocks(lambda ds: ds.map(fn))
 
-    def __add__(self, other):
-        import operator
+    # numpy must defer ndarray <op> Dataset to our reflected methods
+    # instead of coercing the Dataset into a 0-d object array (xarray
+    # does the same opt-out)
+    __array_ufunc__ = None
 
+    def __add__(self, other):
         return self._arith(other, operator.add)
 
     def __radd__(self, other):
-        import operator
-
         return self._arith(other, operator.add, reflected=True)
 
     def __sub__(self, other):
-        import operator
-
         return self._arith(other, operator.sub)
 
     def __rsub__(self, other):
-        import operator
-
         return self._arith(other, operator.sub, reflected=True)
 
     def __mul__(self, other):
-        import operator
-
         return self._arith(other, operator.mul)
 
     def __rmul__(self, other):
-        import operator
-
         return self._arith(other, operator.mul, reflected=True)
 
     def __truediv__(self, other):
-        import operator
-
         return self._arith(other, operator.truediv)
 
     def __rtruediv__(self, other):
-        import operator
-
         return self._arith(other, operator.truediv, reflected=True)
 
     def __neg__(self):

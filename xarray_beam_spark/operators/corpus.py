@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -181,6 +181,18 @@ def doc_token_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def hash_bucket(key_col: str, modulus: int, salt: str) -> Column:
+    """Uniform integer bucket in [0, modulus) from the last 8 hex digits
+    of md5(salt ‖ key): row-local, engine-portable (see
+    :func:`sql_hash_bucket`), stable under repartitioning — THE hashing
+    convention every sampling/splitting op here shares (NULL keys hash
+    as the empty string so membership decisions still apply to them)."""
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key)), 25, 8), 16, 10
+    ).cast("long") % modulus
+
+
 def hash_split(
     docs: DataFrame,
     weights: dict[str, int],
@@ -196,9 +208,7 @@ def hash_split(
     row-local, engine-portable, and stable under repartitioning — unlike
     ``rand()``-based splits, which reshuffle membership every run."""
     total = sum(weights.values())
-    bucket = F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col))), 25, 8), 16, 10).cast(
-        "long"
-    ) % total
+    bucket = hash_bucket(key_col, total, salt)
     expr = F.when(F.lit(False), F.lit(""))
     lo = 0
     for name, share in weights.items():
@@ -624,9 +634,7 @@ def importance_sample(
     clamped to [0, 1] and floor-quantized to the same grid, so the keep
     decision is an integer comparison — bit-identical in any engine.
     Zero shuffle; the filter fuses into the scan."""
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col))), 25, 8), 16, 10
-    ).cast("long") % 1000000
+    bucket = hash_bucket(key_col, 1000000, salt)
     thresh = F.floor(
         F.least(F.greatest(prob, F.lit(0.0)), F.lit(1.0)) * 1000000
     ).cast("long")

@@ -57,16 +57,20 @@ def _is_index_coord(meta: zarrlite.ZArray) -> bool:
 
 def _cf_spec(meta: zarrlite.ZArray):
     """(scale, add_offset, fill, decoded_dtype_str) when the array carries
-    CF packing attributes, else None. Decoded dtype is float64 (exact for
-    any int32-or-smaller packing; deterministic across engines)."""
+    CF packing attributes, else None. Integer-packed arrays decode to
+    float64 (exact for any int32-or-smaller packing, deterministic across
+    engines); float-stored arrays (e.g. only a ``_FillValue`` mask) keep
+    their own float width, matching xarray."""
     a = meta.attrs
     if "scale_factor" not in a and "add_offset" not in a and "_FillValue" not in a:
         return None
+    stored = meta.logical_dtype
+    decoded = stored.str if stored.kind == "f" else "<f8"
     return (
         float(a.get("scale_factor", 1.0)),
         float(a.get("add_offset", 0.0)),
         a.get("_FillValue"),
-        "<f8",
+        decoded,
     )
 
 
@@ -84,16 +88,21 @@ def read_region_decoded(
     spec = _cf_spec(meta)
     if spec is None:
         return raw
-    scale, add, fill, _ = spec
-    out = raw.astype(np.float64) * scale + add
+    scale, add, fill, decoded = spec
+    out = raw.astype(np.dtype(decoded))
+    if scale != 1.0 or add != 0.0:
+        out = out * scale + add
     if fill is not None:
         out[raw == fill] = np.nan
     return out
 
 
 def cf_encode(meta: zarrlite.ZArray, values: np.ndarray) -> np.ndarray:
-    """Inverse of the CF decode for writes: round((x - offset)/scale) into
-    the packed dtype, NaN → _FillValue (required when NaNs are present)."""
+    """Inverse of the CF decode for writes: (x - offset)/scale — ROUNDED
+    only when the stored dtype is integer (a float-stored array with just
+    a ``_FillValue`` mask must not be quantized) — NaN → _FillValue
+    (required when NaNs are present). Non-NaN values that would land ON
+    the fill code are rejected: they would silently read back as NaN."""
     spec = _cf_spec(meta)
     if spec is None:
         return values
@@ -104,9 +113,10 @@ def cf_encode(meta: zarrlite.ZArray, values: np.ndarray) -> np.ndarray:
         raise ValueError(
             f"{meta.name}: NaN values but no _FillValue in the CF encoding"
         )
-    packed = np.rint((np.where(nan_mask, 0.0, vals) - add) / scale)
+    packed = (np.where(nan_mask, 0.0, vals) - add) / scale
     dt = meta.logical_dtype
     if dt.kind in "iu":
+        packed = np.rint(packed)
         info = np.iinfo(dt)
         bad = (packed < info.min) | (packed > info.max)
         if (bad & ~nan_mask).any():
@@ -116,6 +126,14 @@ def cf_encode(meta: zarrlite.ZArray, values: np.ndarray) -> np.ndarray:
             )
     out = packed.astype(dt)
     if fill is not None:
+        collide = (out == np.asarray(fill, dtype=dt)) & ~nan_mask
+        if collide.any():
+            v = vals[collide].flat[0]
+            raise ValueError(
+                f"{meta.name}: value {v!r} packs exactly to the _FillValue "
+                f"({fill}) and would silently read back as NaN; choose a "
+                "fill code outside the data range"
+            )
         out[nan_mask] = fill
     return out
 
@@ -149,7 +167,12 @@ def open_zarr_meta(
             if sizes.setdefault(d, s) != s:
                 raise ValueError(f"conflicting size for dim {d!r} in {path}")
         if _is_index_coord(meta):
-            coords[name] = Variable(meta.logical_dims, zarrlite.read_full(meta))
+            # coords decode CF too (a foreign store may pack e.g. lat as
+            # int16+scale; raw integers would corrupt window selection,
+            # pushdown comparisons and the SQL dim columns)
+            coords[name] = Variable(
+                meta.logical_dims, read_region_decoded(meta, {}, {})
+            )
         else:
             # CF-packed arrays surface with their DECODED dtype (xarray's
             # mask_and_scale behavior, the reference's read semantics)
@@ -531,7 +554,12 @@ def setup_zarr(
                 raise ValueError(
                     f"{name!r}: CF-packed dtype must be integer, got {packed}"
                 )
-            fillv = enc.get("fill_value", int(np.iinfo(packed).min))
+            # default fill: the extreme value DATA is least likely to hit
+            # (unsigned min is 0 — a guaranteed collision — so use max)
+            info = np.iinfo(packed)
+            fillv = enc.get(
+                "fill_value", int(info.max if packed.kind == "u" else info.min)
+            )
             zarrlite.create_array(
                 path,
                 name,
