@@ -964,3 +964,39 @@ def test_numpy_defers_to_dataset_ops(spark):
     np.testing.assert_allclose(
         res.collect().data_vars["v"].values, 2.0 * (np.arange(4.0) + 1)
     )
+
+
+class TestSelMethodAndElementwise:
+    def _ds(self, spark):
+        nd = NDDataset(
+            {"v": (("t",), np.array([1.5, -2.25, 3.75, -0.5]))},
+            coords={"t": np.array([0.0, 10.0, 20.0, 30.0])},
+        )
+        return nd, Dataset.from_numpy(spark, nd, chunks={"t": 2})
+
+    def test_sel_nearest_ffill_bfill(self, spark):
+        nd, d = self._ds(spark)
+        assert d.sel(t=12.0, method="nearest").collect().data_vars["v"].values[0] == -2.25
+        assert d.sel(t=16.0, method="nearest").collect().data_vars["v"].values[0] == 3.75
+        assert d.sel(t=19.0, method="ffill").collect().data_vars["v"].values[0] == -2.25
+        assert d.sel(t=19.0, method="bfill").collect().data_vars["v"].values[0] == 3.75
+        # exact labels still work with a method set
+        assert d.sel(t=20.0, method="nearest").collect().data_vars["v"].values[0] == 3.75
+        with pytest.raises(KeyError):
+            d.sel(t=12.0)  # inexact without method still fails loudly
+        with pytest.raises(KeyError, match="outside"):
+            d.sel(t=-5.0, method="ffill")
+
+    def test_clip_abs_round(self, spark):
+        nd, d = self._ds(spark)
+        arr = nd.data_vars["v"].values
+        np.testing.assert_array_equal(
+            d.clip(min=-1.0, max=2.0).collect().data_vars["v"].values,
+            np.clip(arr, -1.0, 2.0),
+        )
+        np.testing.assert_array_equal(
+            abs(d).collect().data_vars["v"].values, np.abs(arr)
+        )
+        np.testing.assert_array_equal(
+            d.round().collect().data_vars["v"].values, np.round(arr)
+        )

@@ -456,6 +456,17 @@ class Dataset:
     def __neg__(self):
         return self.map_blocks(lambda ds: ds.map(lambda a: -a))
 
+    def __abs__(self):
+        return self.map_blocks(lambda ds: ds.map(np.abs))
+
+    def clip(self, min=None, max=None) -> "Dataset":
+        """Elementwise clamp (xarray ``clip``); NaN passes through."""
+        return self.map_blocks(lambda ds: ds.map(lambda a: np.clip(a, min, max)))
+
+    def round(self, decimals: int = 0) -> "Dataset":
+        """Elementwise round-half-to-even (numpy/xarray semantics)."""
+        return self.map_blocks(lambda ds: ds.map(lambda a: np.round(a, decimals)))
+
     def expand_dims(self, **dim_sizes: int) -> "Dataset":
         """Add new leading dims of the given sizes by broadcasting every
         chunk (new dims are unchunked)."""
@@ -807,12 +818,19 @@ class Dataset:
         # narrow split + one consolidate shuffle
         return out.split_chunks(chunks).consolidate_chunks(chunks)
 
-    def sel(self, indexers: Mapping[str, Any] | None = None, **kw: Any) -> "Dataset":
+    def sel(
+        self,
+        indexers: Mapping[str, Any] | None = None,
+        method: str | None = None,
+        **kw: Any,
+    ) -> "Dataset":
         """Label-based contiguous selection: coordinate values (or label
         slices) are translated to integer windows on the driver via the
         template's coordinate arrays, then delegated to :meth:`isel` (so
         the scan rewrite / chunk pruning applies). Labels follow xarray
-        semantics: slices are inclusive of both endpoints."""
+        semantics: slices are inclusive of both endpoints; ``method``
+        ('nearest' / 'ffill' / 'bfill', xarray's inexact-lookup modes)
+        applies to point labels, never to slices."""
         idx = {**(indexers or {}), **kw}
         windows: dict[str, slice] = {}
         for d, sel in idx.items():
@@ -834,9 +852,40 @@ class Dataset:
                 hi = len(vals) if sel.stop is None else int(np.searchsorted(vals, np.asarray(sel.stop, vals.dtype), "right"))
                 windows[d] = slice(lo, hi)
             else:
-                pos = int(np.searchsorted(vals, np.asarray(sel, vals.dtype), "left"))
-                if pos >= len(vals) or vals[pos] != np.asarray(sel, vals.dtype):
+                target = np.asarray(sel, vals.dtype)
+                pos = int(np.searchsorted(vals, target, "left"))
+                exact = pos < len(vals) and vals[pos] == target
+                if not exact and method is None:
                     raise KeyError(f"label {sel!r} not found in coordinate {d!r}")
+                if not exact:
+                    if len(vals) > 1 and not np.all(vals[1:] >= vals[:-1]):
+                        raise ValueError(
+                            f"sel(method={method!r}) on {d!r} requires a "
+                            "monotonically non-decreasing coordinate"
+                        )
+                    if method == "ffill":
+                        pos = pos - 1
+                    elif method == "bfill":
+                        pass  # pos already points at the next label
+                    elif method == "nearest":
+                        if pos == 0:
+                            pass
+                        elif pos >= len(vals):
+                            pos = len(vals) - 1
+                        else:
+                            before, after = vals[pos - 1], vals[pos]
+                            if (target - before) <= (after - target):
+                                pos = pos - 1
+                    else:
+                        raise ValueError(
+                            f"sel method must be None/'nearest'/'ffill'/'bfill', "
+                            f"got {method!r}"
+                        )
+                    if pos < 0 or pos >= len(vals):
+                        raise KeyError(
+                            f"label {sel!r} outside coordinate {d!r} with "
+                            f"method={method!r}"
+                        )
                 windows[d] = slice(pos, pos + 1)
         return self.isel(windows)
 
