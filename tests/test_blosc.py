@@ -258,6 +258,44 @@ class TestZstd:
         assert chunk[:4] == bytes.fromhex("28B52FFD")  # little-endian magic
 
 
+class TestMalformedFrames:
+    """Corrupt / foreign-vintage frames must raise ValueError, never
+    struct.error — decode never depends on guessing the encoder."""
+
+    def test_unsplit_frame_with_splitsized_stream(self):
+        """Unsplit frame whose single compressed stream is EXACTLY the
+        split sub-block size: the (wrong) split hypothesis consumes the
+        stream as a stored sub-block and walks the cursor to the frame
+        end; the nsplits=1 fallback must still get its turn."""
+        N = 4096  # typesize 4 -> split hypothesis expects 4 x 1024 streams
+        rng = np.random.default_rng(12)
+        raw = rng.integers(0, 256, N, dtype=np.uint8).tobytes()[:981] + b"\x00" * (N - 981)
+        shuf = blosc1.shuffle_bytes(raw, 4)
+        comp = blosc1.lz4_compress_block(shuf)
+        assert len(comp) == N // 4  # the trap: stream size == sub-block size
+        body = struct.pack("<i", len(comp)) + comp
+        header = struct.pack("<BBBB", 2, 1, 0x1 | (1 << 5), 4) + struct.pack(
+            "<III", N, N, 16 + 4 + len(body)
+        )
+        frame = header + struct.pack("<I", 20) + body
+        assert blosc1.blosc_decompress(frame) == raw
+
+    def test_truncated_offset_table_is_valueerror(self):
+        # 5 blocks claimed but frame ends inside the offset table
+        header = struct.pack("<BBBB", 2, 1, (1 << 5), 4) + struct.pack(
+            "<III", 300000, 65536, 24
+        )
+        with pytest.raises(ValueError, match="offset table"):
+            blosc1.blosc_decompress(header + b"\x00" * 8)
+
+    def test_block_offset_beyond_frame_is_valueerror(self):
+        header = struct.pack("<BBBB", 2, 1, (1 << 5), 4) + struct.pack(
+            "<III", 64, 64, 28
+        )
+        with pytest.raises(ValueError, match="beyond frame end"):
+            blosc1.blosc_decompress(header + struct.pack("<I", 9999) + b"\x00" * 8)
+
+
 def test_zero_typesize_header_rejected():
     frame = struct.pack("<BBBB", 2, 1, (1 << 5), 0) + struct.pack("<III", 16, 16, 24)
     with pytest.raises(ValueError, match="typesize"):

@@ -978,6 +978,8 @@ class TestSelMethodAndElementwise:
         nd, d = self._ds(spark)
         assert d.sel(t=12.0, method="nearest").collect().data_vars["v"].values[0] == -2.25
         assert d.sel(t=16.0, method="nearest").collect().data_vars["v"].values[0] == 3.75
+        # exact midpoint ties resolve to the HIGHER label (pandas/xarray parity)
+        assert d.sel(t=15.0, method="nearest").collect().data_vars["v"].values[0] == 3.75
         assert d.sel(t=19.0, method="ffill").collect().data_vars["v"].values[0] == -2.25
         assert d.sel(t=19.0, method="bfill").collect().data_vars["v"].values[0] == 3.75
         # exact labels still work with a method set

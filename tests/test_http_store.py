@@ -25,6 +25,10 @@ REQUEST_LOG: list[str] = []
 
 
 class _LoggingHandler(http.server.SimpleHTTPRequestHandler):
+    """GET/HEAD from SimpleHTTPRequestHandler plus object-store-shaped
+    PUT/DELETE: whole-object atomic replace (temp + rename — the
+    guarantee S3/GCS give per object)."""
+
     def log_message(self, *args):  # silence per-request stderr noise
         pass
 
@@ -35,6 +39,44 @@ class _LoggingHandler(http.server.SimpleHTTPRequestHandler):
     def do_HEAD(self):
         REQUEST_LOG.append(self.path)
         super().do_HEAD()
+
+    def do_PUT(self):
+        import os
+
+        REQUEST_LOG.append(f"PUT {self.path}")
+        length = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(length)
+        target = self.translate_path(self.path)
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        tmp = f"{target}.put.{threading.get_ident()}"
+        with open(tmp, "wb") as f:
+            f.write(body)
+        os.replace(tmp, target)
+        self.send_response(201)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+    def do_DELETE(self):
+        import os
+
+        REQUEST_LOG.append(f"DELETE {self.path}")
+        target = self.translate_path(self.path)
+        try:
+            os.remove(target)
+            self.send_response(204)
+        except FileNotFoundError:
+            self.send_response(404)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+
+class _ReadOnlyHandler(_LoggingHandler):
+    """A server with PUT disabled — answers 405 like a static bucket."""
+
+    def do_PUT(self):
+        self.send_response(405)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
 
 
 @pytest.fixture()
@@ -88,12 +130,32 @@ class TestHttpStore:
         got = zarrlite.read_full(arrays["v"])  # no chunk files → all fill
         assert np.isnan(got).all()
 
-    def test_http_store_is_read_only(self, http_root):
-        _, url = http_root
-        store, key = stores.resolve(f"{url}/x")
+    def test_put_get_delete_over_http(self, http_root):
+        local, url = http_root
+        store, key = stores.resolve(f"{url}/d1/d2/blob.bin")
         assert store.latency_bound
-        with pytest.raises(NotImplementedError, match="read-only"):
-            store.put(key, b"nope")
+        payload = b"\x00\x01payload" * 100
+        store.put(key, payload)
+        assert store.get(key) == payload
+        assert store.exists(key)
+        store.put(key, b"replaced")  # whole-object replace
+        assert store.get(key) == b"replaced"
+        store.delete(key)
+        assert store.get(key) is None
+        store.delete(key)  # deleting a missing object is not an error
+
+    def test_put_against_readonly_server_fails_loudly(self, tmp_path):
+        handler = functools.partial(_ReadOnlyHandler, directory=str(tmp_path))
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}"
+            store, key = stores.resolve(f"{url}/x")
+            with pytest.raises(NotImplementedError, match="read-only"):
+                store.put(key, b"nope")
+        finally:
+            srv.shutdown()
 
     def test_exists_and_404(self, http_root):
         local, url = http_root
@@ -106,20 +168,23 @@ class TestHttpStore:
 
 
 class _SlowStore(stores.Store):
-    """Latency-injecting wrapper: every get pays a fixed sleep — the
-    shape of object-store request latency."""
+    """Latency-injecting wrapper: every get (and, with ``delay_put``,
+    every put) pays a fixed sleep — the shape of object-store request
+    latency."""
 
     latency_bound = True
 
-    def __init__(self, inner: stores.Store, delay: float):
+    def __init__(self, inner: stores.Store, delay: float, delay_put: float = 0.0):
         self.inner = inner
         self.delay = delay
+        self.delay_put = delay_put
 
     def get(self, key):
         time.sleep(self.delay)
         return self.inner.get(key)
 
     def put(self, key, data):
+        time.sleep(self.delay_put)
         self.inner.put(key, data)
 
     def exists(self, key):
@@ -214,3 +279,137 @@ class TestDistributedHttpRead:
         assert len(meta_reqs) == 1, REQUEST_LOG
         data_reqs = [p for p in REQUEST_LOG if "/t2m/" in p]
         assert len(data_reqs) == 4, REQUEST_LOG  # 16/4 time chunks, once each
+
+
+class TestDistributedHttpWrite:
+    def test_to_zarr_from_zarr_roundtrip_over_http(self, spark, http_root):
+        """The full cloud-store cycle with the store reached ONLY through
+        http:// paths: driver stages the metadata skeleton locally and
+        pushes it threaded (setup_zarr auto-stages on a latency-bound
+        backend), executors PUT their chunks, the read path GETs them
+        back — nothing touches the served directory by filesystem."""
+        from xarray_beam_spark.dataset import Dataset
+        from xarray_beam_spark.ndarray_ds import NDDataset
+        from xarray_beam_spark.sources import zarr_io
+
+        _, url = http_root
+        rng = np.random.default_rng(23)
+        nd = NDDataset(
+            {
+                "t2m": (("time", "x"), rng.normal(size=(16, 6))),
+                "mask": (("x",), (np.arange(6) % 2).astype(np.int64)),
+            },
+            coords={
+                "time": np.arange(16, dtype=np.int64),
+                "x": np.arange(6, dtype=np.int64),
+            },
+        )
+        REQUEST_LOG.clear()
+        zarr_io.to_zarr(
+            Dataset.from_numpy(spark, nd, chunks={"time": 4}),
+            f"{url}/rt",
+            compressor={"id": "blosc", "cname": "lz4", "shuffle": 1},
+        )
+        puts = [p for p in REQUEST_LOG if p.startswith("PUT ")]
+        # skeleton (group/arrays/coords/.zmetadata) + 4 t2m chunks + 1 mask chunk
+        assert len(puts) >= 5, REQUEST_LOG
+        back = zarr_io.from_zarr(spark, f"{url}/rt", chunks={"time": 4})
+        assert back.collect().equals(nd)
+
+
+class TestStagedSetup:
+    def test_staged_setup_beats_direct_puts(self, monkeypatch, tmp_path):
+        """With 5 ms per put, staging the skeleton locally and pushing it
+        128-wide must beat direct (serial) puts by well over 2x on a
+        many-variable template (reference zarr.py:462-513)."""
+        from xarray_beam_spark.dataset import Template
+        from xarray_beam_spark.ndarray_ds import Variable
+        from xarray_beam_spark.sources import zarr_io
+
+        slow_root = str(tmp_path / "remote")
+        slow = _SlowStore(stores.FsStore(), delay=0.0, delay_put=0.005)
+        real_resolve = stores.resolve
+
+        def patched(p):
+            if p.startswith(slow_root):
+                return slow, real_resolve(p)[1]
+            return real_resolve(p)
+
+        monkeypatch.setattr(stores, "resolve", patched)
+        coords = {
+            "time": Variable(("time",), np.arange(24, dtype=np.int64)),
+            "x": Variable(("x",), np.arange(4, dtype=np.int64)),
+        }
+        var_meta = {f"v{i:02d}": (("time", "x"), "<f8") for i in range(12)}
+        template = Template(
+            sizes={"time": 24, "x": 4},
+            coords=coords,
+            var_meta=var_meta,
+            attrs={},
+        )
+
+        t0 = time.perf_counter()
+        zarr_io.setup_zarr(
+            template, f"{slow_root}/direct", {"time": 8}, stage_locally=False
+        )
+        direct = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        zarr_io.setup_zarr(
+            template, f"{slow_root}/staged", {"time": 8}, stage_locally=True
+        )
+        staged = time.perf_counter() - t0
+        assert direct / staged > 2.0, (direct, staged)
+        # both skeletons identical blob-for-blob
+        a = stores.list_tree(f"{slow_root}/direct")
+        b = stores.list_tree(f"{slow_root}/staged")
+        assert a == b and len(a) >= 2 + 2 * (12 + 2)  # group + per-array meta
+
+    def test_auto_staging_on_latency_bound_store(self, monkeypatch, tmp_path):
+        """stage_locally=None stages exactly when the backend is
+        latency-bound: the remote store sees puts but the skeleton was
+        built elsewhere (local temp), proven by put-count == blob-count."""
+        from xarray_beam_spark.dataset import Template
+        from xarray_beam_spark.ndarray_ds import Variable
+        from xarray_beam_spark.sources import zarr_io
+
+        counted: list[str] = []
+
+        class _CountingStore(_SlowStore):
+            def put(self, key, data):
+                counted.append(key)
+                self.inner.put(key, data)
+
+        slow_root = str(tmp_path / "auto")
+        slow = _CountingStore(stores.FsStore(), delay=0.0)
+        real_resolve = stores.resolve
+
+        def patched(p):
+            if p.startswith(slow_root):
+                return slow, real_resolve(p)[1]
+            return real_resolve(p)
+
+        monkeypatch.setattr(stores, "resolve", patched)
+        template = Template(
+            sizes={"x": 8},
+            coords={"x": Variable(("x",), np.arange(8, dtype=np.int64))},
+            var_meta={"v": (("x",), "<f8")},
+            attrs={},
+        )
+        zarr_io.setup_zarr(template, slow_root, {"x": 4})
+        assert sorted(counted) == [
+            f"{slow_root}/{rel}" for rel in stores.list_tree(slow_root)
+        ]
+
+
+class TestCopyTree:
+    def test_mem_roundtrip(self):
+        src = "mem://copysrc/root"
+        store, key = stores.resolve(f"{src}/a/b.bin")
+        store.put(key, b"one")
+        store, key = stores.resolve(f"{src}/c.bin")
+        store.put(key, b"two")
+        n = stores.copy_tree(src, "mem://copydst/out")
+        assert n == 2
+        assert stores.list_tree("mem://copydst/out") == ["a/b.bin", "c.bin"]
+        st, k = stores.resolve("mem://copydst/out/a/b.bin")
+        assert st.get(k) == b"one"

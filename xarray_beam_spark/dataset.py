@@ -874,7 +874,10 @@ class Dataset:
                             pos = len(vals) - 1
                         else:
                             before, after = vals[pos - 1], vals[pos]
-                            if (target - before) <= (after - target):
+                            # strict <: exact midpoints resolve to the HIGHER
+                            # label, matching pandas/xarray's nearest indexer
+                            # on monotonic-increasing indexes
+                            if (target - before) < (after - target):
                                 pos = pos - 1
                     else:
                         raise ValueError(

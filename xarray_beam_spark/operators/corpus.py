@@ -218,8 +218,12 @@ def hash_split(
 
 
 def sql_hash_bucket(key_sql: str, total: int, salt: str = "xbs-split") -> str:
-    """DuckDB expression matching :func:`hash_split`'s bucket assignment."""
-    return f"CAST('0x' || substr(md5('{salt}' || {key_sql}), 25, 8) AS BIGINT) % {total}"
+    """DuckDB expression matching :func:`hash_split`'s bucket assignment
+    (COALESCE mirrors the Spark side: NULL keys hash as '')."""
+    return (
+        f"CAST('0x' || substr(md5('{salt}' || COALESCE(CAST({key_sql} AS VARCHAR), '')), 25, 8)"
+        f" AS BIGINT) % {total}"
+    )
 
 
 _SPLIT_ORACLE = f"""
@@ -270,7 +274,7 @@ def stratified_cap(
     (keep rows with hash below ~cap/n_stratum quantile, slightly over-
     selected) and run this exact cap on the survivors; the window here
     is unchanged."""
-    h = F.md5(F.concat(F.lit(salt), F.col(key_col)))
+    h = F.md5(F.concat(F.lit(salt), F.coalesce(F.col(key_col).cast("string"), F.lit(""))))
     w = Window.partitionBy(by).orderBy(h, F.col(id_col))
     return (
         docs.withColumn("__xbs_rn", F.row_number().over(w))
@@ -283,7 +287,7 @@ _CAP_ORACLE = """
 WITH ranked AS (
   SELECT doc_id, source,
          row_number() OVER (PARTITION BY source
-                            ORDER BY md5('xbs-cap' || text), doc_id) AS rn
+                            ORDER BY md5('xbs-cap' || COALESCE(text, '')), doc_id) AS rn
   FROM documents
 )
 SELECT doc_id, source FROM ranked WHERE rn <= 10
@@ -644,7 +648,7 @@ def importance_sample(
 _IMPORTANCE_ORACLE = """
 WITH s AS (
   SELECT *,
-         CAST('0x' || substr(md5('xbs-sample' || text), 25, 8) AS BIGINT) % 1000000 AS b,
+         CAST('0x' || substr(md5('xbs-sample' || COALESCE(text, '')), 25, 8) AS BIGINT) % 1000000 AS b,
          CAST(FLOOR(LEAST(GREATEST(CAST(n_chars AS DOUBLE) / 2000, 0.1), 1.0)
                     * 1000000) AS BIGINT) AS t
   FROM documents

@@ -93,6 +93,31 @@ _LAST_CERTIFIED_ROUND: dict[str, int] = {
         "xb_map_blocks_affine", "xb_zarr_roundtrip",
         "xb_zarr_v3_sharded_roundtrip",
     ], 4),
+    # round 5 (freshest; from CORRECTNESS_r05.json — overrides earlier tiers)
+    **dict.fromkeys([
+        "ann_brute_force_topk", "corpus_clean_pipeline", "corpus_decontaminate",
+        "corpus_hash_split", "corpus_importance_sample",
+        "corpus_mixture_weights", "corpus_stratified_cap",
+        "dedup_canonical_docs", "dedup_duplicate_clusters", "dedup_exact",
+        "dedup_levenshtein_twins", "dedup_minhash_lsh", "dedup_passjoin_exact",
+        "dedup_simhash", "doc_fingerprint", "doc_rolling_hash",
+        "doc_token_windows", "doc_vocab_topk", "embedding_neardup_pairs",
+        "events_asof_last_purchase", "events_cube_counts",
+        "events_interval_post_signup", "events_median_value_by_type",
+        "events_percent_rank", "events_pivot_types",
+        "events_range_window_hour", "events_sessionize_batch",
+        "multimodal_audio_features", "multimodal_features",
+        "multimodal_meta_rollup", "ngram_jaccard_adjacent",
+        "q1_pricing_summary", "q20_excess_suppliers",
+        "q21_sole_returned_supplier", "stream_dedup_events",
+        "stream_enriched_counts", "stream_hourly_counts",
+        "stream_stateful_user_stats", "stream_user_sessions",
+        "stream_zarr_tail", "text_lang_rollup", "text_langid",
+        "text_normalize_scrub", "text_quality_stats",
+        "text_repetition_signals", "text_scrub_pii", "text_substring_dup",
+        "text_token_counts", "xb_zarr_blosc_roundtrip",
+        "xb_zarr_cf_packed_roundtrip",
+    ], 5),
 }
 
 

@@ -324,6 +324,8 @@ def _decode_block(
         p = pos
         try:
             for _ in range(nsplits):
+                if p + 4 > len(frame):
+                    raise ValueError("blosc: truncated stream-size word")
                 (csize,) = struct.unpack_from("<i", frame, p)
                 p += 4
                 if csize < 0 or p + csize > len(frame):
@@ -336,7 +338,10 @@ def _decode_block(
             if len(out) != bsize:
                 raise ValueError("blosc: block streams do not sum to block size")
             return bytes(out)
-        except ValueError as e:
+        except (ValueError, struct.error) as e:
+            # struct.error can still surface from _codec_decompress walking a
+            # mis-hypothesised stream; both mean "this split hypothesis is
+            # wrong", so the next candidate must get its turn.
             last_err = e
             continue
     raise ValueError(f"blosc: cannot decode block at {pos}: {last_err}")
@@ -372,7 +377,12 @@ def blosc_decompress(frame: bytes) -> bytes:
     if blocksize == 0:
         raise ValueError("blosc: zero blocksize in non-empty frame")
     nblocks = -(-nbytes // blocksize)
+    if len(frame) < 16 + 4 * nblocks:
+        raise ValueError("blosc: truncated block-offset table")
     bstarts = struct.unpack_from(f"<{nblocks}I", frame, 16)
+    for bs in bstarts:
+        if bs >= len(frame):
+            raise ValueError(f"blosc: block offset {bs} beyond frame end")
     out = bytearray()
     shuffled = bool(flags & _SHUFFLE)
     for i, bs in enumerate(bstarts):

@@ -109,22 +109,27 @@ class MemStore(Store):
 
 
 class HttpStore(Store):
-    """Read-only object-store backend over plain HTTP(S) GETs — the
-    minimal cloud seam (the reference reaches S3/GCS through fsspec,
-    ``zarr.py:374-386``; fsspec is absent here, and S3/GCS auth aside,
-    their read path IS ranged/plain GETs over HTTP).
+    """Object-store backend over plain HTTP(S) — the minimal cloud seam
+    (the reference reaches S3/GCS through fsspec, ``zarr.py:374-386``;
+    fsspec is absent here, and S3/GCS auth aside, their data path IS
+    GETs/PUTs over HTTP).
 
     Semantics: ``get`` = one GET (404/410 → None = missing chunk →
-    fill_value, like a missing file); ``exists`` = HEAD with GET
-    fallback; ``list_dir`` returns [] — object stores have no cheap
-    native listing either, which is exactly why zarr grew consolidated
+    fill_value, like a missing file); ``put`` = one whole-object PUT —
+    atomic-per-key exactly the way S3/GCS object PUTs are (an object
+    never reads back torn; the test server mirrors that with
+    write-temp + rename); ``exists`` = HEAD with GET fallback;
+    ``list_dir`` returns [] — object stores have no cheap native
+    listing either, which is exactly why zarr grew consolidated
     metadata: ``open_group`` reads ``.zmetadata`` in ONE request and
-    never lists. ``put`` raises (publishing is the owning pipeline's
-    job; a writable backend would implement the same four methods).
+    never lists. Servers without PUT enabled answer 405/501 and the
+    error says so. Real S3/GCS additionally need signed auth headers —
+    out of scope here; the four-method seam is what they'd implement.
 
     ``latency_bound = True`` switches chunk IO to the threaded path
     (``iothread.thread_map``) — per-request latency, not bandwidth, is
-    what dominates remote small-object reads."""
+    what dominates remote small-object reads AND writes (hence
+    :func:`copy_tree` for staged metadata pushes)."""
 
     latency_bound = True
 
@@ -151,11 +156,15 @@ class HttpStore(Store):
             c = conns[netloc] = cls(netloc, timeout=60)
         return c
 
-    def _request(self, method: str, key: str) -> tuple[int, bytes]:
+    def _request(
+        self, method: str, key: str, body: bytes | None = None
+    ) -> tuple[int, bytes]:
         """One keep-alive request; a fresh TCP(+TLS) handshake per chunk
         would double the very per-request latency the threaded IO path
         exists to hide. Connections are per-thread (http.client is not
-        thread-safe) and retried once on a stale/broken socket."""
+        thread-safe) and retried once on a stale/broken socket — safe
+        for PUT too because object PUTs are idempotent whole-object
+        replaces."""
         import http.client
         from urllib.parse import quote
 
@@ -165,10 +174,10 @@ class HttpStore(Store):
         for attempt in (0, 1):
             conn = self._conn(netloc)
             try:
-                conn.request(method, path)
+                conn.request(method, path, body=body)
                 resp = conn.getresponse()
-                body = resp.read()  # drain so the connection is reusable
-                return resp.status, body
+                data = resp.read()  # drain so the connection is reusable
+                return resp.status, data
             except (http.client.HTTPException, ConnectionError, OSError) as e:
                 conn.close()
                 self._local.conns.pop(netloc, None)
@@ -184,9 +193,26 @@ class HttpStore(Store):
         return body
 
     def put(self, key: str, data: bytes) -> None:
-        raise NotImplementedError(
-            f"HttpStore is read-only; cannot PUT {self._url(key)}"
-        )
+        status, _ = self._request("PUT", key, body=bytes(data))
+        if status in (405, 501):
+            raise NotImplementedError(
+                f"server does not accept PUT {self._url(key)} (HTTP {status}); "
+                "this endpoint is read-only"
+            )
+        if status not in (200, 201, 204):
+            raise OSError(f"PUT {self._url(key)} -> HTTP {status}")
+
+    def delete(self, key: str) -> None:
+        """Best-effort object delete (not part of the 4-method seam the
+        zarr paths need — zarr never deletes — but completes the verb
+        set for external cleanup tooling)."""
+        status, _ = self._request("DELETE", key)
+        if status in (405, 501):
+            raise NotImplementedError(
+                f"server does not accept DELETE {self._url(key)} (HTTP {status})"
+            )
+        if status not in (200, 202, 204, 404, 410):
+            raise OSError(f"DELETE {self._url(key)} -> HTTP {status}")
 
     def exists(self, key: str) -> bool:
         status, _ = self._request("HEAD", key)
@@ -235,3 +261,47 @@ def join(path: str, *parts: str) -> str:
     for p in parts:
         out = f"{out}/{p.strip('/')}" if out else p.strip("/")
     return out
+
+
+def list_tree(path: str) -> list[str]:
+    """Every blob key under ``path``, as '/'-relative names, discovered
+    through the Store seam (``list_dir`` of a blob is [], of a prefix its
+    children — so a name is a blob iff it has no children)."""
+    store, root = resolve(path)
+    out: list[str] = []
+
+    def walk(rel: str) -> None:
+        key = f"{root}/{rel}" if rel else root
+        children = store.list_dir(key)
+        if not children:
+            if store.get(key) is not None:
+                out.append(rel)
+            return
+        for c in children:
+            walk(f"{rel}/{c}" if rel else c)
+
+    walk("")
+    return sorted(out)
+
+
+def copy_tree(src: str, dst: str, width: int = 128) -> int:
+    """Copy every blob under ``src`` to the same relative key under
+    ``dst``, ``width`` puts in flight (reference ``zarr.py:462-513``:
+    stage the store skeleton locally, then a 128-thread copy — dozens of
+    tiny metadata objects are pure request latency on an object store).
+    Returns the number of blobs copied."""
+    from xarray_beam_spark.sources import iothread
+
+    src_store, src_root = resolve(src)
+    dst_store, dst_root = resolve(dst)
+    rels = list_tree(src)
+    if not getattr(dst_store, "latency_bound", False):
+        width = 1  # local destination: threading is pure overhead
+
+    def copy_one(rel: str) -> None:
+        data = src_store.get(f"{src_root}/{rel}" if rel else src_root)
+        assert data is not None, rel
+        dst_store.put(f"{dst_root}/{rel}" if rel else dst_root, data)
+
+    iothread.thread_map(copy_one, rels, width)
+    return len(rels)

@@ -35,7 +35,7 @@ from xarray_beam_spark import core
 from xarray_beam_spark.codec import decode_chunk, encode_chunk
 from xarray_beam_spark.dataset import Dataset, Template, chunk_row_schema, off_col
 from xarray_beam_spark.ndarray_ds import NDDataset, Variable
-from xarray_beam_spark.sources import zarrlite
+from xarray_beam_spark.sources import stores, zarrlite
 
 
 def _is_index_coord(meta: zarrlite.ZArray) -> bool:
@@ -494,6 +494,7 @@ def setup_zarr(
     zarr_format: int = 2,
     zarr_shards: Mapping[str, int] | None = None,
     encoding: Mapping[str, Mapping] | None = None,
+    stage_locally: bool | None = None,
 ) -> None:
     """Driver-side store skeleton: group + array metadata + coordinate
     arrays written eagerly (reference ``setup_zarr``, ``zarr.py:389-513``;
@@ -508,7 +509,43 @@ def setup_zarr(
     is delegated to xarray): ``{var: {"compressor": spec,
     "fill_value": v}}``. ``compressor`` accepts everything
     ``zarrlite.create_array`` does (``None``/``"zlib"``/``"blosc"``/a
-    numcodecs-style dict); unknown encoding keys fail loudly."""
+    numcodecs-style dict); unknown encoding keys fail loudly.
+
+    ``stage_locally`` (reference ``zarr.py:374-386,462-513``): build the
+    skeleton in a local temp store, then push every blob to ``path`` with
+    up to 128 concurrent puts. Setup writes 2+2n tiny metadata objects
+    plus one blob per coordinate — on a latency-bound object store those
+    serial round-trips dominate, on local disk staging is pure overhead.
+    Default (None) = auto: stage exactly when ``path``'s backend is
+    latency-bound."""
+    if stage_locally is None:
+        store, _ = stores.resolve(path)
+        stage_locally = bool(getattr(store, "latency_bound", False))
+    if stage_locally:
+        import tempfile
+
+        with tempfile.TemporaryDirectory(prefix="xbs-zarr-stage-") as tmp:
+            _setup_zarr_direct(
+                template, tmp, zarr_chunks, compressor, zarr_format,
+                zarr_shards, encoding,
+            )
+            stores.copy_tree(tmp, path, width=128)
+        return
+    _setup_zarr_direct(
+        template, path, zarr_chunks, compressor, zarr_format, zarr_shards,
+        encoding,
+    )
+
+
+def _setup_zarr_direct(
+    template: Template,
+    path: str,
+    zarr_chunks: Mapping[str, int],
+    compressor: str | dict | None,
+    zarr_format: int,
+    zarr_shards: Mapping[str, int] | None,
+    encoding: Mapping[str, Mapping] | None,
+) -> None:
     encoding = {k: dict(v) for k, v in (encoding or {}).items()}
     unknown_vars = sorted(set(encoding) - set(template.var_meta))
     if unknown_vars:
