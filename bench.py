@@ -70,19 +70,29 @@ def main() -> None:
                 timings[name] = t if prev is None else min(prev, t)
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs": runs,
-                "aggregation": "min_per_query",
-            }
+    # ONE compact line: the driver records only the last ~4096 chars of
+    # stdout and parses the JSON from there — rounds 1-5 overflowed that
+    # window (BENCH_r*.json all show parsed: null) and the judge could
+    # only read whatever keys survived in the tail. 2-decimal rounding +
+    # no-space separators keeps all ~127 queries inside the window.
+    doc = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+        "runs": runs,
+        "aggregation": "min_per_query",
+    }
+    line = json.dumps(doc, separators=(",", ":"))
+    if len(line) > 4000:  # keep the slowest queries, say how many dropped
+        keep = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[: max(1, 100)]
         )
-    )
+        doc["queries"] = {k: round(v, 2) for k, v in sorted(keep.items())}
+        doc["queries_omitted"] = len(timings) - len(keep)
+        line = json.dumps(doc, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -41,6 +41,40 @@ def test_normalize_chunks():
     assert core.normalize_chunks({"x": 99}, {"x": 10}) == {"x": 10}
 
 
+def test_normalize_chunks_reference_parity():
+    """Reference surface (dataset.py:130-175): scalar, ellipsis, 'auto'."""
+    sizes = {"x": 10, "y": 4}
+    # bare int applies to every dim
+    assert core.normalize_chunks(3, sizes) == {"x": 3, "y": 3}
+    # ... = "all other dims"
+    assert core.normalize_chunks({"x": 2, ...: 3}, sizes) == {"x": 2, "y": 3}
+    assert core.normalize_chunks({...: -1}, sizes) == {"x": 10, "y": 4}
+    # 'auto' rejected with the reference's explicit message
+    with pytest.raises(ValueError, match="does not support 'auto'"):
+        core.normalize_chunks("auto", sizes)
+    with pytest.raises(ValueError, match="does not support 'auto'"):
+        core.normalize_chunks({"x": "auto"}, sizes)
+    # unknown dims fail loudly
+    with pytest.raises(ValueError, match="unknown dimensions"):
+        core.normalize_chunks({"z": 3}, sizes)
+    # distinct byte budgets rejected (reference dataset.py:146-150)
+    with pytest.raises(ValueError, match="multiple distinct"):
+        core.normalize_chunks({"x": "1MB", "y": "2MB"}, sizes, itemsize=8)
+
+
+def test_normalize_chunks_joint_byte_budget():
+    # one shared budget over two dims: 256 B / 8 B itemsize = 32 elements,
+    # waterfilled: y (size 4) saturates, x gets the remaining 32/4 = 8
+    sizes = {"x": 100, "y": 4}
+    got = core.normalize_chunks({"x": "256B", "y": "256B"}, sizes, itemsize=8)
+    assert got == {"x": 8, "y": 4}
+    # scalar byte-string = same budget on every dim
+    assert core.normalize_chunks("256B", sizes, itemsize=8) == {"x": 8, "y": 4}
+    # single byte spec against a fixed dim unchanged (old behavior)
+    got = core.normalize_chunks({"x": "64B", "y": 2}, sizes, itemsize=8)
+    assert got == {"x": 4, "y": 2}
+
+
 def test_iter_chunk_keys():
     keys = list(core.iter_chunk_keys({"x": 6, "y": 4}, {"x": 3, "y": 4}))
     assert [k.offsets_dict for k in keys] == [{"x": 0, "y": 0}, {"x": 3, "y": 0}]
@@ -147,6 +181,35 @@ def test_rechunk_plan_cost_and_min_mem(ndim, data):
     )
     for mid in stages[1:-1]:
         assert rechunk_plan.chunk_nbytes(mid, itemsize) >= mem_floor
+
+
+@settings(max_examples=100, deadline=None)
+@given(ndim=st.integers(1, 3), data=st.data())
+def test_rechunk_plan_explicit_min_mem(ndim, data):
+    """An EXPLICIT min_mem (the reference rechunk.py:562-563 kwarg, now on
+    Dataset.rechunk too) is honored alongside max_mem: no intermediate
+    chunk payload below min(min_mem, endpoint payloads), no stage gather
+    above max(max_mem, irreducible target cost)."""
+    dims = [f"d{i}" for i in range(ndim)]
+    sizes = {d: data.draw(st.integers(1, 400), label=f"size_{d}") for d in dims}
+    src = {d: data.draw(st.integers(1, sizes[d]), label=f"src_{d}") for d in dims}
+    tgt = {d: data.draw(st.integers(1, sizes[d]), label=f"tgt_{d}") for d in dims}
+    itemsize = 8
+    max_mem = data.draw(st.sampled_from([50_000, 1_000_000]))
+    min_mem = data.draw(st.sampled_from([0, 1_000, max_mem // 10]))
+    stages = rechunk_plan.plan_stages(sizes, src, tgt, itemsize, max_mem, min_mem)
+    mem_floor = min(
+        min_mem,
+        rechunk_plan.chunk_nbytes(stages[0], itemsize),
+        rechunk_plan.chunk_nbytes(stages[-1], itemsize),
+    )
+    gather_floor = rechunk_plan.stage_gather_bytes(stages[-1], stages[-1], itemsize)
+    for mid in stages[1:-1]:
+        assert rechunk_plan.chunk_nbytes(mid, itemsize) >= mem_floor
+    for a, b in zip(stages, stages[1:]):
+        assert rechunk_plan.stage_gather_bytes(a, b, itemsize) <= max(
+            max_mem, gather_floor
+        )
 
 
 def test_rechunk_plan_io_op_model_exact():

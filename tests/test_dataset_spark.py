@@ -90,6 +90,17 @@ def test_rechunk_multistage_forced(spark, era5):
     assert r.collect().identical(era5)
 
 
+def test_rechunk_min_mem_kwarg(spark, era5):
+    # reference rechunk.py:562-563 surface: explicit intermediate floor
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 1})
+    r = d.rechunk(
+        {"time": -1, "latitude": 1, "longitude": 2},
+        max_mem=20_000,
+        min_mem=1_000,
+    )
+    assert r.collect().identical(era5)
+
+
 def test_rechunk_uneven_tails(spark):
     src = dummy_era5(n_time=13, n_lat=5, n_lon=7)
     d = Dataset.from_numpy(spark, src, chunks={"time": 4, "latitude": 2})

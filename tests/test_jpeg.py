@@ -1,0 +1,199 @@
+"""From-spec baseline JPEG codec (sources/jpeg.py).
+
+Validation strategy (no PIL/libjpeg in the container):
+- encode→decode round-trips with PSNR/abs-error bounds (JPEG is lossy);
+- a REAL libjpeg-encoded file from the CPython test suite (4:2:0,
+  custom Huffman tables) decoded and compared against the same image's
+  raw PPM — cross-validation against an independent encoder;
+- constant-block images at quality 100 round-trip LOSSLESSLY (the
+  property the multimodal gate's exact SQL oracle rests on);
+- handcrafted golden streams for the restart-marker path and loud
+  rejection of progressive/arithmetic streams.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from xarray_beam_spark.sources import jpeg
+
+_CPY_IMG = "/root/.pyenv/versions/3.11.7/lib/python3.11/test/imghdrdata"
+
+
+def _test_image(h: int = 40, w: int = 56) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((np.sin(yy / 7.0) + np.cos(xx / 9.0)) * 60 + 128).astype(np.uint8)
+
+
+class TestRoundtrip:
+    def test_grayscale(self):
+        img = _test_image()
+        back = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=92, subsample=False))
+        assert back.shape == img.shape and back.dtype == np.uint8
+        assert np.abs(back.astype(int) - img.astype(int)).max() <= 4
+
+    def test_rgb_444(self):
+        img = _test_image()
+        rgb = np.stack([img, 255 - img, img // 2 + 64], axis=-1)
+        back = jpeg.decode_jpeg(jpeg.encode_jpeg(rgb, quality=95, subsample=False))
+        assert back.shape == rgb.shape
+        err = np.abs(back.astype(int) - rgb.astype(int))
+        assert err.max() <= 8 and err.mean() < 2.0
+
+    def test_rgb_420(self):
+        img = _test_image()
+        rgb = np.stack([img, 255 - img, img // 2 + 64], axis=-1)
+        back = jpeg.decode_jpeg(jpeg.encode_jpeg(rgb, quality=95, subsample=True))
+        assert back.shape == rgb.shape
+        # chroma is smooth here, so 2x2 subsampling stays tight
+        err = np.abs(back.astype(int) - rgb.astype(int))
+        assert err.mean() < 4.0, err.mean()
+
+    def test_odd_dimensions(self):
+        # non-multiple-of-8 (and of 16 for 4:2:0) extents exercise padding
+        rng = np.random.default_rng(3)
+        for h, w in [(1, 1), (7, 9), (17, 23), (8, 33)]:
+            smooth = np.full((h, w), 100, np.uint8) + (
+                rng.integers(0, 3, (h, w)).astype(np.uint8)
+            )
+            rgb = np.stack([smooth, smooth, smooth], axis=-1)
+            for sub in (False, True):
+                back = jpeg.decode_jpeg(jpeg.encode_jpeg(rgb, quality=90, subsample=sub))
+                assert back.shape == rgb.shape, (h, w, sub)
+
+    def test_constant_blocks_lossless_at_q100(self):
+        """Constant 8x8 blocks + quality 100 → bit-exact round-trip (the
+        multimodal_jpeg_features oracle's foundation)."""
+        vals = np.array([[0, 13], [255, 128]], np.uint8)
+        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        back = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=100, subsample=False))
+        np.testing.assert_array_equal(back, img)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(0, 2**32 - 1), st.sampled_from([50, 85, 100]))
+    def test_random_smooth_property(self, seed, quality):
+        rng = np.random.default_rng(seed)
+        base = rng.integers(40, 216, (4, 5)).astype(np.float64)
+        img = np.clip(
+            np.kron(base, np.ones((8, 8))) + rng.normal(0, 2, (32, 40)), 0, 255
+        ).astype(np.uint8)
+        back = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=quality, subsample=False))
+        assert back.shape == img.shape
+        tol = {50: 20, 85: 12, 100: 6}[quality]
+        assert np.abs(back.astype(int) - img.astype(int)).mean() < tol
+
+
+@pytest.mark.skipif(not os.path.isdir(_CPY_IMG), reason="CPython test images absent")
+class TestRealLibjpegFile:
+    """python.jpg (CPython test suite) is a real libjpeg-encoded baseline
+    4:2:0 file with optimized (non-Annex-K) Huffman tables; python.ppm is
+    the same image raw — an independent-encoder ground truth."""
+
+    def _ground_truth(self) -> np.ndarray:
+        raw = open(f"{_CPY_IMG}/python.ppm", "rb").read()
+        m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", raw)
+        w, h = int(m.group(1)), int(m.group(2))
+        return np.frombuffer(raw[m.end():], dtype=np.uint8).reshape(h, w, 3)
+
+    def test_decode_matches_ppm(self):
+        dec = jpeg.decode_jpeg(open(f"{_CPY_IMG}/python.jpg", "rb").read())
+        ref = self._ground_truth()
+        assert dec.shape == ref.shape == (16, 16, 3)
+        # luma must be tight (no subsampling loss); raw RGB is dominated
+        # by the ENCODER's 4:2:0 chroma averaging on this sharp-edged icon
+        def luma(a):
+            return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+
+        dy = np.abs(luma(dec.astype(float)) - luma(ref.astype(float)))
+        assert dy.mean() < 5.0 and dy.max() < 20.0, (dy.mean(), dy.max())
+        assert np.abs(dec.astype(int) - ref.astype(int)).mean() < 12.0
+
+
+class TestMarkers:
+    def test_progressive_rejected_clearly(self):
+        blob = bytearray(jpeg.encode_jpeg(_test_image(), quality=90))
+        i = blob.find(b"\xff\xc0")
+        blob[i + 1] = 0xC2  # flip SOF0 -> SOF2
+        with pytest.raises(ValueError, match="progressive"):
+            jpeg.decode_jpeg(bytes(blob))
+
+    def test_arithmetic_rejected_clearly(self):
+        blob = bytearray(jpeg.encode_jpeg(_test_image(), quality=90))
+        i = blob.find(b"\xff\xc0")
+        blob[i + 1] = 0xC9
+        with pytest.raises(ValueError, match="arithmetic"):
+            jpeg.decode_jpeg(bytes(blob))
+
+    def test_not_a_jpeg(self):
+        with pytest.raises(ValueError, match="SOI"):
+            jpeg.decode_jpeg(b"\x89PNG\r\n\x1a\nnot a jpeg")
+
+    def test_restart_markers(self):
+        """Handcrafted 2-MCU grayscale stream with DRI=1 and an RST0
+        between the MCUs — the restart path resets DC predictors and
+        byte-aligns (T.81 E.2.4)."""
+        dc = jpeg._HuffTable(jpeg.DC_LUMA_BITS, jpeg.DC_LUMA_VALS)
+        ac = jpeg._HuffTable(jpeg.AC_LUMA_BITS, jpeg.AC_LUMA_VALS)
+        qtbl = np.ones(64, dtype=np.int64)
+
+        def dc_only_block(diff: int) -> "jpeg._BitWriter":
+            w = jpeg._BitWriter()
+            s = abs(diff).bit_length()
+            w.write(*dc.codes[s])
+            if s:
+                w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            w.write(*ac.codes[0x00])  # EOB
+            return w
+
+        v1, v2 = 136, 120  # DC coef = 8*(v-128)
+        w1 = dc_only_block(8 * (v1 - 128))
+        w1.flush()
+        # predictor RESETS at the restart: second diff is from 0 again
+        w2 = dc_only_block(8 * (v2 - 128))
+        w2.flush()
+        scan = bytes(w1.out) + b"\xff\xd0" + bytes(w2.out)
+
+        out = bytearray(b"\xff\xd8")
+        out += jpeg._dqt_segment(0, qtbl)
+        sof = bytes([8]) + struct.pack(">HH", 8, 16) + bytes([1, 1, 0x11, 0])
+        out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+        out += jpeg._dht_segment(0, 0, jpeg.DC_LUMA_BITS, jpeg.DC_LUMA_VALS)
+        out += jpeg._dht_segment(1, 0, jpeg.AC_LUMA_BITS, jpeg.AC_LUMA_VALS)
+        out += b"\xff\xdd" + struct.pack(">HH", 4, 1)  # DRI = 1 MCU
+        out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+        out += scan + b"\xff\xd9"
+
+        img = jpeg.decode_jpeg(bytes(out))
+        assert img.shape == (8, 16)
+        assert (img[:, :8] == v1).all() and (img[:, 8:] == v2).all()
+
+
+class TestEncoderValidation:
+    def test_rejects_bad_inputs(self):
+        with pytest.raises(ValueError, match="uint8"):
+            jpeg.encode_jpeg(np.zeros((8, 8), np.float64))
+        with pytest.raises(ValueError, match="expected"):
+            jpeg.encode_jpeg(np.zeros((8, 8, 4), np.uint8))
+        with pytest.raises(ValueError, match="empty"):
+            jpeg.encode_jpeg(np.zeros((0, 8), np.uint8))
+
+    def test_stream_is_wellformed(self):
+        blob = jpeg.encode_jpeg(_test_image(), quality=85)
+        assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+        # no bare 0xFF inside the entropy-coded data (byte stuffing)
+        sos = blob.find(b"\xff\xda")
+        scan = blob[sos + 2 + struct.unpack(">H", blob[sos + 2 : sos + 4])[0] : -2]
+        i = 0
+        while i < len(scan):
+            if scan[i] == 0xFF:
+                assert scan[i + 1] == 0x00, f"unstuffed FF at {i}"
+                i += 2
+            else:
+                i += 1

@@ -110,7 +110,7 @@ def parse_bytes(spec: str) -> int:
 
 
 def normalize_chunks(
-    chunks: Mapping[str, int | str],
+    chunks: Mapping[str, int | str] | int | str,
     sizes: Mapping[str, int],
     itemsize: int | None = None,
 ) -> dict[str, int]:
@@ -122,7 +122,26 @@ def normalize_chunks(
     the element count such that one chunk holds ~that many bytes given
     ``itemsize`` and the other dims' resolved chunk extents (reference:
     ``dataset.py:83-199``).
-    """
+
+    Reference-parity surface (``dataset.py:130-175``): a bare int/str
+    applies to every dim; an ``...`` key is the default for every dim
+    not named explicitly; ``'auto'`` is rejected with the reference's
+    explicit message (dask-only semantics — supply a byte count)."""
+    if isinstance(chunks, (int, str)):
+        chunks = {dim: chunks for dim in sizes}
+    chunks = dict(chunks)
+    if ... in chunks:
+        default = chunks.pop(...)
+        chunks = {dim: chunks.get(dim, default) for dim in sizes}
+    if any(c == "auto" for c in chunks.values()):
+        raise ValueError(
+            "normalize_chunks() does not support 'auto' chunk sizes "
+            "(dask-only semantics). Supply an explicit number of bytes "
+            f"instead, e.g., '100MB'. Got chunks={chunks}"
+        )
+    unknown = sorted(set(chunks) - set(sizes))
+    if unknown:
+        raise ValueError(f"chunks for unknown dimensions {unknown}; sizes has {sorted(sizes)}")
     out: dict[str, int] = {}
     pending: dict[str, str] = {}
     for dim, size in sizes.items():
@@ -136,17 +155,33 @@ def normalize_chunks(
             raise ValueError(f"invalid chunk size {c} for dim {dim!r}")
         else:
             out[dim] = c
-    for dim, spec in pending.items():
+    if len(set(pending.values())) > 1:
+        # the reference rejects this outright (dataset.py:146-150): two
+        # distinct byte budgets over one grid have no consistent solution
+        raise ValueError(
+            f"cannot provide multiple distinct chunk sizes in bytes: {chunks}"
+        )
+    if pending:
         if itemsize is None:
             raise ValueError(
-                f"byte-string chunk spec {spec!r} for dim {dim!r} requires itemsize"
+                f"byte-string chunk specs {pending} require itemsize"
             )
-        target = parse_bytes(spec)
+        # Joint resolution across all byte-spec dims (one shared budget):
+        # fixed dims set the per-element cost, the remaining element
+        # budget waterfills over the pending dims — small dims saturate
+        # first, the rest split the leftover evenly in log space.
+        target = parse_bytes(next(iter(pending.values())))
         per_element = max(1, itemsize)
-        for d, c in out.items():
-            if d != dim:
-                per_element *= c
-        out[dim] = max(1, min(sizes[dim], target // per_element))
+        for c in out.values():
+            per_element *= c
+        budget = max(1, target // per_element)
+        todo = sorted(pending, key=lambda d: sizes[d])
+        while todo:
+            share = max(1, int(budget ** (1.0 / len(todo))))
+            dim = todo.pop(0)
+            got = min(sizes[dim], share)
+            out[dim] = got
+            budget = max(1, budget // got)
     return out
 
 

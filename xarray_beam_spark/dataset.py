@@ -1932,11 +1932,17 @@ class Dataset:
         self,
         target_chunks: Mapping[str, int],
         max_mem: int = rechunk_plan.DEFAULT_MAX_MEM,
+        min_mem: int | None = None,
     ) -> "Dataset":
         """Multistage rechunk (reference ``rechunk.py:520-605`` +
         ``dataset.py:968-1038``): plan stages, then per stage an optional
         narrow split and an optional shuffle consolidate, with elision when
-        divisibility allows."""
+        divisibility allows.
+
+        ``min_mem`` (reference ``rechunk.py:562-563``): floor on
+        intermediate chunk payload bytes — defaults to ``max_mem // 100``
+        inside the planner, which rejects ladders passing through tinier
+        chunks (IO ops stay efficient at scale)."""
         sizes = self.sizes
         tgt = core.normalize_chunks(
             target_chunks, sizes, itemsize=self.template.itemsize(self.split_vars)
@@ -1952,7 +1958,8 @@ class Dataset:
                 self.spark, chunks=tgt, split_vars=self.split_vars
             )
         stages = rechunk_plan.plan_stages(
-            sizes, self.chunks, tgt, self.template.itemsize(self.split_vars), max_mem
+            sizes, self.chunks, tgt, self.template.itemsize(self.split_vars),
+            max_mem, min_mem,
         )
         out = self
         for frm, to in zip(stages, stages[1:]):

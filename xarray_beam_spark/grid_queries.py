@@ -420,24 +420,11 @@ def xb_sql_zarr_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build_dst(p: str) -> None:
         zarr_io.setup_zarr(d.template, p, {"day": 8, "hour": 24, "event_type": 64})
         rows = spark.read.format("xbs_zarr").option("path", src).load()
-        days = d.template.coords["day"].values
-        n_day_chunks = max(1, -(-len(days) // 8))
-        # partition key = the store's day-chunk index (metadata-sized
-        # boundary list, the same side-input pattern as the anomaly gate)
-        # so every task owns whole destination chunks — the writer's
-        # atomic-rename safety contract
-        bounds = [str(x).replace("T", " ")[:19] for x in days[8::8]]
-        if bounds:
-            key = F.aggregate(
-                F.array(*[F.lit(b) for b in bounds]),
-                F.lit(0),
-                lambda acc, b: acc
-                + F.when(F.col("day").cast("string") >= b, 1).otherwise(0),
-            )
-        else:
-            key = F.lit(0)
+        # the library's compliant shuffle: vectorized searchsorted chunk
+        # key, the writer's own index math — every task owns whole
+        # destination chunks (the atomic-rename safety contract)
         (
-            rows.repartition(n_day_chunks, key)
+            spark_datasource.repartition_for_write(rows, p)
             .write.format("xbs_zarr")
             .option("path", p)
             .mode("append")

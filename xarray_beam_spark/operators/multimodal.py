@@ -69,15 +69,24 @@ ASSET_SCHEMA = T.StructType(
 
 
 def decode_image(blob: bytes) -> np.ndarray:
-    """Real image decode. PNG decodes natively via the from-spec pure-
-    Python codec (``sources/png.py`` — zlib + scanline filters, no PIL
-    needed); other formats (JPEG etc.) need PIL, which this container
-    lacks, and raise ``NotImplementedError`` honestly."""
+    """Real image decode. PNG and baseline JPEG decode natively via the
+    from-spec pure-Python codecs (``sources/png.py``, ``sources/jpeg.py``
+    — no PIL needed); other formats (webp/tiff/...) need PIL, which this
+    container lacks, and raise ``NotImplementedError`` honestly."""
     if blob[:8] == b"\x89PNG\r\n\x1a\n":
         from xarray_beam_spark.sources.png import decode_png
 
         img = decode_png(blob)
         if img.ndim == 3:  # luma approximation for feature extraction
+            img = (
+                img[:, :, :3].astype(np.uint16).sum(axis=2) // 3
+            ).astype(np.uint8)
+        return img
+    if blob[:2] == b"\xff\xd8":
+        from xarray_beam_spark.sources.jpeg import decode_jpeg
+
+        img = decode_jpeg(blob)
+        if img.ndim == 3:
             img = (
                 img[:, :, :3].astype(np.uint16).sum(axis=2) // 3
             ).astype(np.uint8)
@@ -88,8 +97,9 @@ def decode_image(blob: bytes) -> np.ndarray:
         from PIL import Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "non-PNG image codecs not installed in this environment; PNG "
-            "decodes natively, use fake_decode for other plumbing tests"
+            "image codecs beyond PNG/JPEG not installed in this "
+            "environment; PNG and baseline JPEG decode natively, use "
+            "fake_decode for other plumbing tests"
         ) from exc
     return np.asarray(Image.open(io.BytesIO(blob)).convert("L"))
 
@@ -290,6 +300,56 @@ def documents_as_audio_assets(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(run, ASSET_SCHEMA)
 
 
+_JPEG_BLOCKS = 4  # 16x16 gray image = 4 constant 8x8 blocks
+
+
+def documents_as_jpeg_assets(docs: DataFrame) -> DataFrame:
+    """Demo JPEG-asset table: each document becomes a 16x16 grayscale
+    JPEG of four constant 8x8 blocks whose values are the document's
+    first ``_JPEG_BLOCKS`` utf-8 bytes (tiled if shorter), encoded with
+    the REAL from-spec baseline encoder (``sources/jpeg.py``) at
+    quality 100.
+
+    Constant blocks are the one image family baseline JPEG round-trips
+    LOSSLESSLY (a constant block's FDCT is DC-only; at quality 100 the
+    DC quantizer is 1, so dequant+IDCT reproduces the value bit-exactly)
+    — which is what lets the feature gate be value-hash-certified against
+    a SQL oracle despite JPEG being a lossy codec."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xarray_beam_spark.sources.jpeg import encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                if len(raw) == 0:
+                    raw = np.zeros(1, np.uint8)
+                reps = -(-_JPEG_BLOCKS // len(raw))
+                vals = np.tile(raw, reps)[:_JPEG_BLOCKS]
+                img = np.empty((16, 16), np.uint8)
+                img[:8, :8], img[:8, 8:] = vals[0], vals[1]
+                img[8:, :8], img[8:, 8:] = vals[2], vals[3]
+                blob = encode_jpeg(img, quality=100, subsample=False)
+                rows.append(
+                    {
+                        "asset_id": doc_id,
+                        "blob": blob,
+                        "meta": {
+                            "mime": "image/jpeg",
+                            "width": 16,
+                            "height": 16,
+                            "n_frames": 1,
+                            "sample_rate": 0,
+                            "n_bytes": len(blob),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(run, ASSET_SCHEMA)
+
+
 AUDIO_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),
@@ -469,6 +529,47 @@ def multimodal_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = documents_as_audio_assets(docs)
     feats = audio_features(assets)
     return feats.select("asset_id", "n_frames", "rms", "peak", "zero_crossings")
+
+
+# Each asset is four constant 8x8 blocks (values = first 4 utf-8 bytes,
+# tiled), so after the LOSSLESS quality-100 round-trip the 256 pixels are
+# 64 copies of each byte: mean has a /4 fraction (exact in binary), the
+# squared deviations have /16 fractions (exact), one IEEE sqrt — both
+# engines bit-identical. bin0 = 64 * #bytes < 16.
+_JPEG_FEATURES_ORACLE = """
+WITH px AS (
+  SELECT doc_id AS asset_id,
+         list_transform(range(1, 5),
+           i -> CAST(ascii(substr(text, CAST(((i - 1) % length(text)) + 1 AS INT), 1)) AS DOUBLE)) AS b
+  FROM documents
+), m AS (
+  SELECT asset_id, b, list_sum(b) / 4.0 AS mean_px FROM px
+)
+SELECT asset_id, mean_px,
+       sqrt(list_sum(list_transform(b, x -> (x - mean_px) * (x - mean_px))) / 4.0) AS std_px,
+       CAST(64 * len(list_filter(b, x -> x < 16)) AS BIGINT) AS bin0
+FROM m
+"""
+
+
+@_register("multimodal_jpeg_features", _JPEG_FEATURES_ORACLE)
+def multimodal_jpeg_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG encode + decode + feature extraction: every document
+    becomes a baseline JPEG through the from-spec encoder, then
+    :func:`decode_image` parses it back (Huffman + dequant + IDCT) and
+    features are value-checked against an oracle that re-derives the
+    constant-block pixels exactly in SQL (see
+    :func:`documents_as_jpeg_assets` for why this lossy codec admits an
+    exact oracle here)."""
+    docs = load(spark, sf_dir, "documents")
+    assets = documents_as_jpeg_assets(docs)
+    feats = extract_features(assets, decoder=decode_image)
+    return feats.select(
+        "asset_id",
+        "mean_px",
+        "std_px",
+        F.element_at("histogram", 1).alias("bin0"),
+    )
 
 
 @_register("multimodal_features", _FEATURES_ORACLE)

@@ -1032,6 +1032,20 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10, data_centroids=True)
 
 
+@_register("ann_ivf_trained_topk", None)
+def ann_ivf_trained_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-DEFAULT IVF path under driver evidence (rows-only: the
+    trained k-means centroids are float math no SQL engine replays
+    bit-identically, so there is deliberately no oracle — COVERAGE.md
+    scope note). Deterministic end-to-end all the same: the k-means
+    sample is `limit(train_limit)` over a deterministic scan, Lloyd
+    iterations are fixed-seed, and ties in the top-k break by
+    neighbor_id — reruns return identical rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    return ivf_topk(emb, queries, k=10)
+
+
 @_register("ann_ivfpq_topk", _IVFPQ_GATE_ORACLE)
 def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k (the billion-scale ANN layout): candidate scoring

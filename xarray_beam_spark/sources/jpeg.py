@@ -1,0 +1,584 @@
+"""Baseline JPEG (ITU-T T.81) codec, pure numpy — no PIL/libjpeg needed.
+
+Reference parity target: the reference treats images as opaque bytes and
+decodes them inside per-chunk UDFs via whatever codec the environment
+provides; this container has none, so (like ``png.py``/``gif.py``/
+``wav.py``) the codec is implemented from the public spec. JPEG is the
+dominant image format in real multimodal corpora, so
+``multimodal.decode_image`` dispatches to :func:`decode_jpeg` on the
+``FF D8`` magic.
+
+Decoder: baseline sequential DCT (SOF0; SOF1 extended-sequential accepted
+— identical entropy coding for 8-bit), grayscale or 3-component YCbCr,
+arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 / anything integral),
+restart intervals (DRI + RSTn), multiple DQT/DHT segments per marker.
+Progressive (SOF2) and arithmetic coding raise ``ValueError`` with a
+clear message — they are different entropy layouts, not a corrupt file.
+
+Encoder: baseline sequential, Annex K.1/K.2 quantization tables scaled by
+the libjpeg quality formula, Annex K.3 "typical" Huffman tables, single
+interleaved scan, 4:4:4 (``subsample=False``) or 4:2:0
+(``subsample=True``), no restart markers.
+
+Validation: tests decode a REAL libjpeg-encoded file from the CPython
+test suite and compare against the same image's PNG decoded by the
+independent from-spec PNG codec, plus encode→decode round-trips (PSNR
+bounds — JPEG is lossy) and handcrafted DC-only golden streams.
+
+All tables below are from ITU-T T.81 Annex K (public spec).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Zigzag scan order: ZIGZAG[i] = raster index of the i-th zigzag coefficient.
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+UNZIGZAG = np.argsort(ZIGZAG)  # raster index -> zigzag position
+
+# Annex K.1 / K.2 quantization tables (luminance / chrominance).
+QTBL_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+QTBL_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3 "typical" Huffman tables: (BITS[1..16], HUFFVAL).
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# Orthonormal 8-point DCT-II basis: block = C.T @ coeffs @ C (IDCT),
+# coeffs = C @ block @ C.T (FDCT). Matches T.81 Annex A.3.3 math.
+_x = np.arange(8)
+_DCT_C = np.cos((2 * _x[None, :] + 1) * _x[:, None] * np.pi / 16) * np.sqrt(0.25)
+_DCT_C[0, :] = np.sqrt(0.125)
+
+
+def _idct2_batch(coefs: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) dequantized coefficient blocks → (n, 8, 8) samples."""
+    return np.einsum("ur,nuv,vc->nrc", _DCT_C, coefs, _DCT_C, optimize=True)
+
+
+def _fdct2_batch(blocks: np.ndarray) -> np.ndarray:
+    return np.einsum("ur,nrc,vc->nuv", _DCT_C, blocks, _DCT_C, optimize=True)
+
+
+def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """Annex K tables scaled by the libjpeg quality convention."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (QTBL_LUMA, QTBL_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int64))
+    return out[0], out[1]
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table from (BITS, HUFFVAL) per T.81 C.2."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.bits = list(bits)
+        self.vals = list(vals)
+        # decode map: (length, code) -> symbol
+        self.lookup: dict[tuple[int, int], int] = {}
+        # encode map: symbol -> (code, length)
+        self.codes: dict[int, tuple[int, int]] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                sym = vals[k]
+                self.lookup[(length, code)] = sym
+                self.codes[sym] = (code, length)
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; RSTn markers are consumed by :meth:`restart`."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+        self.marker: int | None = None  # first non-RST marker seen
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.marker is not None or self.pos >= len(self.data):
+                # past the end: feed zeros (T.81 allows the final byte's
+                # padding bits to be read as 1s/0s; decoders pad freely)
+                self.bitbuf = (self.bitbuf << 8) & 0xFFFFFFFF
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    # restart marker: stop filling, restart() consumes it
+                    self.marker = nxt
+                    self.bitbuf = (self.bitbuf << 8) & 0xFFFFFFFF
+                    self.nbits += 8
+                    continue
+                else:
+                    self.marker = nxt
+                    self.bitbuf = (self.bitbuf << 8) & 0xFFFFFFFF
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.bitbuf = ((self.bitbuf << 8) | b) & 0xFFFFFFFF
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume one RSTn marker (T.81 E.2.4)."""
+        self.bitbuf = 0
+        self.nbits = 0
+        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+            self.pos += 2
+            self.marker = None
+            return
+        # marker not yet reached during fill: scan forward to it
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("jpeg: expected restart marker, hit end of scan")
+
+    def decode_huff(self, table: _HuffTable) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid Huffman code in scan data")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map s received bits to a signed value."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to uint8 — ``(H, W)`` for grayscale,
+    ``(H, W, 3)`` RGB otherwise."""
+    data = bytes(blob)
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI marker")
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], _HuffTable] = {}  # (class, id)
+    comps: list[dict] = []
+    height = width = 0
+    restart_interval = 0
+    pos = 2
+    scan_pos = None
+    scan_comps: list[dict] = []
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(seg):
+                prec, tid = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if prec:
+                    tbl = np.frombuffer(seg[i : i + 128], dtype=">u2").astype(np.int64)
+                    i += 128
+                else:
+                    tbl = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(np.int64)
+                    i += 64
+                raster = np.zeros(64, dtype=np.int64)
+                raster[ZIGZAG] = tbl
+                qtables[tid] = raster.reshape(8, 8)
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i < len(seg):
+                cls, tid = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                htables[(cls, tid)] = _HuffTable(bits, vals)
+                i += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            prec = seg[0]
+            if prec != 8:
+                raise ValueError(f"jpeg: only 8-bit precision supported, got {prec}")
+            height, width = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+        elif marker == 0xC2:
+            raise ValueError(
+                "jpeg: progressive (SOF2) not supported by this baseline "
+                "decoder; re-encode as baseline sequential"
+            )
+        elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: arithmetic coding not supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError(f"jpeg: SOF marker FF{marker:02X} not supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cs)
+                scan_comps.append({**comp, "td": tdta >> 4, "ta": tdta & 15})
+            scan_pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if scan_pos is None or not comps:
+        raise ValueError("jpeg: no SOS/SOF found (truncated or not baseline)")
+    if height == 0 or width == 0:
+        raise ValueError("jpeg: zero image dimensions (DNL not supported)")
+
+    hmax = max(c["h"] for c in scan_comps)
+    vmax = max(c["v"] for c in scan_comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    nmcu = mcux * mcuy
+    for c in scan_comps:
+        c["bw"] = mcux * c["h"]  # blocks per row
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 8, 8), dtype=np.float64)
+        c["pred"] = 0
+        if c["tq"] not in qtables:
+            raise ValueError(f"jpeg: missing quantization table {c['tq']}")
+
+    reader = _BitReader(data, scan_pos)
+    zz = np.zeros(64, dtype=np.int64)
+    for m in range(nmcu):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.restart()
+            for c in scan_comps:
+                c["pred"] = 0
+        my, mx = divmod(m, mcux)
+        for c in scan_comps:
+            dc_tbl = htables.get((0, c["td"]))
+            ac_tbl = htables.get((1, c["ta"]))
+            if dc_tbl is None or ac_tbl is None:
+                raise ValueError("jpeg: missing Huffman table for scan")
+            q = qtables[c["tq"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    zz[:] = 0
+                    s = reader.decode_huff(dc_tbl)
+                    diff = _extend(reader.receive(s), s) if s else 0
+                    c["pred"] += diff
+                    zz[0] = c["pred"]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode_huff(ac_tbl)
+                        r, ssss = rs >> 4, rs & 15
+                        if ssss == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("jpeg: AC coefficient run past block end")
+                        zz[k] = _extend(reader.receive(ssss), ssss)
+                        k += 1
+                    blk = np.zeros(64, dtype=np.int64)
+                    blk[ZIGZAG] = zz
+                    row = my * c["v"] + by
+                    col = mx * c["h"] + bx
+                    c["coef"][row * c["bw"] + col] = blk.reshape(8, 8) * q
+
+    planes = []
+    for c in scan_comps:
+        sam = _idct2_batch(c["coef"]) + 128.0
+        # (bh*bw, 8, 8) -> (bh*8, bw*8)
+        plane = (
+            sam.reshape(c["bh"], c["bw"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["bh"] * 8, c["bw"] * 8)
+        )
+        # upsample to full MCU grid resolution (box replication)
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        planes.append(plane[:height, :width])
+
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    if len(planes) != 3:
+        raise ValueError(f"jpeg: {len(planes)}-component images not supported")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per convention
+
+
+def _encode_block(
+    w: _BitWriter,
+    coefs: np.ndarray,
+    pred: int,
+    dc: _HuffTable,
+    ac: _HuffTable,
+) -> int:
+    zz = coefs.reshape(64)[ZIGZAG]
+    diff = int(zz[0]) - pred
+    mag = abs(diff)
+    s = int(mag).bit_length()
+    w.write(*dc.codes[s])
+    if s:
+        w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last = 0
+    nz = np.nonzero(zz[1:])[0]
+    for idx in nz:
+        k = int(idx) + 1
+        run = k - last - 1
+        last = k
+        while run > 15:
+            w.write(*ac.codes[0xF0])  # ZRL
+            run -= 16
+        v = int(zz[k])
+        ssss = abs(v).bit_length()
+        w.write(*ac.codes[(run << 4) | ssss])
+        w.write(v if v >= 0 else v + (1 << ssss) - 1, ssss)
+    if last < 63:
+        w.write(*ac.codes[0x00])  # EOB
+    return int(zz[0])
+
+
+def _dht_segment(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+    payload = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _dqt_segment(tid: int, raster: np.ndarray) -> bytes:
+    payload = bytes([tid]) + bytes(int(x) for x in raster.reshape(64)[ZIGZAG])
+    return b"\xff\xdb" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _blocks_of(plane: np.ndarray) -> np.ndarray:
+    """(H, W) with H,W multiples of 8 → (H/8*W/8, 8, 8) raster blocks."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _pad_edge(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, mh - h), (0, mw - w)), mode="edge")
+
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 85, subsample: bool = True
+) -> bytes:
+    """Encode uint8 ``(H, W)`` grayscale or ``(H, W, 3)`` RGB as baseline
+    JPEG (4:2:0 when ``subsample`` and the image is color, else 4:4:4)."""
+    arr = np.asarray(arr)
+    if arr.dtype != np.uint8:
+        raise ValueError(f"jpeg: expected uint8 input, got {arr.dtype}")
+    if arr.ndim == 3 and arr.shape[2] == 3:
+        gray = False
+    elif arr.ndim == 2:
+        gray = True
+    else:
+        raise ValueError(f"jpeg: expected (H,W) or (H,W,3), got {arr.shape}")
+    height, width = arr.shape[:2]
+    if height == 0 or width == 0:
+        raise ValueError("jpeg: empty image")
+    qluma, qchroma = quality_tables(quality)
+
+    if gray:
+        planes = [arr.astype(np.float64) - 128.0]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            # box-average 2x2 (pad odd extents by edge first)
+            cpad_h, cpad_w = height + (height & 1), width + (width & 1)
+            cb = _pad_edge(cb, cpad_h, cpad_w)
+            cr = _pad_edge(cr, cpad_h, cpad_w)
+            cb = cb.reshape(cpad_h // 2, 2, cpad_w // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(cpad_h // 2, 2, cpad_w // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        qsel = [0, 1, 1]
+
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+
+    dc_tbls = [_HuffTable(DC_LUMA_BITS, DC_LUMA_VALS), _HuffTable(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    ac_tbls = [_HuffTable(AC_LUMA_BITS, AC_LUMA_VALS), _HuffTable(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    qt = [qluma.reshape(8, 8), qchroma.reshape(8, 8)]
+
+    # quantized coefficient blocks per component, MCU-padded
+    comp_blocks = []
+    for plane, (h, v), tq in zip(planes, samp, qsel):
+        ph, pw = mcuy * v * 8, mcux * h * 8
+        plane = _pad_edge(plane, ph, pw)
+        coefs = _fdct2_batch(_blocks_of(plane))
+        qb = np.round(coefs / qt[tq]).astype(np.int64)
+        comp_blocks.append(qb.reshape(mcuy * v, mcux * h, 8, 8))
+
+    w = _BitWriter()
+    preds = [0] * len(planes)
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci, (h, v) in enumerate(samp):
+            t = 0 if ci == 0 else 1
+            for by in range(v):
+                for bx in range(h):
+                    preds[ci] = _encode_block(
+                        w,
+                        comp_blocks[ci][my * v + by, mx * h + bx],
+                        preds[ci],
+                        dc_tbls[t],
+                        ac_tbls[t],
+                    )
+    w.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += _dqt_segment(0, qluma)
+    if not gray:
+        out += _dqt_segment(1, qchroma)
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([ncomp])
+    for ci in range(ncomp):
+        h, v = samp[ci]
+        sof += bytes([ci + 1, (h << 4) | v, qsel[ci]])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht_segment(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if not gray:
+        out += _dht_segment(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += _dht_segment(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
