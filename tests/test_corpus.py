@@ -179,6 +179,58 @@ class TestDecontaminate:
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+class TestDedupAgainstReference:
+    def test_removes_only_content_overlap(self, spark):
+        from xarray_beam_spark.operators.dedup import dedup_against_reference
+
+        ref = spark.createDataFrame(
+            [(1, "seen before"), (2, "also seen")], ["doc_id", "text"]
+        )
+        docs = spark.createDataFrame(
+            [
+                (10, "seen before"),  # same content, different id -> dropped
+                (11, "brand new"),
+                (12, "also seen"),  # dropped
+                (13, "SEEN BEFORE"),  # case differs -> exact dedup keeps it
+            ],
+            ["doc_id", "text"],
+        )
+        got = sorted(
+            r["doc_id"] for r in dedup_against_reference(docs, ref).collect()
+        )
+        assert got == [11, 13]
+
+    def test_precomputed_digest_table(self, spark):
+        from pyspark.sql import functions as F
+
+        from xarray_beam_spark.operators.dedup import dedup_against_reference
+
+        ref = spark.createDataFrame([(1, "x y z")], ["doc_id", "text"]).select(
+            F.md5("text").alias("content_hash")
+        )
+        docs = spark.createDataFrame(
+            [(10, "x y z"), (11, "kept")], ["doc_id", "text"]
+        )
+        got = dedup_against_reference(
+            docs, ref, ref_hash_col="content_hash"
+        ).collect()
+        assert [r["doc_id"] for r in got] == [11]
+
+    def test_null_text_is_kept(self, spark):
+        from xarray_beam_spark.operators.dedup import dedup_against_reference
+
+        ref = spark.createDataFrame(
+            [(1, None)], "doc_id: long, text: string"
+        )
+        docs = spark.createDataFrame(
+            [(10, None), (11, "a")], "doc_id: long, text: string"
+        )
+        got = sorted(
+            r["doc_id"] for r in dedup_against_reference(docs, ref).collect()
+        )
+        assert got == [10, 11]  # NULL never matches, like SQL NOT EXISTS
+
+
 class TestMixtureWeights:
     def test_weights_normalize_and_upweight_tail(self, spark):
         from xarray_beam_spark.operators.corpus import mixture_weights

@@ -317,6 +317,48 @@ class TestDistributedHttpWrite:
         assert back.collect().equals(nd)
 
 
+class TestDistributedHttpSqlWrite:
+    def test_sql_write_and_read_over_http(self, spark, http_root):
+        """The xbs_zarr DataSource WRITER against an object store: staged
+        setup, executor PUTs under the commit()-enforced chunk-ownership
+        contract, then the SQL read path GETs the rows back."""
+        from pyspark.sql import functions as F
+
+        from xarray_beam_spark.dataset import Template
+        from xarray_beam_spark.ndarray_ds import Variable
+        from xarray_beam_spark.sources import spark_datasource, zarr_io
+
+        _, url = http_root
+        dst = f"{url}/sqlw"
+        template = Template(
+            sizes={"time": 8},
+            coords={"time": Variable(("time",), np.arange(8, dtype=np.int64))},
+            var_meta={"v": (("time",), "<f8")},
+            attrs={},
+        )
+        zarr_io.setup_zarr(template, dst, {"time": 4})
+        spark_datasource.register(spark)
+        rows = spark.range(8).select(
+            F.col("id").alias("time"), (F.col("id") * 2.5).alias("v")
+        )
+        (
+            spark_datasource.repartition_for_write(rows, dst)
+            .write.format("xbs_zarr")
+            .option("path", dst)
+            .mode("append")
+            .save()
+        )
+        back = (
+            spark.read.format("xbs_zarr")
+            .option("path", dst)
+            .load()
+            .orderBy("time")
+            .toPandas()
+        )
+        assert back["time"].tolist() == list(range(8))
+        assert back["v"].tolist() == [i * 2.5 for i in range(8)]
+
+
 class TestStagedSetup:
     def test_staged_setup_beats_direct_puts(self, monkeypatch, tmp_path):
         """With 5 ms per put, staging the skeleton locally and pushing it

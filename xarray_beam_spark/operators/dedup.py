@@ -142,6 +142,39 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def dedup_against_reference(
+    docs: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_hash_col: str | None = None,
+) -> DataFrame:
+    """Incremental / cross-snapshot dedup: keep only rows whose content
+    hash does NOT appear in a reference corpus — the standard shape for
+    "dedup this crawl against every previous crawl", eval-set removal by
+    exact content, or a licensed-content blocklist.
+
+    ``ref_hash_col``: pass a column of precomputed md5 digests instead of
+    raw text — the production layout, where the historical corpus is kept
+    as a compact digest table (16 bytes/doc at any corpus size) and never
+    re-read.
+
+    Scale design: the reference side reduces to DISTINCT digests before
+    the join (map-side combinable), then ONE hash anti-join on the
+    digest; AQE broadcasts it when small. No reference text crosses the
+    shuffle. NULL text never matches (kept) — the same answer SQL
+    NOT EXISTS gives."""
+    if ref_hash_col is None:
+        ref_hashes = ref.select(F.md5(F.col(text_col)).alias("__xbs_ref_hash"))
+    else:
+        ref_hashes = ref.select(F.col(ref_hash_col).alias("__xbs_ref_hash"))
+    return docs.join(
+        ref_hashes.distinct(),
+        on=F.md5(F.col(text_col)) == F.col("__xbs_ref_hash"),
+        how="left_anti",
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -364,6 +397,24 @@ FROM documents GROUP BY text
 @_register("dedup_exact", _EXACT_ORACLE)
 def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+_INCREMENTAL_ORACLE = """
+WITH ref AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 7 = 0)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.h = md5(d.text))
+"""
+
+
+@_register("dedup_incremental_new_docs", _INCREMENTAL_ORACLE)
+def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 7th document plays the prior snapshot; the anti-join must
+    return exactly the docs whose content is genuinely new. Hash-
+    certified: both engines pick the identical surviving rows."""
+    docs = load(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 7 == 0)
+    return dedup_against_reference(docs, ref).select("doc_id", "source", "n_chars")
 
 
 # Near-dup corpus constructed inside the query: every document plus a

@@ -18,6 +18,7 @@ bounds state size at scale.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 import pandas as pd
@@ -63,11 +64,20 @@ def _run_to_memory(result: DataFrame, mode: str = "complete") -> DataFrame:
     full result; append for update mode), never collected to the driver —
     the same ``foreachBatch`` bridge pattern as ``stream_to_zarr_hourly``,
     so gate-scale and 100 TB runs share the code path."""
+    import shutil
     import tempfile
 
     spark = result.sparkSession
     outdir = tempfile.mkdtemp(prefix=f"xbs_stream_{uuid.uuid4().hex[:8]}_")
     data_dir, ckpt_dir = f"{outdir}/data", f"{outdir}/ckpt"
+    # The checkpoint of a run-to-completion (AvailableNow) query is pure
+    # scratch — it never outlives this function — so put its WAL/state
+    # fsync traffic on RAM-backed tmpfs when the host has one and delete
+    # it after. Durable checkpoints (the restartable production path,
+    # stream_to_zarr_hourly) keep their caller-provided location.
+    scratch = os.environ.get("XBS_STREAM_SCRATCH", "/dev/shm")
+    if os.path.isdir(scratch) and os.access(scratch, os.W_OK):
+        ckpt_dir = tempfile.mkdtemp(prefix="xbs_ckpt_", dir=scratch)
     # A streaming query pins its state-store partition count at start from
     # spark.sql.shuffle.partitions; the vanilla default (200) is far too
     # many state stores for a local run and too few for a large cluster —
@@ -90,6 +100,8 @@ def _run_to_memory(result: DataFrame, mode: str = "complete") -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if not ckpt_dir.startswith(outdir):
+            shutil.rmtree(ckpt_dir, ignore_errors=True)  # free the tmpfs
     return spark.read.parquet(data_dir)
 
 
