@@ -75,6 +75,55 @@ def test_normalize_chunks_joint_byte_budget():
     assert got == {"x": 4, "y": 2}
 
 
+@settings(max_examples=150, deadline=None)
+@given(data=st.data())
+def test_normalize_chunks_properties(data):
+    ndim = data.draw(st.integers(1, 4))
+    dims = [f"d{i}" for i in range(ndim)]
+    sizes = {d: data.draw(st.integers(1, 1000), label=f"size_{d}") for d in dims}
+    use_ellipsis = data.draw(st.booleans())
+    chunks: dict = {}
+    for d in dims:
+        kind = data.draw(st.sampled_from(["absent", "int", "minus1", "over"]))
+        if kind == "int":
+            chunks[d] = data.draw(st.integers(1, sizes[d]), label=f"c_{d}")
+        elif kind == "minus1":
+            chunks[d] = -1
+        elif kind == "over":
+            chunks[d] = sizes[d] + data.draw(st.integers(1, 100))
+    if use_ellipsis:
+        chunks[...] = data.draw(st.sampled_from([-1, 7, 64]))
+    out = core.normalize_chunks(chunks, sizes)
+    assert set(out) == set(sizes)
+    for d in dims:
+        assert 1 <= out[d] <= sizes[d]
+        spec = chunks.get(d, chunks.get(..., -1) if use_ellipsis else -1)
+        if isinstance(spec, int) and 1 <= spec <= sizes[d]:
+            assert out[d] == spec
+        elif isinstance(spec, int):
+            assert out[d] == sizes[d]  # -1 / oversized -> whole dim
+
+
+@settings(max_examples=100, deadline=None)
+@given(data=st.data())
+def test_normalize_chunks_byte_budget_property(data):
+    """A shared byte budget never over-allocates: the resolved chunk's
+    payload is <= target unless the 1-element-per-dim floor forces more."""
+    ndim = data.draw(st.integers(1, 3))
+    dims = [f"d{i}" for i in range(ndim)]
+    sizes = {d: data.draw(st.integers(1, 500), label=f"size_{d}") for d in dims}
+    itemsize = data.draw(st.sampled_from([1, 4, 8]))
+    target = data.draw(st.sampled_from([64, 4096, 10**6]))
+    out = core.normalize_chunks({...: f"{target}B"}, sizes, itemsize=itemsize)
+    import math
+
+    payload = math.prod(out.values()) * itemsize
+    floor = itemsize  # every dim clamped to >= 1 element
+    assert payload <= max(target, floor) or all(
+        out[d] in (1, sizes[d]) for d in dims
+    ), (out, payload, target)
+
+
 def test_iter_chunk_keys():
     keys = list(core.iter_chunk_keys({"x": 6, "y": 4}, {"x": 3, "y": 4}))
     assert [k.offsets_dict for k in keys] == [{"x": 0, "y": 0}, {"x": 3, "y": 0}]

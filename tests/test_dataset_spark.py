@@ -1000,6 +1000,46 @@ class TestSelMethodAndElementwise:
         with pytest.raises(KeyError, match="outside"):
             d.sel(t=-5.0, method="ffill")
 
+    def test_take_and_fancy_indexing(self, spark):
+        rng = np.random.default_rng(0)
+        nd = NDDataset(
+            {"v": (("t", "x"), rng.normal(size=(10, 4)))},
+            coords={
+                "t": np.arange(10, dtype=np.int64) * 2,
+                "x": np.arange(4, dtype=np.int64),
+            },
+        )
+        d = Dataset.from_numpy(spark, nd, chunks={"t": 3})
+        vals = nd.data_vars["v"].values
+        # take: arbitrary order + repeats, coords follow
+        got = d.take("t", [7, 2, 2, 5]).collect()
+        np.testing.assert_array_equal(got.data_vars["v"].values, vals[[7, 2, 2, 5]])
+        np.testing.assert_array_equal(
+            got.coords["t"].values, nd.coords["t"].values[[7, 2, 2, 5]]
+        )
+        # isel with a non-contiguous integer list gathers
+        got2 = d.isel(t=[0, 3, 9]).collect()
+        np.testing.assert_array_equal(got2.data_vars["v"].values, vals[[0, 3, 9]])
+        # a contiguous ascending list takes the pruning window path
+        got3 = d.isel(t=[2, 3, 4]).collect()
+        np.testing.assert_array_equal(got3.data_vars["v"].values, vals[2:5])
+        # sel with a label list (order preserved), with and without method
+        got4 = d.sel(t=[14, 4, 0]).collect()
+        np.testing.assert_array_equal(got4.data_vars["v"].values, vals[[7, 2, 0]])
+        got5 = d.sel(t=[13, 5], method="nearest").collect()
+        np.testing.assert_array_equal(got5.data_vars["v"].values, vals[[7, 3]])
+        # mixed window + gather
+        got6 = d.sel(t=[4, 0], x=slice(1, 2)).collect()
+        np.testing.assert_array_equal(
+            got6.data_vars["v"].values, vals[[2, 0]][:, 1:3]
+        )
+        with pytest.raises(IndexError):
+            d.take("t", [99])
+        with pytest.raises(ValueError, match="non-empty"):
+            d.take("t", [])
+        with pytest.raises(KeyError):
+            d.sel(t=[999])  # unknown label without method
+
     def test_clip_abs_round(self, spark):
         nd, d = self._ds(spark)
         arr = nd.data_vars["v"].values

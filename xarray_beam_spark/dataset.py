@@ -735,15 +735,38 @@ class Dataset:
         idx = {**(indexers or {}), **kw}
         sizes = self.sizes
         windows: dict[str, tuple[int, int]] = {}
-        for d, sl in idx.items():
+        gathers: dict[str, np.ndarray] = {}
+        for d, sl in list(idx.items()):
             if d not in sizes:
                 raise KeyError(f"no dimension {d!r}")
+            if isinstance(sl, (list, tuple, np.ndarray)):
+                # fancy integer indexer (xarray outer indexing): a
+                # contiguous ascending run is just a window; anything else
+                # gathers via take() after the windows prune
+                positions = np.asarray(sl, dtype=np.int64)
+                if positions.ndim != 1 or positions.size == 0:
+                    raise ValueError(
+                        f"isel indexer for {d!r} must be a non-empty 1-D "
+                        f"integer sequence, got {sl!r}"
+                    )
+                if np.all(np.diff(positions) == 1):
+                    idx[d] = sl = slice(int(positions[0]), int(positions[-1]) + 1)
+                else:
+                    del idx[d]
+                    gathers[d] = positions
+                    continue
             if not isinstance(sl, slice) or (sl.step not in (None, 1)):
                 raise ValueError(f"isel supports contiguous step-1 slices, got {sl!r} for {d!r}")
             start, stop, _ = sl.indices(sizes[d])
             if stop <= start:
                 raise ValueError(f"empty selection for dim {d!r}: {sl!r}")
             windows[d] = (start, stop)
+
+        if gathers:
+            out = self.isel(idx) if idx else self
+            for d, positions in gathers.items():
+                out = out.take(d, positions)
+            return out
 
         new_sizes = {d: windows.get(d, (0, s))[1] - windows.get(d, (0, s))[0] for d, s in sizes.items()}
         if self._scan is not None:
@@ -830,33 +853,24 @@ class Dataset:
         the scan rewrite / chunk pruning applies). Labels follow xarray
         semantics: slices are inclusive of both endpoints; ``method``
         ('nearest' / 'ffill' / 'bfill', xarray's inexact-lookup modes)
-        applies to point labels, never to slices."""
+        applies to point labels and label lists, never to slices. A LIST
+        of labels gathers in the given order via :meth:`take` (xarray's
+        outer indexing; one shuffle per listed dim)."""
         idx = {**(indexers or {}), **kw}
         windows: dict[str, slice] = {}
+        gathers: dict[str, np.ndarray] = {}
         for d, sel in idx.items():
             coord = self.template.coords.get(d)
             if coord is None:
                 raise KeyError(f"dim {d!r} has no coordinate for label-based selection")
             vals = coord.values
-            if isinstance(sel, slice):
-                if sel.step is not None:
-                    raise ValueError(f"sel slices must have step=None, got {sel!r}")
-                # searchsorted silently returns wrong windows on unsorted
-                # coords (point lookups fail loudly below; slices would not).
-                if len(vals) > 1 and not np.all(vals[1:] >= vals[:-1]):
-                    raise ValueError(
-                        f"sel slice on {d!r} requires a monotonically "
-                        "non-decreasing coordinate"
-                    )
-                lo = 0 if sel.start is None else int(np.searchsorted(vals, np.asarray(sel.start, vals.dtype), "left"))
-                hi = len(vals) if sel.stop is None else int(np.searchsorted(vals, np.asarray(sel.stop, vals.dtype), "right"))
-                windows[d] = slice(lo, hi)
-            else:
-                target = np.asarray(sel, vals.dtype)
+
+            def lookup(label, d=d, vals=vals):
+                target = np.asarray(label, vals.dtype)
                 pos = int(np.searchsorted(vals, target, "left"))
                 exact = pos < len(vals) and vals[pos] == target
                 if not exact and method is None:
-                    raise KeyError(f"label {sel!r} not found in coordinate {d!r}")
+                    raise KeyError(f"label {label!r} not found in coordinate {d!r}")
                 if not exact:
                     if len(vals) > 1 and not np.all(vals[1:] >= vals[:-1]):
                         raise ValueError(
@@ -886,11 +900,37 @@ class Dataset:
                         )
                     if pos < 0 or pos >= len(vals):
                         raise KeyError(
-                            f"label {sel!r} outside coordinate {d!r} with "
+                            f"label {label!r} outside coordinate {d!r} with "
                             f"method={method!r}"
                         )
+                return pos
+
+            if isinstance(sel, slice):
+                if sel.step is not None:
+                    raise ValueError(f"sel slices must have step=None, got {sel!r}")
+                # searchsorted silently returns wrong windows on unsorted
+                # coords (point lookups fail loudly below; slices would not).
+                if len(vals) > 1 and not np.all(vals[1:] >= vals[:-1]):
+                    raise ValueError(
+                        f"sel slice on {d!r} requires a monotonically "
+                        "non-decreasing coordinate"
+                    )
+                lo = 0 if sel.start is None else int(np.searchsorted(vals, np.asarray(sel.start, vals.dtype), "left"))
+                hi = len(vals) if sel.stop is None else int(np.searchsorted(vals, np.asarray(sel.stop, vals.dtype), "right"))
+                windows[d] = slice(lo, hi)
+            elif isinstance(sel, (list, tuple, np.ndarray)):
+                positions = np.array([lookup(x) for x in np.asarray(sel)], dtype=np.int64)
+                if positions.size and np.all(np.diff(positions) == 1):
+                    windows[d] = slice(int(positions[0]), int(positions[-1]) + 1)
+                else:
+                    gathers[d] = positions
+            else:
+                pos = lookup(sel)
                 windows[d] = slice(pos, pos + 1)
-        return self.isel(windows)
+        out = self.isel(windows) if windows else self
+        for d, positions in gathers.items():
+            out = out.take(d, positions)
+        return out
 
     def coarsen(self, factors: Mapping[str, int], op: str = "mean", skipna: bool = True) -> "Dataset":
         """Block-aggregate downsampling (xarray ``coarsen``; the reference
@@ -1417,6 +1457,63 @@ class Dataset:
             return NDDataset(out_vars, coords, dict(ds.attrs))
 
         return r.map_blocks(roll_block, template=out_tmpl, chunks=dict(r.chunks))
+
+    def take(self, dim: str, indices) -> "Dataset":
+        """Fancy positional selection along one dim (xarray ``isel`` with
+        an integer array — outer indexing): arbitrary order, repeats
+        allowed, result length = ``len(indices)``.
+
+        Plan: the same rechunk-contiguous shape as :meth:`sortby` — one
+        shuffle makes ``dim`` whole per chunk, then the gather is a
+        narrow ``np.take`` per block and the result is re-chunked to the
+        selection length. Driver holds only the (metadata-sized) index
+        array. For a contiguous ascending selection use :meth:`isel`,
+        which prunes chunks instead of shuffling."""
+        positions = np.asarray(indices, dtype=np.int64)
+        if positions.ndim != 1 or positions.size == 0:
+            raise ValueError(
+                f"take needs a non-empty 1-D integer sequence, got {indices!r}"
+            )
+        size = self.sizes.get(dim)
+        if size is None:
+            raise KeyError(f"no dimension {dim!r}")
+        if positions.min() < 0 or positions.max() >= size:
+            raise IndexError(
+                f"take indices for {dim!r} out of range [0, {size}): "
+                f"[{positions.min()}, {positions.max()}]"
+            )
+        base = self.consolidate_variables() if self.split_vars else self
+        r = base.rechunk({dim: -1})
+        tmpl = r.template
+        n_new = int(positions.size)
+
+        def _take_arr(c: Variable) -> Variable:
+            ax = c.dims.index(dim)
+            return Variable(c.dims, np.take(c.values, positions, axis=ax))
+
+        out_tmpl = Template(
+            sizes={**dict(tmpl.sizes), dim: n_new},
+            var_meta=dict(tmpl.var_meta),
+            coords={
+                name: (_take_arr(c) if dim in c.dims else c)
+                for name, c in tmpl.coords.items()
+            },
+            attrs=tmpl.attrs,
+        )
+        new_chunks = {**dict(r.chunks), dim: n_new}
+
+        def take_block(ds: NDDataset) -> NDDataset:
+            out_vars = {
+                v: (_take_arr(var) if dim in var.dims else var)
+                for v, var in ds.data_vars.items()
+            }
+            coords = {
+                name: (_take_arr(c) if dim in c.dims else c)
+                for name, c in ds.coords.items()
+            }
+            return NDDataset(out_vars, coords, dict(ds.attrs))
+
+        return r.map_blocks(take_block, template=out_tmpl, chunks=new_chunks)
 
     def sortby(self, dim: str, ascending: bool = True) -> "Dataset":
         """Reorder ``dim`` so its coordinate is sorted (xarray

@@ -401,6 +401,20 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
+_STD_TABLES: tuple | None = None
+
+
+def _std_tables() -> tuple[list[_HuffTable], list[_HuffTable]]:
+    """The (static) Annex K.3 tables, built once per process."""
+    global _STD_TABLES
+    if _STD_TABLES is None:
+        _STD_TABLES = (
+            [_HuffTable(DC_LUMA_BITS, DC_LUMA_VALS), _HuffTable(DC_CHROMA_BITS, DC_CHROMA_VALS)],
+            [_HuffTable(AC_LUMA_BITS, AC_LUMA_VALS), _HuffTable(AC_CHROMA_BITS, AC_CHROMA_VALS)],
+        )
+    return _STD_TABLES
+
+
 class _BitWriter:
     def __init__(self) -> None:
         self.out = bytearray()
@@ -527,8 +541,7 @@ def encode_jpeg(
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
 
-    dc_tbls = [_HuffTable(DC_LUMA_BITS, DC_LUMA_VALS), _HuffTable(DC_CHROMA_BITS, DC_CHROMA_VALS)]
-    ac_tbls = [_HuffTable(AC_LUMA_BITS, AC_LUMA_VALS), _HuffTable(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    dc_tbls, ac_tbls = _std_tables()
     qt = [qluma.reshape(8, 8), qchroma.reshape(8, 8)]
 
     # quantized coefficient blocks per component, MCU-padded

@@ -651,8 +651,13 @@ def to_zarr(
     needs_setup: bool = True,
     origin: Mapping[str, int] | None = None,
     encoding: Mapping[str, Mapping] | None = None,
+    stage_locally: bool | None = None,
 ) -> dict[str, int]:
     """Write the dataset to a Zarr group; returns write stats.
+
+    ``stage_locally`` is forwarded to :func:`setup_zarr` (reference
+    ``ChunksToZarr``'s kwarg, ``zarr.py:374-386``): None = auto-stage the
+    metadata skeleton when the destination store is latency-bound.
 
     ``zarr_chunks`` defaults to the in-flight chunk grid. In-flight chunks
     must align to the write unit — the zarr chunk, or the shard when
@@ -692,7 +697,7 @@ def to_zarr(
         unit = zshards or zchunks
         setup_zarr(
             work.template, path, zchunks, compressor, zarr_format, zshards,
-            encoding=encoding,
+            encoding=encoding, stage_locally=stage_locally,
         )
         arrays, _ = zarrlite.open_group(path)
     else:
