@@ -1,14 +1,17 @@
-"""Reading a "cloud" Zarr store: blosc chunks, HTTP backend, SQL pushdown.
+"""A "cloud" Zarr store both ways: blosc chunks, HTTP backend, SQL pushdown.
 
 The reference's headline use case is analytics over published cloud Zarr
 stores (Pangeo/ERA5-style: blosc- or zstd-compressed chunks behind an
-object store, opened via fsspec, ``zarr.py:71-96,374-386``). This
-example runs that shape end to end with this engine's own machinery:
+object store, reached via fsspec, ``zarr.py:71-96,374-386``). This
+example runs that shape end to end — INCLUDING the publish step — with
+this engine's own machinery:
 
-1. "publish" a store: write a blosc-compressed Zarr v2 group with
-   consolidated metadata (the exact layout zarr-python writes) and serve
-   it over a throwaway local HTTP server — a stand-in for any
-   S3/GCS/HTTPS endpoint;
+1. publish a store OVER HTTP: ``to_zarr`` against an ``http://`` URL —
+   the metadata skeleton is staged locally and pushed 128-wide
+   (``setup_zarr(stage_locally)``), then executors PUT their
+   blosc-compressed chunks directly to the object store (a throwaway
+   local HTTP server with object-store PUT semantics stands in for any
+   S3/GCS/HTTPS endpoint);
 2. open it by ``http://`` URL: the driver fetches ``.zmetadata`` in ONE
    request (no listing — object stores have none worth using), executors
    GET only their chunks, 16 IO threads per task hiding request latency;
@@ -38,11 +41,32 @@ from xarray_beam_spark.dataset import Dataset
 from xarray_beam_spark.ndarray_ds import NDDataset
 from xarray_beam_spark.observability import get_counters
 from xarray_beam_spark.session import get_spark
-from xarray_beam_spark.sources import spark_datasource, zarr_io, zarrlite
+from xarray_beam_spark.sources import spark_datasource, zarr_io
+
+
+class _PutHandler(http.server.SimpleHTTPRequestHandler):
+    """Static file serving + object-store-shaped PUT (atomic replace)."""
+
+    def log_message(self, *args):
+        pass
+
+    def do_PUT(self):
+        length = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(length)
+        target = self.translate_path(self.path)
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        tmp = f"{target}.put.{threading.get_ident()}"
+        with open(tmp, "wb") as f:
+            f.write(body)
+        os.replace(tmp, target)
+        self.send_response(201)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
 
 
 def _publish(spark, path: str) -> None:
-    """Write a blosc-lz4 store the way a data publisher would."""
+    """Write a blosc-lz4 store the way a data publisher would — here
+    straight to the object store URL (staged setup + executor PUTs)."""
     rng = np.random.default_rng(42)
     nd = NDDataset(
         data_vars={
@@ -64,23 +88,19 @@ def _publish(spark, path: str) -> None:
         path,
         zarr_chunks={"time": 24},
         compressor={"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1},
-    )
-    zarrlite.consolidate_metadata(path)
+    )  # setup consolidates .zmetadata itself (staged when remote)
 
 
 def main(store_dir: str | None = None) -> None:
     spark = get_spark("cloud-zarr-sql")
     spark.sparkContext.setLogLevel("ERROR")
     root = store_dir or tempfile.mkdtemp(prefix="xbs_cloud_")
-    _publish(spark, os.path.join(root, "era.zarr"))
-
-    handler = functools.partial(
-        http.server.SimpleHTTPRequestHandler, directory=root
-    )
+    handler = functools.partial(_PutHandler, directory=root)
     srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     url = f"http://127.0.0.1:{srv.server_address[1]}/era.zarr"
-    print("serving:", url)
+    print("publishing over http:", url)
+    _publish(spark, url)  # staged metadata push + executor chunk PUTs
 
     try:
         counters = get_counters(spark)

@@ -157,6 +157,17 @@ class TestHttpStore:
         finally:
             srv.shutdown()
 
+    def test_consolidate_on_listingless_store_refuses(self, http_root):
+        """Re-consolidating through a listing-free backend would replace
+        .zmetadata with an empty document — must refuse loudly instead."""
+        local, url = http_root
+        _write_store(f"{local}/gc")
+        with pytest.raises(ValueError, match="no\\s+listing"):
+            zarrlite.consolidate_metadata(f"{url}/gc")
+        # the store remains intact and openable
+        arrays, _ = zarrlite.open_group(f"{url}/gc")
+        assert "v" in arrays
+
     def test_exists_and_404(self, http_root):
         local, url = http_root
         _write_store(f"{local}/g2")

@@ -562,6 +562,10 @@ def multimodal_jpeg_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`documents_as_jpeg_assets` for why this lossy codec admits an
     exact oracle here)."""
     docs = load(spark, sf_dir, "documents")
+    # the local fixture is one parquet row-group = one partition, which
+    # would serialize the per-doc codec work; a real corpus has many
+    # files and skips this (values are partition-independent)
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     assets = documents_as_jpeg_assets(docs)
     feats = extract_features(assets, decoder=decode_image)
     return feats.select(

@@ -561,6 +561,16 @@ def consolidate_metadata(path: str) -> dict:
     v3 callers are a no-op here."""
     if not _exists(_join(path, ".zgroup")):
         return {}
+    from xarray_beam_spark.sources import stores as _st
+
+    if not _list_dir(path) and getattr(_st.resolve(path)[0], "latency_bound", False):
+        # listing-free backend (HTTP object store): re-consolidating here
+        # would OVERWRITE .zmetadata with an empty document and break the
+        # store. Setup already consolidated in the local staging dir.
+        raise ValueError(
+            f"cannot consolidate {path!r}: this store backend has no "
+            "listing; consolidation happens during (staged) setup"
+        )
     meta: dict[str, Any] = {".zgroup": _get_json(_join(path, ".zgroup"))}
     zattrs = _get(_join(path, ".zattrs"))
     if zattrs is not None:
