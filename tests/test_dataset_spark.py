@@ -1033,6 +1033,13 @@ class TestSelMethodAndElementwise:
         np.testing.assert_array_equal(
             got6.data_vars["v"].values, vals[[2, 0]][:, 1:3]
         )
+        # thin = strided take (xarray Dataset.thin)
+        got7 = d.thin(t=3).collect()
+        np.testing.assert_array_equal(got7.data_vars["v"].values, vals[::3])
+        np.testing.assert_array_equal(
+            got7.coords["t"].values, nd.coords["t"].values[::3]
+        )
+        assert d.thin(t=1) is d  # step 1 is the identity
         with pytest.raises(IndexError):
             d.take("t", [99])
         with pytest.raises(ValueError, match="non-empty"):

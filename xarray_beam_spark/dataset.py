@@ -1515,6 +1515,23 @@ class Dataset:
 
         return r.map_blocks(take_block, template=out_tmpl, chunks=new_chunks)
 
+    def thin(self, indexers: Mapping[str, int] | None = None, **kw: int) -> "Dataset":
+        """Every ``step``-th element along each given dim (xarray
+        ``Dataset.thin``) — the quick-look downsample. Rides
+        :meth:`take`'s gather (one shuffle per thinned dim); for
+        block-aggregate downsampling use :meth:`coarsen` instead."""
+        idx = {**(indexers or {}), **kw}
+        out = self
+        for d, step in idx.items():
+            if not isinstance(step, int) or step <= 0:
+                raise ValueError(f"thin step for {d!r} must be a positive int, got {step!r}")
+            size = out.sizes.get(d)
+            if size is None:
+                raise KeyError(f"no dimension {d!r}")
+            if step > 1:
+                out = out.take(d, np.arange(0, size, step))
+        return out
+
     def sortby(self, dim: str, ascending: bool = True) -> "Dataset":
         """Reorder ``dim`` so its coordinate is sorted (xarray
         ``ds.sortby``) — the fix-up after a :func:`concat` of

@@ -986,6 +986,27 @@ def xb_grid_getitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "xb_grid_thin_take",
+    f"""
+WITH cells AS ({_CELLS_SQL}),
+ranked AS (
+  SELECT day, row_number() OVER (ORDER BY day) - 1 AS r
+  FROM (SELECT DISTINCT day FROM cells)
+)
+SELECT c.day, c.hour, c.event_type, c.cnt
+FROM cells c JOIN ranked k ON c.day = k.day
+WHERE k.r % 3 = 0
+""",
+)
+def xb_grid_thin_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``thin`` (every 3rd day) — the strided quick-look downsample over
+    :meth:`Dataset.take`'s fancy-gather path, certified against a SQL
+    oracle that keeps the same every-3rd day slabs."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    return d.thin(day=3).to_table(dropna=True)
+
+
+@_register(
     "xb_grid_anomaly_dow",
     f"""
 WITH cells AS ({_CELLS_SQL}), clim AS (

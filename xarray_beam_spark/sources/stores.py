@@ -32,7 +32,13 @@ import threading
 
 
 class Store:
-    """Byte-blob store interface (see module docstring)."""
+    """Byte-blob store interface (see module docstring).
+
+    ``get_range``/``get_tail`` are OPTIONAL fast paths with working
+    defaults (fetch-whole + slice): v3 shard objects are read index-tail
+    first, then only the needed inner chunks — the entire point of the
+    sharding layout on an object store. Backends where partial reads are
+    native (file seek, HTTP Range) override them."""
 
     def get(self, key: str) -> bytes | None:
         raise NotImplementedError
@@ -45,6 +51,18 @@ class Store:
 
     def list_dir(self, key: str) -> list[str]:
         raise NotImplementedError
+
+    def get_range(self, key: str, start: int, length: int) -> bytes | None:
+        """Bytes ``[start, start+length)`` of the object (shorter at the
+        object's end); None = missing object."""
+        data = self.get(key)
+        return None if data is None else data[start : start + length]
+
+    def get_tail(self, key: str, length: int) -> bytes | None:
+        """The object's last ``length`` bytes (the whole object when
+        smaller); None = missing object."""
+        data = self.get(key)
+        return None if data is None else data[-length:]
 
 
 class FsStore(Store):
@@ -74,6 +92,24 @@ class FsStore(Store):
             return sorted(os.listdir(key))
         except (FileNotFoundError, NotADirectoryError):
             return []
+
+    def get_range(self, key: str, start: int, length: int) -> bytes | None:
+        try:
+            with open(key, "rb") as f:
+                f.seek(start)
+                return f.read(length)
+        except (FileNotFoundError, IsADirectoryError):
+            return None
+
+    def get_tail(self, key: str, length: int) -> bytes | None:
+        try:
+            with open(key, "rb") as f:
+                f.seek(0, os.SEEK_END)
+                size = f.tell()
+                f.seek(max(0, size - length))
+                return f.read()
+        except (FileNotFoundError, IsADirectoryError):
+            return None
 
 
 class MemStore(Store):
@@ -157,7 +193,11 @@ class HttpStore(Store):
         return c
 
     def _request(
-        self, method: str, key: str, body: bytes | None = None
+        self,
+        method: str,
+        key: str,
+        body: bytes | None = None,
+        headers: dict[str, str] | None = None,
     ) -> tuple[int, bytes]:
         """One keep-alive request; a fresh TCP(+TLS) handshake per chunk
         would double the very per-request latency the threaded IO path
@@ -174,7 +214,7 @@ class HttpStore(Store):
         for attempt in (0, 1):
             conn = self._conn(netloc)
             try:
-                conn.request(method, path, body=body)
+                conn.request(method, path, body=body, headers=headers or {})
                 resp = conn.getresponse()
                 data = resp.read()  # drain so the connection is reusable
                 return resp.status, data
@@ -191,6 +231,40 @@ class HttpStore(Store):
         if status != 200:
             raise OSError(f"GET {self._url(key)} -> HTTP {status}")
         return body
+
+    def _ranged(self, key: str, range_value: str, length: int) -> bytes | None:
+        """One Range GET (``bytes=a-b`` or suffix ``bytes=-n``). Servers
+        without range support answer 200 with the full body — slice it,
+        which degrades to exactly the old whole-object behavior."""
+        status, body = self._request("GET", key, headers={"Range": range_value})
+        if status in (404, 410):
+            return None
+        if status == 206:
+            return body
+        if status == 200:
+            if range_value.startswith("bytes=-"):
+                return body[-length:]
+            start = int(range_value[len("bytes="):].split("-", 1)[0])
+            return body[start : start + length]
+        if status == 416:  # range not satisfiable: object shorter than asked
+            data = self.get(key)
+            if data is None:
+                return None
+            if range_value.startswith("bytes=-"):
+                return data[-length:]
+            start = int(range_value[len("bytes="):].split("-", 1)[0])
+            return data[start : start + length]
+        raise OSError(f"GET {self._url(key)} ({range_value}) -> HTTP {status}")
+
+    def get_range(self, key: str, start: int, length: int) -> bytes | None:
+        if length <= 0:
+            return b""
+        return self._ranged(key, f"bytes={start}-{start + length - 1}", length)
+
+    def get_tail(self, key: str, length: int) -> bytes | None:
+        if length <= 0:
+            return b""
+        return self._ranged(key, f"bytes=-{length}", length)
 
     def put(self, key: str, data: bytes) -> None:
         status, _ = self._request("PUT", key, body=bytes(data))

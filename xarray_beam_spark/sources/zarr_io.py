@@ -629,7 +629,8 @@ def _setup_zarr_direct(
         )
     # One .zmetadata GET instead of 2+2n metadata round-trips per open —
     # setup is the only writer of metadata, so region writes never
-    # invalidate it (v2 only; no-op for v3).
+    # invalidate it (v2 .zmetadata; v3 uses the inline convention in the
+    # root zarr.json).
     zarrlite.consolidate_metadata(path)
 
 

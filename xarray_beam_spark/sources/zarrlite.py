@@ -79,6 +79,16 @@ def _list_dir(path: str) -> list[str]:
     return store.list_dir(key)
 
 
+def _get_range(path: str, start: int, length: int) -> bytes | None:
+    store, key = _stores.resolve(path)
+    return store.get_range(key, start, length)
+
+
+def _get_tail(path: str, length: int) -> bytes | None:
+    store, key = _stores.resolve(path)
+    return store.get_tail(key, length)
+
+
 def _put_json(path: str, obj: Any) -> None:
     _put(path, json.dumps(obj, sort_keys=True).encode())
 
@@ -517,7 +527,10 @@ def _compressor_from_v3_codecs(name: str, codecs: list[dict]) -> str | dict | No
 
 
 def _open_array_v3(apath: str, name: str) -> ZArray:
-    meta = _get_json(_join(apath, "zarr.json"))
+    return _zarray_from_v3_meta(apath, name, _get_json(_join(apath, "zarr.json")))
+
+
+def _zarray_from_v3_meta(apath: str, name: str, meta: dict) -> ZArray:
     if meta.get("zarr_format") != 3 or meta.get("node_type") != "array":
         raise ValueError(f"{name}: not a v3 array")
     dtype = np.dtype(_V3_DTYPES[meta["data_type"]])
@@ -557,13 +570,43 @@ def consolidate_metadata(path: str) -> dict:
     default, and the reference's ``open_zarr``/``setup_zarr`` path
     consumes it). At object-store scale this turns group opening from
     ``2 + 2·n_arrays`` round-trips into one GET. v3 stores have one
-    ``zarr.json`` per node and no finalized consolidated convention —
-    v3 callers are a no-op here."""
-    if not _exists(_join(path, ".zgroup")):
-        return {}
+    v3 stores use zarr-python 3's inline convention instead: the child
+    array documents are embedded under ``consolidated_metadata`` in the
+    ROOT ``zarr.json`` (``kind: inline``, ``must_understand: false`` —
+    foreign readers that don't know the key still open the group node),
+    which keeps v3 group opening at one GET on object stores too."""
     from xarray_beam_spark.sources import stores as _st
 
-    if not _list_dir(path) and getattr(_st.resolve(path)[0], "latency_bound", False):
+    listing_free = not _list_dir(path) and getattr(
+        _st.resolve(path)[0], "latency_bound", False
+    )
+    if not _exists(_join(path, ".zgroup")):
+        root = _join(path, "zarr.json")
+        if not _exists(root):
+            return {}
+        gmeta = _get_json(root)
+        if gmeta.get("node_type") != "group":
+            return {}
+        if listing_free:
+            raise ValueError(
+                f"cannot consolidate {path!r}: this store backend has no "
+                "listing; consolidation happens during (staged) setup"
+            )
+        children: dict[str, Any] = {}
+        for entry in _list_dir(path):
+            sub = _join(path, entry, "zarr.json")
+            if _exists(sub):
+                doc = _get_json(sub)
+                if doc.get("node_type") == "array":
+                    children[entry] = doc
+        gmeta["consolidated_metadata"] = {
+            "kind": "inline",
+            "must_understand": False,
+            "metadata": children,
+        }
+        _put_json(root, gmeta)
+        return gmeta
+    if listing_free:
         # listing-free backend (HTTP object store): re-consolidating here
         # would OVERWRITE .zmetadata with an empty document and break the
         # store. Setup already consolidated in the local staging dir.
@@ -617,15 +660,36 @@ def open_group(path: str) -> tuple[dict[str, ZArray], dict[str, Any]]:
         zattrs = _get(_join(path, ".zattrs"))
         if zattrs is not None:
             attrs = json.loads(zattrs)
-    elif _exists(_join(path, "zarr.json")):
-        gmeta = _get_json(_join(path, "zarr.json"))
+    elif (gjson := _get(_join(path, "zarr.json"))) is not None:
+        gmeta = json.loads(gjson)
         if gmeta.get("node_type") != "group":
             raise ValueError(f"{path}: zarr.json is not a group node")
         attrs = dict(gmeta.get("attributes") or {})
+        cons = gmeta.get("consolidated_metadata") or {}
+        if cons.get("metadata"):
+            # zarr-python 3 inline consolidated convention: the root
+            # document carries every child array's zarr.json — one GET
+            # opens the whole group (object stores have no listing)
+            arrays = {
+                name: _zarray_from_v3_meta(_join(path, name), name, doc)
+                for name, doc in cons["metadata"].items()
+                if doc.get("node_type") == "array"
+            }
+            return arrays, attrs
     else:
         raise FileNotFoundError(f"not a zarr group: {path}")
     arrays: dict[str, ZArray] = {}
-    for entry in _list_dir(path):
+    entries = _list_dir(path)
+    if not entries:
+        from xarray_beam_spark.sources import stores as _st
+
+        if getattr(_st.resolve(path)[0], "latency_bound", False):
+            raise ValueError(
+                f"cannot open group {path!r}: store backend has no listing "
+                "and the group has no consolidated metadata (v2 .zmetadata "
+                "or v3 inline) — consolidate the store before publishing"
+            )
+    for entry in entries:
         sub = _join(path, entry)
         if _exists(_join(sub, ".zarray")) or _exists(_join(sub, "zarr.json")):
             arrays[entry] = open_array(path, entry)
@@ -784,6 +848,57 @@ def _read_shard_file(meta: ZArray, shard_idx: tuple[int, ...]) -> bytes | None:
     return _get(_join(meta.path, _chunk_fname(meta, shard_idx)))
 
 
+def _read_shard_index(
+    meta: ZArray, shard_idx: tuple[int, ...]
+) -> np.ndarray | None:
+    """The shard's (offset, nbytes) index, via ONE tail-range read — the
+    v3 ``sharding_indexed`` access pattern object stores exist for: the
+    index is `16·n_inner + 4` bytes at the object's end, so opening an
+    inner chunk never downloads the (possibly GB-sized) shard body.
+    None = shard object missing; crc32c-verified."""
+    n_inner = int(np.prod(meta.chunks_per_shard))
+    tail_len = n_inner * 16 + 4
+    tail = _get_tail(_join(meta.path, _chunk_fname(meta, shard_idx)), tail_len)
+    if tail is None:
+        return None
+    if len(tail) < tail_len:
+        raise ValueError(f"{meta.name}: shard {shard_idx} shorter than its index")
+    tail = tail[-tail_len:]
+    if _crc32c(tail[:-4]) != int.from_bytes(tail[-4:], "little"):
+        raise ValueError(f"{meta.name}: shard {shard_idx} index crc32c mismatch")
+    return np.frombuffer(tail[:-4], dtype="<u8").reshape(n_inner, 2)
+
+
+def _read_inner_chunk(
+    meta: ZArray,
+    grid_idx: tuple[int, ...],
+    index_cache: dict | None = None,
+) -> np.ndarray:
+    """One inner chunk of a sharded array: tail-ranged index (cached per
+    caller via ``index_cache``), then one ranged read of just that inner
+    chunk's bytes."""
+    cps = meta.chunks_per_shard
+    shard_idx = tuple(g // c for g, c in zip(grid_idx, cps))
+    inner_idx = tuple(g % c for g, c in zip(grid_idx, cps))
+    if index_cache is not None and shard_idx in index_cache:
+        index = index_cache[shard_idx]
+    else:
+        index = _read_shard_index(meta, shard_idx)
+        if index_cache is not None:
+            index_cache[shard_idx] = index
+    if index is None:
+        return _fill_chunk(meta)
+    flat = int(np.ravel_multi_index(inner_idx, cps))
+    off, nb = int(index[flat, 0]), int(index[flat, 1])
+    if off == _MISSING:
+        return _fill_chunk(meta)
+    data = _get_range(_join(meta.path, _chunk_fname(meta, shard_idx)), off, nb)
+    if data is None or len(data) != nb:
+        raise ValueError(f"{meta.name}: shard {shard_idx} truncated at chunk {inner_idx}")
+    raw = _decompress(meta, data)
+    return np.frombuffer(raw, dtype=meta.dtype).reshape(meta.chunks).copy()
+
+
 def chunk_file_exists(meta: ZArray, grid_idx: tuple[int, ...]) -> bool:
     """Presence probe for the WRITE UNIT covering inner chunk ``grid_idx``
     (the shard file when sharded, the chunk file otherwise). Because
@@ -796,23 +911,14 @@ def chunk_file_exists(meta: ZArray, grid_idx: tuple[int, ...]) -> bool:
     return _exists(_join(meta.path, _chunk_fname(meta, grid_idx)))
 
 
-def read_chunk(meta: ZArray, grid_idx: tuple[int, ...]) -> np.ndarray:
+def read_chunk(
+    meta: ZArray,
+    grid_idx: tuple[int, ...],
+    _index_cache: dict | None = None,
+) -> np.ndarray:
     """Read one inner chunk (padded shape); missing → fill_value."""
     if meta.shards is not None:
-        cps = meta.chunks_per_shard
-        shard_idx = tuple(g // c for g, c in zip(grid_idx, cps))
-        inner_idx = tuple(g % c for g, c in zip(grid_idx, cps))
-        data = _read_shard_file(meta, shard_idx)
-        if data is None:
-            return _fill_chunk(meta)
-        n_inner = int(np.prod(cps))
-        index = np.frombuffer(data[-(n_inner * 16 + 4) : -4], dtype="<u8").reshape(n_inner, 2)
-        flat = int(np.ravel_multi_index(inner_idx, cps))
-        off, nb = int(index[flat, 0]), int(index[flat, 1])
-        if off == _MISSING:
-            return _fill_chunk(meta)
-        raw = _decompress(meta, data[off : off + nb])
-        return np.frombuffer(raw, dtype=meta.dtype).reshape(meta.chunks).copy()
+        return _read_inner_chunk(meta, grid_idx, _index_cache)
     data = _get(_join(meta.path, _chunk_fname(meta, grid_idx)))
     if data is None:
         return _fill_chunk(meta)
@@ -872,9 +978,14 @@ def read_region(meta: ZArray, offsets: Mapping[str, int], shape: Mapping[str, in
 
     rec(0, [], [], [])
 
+    # per-call shard-index cache: N inner chunks of one shard cost one
+    # index tail read, not N (a benign duplicate fetch under the thread
+    # race is possible; dict ops are GIL-atomic)
+    index_cache: dict = {}
+
     def fetch(task) -> None:
         grid_idx, src_sl, dst_sl = task
-        out[dst_sl] = read_chunk(meta, grid_idx)[src_sl]  # disjoint slices
+        out[dst_sl] = read_chunk(meta, grid_idx, _index_cache=index_cache)[src_sl]
 
     # latency-bound stores: fetch chunk files concurrently (reference
     # threads chunk IO inside each task, core.py:528-530/threadmap.py:111)
