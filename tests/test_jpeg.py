@@ -175,6 +175,40 @@ class TestMarkers:
         assert (img[:, :8] == v1).all() and (img[:, 8:] == v2).all()
 
 
+class TestRobustness:
+    @settings(max_examples=120, deadline=None)
+    @given(st.integers(0, 2**32 - 1))
+    def test_corrupted_streams_never_leak_internal_errors(self, seed):
+        """Failure contract: arbitrary byte corruption yields either a
+        decoded image or ValueError — never IndexError / StopIteration /
+        OverflowError / struct.error / a hang."""
+        rng = np.random.default_rng(seed)
+        img = ((np.arange(1024) % 251).reshape(32, 32)).astype(np.uint8)
+        blob = bytearray(jpeg.encode_jpeg(img, quality=80))
+        for _ in range(int(rng.integers(1, 6))):
+            blob[int(rng.integers(2, len(blob)))] = int(rng.integers(0, 256))
+        try:
+            out = jpeg.decode_jpeg(bytes(blob))
+            assert out.dtype == np.uint8
+        except ValueError:
+            pass
+
+    def test_decompression_bomb_guard(self):
+        blob = bytearray(jpeg.encode_jpeg(np.zeros((8, 8), np.uint8)))
+        i = blob.find(b"\xff\xc0")
+        blob[i + 5 : i + 9] = struct.pack(">HH", 65535, 65535)  # 4.3 GP
+        with pytest.raises(ValueError, match="pixel guard"):
+            jpeg.decode_jpeg(bytes(blob))
+
+    def test_truncated_stream(self):
+        blob = jpeg.encode_jpeg(np.full((24, 24), 99, np.uint8), quality=90)
+        for cut in (4, len(blob) // 2, len(blob) - 3):
+            try:
+                jpeg.decode_jpeg(blob[:cut])
+            except ValueError:
+                pass  # either outcome is within contract
+
+
 class TestEncoderValidation:
     def test_rejects_bad_inputs(self):
         with pytest.raises(ValueError, match="uint8"):

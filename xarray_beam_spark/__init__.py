@@ -19,11 +19,45 @@ No code is copied from the reference; reference files are cited in
 docstrings as ``xarray_beam/_src/<file>.py:<lines>`` for parity checks.
 """
 
-from xarray_beam_spark.core import Key  # noqa: F401
-from xarray_beam_spark.dataset import Dataset, Template, concat  # noqa: F401
+from xarray_beam_spark.core import (  # noqa: F401
+    Key,
+    normalize_chunks,
+    offsets_to_slices,
+)
+from xarray_beam_spark.dataset import (  # noqa: F401
+    Dataset,
+    Template,
+    concat,
+    in_memory_rechunk,
+)
 from xarray_beam_spark.ndarray_ds import NDDataset, Variable  # noqa: F401
 from xarray_beam_spark.operators.temporal import asof_join, interval_join  # noqa: F401
 from xarray_beam_spark.sources import zarr_io as _zarr_io  # noqa: F401  (wires Dataset.to_zarr/from_zarr)
-from xarray_beam_spark.sources.zarr_io import from_zarr, to_zarr  # noqa: F401
+from xarray_beam_spark.sources.zarr_io import (  # noqa: F401
+    from_zarr,
+    open_zarr_template,
+    replace_template_dims,
+    setup_zarr,
+    to_zarr,
+)
+
+# Reference top-level names and their nearest equivalent here (the
+# reference's free PTransforms over (key, chunk) pairs are Dataset
+# METHODS in this engine — Spark's lazy DataFrame already carries the
+# pipeline role Beam's PTransform graph plays):
+#   DatasetToChunks      -> Dataset.from_numpy / from_zarr
+#   ChunksToZarr /
+#   DatasetToZarr        -> to_zarr / Dataset.to_zarr
+#   open_zarr            -> open_zarr_template (metadata) / from_zarr (data)
+#   make_template        -> Template.from_ndds / replace_template_dims
+#   validate_zarr_chunk  -> sources.zarrlite.validate_region_alignment
+#   write_chunk_to_zarr  -> sources.zarrlite.write_region
+#   ValidateEachChunk /
+#   validate_chunk       -> Dataset.validate
+#   Split*/Consolidate*/
+#   Rechunk              -> Dataset.split_chunks / split_variables /
+#                           consolidate_chunks / consolidate_variables /
+#                           consolidate_fully / rechunk
+#   Mean / Mean.PerKey   -> Dataset.mean / Dataset.groupby_reduce
 
 __version__ = "0.1.0"

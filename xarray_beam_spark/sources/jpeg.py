@@ -237,10 +237,28 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
 
-def decode_jpeg(blob: bytes) -> np.ndarray:
+MAX_PIXELS = 1 << 28  # 268 MP decompression-bomb guard (PIL caps at 178 MP)
+
+
+def decode_jpeg(blob: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
     """Decode a baseline JPEG to uint8 — ``(H, W)`` for grayscale,
-    ``(H, W, 3)`` RGB otherwise."""
-    data = bytes(blob)
+    ``(H, W, 3)`` RGB otherwise.
+
+    Failure contract: ANY malformed/corrupt/truncated stream raises
+    ``ValueError`` (fuzz-tested) — internal errors never leak — and
+    declared dimensions above ``max_pixels`` are rejected before any
+    allocation (a 4-byte edit can otherwise demand a 34 GB buffer)."""
+    try:
+        return _decode_jpeg(bytes(blob), max_pixels)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, StopIteration, OverflowError, struct.error) as e:
+        raise ValueError(
+            f"jpeg: corrupt or truncated stream ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _decode_jpeg(data: bytes, max_pixels: int) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI marker")
     qtables: dict[int, np.ndarray] = {}
@@ -291,6 +309,11 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             if prec != 8:
                 raise ValueError(f"jpeg: only 8-bit precision supported, got {prec}")
             height, width = struct.unpack(">HH", seg[1:5])
+            if height * width > max_pixels:
+                raise ValueError(
+                    f"jpeg: declared size {width}x{height} exceeds the "
+                    f"{max_pixels}-pixel guard (decompression bomb?)"
+                )
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):
@@ -312,7 +335,10 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             scan_comps = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(x for x in comps if x["id"] == cs)
+                matches = [x for x in comps if x["id"] == cs]
+                if not matches:
+                    raise ValueError(f"jpeg: SOS references unknown component {cs}")
+                comp = matches[0]
                 scan_comps.append({**comp, "td": tdta >> 4, "ta": tdta & 15})
             scan_pos = pos + 2 + seglen
             break
