@@ -135,3 +135,26 @@ class TestChunkFiles:
     def test_missing_meta_raises(self, spark, tmp_path):
         with pytest.raises(FileNotFoundError):
             netcdf3.from_netcdf_files(spark, str(tmp_path / "nope"))
+
+
+def test_corrupted_streams_never_leak_internal_errors():
+    """Failure contract (matches the image codecs): corrupted bytes parse
+    or raise ValueError — struct/Index/Key/Type errors never leak."""
+    import numpy as np
+
+    from xarray_beam_spark.ndarray_ds import NDDataset
+
+    rng = np.random.default_rng(5)
+    nd = NDDataset(
+        {"v": (("x",), np.arange(64.0))},
+        coords={"x": np.arange(64, dtype=np.int64)},
+    )
+    blob = netcdf3.dumps(nd)
+    for _ in range(200):
+        b = bytearray(blob)
+        for _ in range(int(rng.integers(1, 6))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        try:
+            netcdf3.loads(bytes(b))
+        except ValueError:
+            pass

@@ -123,3 +123,34 @@ def test_spark_decode_path(spark):
     for _, r in feats.iterrows():
         img = imgs[r["asset_id"]]
         assert r["mean_px"] == pytest.approx(img.mean())
+
+
+def test_corrupted_streams_never_leak_internal_errors():
+    """Failure contract (matches jpeg.py): corruption yields either a
+    decoded image or ValueError — zlib.error/struct.error never leak."""
+    rng = np.random.default_rng(3)
+    img = (np.arange(900) % 251).reshape(30, 30).astype(np.uint8)
+    blob = encode_png(img)
+    for _ in range(150):
+        b = bytearray(blob)
+        for _ in range(int(rng.integers(1, 6))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        try:
+            out = decode_png(bytes(b))
+            assert out.dtype == np.uint8
+        except ValueError:
+            pass
+
+
+def test_decompression_bomb_guard():
+    img = np.zeros((4, 4), np.uint8)
+    blob = bytearray(encode_png(img))
+    # IHDR payload starts 16 bytes in: width/height are the first 8 bytes
+    ihdr_payload = blob.find(b"IHDR") + 4
+    blob[ihdr_payload : ihdr_payload + 8] = struct.pack(">II", 65535, 65535)
+    # re-CRC so the guard (not the CRC check) is what fires
+    tag_and_payload = bytes(blob[ihdr_payload - 4 : ihdr_payload + 13])
+    crc = zlib.crc32(tag_and_payload) & 0xFFFFFFFF
+    blob[ihdr_payload + 13 : ihdr_payload + 17] = struct.pack(">I", crc)
+    with pytest.raises(ValueError, match="pixel guard"):
+        decode_png(bytes(blob))

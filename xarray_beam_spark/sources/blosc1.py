@@ -338,10 +338,11 @@ def _decode_block(
             if len(out) != bsize:
                 raise ValueError("blosc: block streams do not sum to block size")
             return bytes(out)
-        except (ValueError, struct.error) as e:
-            # struct.error can still surface from _codec_decompress walking a
-            # mis-hypothesised stream; both mean "this split hypothesis is
-            # wrong", so the next candidate must get its turn.
+        except (ValueError, struct.error, zlib.error) as e:
+            # struct.error / zlib.error can still surface from
+            # _codec_decompress walking a mis-hypothesised stream; all mean
+            # "this split hypothesis is wrong", so the next candidate must
+            # get its turn (and the final failure is a ValueError).
             last_err = e
             continue
     raise ValueError(f"blosc: cannot decode block at {pos}: {last_err}")

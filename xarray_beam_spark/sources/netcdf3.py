@@ -233,7 +233,26 @@ class _Reader:
 
 
 def loads(buf: bytes) -> NDDataset:
-    """Parse NetCDF3 classic bytes (CDF-1 or CDF-2) back to an NDDataset."""
+    """Parse NetCDF3 classic bytes (CDF-1 or CDF-2) back to an NDDataset.
+
+    Failure contract (fuzz-tested, matching the image codecs): any
+    malformed stream raises ``ValueError``; internal parser errors never
+    leak."""
+    try:
+        return _loads(buf)
+    except ValueError:
+        # includes UnicodeDecodeError / JSONDecodeError (both subclasses)
+        raise
+    except (
+        struct.error, IndexError, KeyError, TypeError, OverflowError,
+        MemoryError,
+    ) as e:
+        raise ValueError(
+            f"netcdf3: corrupt or truncated stream ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _loads(buf: bytes) -> NDDataset:
     if buf[:3] != b"CDF" or buf[3] not in (1, 2):
         raise ValueError("not a NetCDF3 classic file")
     wide = buf[3] == 2

@@ -66,8 +66,26 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def decode_png(blob: bytes) -> np.ndarray:
-    """PNG bytes → uint8 array ((H, W) grayscale or (H, W, C) color)."""
+MAX_PIXELS = 1 << 28  # decompression-bomb guard, same contract as jpeg.py
+
+
+def decode_png(blob: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
+    """PNG bytes → uint8 array ((H, W) grayscale or (H, W, C) color).
+
+    Failure contract (fuzz-tested, matching ``jpeg.decode_jpeg``): any
+    malformed stream raises ``ValueError``; declared dimensions above
+    ``max_pixels`` are rejected before allocation."""
+    try:
+        return _decode_png(blob, max_pixels)
+    except ValueError:
+        raise
+    except (zlib.error, struct.error, IndexError, KeyError, OverflowError) as e:
+        raise ValueError(
+            f"PNG: corrupt or truncated stream ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _decode_png(blob: bytes, max_pixels: int) -> np.ndarray:
     if blob[:8] != _MAGIC:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
@@ -90,6 +108,11 @@ def decode_png(blob: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, comp, filt, interlace = ihdr
+    if w * h > max_pixels:
+        raise ValueError(
+            f"PNG: declared size {w}x{h} exceeds the {max_pixels}-pixel "
+            "guard (decompression bomb?)"
+        )
     if depth != 8:
         raise ValueError(f"unsupported bit depth {depth} (only 8)")
     if color_type not in (0, 2, 6):
