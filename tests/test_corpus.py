@@ -268,3 +268,34 @@ class TestImportanceSample:
         # aggregate keep rate tracks the mean probability (hash uniformity)
         mean_p = sum(min((i % 40 + 1) * 100 / 2000.0, 1.0) for i in range(400)) / 400
         assert abs(len(a) / 400 - mean_p) < 0.08
+
+
+class TestHashedQualityClassifier:
+    def test_features_and_score_replay(self, spark):
+        from xarray_beam_spark.operators.corpus import hashed_quality_classifier
+        import hashlib
+
+        rows = [(1, "web", "Alpha beta GAMMA!"), (2, "web", ""), (3, "web", "solo")]
+        out = {
+            r["doc_id"]: r
+            for r in hashed_quality_classifier(_docs(spark, rows)).collect()
+        }
+        # doc 1: unigrams [alpha, beta, gamma] + bigrams [alpha_beta, beta_gamma]
+        assert out[1]["n_features"] == 5
+        assert out[2]["n_features"] == 0 and out[2]["score"] == 0 and out[2]["label"] == "drop"
+        assert out[3]["n_features"] == 1  # single token -> no bigrams
+
+        def w(tok):
+            h = hashlib.md5(("xbs-qc" + tok).encode()).hexdigest()
+            return int(h[24:32], 16) % 2001 - 1000
+
+        feats = ["alpha", "beta", "gamma", "alpha_beta", "beta_gamma"]
+        assert out[1]["score"] == sum(w(t) for t in feats)
+        assert out[1]["label"] == ("keep" if out[1]["score"] > 0 else "drop")
+
+    def test_plan_is_jvm_only(self, spark):
+        from xarray_beam_spark.operators.corpus import hashed_quality_classifier
+
+        rows = [(i, "web", "some text here %d" % i) for i in range(5)]
+        plan = hashed_quality_classifier(_docs(spark, rows))._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

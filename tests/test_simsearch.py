@@ -250,3 +250,64 @@ def test_edit_distance_pairs_finds_mutated_twins(spark):
     texts = dict(rows)
     for r in twin_pairs.itertuples():
         assert r.dist == lev(texts[r.doc_a], texts[r.doc_b])
+
+
+class TestSemanticDedup:
+    def _emb(self, spark, vecs):
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_exact_duplicates_keep_lowest_id(self, spark):
+        """Identical vectors quantize identically → centroid-sim tie →
+        rank by id → only the lowest-id copy survives its cluster."""
+        rng = np.random.default_rng(3)
+        base = [rng.normal(size=8) for _ in range(6)]
+        dup = base[4]  # ids 4, 6, 7 share one vector
+        vecs = base + [dup, dup]
+        emb = self._emb(spark, vecs)
+        kept = ss.semantic_dedup(emb, eps=0.999, n_centroids=4)
+        ids = {r["vec_id"] for r in kept.collect()}
+        assert 4 in ids
+        assert 6 not in ids and 7 not in ids
+        # non-duplicates all survive at a near-1 threshold
+        assert {0, 1, 2, 3, 5} <= ids
+
+    def test_eps_above_one_keeps_everything(self, spark):
+        rng = np.random.default_rng(5)
+        emb = self._emb(spark, [rng.normal(size=8) for _ in range(10)])
+        kept = ss.semantic_dedup(emb, eps=1.01, n_centroids=4)
+        assert kept.count() == 10
+
+    def test_triangular_rule_no_transitive_closure(self, spark):
+        """SemDeDup drops i when ANY earlier-ranked j is ε-close, even a
+        dropped j — verify against a local numpy replay."""
+        rng = np.random.default_rng(11)
+        vecs = [rng.normal(size=8) for _ in range(24)]
+        emb = self._emb(spark, vecs)
+        eps = 0.2
+        got = {
+            (r["vec_id"], r["cell"]) for r in ss.semantic_dedup(emb, eps=eps, n_centroids=4).collect()
+        }
+        qv = np.floor(np.stack([np.asarray(v, np.float32).astype(np.float64) for v in vecs]) * ss.QUANT)
+        qn = np.sqrt((qv * qv).sum(axis=1))
+        C = qv[:4]
+        cn = qn[:4]
+        csims = (qv @ C.T) / np.outer(qn, cn)
+        cells = np.argmax(csims == csims.max(axis=1, keepdims=True), axis=1)
+        want = set()
+        for c in range(4):
+            members = np.nonzero(cells == c)[0]
+            cs = csims[members, c]
+            order = members[np.lexsort((members, cs))]
+            for pos, i in enumerate(order):
+                sims = (qv[order[:pos]] @ qv[i]) / (qn[order[:pos]] * qn[i])
+                if not (sims > eps).any():
+                    want.add((int(i), int(c)))
+        assert got == want
+
+    def test_rerun_deterministic(self, spark):
+        rng = np.random.default_rng(9)
+        emb = self._emb(spark, [rng.normal(size=8) for _ in range(30)])
+        a = sorted(tuple(r) for r in ss.semantic_dedup(emb, eps=0.25, n_centroids=8).collect())
+        b = sorted(tuple(r) for r in ss.semantic_dedup(emb, eps=0.25, n_centroids=8).collect())
+        assert a == b

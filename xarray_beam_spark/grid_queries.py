@@ -231,6 +231,31 @@ def xb_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.to_table(dropna=True)
 
 
+@_register("xb_zarr_append_roundtrip", _CELLS_SQL)
+def xb_zarr_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``to_zarr(append_dim="day")`` ingestion: the first half of the day
+    axis lands as a fresh store, the second half is APPENDED (metadata
+    resize + coordinate extension + aligned region write at origin = old
+    extent), and the reassembled store must equal the full grid. The
+    time-series pattern xarray users run daily (xarray ``to_zarr``
+    append_dim semantics on the reference's incremental-write machinery,
+    ``zarr.py:149-226,700-716``)."""
+    from xarray_beam_spark.sources import zarr_io
+
+    d = _events_grid(spark, sf_dir, chunks={"day": 8})
+    half = (d.sizes["day"] // 2 // 8) * 8 or 8
+    first = d.isel(day=slice(0, half))
+    second = d.isel(day=slice(half, None))
+
+    def _build(p: str) -> None:
+        zarr_io.to_zarr(first, p, zarr_chunks={"day": 8, "hour": 24})
+        zarr_io.to_zarr(second, p, append_dim="day")
+
+    path = _materialized(spark, sf_dir, "zappend", _build)
+    back = zarr_io.from_zarr(spark, path, chunks={"day": 8})
+    return back.to_table(dropna=True)
+
+
 @_register("stream_zarr_tail", _CELLS_SQL)
 def stream_zarr_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING read of a Zarr store: ``spark.readStream.format(

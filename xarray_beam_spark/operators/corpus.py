@@ -680,3 +680,97 @@ def corpus_importance_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc"),
         )
     )
+
+
+def hashed_quality_classifier(
+    docs: DataFrame,
+    text_col: str = "text",
+    salt: str = "xbs-qc",
+    weight_range: int = 1000,
+) -> DataFrame:
+    """Hashed linear text classifier — the fastText / CCNet quality-filter
+    architecture (Joulin et al. 2016, arXiv:1607.01759; Wenzek et al.
+    2019, arXiv:1911.00359): unigrams and token bigrams hash into weight
+    buckets, the document score is the sum of bucket weights, and the
+    sign decides keep/drop.
+
+    The weight table here is derived from ``md5(salt ‖ feature)`` — a
+    deterministic stand-in for trained weights (no training corpus ships
+    in this container). Swapping in a real model is a broadcast join
+    against a ``{feature → weight}`` table; everything else — feature
+    extraction, the hashing trick, the score aggregation — is the
+    production plan shape, and it is entirely JVM-side expressions
+    (``regexp_extract_all`` + ``transform`` + ``aggregate``), no Python
+    UDF, so at 100 TB this fuses into the scan with zero shuffles.
+
+    Adds ``n_features``, ``score`` (integer, exact in any engine) and
+    ``label`` columns.
+    """
+    modulus = 2 * weight_range + 1
+    uni = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+    docs = docs.withColumn("_toks", uni)
+    bigrams = F.when(F.size("_toks") < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice("_toks", 1, F.size("_toks") - 1),
+            F.slice("_toks", 2, F.size("_toks") - 1),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        )
+    )
+    feats = F.concat(F.col("_toks"), bigrams)
+    weight = lambda t: (  # noqa: E731 — inline: the one hash→weight rule
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), t)), 25, 8), 16, 10).cast("long")
+        % modulus
+        - weight_range
+    )
+    score = F.aggregate(
+        F.transform(feats, weight), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    return (
+        docs.withColumn("_feats", feats)
+        .withColumn("n_features", F.size("_feats").cast("long"))
+        .withColumn("score", score)
+        .withColumn(
+            "label", F.when(F.col("score") > 0, F.lit("keep")).otherwise(F.lit("drop"))
+        )
+        .drop("_toks", "_feats")
+    )
+
+
+_QC_ORACLE = """
+WITH f AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z]+') AS toks
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, source,
+         list_concat(
+           toks,
+           CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                ELSE list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || '_' || toks[i + 1])
+           END
+         ) AS fs
+  FROM f
+),
+scored AS (
+  SELECT doc_id, source, CAST(len(fs) AS BIGINT) AS n_features,
+         CAST(COALESCE(list_sum(list_transform(fs,
+           t -> CAST('0x' || substr(md5('xbs-qc' || t), 25, 8) AS BIGINT) % 2001 - 1000
+         )), 0) AS BIGINT) AS score
+  FROM feats
+)
+SELECT doc_id, source, n_features, score,
+       CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END AS label
+FROM scored
+"""
+
+
+@_register("corpus_quality_classifier", _QC_ORACLE)
+def corpus_quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document hashed linear quality score over unigram+bigram
+    features; the DuckDB oracle replays the identical hash→weight→sum
+    pipeline, so scores and labels hash-match exactly."""
+    docs = load(spark, sf_dir, "documents")
+    return hashed_quality_classifier(docs).select(
+        "doc_id", "source", "n_features", "score", "label"
+    )

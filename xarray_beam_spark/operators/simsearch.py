@@ -877,6 +877,96 @@ def embedding_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pairs_blocked(emb, threshold=0.3, n_blocks=8)
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    eps: float = 0.3,
+    n_centroids: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space coarsely, then inside each cluster drop every item
+    that is ε-similar to an item ranked before it.
+
+    Rank = ascending similarity to the cluster centroid (ties → lowest
+    id): the paper's keep-the-outlier rule — among near-duplicates the
+    item FARTHEST from the centroid survives, preserving diversity.  The
+    drop test follows the paper's triangular implementation: item *i* is
+    dropped iff some j ranked before it has cos(i, j) > ε, whether or not
+    *j* itself was dropped — no transitive closure, so the rule is one
+    EXISTS and the whole operator is oracle-checkable.
+
+    Plan shape (scales to corpus size, not pairs): one broadcast GEMM
+    pass assigns cells (centroids are metadata-sized), one shuffle groups
+    by cell, and one per-cell GEMM applies the triangular rule — O(c²)
+    FLOPs per cell but never O(c²) shuffled rows.  At production scale
+    the centroid set comes from trained k-means (see :func:`ivf_topk`'s
+    trained path) with enough clusters to cap c; the gate variant uses
+    data-point centroids (the ``n_centroids`` lowest-id vectors) so the
+    DuckDB oracle reproduces the clustering bit-for-bit.
+
+    Determinism: quantized int64 vectors make every dot exact (< 2^53 →
+    float64 GEMM accumulation is exact in any order); centroid
+    similarities, the ranking, and the ε test are therefore bit-identical
+    to the SQL oracle.
+    """
+    spark = emb.sparkSession
+    Cq, Cn = _collect_qcentroids(emb, n_centroids, vec_col, id_col)
+    bc = spark.sparkContext.broadcast((Cq, Cn))
+    assign_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("qvec", T.ArrayType(T.LongType())),
+            T.StructField("qnorm", T.DoubleType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("centroid_sim", T.DoubleType()),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cq_l, Cn_l = bc.value
+        Cf = Cq_l.astype(np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qv = np.floor(M * QUANT).astype(np.int64)
+            qn = _qnorms(qv)
+            sims = (qv.astype(np.float64) @ Cf.T) / (qn[:, None] * Cn_l[None, :])
+            best = np.argsort(-sims, axis=1, kind="stable")[:, 0]  # ties → low cid
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "qvec": list(qv),
+                    "qnorm": qn,
+                    "cell": best.astype(np.int32),
+                    "centroid_sim": sims[np.arange(len(ids)), best],
+                }
+            )
+
+    assigned = emb.select(id_col, vec_col).mapInPandas(assign, assign_schema)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("centroid_sim", T.DoubleType()),
+        ]
+    )
+
+    def keep_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        # paper order: ascending centroid similarity, ties by id
+        order = np.lexsort((pdf["vec_id"].to_numpy(), pdf["centroid_sim"].to_numpy()))
+        pdf = pdf.iloc[order]
+        Q = np.stack(pdf["qvec"].to_numpy()).astype(np.float64)
+        n = pdf["qnorm"].to_numpy()
+        sims = (Q @ Q.T) / np.outer(n, n)
+        # strict lower triangle: does any earlier-ranked j exceed eps?
+        dropped = np.tril(sims > eps, k=-1).any(axis=1)
+        return pdf.loc[~dropped, ["vec_id", "cell", "centroid_sim"]]
+
+    return assigned.groupBy("cell").applyInPandas(keep_cluster, out_schema)
 # The gate variants pin every random input to a deterministic, engine-
 # portable construction (±1 planes inlined into the SQL; centroids /
 # codebooks = quantized sub-slices of the 32 lowest-id vectors), so the
@@ -1056,3 +1146,50 @@ def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
     return ivfpq_topk(emb, queries, k=10, data_codebooks=True)
+
+
+_SEMANTIC_ORACLE = f"""
+WITH {_SQL_BASE_CTE},
+cent AS (
+  SELECT vec_id AS cid, qv AS cqv, n AS cn FROM base WHERE vec_id < 32
+),
+csims AS (
+  SELECT b.vec_id, c.cid,
+         CAST(list_sum(list_transform(generate_series(1, len(b.qv)),
+                       i -> b.qv[i] * c.cqv[i])) AS DOUBLE) / (b.n * c.cn) AS csim
+  FROM base b CROSS JOIN cent c
+),
+bcell AS (
+  SELECT vec_id, cid AS cell, csim FROM (
+    SELECT vec_id, cid, csim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rnk
+    FROM csims
+  ) WHERE rnk = 1
+),
+ranked AS (
+  SELECT vec_id, cell, csim,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY csim ASC, vec_id) AS rnk
+  FROM bcell
+),
+dropped AS (
+  SELECT DISTINCT i.vec_id
+  FROM ranked i JOIN ranked j ON i.cell = j.cell AND j.rnk < i.rnk
+  JOIN base x ON x.vec_id = i.vec_id
+  JOIN base y ON y.vec_id = j.vec_id
+  WHERE CAST(list_sum(list_transform(generate_series(1, len(x.qv)),
+                      k -> x.qv[k] * y.qv[k])) AS DOUBLE) / (x.n * y.n) > 0.3
+)
+SELECT vec_id, CAST(cell AS INTEGER) AS cell, csim AS centroid_sim
+FROM ranked
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
+@_register("dedup_semantic", _SEMANTIC_ORACLE)
+def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: 32 data-point centroids,
+    ε = 0.3 (the synthetic embeddings are near-orthogonal, so a realistic
+    0.95 would drop nothing — 0.3 exercises the drop logic on ~20% of
+    rows at sf0.01)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, eps=0.3, n_centroids=32)

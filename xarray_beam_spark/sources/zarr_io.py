@@ -642,6 +642,142 @@ _WRITE_STATS = T.StructType(
 )
 
 
+def append_to_zarr(ds: Dataset, path: str, append_dim: str) -> dict[str, int]:
+    """Grow an existing Zarr store along ``append_dim`` and region-write
+    ``ds`` into the new extent — xarray's ``to_zarr(append_dim=...)``
+    time-series ingestion pattern, built on the reference's incremental
+    region-write machinery (``zarr.py:149-226`` + ``needs_setup``,
+    ``zarr.py:700-716``).
+
+    Driver-side: every data variable's stored shape is rewritten
+    (:func:`zarrlite.resize_array` — metadata-only, existing chunk objects
+    untouched), the ``append_dim`` coordinate array is extended with the
+    incoming labels, and consolidated metadata is refreshed.  Then one
+    distributed write lands the new chunks at ``origin = old extent``.
+
+    Constraints (all checked loudly):
+      * every data variable must exist in the store, carry ``append_dim``,
+        and match dtypes; non-append dims must match the store extent;
+      * the old extent must be a multiple of the store's write unit along
+        ``append_dim`` (zarr chunk, or shard when sharded) — the writer's
+        whole-chunk-ownership contract cannot safely fill a trailing
+        partial chunk that an earlier write produced;
+      * the store and the incoming dataset must agree on whether
+        ``append_dim`` is labelled (both have the coordinate, or neither).
+    """
+    work = ds.consolidate_variables() if ds.split_vars else ds
+    tmpl = work.template
+    if not tmpl.var_meta:
+        raise ValueError("append_to_zarr: dataset has no data variables")
+    if append_dim not in tmpl.sizes:
+        raise ValueError(f"append_to_zarr: dataset has no dimension {append_dim!r}")
+    arrays, _ = zarrlite.open_group(path)
+
+    old: int | None = None
+    for v, (dims, dtype) in tmpl.var_meta.items():
+        if v not in arrays:
+            raise ValueError(f"store {path} has no array {v!r} (append_dim)")
+        meta = arrays[v]
+        if append_dim not in meta.logical_dims:
+            raise ValueError(
+                f"{v!r}: store array has no dimension {append_dim!r} — every "
+                "appended variable must carry the append dimension (project "
+                f"static variables away first, e.g. ds[[...]] without {v!r})"
+            )
+        if cf_decoded_dtype(meta) != dtype:
+            raise ValueError(f"{v!r}: dtype {dtype} != store {cf_decoded_dtype(meta)}")
+        ax = meta.logical_dims.index(append_dim)
+        ext = meta.logical_shape[ax]
+        if old is None:
+            old = ext
+        elif old != ext:
+            raise ValueError(
+                f"store arrays disagree on {append_dim!r} extent: {old} vs {ext} ({v!r})"
+            )
+        unit = meta.write_unit[ax]
+        if ext % unit != 0:
+            raise ValueError(
+                f"{v!r}: store extent {ext} along {append_dim!r} is not a "
+                f"multiple of the write unit {unit}; the append origin would "
+                "land inside a chunk (whole-chunk ownership contract)"
+            )
+        for d, s in zip(meta.logical_dims, meta.logical_shape):
+            if d != append_dim and tmpl.sizes.get(d) != s:
+                raise ValueError(
+                    f"{v!r}: size {tmpl.sizes.get(d)} along {d!r} != store {s}"
+                )
+    assert old is not None
+
+    # Remaining store arrays are coordinates (name == its own dim, or a
+    # declared template coord). Anything else is a data variable the
+    # incoming dataset is missing — appending would leave it unresized and
+    # the store internally inconsistent, so fail loudly (xarray's rule).
+    coord_names = []
+    for n in arrays:
+        if n in tmpl.var_meta:
+            continue
+        cmeta = arrays[n]
+        if n in tmpl.coords or cmeta.logical_dims == (n,):
+            coord_names.append(n)
+        elif append_dim in cmeta.logical_dims:
+            raise ValueError(
+                f"store has data variable {n!r} carrying {append_dim!r} that "
+                "the appended dataset lacks; appends must cover every "
+                "variable along the append dimension or the store becomes "
+                "internally inconsistent"
+            )
+        # else: a static variable (no append dim) — left untouched, like
+        # xarray's append semantics for dimension-disjoint variables
+    for n in coord_names:
+        cmeta = arrays[n]
+        if append_dim in cmeta.logical_dims and cmeta.logical_dims != (append_dim,):
+            raise ValueError(
+                f"coordinate {n!r} spans {append_dim!r} with dims "
+                f"{cmeta.logical_dims}; appending under multi-dim coordinates "
+                "is not supported"
+            )
+    store_has_coord = append_dim in coord_names
+    ds_coord = tmpl.coords.get(append_dim)
+    ds_has_coord = ds_coord is not None and ds_coord.dims == (append_dim,)
+    if store_has_coord != ds_has_coord:
+        raise ValueError(
+            f"store and dataset disagree on a {append_dim!r} coordinate "
+            f"(store: {store_has_coord}, dataset: {ds_has_coord})"
+        )
+
+    # 1. metadata-only resize of every data array
+    for v in tmpl.var_meta:
+        meta = arrays[v]
+        ax = meta.dims.index(append_dim)  # wrapped arrays keep logical axes first
+        new_shape = list(meta.shape)
+        new_shape[ax] = old + tmpl.sizes[append_dim]
+        zarrlite.resize_array(meta, new_shape)
+
+    # 2. extend the append-dim coordinate (single-chunk array: re-create +
+    # rewrite in full; metadata-sized by construction)
+    if store_has_coord:
+        cmeta = arrays[append_dim]
+        old_vals = zarrlite.read_full(cmeta)
+        new_vals = np.concatenate([old_vals, np.asarray(ds_coord.values)])
+        cmeta2 = zarrlite.create_array(
+            path,
+            append_dim,
+            shape=new_vals.shape,
+            chunks=new_vals.shape,
+            dtype=old_vals.dtype,
+            dims=(append_dim,),
+            compressor=cmeta.compressor,
+            zarr_format=cmeta.zarr_format,
+        )
+        zarrlite.write_full(cmeta2, new_vals.astype(old_vals.dtype))
+
+    # 3. one .zmetadata GET per open stays true after the resize
+    zarrlite.consolidate_metadata(path)
+
+    # 4. distributed region write of the new extent
+    return to_zarr(work, path, needs_setup=False, origin={append_dim: old})
+
+
 def to_zarr(
     ds: Dataset,
     path: str,
@@ -653,6 +789,7 @@ def to_zarr(
     origin: Mapping[str, int] | None = None,
     encoding: Mapping[str, Mapping] | None = None,
     stage_locally: bool | None = None,
+    append_dim: str | None = None,
 ) -> dict[str, int]:
     """Write the dataset to a Zarr group; returns write stats.
 
@@ -679,7 +816,20 @@ def to_zarr(
     ``encoding``: per-variable ``{"compressor": ..., "fill_value": ...}``
     overrides (reference ``ChunksToZarr(encoding=...)``); see
     :func:`setup_zarr`.
+
+    ``append_dim``: grow an EXISTING store along one dimension and write
+    this dataset into the new extent (xarray's ``to_zarr(append_dim=)``);
+    see :func:`append_to_zarr`. Mutually exclusive with every
+    setup/origin option.
     """
+    if append_dim is not None:
+        if not needs_setup or origin or zarr_chunks or zarr_chunks_per_shard or encoding:
+            raise ValueError(
+                "append_dim is mutually exclusive with needs_setup=False, "
+                "origin, zarr_chunks, zarr_chunks_per_shard and encoding "
+                "(the existing store already fixes the layout)"
+            )
+        return append_to_zarr(ds, path, append_dim)
     work = ds.consolidate_variables() if ds.split_vars else ds
     sizes = dict(work.sizes)
     base = {d: int((origin or {}).get(d, 0)) for d in sizes}

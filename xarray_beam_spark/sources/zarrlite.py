@@ -40,7 +40,7 @@ import json
 import math
 import os
 import zlib
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as _dc_replace
 from typing import Any, Iterator, Mapping, Sequence
 
 import numpy as np
@@ -450,6 +450,36 @@ def _encode_fill_v3(value: Any, dtype: np.dtype) -> Any:
     if dtype.kind == "b":
         return bool(value)
     return int(value)
+
+
+def resize_array(meta: ZArray, new_shape: Sequence[int]) -> ZArray:
+    """Rewrite an array's stored shape in place (the zarr append/resize
+    primitive: only the metadata document changes; existing chunk objects
+    are untouched, and chunks in the grown region read as fill until
+    written).  ``new_shape`` is the STORED shape — callers growing a
+    wrapped (non-core-dtype v3) array keep its trailing bytes axis as-is.
+    Shrinking is rejected: it would orphan written chunks and silently
+    change reads.
+    """
+    new_shape = tuple(int(s) for s in new_shape)
+    if len(new_shape) != len(meta.shape):
+        raise ValueError(
+            f"{meta.name}: resize rank {len(new_shape)} != array rank {len(meta.shape)}"
+        )
+    for d, old, new in zip(meta.dims, meta.shape, new_shape):
+        if new < old:
+            raise ValueError(
+                f"{meta.name}: resize along {d!r} shrinks {old} -> {new}; "
+                "only growth is supported"
+            )
+    if meta.zarr_format == 2:
+        doc_path = _join(meta.path, ".zarray")
+    else:
+        doc_path = _join(meta.path, "zarr.json")
+    doc = _get_json(doc_path)
+    doc["shape"] = list(new_shape)
+    _put_json(doc_path, doc)
+    return _dc_replace(meta, shape=new_shape)
 
 
 def open_array(group_path: str, name: str) -> ZArray:
