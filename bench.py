@@ -27,6 +27,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = registry.queries()
+    # Dev-only: SPARK_GRAFT_BENCH_FILTER=substr1,substr2 restricts the run
+    # to matching query names (iteration aid; the driver never sets it).
+    flt = os.environ.get("SPARK_GRAFT_BENCH_FILTER")
+    if flt:
+        pats = [p for p in flt.split(",") if p]
+        qs = {k: v for k, v in qs.items() if any(p in k for p in pats)}
     # Warm the JVM + parquet footers once with the cheapest query.
     try:
         qs["q6_revenue_change"](spark, sf_dir).collect()

@@ -385,3 +385,83 @@ def test_sql_write_honors_store_fill_value(spark, tmp_path):
     df.coalesce(1).write.format("xbs_zarr").option("path", dst).mode("append").save()
     got = zarrlite.read_full(zarrlite.open_array(dst, "v"))
     np.testing.assert_array_equal(got, [1.5, -9999.0, 2.5, -9999.0])
+
+
+class TestJvmChunkKey:
+    """repartition_for_write's whole-stage-codegen key path."""
+
+    def _mk(self, spark, tmp_path, time_vals):
+        rng = np.random.default_rng(1)
+        nd = NDDataset(
+            {"v": (("time", "cat"), rng.normal(size=(len(time_vals), 3)))},
+            coords={"time": time_vals, "cat": np.array(["a", "b", "c"])},
+        )
+        p = str(tmp_path / "jvmsrc")
+        zarr_io.to_zarr(Dataset.from_numpy(spark, nd, chunks={"time": 4}), p)
+        dst = str(tmp_path / "jvmdst")
+        zarr_io.setup_zarr(
+            Dataset.from_numpy(spark, nd, chunks={"time": 4}).template,
+            dst, {"time": 4, "cat": 3},
+        )
+        return p, dst, nd
+
+    def test_regular_axes_stay_jvm_side(self, spark, tmp_path):
+        """Regular timestamp + small categorical axes → the shuffle key is
+        a JVM expression: no Python eval node anywhere in the plan."""
+        times = (np.datetime64("2024-01-01", "h") + np.arange(16)).astype("datetime64[us]")
+        p, dst, nd = self._mk(spark, tmp_path, times)
+        spark_datasource.register(spark)
+        df = spark.read.format("xbs_zarr").option("path", p).load()
+        rp = spark_datasource.repartition_for_write(df.repartition(8), dst)
+        plan = rp._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        rp.write.format("xbs_zarr").option("path", dst).mode("append").save()
+        back = spark.read.format("xbs_zarr").option("path", dst).load()
+        assert back.orderBy("time", "cat").collect() == df.orderBy("time", "cat").collect()
+
+    def test_integer_axis_jvm(self, spark, tmp_path):
+        p, dst, nd = self._mk(spark, tmp_path, np.arange(16, dtype=np.int64) * 10)
+        spark_datasource.register(spark)
+        df = spark.read.format("xbs_zarr").option("path", p).load()
+        rp = spark_datasource.repartition_for_write(df.repartition(8), dst)
+        plan = rp._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        rp.write.format("xbs_zarr").option("path", dst).mode("append").save()
+        back = spark.read.format("xbs_zarr").option("path", dst).load()
+        assert back.orderBy("time", "cat").collect() == df.orderBy("time", "cat").collect()
+
+    def test_irregular_axis_falls_back_to_udf(self, spark, tmp_path):
+        """Irregular spacing → the key must come from the validating UDF
+        path (searchsorted), and the contract still holds."""
+        irregular = np.array([0, 1, 3, 7, 8, 9, 20, 21, 22, 40, 41, 42, 60, 61, 62, 63], dtype=np.int64)
+        p, dst, nd = self._mk(spark, tmp_path, irregular)
+        spark_datasource.register(spark)
+        df = spark.read.format("xbs_zarr").option("path", p).load()
+        rp = spark_datasource.repartition_for_write(df.repartition(8), dst)
+        plan = rp._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+        rp.write.format("xbs_zarr").option("path", dst).mode("append").save()
+        back = spark.read.format("xbs_zarr").option("path", dst).load()
+        assert back.orderBy("time", "cat").collect() == df.orderBy("time", "cat").collect()
+
+    def test_jvm_index_matches_writer_index(self, spark, tmp_path):
+        """_jvm_dim_index must agree element-for-element with the writer's
+        _dim_index on every expressible axis shape."""
+        from xarray_beam_spark.sources.spark_datasource import _dim_index, _jvm_dim_index
+
+        times = (np.datetime64("2024-06-01", "m") + np.arange(12) * 15).astype("datetime64[us]")
+        ints = np.arange(12, dtype=np.int64) * 7 + 3
+        cats = np.array([f"k{i:02d}" for i in range(12)])  # sorted, like _dim_index assumes
+        rows = [
+            (times[i].item(), int(ints[i]), str(cats[i]), i)
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(
+            rows, "t timestamp_ntz, n long, c string, expect int"
+        )
+        for col, axis in [("t", times), ("n", ints), ("c", cats)]:
+            expr = _jvm_dim_index(col, axis, df)
+            assert expr is not None, col
+            got = [r[0] for r in df.select(expr).collect()]
+            want = _dim_index(col, axis, 12, axis)
+            assert got == list(want), col

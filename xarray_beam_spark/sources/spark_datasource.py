@@ -640,6 +640,61 @@ def _eq_window(vals: np.ndarray, v) -> tuple[int, int]:
     )
 
 
+def _jvm_dim_index(d: str, axis, df):
+    """Whole-stage-codegen expression for a dim's global element index, or
+    ``None`` when the axis can't be expressed JVM-side (irregular spacing,
+    float labels, oversized categorical maps) and the caller must fall
+    back to the vectorized-UDF path.
+
+    Covers the axes real stores have: regularly-spaced timestamps
+    (``timestampdiff``/``unix_micros`` arithmetic — no timezone
+    interpretation for NTZ columns), regularly-spaced integers, and
+    bounded categorical labels (an O(1) literal-map lookup, not an O(n)
+    array scan). Unlike the UDF path this does NOT pre-validate that
+    values sit on the axis — the writer re-derives indices from the same
+    shared ``_dim_index`` math and still fails loudly on off-axis values;
+    only the error site moves from the shuffle to the write task."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as ST
+
+    if axis is None:
+        return df[d].cast("long")
+    axis = np.asarray(axis)
+    if axis.ndim != 1 or len(axis) == 0:
+        return None
+    if len(axis) == 1:
+        return F.lit(0).cast("long")
+    if axis.dtype.kind == "M":
+        us = axis.astype("datetime64[us]").astype(np.int64)
+        steps = np.diff(us)
+        if not ((steps > 0).all() and (steps == steps[0]).all()):
+            return None
+        step = int(steps[0])
+        spark_t = df.schema[d].dataType
+        if isinstance(spark_t, ST.TimestampNTZType):
+            origin = str(np.datetime64(axis[0], "us")).replace("T", " ")
+            diff = F.expr(f"timestampdiff(MICROSECOND, timestamp_ntz'{origin}', `{d}`)")
+        elif isinstance(spark_t, ST.TimestampType):
+            diff = F.unix_micros(df[d]) - F.lit(int(us[0]))
+        else:
+            return None
+        return F.floor(diff / F.lit(step)).cast("long")
+    if axis.dtype.kind in "iu":
+        iv = axis.astype(np.int64)
+        steps = np.diff(iv)
+        if not ((steps > 0).all() and (steps == steps[0]).all()):
+            return None
+        return F.floor(
+            (df[d].cast("long") - F.lit(int(iv[0]))) / F.lit(int(steps[0]))
+        ).cast("long")
+    if axis.dtype.kind in "USO" and len(axis) <= 4096:
+        pairs: list = []
+        for i, v in enumerate(axis.tolist()):
+            pairs += [F.lit(str(v)), F.lit(i)]
+        return F.element_at(F.create_map(*pairs), df[d].cast("string")).cast("long")
+    return None
+
+
 def repartition_for_write(df, path: str, chunks: dict | None = None, num_partitions: int | None = None):
     """Shuffle a long-format DataFrame so every task owns whole store
     chunks — the precondition the ``xbs_zarr`` writer enforces in
@@ -648,13 +703,20 @@ def repartition_for_write(df, path: str, chunks: dict | None = None, num_partiti
     The Python DataSource writer API has no ``requiredDistribution`` hook
     (unlike JVM DSv2's ``RequiresDistributionAndOrdering``), so the plan
     can't inject this shuffle itself; this helper is the one-call way to
-    satisfy the contract.  The chunk key is computed by a vectorized
-    (Arrow-batched) pandas UDF capturing only the metadata-sized
-    coordinate axes — same index math as the writer — then
+    satisfy the contract.  The chunk key mirrors the writer's own index
+    math (shared ``_dim_index``/``_linear_chunk_key`` helpers), then
     ``df.repartition(key)`` hash-partitions on it, so any one chunk key
     lands in exactly one task (several chunks may share a task, which is
-    fine: ownership stays disjoint)."""
-    from pyspark.sql.functions import pandas_udf
+    fine: ownership stays disjoint).
+
+    The key is a pure JVM expression whenever every axis allows it
+    (regular timestamp/integer spacing, bounded categorical labels — see
+    :func:`_jvm_dim_index`): the whole read→key→shuffle pipeline then
+    stays inside whole-stage codegen with no extra Arrow hop, which at
+    100 TB removes a full Python round-trip of the data. Irregular or
+    float axes fall back to a vectorized (Arrow-batched) pandas UDF with
+    the writer's strict off-axis validation."""
+    from pyspark.sql import functions as F
 
     template, store_chunks = zarr_io.open_zarr_template(path)
     cchunks = dict(store_chunks)
@@ -669,20 +731,33 @@ def repartition_for_write(df, path: str, chunks: dict | None = None, num_partiti
     }
     n_chunks_d = {d: -(-sizes[d] // cchunks[d]) for d in dims}
 
-    @pandas_udf("long")
-    def _chunk_key(cols: pd.DataFrame) -> pd.Series:
-        # the writer's exact index + key math (shared helpers), incl. its
-        # strict off-axis validation — bad values fail HERE with a clear
-        # message instead of later inside the write job
-        idx = {
-            d: _dim_index(d, axes.get(d), sizes[d], cols[d].to_numpy())
-            for d in dims
-        }
-        return pd.Series(_linear_chunk_key(dims, sizes, cchunks, idx))
+    jvm_idx: dict[str, object] = {}
+    for d in dims:
+        c = _jvm_dim_index(d, axes.get(d), df)
+        if c is None:
+            break
+        jvm_idx[d] = c
+    if len(jvm_idx) == len(dims):
+        key_col = F.lit(0).cast("long")
+        for d in dims:
+            key_col = key_col * F.lit(n_chunks_d[d]) + F.floor(
+                jvm_idx[d] / F.lit(cchunks[d])
+            ).cast("long")
+    else:
+        from pyspark.sql.functions import pandas_udf
 
-    from pyspark.sql import functions as F
+        @pandas_udf("long")
+        def _chunk_key(cols: pd.DataFrame) -> pd.Series:
+            # the writer's exact index + key math (shared helpers), incl.
+            # its strict off-axis validation — bad values fail HERE with a
+            # clear message instead of later inside the write job
+            idx = {
+                d: _dim_index(d, axes.get(d), sizes[d], cols[d].to_numpy())
+                for d in dims
+            }
+            return pd.Series(_linear_chunk_key(dims, sizes, cchunks, idx))
 
-    key_col = _chunk_key(F.struct(*[df[d] for d in dims]))
+        key_col = _chunk_key(F.struct(*[df[d] for d in dims]))
     n_parts = num_partitions or int(math.prod(n_chunks_d.values()))
     return df.repartition(min(n_parts, 2048), key_col)
 
