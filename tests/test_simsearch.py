@@ -122,11 +122,37 @@ def test_duplicate_clusters_star_beats_diameter(spark):
     star_rounds, label_rounds = [], []
     got = {
         r["doc_id"]: r["cluster_id"]
-        for r in duplicate_clusters(edges, algorithm="star", _rounds_out=star_rounds).collect()
+        for r in duplicate_clusters(
+            edges, algorithm="star", _rounds_out=star_rounds, driver_edge_threshold=0
+        ).collect()
     }
     assert got == {i: 0 for i in range(64)}
     duplicate_clusters(edges, algorithm="label", max_iters=100, _rounds_out=label_rounds).collect()
     assert star_rounds[0] <= 8 < label_rounds[0]
+
+
+def test_duplicate_clusters_driver_path_parity(spark):
+    """The small-graph driver union-find must label every node exactly
+    like the distributed star rounds — random graphs, both paths."""
+    import random
+
+    from xarray_beam_spark.operators.dedup import duplicate_clusters
+
+    rng = random.Random(17)
+    pairs = list({(rng.randrange(60), rng.randrange(60)) for _ in range(70)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    fast_rounds: list = []
+    fast = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(edges, _rounds_out=fast_rounds).collect()
+    }
+    dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(edges, driver_edge_threshold=0).collect()
+    }
+    assert fast == dist
+    assert fast_rounds == [0]  # the fast path actually engaged
 
 
 def test_minhash_bucket_cap(spark, sf_dir):

@@ -3,6 +3,8 @@ pre-set-up store; the final store equals the batch-computed grid."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -46,3 +48,46 @@ def test_contiguous_runs():
     assert contiguous_runs([0, 1, 2]) == [(0, 3)]
     assert contiguous_runs([0, 2, 4]) == [(0, 1), (2, 3), (4, 5)]
     assert contiguous_runs([1, 2, 5, 6, 7, 9]) == [(1, 3), (5, 8), (9, 10)]
+
+
+class TestStreamZarrAppend:
+    def test_append_ingest_equals_batch_grid(self, spark, tmp_path):
+        """Three day-ordered micro-batches growing one store == the
+        whole-table grid (sf0.001 for speed; the sf0.01 gate certifies)."""
+        import numpy as np
+
+        from xarray_beam_spark.sources import zarr_io
+        from xarray_beam_spark.streaming import events_stream as es
+        from xarray_beam_spark.tables import load
+
+        sf = "/root/testdata/sf0.001"
+        out = str(tmp_path / "grid.zarr")
+        es.stream_append_to_zarr(spark, sf, out)
+        back = zarr_io.from_zarr(spark, out).to_table(dropna=True)
+        want = (
+            load(spark, sf, "events")
+            .groupBy(
+                F.date_trunc("day", F.col("ts")).alias("day"),
+                F.hour("ts").cast("long").alias("hour"),
+                F.col("event_type"),
+            )
+            .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        )
+        got = sorted(map(tuple, back.collect()))
+        exp = sorted(map(tuple, want.select(back.columns).collect()))
+        assert got == exp
+
+    def test_out_of_order_day_rejected(self, spark, tmp_path):
+        """Re-delivering already-ingested days must fail loudly, not
+        silently double-append: a second full run against the same store
+        (fresh checkpoint, so every batch replays) hits the order guard."""
+        import pytest
+
+        from xarray_beam_spark.streaming import events_stream as es
+
+        sf = "/root/testdata/sf0.001"
+        out = str(tmp_path / "grid.zarr")
+        es.stream_append_to_zarr(spark, sf, out)
+        os.remove(out + "_highwater")  # simulate a feed replaying old days
+        with pytest.raises(Exception, match="out-of-order ingest"):
+            es.stream_append_to_zarr(spark, sf, out)

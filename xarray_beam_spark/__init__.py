@@ -34,6 +34,7 @@ from xarray_beam_spark.ndarray_ds import NDDataset, Variable  # noqa: F401
 from xarray_beam_spark.operators.temporal import asof_join, interval_join  # noqa: F401
 from xarray_beam_spark.sources import zarr_io as _zarr_io  # noqa: F401  (wires Dataset.to_zarr/from_zarr)
 from xarray_beam_spark.sources.zarr_io import (  # noqa: F401
+    append_to_zarr,
     from_zarr,
     open_zarr_template,
     replace_template_dims,

@@ -248,8 +248,45 @@ def minhash_lsh_pairs(
     )
 
 
+def _cc_driver(canon: DataFrame) -> DataFrame:
+    """Min-label union-find on the driver for a metadata-sized edge set.
+
+    The alternating-star rounds below exist for edge sets that exceed one
+    node's memory; below the threshold, scheduling even ONE distributed
+    round (5+ jobs of sub-millisecond tasks) costs ~100× more wall time
+    than solving the graph outright. Same output contract as the
+    distributed path: every node labelled with its component minimum —
+    a parity pytest pins the two implementations together."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in canon.collect():
+        u, v = int(row[0]), int(row[1])
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min: the smaller id stays root, so every root IS
+            # its component minimum when the loop ends
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    nodes = set(parent)
+    for x in list(nodes):
+        nodes.add(find(x))
+    rows = [(x, find(x)) for x in sorted(nodes)]
+    return canon.sparkSession.createDataFrame(rows, "doc_id long, cluster_id long")
+
+
 def _cc_two_phase(
-    edges: DataFrame, max_iters: int, _rounds_out: list | None = None
+    edges: DataFrame,
+    max_iters: int,
+    _rounds_out: list | None = None,
+    driver_edge_threshold: int = 100_000,
 ) -> DataFrame:
     """Alternating large-star / small-star connected components
     (Kiveris et al., SoCC 2014). The graph is kept as canonical directed
@@ -266,6 +303,10 @@ def _cc_two_phase(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if canon.count() <= driver_edge_threshold:
+        if _rounds_out is not None:
+            _rounds_out.append(0)
+        return _cc_driver(canon)
     rounds = 0
     for _ in range(max_iters):
         rounds += 1
@@ -320,6 +361,7 @@ def duplicate_clusters(
     max_iters: int = 50,
     algorithm: str = "star",
     _rounds_out: list | None = None,
+    driver_edge_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph → duplicate
     clusters ``(doc_id, cluster_id)`` with ``cluster_id = min(doc_id)`` of
@@ -336,6 +378,13 @@ def duplicate_clusters(
     classic min-label propagation (O(diameter) rounds) for comparison.
     Both run one-shuffle rounds with ``localCheckpoint`` lineage
     truncation and a driver-side convergence check.
+
+    ``driver_edge_threshold``: edge sets at or below this size short-cut
+    to a driver-side min-label union-find (``algorithm="star"`` only) —
+    a graph this small is metadata, and one distributed round costs more
+    wall time than solving it outright (the same small-graph fast path
+    production CC implementations ship). Set 0 to force the distributed
+    rounds; a parity pytest pins both paths to identical output.
     """
     edges = (
         pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
@@ -343,7 +392,7 @@ def duplicate_clusters(
         .distinct()
     )
     if algorithm == "star":
-        return _cc_two_phase(edges, max_iters, _rounds_out)
+        return _cc_two_phase(edges, max_iters, _rounds_out, driver_edge_threshold)
     if algorithm != "label":
         raise ValueError(f"unknown algorithm {algorithm!r}; use 'star' or 'label'")
     # localCheckpoint truncates lineage: without it every iteration's plan

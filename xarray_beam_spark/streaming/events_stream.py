@@ -508,3 +508,173 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream time-range join gate (see stream_interval_join)."""
     return stream_interval_join(spark, sf_dir)
+_APPEND_STAGE_CACHE: dict = {}
+
+
+def _staged_day_files(spark: SparkSession, sf_dir: str, n_parts: int = 3) -> str:
+    """Stage the events table as ``n_parts`` day-ranged parquet files with
+    strictly increasing modification times — a deterministic stand-in for
+    a live feed that delivers whole days in arrival order (FileStreamSource
+    orders pending files by mtime, so maxFilesPerTrigger=1 replays them
+    oldest-first, one micro-batch per file)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    key = (spark.sparkContext.applicationId, sf_dir, n_parts)
+    hit = _APPEND_STAGE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    ev = load(spark, sf_dir, "events")
+    days = [
+        r[0]
+        for r in ev.select(F.date_trunc("day", "ts").alias("day")).distinct().orderBy("day").collect()
+    ]
+    cuts = [days[(len(days) * i) // n_parts] for i in range(1, n_parts)]
+    stage = tempfile.mkdtemp(prefix="xbs_append_feed_")
+    lo = None
+    bounds = cuts + [None]
+    base = _time.time() - 1000
+    for i, hi in enumerate(bounds):
+        part = ev
+        d = F.date_trunc("day", F.col("ts"))
+        if lo is not None:
+            part = part.where(d >= F.lit(lo))
+        if hi is not None:
+            part = part.where(d < F.lit(hi))
+        tmp = tempfile.mkdtemp(prefix="xbs_append_part_")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(stage, f"{i:03d}.parquet")
+        shutil.move(os.path.join(tmp, src), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (base + i, base + i))
+        lo = hi
+    _APPEND_STAGE_CACHE[key] = stage
+    return stage
+
+
+def stream_append_to_zarr(spark: SparkSession, sf_dir: str, out_path: str) -> dict:
+    """Streaming ingestion into a GROWING Zarr store: no pre-sized extent,
+    no replace_template_dims — the first micro-batch creates the store for
+    its own days, every later batch ``to_zarr(append_dim="day")``s
+    (metadata resize + coordinate extension + aligned region write).
+
+    The unknown-extent dual of :func:`stream_to_zarr_hourly`: that pattern
+    needs the full time axis up front; this one ingests an open-ended feed
+    the way live time-series pipelines do. Contract: batches deliver whole
+    days in order (enforced — appending a day at or before the store's
+    current extent raises). Exactly-once across foreachBatch retries via a
+    batch-id high-water marker next to the store (the standard foreachBatch
+    idempotency pattern: replayed batch ids are skipped).
+    """
+    import numpy as np
+
+    from xarray_beam_spark.dataset import Dataset
+    from xarray_beam_spark.sources import zarr_io
+
+    static = load(spark, sf_dir, "events")
+    etypes = np.array(
+        sorted(r[0] for r in static.select("event_type").distinct().collect())
+    )  # the event taxonomy is schema-level knowledge; the DAY axis is not
+    stage = _staged_day_files(spark, sf_dir)
+    marker = out_path + "_highwater"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(marker) and int(open(marker).read()) >= batch_id:
+            return  # replayed batch: already appended
+        cells = (
+            batch_df.groupBy(
+                F.date_trunc("day", F.col("ts")).alias("day"),
+                F.hour("ts").cast("long").alias("hour"),
+                F.col("event_type"),
+            )
+            .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+            .persist()
+        )
+        batch_days = np.array(
+            [r[0] for r in cells.select("day").distinct().orderBy("day").collect()],
+            dtype="datetime64[us]",
+        )
+        if len(batch_days):
+            grid = Dataset.from_table(
+                cells,
+                dims=["day", "hour", "event_type"],
+                coords={
+                    "day": batch_days,
+                    "hour": np.arange(24, dtype=np.int64),
+                    "event_type": etypes,
+                },
+                var_cols=["cnt"],
+                chunks={"day": 1},
+            )
+            if os.path.exists(os.path.join(out_path, ".zmetadata")):
+                # ingestion contract: whole days, in order — a batch whose
+                # first day is not past the store's extent means duplicate
+                # or out-of-order delivery, which append cannot represent
+                tmpl, _ = zarr_io.open_zarr_template(out_path)
+                last = np.asarray(tmpl.coords["day"].values)[-1]
+                if batch_days[0] <= last:
+                    raise ValueError(
+                        f"out-of-order ingest: batch starts at {batch_days[0]} "
+                        f"but the store already extends to {last}"
+                    )
+                zarr_io.to_zarr(grid, out_path, append_dim="day")
+            else:
+                zarr_io.to_zarr(
+                    grid, out_path,
+                    zarr_chunks={"day": 1, "hour": 24, "event_type": len(etypes)},
+                )
+        cells.unpersist()
+        with open(marker, "w") as fh:
+            fh.write(str(batch_id))
+
+    raw_schema = load(spark, sf_dir, "events").schema
+    feed = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    scratch = os.environ.get("XBS_STREAM_SCRATCH", "/dev/shm")
+    import tempfile
+
+    ckpt_base = scratch if os.path.isdir(scratch) and os.access(scratch, os.W_OK) else None
+    ckpt = tempfile.mkdtemp(prefix="xbs_append_ckpt_", dir=ckpt_base)
+    q = (
+        feed.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return {"batches": 3}
+
+
+_APPEND_INGEST_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+       event_type,
+       CAST(COUNT(*) AS DOUBLE) AS cnt
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@_register("stream_zarr_append", _APPEND_INGEST_ORACLE)
+def stream_zarr_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-ended streaming ingestion gate: three day-ordered micro-batches
+    grow one Zarr store via ``to_zarr(append_dim="day")`` (first batch
+    creates it), then the read-back of the final store must equal the
+    whole-table day×hour×type grid — proving resize + coordinate
+    extension + region writes compose losslessly under micro-batching."""
+    import tempfile
+
+    from xarray_beam_spark.sources import zarr_io
+
+    out = tempfile.mkdtemp(prefix="xbs_append_store_") + "/grid.zarr"
+    stream_append_to_zarr(spark, sf_dir, out)
+    back = zarr_io.from_zarr(spark, out, chunks={"day": 8})
+    return back.to_table(dropna=True)
