@@ -1,0 +1,93 @@
+"""Distributed BPE trainer vs a from-scratch pure-Python reference."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from xarray_beam_spark.operators import bpe
+
+
+def _ref_bpe(texts: list[str], n_merges: int) -> list[tuple[str, str, int]]:
+    """Reference Sennrich-style BPE on word frequencies (greedy left-to-
+    right merge, ties lexicographic)."""
+    freqs = Counter()
+    for t in texts:
+        for w in re.findall(r"[a-z]+", t.lower()):
+            freqs[w] += 1
+    syms = {w: list(w) + [bpe.END] for w in freqs}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, s in syms.items():
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += freqs[w]
+        if not pairs:
+            break
+        (l, r), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merges.append((l, r, n))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+TEXTS = [
+    "the cat sat on the mat with the other cat",
+    "low lower lowest newer newest wider widest",
+    "the low cat went lower and lower still",
+    "banana bandana ananas and a cabana",
+]
+
+
+def test_trainer_matches_reference(spark):
+    got = bpe.bpe_train(_docs(spark, TEXTS), n_merges=12)
+    want = _ref_bpe(TEXTS, 12)
+    assert got == want
+
+
+def test_trainer_deterministic_rerun(spark):
+    d = _docs(spark, TEXTS)
+    assert bpe.bpe_train(d, n_merges=6) == bpe.bpe_train(d, n_merges=6)
+
+
+def test_encode_roundtrips_characters(spark):
+    """Concatenated subwords (marker stripped) reproduce the original
+    letter stream — merges never lose or reorder characters."""
+    d = _docs(spark, TEXTS)
+    merges = bpe.bpe_train(d, n_merges=8)
+    enc = {r["doc_id"]: r["bpe_tokens"] for r in bpe.bpe_encode(d, merges).collect()}
+    for i, t in enumerate(TEXTS):
+        letters = "".join(re.findall(r"[a-z]+", t.lower()))
+        joined = "".join(tok for tok in enc[i] if tok != bpe.END).replace(bpe.END, "")
+        assert joined.replace("</w>", "") == letters
+
+    # encoding with MORE merges never increases token count
+    merges4 = merges[:4]
+    n8 = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe.bpe_encode(d, merges).collect()}
+    n4 = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe.bpe_encode(d, merges4).collect()}
+    assert all(n8[k] <= n4[k] for k in n8)
+
+
+def test_overlap_merges_leftmost_first(spark):
+    """[a,a,a] with merge (a,a) -> [aa,a], the reference greedy scan."""
+    d = _docs(spark, ["aaa aaa aaa"])
+    merges = bpe.bpe_train(d, n_merges=1)
+    assert merges[0][:2] == ("a", "a")
+    enc = bpe.bpe_encode(d, merges).collect()[0]["bpe_tokens"]
+    assert list(enc) == ["aa", "a", bpe.END, "aa", "a", bpe.END, "aa", "a", bpe.END]

@@ -299,3 +299,25 @@ class TestHashedQualityClassifier:
         rows = [(i, "web", "some text here %d" % i) for i in range(5)]
         plan = hashed_quality_classifier(_docs(spark, rows))._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestEpochShuffle:
+    def test_epochs_differ_and_reruns_agree(self, spark):
+        from xarray_beam_spark.operators.corpus import epoch_shuffle
+
+        rows = [(i, "web", f"text {i}") for i in range(200)]
+        docs = _docs(spark, rows)
+        e1a = sorted(map(tuple, epoch_shuffle(docs, 8, epoch=1).select("doc_id", "shard", "position").collect()))
+        e1b = sorted(map(tuple, epoch_shuffle(docs, 8, epoch=1).select("doc_id", "shard", "position").collect()))
+        e2 = sorted(map(tuple, epoch_shuffle(docs, 8, epoch=2).select("doc_id", "shard", "position").collect()))
+        assert e1a == e1b          # rerun-stable
+        assert e1a != e2           # new epoch, new permutation
+        # positions within each shard are a contiguous 0..k-1 range
+        from collections import defaultdict
+        per = defaultdict(list)
+        for _, sh, pos in e1a:
+            per[sh].append(pos)
+        for sh, ps in per.items():
+            assert sorted(ps) == list(range(len(ps)))
+        # shards roughly balanced (uniform hash): no shard empty at n=200/8
+        assert len(per) == 8

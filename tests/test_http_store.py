@@ -629,3 +629,29 @@ class TestCopyTree:
         assert stores.list_tree("mem://copydst/out") == ["a/b.bin", "c.bin"]
         st, k = stores.resolve("mem://copydst/out/a/b.bin")
         assert st.get(k) == b"one"
+
+
+class TestHttpAppend:
+    def test_append_dim_over_http(self, spark, http_root):
+        """Open-ended ingestion against an object store: create a store
+        over http://, then append a second time slice — the resize PUTs,
+        coordinate rewrite and region writes all ride the Store seam."""
+        from xarray_beam_spark.dataset import Dataset
+        from xarray_beam_spark.ndarray_ds import NDDataset
+        from xarray_beam_spark.sources import zarr_io
+
+        _, url = http_root
+        rng = np.random.default_rng(31)
+        full = NDDataset(
+            {"v": (("time", "x"), rng.normal(size=(12, 5)))},
+            coords={
+                "time": np.arange(12, dtype=np.int64),
+                "x": np.arange(5, dtype=np.int64),
+            },
+        )
+        a = Dataset.from_numpy(spark, full.isel({"time": slice(0, 8)}), chunks={"time": 4})
+        b = Dataset.from_numpy(spark, full.isel({"time": slice(8, 12)}), chunks={"time": 4})
+        zarr_io.to_zarr(a, f"{url}/ap", zarr_chunks={"time": 4, "x": 5})
+        zarr_io.to_zarr(b, f"{url}/ap", append_dim="time")
+        got = zarr_io.from_zarr(spark, f"{url}/ap").collect()
+        assert got.equals(full)

@@ -208,3 +208,55 @@ class TestAppendToZarr:
             zarr_io.to_zarr(Dataset.from_numpy(spark, p, chunks={"time": 4}), path, append_dim="time")
         got = zarr_io.from_zarr(spark, path).collect()
         assert got.equals(src)
+
+
+class TestAppendProperties:
+    def test_sharded_v3_append_uses_shard_unit(self, spark, tmp_path):
+        """With v3 shards the write unit is the SHARD: an old extent that
+        is chunk-aligned but not shard-aligned must be rejected, and a
+        shard-aligned append must round-trip."""
+        src = _series(nt=24)
+        path = str(tmp_path / "sh")
+        first = Dataset.from_numpy(spark, src.isel({"time": slice(0, 16)}), chunks={"time": 8})
+        zarr_io.to_zarr(
+            first, path, zarr_chunks={"time": 4, "x": 7},
+            zarr_format=3, zarr_chunks_per_shard={"time": 2},  # shard = 8
+        )
+        second = Dataset.from_numpy(spark, src.isel({"time": slice(16, 24)}), chunks={"time": 8})
+        zarr_io.to_zarr(second, path, append_dim="time")
+        got = zarr_io.from_zarr(spark, path).collect()
+        assert got.equals(src)
+
+        # now build a store whose extent is chunk- but not shard-aligned
+        path2 = str(tmp_path / "sh2")
+        first2 = Dataset.from_numpy(spark, src.isel({"time": slice(0, 12)}), chunks={"time": 8})
+        zarr_io.to_zarr(
+            first2, path2, zarr_chunks={"time": 4, "x": 7},
+            zarr_format=3, zarr_chunks_per_shard={"time": 2},  # shard 8; 12 % 8 != 0
+        )
+        with pytest.raises(ValueError, match="write unit"):
+            zarr_io.to_zarr(second, path2, append_dim="time")
+
+    def test_random_aligned_splits_roundtrip(self, spark, tmp_path):
+        """Property: for any zarr chunk c and any c-aligned split point,
+        write-then-append equals a single full write (random cases drawn
+        here instead of Hypothesis: each case spins Spark jobs, so we
+        bound the count)."""
+        import random
+
+        rng = random.Random(23)
+        for case in range(4):
+            nt = rng.choice([10, 12, 16, 18])
+            c = rng.choice([2, 3, 4])
+            n_units = nt // c
+            if n_units < 2:
+                continue
+            cut = c * rng.randrange(1, n_units)
+            src = _series(nt=nt, seed=case)
+            path = str(tmp_path / f"p{case}")
+            a = Dataset.from_numpy(spark, src.isel({"time": slice(0, cut)}), chunks={"time": c})
+            b = Dataset.from_numpy(spark, src.isel({"time": slice(cut, nt)}), chunks={"time": c})
+            zarr_io.to_zarr(a, path, zarr_chunks={"time": c, "x": 7})
+            zarr_io.to_zarr(b, path, append_dim="time")
+            got = zarr_io.from_zarr(spark, path).collect()
+            assert got.equals(src), (nt, c, cut)

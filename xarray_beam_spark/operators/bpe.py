@@ -1,0 +1,163 @@
+"""Distributed BPE tokenizer training and encoding.
+
+Byte-pair encoding (Sennrich et al. 2016, arXiv:1508.07909) is the
+tokenizer-training step of a text pipeline: learn the ``n_merges``
+most frequent adjacent symbol pairs from corpus word frequencies, then
+encode text by replaying the merge list. The repo's ``bpe_token_count``
+is the counting heuristic; this module is the real trainer.
+
+Scale shape (what survives 100 TB):
+
+- the corpus collapses to a **word-frequency table** first (one explode
+  + hash group-by with map-side combine) — the classic BPE trick: all
+  further work is per DISTINCT word, weighted by its count, so the loop
+  cost depends on vocabulary size, not corpus size;
+- each merge round is ONE aggregation job (explode adjacent pairs,
+  weighted count, global top-1) plus ONE narrow rewrite of the symbol
+  arrays — and the rewrite is a pure JVM ``aggregate`` fold (greedy
+  left-to-right, the reference semantics), no Python in the loop;
+- ``localCheckpoint`` truncates lineage each round so round k's plan
+  does not replay rounds 1..k-1.
+
+Determinism: ties in pair counts break lexicographically on (left,
+right), so the merge list is a pure function of the corpus. The gate is
+rows-only (an iterative argmax is not reasonably SQL-expressible — same
+scope note as ``corpus_pack_sequences``); ``test_bpe.py`` pins the
+distributed trainer to a from-scratch pure-Python reference instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xarray_beam_spark.tables import load
+
+REGISTRY: dict = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+END = "</w>"  # end-of-word marker (Sennrich): merges can't cross words
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) over lowercase letter runs — the trainer's input."""
+    toks = F.explode(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+    ).alias("word")
+    return docs.select(toks).groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _merge_pair(symbols: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of adjacent (left, right) into one
+    symbol — a JVM ``aggregate`` fold, the exact semantics of the
+    reference implementation's linear scan (overlaps consume leftmost
+    first: merging (a,a) in [a,a,a] yields [aa,a])."""
+    merged = F.lit(left + right)
+
+    def step(acc: Column, s: Column) -> Column:
+        last = F.element_at(acc, -1)
+        return (
+            F.when(
+                (F.size(acc) > 0) & (last == F.lit(left)) & (s == F.lit(right)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+            ).otherwise(F.concat(acc, F.array(s)))
+        )
+
+    return F.aggregate(symbols, F.array().cast("array<string>"), step)
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> list[tuple[str, str, int]]:
+    """Learn the BPE merge list: ``[(left, right, pair_count), ...]`` in
+    merge order. Driver state is one scalar row per round; the word
+    table stays distributed throughout."""
+    spark = docs.sparkSession
+    words = word_frequencies(docs, text_col)
+    syms = words.select(
+        F.concat(
+            F.split(F.col("word"), ""),  # single characters
+            F.array(F.lit(END)),
+        ).alias("s"),
+        "cnt",
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = syms.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("s"), 1, F.size("s") - 1),
+                    F.slice(F.col("s"), 2, F.size("s") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < 2:
+            break  # nothing left worth merging
+        l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+        merges.append((l, r, n))
+        syms = syms.select(
+            _merge_pair(F.col("s"), l, r).alias("s"), "cnt"
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned merge list to every word of every document —
+    ``n_merges`` chained JVM folds over exploded words, re-assembled per
+    document. Adds ``out_col`` (array of subword tokens, ``</w>``-marked)
+    and ``n_bpe_tokens``. Zero Python, zero shuffle beyond the doc-id
+    re-assembly group-by."""
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+    exploded = docs.select(
+        "doc_id", F.posexplode(words).alias("pos", "word")
+    )
+    s = F.concat(F.split(F.col("word"), ""), F.array(F.lit(END)))
+    for l, r, _ in merges:
+        s = _merge_pair(s, l, r)
+    per_word = exploded.select("doc_id", "pos", s.alias("toks"))
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.flatten(F.array_sort(F.collect_list(F.struct("pos", "toks"))).getField("toks")).alias(out_col)
+        )
+        .withColumn("n_bpe_tokens", F.size(out_col).cast("long"))
+    )
+
+
+@_register("corpus_bpe_merges", None)
+def corpus_bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training gate (rows-only: iterative argmax is not reasonably
+    SQL-expressible — COVERAGE.md scope note; `test_bpe.py` pins the
+    trainer to a pure-Python reference instead). Deterministic: pair-count
+    ties break lexicographically, so reruns return identical merges."""
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=10)
+    return spark.createDataFrame(
+        [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
+        "rank long, left string, right string, pair_count long",
+    )

@@ -774,3 +774,66 @@ def corpus_quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_quality_classifier(docs).select(
         "doc_id", "source", "n_features", "score", "label"
     )
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    n_shards: int,
+    epoch: int = 0,
+    key_col: str = "doc_id",
+    salt: str = "xbs-epoch",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards — the
+    before-every-epoch reorder a training pipeline needs, without RNG
+    state: each row's shard and within-shard position come from
+    ``md5(salt:epoch:key)``, so every epoch is a fresh pseudorandom
+    permutation that reruns, retries and repartitioning all reproduce,
+    and any worker can locate any shard's rows independently.
+
+    Adds ``shard`` (uniform in [0, n_shards)) and ``position``
+    (0-based hash-order rank within the shard; ties broken by the key).
+    One shuffle on the shard key; each task orders only its shard — at
+    100 TB that is the minimum data movement any global shuffle needs,
+    and the hash order inside a shard means no global sort ever runs.
+    """
+    h = F.md5(
+        F.concat(F.lit(f"{salt}:{epoch}:"), F.col(key_col).cast("string"))
+    )
+    shard = (
+        F.conv(F.substring(h, 25, 8), 16, 10).cast("long") % n_shards
+    ).alias("shard")
+    w = Window.partitionBy("shard").orderBy(h, F.col(key_col))
+    return (
+        docs.withColumn("shard", shard)
+        .withColumn("position", F.row_number().over(w).cast("long") - 1)
+    )
+
+
+_EPOCH_ORACLE = """
+WITH h AS (
+  SELECT doc_id, source,
+         md5('xbs-epoch:1:' || CAST(doc_id AS VARCHAR)) AS hv
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(hv, 25, 8) AS BIGINT) % 8 AS shard,
+         ROW_NUMBER() OVER (
+           PARTITION BY CAST('0x' || substr(hv, 25, 8) AS BIGINT) % 8
+           ORDER BY hv, doc_id
+         ) - 1 AS position
+  FROM h
+)
+SELECT doc_id, source, shard, CAST(position AS BIGINT) AS position FROM s
+"""
+
+
+@_register("corpus_epoch_shuffle", _EPOCH_ORACLE)
+def corpus_epoch_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-1 training order over the documents table (8 shards): shard
+    assignment and every within-shard position hash-match the DuckDB
+    replay — the full permutation is certified, not sampled."""
+    docs = load(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, n_shards=8, epoch=1).select(
+        "doc_id", "source", "shard", "position"
+    )

@@ -135,6 +135,7 @@ def _collect() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "xarray_beam_spark.operators.temporal",
         "xarray_beam_spark.operators.simsearch",
         "xarray_beam_spark.operators.sketches",
+        "xarray_beam_spark.operators.bpe",
         "xarray_beam_spark.operators.multimodal",
         "xarray_beam_spark.streaming.events_stream",
         "xarray_beam_spark.grid_queries",

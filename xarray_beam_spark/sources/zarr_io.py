@@ -771,8 +771,10 @@ def append_to_zarr(ds: Dataset, path: str, append_dim: str) -> dict[str, int]:
         )
         zarrlite.write_full(cmeta2, new_vals.astype(old_vals.dtype))
 
-    # 3. one .zmetadata GET per open stays true after the resize
-    zarrlite.consolidate_metadata(path)
+    # 3. one .zmetadata GET per open stays true after the resize; the
+    # array set is known here, so this works on listing-free object
+    # stores too (consolidate_metadata would otherwise need a listing)
+    zarrlite.consolidate_metadata(path, names=sorted(arrays))
 
     # 4. distributed region write of the new extent
     return to_zarr(work, path, needs_setup=False, origin={append_dim: old})

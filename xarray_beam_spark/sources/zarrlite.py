@@ -593,7 +593,7 @@ def _zarray_from_v3_meta(apath: str, name: str, meta: dict) -> ZArray:
     )
 
 
-def consolidate_metadata(path: str) -> dict:
+def consolidate_metadata(path: str, names: Sequence[str] | None = None) -> dict:
     """Write v2 consolidated metadata (``.zmetadata``): every ``.zgroup``/
     ``.zattrs``/``.zarray`` document gathered into ONE store object, the
     standard cloud-Zarr convention (zarr v2 spec; xarray writes it by
@@ -617,13 +617,14 @@ def consolidate_metadata(path: str) -> dict:
         gmeta = _get_json(root)
         if gmeta.get("node_type") != "group":
             return {}
-        if listing_free:
+        if listing_free and names is None:
             raise ValueError(
                 f"cannot consolidate {path!r}: this store backend has no "
-                "listing; consolidation happens during (staged) setup"
+                "listing; consolidation happens during (staged) setup, or "
+                "pass names= when the caller knows the array set (append)"
             )
         children: dict[str, Any] = {}
-        for entry in _list_dir(path):
+        for entry in (names if names is not None else _list_dir(path)):
             sub = _join(path, entry, "zarr.json")
             if _exists(sub):
                 doc = _get_json(sub)
@@ -636,19 +637,21 @@ def consolidate_metadata(path: str) -> dict:
         }
         _put_json(root, gmeta)
         return gmeta
-    if listing_free:
-        # listing-free backend (HTTP object store): re-consolidating here
-        # would OVERWRITE .zmetadata with an empty document and break the
-        # store. Setup already consolidated in the local staging dir.
+    if listing_free and names is None:
+        # listing-free backend (HTTP object store): re-consolidating from a
+        # listing would OVERWRITE .zmetadata with an empty document and
+        # break the store. Setup consolidates in the local staging dir;
+        # callers that KNOW the array set (append) pass names= instead.
         raise ValueError(
             f"cannot consolidate {path!r}: this store backend has no "
-            "listing; consolidation happens during (staged) setup"
+            "listing; consolidation happens during (staged) setup, or "
+            "pass names= when the caller knows the array set (append)"
         )
     meta: dict[str, Any] = {".zgroup": _get_json(_join(path, ".zgroup"))}
     zattrs = _get(_join(path, ".zattrs"))
     if zattrs is not None:
         meta[".zattrs"] = json.loads(zattrs)
-    for entry in _list_dir(path):
+    for entry in (names if names is not None else _list_dir(path)):
         sub = _join(path, entry)
         if _exists(_join(sub, ".zarray")):
             meta[f"{entry}/.zarray"] = _get_json(_join(sub, ".zarray"))
