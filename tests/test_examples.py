@@ -56,3 +56,8 @@ def test_cloud_zarr_sql_example(tmp_path):
     out = _run("cloud_zarr_sql.py", str(tmp_path))
     assert "opened over http:" in out
     assert "library path agrees:" in out
+
+
+def test_append_ingest_example(tmp_path):
+    out = _run("append_ingest.py", str(tmp_path / "ap.zarr"))
+    assert "appended day 4" in out and "append ingest OK" in out

@@ -344,7 +344,9 @@ def hll_estimate(regs: DataFrame, group_cols: list[str] | None = None) -> DataFr
     wanting it apply ``m·ln(m/V)`` themselves from these exact fields."""
     gcols = list(group_cols or [])
     per = regs.groupBy(*gcols).agg(
-        F.sum(F.pow(F.lit(2).cast("long"), F.lit(_HLL_WBITS) - F.col("reg")).cast("long")).alias("s_present"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS} - reg)")
+        ).alias("s_present"),
         F.count(F.lit(1)).alias("n_present"),
     )
     s_total = F.col("s_present") + (F.lit(_HLL_M) - F.col("n_present")) * F.lit(2 ** _HLL_WBITS)
@@ -373,7 +375,7 @@ ranks AS (
 regs AS (SELECT event_type, bucket, MAX(r) AS reg FROM ranks GROUP BY 1, 2),
 sums AS (
   SELECT event_type,
-         CAST(SUM(CAST(POW(2, {_HLL_WBITS} - reg) AS BIGINT)) AS BIGINT) AS s_present,
+         CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_WBITS} - reg)) AS BIGINT) AS s_present,
          COUNT(*) AS n_present
   FROM regs GROUP BY 1
 ),
