@@ -1060,3 +1060,49 @@ class TestSelMethodAndElementwise:
         np.testing.assert_array_equal(
             d.round().collect().data_vars["v"].values, np.round(arr)
         )
+
+
+class TestCalculus:
+    def _ds(self, spark):
+        rng = np.random.default_rng(5)
+        nd = NDDataset(
+            {"v": (("t", "x"), rng.normal(size=(12, 4)))},
+            coords={
+                "t": np.arange(12, dtype=np.int64) * 3,  # uniform spacing 3
+                "x": np.arange(4, dtype=np.int64),
+            },
+        )
+        return nd, Dataset.from_numpy(spark, nd, chunks={"t": 4})
+
+    def test_differentiate_matches_np_gradient(self, spark):
+        nd, d = self._ds(spark)
+        got = d.differentiate("t").collect()
+        want = np.gradient(nd.data_vars["v"].values, np.arange(12) * 3.0, axis=0, edge_order=1)
+        np.testing.assert_array_equal(got.data_vars["v"].values, want)
+
+    def test_integrate_matches_np_trapz(self, spark):
+        nd, d = self._ds(spark)
+        got = d.integrate("t").collect()
+        want = np.trapz(nd.data_vars["v"].values, np.arange(12) * 3.0, axis=0)
+        assert got.data_vars["v"].dims == ("x",)
+        np.testing.assert_array_equal(got.data_vars["v"].values, want)
+
+    def test_datetime_coordinate_needs_unit(self, spark):
+        rng = np.random.default_rng(6)
+        nd = NDDataset(
+            {"v": (("t",), rng.normal(size=6))},
+            coords={"t": np.arange("2024-01-01", 6, dtype="datetime64[h]").astype("datetime64[us]")},
+        )
+        d = Dataset.from_numpy(spark, nd, chunks={"t": 3})
+        import pytest
+
+        with pytest.raises(ValueError, match="datetime_unit"):
+            d.differentiate("t")
+        got = d.differentiate("t", datetime_unit="h").collect()
+        want = np.gradient(nd.data_vars["v"].values, np.arange(6, dtype=np.float64), edge_order=1)
+        np.testing.assert_array_equal(got.data_vars["v"].values, want)
+        # integral over hours == trapz against the hour axis
+        gi = d.integrate("t", datetime_unit="h").collect()
+        np.testing.assert_array_equal(
+            gi.data_vars["v"].values, np.trapz(nd.data_vars["v"].values, np.arange(6.0))
+        )

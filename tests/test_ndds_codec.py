@@ -99,3 +99,18 @@ def test_codec_rejects_object():
     ds = NDDataset({"o": (("x",), np.array([object()], dtype=object))})
     with pytest.raises(TypeError):
         encode_chunk(ds)
+
+
+def test_scalar_variable_roundtrip():
+    """0-d variables (a dim fully reduced away, e.g. integrate over the
+    only dim) must survive the codec — ascontiguousarray promotes 0-d to
+    1-d, so the header records the true shape."""
+    import numpy as np
+
+    from xarray_beam_spark.codec import decode_chunk, encode_chunk
+    from xarray_beam_spark.ndarray_ds import NDDataset, Variable
+
+    ds = NDDataset({"v": Variable((), np.float64(3.5))}, {}, {"k": 1})
+    out = decode_chunk(encode_chunk(ds))
+    assert out.data_vars["v"].dims == ()
+    assert float(out.data_vars["v"].values) == 3.5

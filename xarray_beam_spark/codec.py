@@ -33,6 +33,10 @@ def encode_chunk(ds: NDDataset) -> bytes:
     buffers: list[bytes] = []
     for group, mapping in (("data", ds.data_vars), ("coord", ds.coords)):
         for name, var in mapping.items():
+            # NB: ascontiguousarray promotes 0-d to 1-d (documented numpy
+            # quirk) — keep the TRUE shape for the header so scalar
+            # variables (e.g. integrate over the only dim) round-trip
+            true_shape = list(np.shape(var.values))
             arr = np.ascontiguousarray(var.values)
             if arr.dtype.kind == "O":
                 raise TypeError(f"object-dtype variable {name!r} is not encodable")
@@ -44,7 +48,7 @@ def encode_chunk(ds: NDDataset) -> bytes:
                     "name": name,
                     "group": group,
                     "dims": list(var.dims),
-                    "shape": list(arr.shape),
+                    "shape": true_shape,
                     "dtype": _dtype_token(arr.dtype),
                     "nbytes": len(buf),
                 }

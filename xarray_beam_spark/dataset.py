@@ -657,7 +657,9 @@ class Dataset:
             template, chunks = _infer_result_meta(
                 self.template, self.chunks, dummy_in, dummy_out
             )
-        new_chunks = core.normalize_chunks(chunks or self.chunks, template.sizes)
+        new_chunks = core.normalize_chunks(
+            self.chunks if chunks is None else chunks, template.sizes
+        )  # `is None`, not truthiness: {} is a valid spec for a 0-d result
         out_dims = sorted(template.sizes)
         schema = chunk_row_schema(out_dims)
         in_sizes = self.sizes
@@ -2132,6 +2134,105 @@ class Dataset:
             return NDDataset(out, dict(ds.coords), dict(ds.attrs))
 
         return r.map_blocks(scan)
+
+    def differentiate(self, dim: str, datetime_unit: str | None = None) -> "Dataset":
+        """Derivative along ``dim``'s coordinate with second-order central
+        differences, first-order one-sided at the edges — xarray
+        ``ds.differentiate(coord, edge_order=1)``, which is ``np.gradient``
+        against the coordinate values. Datetime coordinates need
+        ``datetime_unit`` (e.g. ``"s"``, ``"h"``), like xarray.
+
+        Same order-dependent-series shape as :meth:`cumulative`: rechunk
+        the dim contiguous (one shuffle, elided when already whole), then
+        one vectorized ``np.gradient`` per series-slab; other dims stay
+        chunked, so per-task memory is one slab at any grid size."""
+        if dim not in self.template.coords:
+            raise ValueError(f"differentiate needs a coordinate on {dim!r}")
+        cvals = np.asarray(self.template.coords[dim].values)
+        if cvals.dtype.kind == "M":
+            if datetime_unit is None:
+                raise ValueError(
+                    f"{dim!r} is a datetime coordinate; pass datetime_unit "
+                    "(e.g. 's') like xarray's differentiate"
+                )
+            cnum = (
+                cvals.astype("datetime64[ns]").astype(np.int64).astype(np.float64)
+                / np.timedelta64(1, datetime_unit).astype("timedelta64[ns]").astype(np.int64)
+            )
+        else:
+            cnum = cvals.astype(np.float64)
+        r = self.rechunk({dim: -1})
+
+        def grad(ds: NDDataset) -> NDDataset:
+            out: dict[str, Variable] = {}
+            for v, var in ds.data_vars.items():
+                if dim not in var.dims:
+                    out[v] = var
+                    continue
+                ax = var.dims.index(dim)
+                vals = np.asarray(var.values, dtype=np.float64)
+                out[v] = Variable(var.dims, np.gradient(vals, cnum, axis=ax, edge_order=1))
+            return NDDataset(out, dict(ds.coords), dict(ds.attrs))
+
+        return r.map_blocks(grad)
+
+    def integrate(self, dim: str, datetime_unit: str | None = None) -> "Dataset":
+        """Trapezoidal-rule integral along ``dim``'s coordinate (xarray
+        ``ds.integrate``); the dim is reduced away. NaN propagates like
+        xarray/numpy — ``fillna`` first to integrate sparse grids.
+
+        Rechunk-contiguous + one ``np.trapezoid`` per series-slab; the
+        reduction is block-local after the single shuffle (trapezoids over
+        adjacent sub-intervals add exactly, so a halo formulation could
+        split ultra-long axes — not needed while one series-slab fits a
+        task, the same envelope as median/quantile)."""
+        if dim not in self.template.coords:
+            raise ValueError(f"integrate needs a coordinate on {dim!r}")
+        cvals = np.asarray(self.template.coords[dim].values)
+        if cvals.dtype.kind == "M":
+            if datetime_unit is None:
+                raise ValueError(
+                    f"{dim!r} is a datetime coordinate; pass datetime_unit "
+                    "(e.g. 's') like xarray's integrate"
+                )
+            cnum = (
+                cvals.astype("datetime64[ns]").astype(np.int64).astype(np.float64)
+                / np.timedelta64(1, datetime_unit).astype("timedelta64[ns]").astype(np.int64)
+            )
+        else:
+            cnum = cvals.astype(np.float64)
+        r = self.rechunk({dim: -1})
+        trapz = getattr(np, "trapezoid", None) or np.trapz
+
+        def integ(ds: NDDataset) -> NDDataset:
+            out: dict[str, Variable] = {}
+            for v, var in ds.data_vars.items():
+                if dim not in var.dims:
+                    out[v] = var
+                    continue
+                ax = var.dims.index(dim)
+                vals = np.asarray(var.values, dtype=np.float64)
+                dims = tuple(d for d in var.dims if d != dim)
+                out[v] = Variable(dims, trapz(vals, cnum, axis=ax))
+            coords = {k: c for k, c in ds.coords.items() if dim not in c.dims}
+            return NDDataset(out, coords, dict(ds.attrs))
+
+        # explicit output meta: inference can't describe a result whose
+        # last dim integrates away (0-d chunks)
+        out_sizes = {d: s for d, s in r.sizes.items() if d != dim}
+        out_meta = {
+            v: (tuple(dd for dd in dims if dd != dim), "<f8" if dim in dims else dt)
+            for v, (dims, dt) in r.template.var_meta.items()
+        }
+        out_coords = {
+            k: c for k, c in r.template.coords.items() if dim not in c.dims
+        }
+        out_tmpl = Template(
+            sizes=out_sizes, var_meta=out_meta, coords=out_coords,
+            attrs=r.template.attrs,
+        )
+        out_chunks = {d: c for d, c in r.chunks.items() if d != dim}
+        return r.map_blocks(integ, template=out_tmpl, chunks=out_chunks)
 
     def ffill(self, dim: str, limit: int | None = None) -> "Dataset":
         """Forward-fill NaN along ``dim`` (xarray ``ds.ffill``): each NaN

@@ -1218,6 +1218,70 @@ def xb_grid_diff_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "xb_grid_differentiate_hour",
+    f"""
+WITH cells AS ({_CELLS_SQL}),
+dense AS (
+  SELECT d.day, h.hour, t.event_type, c.cnt
+  FROM (SELECT DISTINCT day FROM cells) d
+  CROSS JOIN (SELECT CAST(unnest(range(0, 24)) AS BIGINT) AS hour) h
+  CROSS JOIN (SELECT DISTINCT event_type FROM cells) t
+  LEFT JOIN cells c USING (day, hour, event_type)
+),
+g AS (
+  SELECT day, hour, event_type,
+         CASE WHEN hour = 0
+                THEN LEAD(cnt) OVER w - cnt
+              WHEN hour = 23
+                THEN cnt - LAG(cnt) OVER w
+              ELSE (LEAD(cnt) OVER w - LAG(cnt) OVER w) / 2
+         END AS cnt
+  FROM dense
+  WINDOW w AS (PARTITION BY day, event_type ORDER BY hour)
+)
+SELECT * FROM g WHERE cnt IS NOT NULL
+""",
+)
+def xb_grid_differentiate_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d(count)/d(hour) via ``Dataset.differentiate`` — xarray's
+    np.gradient semantics (central differences, one-sided edges) as one
+    rechunk-contiguous shuffle + a vectorized gradient per series-slab.
+    Unit hour spacing keeps every difference an exact dyadic, so the
+    derivative hash-matches the SQL window replay."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    return d.differentiate("hour").to_table(dropna=True)
+
+
+@_register(
+    "xb_grid_integrate_hour",
+    f"""
+WITH cells AS ({_CELLS_SQL}),
+dense AS (
+  SELECT d.day, h.hour, t.event_type, COALESCE(c.cnt, 0) AS cnt0
+  FROM (SELECT DISTINCT day FROM cells) d
+  CROSS JOIN (SELECT CAST(unnest(range(0, 24)) AS BIGINT) AS hour) h
+  CROSS JOIN (SELECT DISTINCT event_type FROM cells) t
+  LEFT JOIN cells c USING (day, hour, event_type)
+),
+t AS (
+  SELECT day, event_type, hour,
+         (cnt0 + LEAD(cnt0) OVER (PARTITION BY day, event_type ORDER BY hour)) / 2 AS tr
+  FROM dense
+)
+SELECT day, event_type, SUM(tr) AS cnt
+FROM t WHERE hour < 23 GROUP BY 1, 2
+""",
+)
+def xb_grid_integrate_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trapezoidal integral of the (zero-filled) hourly count curve per
+    (day, event_type) via ``Dataset.integrate`` — the dim reduces away
+    block-locally after the contiguous rechunk; every trapezoid is an
+    exact dyadic so the sum is order-independent and hash-exact."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    return d.fillna(0.0).integrate("hour").to_table()
+
+
+@_register(
     "xb_grid_rolling7_mean",
     f"""
 WITH cells AS ({_CELLS_SQL}),
