@@ -1106,3 +1106,25 @@ class TestCalculus:
         np.testing.assert_array_equal(
             gi.data_vars["v"].values, np.trapz(nd.data_vars["v"].values, np.arange(6.0))
         )
+
+
+class TestMerge:
+    def test_merge_unions_variables(self, spark):
+        rng = np.random.default_rng(8)
+        base = {"coords": {"t": np.arange(8, dtype=np.int64)}}
+        a = Dataset.from_numpy(
+            spark, NDDataset({"u": (("t",), rng.normal(size=8))}, base["coords"]), chunks={"t": 4}
+        )
+        b = Dataset.from_numpy(
+            spark, NDDataset({"v": (("t",), rng.normal(size=8))}, base["coords"]), chunks={"t": 4}
+        )
+        m = a.merge(b).collect()
+        assert set(m.data_vars) == {"u", "v"}
+
+    def test_merge_conflict_raises(self, spark):
+        rng = np.random.default_rng(8)
+        c = {"t": np.arange(4, dtype=np.int64)}
+        a = Dataset.from_numpy(spark, NDDataset({"u": (("t",), rng.normal(size=4))}, c), chunks={"t": 4})
+        b = Dataset.from_numpy(spark, NDDataset({"u": (("t",), rng.normal(size=4))}, c), chunks={"t": 4})
+        with pytest.raises(ValueError, match="merge conflict"):
+            a.merge(b)

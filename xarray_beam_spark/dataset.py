@@ -1785,6 +1785,21 @@ class Dataset:
         )
         return Dataset(self.spark, df, tmpl, self.chunks, self.split_vars)
 
+    def merge(self, other: "Dataset") -> "Dataset":
+        """Variable union with another Dataset on the same grid — xarray
+        ``xr.merge([a, b])`` for grid-identical inputs, and the natural
+        follow-up to the reference's multi-store co-read (``core.py:
+        419-460``: read two stores, work on both variable sets). One
+        chunk-grid equi-join (via :meth:`zip_map`); conflicting variable
+        names raise instead of silently preferring a side."""
+        dup = sorted(set(self.template.var_meta) & set(other.template.var_meta))
+        if dup:
+            raise ValueError(
+                f"merge conflict: variables {dup} exist in both datasets "
+                "(rename one side first)"
+            )
+        return self.zip_map(other, lambda a, b: NDDataset.merge([a, b]))
+
     def zip_map(
         self,
         other: "Dataset",

@@ -1218,6 +1218,29 @@ def xb_grid_diff_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "xb_grid_merge_vars",
+    """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+       event_type,
+       CAST(COUNT(*) AS DOUBLE) AS cnt,
+       CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS users
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def xb_grid_merge_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Dataset.merge`` (xarray ``xr.merge``): two single-variable grids
+    over the same coordinates combine into one multi-variable dataset via
+    ONE chunk-grid equi-join — the step after the reference's multi-store
+    co-read. Identity against the two-aggregate oracle proves variable
+    union keeps cells aligned."""
+    a = _events_grid(spark, sf_dir, chunks={"day": 7}, var_cols=("cnt",))
+    b = _events_grid(spark, sf_dir, chunks={"day": 7}, var_cols=("users",))
+    return a.merge(b).to_table(dropna=True)
+
+
+@_register(
     "xb_grid_differentiate_hour",
     f"""
 WITH cells AS ({_CELLS_SQL}),
