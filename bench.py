@@ -91,12 +91,21 @@ def main() -> None:
         "aggregation": "min_per_query",
     }
     line = json.dumps(doc, separators=(",", ":"))
-    if len(line) > 4000:  # keep the slowest queries, say how many dropped
-        keep = dict(
-            sorted(timings.items(), key=lambda kv: -kv[1])[: max(1, 100)]
-        )
-        doc["queries"] = {k: round(v, 2) for k, v in sorted(keep.items())}
-        doc["queries_omitted"] = len(timings) - len(keep)
+    if len(line) > 4000:
+        # Keep as many rows as fit, dropping the FASTEST first (least
+        # informative), and say how many were dropped.
+        by_slow = sorted(timings.items(), key=lambda kv: -kv[1])
+        lo, hi = 1, len(by_slow)
+        while lo < hi:  # largest N whose line fits
+            mid = (lo + hi + 1) // 2
+            doc["queries"] = {k: round(v, 2) for k, v in sorted(by_slow[:mid])}
+            doc["queries_omitted"] = len(timings) - mid
+            if len(json.dumps(doc, separators=(",", ":"))) <= 4000:
+                lo = mid
+            else:
+                hi = mid - 1
+        doc["queries"] = {k: round(v, 2) for k, v in sorted(by_slow[:lo])}
+        doc["queries_omitted"] = len(timings) - lo
         line = json.dumps(doc, separators=(",", ":"))
     print(line)
 
