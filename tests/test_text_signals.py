@@ -148,3 +148,35 @@ class TestSubstringDup:
         got = {r["doc_id"]: r for r in substring_dup_windows(docs).collect()}
         assert got[1]["n_windows"] == 0 and got[1]["dup_frac"] == 0.0
         assert got[2]["n_windows"] == 0
+
+
+class TestGopherFilter:
+    def test_each_rule_fires(self, spark):
+        from xarray_beam_spark.functions.text import gopher_quality_filter
+
+        good = "the cat and the dog have fun with all of that stuff " * 5  # 60 words, stops
+        rows = [
+            (1, good),                                        # passes everything
+            (2, "short of the and"),                          # too few words
+            (3, ("x" * 30 + " ") * 60 + "the of and with"),   # mean word len too high
+            (4, ("## " * 30) + good),                         # symbol ratio too high
+            (5, good.replace("the", "123").replace("and", "456")
+                 .replace("of", "789").replace("with", "000")
+                 .replace("have", "111").replace("that", "222")),  # no stop words
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in gopher_quality_filter(df).collect()}
+        assert out[1]["keep"] is True
+        assert out[2]["keep"] is False and out[2]["n_words"] < 50
+        assert out[3]["keep"] is False and out[3]["mean_word_len"] > 10
+        assert out[4]["keep"] is False and out[4]["symbol_ratio"] > 0.1
+        assert out[5]["keep"] is False and out[5]["n_stop_kinds"] < 2
+
+    def test_line_rules(self, spark):
+        from xarray_beam_spark.functions.text import gopher_quality_filter
+
+        base = "the cat and the dog have fun with all of that stuff " * 5
+        bullets = "\n".join("- item %d" % i for i in range(10)) + "\n" + base
+        df = spark.createDataFrame([(1, bullets)], "doc_id long, text string")
+        r = gopher_quality_filter(df).collect()[0]
+        assert r["bullet_frac"] > 0.9 and r["keep"] is False

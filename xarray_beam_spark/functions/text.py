@@ -606,3 +606,143 @@ def text_substring_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64, covered by an equivalence pytest)."""
     docs = load(spark, sf_dir, "documents")
     return substring_dup_windows(docs, window=8, hash_fn="md5")
+
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_signals(text: Column) -> dict[str, Column]:
+    """The published Gopher / MassiveText document-quality rule inputs
+    (Rae et al. 2021, arXiv:2112.11446 §A.1.1), each as one row-local JVM
+    expression (integer counts; single exact divisions) so the whole
+    ruleset fuses into the scan at any corpus scale:
+
+    word count, mean word length, symbol-to-word ratio (``#`` + ``...``),
+    bullet-start / ellipsis-end line fractions, fraction of words with an
+    alphabetic character, and how many of the 8 Gopher stop words appear.
+    """
+    words = F.split(text, r"\s+")
+    n = F.size(words)
+    n_chars = F.length(text)
+    mean_word_len = (n_chars - n + 1).cast("double") / n.cast("double")
+    symbols = substr_count(text, "#") + substr_count(text, "...")
+    symbol_ratio = symbols.cast("double") / n.cast("double")
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines)
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*([•‣◦]|-\s)")))
+        .cast("double") / n_lines.cast("double")
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+        .cast("double") / n_lines.cast("double")
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / n.cast("double")
+    )
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    n_stop_kinds = sum(
+        (
+            F.when(substr_count(padded, f" {w} ") > 0, F.lit(1)).otherwise(F.lit(0))
+            for w in _GOPHER_STOPS
+        ),
+        F.lit(0),
+    ).cast("long")
+    return {
+        "n_words": n.cast("long"),
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": symbol_ratio,
+        "bullet_frac": bullet_frac,
+        "ellipsis_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+        "n_stop_kinds": n_stop_kinds,
+    }
+
+
+def gopher_quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_kinds: int = 2,
+) -> DataFrame:
+    """Apply the Gopher quality rules with their published default
+    thresholds; adds every signal column plus a ``keep`` verdict (rows are
+    NOT dropped — auditing which rule fired is half the point of the
+    ruleset, and a ``where(keep)`` fuses into the same scan)."""
+    sig = gopher_quality_signals(F.col(text_col))
+    out = docs
+    for name, col in sig.items():
+        out = out.withColumn(name, col)
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("n_stop_kinds") >= min_stop_kinds)
+    )
+    return out.withColumn("keep", keep)
+
+
+_GOPHER_ORACLE = r"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_words,
+         CAST(length(text) - len(regexp_split_to_array(text, '\s+')) + 1 AS DOUBLE)
+           / len(regexp_split_to_array(text, '\s+')) AS mean_word_len,
+         CAST((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE)
+           / len(regexp_split_to_array(text, '\s+')) AS symbol_ratio,
+         CAST(len(list_filter(regexp_split_to_array(text, '\n'),
+                              l -> regexp_matches(l, '^\s*([•‣◦]|-\s)'))) AS DOUBLE)
+           / len(regexp_split_to_array(text, '\n')) AS bullet_frac,
+         CAST(len(list_filter(regexp_split_to_array(text, '\n'),
+                              l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+           / len(regexp_split_to_array(text, '\n')) AS ellipsis_frac,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                              w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+           / len(regexp_split_to_array(text, '\s+')) AS alpha_word_frac,
+         CAST(
+           (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' the ', '')) THEN 1 ELSE 0 END) +
+           (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' be ', '')) THEN 1 ELSE 0 END) +
+           (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' to ', '')) THEN 1 ELSE 0 END) +
+           (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' of ', '')) THEN 1 ELSE 0 END) +
+           (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' and ', '')) THEN 1 ELSE 0 END) +
+           (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' that ', '')) THEN 1 ELSE 0 END) +
+           (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' have ', '')) THEN 1 ELSE 0 END) +
+           (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' with ', '')) THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_stop_kinds
+  FROM documents
+)
+SELECT *,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1
+        AND bullet_frac <= 0.9
+        AND ellipsis_frac <= 0.3
+        AND alpha_word_frac >= 0.8
+        AND n_stop_kinds >= 2) AS keep
+FROM s
+"""
+
+
+@_register("text_gopher_filter", _GOPHER_ORACLE)
+def text_gopher_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full published Gopher ruleset per document, signals + verdict,
+    hash-exact against the SQL replay (all ratios are exact integer
+    counts with one final division)."""
+    docs = load(spark, sf_dir, "documents")
+    return gopher_quality_filter(docs).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+        "ellipsis_frac", "alpha_word_frac", "n_stop_kinds", "keep",
+    )
