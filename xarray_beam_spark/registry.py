@@ -10,7 +10,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # Latest round each query earned a green driver-hash CORRECTNESS row
-# (from CORRECTNESS_r01..r04.json; zero failures ever). The driver
+# (from CORRECTNESS_r01..r05.json; zero failures ever). The driver
 # certifies ~50 queries per round in registry order, so ordering is
 # stalest-evidence-first: never-certified queries lead, then rows by
 # ascending last-green round — every banked row stays at most a couple
