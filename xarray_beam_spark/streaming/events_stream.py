@@ -573,10 +573,16 @@ def stream_append_to_zarr(spark: SparkSession, sf_dir: str, out_path: str) -> di
     from xarray_beam_spark.dataset import Dataset
     from xarray_beam_spark.sources import zarr_io
 
-    static = load(spark, sf_dir, "events")
-    etypes = np.array(
-        sorted(r[0] for r in static.select("event_type").distinct().collect())
-    )  # the event taxonomy is schema-level knowledge; the DAY axis is not
+    # the event taxonomy is schema-level knowledge; the DAY axis is not —
+    # memoized like the staged feed (pure-input metadata)
+    ekey = ("etypes", spark.sparkContext.applicationId, sf_dir)
+    etypes = _APPEND_STAGE_CACHE.get(ekey)
+    if etypes is None:
+        static = load(spark, sf_dir, "events")
+        etypes = np.array(
+            sorted(r[0] for r in static.select("event_type").distinct().collect())
+        )
+        _APPEND_STAGE_CACHE[ekey] = etypes
     stage = _staged_day_files(spark, sf_dir)
     marker = out_path + "_highwater"
 
