@@ -25,6 +25,10 @@ def main() -> None:
         sf = -1.0
     spark = get_spark("xbs-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Ambient-load attribution: the shared host shows up-to-6x co-tenancy
+    # swings (BASELINE.md); recording 1/5/15-min loadavg at start+end lets
+    # a cross-round regression be classified noise-vs-real (VERDICT r6 #4).
+    load_start = [round(x, 2) for x in os.getloadavg()]
 
     qs = registry.queries()
     # Dev-only: SPARK_GRAFT_BENCH_FILTER=substr1,substr2 restricts the run
@@ -89,6 +93,8 @@ def main() -> None:
         "sf": sf,
         "runs": runs,
         "aggregation": "min_per_query",
+        "loadavg_start": load_start,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
     line = json.dumps(doc, separators=(",", ":"))
     if len(line) > 4000:

@@ -193,6 +193,19 @@ class TestRobustness:
         except ValueError:
             pass
 
+    def test_zero_sampling_factor_is_valueerror(self):
+        """Hypothesis seed 2640030283 (round-6 falsifier): a corrupt SOF whose
+        sampling-factor nibbles are 0 must raise ValueError, not reach the
+        MCU math and leak ZeroDivisionError."""
+        blob = bytearray(jpeg.encode_jpeg(np.zeros((16, 16), np.uint8)))
+        i = blob.find(b"\xff\xc0")
+        blob[i + 11] = 0x00  # component 0 h=v=0
+        with pytest.raises(ValueError, match="sampling factors"):
+            jpeg.decode_jpeg(bytes(blob))
+        blob[i + 11] = 0x50  # h=5 (>4) also out of range per T.81 B.2.2
+        with pytest.raises(ValueError, match="sampling factors"):
+            jpeg.decode_jpeg(bytes(blob))
+
     def test_decompression_bomb_guard(self):
         blob = bytearray(jpeg.encode_jpeg(np.zeros((8, 8), np.uint8)))
         i = blob.find(b"\xff\xc0")

@@ -188,8 +188,21 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("mean_px", T.DoubleType()),
         T.StructField("std_px", T.DoubleType()),
         T.StructField("histogram", T.ArrayType(T.LongType())),
+        T.StructField("error", T.StringType()),
     ]
 )
+
+
+def _quarantine(decoder: Callable, blob) -> tuple:
+    """Per-asset decode guard: a corrupt blob must NEVER fail the Spark
+    task (at 100 TB corrupt assets are a statistical certainty; one
+    uncaught exception = 4 task retries = dead job). Returns
+    ``(decoded, None)`` or ``(None, "ExcType: msg")`` for the caller to
+    emit as a quarantine row."""
+    try:
+        return decoder(blob), None
+    except Exception as exc:  # noqa: BLE001 — quarantine, never propagate
+        return None, f"{type(exc).__name__}: {exc}"[:512]
 
 
 def extract_features(
@@ -203,25 +216,39 @@ def extract_features(
     with one ``np.add.at`` over a (batch, bins) matrix — no per-pixel
     Python. The decoder is pluggable: swap ``fake_decode`` for a real
     codec wrapper with the same contract when codecs are available.
+
+    Corrupt blobs are quarantined per asset (null features + ``error``
+    string column) instead of failing the task — downstream filters on
+    ``error IS NULL`` / routes ``error IS NOT NULL`` to a review sink.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["asset_id"].to_numpy()
-            imgs = np.stack([decoder(b) for b in pdf["blob"]])  # (n, h, w)
-            flat = imgs.reshape(len(ids), -1)
-            mean = flat.mean(axis=1)
-            std = flat.std(axis=1)
-            bins = (flat.astype(np.int64) * n_bins) // 256
-            hist = np.zeros((len(ids), n_bins), np.int64)
-            rows = np.repeat(np.arange(len(ids)), flat.shape[1])
-            np.add.at(hist, (rows, bins.ravel()), 1)
+            decoded = [_quarantine(decoder, b) for b in pdf["blob"]]
+            errors = [e for _, e in decoded]
+            good = [i for i, (_, e) in enumerate(decoded) if e is None]
+            mean = np.full(len(ids), np.nan)
+            std = np.full(len(ids), np.nan)
+            hists: list = [None] * len(ids)
+            if good:
+                imgs = np.stack([decoded[i][0] for i in good])  # (g, h, w)
+                flat = imgs.reshape(len(good), -1)
+                mean[good] = flat.mean(axis=1)
+                std[good] = flat.std(axis=1)
+                bins = (flat.astype(np.int64) * n_bins) // 256
+                hist = np.zeros((len(good), n_bins), np.int64)
+                rows = np.repeat(np.arange(len(good)), flat.shape[1])
+                np.add.at(hist, (rows, bins.ravel()), 1)
+                for j, i in enumerate(good):
+                    hists[i] = hist[j]
             yield pd.DataFrame(
                 {
                     "asset_id": ids,
                     "mean_px": mean,
                     "std_px": std,
-                    "histogram": list(hist),
+                    "histogram": hists,
+                    "error": errors,
                 }
             )
 
@@ -235,12 +262,14 @@ def resize_assets(
     decoder: Callable[[bytes], np.ndarray] = fake_decode,
 ) -> DataFrame:
     """Decode → resize → re-encode raw bytes; metadata updated in step.
-    Narrow Arrow-batched stage, shape contract enforced by the schema."""
+    Narrow Arrow-batched stage, shape contract enforced by the schema.
+    Corrupt blobs quarantine (null blob + ``error``), never fail the task."""
     schema = T.StructType(
         [
             T.StructField("asset_id", T.LongType()),
             T.StructField("blob", T.BinaryType()),
             T.StructField("meta", META_TYPE),
+            T.StructField("error", T.StringType()),
         ]
     )
 
@@ -248,11 +277,17 @@ def resize_assets(
         for pdf in batches:
             out_rows = []
             for r in pdf.to_dict("records"):  # row-dict iteration: ~10x iterrows at chunk granularity
-                img = resize_nearest(decoder(r["blob"]), out_h, out_w)
+                img, err = _quarantine(decoder, r["blob"])
+                if err is not None:
+                    out_rows.append(
+                        {"asset_id": r["asset_id"], "blob": None, "meta": r["meta"], "error": err}
+                    )
+                    continue
+                img = resize_nearest(img, out_h, out_w)
                 raw = img.astype(np.uint8).tobytes()
                 meta = dict(r["meta"]) if r["meta"] is not None else {}
                 meta.update(width=out_w, height=out_h, n_bytes=len(raw))
-                out_rows.append({"asset_id": r["asset_id"], "blob": raw, "meta": meta})
+                out_rows.append({"asset_id": r["asset_id"], "blob": raw, "meta": meta, "error": None})
             yield pd.DataFrame(out_rows)
 
     return assets.mapInPandas(run, schema)
@@ -358,6 +393,7 @@ AUDIO_FEATURE_SCHEMA = T.StructType(
         T.StructField("rms", T.DoubleType()),
         T.StructField("peak", T.LongType()),
         T.StructField("zero_crossings", T.LongType()),
+        T.StructField("error", T.StringType()),
     ]
 )
 
@@ -370,13 +406,29 @@ def audio_features(
     zero-crossing count) — the triage scan an audio-training pipeline runs
     before expensive resampling/transcription. Arrow-batched mapInPandas,
     REAL WAV decode by default; multi-channel clips are analyzed on the
-    channel-mean mixdown. No shuffle anywhere."""
+    channel-mean mixdown. No shuffle anywhere. Corrupt clips are
+    quarantined per asset (null features + ``error`` column), never
+    failing the task."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for asset_id, blob in zip(pdf["asset_id"], pdf["blob"]):
-                samples, rate = decoder(blob)
+                out, err = _quarantine(decoder, blob)
+                if err is not None:
+                    rows.append(
+                        {
+                            "asset_id": asset_id,
+                            "n_frames": None,
+                            "duration_s": None,
+                            "rms": None,
+                            "peak": None,
+                            "zero_crossings": None,
+                            "error": err,
+                        }
+                    )
+                    continue
+                samples, rate = out
                 s = samples.astype(np.float64)
                 mono = s[:, 0] if s.shape[1] == 1 else s.mean(axis=1)
                 n = len(mono)
@@ -389,6 +441,7 @@ def audio_features(
                         "rms": float(np.sqrt((mono * mono).sum() / n)) if n else float("nan"),
                         "peak": int(np.abs(mono).max()) if n else 0,
                         "zero_crossings": int((neg[1:] != neg[:-1]).sum()),
+                        "error": None,
                     }
                 )
             yield pd.DataFrame(rows)
@@ -404,6 +457,7 @@ VIDEO_FEATURE_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("mean_luma", T.DoubleType()),
         T.StructField("frame_deltas", T.ArrayType(T.DoubleType())),
+        T.StructField("error", T.StringType()),
     ]
 )
 
@@ -421,7 +475,21 @@ def video_frame_features(
         for pdf in batches:
             rows = []
             for asset_id, blob in zip(pdf["asset_id"], pdf["blob"]):
-                frames = decoder(bytes(blob)).astype(np.float64)
+                out, err = _quarantine(lambda b: decoder(bytes(b)), blob)
+                if err is not None:
+                    rows.append(
+                        {
+                            "asset_id": asset_id,
+                            "n_frames": None,
+                            "height": None,
+                            "width": None,
+                            "mean_luma": None,
+                            "frame_deltas": None,
+                            "error": err,
+                        }
+                    )
+                    continue
+                frames = out.astype(np.float64)
                 deltas = (
                     np.abs(np.diff(frames, axis=0)).mean(axis=(1, 2, 3))
                     if frames.shape[0] > 1
@@ -435,6 +503,7 @@ def video_frame_features(
                         "width": frames.shape[2],
                         "mean_luma": float(frames.mean()),
                         "frame_deltas": list(deltas),
+                        "error": None,
                     }
                 )
             yield pd.DataFrame(rows)

@@ -315,10 +315,18 @@ def _decode_jpeg(data: bytes, max_pixels: int) -> np.ndarray:
                     f"{max_pixels}-pixel guard (decompression bomb?)"
                 )
             ncomp = seg[5]
+            if not 1 <= ncomp <= 4:
+                raise ValueError(f"jpeg: SOF component count {ncomp} out of range")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+                h, v = hv >> 4, hv & 15
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise ValueError(
+                        f"jpeg: SOF sampling factors {h}x{v} out of range "
+                        "(T.81 B.2.2 requires 1..4)"
+                    )
+                comps.append({"id": cid, "h": h, "v": v, "tq": tq})
         elif marker == 0xC2:
             raise ValueError(
                 "jpeg: progressive (SOF2) not supported by this baseline "

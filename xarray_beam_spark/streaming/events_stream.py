@@ -554,6 +554,25 @@ def _staged_day_files(spark: SparkSession, sf_dir: str, n_parts: int = 3) -> str
     return stage
 
 
+class BatchHighWater:
+    """Exactly-once guard for ``foreachBatch`` sinks: a monotone batch-id
+    high-water mark persisted through the Store seam, so replayed batch
+    ids are skipped identically on ``file://``, ``http(s)://`` and
+    ``mem://`` outputs (the standard foreachBatch idempotency pattern)."""
+
+    def __init__(self, path: str) -> None:
+        from xarray_beam_spark.sources import stores
+
+        self._store, self._key = stores.resolve(path)
+
+    def seen(self, batch_id: int) -> bool:
+        raw = self._store.get(self._key)
+        return raw is not None and int(raw) >= batch_id
+
+    def commit(self, batch_id: int) -> None:
+        self._store.put(self._key, str(batch_id).encode())
+
+
 def stream_append_to_zarr(spark: SparkSession, sf_dir: str, out_path: str) -> dict:
     """Streaming ingestion into a GROWING Zarr store: no pre-sized extent,
     no replace_template_dims — the first micro-batch creates the store for
@@ -584,10 +603,15 @@ def stream_append_to_zarr(spark: SparkSession, sf_dir: str, out_path: str) -> di
         )
         _APPEND_STAGE_CACHE[ekey] = etypes
     stage = _staged_day_files(spark, sf_dir)
-    marker = out_path + "_highwater"
+    # Exactly-once marker goes through the store seam so streaming append
+    # is idempotent on http://, mem:// and file outputs alike (the marker
+    # lives NEXT TO the store, not inside it, so store listings stay clean).
+    from xarray_beam_spark.sources import stores
+
+    highwater = BatchHighWater(out_path + "_highwater")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if os.path.exists(marker) and int(open(marker).read()) >= batch_id:
+        if highwater.seen(batch_id):
             return  # replayed batch: already appended
         cells = (
             batch_df.groupBy(
@@ -614,7 +638,8 @@ def stream_append_to_zarr(spark: SparkSession, sf_dir: str, out_path: str) -> di
                 var_cols=["cnt"],
                 chunks={"day": 1},
             )
-            if os.path.exists(os.path.join(out_path, ".zmetadata")):
+            meta_store, meta_key = stores.resolve(stores.join(out_path, ".zmetadata"))
+            if meta_store.exists(meta_key):
                 # ingestion contract: whole days, in order — a batch whose
                 # first day is not past the store's extent means duplicate
                 # or out-of-order delivery, which append cannot represent
@@ -632,8 +657,7 @@ def stream_append_to_zarr(spark: SparkSession, sf_dir: str, out_path: str) -> di
                     zarr_chunks={"day": 1, "hour": 24, "event_type": len(etypes)},
                 )
         cells.unpersist()
-        with open(marker, "w") as fh:
-            fh.write(str(batch_id))
+        highwater.commit(batch_id)
 
     raw_schema = load(spark, sf_dir, "events").schema
     feed = (
