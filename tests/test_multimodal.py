@@ -81,8 +81,11 @@ def test_extract_features_quarantines_corrupt_blobs(spark):
     rows = {r["asset_id"]: r for r in mm.extract_features(corrupted, decoder=mm.decode_image).collect()}
     assert len(rows) == 5
     bad = rows[2]
-    assert bad["error"] is not None and "jpeg" in bad["error"].lower() or "Error" in bad["error"]
+    assert bad["error"] is not None and (
+        "jpeg" in bad["error"].lower() or "Error" in bad["error"]
+    )
     assert bad["histogram"] is None
+    assert bad["mean_px"] is None and bad["std_px"] is None  # null, not NaN
     for i in (0, 1, 3, 4):
         assert rows[i]["error"] is None
         assert rows[i]["mean_px"] is not None and rows[i]["histogram"] is not None
@@ -109,7 +112,34 @@ def test_resize_assets_quarantines_corrupt_blobs(spark):
     )
     rows = {r["asset_id"]: r for r in mm.resize_assets(corrupted, 4, 4, decoder=mm.decode_image).collect()}
     assert rows[2]["error"] is not None and rows[2]["blob"] is None
+    assert rows[2]["meta"] is None  # meta described bytes the row no longer has
     assert rows[1]["error"] is None and len(rows[1]["blob"]) == 16
+
+
+def test_extract_features_quarantines_malformed_decodes(spark):
+    """A decoder that returns a wrong-shaped array WITHOUT raising must
+    quarantine that one asset, not fail the whole batch's np.stack; and
+    legitimately mixed image sizes in one batch must all get features."""
+
+    def weird_decoder(blob: bytes) -> np.ndarray:
+        b = bytes(blob)
+        if b.startswith(b"3d"):
+            return np.zeros((2, 2, 2), np.uint8)  # wrong ndim, no exception
+        if b.startswith(b"empty"):
+            return np.zeros((0, 4), np.uint8)  # empty, no exception
+        n = 4 if b.startswith(b"small") else 8
+        return np.full((n, n), len(b) % 256, np.uint8)
+
+    blobs = [(1, b"3d"), (2, b"empty!"), (3, b"small img"), (4, b"regular image")]
+    assets = spark.createDataFrame(blobs, "asset_id long, blob binary").coalesce(1)
+    rows = {r["asset_id"]: r for r in mm.extract_features(assets, decoder=weird_decoder).collect()}
+    assert len(rows) == 4
+    for bad in (1, 2):
+        assert rows[bad]["error"] is not None and "ShapeError" in rows[bad]["error"]
+        assert rows[bad]["mean_px"] is None and rows[bad]["histogram"] is None
+    assert rows[3]["error"] is None and rows[3]["mean_px"] == 9 % 256
+    assert rows[4]["error"] is None and rows[4]["mean_px"] == 13 % 256
+    assert sum(rows[3]["histogram"]) == 16 and sum(rows[4]["histogram"]) == 64
 
 
 def test_meta_blob_column_pruned(spark, sf_dir):

@@ -1421,7 +1421,7 @@ class Dataset:
         if k == 0:
             return self
         base = self.consolidate_variables() if self.split_vars else self
-        r = base.rechunk({dim: -1})
+        r = base._gather_dim(dim)
         tmpl = r.template
 
         def _roll_coord(c: Variable) -> Variable:
@@ -1485,7 +1485,7 @@ class Dataset:
                 f"[{positions.min()}, {positions.max()}]"
             )
         base = self.consolidate_variables() if self.split_vars else self
-        r = base.rechunk({dim: -1})
+        r = base._gather_dim(dim)
         tmpl = r.template
         n_new = int(positions.size)
 
@@ -1555,7 +1555,7 @@ class Dataset:
         if (perm == np.arange(len(perm))).all():
             return self
         base = self.consolidate_variables() if self.split_vars else self
-        r = base.rechunk({dim: -1})
+        r = base._gather_dim(dim)
         tmpl = r.template
 
         def _take(c: Variable) -> Variable:
@@ -1606,7 +1606,7 @@ class Dataset:
         if n < 0:
             k = -n
             base = self.consolidate_variables() if self.split_vars else self
-            r = base.rechunk({dim: -1})
+            r = base._gather_dim(dim)
 
             def lead_block(ds: NDDataset) -> NDDataset:
                 out_vars = {}
@@ -1709,7 +1709,7 @@ class Dataset:
             raise ValueError(f"no dimension {dim!r} in {sorted(sizes)}")
         if halo > self.chunks[dim] and self.chunks[dim] < sizes[dim]:
             # halo wider than a chunk: make dim contiguous first
-            return self.rechunk({dim: sizes[dim]})._left_halo_map(
+            return self._gather_dim(dim)._left_halo_map(
                 dim, halo, kernel, op_name
             )
         dims = self.dims
@@ -2111,6 +2111,34 @@ class Dataset:
                 out = Dataset(out.spark, out.df, out.template, to, out.split_vars)
         return out
 
+    def _gather_dim(
+        self, dim: str, max_mem: int = rechunk_plan.DEFAULT_MAX_MEM
+    ) -> "Dataset":
+        """Rechunk so ``dim`` spans ONE whole chunk while every other dim
+        keeps its current chunking — the shared shuffle shape of the
+        order-dependent per-series ops (cumulative / ffill / rank / roll /
+        sortby / take / shift / interp / integrate / differentiate).
+
+        Memory guard: the gathered chunk is ``sizes[dim] * prod(other
+        chunk extents) * itemsize`` bytes; when that exceeds ``max_mem``
+        the other dims are auto-split (largest chunk halved first) until
+        every post-gather chunk fits — so a whole-dim gather along the BIG
+        dim of a 100 TB grid lands as many memory-bounded series-slabs
+        instead of one OOM-ing reducer. Raises with the remedy when even
+        1-element chunks on every other dim cannot fit.
+        """
+        sizes = self.sizes
+        if dim not in sizes:
+            raise KeyError(f"no dimension {dim!r} in {sorted(sizes)}")
+        tgt = rechunk_plan.gather_dim_chunks(
+            sizes,
+            self.chunks,
+            dim,
+            max(1, self.template.itemsize(self.split_vars)),
+            max_mem,
+        )
+        return self.rechunk(tgt, max_mem=max_mem)
+
     # -- aggregations ------------------------------------------------------
 
     def mean(self, dim: str | Sequence[str], skipna: bool = True) -> "Dataset":
@@ -2135,7 +2163,7 @@ class Dataset:
         if op not in fns:
             raise ValueError(f"cumulative op must be one of {sorted(fns)}")
         scan_fn = fns[op]
-        r = self.rechunk({dim: -1})
+        r = self._gather_dim(dim)
 
         def scan(ds: NDDataset) -> NDDataset:
             out: dict[str, Variable] = {}
@@ -2176,7 +2204,7 @@ class Dataset:
             )
         else:
             cnum = cvals.astype(np.float64)
-        r = self.rechunk({dim: -1})
+        r = self._gather_dim(dim)
 
         def grad(ds: NDDataset) -> NDDataset:
             out: dict[str, Variable] = {}
@@ -2216,7 +2244,7 @@ class Dataset:
             )
         else:
             cnum = cvals.astype(np.float64)
-        r = self.rechunk({dim: -1})
+        r = self._gather_dim(dim)
         trapz = getattr(np, "trapezoid", None) or np.trapz
 
         def integ(ds: NDDataset) -> NDDataset:
@@ -2265,7 +2293,7 @@ class Dataset:
     def _fill(self, dim: str, limit: int | None, reverse: bool) -> "Dataset":
         if limit is not None and limit < 0:
             raise ValueError(f"limit must be >= 0, got {limit}")
-        r = self.rechunk({dim: -1})
+        r = self._gather_dim(dim)
 
         def fill(ds: NDDataset) -> NDDataset:
             out: dict[str, Variable] = {}
@@ -2305,7 +2333,7 @@ class Dataset:
         ``prev + (next - prev) * ((i - pi) / (ni - pi))`` evaluated in
         float64 with exactly that expression tree, so results are
         bit-identical to any engine computing the same formula."""
-        r = self.rechunk({dim: -1})
+        r = self._gather_dim(dim)
 
         def interp(ds: NDDataset) -> NDDataset:
             out: dict[str, Variable] = {}
@@ -2390,7 +2418,7 @@ class Dataset:
             w = np.where(den == 0, 0.0, num.astype(np.float64) / den.astype(np.float64))
 
         base = self.consolidate_variables() if self.split_vars else self
-        r = base.rechunk({dim: -1})
+        r = base._gather_dim(dim)
         bc = self.spark.sparkContext.broadcast(
             (lo.astype(np.int64), hi.astype(np.int64), w, oob, new_vals)
         )
@@ -2451,7 +2479,7 @@ class Dataset:
         loop over elements — only over series within a chunk."""
         if method not in ("average", "min", "max", "dense"):
             raise ValueError(f"unknown rank method {method!r}")
-        r = self.rechunk({dim: -1})
+        r = self._gather_dim(dim)
 
         def rank_block(ds: NDDataset) -> NDDataset:
             out: dict[str, Variable] = {}

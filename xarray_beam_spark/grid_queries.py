@@ -429,7 +429,15 @@ def xb_sql_zarr_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     (setup-only) store — executors assemble and region-write aligned
     chunks, atomic renames — then read the destination back and emit the
     dense grid. Oracle is the same cells aggregation, proving the
-    write→read cycle is lossless."""
+    write→read cycle is lossless.
+
+    Perf note (profiled, ``scripts/profile_insert.py``): the ~1.6 s warm
+    floor at sf0.1 is five Python-worker round-trips + two job
+    executions — all CONSTANT in data size (the store is 3600 cells, so
+    decode/write time is ~0). ``setup_zarr`` measured 0.00 s (the r6
+    fixture hypothesis is ruled out); explicit ``.schema()`` only moves
+    the inference hop into the first job. The overhead amortizes to zero
+    at real scale and is inherent to the SQL surface under test."""
     from xarray_beam_spark.sources import spark_datasource, zarr_io
 
     d = _events_grid(spark, sf_dir, chunks={"day": 8})

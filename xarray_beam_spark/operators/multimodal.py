@@ -225,23 +225,42 @@ def extract_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["asset_id"].to_numpy()
-            decoded = [_quarantine(decoder, b) for b in pdf["blob"]]
-            errors = [e for _, e in decoded]
-            good = [i for i, (_, e) in enumerate(decoded) if e is None]
-            mean = np.full(len(ids), np.nan)
-            std = np.full(len(ids), np.nan)
-            hists: list = [None] * len(ids)
-            if good:
-                imgs = np.stack([decoded[i][0] for i in good])  # (g, h, w)
-                flat = imgs.reshape(len(good), -1)
-                mean[good] = flat.mean(axis=1)
-                std[good] = flat.std(axis=1)
-                bins = (flat.astype(np.int64) * n_bins) // 256
-                hist = np.zeros((len(good), n_bins), np.int64)
-                rows = np.repeat(np.arange(len(good)), flat.shape[1])
+            n = len(ids)
+            errors: list = [None] * n
+            mean: list = [None] * n
+            std: list = [None] * n
+            hists: list = [None] * n
+            # A decoder that returns a malformed array (wrong ndim, empty,
+            # out-of-range pixels) must quarantine that ONE asset, not blow
+            # up np.stack for the whole batch; and legitimately mixed image
+            # sizes in one batch must still vectorize — so group by shape.
+            by_shape: dict[tuple, list] = {}
+            for i, b in enumerate(pdf["blob"]):
+                img, err = _quarantine(decoder, b)
+                if err is None and not (
+                    isinstance(img, np.ndarray) and img.ndim == 2 and img.size
+                ):
+                    err = (
+                        "ShapeError: decoded to "
+                        f"{getattr(img, 'shape', type(img).__name__)}, "
+                        "expected non-empty 2-D pixel array"
+                    )
+                if err is not None:
+                    errors[i] = err
+                else:
+                    by_shape.setdefault(img.shape, []).append((i, img))
+            for items in by_shape.values():
+                idx = [i for i, _ in items]
+                flat = np.stack([im for _, im in items]).reshape(len(idx), -1)
+                m, s = flat.mean(axis=1), flat.std(axis=1)
+                # clip is a no-op for in-range uint8 pixels; it guards the
+                # shared np.add.at against a decoder emitting values >255.
+                bins = np.clip((flat.astype(np.int64) * n_bins) // 256, 0, n_bins - 1)
+                hist = np.zeros((len(idx), n_bins), np.int64)
+                rows = np.repeat(np.arange(len(idx)), flat.shape[1])
                 np.add.at(hist, (rows, bins.ravel()), 1)
-                for j, i in enumerate(good):
-                    hists[i] = hist[j]
+                for j, i in enumerate(idx):
+                    mean[i], std[i], hists[i] = float(m[j]), float(s[j]), hist[j]
             yield pd.DataFrame(
                 {
                     "asset_id": ids,
@@ -278,9 +297,20 @@ def resize_assets(
             out_rows = []
             for r in pdf.to_dict("records"):  # row-dict iteration: ~10x iterrows at chunk granularity
                 img, err = _quarantine(decoder, r["blob"])
+                if err is None and not (
+                    isinstance(img, np.ndarray) and img.ndim == 2 and img.size
+                ):
+                    err = (
+                        "ShapeError: decoded to "
+                        f"{getattr(img, 'shape', type(img).__name__)}, "
+                        "expected non-empty 2-D pixel array"
+                    )
                 if err is not None:
+                    # meta=None too: the input meta describes bytes this row
+                    # no longer carries (blob is null), so keeping it would
+                    # mislead downstream consumers of quarantined rows.
                     out_rows.append(
-                        {"asset_id": r["asset_id"], "blob": None, "meta": r["meta"], "error": err}
+                        {"asset_id": r["asset_id"], "blob": None, "meta": None, "error": err}
                     )
                     continue
                 img = resize_nearest(img, out_h, out_w)
@@ -437,8 +467,8 @@ def audio_features(
                     {
                         "asset_id": asset_id,
                         "n_frames": n,
-                        "duration_s": n / rate if rate else float("nan"),
-                        "rms": float(np.sqrt((mono * mono).sum() / n)) if n else float("nan"),
+                        "duration_s": n / rate if rate else None,
+                        "rms": float(np.sqrt((mono * mono).sum() / n)) if n else None,
                         "peak": int(np.abs(mono).max()) if n else 0,
                         "zero_crossings": int((neg[1:] != neg[:-1]).sum()),
                         "error": None,

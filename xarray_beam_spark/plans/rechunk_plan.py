@@ -47,6 +47,40 @@ def chunk_nbytes(chunks: Mapping[str, int], itemsize: int) -> int:
     return n
 
 
+def gather_dim_chunks(
+    sizes: Mapping[str, int],
+    chunks: Mapping[str, int],
+    dim: str,
+    itemsize: int,
+    max_mem: int = DEFAULT_MAX_MEM,
+) -> dict[str, int]:
+    """Target grid for a whole-dim gather: ``dim`` becomes one chunk,
+    other dims keep their current chunking — auto-split (largest halved
+    first) until the gathered chunk fits ``max_mem``. Pure math, shared
+    by :meth:`Dataset._gather_dim` and its Hypothesis coverage.
+
+    Raises when even 1-element chunks on every other dim cannot fit:
+    a single series along ``dim`` is the irreducible unit the per-series
+    ops (cumsum/rank/sortby/...) need in one task.
+    """
+    tgt = {d: min(chunks.get(d, sizes[d]), sizes[d]) for d in sizes}
+    tgt[dim] = sizes[dim]
+    floor = sizes[dim] * itemsize
+    if floor > max_mem:
+        raise ValueError(
+            f"gathering {dim!r} ({sizes[dim]} elements, itemsize {itemsize}) "
+            f"into one contiguous chunk needs >= {floor} bytes even with "
+            f"every other dimension split to 1-element chunks, exceeding "
+            f"max_mem={max_mem}. Raise max_mem, shrink the dim first "
+            f"(isel/coarsen/resample), or restate the op so it does not "
+            f"need the whole dim in one task."
+        )
+    while chunk_nbytes(tgt, itemsize) > max_mem:
+        d = max((o for o in tgt if o != dim and tgt[o] > 1), key=lambda o: tgt[o])
+        tgt[d] = tgt[d] // 2  # > 1 before halving, so stays >= 1
+    return tgt
+
+
 def stage_gather_bytes(
     from_chunks: Mapping[str, int], to_chunks: Mapping[str, int], itemsize: int
 ) -> int:
