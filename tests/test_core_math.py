@@ -384,3 +384,23 @@ def test_gather_dim_chunks_bounded(ndim, data):
     unsplit = {**{d: min(chunks[d], sizes[d]) for d in dims}, gdim: sizes[gdim]}
     if rechunk_plan.chunk_nbytes(unsplit, itemsize) <= max_mem:
         assert tgt == unsplit
+
+
+def test_dask_to_xbeam_chunks():
+    """Reference core.py:366-383 parity: regular tuples collapse, the
+    irregular/oversized-last cases raise the reference's messages."""
+    assert core.dask_to_xbeam_chunks({"x": (3, 3, 3, 1)}) == {"x": 3}
+    assert core.dask_to_xbeam_chunks({"x": (5,), "y": (4, 4)}) == {"x": 5, "y": 4}
+    with pytest.raises(ValueError, match="inconsistent dask chunks"):
+        core.dask_to_xbeam_chunks({"x": (3, 4, 3)})
+    with pytest.raises(ValueError, match="last chunk 7 is larger than preceding"):
+        core.dask_to_xbeam_chunks({"x": (3, 3, 7)})
+    with pytest.raises(ValueError, match="empty"):
+        core.dask_to_xbeam_chunks({"x": ()})
+
+
+def test_normalize_chunks_accepts_dask_tuples():
+    got = core.normalize_chunks({"x": (3, 3, 3, 1), "y": [4, 4]}, {"x": 10, "y": 8})
+    assert got == {"x": 3, "y": 4}
+    with pytest.raises(ValueError, match="inconsistent dask chunks"):
+        core.normalize_chunks({"x": (3, 4, 3)}, {"x": 10})

@@ -7,8 +7,10 @@ Validation strategy (no PIL/libjpeg in the container):
   raw PPM — cross-validation against an independent encoder;
 - constant-block images at quality 100 round-trip LOSSLESSLY (the
   property the multimodal gate's exact SQL oracle rests on);
-- handcrafted golden streams for the restart-marker path and loud
-  rejection of progressive/arithmetic streams.
+- handcrafted golden streams for the restart-marker and progressive
+  EOB-run paths, loud rejection of arithmetic/malformed streams;
+- progressive (SOF2) decode pinned by bit-exact parity with the baseline
+  decode of the same quantized coefficients (see TestProgressive).
 """
 
 from __future__ import annotations
@@ -117,11 +119,14 @@ class TestRealLibjpegFile:
 
 
 class TestMarkers:
-    def test_progressive_rejected_clearly(self):
+    def test_baseline_mislabeled_progressive_rejected(self):
+        """A baseline stream with SOF0 flipped to SOF2 is MALFORMED
+        progressive (its single scan declares Ss=0,Se=63 — illegal for a
+        progressive DC scan) — loud ValueError, not garbage pixels."""
         blob = bytearray(jpeg.encode_jpeg(_test_image(), quality=90))
         i = blob.find(b"\xff\xc0")
         blob[i + 1] = 0xC2  # flip SOF0 -> SOF2
-        with pytest.raises(ValueError, match="progressive"):
+        with pytest.raises(ValueError, match="Se=0"):
             jpeg.decode_jpeg(bytes(blob))
 
     def test_arithmetic_rejected_clearly(self):
@@ -244,3 +249,126 @@ class TestEncoderValidation:
                 i += 2
             else:
                 i += 1
+
+
+class TestProgressive:
+    """SOF2 decode (VERDICT r7 'What's missing' #1): spectral selection +
+    successive approximation, validated three ways — bit-exact parity
+    with the baseline decode of the SAME quantized coefficients, a
+    handcrafted golden stream exercising EOB runs > 1 (which the
+    standard-table encoder cannot emit), and corruption fuzzing."""
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(0, 2**32 - 1))
+    def test_parity_with_baseline(self, seed):
+        """encode_jpeg and encode_jpeg_progressive serialize identical
+        quantized coefficients, so the decodes must be bit-identical —
+        any progressive entropy bug shows up as a pixel diff or a raise."""
+        rng = np.random.default_rng(seed)
+        h, w = int(rng.integers(1, 50)), int(rng.integers(1, 50))
+        color = bool(rng.integers(0, 2))
+        shape = (h, w, 3) if color else (h, w)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        q = int(rng.integers(5, 101))
+        sub = bool(rng.integers(0, 2)) and color
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q, subsample=sub))
+        prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, quality=q, subsample=sub))
+        np.testing.assert_array_equal(base, prog)
+
+    def test_constant_blocks_lossless_q100(self):
+        """The multimodal gate's losslessness family holds for the
+        progressive stream too: constant 8x8 blocks at quality 100."""
+        img = np.empty((16, 16), np.uint8)
+        img[:8, :8], img[:8, 8:], img[8:, :8], img[8:, 8:] = 7, 99, 200, 255
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, quality=100, subsample=False))
+        np.testing.assert_array_equal(out, img)
+
+    def test_real_image_progressive_psnr(self):
+        """python.jpg's pixels re-encoded progressively decode identically
+        to the baseline re-encode (both 4:2:0)."""
+        if not os.path.exists(f"{_CPY_IMG}/python.jpg"):
+            pytest.skip("CPython test images not present")
+        ref = jpeg.decode_jpeg(open(f"{_CPY_IMG}/python.jpg", "rb").read())
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(ref, quality=85, subsample=True))
+        prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(ref, quality=85, subsample=True))
+        np.testing.assert_array_equal(base, prog)
+
+    def test_golden_eobrun_stream(self):
+        """Handcrafted 3-block grayscale progressive stream with EOB runs
+        of 2 (symbol 0x10 + length bit) in BOTH the AC-first and
+        AC-refine scans — standard Annex K tables lack the run symbols,
+        so this is the only way to pin the eobrun > 1 decode paths.
+        Expected pixels computed straight from the target coefficient
+        state via the module's own IDCT (independent of the encoder)."""
+        from xarray_beam_spark.sources.jpeg import ZIGZAG, _BitWriter, _HuffTable, _dht_segment, _dqt_segment, _idct2_batch
+
+        dc_tbl = _HuffTable([0, 3] + [0] * 14, [0, 2, 5])
+        ac_tbl = _HuffTable([0, 3] + [0] * 14, [0x00, 0x01, 0x10])
+        out = bytearray(b"\xff\xd8")
+        out += _dqt_segment(0, np.ones(64, np.int64))
+        sof = bytes([8]) + struct.pack(">HH", 8, 24) + bytes([1, 1, 0x11, 0])
+        out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+        out += _dht_segment(0, 0, dc_tbl.bits, dc_tbl.vals)
+        out += _dht_segment(1, 0, ac_tbl.bits, ac_tbl.vals)
+
+        def sos(ss, se, ah, al):
+            seg = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+            return b"\xff\xda" + struct.pack(">H", len(seg) + 2) + seg
+
+        # scan 1: DC first (Al=0) — diffs +2, 0, -2 -> DCs [2, 2, 0]
+        w = _BitWriter()
+        w.write(*dc_tbl.codes[2]); w.write(2, 2)   # +2
+        w.write(*dc_tbl.codes[0])                  # 0
+        w.write(*dc_tbl.codes[2]); w.write(1, 2)   # -2 (one's complement)
+        w.flush()
+        out += sos(0, 0, 0, 0) + w.out
+
+        # scan 2: AC first (Al=1) — blk0 k1 := +1<<1 = 2, then EOBRUN=2
+        # (symbol 0x10, extra bit 1) covering blocks 1 and 2 entirely
+        w = _BitWriter()
+        w.write(*ac_tbl.codes[0x01]); w.write(1, 1)  # r=0,s=1, value +1
+        w.write(*ac_tbl.codes[0x10]); w.write(1, 1)  # EOBRUN = (1<<1)-1+1 = 2
+        w.flush()
+        out += sos(1, 63, 0, 1) + w.out
+
+        # scan 3: AC refine (Ah=1, Al=0) — EOBRUN=2 (0x10, extra bit 0)
+        # covers blocks 0 and 1; blk0's old-nonzero k1 takes a correction
+        # bit (1 -> 2 becomes 3); blk2 gets a new +1 at k1 then EOB(1)
+        w = _BitWriter()
+        w.write(*ac_tbl.codes[0x10]); w.write(0, 1)  # EOBRUN = (1<<1)+0 = 2
+        w.write(1, 1)                                # correction bit for blk0 k1
+        w.write(*ac_tbl.codes[0x01]); w.write(1, 1)  # blk2: new +1 at k1
+        w.write(*ac_tbl.codes[0x00])                 # EOB(1)
+        w.flush()
+        out += sos(1, 63, 1, 0) + w.out
+        out += b"\xff\xd9"
+
+        got = jpeg.decode_jpeg(bytes(out))
+        # expected: zigzag coefficient state -> IDCT + 128
+        zz = np.zeros((3, 64), np.int64)
+        zz[0, 0], zz[0, 1] = 2, 3
+        zz[1, 0] = 2
+        zz[2, 1] = 1
+        raster = np.zeros((3, 64))
+        raster[:, ZIGZAG] = zz
+        want = np.clip(np.round(_idct2_batch(raster.reshape(3, 8, 8)) + 128.0), 0, 255).astype(np.uint8)
+        assert got.shape == (8, 24)
+        for b in range(3):
+            np.testing.assert_array_equal(got[:, b * 8 : (b + 1) * 8], want[b])
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.integers(0, 2**32 - 1))
+    def test_corrupted_progressive_never_leaks_internal_errors(self, seed):
+        """The baseline failure contract extended to progressive streams:
+        byte corruption anywhere (headers, scan scripts, entropy data)
+        yields a decoded image or ValueError, never an internal error."""
+        rng = np.random.default_rng(seed)
+        img = ((np.arange(1024) % 251).reshape(32, 32)).astype(np.uint8)
+        blob = bytearray(jpeg.encode_jpeg_progressive(img, quality=80))
+        for _ in range(int(rng.integers(1, 6))):
+            blob[int(rng.integers(2, len(blob)))] = int(rng.integers(0, 256))
+        try:
+            out = jpeg.decode_jpeg(bytes(blob))
+            assert out.dtype == np.uint8
+        except ValueError:
+            pass

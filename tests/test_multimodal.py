@@ -151,3 +151,25 @@ def test_meta_blob_column_pruned(spark, sf_dir):
     df = multimodal_meta_rollup_q(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema" in plan
+
+
+def test_extract_features_decodes_progressive_jpeg(spark):
+    """A progressive (SOF2) asset — 10-30% of a real web corpus — now
+    decodes through the same extract_features path as baseline, with
+    bit-identical features (both encoders serialize the same quantized
+    coefficients)."""
+    from xarray_beam_spark.sources.jpeg import encode_jpeg, encode_jpeg_progressive
+
+    img = np.empty((16, 16), np.uint8)
+    img[:8, :8], img[:8, 8:], img[8:, :8], img[8:, 8:] = 11, 87, 150, 250
+    rows = [
+        (1, bytearray(encode_jpeg(img, quality=100, subsample=False))),
+        (2, bytearray(encode_jpeg_progressive(img, quality=100, subsample=False))),
+    ]
+    assets = spark.createDataFrame(
+        [(i, bytes(b)) for i, b in rows], "asset_id long, blob binary"
+    ).coalesce(1)
+    got = {r["asset_id"]: r for r in mm.extract_features(assets, decoder=mm.decode_image).collect()}
+    assert got[1]["error"] is None and got[2]["error"] is None
+    assert got[1]["mean_px"] == got[2]["mean_px"] == float(img.mean())
+    assert list(got[1]["histogram"]) == list(got[2]["histogram"])

@@ -109,6 +109,31 @@ def parse_bytes(spec: str) -> int:
     return int(float(s))
 
 
+def dask_to_xbeam_chunks(
+    dask_chunks: Mapping[str, tuple[int, ...]],
+) -> dict[str, int]:
+    """Convert dask-style per-dim chunk TUPLES (e.g. ``(3, 3, 3, 1)``) to
+    scalar chunk sizes — every chunk must be equal except a smaller last
+    (reference ``core.py:366-383``, same error messages; what a user
+    migrating ``ds.chunks`` from dask/xarray hands us on day one)."""
+    for dim, dim_chunks in dask_chunks.items():
+        if len(dim_chunks) == 0:
+            raise ValueError(f"dimension {dim!r} has an empty dask chunks tuple")
+        if len(dim_chunks) > 1:
+            if len(set(dim_chunks[:-1])) > 1:
+                raise ValueError(
+                    f"dimension {dim!r} has inconsistent dask chunks: "
+                    f"{tuple(dim_chunks)}. All chunks except for the last must be equal."
+                )
+            if dim_chunks[-1] > dim_chunks[0]:
+                raise ValueError(
+                    f"dimension {dim!r} has dask chunks where the last chunk "
+                    f"{dim_chunks[-1]} is larger than preceding chunks "
+                    f"{dim_chunks[0]}: {tuple(dim_chunks)}."
+                )
+    return {k: v[0] for k, v in dask_chunks.items()}
+
+
 def normalize_chunks(
     chunks: Mapping[str, int | str] | int | str,
     sizes: Mapping[str, int],
@@ -126,10 +151,16 @@ def normalize_chunks(
     Reference-parity surface (``dataset.py:130-175``): a bare int/str
     applies to every dim; an ``...`` key is the default for every dim
     not named explicitly; ``'auto'`` is rejected with the reference's
-    explicit message (dask-only semantics — supply a byte count)."""
+    explicit message (dask-only semantics — supply a byte count); a
+    dask-style per-dim chunk TUPLE (``{'x': (3, 3, 3, 1)}``) is
+    validated regular and collapsed via :func:`dask_to_xbeam_chunks`
+    (reference ``core.py:366-383``)."""
     if isinstance(chunks, (int, str)):
         chunks = {dim: chunks for dim in sizes}
     chunks = dict(chunks)
+    tuples = {d: c for d, c in chunks.items() if isinstance(c, (tuple, list))}
+    if tuples:  # dask-style expanded chunks: validate + collapse to ints
+        chunks.update(dask_to_xbeam_chunks(tuples))
     if ... in chunks:
         default = chunks.pop(...)
         chunks = {dim: chunks.get(dim, default) for dim in sizes}

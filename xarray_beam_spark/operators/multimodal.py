@@ -675,6 +675,77 @@ def multimodal_jpeg_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JPEG_PROG_ORACLE = """
+WITH px AS (
+  SELECT doc_id AS asset_id,
+         list_transform(range(1, 5),
+           i -> CAST(ascii(substr(text, CAST(((i - 1) % length(text)) + 1 AS INT), 1)) AS DOUBLE)) AS b
+  FROM documents WHERE doc_id % 4 = 0
+), m AS (
+  SELECT asset_id, b, list_sum(b) / 4.0 AS mean_px FROM px
+)
+SELECT asset_id, mean_px,
+       sqrt(list_sum(list_transform(b, x -> (x - mean_px) * (x - mean_px))) / 4.0) AS std_px,
+       CAST(64 * len(list_filter(b, x -> x < 16)) AS BIGINT) AS bin0
+FROM m
+"""
+
+
+@_register("multimodal_jpeg_progressive_features", _JPEG_PROG_ORACLE)
+def multimodal_jpeg_progressive_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG encode + decode + feature extraction: the
+    same constant-block image family as :func:`multimodal_jpeg_features`
+    but serialized through :func:`encode_jpeg_progressive` (spectral
+    selection + successive approximation) and decoded by the progressive
+    entropy path — the exact oracle carries over because both encoders
+    quantize identically and the constant-block family is lossless at
+    quality 100. Runs on a 25% document sample: the multi-scan Python
+    codec is ~3x the baseline's per-asset cost (values per asset are
+    sample-independent)."""
+    from xarray_beam_spark.sources.jpeg import encode_jpeg_progressive
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                if len(raw) == 0:
+                    raw = np.zeros(1, np.uint8)
+                reps = -(-_JPEG_BLOCKS // len(raw))
+                vals = np.tile(raw, reps)[:_JPEG_BLOCKS]
+                img = np.empty((16, 16), np.uint8)
+                img[:8, :8], img[:8, 8:] = vals[0], vals[1]
+                img[8:, :8], img[8:, 8:] = vals[2], vals[3]
+                blob = encode_jpeg_progressive(img, quality=100, subsample=False)
+                rows.append(
+                    {
+                        "asset_id": doc_id,
+                        "blob": blob,
+                        "meta": {
+                            "mime": "image/jpeg",
+                            "width": 16,
+                            "height": 16,
+                            "n_frames": 1,
+                            "sample_rate": 0,
+                            "n_bytes": len(blob),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    assets = docs.select("doc_id", "text").mapInPandas(run, ASSET_SCHEMA)
+    feats = extract_features(assets, decoder=decode_image)
+    return feats.select(
+        "asset_id",
+        "mean_px",
+        "std_px",
+        F.element_at("histogram", 1).alias("bin0"),
+    )
+
+
 @_register("multimodal_features", _FEATURES_ORACLE)
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature extraction over every asset (deterministic fake

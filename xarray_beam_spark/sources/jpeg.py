@@ -9,16 +9,22 @@ dominant image format in real multimodal corpora, so
 ``FF D8`` magic.
 
 Decoder: baseline sequential DCT (SOF0; SOF1 extended-sequential accepted
-— identical entropy coding for 8-bit), grayscale or 3-component YCbCr,
-arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 / anything integral),
-restart intervals (DRI + RSTn), multiple DQT/DHT segments per marker.
-Progressive (SOF2) and arithmetic coding raise ``ValueError`` with a
-clear message — they are different entropy layouts, not a corrupt file.
+— identical entropy coding for 8-bit) AND progressive DCT (SOF2: spectral
+selection + successive approximation, T.81 §G — DC first/refine, AC first
+with EOB-run coding, AC refinement correction bits), grayscale or
+3-component YCbCr, arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 /
+anything integral), restart intervals (DRI + RSTn), multiple DQT/DHT
+segments per marker, tables redefined between progressive scans.
+Arithmetic coding raises ``ValueError`` with a clear message — a
+different entropy layout, not a corrupt file.
 
-Encoder: baseline sequential, Annex K.1/K.2 quantization tables scaled by
-the libjpeg quality formula, Annex K.3 "typical" Huffman tables, single
-interleaved scan, 4:4:4 (``subsample=False``) or 4:2:0
-(``subsample=True``), no restart markers.
+Encoder: baseline sequential (:func:`encode_jpeg`) and progressive
+(:func:`encode_jpeg_progressive`), Annex K.1/K.2 quantization tables
+scaled by the libjpeg quality formula, Annex K.3 "typical" Huffman
+tables, 4:4:4 (``subsample=False``) or 4:2:0 (``subsample=True``), no
+restart markers. Both serialize the SAME quantized coefficients, so the
+two streams decode to bit-identical pixels — the progressive decoder's
+strongest test.
 
 Validation: tests decode a REAL libjpeg-encoded file from the CPython
 test suite and compare against the same image's PNG decoded by the
@@ -269,6 +275,8 @@ def _decode_jpeg(data: bytes, max_pixels: int) -> np.ndarray:
     pos = 2
     scan_pos = None
     scan_comps: list[dict] = []
+    progressive = False
+    n_scans = 0
     while pos + 1 < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -304,7 +312,8 @@ def _decode_jpeg(data: bytes, max_pixels: int) -> np.ndarray:
                 vals = list(seg[i + 17 : i + 17 + n])
                 htables[(cls, tid)] = _HuffTable(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
+            progressive = marker == 0xC2
             prec = seg[0]
             if prec != 8:
                 raise ValueError(f"jpeg: only 8-bit precision supported, got {prec}")
@@ -327,11 +336,25 @@ def _decode_jpeg(data: bytes, max_pixels: int) -> np.ndarray:
                         "(T.81 B.2.2 requires 1..4)"
                     )
                 comps.append({"id": cid, "h": h, "v": v, "tq": tq})
-        elif marker == 0xC2:
-            raise ValueError(
-                "jpeg: progressive (SOF2) not supported by this baseline "
-                "decoder; re-encode as baseline sequential"
-            )
+            if progressive:
+                if height == 0 or width == 0:
+                    raise ValueError("jpeg: zero image dimensions (DNL not supported)")
+                # allocate the frame-lifetime coefficient state now: every
+                # scan refines these zigzag-order integer arrays in place
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-width // (8 * hmax))
+                mcuy = -(-height // (8 * vmax))
+                for c in comps:
+                    c["bw"] = mcux * c["h"]  # MCU-padded block stride
+                    c["bh"] = mcuy * c["v"]
+                    # non-interleaved scans cover only the component's own
+                    # ceil-dims (T.81 A.2.2), NOT the MCU-padded grid
+                    cw = -(-(width * c["h"]) // hmax)
+                    ch = -(-(height * c["v"]) // vmax)
+                    c["nbw"] = -(-cw // 8)
+                    c["nbh"] = -(-ch // 8)
+                    c["zz"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
         elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("jpeg: arithmetic coding not supported")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7):
@@ -340,6 +363,8 @@ def _decode_jpeg(data: bytes, max_pixels: int) -> np.ndarray:
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
+            if not comps:
+                raise ValueError("jpeg: SOS before SOF")
             scan_comps = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
@@ -347,10 +372,35 @@ def _decode_jpeg(data: bytes, max_pixels: int) -> np.ndarray:
                 if not matches:
                     raise ValueError(f"jpeg: SOS references unknown component {cs}")
                 comp = matches[0]
-                scan_comps.append({**comp, "td": tdta >> 4, "ta": tdta & 15})
-            scan_pos = pos + 2 + seglen
-            break
+                if progressive:
+                    comp["td"], comp["ta"] = tdta >> 4, tdta & 15
+                    scan_comps.append(comp)
+                else:
+                    scan_comps.append({**comp, "td": tdta >> 4, "ta": tdta & 15})
+            if not progressive:
+                scan_pos = pos + 2 + seglen
+                break
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            reader = _decode_prog_scan(
+                data, pos + 2 + seglen, scan_comps,
+                ss, se, ah, al, htables, restart_interval,
+            )
+            n_scans += 1
+            pos = _skip_to_marker(data, reader.pos)
+            continue
         pos += 2 + seglen
+    if progressive:
+        if n_scans == 0:
+            raise ValueError("jpeg: progressive stream has no scans")
+        for c in comps:
+            if c["tq"] not in qtables:
+                raise ValueError(f"jpeg: missing quantization table {c['tq']}")
+            raster = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+            raster[:, ZIGZAG] = c["zz"]
+            c["coef"] = raster.reshape(-1, 8, 8) * qtables[c["tq"]]
+        scan_comps = comps
+        return _assemble_planes(scan_comps, height, width)
     if scan_pos is None or not comps:
         raise ValueError("jpeg: no SOS/SOF found (truncated or not baseline)")
     if height == 0 or width == 0:
@@ -410,8 +460,16 @@ def _decode_jpeg(data: bytes, max_pixels: int) -> np.ndarray:
                     col = mx * c["h"] + bx
                     c["coef"][row * c["bw"] + col] = blk.reshape(8, 8) * q
 
+    return _assemble_planes(scan_comps, height, width)
+
+
+def _assemble_planes(comps: list[dict], height: int, width: int) -> np.ndarray:
+    """Shared decode tail (baseline + progressive): dequantized coefficient
+    blocks → IDCT → upsample → crop → color-convert."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
-    for c in scan_comps:
+    for c in comps:
         sam = _idct2_batch(c["coef"]) + 128.0
         # (bh*bw, 8, 8) -> (bh*8, bw*8)
         plane = (
@@ -433,6 +491,170 @@ def _decode_jpeg(data: bytes, max_pixels: int) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _skip_to_marker(data: bytes, pos: int) -> int:
+    """Position of the next true marker (0xFF + non-stuffing, non-RST,
+    non-fill byte) at or after ``pos`` — how the header parser resumes
+    after a progressive scan's entropy data."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt != 0x00 and nxt != 0xFF and not (0xD0 <= nxt <= 0xD7):
+                return pos
+            pos += 2 if nxt in (0x00,) or 0xD0 <= nxt <= 0xD7 else 1
+        else:
+            pos += 1
+    return n
+
+
+def _decode_prog_scan(
+    data: bytes,
+    start: int,
+    scan_comps: list[dict],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    htables: dict,
+    restart_interval: int,
+) -> "_BitReader":
+    """Decode ONE progressive scan (T.81 §G.2) into the components'
+    zigzag-order integer coefficient arrays, in place.
+
+    Four scan kinds: DC first (Ss=Se=0, Ah=0), DC refinement (Ah>0),
+    AC first (Ss>0, Ah=0, with EOB-run coding), AC refinement (the
+    correction-bit algorithm of G.2.2.3; structured after the public
+    libjpeg ``decode_mcu_AC_refine``, the de-facto reference
+    implementation of figure G.7)."""
+    if not (0 <= ss <= 63 and ss <= se <= 63 and 0 <= ah <= 13 and 0 <= al <= 13):
+        raise ValueError(f"jpeg: invalid progressive scan params Ss={ss} Se={se} Ah={ah} Al={al}")
+    reader = _BitReader(data, start)
+    p1 = 1 << al
+
+    def refine_nonzero(blk: np.ndarray, k: int) -> None:
+        # append one correction bit to an already-nonzero coefficient
+        if reader.read_bit():
+            v = int(blk[k])
+            if (v & p1) == 0:
+                blk[k] = v + p1 if v >= 0 else v - p1
+
+    if ss == 0:  # DC scan (interleaved when ns > 1)
+        if se != 0:
+            raise ValueError("jpeg: DC progressive scan must have Se=0")
+        for c in scan_comps:
+            c["pred"] = 0
+            if ah == 0 and (0, c["td"]) not in htables:
+                raise ValueError("jpeg: missing Huffman table for scan")
+        if len(scan_comps) > 1:
+            hmax = max(c["h"] for c in scan_comps)
+            vmax = max(c["v"] for c in scan_comps)
+            mcux = scan_comps[0]["bw"] // scan_comps[0]["h"]
+            mcuy = scan_comps[0]["bh"] // scan_comps[0]["v"]
+            units = [
+                (c, (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx)
+                for my in range(mcuy)
+                for mx in range(mcux)
+                for c in scan_comps
+                for by in range(c["v"])
+                for bx in range(c["h"])
+            ]
+            per_mcu = sum(c["h"] * c["v"] for c in scan_comps)
+        else:
+            c = scan_comps[0]
+            units = [
+                (c, row * c["bw"] + col)
+                for row in range(c["nbh"])
+                for col in range(c["nbw"])
+            ]
+            per_mcu = 1
+        for i, (c, bi) in enumerate(units):
+            if restart_interval and i and i % (restart_interval * per_mcu) == 0:
+                reader.restart()
+                for sc in scan_comps:
+                    sc["pred"] = 0
+            if ah == 0:
+                s = reader.decode_huff(htables[(0, c["td"])])
+                diff = _extend(reader.receive(s), s) if s else 0
+                c["pred"] += diff
+                c["zz"][bi, 0] = c["pred"] << al
+            else:  # refinement: one raw bit per block
+                if reader.read_bit():
+                    c["zz"][bi, 0] |= p1
+        return reader
+
+    # AC scan: single component, non-interleaved (T.81 G.1.1.1)
+    if len(scan_comps) != 1:
+        raise ValueError("jpeg: progressive AC scan must be single-component")
+    c = scan_comps[0]
+    ac = htables.get((1, c["ta"]))
+    if ac is None:
+        raise ValueError("jpeg: missing Huffman table for scan")
+    zz = c["zz"]
+    eobrun = 0
+    for i in range(c["nbh"] * c["nbw"]):
+        if restart_interval and i and i % restart_interval == 0:
+            reader.restart()
+            eobrun = 0
+        bi = (i // c["nbw"]) * c["bw"] + i % c["nbw"]
+        blk = zz[bi]
+        if ah == 0:  # AC first pass
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = reader.decode_huff(ac)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("jpeg: AC coefficient run past band end")
+                blk[k] = _extend(reader.receive(s), s) << al
+                k += 1
+        else:  # AC refinement pass
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.decode_huff(ac)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        newval = 0  # ZRL: skip 16 zero-history coefficients
+                    else:
+                        if s != 1:
+                            raise ValueError("jpeg: invalid AC refinement magnitude")
+                        newval = p1 if reader.read_bit() else -p1
+                    while k <= se:
+                        if blk[k] != 0:
+                            refine_nonzero(blk, k)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        blk[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:  # correction bits for the EOB-covered tail
+                    if blk[k] != 0:
+                        refine_nonzero(blk, k)
+                    k += 1
+                eobrun -= 1
+    return reader
 
 
 _STD_TABLES: tuple | None = None
@@ -528,11 +750,10 @@ def _pad_edge(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     return np.pad(plane, ((0, mh - h), (0, mw - w)), mode="edge")
 
 
-def encode_jpeg(
-    arr: np.ndarray, quality: int = 85, subsample: bool = True
-) -> bytes:
-    """Encode uint8 ``(H, W)`` grayscale or ``(H, W, 3)`` RGB as baseline
-    JPEG (4:2:0 when ``subsample`` and the image is color, else 4:4:4)."""
+def _prep_components(arr: np.ndarray, quality: int, subsample: bool):
+    """Shared encoder front half: color transform, subsampling, FDCT,
+    quantization. Returns everything both the baseline and progressive
+    entropy back ends need."""
     arr = np.asarray(arr)
     if arr.dtype != np.uint8:
         raise ValueError(f"jpeg: expected uint8 input, got {arr.dtype}")
@@ -575,7 +796,6 @@ def encode_jpeg(
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
 
-    dc_tbls, ac_tbls = _std_tables()
     qt = [qluma.reshape(8, 8), qchroma.reshape(8, 8)]
 
     # quantized coefficient blocks per component, MCU-padded
@@ -586,9 +806,43 @@ def encode_jpeg(
         coefs = _fdct2_batch(_blocks_of(plane))
         qb = np.round(coefs / qt[tq]).astype(np.int64)
         comp_blocks.append(qb.reshape(mcuy * v, mcux * h, 8, 8))
+    return gray, height, width, samp, qsel, qluma, qchroma, comp_blocks, mcux, mcuy, hmax, vmax
+
+
+def _header_segments(
+    gray: bool, height: int, width: int, samp, qsel, qluma, qchroma, sof_marker: int
+) -> bytearray:
+    """SOI + APP0 + DQT + SOF + DHT segments shared by both encoders."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += _dqt_segment(0, qluma)
+    if not gray:
+        out += _dqt_segment(1, qchroma)
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([ncomp])
+    for ci in range(ncomp):
+        h, v = samp[ci]
+        sof += bytes([ci + 1, (h << 4) | v, qsel[ci]])
+    out += bytes([0xFF, sof_marker]) + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht_segment(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if not gray:
+        out += _dht_segment(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += _dht_segment(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    return out
+
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 85, subsample: bool = True
+) -> bytes:
+    """Encode uint8 ``(H, W)`` grayscale or ``(H, W, 3)`` RGB as baseline
+    JPEG (4:2:0 when ``subsample`` and the image is color, else 4:4:4)."""
+    (gray, height, width, samp, qsel, qluma, qchroma,
+     comp_blocks, mcux, mcuy, hmax, vmax) = _prep_components(arr, quality, subsample)
+    dc_tbls, ac_tbls = _std_tables()
 
     w = _BitWriter()
-    preds = [0] * len(planes)
+    preds = [0] * len(comp_blocks)
     for m in range(mcux * mcuy):
         my, mx = divmod(m, mcux)
         for ci, (h, v) in enumerate(samp):
@@ -604,22 +858,8 @@ def encode_jpeg(
                     )
     w.flush()
 
-    out = bytearray(b"\xff\xd8")
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    out += _dqt_segment(0, qluma)
-    if not gray:
-        out += _dqt_segment(1, qchroma)
+    out = _header_segments(gray, height, width, samp, qsel, qluma, qchroma, 0xC0)
     ncomp = 1 if gray else 3
-    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([ncomp])
-    for ci in range(ncomp):
-        h, v = samp[ci]
-        sof += bytes([ci + 1, (h << 4) | v, qsel[ci]])
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
-    out += _dht_segment(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
-    out += _dht_segment(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
-    if not gray:
-        out += _dht_segment(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
-        out += _dht_segment(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
     sos = bytes([ncomp])
     for ci in range(ncomp):
         t = 0 if ci == 0 else 1
@@ -627,5 +867,148 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
     out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 85, subsample: bool = True
+) -> bytes:
+    """Encode as PROGRESSIVE JPEG (SOF2) — spectral selection AND
+    successive approximation, T.81 §G.1 (entropy back end structured
+    after the public libjpeg ``jcphuff.c``).
+
+    Scan script (exercises every progressive decode path): interleaved
+    DC first at Al=1, DC refinement; per component AC first in two
+    spectral bands (1-5, 6-63) at Al=2, then two full-band AC
+    refinements (2→1, 1→0). The quantized coefficients are IDENTICAL to
+    :func:`encode_jpeg`'s — both encoders serialize the same data, so
+    decoding either stream yields bit-identical pixels.
+
+    Uses the Annex K.3 Huffman tables, so EOB runs are capped at 1
+    (longer runs need symbols 0x10..0xE0, absent from the standard AC
+    tables; libjpeg generates custom tables instead). Decode-side EOB
+    runs > 1 are covered by handcrafted streams in the test suite."""
+    (gray, height, width, samp, qsel, qluma, qchroma,
+     comp_blocks, mcux, mcuy, hmax, vmax) = _prep_components(arr, quality, subsample)
+    dc_tbls, ac_tbls = _std_tables()
+    ncomp = 1 if gray else 3
+
+    # zigzag-order (bh, bw, 64) views + per-component non-interleaved dims
+    zzb = [cb.reshape(cb.shape[0], cb.shape[1], 64)[:, :, ZIGZAG] for cb in comp_blocks]
+    ceil = lambda a, b: -(-a // b)  # noqa: E731
+    nbw = [ceil(ceil(width * h, hmax), 8) for h, _ in samp]
+    nbh = [ceil(ceil(height * v, vmax), 8) for _, v in samp]
+
+    def mcu_block_order():
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci, (h, v) in enumerate(samp):
+                for by in range(v):
+                    for bx in range(h):
+                        yield ci, my * v + by, mx * h + bx
+
+    def dc_first(w: _BitWriter, al: int) -> None:
+        preds = [0] * ncomp
+        for ci, row, col in mcu_block_order():
+            dc = int(zzb[ci][row, col, 0]) >> al  # arithmetic shift, per G.1.2.1
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            s = abs(diff).bit_length()
+            w.write(*dc_tbls[0 if ci == 0 else 1].codes[s])
+            if s:
+                w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+    def dc_refine(w: _BitWriter, al: int) -> None:
+        for ci, row, col in mcu_block_order():
+            w.write((int(zzb[ci][row, col, 0]) >> al) & 1, 1)
+
+    def ac_first(w: _BitWriter, ci: int, ss: int, se: int, al: int) -> None:
+        ac = ac_tbls[0 if ci == 0 else 1]
+        for row in range(nbh[ci]):
+            for col in range(nbw[ci]):
+                blk = zzb[ci][row, col]
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    a = abs(v) >> al  # magnitude shift: truncate toward zero
+                    if a == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        w.write(*ac.codes[0xF0])
+                        r -= 16
+                    s = a.bit_length()
+                    w.write(*ac.codes[(r << 4) | s])
+                    w.write(a if v >= 0 else (1 << s) - 1 - a, s)
+                    r = 0
+                if r > 0:
+                    w.write(*ac.codes[0x00])  # EOB (run of exactly 1)
+
+    def ac_refine(w: _BitWriter, ci: int, ss: int, se: int, al: int) -> None:
+        ac = ac_tbls[0 if ci == 0 else 1]
+        for row in range(nbh[ci]):
+            for col in range(nbw[ci]):
+                blk = zzb[ci][row, col]
+                absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+                # last newly-nonzero position: ZRLs past it fold into EOB
+                eob = max((k for k, a in zip(range(ss, se + 1), absv) if a == 1), default=ss - 1)
+                r = 0
+                pending: list[int] = []  # correction bits for old-nonzero coefs
+                for k, a in zip(range(ss, se + 1), absv):
+                    if a == 0:
+                        r += 1
+                        continue
+                    # ZRLs are due at ANY nonzero (libjpeg encode_mcu_AC_refine):
+                    # the decoder's run arithmetic counts zero-history slots
+                    # crossed before every coefficient it touches, old or new
+                    while r > 15 and k <= eob:
+                        w.write(*ac.codes[0xF0])
+                        for bit in pending:
+                            w.write(bit, 1)
+                        pending = []
+                        r -= 16
+                    if a > 1:  # nonzero at the previous precision
+                        pending.append(a & 1)
+                        continue
+                    # a == 1: newly nonzero at THIS precision
+                    w.write(*ac.codes[(r << 4) | 1])
+                    w.write(1 if int(blk[k]) >= 0 else 0, 1)  # sign bit
+                    for bit in pending:
+                        w.write(bit, 1)
+                    pending = []
+                    r = 0
+                if r > 0 or pending:
+                    w.write(*ac.codes[0x00])  # EOB(1) + the tail's correction bits
+                    for bit in pending:
+                        w.write(bit, 1)
+
+    out = _header_segments(gray, height, width, samp, qsel, qluma, qchroma, 0xC2)
+    all_comps = list(range(ncomp))
+    script: list[tuple] = [
+        (all_comps, 0, 0, 0, 1, dc_first),
+        (all_comps, 0, 0, 1, 0, dc_refine),
+    ]
+    for ci in range(ncomp):
+        script += [
+            ([ci], 1, 5, 0, 2, ac_first),
+            ([ci], 6, 63, 0, 2, ac_first),
+            ([ci], 1, 63, 2, 1, ac_refine),
+            ([ci], 1, 63, 1, 0, ac_refine),
+        ]
+    for comps_in_scan, ss, se, ah, al, fn in script:
+        sos = bytes([len(comps_in_scan)])
+        for ci in comps_in_scan:
+            t = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (t << 4) | t])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        w = _BitWriter()
+        if fn in (dc_first, dc_refine):
+            fn(w, al)
+        else:
+            fn(w, comps_in_scan[0], ss, se, al)
+        w.flush()
+        out += w.out
     out += b"\xff\xd9"
     return bytes(out)
