@@ -1165,3 +1165,85 @@ def test_cumulative_multichunk_other_dims(spark, era5):
     for v, var in era5.data_vars.items():
         want = np.nancumsum(var.values.astype(np.float64), axis=0)
         np.testing.assert_array_equal(got.data_vars[v].values, want)
+
+
+def test_gather_dim_ops_multichunk_other_dims(spark, era5):
+    """Every _gather_dim-backed op under MULTI-CHUNK other dims (the
+    post-guard execution shape: before round 8, rechunk({dim:-1})
+    collapsed the whole dataset to one chunk, so per-series tasks never
+    saw lat/lon sub-slabs). Each op must match numpy exactly."""
+    chunks = {"time": 6, "latitude": 3, "longitude": 4}
+    d = Dataset.from_numpy(spark, era5, chunks=chunks)
+    arr = era5.data_vars["asn"].values  # (time, lat, lon)
+
+    got = d.roll("time", 5).collect()
+    np.testing.assert_array_equal(
+        got.data_vars["asn"].values, np.roll(arr, 5, axis=0)
+    )
+
+    got = d.sortby("time", ascending=False).collect()
+    np.testing.assert_array_equal(got.data_vars["asn"].values, arr[::-1])
+    np.testing.assert_array_equal(
+        got.coords["time"].values, era5.coords["time"].values[::-1]
+    )
+
+    idx = [3, 0, 17, 3, 23]
+    got = d.take("time", idx).collect()
+    np.testing.assert_array_equal(got.data_vars["asn"].values, arr[idx])
+
+    got = d.shift("time", -2).collect()  # negative n: the gather fallback
+    want = np.full_like(arr, np.nan)
+    want[:-2] = arr[2:]
+    np.testing.assert_array_equal(got.data_vars["asn"].values, want)
+
+    got = d.rank("time", method="min").collect()
+    order = np.argsort(arr, axis=0, kind="stable")
+    want = np.empty_like(arr)
+    # min-rank via sort+searchsorted per series (matches SQL RANK())
+    for i in range(arr.shape[1]):
+        for j in range(arr.shape[2]):
+            s = np.sort(arr[:, i, j])
+            want[:, i, j] = np.searchsorted(s, arr[:, i, j], side="left") + 1
+    np.testing.assert_array_equal(got.data_vars["asn"].values, want)
+    del order
+
+
+def test_fill_ops_multichunk_other_dims(spark):
+    """ffill/bfill/interpolate_na with NaN gaps AND chunked other dims."""
+    rng = np.random.default_rng(7)
+    vals = rng.normal(size=(12, 6, 5))
+    vals[rng.random(vals.shape) < 0.4] = np.nan
+    ds = NDDataset(
+        {"v": (("t", "y", "x"), vals)},
+        {"t": np.arange(12), "y": np.arange(6), "x": np.arange(5)},
+        {},
+    )
+    d = Dataset.from_numpy(spark, ds, chunks={"t": 4, "y": 2, "x": 3})
+
+    import pandas as pd
+
+    flat = vals.reshape(12, -1)
+    ff = pd.DataFrame(flat).ffill().to_numpy().reshape(vals.shape)
+    bf = pd.DataFrame(flat).bfill().to_numpy().reshape(vals.shape)
+    got_ff = d.ffill("t").collect().data_vars["v"].values
+    got_bf = d.bfill("t").collect().data_vars["v"].values
+    np.testing.assert_array_equal(got_ff, ff)
+    np.testing.assert_array_equal(got_bf, bf)
+
+    got_in = d.interpolate_na("t").collect().data_vars["v"].values
+    # leading/trailing NaN stay NaN; interior gaps linear in index space
+    for i in range(6):
+        for j in range(5):
+            s = vals[:, i, j]
+            w = got_in[:, i, j]
+            nz = np.nonzero(~np.isnan(s))[0]
+            for k in range(12):
+                if not np.isnan(s[k]):
+                    assert w[k] == s[k]
+                elif len(nz) and nz[0] < k < nz[-1]:
+                    pi = nz[nz < k][-1]
+                    ni = nz[nz > k][0]
+                    expect = s[pi] + (s[ni] - s[pi]) * ((k - pi) / (ni - pi))
+                    assert w[k] == expect, (i, j, k)
+                else:
+                    assert np.isnan(w[k])

@@ -372,3 +372,50 @@ class TestProgressive:
             assert out.dtype == np.uint8
         except ValueError:
             pass
+
+    def test_progressive_restart_markers(self):
+        """Handcrafted progressive stream with DRI=1 and RST markers in
+        BOTH a DC scan (predictor reset) and an AC scan (EOB-run reset +
+        byte realign) — the restart path the progressive encoder never
+        emits."""
+        from xarray_beam_spark.sources.jpeg import ZIGZAG, _BitWriter, _HuffTable, _dht_segment, _dqt_segment, _idct2_batch
+
+        dc_tbl = _HuffTable([0, 3] + [0] * 14, [0, 2, 5])
+        ac_tbl = _HuffTable([0, 3] + [0] * 14, [0x00, 0x01, 0x10])
+        out = bytearray(b"\xff\xd8")
+        out += _dqt_segment(0, np.ones(64, np.int64))
+        sof = bytes([8]) + struct.pack(">HH", 8, 16) + bytes([1, 1, 0x11, 0])
+        out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+        out += _dht_segment(0, 0, dc_tbl.bits, dc_tbl.vals)
+        out += _dht_segment(1, 0, ac_tbl.bits, ac_tbl.vals)
+        out += b"\xff\xdd" + struct.pack(">HH", 4, 1)  # DRI = 1
+
+        def sos(ss, se, ah, al):
+            seg = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+            return b"\xff\xda" + struct.pack(">H", len(seg) + 2) + seg
+
+        # DC first: blk0 diff +2; RST0; blk1 diff +3 from a RESET predictor
+        w = _BitWriter(); w.write(*dc_tbl.codes[2]); w.write(2, 2); w.flush()
+        part0 = bytes(w.out)
+        w = _BitWriter(); w.write(*dc_tbl.codes[2]); w.write(3, 2); w.flush()
+        out += sos(0, 0, 0, 0) + part0 + b"\xff\xd0" + bytes(w.out)
+
+        # AC first (Al=0): blk0 k1=+1 then EOB; RST1; blk1 k1=-1 then EOB
+        w = _BitWriter()
+        w.write(*ac_tbl.codes[0x01]); w.write(1, 1); w.write(*ac_tbl.codes[0x00]); w.flush()
+        part0 = bytes(w.out)
+        w = _BitWriter()
+        w.write(*ac_tbl.codes[0x01]); w.write(0, 1); w.write(*ac_tbl.codes[0x00]); w.flush()
+        out += sos(1, 63, 0, 0) + part0 + b"\xff\xd1" + bytes(w.out)
+        out += b"\xff\xd9"
+
+        got = jpeg.decode_jpeg(bytes(out))
+        zz = np.zeros((2, 64), np.int64)
+        zz[0, 0], zz[0, 1] = 2, 1   # DC 2, AC k1 +1
+        zz[1, 0], zz[1, 1] = 3, -1  # predictor reset -> DC 3; AC k1 -1
+        raster = np.zeros((2, 64))
+        raster[:, ZIGZAG] = zz
+        want = np.clip(np.round(_idct2_batch(raster.reshape(2, 8, 8)) + 128.0), 0, 255).astype(np.uint8)
+        assert got.shape == (8, 16)
+        np.testing.assert_array_equal(got[:, :8], want[0])
+        np.testing.assert_array_equal(got[:, 8:], want[1])
