@@ -129,3 +129,50 @@ class TestHyperLogLog:
         regs = sk.hll_build(df, "k", ["t"])
         per = {r["t"]: r["c"] for r in regs.groupBy("t").agg(F.count("*").alias("c")).collect()}
         assert all(c <= 256 for c in per.values())
+
+
+class TestBloomInline:
+    def test_inline_matches_join_path(self, spark):
+        """bloom_contains_expr (shuffle-free literal-bitmask projection)
+        must agree with bloom_contains (broadcast join path) on every
+        key — same bits, same probes, two execution strategies."""
+        keys = spark.createDataFrame(
+            [(f"key number {i}",) for i in range(300)], "k string"
+        )
+        members = keys.where(F.length("k") % 3 == 0)
+        bloom = sk.bloom_build(members, "k", 1 << 10, 3)
+        joined = {
+            r["k"]: r["maybe_member"]
+            for r in sk.bloom_contains(bloom, keys, "k", 1 << 10, 3).collect()
+        }
+        words = sk.bloom_bitmask(bloom, 1 << 10)
+        inline = {
+            r["k"]: r["m"]
+            for r in keys.select(
+                "k", sk.bloom_contains_expr(words, F.col("k"), 1 << 10, 3).alias("m")
+            ).collect()
+        }
+        assert inline == joined and len(inline) == 300
+        # no false negatives, ever
+        for r in members.collect():
+            assert inline[r["k"]] is True
+
+    def test_inline_plan_is_shuffle_free(self, spark):
+        """The membership projection must add NO exchange and NO join to
+        the plan — that is its entire reason to exist."""
+        keys = spark.range(100).select(F.col("id").cast("string").alias("k"))
+        words = sk.bloom_bitmask(
+            sk.bloom_build(keys.limit(10), "k", 1 << 10, 3), 1 << 10
+        )
+        df = keys.select(sk.bloom_contains_expr(words, F.col("k"), 1 << 10, 3).alias("m"))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Join" not in plan, plan
+
+    def test_inline_cap_raises(self, spark):
+        import pytest
+
+        bloom = sk.bloom_build(
+            spark.createDataFrame([("x",)], "k string"), "k", 1 << 10, 2
+        )
+        with pytest.raises(ValueError, match="inline bloom capped"):
+            sk.bloom_bitmask(bloom, 1 << 20)

@@ -221,6 +221,55 @@ def bloom_contains(
     return hits
 
 
+_INLINE_BLOOM_MAX_BITS = 1 << 17  # 2048 long literals — safe for codegen
+
+
+def bloom_bitmask(bloom: DataFrame, m_bits: int) -> list[int]:
+    """Driver-side word list (``m_bits/64`` signed int64 words) from a
+    built Bloom bit set — a BOUNDED metadata collect (≤ ``m_bits`` rows,
+    16 KiB at the default size; same class as the ANN centroid collects).
+    Feed to :func:`bloom_contains_expr` for shuffle-free membership."""
+    if m_bits > _INLINE_BLOOM_MAX_BITS:
+        raise ValueError(
+            f"inline bloom capped at {_INLINE_BLOOM_MAX_BITS} bits "
+            f"(got {m_bits}); use the bloom_contains join path instead"
+        )
+    words = [0] * ((m_bits + 63) // 64)
+    for r in bloom.collect():
+        b = int(r["bit"])
+        words[b >> 6] |= 1 << (b & 63)
+    # Spark long literals are signed: fold to two's complement
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_contains_expr(
+    words: list[int],
+    key: Column,
+    m_bits: int,
+    k_hashes: int = 4,
+    salt: str = "xbs-bloom",
+) -> Column:
+    """Bloom membership as a pure JVM PROJECTION: the bitmask rides the
+    plan as a literal long array and every probe is an
+    element_at + shiftright + AND — zero shuffles, zero joins, stays in
+    whole-stage codegen. This is how membership should look at 100 TB
+    when the filter fits a task (the :func:`bloom_contains` broadcast
+    join is the fallback for filters too big to inline). Arithmetic
+    shiftright on negative words is fine: only bit 0 is read after the
+    shift, and low bits are shift-mode-independent."""
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    out = None
+    for i in range(k_hashes):
+        b = portable_hash(key, i, m_bits, salt)
+        word = F.element_at(arr, F.call_function("div", b, F.lit(64)).cast("int") + F.lit(1))
+        bit = F.call_function(
+            "shiftright", word, (b % F.lit(64)).cast("int")
+        ).bitwiseAND(F.lit(1))
+        test = bit == F.lit(1)
+        out = test if out is None else out & test
+    return out
+
+
 _BLOOM_BITS, _BLOOM_K = 1 << 14, 4
 
 _BLOOM_ORACLE = f"""
@@ -278,11 +327,15 @@ def corpus_bloom_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = grams.where(F.col("doc_id") % 23 == 0).select("g").distinct()
     corpus = grams.where(F.col("doc_id") % 23 != 0).select("doc_id", "g").distinct()
     bloom = bloom_build(bench, "g", _BLOOM_BITS, _BLOOM_K)
-    verdicts = bloom_contains(
-        bloom, corpus.select("g").distinct(), "g", _BLOOM_BITS, _BLOOM_K
-    )
+    # membership as a shuffle-free projection (r8): the 16 Kbit mask is a
+    # literal long array, every corpus gram tests its k probe bits inline
+    # — vs the old explode→broadcast-join→groupBy(g)→join(g) plan, this
+    # drops three shuffles; at 100 TB the probe side never re-keys at all
+    words = bloom_bitmask(bloom, _BLOOM_BITS)
     return (
-        corpus.join(verdicts, "g")
+        corpus.withColumn(
+            "maybe_member", bloom_contains_expr(words, F.col("g"), _BLOOM_BITS, _BLOOM_K)
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

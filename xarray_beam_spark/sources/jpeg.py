@@ -548,26 +548,26 @@ def _decode_prog_scan(
             if ah == 0 and (0, c["td"]) not in htables:
                 raise ValueError("jpeg: missing Huffman table for scan")
         if len(scan_comps) > 1:
-            hmax = max(c["h"] for c in scan_comps)
-            vmax = max(c["v"] for c in scan_comps)
             mcux = scan_comps[0]["bw"] // scan_comps[0]["h"]
             mcuy = scan_comps[0]["bh"] // scan_comps[0]["v"]
-            units = [
+            # generator, not a list: a guard-max image has millions of
+            # blocks and the decode loop only needs them one at a time
+            units = (
                 (c, (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx)
                 for my in range(mcuy)
                 for mx in range(mcux)
                 for c in scan_comps
                 for by in range(c["v"])
                 for bx in range(c["h"])
-            ]
+            )
             per_mcu = sum(c["h"] * c["v"] for c in scan_comps)
         else:
-            c = scan_comps[0]
-            units = [
-                (c, row * c["bw"] + col)
-                for row in range(c["nbh"])
-                for col in range(c["nbw"])
-            ]
+            c0 = scan_comps[0]
+            units = (
+                (c0, row * c0["bw"] + col)
+                for row in range(c0["nbh"])
+                for col in range(c0["nbw"])
+            )
             per_mcu = 1
         for i, (c, bi) in enumerate(units):
             if restart_interval and i and i % (restart_interval * per_mcu) == 0:
