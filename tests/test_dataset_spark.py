@@ -1247,3 +1247,63 @@ def test_fill_ops_multichunk_other_dims(spark):
                     assert w[k] == expect, (i, j, k)
                 else:
                     assert np.isnan(w[k])
+
+
+def test_beam_compat_pipe_chain(spark, era5):
+    """Reference-spelled pipeline (compat.py shims): `nd | DatasetToChunks
+    | SplitChunks | Mean | ...` must equal the native method chain, and
+    every reference top-level name must be importable."""
+    import xarray_beam_spark as xbs
+
+    for name in (
+        "Mean", "Key", "DatasetToChunks", "ValidateEachChunk",
+        "offsets_to_slices", "Dataset", "normalize_chunks",
+        "ConsolidateChunks", "ConsolidateVariables", "SplitChunks",
+        "SplitVariables", "Rechunk", "in_memory_rechunk", "open_zarr",
+        "make_template", "replace_template_dims", "setup_zarr",
+        "ChunksToZarr", "DatasetToZarr", "dask_to_xbeam_chunks",
+    ):
+        assert hasattr(xbs, name), name
+
+    piped = (
+        era5
+        | xbs.DatasetToChunks(spark, {"time": 10})
+        | xbs.SplitChunks({"time": 5})
+        | xbs.ValidateEachChunk()
+        | xbs.Rechunk({"time": 12})
+        | xbs.Mean("time")
+    ).collect()
+    native = (
+        Dataset.from_numpy(spark, era5, chunks={"time": 10})
+        .split_chunks({"time": 5})
+        .validate()
+        .rechunk({"time": 12})
+        .mean("time")
+        .collect()
+    )
+    assert piped.identical(native)
+    # Mean.Globally reduces every dim
+    g = (era5 | xbs.DatasetToChunks(spark, {"time": 10}) | xbs.Mean.Globally()).collect()
+    for v, var in era5.data_vars.items():
+        np.testing.assert_allclose(
+            g.data_vars[v].values, np.nanmean(var.values.astype(np.float64))
+        )
+
+
+def test_beam_compat_zarr_shims(spark, era5, tmp_path):
+    import xarray_beam_spark as xbs
+
+    out = str(tmp_path / "compat.zarr")
+    stats = (
+        era5
+        | xbs.DatasetToChunks(spark, {"time": 12})
+        | xbs.ChunksToZarr(out, zarr_chunks={"time": 6})
+    )
+    assert stats and isinstance(stats, dict)
+    template, chunks = xbs.open_zarr(out)
+    assert chunks == {"time": 6, "latitude": 7, "longitude": 9}
+    assert set(template.var_meta) == set(era5.data_vars)
+    back = xbs.from_zarr(spark, out).collect()
+    assert back.identical(era5)
+    t = xbs.make_template(era5)
+    assert dict(t.sizes) == {"time": 24, "latitude": 7, "longitude": 9}

@@ -19,8 +19,23 @@ No code is copied from the reference; reference files are cited in
 docstrings as ``xarray_beam/_src/<file>.py:<lines>`` for parity checks.
 """
 
+from xarray_beam_spark.compat import (  # noqa: F401  (Beam-style migration shims)
+    ChunksToZarr,
+    ConsolidateChunks,
+    ConsolidateVariables,
+    DatasetToChunks,
+    DatasetToZarr,
+    Mean,
+    Rechunk,
+    SplitChunks,
+    SplitVariables,
+    ValidateEachChunk,
+    make_template,
+    open_zarr,
+)
 from xarray_beam_spark.core import (  # noqa: F401
     Key,
+    dask_to_xbeam_chunks,
     normalize_chunks,
     offsets_to_slices,
 )
@@ -42,23 +57,13 @@ from xarray_beam_spark.sources.zarr_io import (  # noqa: F401
     to_zarr,
 )
 
-# Reference top-level names and their nearest equivalent here (the
-# reference's free PTransforms over (key, chunk) pairs are Dataset
-# METHODS in this engine — Spark's lazy DataFrame already carries the
-# pipeline role Beam's PTransform graph plays):
-#   DatasetToChunks      -> Dataset.from_numpy / from_zarr
-#   ChunksToZarr /
-#   DatasetToZarr        -> to_zarr / Dataset.to_zarr
-#   open_zarr            -> open_zarr_template (metadata) / from_zarr (data)
-#   make_template        -> Template.from_ndds / replace_template_dims
-#   validate_zarr_chunk  -> sources.zarrlite.validate_region_alignment
-#   write_chunk_to_zarr  -> sources.zarrlite.write_region
-#   ValidateEachChunk /
-#   validate_chunk       -> Dataset.validate
-#   Split*/Consolidate*/
-#   Rechunk              -> Dataset.split_chunks / split_variables /
-#                           consolidate_chunks / consolidate_variables /
-#                           consolidate_fully / rechunk
-#   Mean / Mean.PerKey   -> Dataset.mean / Dataset.groupby_reduce
+# Every reference top-level name is importable here: either natively
+# (Key, Dataset, normalize_chunks, offsets_to_slices, setup_zarr,
+# replace_template_dims, in_memory_rechunk) or as a pipeable Beam-style
+# shim from compat.py (`ds | Rechunk(...) | Mean('time')` — see that
+# module's docstring for the three names deliberately NOT shimmed:
+# MeanCombineFn, Mean.PerKey -> Dataset.groupby_reduce, and the
+# per-element validate/write DoFn trio whose checks run inside
+# Dataset.validate / to_zarr).
 
 __version__ = "0.1.0"

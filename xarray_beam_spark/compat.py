@@ -1,0 +1,179 @@
+"""Beam-style migration shims: the reference's public top-level names
+(``xarray_beam/__init__.py``, v0.11.5) as PIPEABLE transforms, so an
+xarray-beam pipeline ports line by line::
+
+    # reference                              # here
+    p | xbeam.DatasetToChunks(ds, chunks)    nd | DatasetToChunks(spark, chunks)
+      | xbeam.SplitChunks({'time': 1})         | SplitChunks({'time': 1})
+      | xbeam.Mean('time')                     | Mean('time')
+      | xbeam.ChunksToZarr(store)              | ChunksToZarr(store)
+
+Beam's ``pcoll | transform`` works here through ``__ror__`` on the
+transform (``Dataset`` defines no ``__or__``), and every transform is
+also a plain callable (``Rechunk(tc)(ds)``). The reference's free
+PTransforms carry pipeline state Beam-side; this engine keeps that state
+on the lazy Spark ``Dataset``, so each shim simply delegates to the
+corresponding :class:`~xarray_beam_spark.dataset.Dataset` method — the
+shims add NO new semantics, only the reference's spelling.
+
+Not shimmed (no faithful equivalent, documented here so the gap is
+explicit): ``MeanCombineFn`` (a Beam CombineFn — Spark's combiner
+lifting is internal to ``Dataset.mean``), ``Mean.PerKey`` (keyed Beam
+PCollections; use ``Dataset.groupby_reduce(key, 'mean')``), and the
+per-element ``validate_chunk``/``validate_zarr_chunk``/
+``write_chunk_to_zarr`` trio (Beam DoFn plumbing; the same checks and
+writes run inside ``Dataset.validate`` and ``to_zarr``'s executors —
+see ``sources/zarrlite.py`` ``validate_region_alignment``/
+``write_region`` for the primitives).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from xarray_beam_spark.dataset import Dataset, Template
+from xarray_beam_spark.ndarray_ds import NDDataset
+from xarray_beam_spark.plans import rechunk_plan
+
+
+class PTransform:
+    """Base shim: supports both ``ds | transform`` (Beam spelling, via
+    ``__ror__``) and ``transform(ds)``."""
+
+    def apply(self, ds):
+        raise NotImplementedError
+
+    def __call__(self, ds):
+        return self.apply(ds)
+
+    def __ror__(self, ds):
+        return self.apply(ds)
+
+
+class DatasetToChunks(PTransform):
+    """Reference ``core.py:544-670``: materialize an in-memory dataset as
+    a distributed one. Beam finds the pipeline in context; Spark cannot,
+    so the session is a constructor arg: ``nd | DatasetToChunks(spark,
+    chunks)``."""
+
+    def __init__(self, spark, chunks: Mapping[str, int] | None = None,
+                 split_vars: bool = False):
+        self.spark, self.chunks, self.split_vars = spark, chunks, split_vars
+
+    def apply(self, nd: NDDataset) -> Dataset:
+        return Dataset.from_numpy(
+            self.spark, nd, chunks=self.chunks or {}, split_vars=self.split_vars
+        )
+
+
+class SplitChunks(PTransform):
+    """Reference ``rechunk.py`` ``SplitChunks``."""
+
+    def __init__(self, target_chunks: Mapping[str, int]):
+        self.target_chunks = target_chunks
+
+    def apply(self, ds: Dataset) -> Dataset:
+        return ds.split_chunks(self.target_chunks)
+
+
+class ConsolidateChunks(PTransform):
+    """Reference ``rechunk.py`` ``ConsolidateChunks``."""
+
+    def __init__(self, target_chunks: Mapping[str, int]):
+        self.target_chunks = target_chunks
+
+    def apply(self, ds: Dataset) -> Dataset:
+        return ds.consolidate_chunks(self.target_chunks)
+
+
+class SplitVariables(PTransform):
+    def apply(self, ds: Dataset) -> Dataset:
+        return ds.split_variables()
+
+
+class ConsolidateVariables(PTransform):
+    def apply(self, ds: Dataset) -> Dataset:
+        return ds.consolidate_variables()
+
+
+class Rechunk(PTransform):
+    """Reference ``rechunk.py:520-605``. The reference constructor also
+    takes ``dim_sizes``/``source_chunks``/``itemsize`` because a Beam
+    PCollection carries no schema; the Spark ``Dataset`` knows its own,
+    so only the target grid and the memory envelope remain."""
+
+    def __init__(self, target_chunks: Mapping[str, int],
+                 max_mem: int = rechunk_plan.DEFAULT_MAX_MEM,
+                 min_mem: int | None = None):
+        self.target_chunks, self.max_mem, self.min_mem = target_chunks, max_mem, min_mem
+
+    def apply(self, ds: Dataset) -> Dataset:
+        return ds.rechunk(self.target_chunks, max_mem=self.max_mem, min_mem=self.min_mem)
+
+
+class ValidateEachChunk(PTransform):
+    """Reference ``core.py:809-818``."""
+
+    def apply(self, ds: Dataset) -> Dataset:
+        return ds.validate()
+
+
+class Mean(PTransform):
+    """Reference ``combiners.py`` ``Mean(dim, skipna=...)``. ``fanout``
+    is accepted and ignored: the engine plans multi-stage merge trees
+    itself (fan-in > 1024 splits automatically)."""
+
+    def __init__(self, dim, skipna: bool = True, fanout: int | None = None):
+        self.dim, self.skipna = dim, skipna
+        del fanout  # auto-planned here
+
+    def apply(self, ds: Dataset) -> Dataset:
+        return ds.mean(self.dim, skipna=self.skipna)
+
+    @classmethod
+    def Globally(cls, skipna: bool = True) -> "PTransform":  # noqa: N802 — reference name
+        class _Global(PTransform):
+            def apply(self, ds: Dataset) -> Dataset:
+                return ds.mean(list(ds.sizes), skipna=skipna)
+
+        return _Global()
+
+
+class ChunksToZarr(PTransform):
+    """Reference ``zarr.py:636-821``. ``template`` is accepted for
+    signature parity but unused: setup here is synchronous driver work
+    derived from the dataset's own template (no side-input barrier to
+    pre-compute a template for). Terminal: returns the write stats."""
+
+    def __init__(self, store: str, template=None,
+                 zarr_chunks: Mapping[str, int] | None = None, **kwargs):
+        del template
+        self.store, self.zarr_chunks, self.kwargs = store, zarr_chunks, kwargs
+
+    def apply(self, ds: Dataset) -> dict:
+        from xarray_beam_spark.sources import zarr_io
+
+        return zarr_io.to_zarr(ds, self.store, zarr_chunks=self.zarr_chunks, **self.kwargs)
+
+
+class DatasetToZarr(ChunksToZarr):
+    """Reference ``zarr.py:824-843`` (DatasetToChunks + ChunksToZarr):
+    identical to :class:`ChunksToZarr` here, where a Dataset is already
+    chunked."""
+
+
+def open_zarr(path: str) -> tuple[Template, dict[str, int]]:
+    """Reference ``zarr.py:71-96`` returns ``(lazy xr.Dataset, chunks)``;
+    here the metadata-only handle is the :class:`Template` —
+    ``(template, chunks)``. For the data itself use
+    :func:`xarray_beam_spark.from_zarr`."""
+    from xarray_beam_spark.sources.zarr_io import open_zarr_template
+
+    return open_zarr_template(path)
+
+
+def make_template(ds: NDDataset) -> Template:
+    """Reference ``zarr.py:99-146`` builds a lazily-zeroed template
+    dataset; the equivalent metadata-only object here is
+    :meth:`Template.from_ndds`."""
+    return Template.from_ndds(ds)

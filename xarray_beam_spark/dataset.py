@@ -633,7 +633,16 @@ class Dataset:
             )
             merged.setdefault(idx, []).append(decode_chunk(row["payload"]))
         parts = {idx: NDDataset.merge(chunks) for idx, chunks in merged.items()}
-        return NDDataset.block(parts, dims_sorted)
+        out = NDDataset.block(parts, dims_sorted)
+        # global attrs live on the TEMPLATE (chunk payloads of store reads
+        # carry none): merge them in, chunk-level attrs winning on clash
+        if self.template.attrs:
+            out = NDDataset(
+                dict(out.data_vars),
+                dict(out.coords),
+                {**self.template.attrs, **out.attrs},
+            )
+        return out
 
     # -- per-chunk compute -------------------------------------------------
 
