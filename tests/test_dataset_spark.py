@@ -1307,3 +1307,17 @@ def test_beam_compat_zarr_shims(spark, era5, tmp_path):
     assert back.identical(era5)
     t = xbs.make_template(era5)
     assert dict(t.sizes) == {"time": 24, "latitude": 7, "longitude": 9}
+
+
+def test_rechunk_accepts_dask_tuples(spark, era5):
+    """ds.rechunk({'time': (6, 6, 6, 6)}) — dask-style expanded chunks
+    collapse through normalize_chunks (reference core.py:366-383) and
+    rechunk end-to-end."""
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 8})
+    r = d.rechunk({"time": (6, 6, 6, 6), "latitude": 7, "longitude": 9})
+    assert r.chunks["time"] == 6
+    assert r.collect().identical(era5)
+    import pytest
+
+    with pytest.raises(ValueError, match="inconsistent dask chunks"):
+        d.rechunk({"time": (6, 5, 6)})

@@ -61,3 +61,9 @@ def test_cloud_zarr_sql_example(tmp_path):
 def test_append_ingest_example(tmp_path):
     out = _run("append_ingest.py", str(tmp_path / "ap.zarr"))
     assert "appended day 4" in out and "append ingest OK" in out
+
+
+def test_beam_style_migration_example(tmp_path):
+    out = _run("beam_style_migration.py", str(tmp_path))
+    assert "spellings agree bit for bit" in out
+    assert os.path.exists(tmp_path / "beam_spelling.zarr")
