@@ -548,6 +548,8 @@ def _decode_prog_scan(
             if ah == 0 and (0, c["td"]) not in htables:
                 raise ValueError("jpeg: missing Huffman table for scan")
         if len(scan_comps) > 1:
+            # every comp's (bw, bh) = (mcux*h, mcuy*v), so the MCU grid is
+            # recoverable from any one of them
             mcux = scan_comps[0]["bw"] // scan_comps[0]["h"]
             mcuy = scan_comps[0]["bh"] // scan_comps[0]["v"]
             # generator, not a list: a guard-max image has millions of
