@@ -108,32 +108,38 @@ def main() -> None:
     except OSError as exc:
         print(f"# bench sidecar write failed: {exc}", file=sys.stderr)
 
-    line = json.dumps(doc, separators=(",", ":"))
-    if len(line) > 4000:
-        # Keep as many rows as fit. Failures (-1 sentinel) are NEVER
-        # droppable — a breakage must not hide behind the window. Among
-        # successes, drop the fastest first, but ROTATE within the fastest
-        # third by round (count of recorded BENCH_r*.json) so the queries
-        # omitted this round appear in a neighboring round's stdout record
-        # instead of vanishing from every artifact (VERDICT r7 #5).
-        import glob
+    import glob
 
-        round_idx = len(glob.glob(os.path.join(here, "BENCH_r*.json")))
-        failed = [kv for kv in timings.items() if kv[1] < 0]
-        ok_fast_first = sorted(
-            (kv for kv in timings.items() if kv[1] >= 0), key=lambda kv: kv[1]
-        )
-        pool = ok_fast_first[: max(1, len(ok_fast_first) // 3)]  # rotation pool
-        off = (round_idx * 5) % max(1, len(pool))
-        drop_order = pool[off:] + pool[:off] + ok_fast_first[len(pool):]
+    round_idx = len(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    print(fit_to_window(doc, timings, round_idx))
+
+
+def fit_to_window(doc: dict, timings: dict, round_idx: int, limit: int = 4000) -> str:
+    """Serialize ``doc`` to ONE JSON line ≤ ``limit`` chars (the driver
+    records only a ~4 kB stdout tail). When the full per-query map
+    overflows: failures (-1 sentinel) are NEVER droppable — a breakage
+    must not hide behind the window — and among successes the fastest
+    drop first, ROTATED within the fastest third by ``round_idx`` so the
+    queries omitted this round appear in a neighboring round's record
+    instead of vanishing from every artifact (VERDICT r7 #5; the
+    bench_full.json sidecar keeps the complete map regardless)."""
+    line = json.dumps(doc, separators=(",", ":"))
+    if len(line) <= limit:
+        return line
+    failed = [kv for kv in timings.items() if kv[1] < 0]
+    ok_fast_first = sorted(
+        (kv for kv in timings.items() if kv[1] >= 0), key=lambda kv: kv[1]
+    )
+    pool = ok_fast_first[: max(1, len(ok_fast_first) // 3)]  # rotation pool
+    off = (round_idx * 5) % max(1, len(pool))
+    drop_order = pool[off:] + pool[:off] + ok_fast_first[len(pool):]
+    while len(line) > limit and len(drop_order) > 1:
+        drop_order = drop_order[1:]
         kept = failed + drop_order
-        while len(line) > 4000 and len(drop_order) > 1:
-            drop_order = drop_order[1:]
-            kept = failed + drop_order
-            doc["queries"] = {k: round(v, 2) for k, v in sorted(kept)}
-            doc["queries_omitted"] = len(timings) - len(kept)
-            line = json.dumps(doc, separators=(",", ":"))
-    print(line)
+        doc["queries"] = {k: round(v, 2) for k, v in sorted(kept)}
+        doc["queries_omitted"] = len(timings) - len(kept)
+        line = json.dumps(doc, separators=(",", ":"))
+    return line
 
 
 if __name__ == "__main__":

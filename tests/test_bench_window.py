@@ -1,0 +1,65 @@
+"""bench.py's driver-window fitter: the one JSON line the driver records.
+
+Pure-python tests (no Spark): failures always survive, rotation moves the
+drop set between rounds, output always fits and parses."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+from bench import fit_to_window
+
+
+def _doc(timings):
+    return {
+        "metric": "total_query_wall_seconds",
+        "value": round(sum(t for t in timings.values() if t >= 0), 4),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": 0.1,
+        "runs": 2,
+        "aggregation": "min_per_query",
+        "loadavg_start": [1.0, 1.0, 1.0],
+        "loadavg_end": [1.0, 1.0, 1.0],
+    }
+
+
+def _timings(n=160, fail=("broken_query_one", "broken_query_two")):
+    t = {f"synthetic_query_name_{i:03d}": (i % 9) * 0.41 + 0.02 for i in range(n)}
+    for f in fail:
+        t[f] = -1.0
+    return t
+
+
+def test_fits_parses_and_keeps_failures():
+    t = _timings()
+    for rnd in range(6):
+        line = fit_to_window(_doc(t), t, rnd)
+        assert len(line) <= 4000
+        doc = json.loads(line)
+        assert doc["queries_omitted"] > 0
+        assert doc["queries"]["broken_query_one"] == -1.0
+        assert doc["queries"]["broken_query_two"] == -1.0
+        assert len(doc["queries"]) + doc["queries_omitted"] == len(t)
+
+
+def test_rotation_moves_the_drop_set():
+    t = _timings()
+    dropped = [
+        set(t) - set(json.loads(fit_to_window(_doc(t), t, rnd))["queries"])
+        for rnd in range(4)
+    ]
+    # consecutive rounds must not omit the identical set, and the union
+    # over a few rounds must not exceed what any single round omits by 0
+    assert dropped[0] != dropped[1]
+    assert len(set().union(*dropped)) > len(dropped[0])
+
+
+def test_small_doc_untouched():
+    t = {"q1": 1.0, "q2": -1.0}
+    line = fit_to_window(_doc(t), t, 3)
+    doc = json.loads(line)
+    assert "queries_omitted" not in doc
+    assert doc["queries"] == {"q1": 1.0, "q2": -1.0}
