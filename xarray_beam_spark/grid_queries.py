@@ -1528,3 +1528,86 @@ def xb_grid_sortby_cumsum_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
     value mismatch."""
     d = _events_grid(spark, sf_dir, chunks={"day": 7})
     return d.sortby("day", ascending=False).cumulative("day", op="sum").to_table(dropna=True)
+
+
+@_register(
+    "xb_grid_shift_neg2_day",
+    f"""
+WITH cells AS ({_CELLS_SQL}),
+dense AS (
+  SELECT d.day, h.hour, t.event_type, c.cnt
+  FROM (SELECT DISTINCT day FROM cells) d
+  CROSS JOIN (SELECT DISTINCT hour FROM cells) h
+  CROSS JOIN (SELECT DISTINCT event_type FROM cells) t
+  LEFT JOIN cells c USING (day, hour, event_type)
+)
+SELECT day, hour, event_type, cnt FROM (
+  SELECT day, hour, event_type,
+         LEAD(cnt, 2) OVER (PARTITION BY hour, event_type ORDER BY day) AS cnt
+  FROM dense
+) WHERE cnt IS NOT NULL
+""",
+)
+def xb_grid_shift_neg2_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ds.shift(day=-2)`` — NEGATIVE shift (NaN tail): unlike the
+    positive-shift halo path (:func:`xb_grid_shift2_day`), this rides the
+    memory-guarded whole-dim gather (``_gather_dim``), so the r8 guard
+    mechanism itself is driver-certified. Oracle: ``LEAD(cnt, 2)``."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    return d.shift("day", -2).to_table(dropna=True)
+
+
+@_register(
+    "xb_grid_rolling7_max",
+    f"""
+WITH cells AS ({_CELLS_SQL}),
+dense AS (
+  SELECT d.day, h.hour, t.event_type, c.cnt
+  FROM (SELECT DISTINCT day FROM cells) d
+  CROSS JOIN (SELECT DISTINCT hour FROM cells) h
+  CROSS JOIN (SELECT DISTINCT event_type FROM cells) t
+  LEFT JOIN cells c USING (day, hour, event_type)
+),
+rolled AS (
+  SELECT day, hour, event_type,
+         MAX(cnt) OVER (PARTITION BY hour, event_type ORDER BY day
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS cnt
+  FROM dense
+)
+SELECT * FROM rolled WHERE cnt IS NOT NULL
+""",
+)
+def xb_grid_rolling7_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing rolling MAX — the order-statistic rolling kernel
+    (mean is an arithmetic scan; max exercises the extremum path of
+    ``rolling_reduce``) on the same 6-wide halo exchange."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 10})
+    return d.rolling_reduce("day", 7, op="max").to_table(dropna=True)
+
+
+@_register(
+    "xb_grid_take_day",
+    f"""
+WITH cells AS ({_CELLS_SQL}),
+days AS (
+  SELECT day, ROW_NUMBER() OVER (ORDER BY day) - 1 AS i
+  FROM (SELECT DISTINCT day FROM cells)
+),
+wanted AS (
+  SELECT u.src FROM (VALUES (5), (0), (17), (5), (11)) AS u(src)
+)
+SELECT s.day, c.hour, c.event_type, c.cnt
+FROM wanted w
+JOIN days s ON s.i = w.src
+JOIN cells c ON c.day = s.day
+""",
+)
+def xb_grid_take_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ds.take('day', [5, 0, 17, 5, 11])`` — outer fancy indexing with
+    a REPEATED position: xarray semantics select data AND coordinate
+    labels together, so day position 5 appears twice in the result (data
+    and label duplicated in step). The oracle replays the selection as a
+    positional join that hits position 5 twice — duplicated selections
+    are the classic fancy-indexing trap this certifies."""
+    d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    return d.take("day", [5, 0, 17, 5, 11]).to_table(dropna=True)
