@@ -321,3 +321,47 @@ class TestEpochShuffle:
             assert sorted(ps) == list(range(len(ps)))
         # shards roughly balanced (uniform hash): no shard empty at n=200/8
         assert len(per) == 8
+
+
+def test_familiarity_score_matches_python_replay(spark):
+    from xarray_beam_spark.operators.corpus import familiarity_score
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown cat naps under the warm sun",
+        3: "zzqxj qjxzz xjqzz",  # gibberish: near-zero familiarity
+        4: "the the the the",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    seed = docs.where(F.col("doc_id").isin(1, 2))
+    got = {r["doc_id"]: r for r in familiarity_score(docs, seed).collect()}
+
+    from collections import Counter
+
+    def grams(t):
+        t = t.lower()
+        return [t[i : i + 3] for i in range(len(t) - 2)]
+
+    counts = Counter(g for i in (1, 2) for g in grams(texts[i]))
+    for i, t in texts.items():
+        gs = grams(t)
+        assert got[i]["n_grams"] == len(gs)
+        assert got[i]["familiar_hits"] == sum(1 for g in gs if g in counts)
+        assert got[i]["familiarity"] == sum(counts.get(g, 0) for g in gs) / len(gs)
+    assert got[3]["familiarity"] == 0.0  # gibberish scores zero
+    assert got[1]["familiarity"] > got[3]["familiarity"]
+
+
+def test_familiarity_plan_broadcasts_seed(spark):
+    """The seed trigram table must ride a BroadcastHashJoin (never a
+    shuffled join): the corpus side is the 100 TB side."""
+    from xarray_beam_spark.operators.corpus import familiarity_score
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("document body number "), F.col("id").cast("string")).alias("text"),
+    )
+    df = familiarity_score(docs, docs.where(F.col("doc_id") % 5 == 0))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

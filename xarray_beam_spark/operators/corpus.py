@@ -837,3 +837,91 @@ def corpus_epoch_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_shuffle(docs, n_shards=8, epoch=1).select(
         "doc_id", "source", "shard", "position"
     )
+
+
+# ---------------------------------------------------------------------------
+# statistical familiarity score (CCNet-style LM quality proxy)
+# ---------------------------------------------------------------------------
+
+
+def familiarity_score(
+    docs: DataFrame,
+    seed: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frequency-based language-model quality proxy (the role KenLM
+    perplexity plays in CCNet/CCNet-style pipelines, Wenzek et al. 2019,
+    arXiv:1911.00359): score every document by how FAMILIAR its character
+    trigrams are under a trusted ``seed`` slice's trigram distribution.
+
+    ``familiarity = sum(seed_count(g) for g in doc_grams) / n_grams`` —
+    high for text resembling the seed corpus, near zero for gibberish,
+    boilerplate in an unseen alphabet, or wrong-language content. Unlike
+    log-probability scoring this is EXACT arithmetic (integer count sums,
+    one final division), so the score hash-certifies across engines —
+    perplexity's ``log`` calls differ in the last ulp between libms and
+    never would.
+
+    Plan shape at 100 TB: the seed trigram table is bounded by alphabet
+    size (|charset|³ distinct grams, ~100k rows real-world) → broadcast;
+    the corpus side is one narrow explode into a broadcast-hash left join
+    and one per-doc aggregation — a single shuffle keyed by doc id, no
+    all-pairs anything. Everything is JVM expressions (``sequence`` +
+    ``substring`` transform; no Python in the hot path).
+
+    Returns ``(id_col, n_grams, familiar_hits, familiarity)`` for every
+    doc with at least one trigram; filter/threshold downstream.
+    """
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(lower({text_col})) - 2, 0)), "
+        f"i -> substring(lower({text_col}), i, 3))"
+    )
+    seed_counts = (
+        seed.select(F.explode(grams).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    doc_grams = docs.select(F.col(id_col), F.explode(grams).alias("g"))
+    return (
+        doc_grams.join(F.broadcast(seed_counts), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("c").isNotNull(), 1).otherwise(0)).alias("familiar_hits"),
+            (
+                F.sum(F.coalesce(F.col("c"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("familiarity"),
+        )
+    )
+
+
+_FAMILIARITY_ORACLE = """
+WITH grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(lower(text)) - 2, 0) + 1),
+                               i -> substr(lower(text), CAST(i AS INT), 3))) AS g
+  FROM documents
+),
+seed_counts AS (
+  SELECT g, COUNT(*) AS c FROM grams WHERE doc_id % 7 = 0 GROUP BY g
+)
+SELECT d.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN s.c IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS familiar_hits,
+       CAST(SUM(COALESCE(s.c, 0)) AS DOUBLE) / COUNT(*) AS familiarity
+FROM grams d LEFT JOIN seed_counts s USING (g)
+GROUP BY d.doc_id
+"""
+
+
+@_register("corpus_familiarity_score", _FAMILIARITY_ORACLE)
+def corpus_familiarity_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical quality scoring: the 1-in-7 doc slice
+    plays the trusted seed corpus; every document's char-trigram
+    familiarity under it is certified value-exact (integer count sums +
+    one division — the hash-stable stand-in for KenLM perplexity)."""
+    docs = load(spark, sf_dir, "documents")
+    seed = docs.where(F.col("doc_id") % 7 == 0)
+    return familiarity_score(docs, seed)
