@@ -867,22 +867,30 @@ def familiarity_score(
     size (|charset|³ distinct grams, ~100k rows real-world) → broadcast;
     the corpus side is one narrow explode into a broadcast-hash left join
     and one per-doc aggregation — a single shuffle keyed by doc id, no
-    all-pairs anything. Everything is JVM expressions (``sequence`` +
-    ``substring`` transform; no Python in the hot path).
+    all-pairs anything. Everything is JVM expressions, and the explode is
+    O(len) per document: the text splits to a char ARRAY once and grams
+    index it (``substring(t, i, 3)`` per gram re-walks the UTF-8 string
+    from the start — O(len²) per document, a real cost at corpus scale).
 
     Returns ``(id_col, n_grams, familiar_hits, familiarity)`` for every
     doc with at least one trigram; filter/threshold downstream.
     """
-    grams = F.expr(
-        f"transform(sequence(1, greatest(length(lower({text_col})) - 2, 0)), "
-        f"i -> substring(lower({text_col}), i, 3))"
-    )
-    seed_counts = (
-        seed.select(F.explode(grams).alias("g"))
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    doc_grams = docs.select(F.col(id_col), F.explode(grams).alias("g"))
+
+    def explode_grams(df: DataFrame, *keep: str) -> DataFrame:
+        cs = F.split(F.lower(F.col(text_col)), "")
+        # guard: Spark's sequence(0, -k) DESCENDS — without the CASE a
+        # sub-3-char doc would emit junk grams instead of none
+        grams = F.expr(
+            "CASE WHEN size(__cs) < 3 THEN array() "
+            "ELSE transform(sequence(0, size(__cs) - 3), "
+            "i -> concat(__cs[i], __cs[i+1], __cs[i+2])) END"
+        )
+        return df.select(*keep, cs.alias("__cs")).select(
+            *keep, F.explode(grams).alias("g")
+        )
+
+    seed_counts = explode_grams(seed).groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    doc_grams = explode_grams(docs, id_col)
     return (
         doc_grams.join(F.broadcast(seed_counts), "g", "left")
         .groupBy(id_col)
