@@ -564,20 +564,29 @@ class TestStagedSetup:
             attrs={},
         )
 
-        t0 = time.perf_counter()
-        zarr_io.setup_zarr(
-            template, f"{slow_root}/direct", {"time": 8}, stage_locally=False
-        )
-        direct = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        zarr_io.setup_zarr(
-            template, f"{slow_root}/staged", {"time": 8}, stage_locally=True
-        )
-        staged = time.perf_counter() - t0
+        # best-of-2 per variant: a single sample races host co-tenancy
+        # (the one observed flake: concurrent full-verify run inflated the
+        # staged wall time past the margin); min-of-2 is the same
+        # estimator bench.py uses
+        def timed(name: str, staged_flag: bool) -> float:
+            best = float("inf")
+            for attempt in range(2):
+                t0 = time.perf_counter()
+                zarr_io.setup_zarr(
+                    template,
+                    f"{slow_root}/{name}{attempt}",
+                    {"time": 8},
+                    stage_locally=staged_flag,
+                )
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        direct = timed("direct", False)
+        staged = timed("staged", True)
         assert direct / staged > 2.0, (direct, staged)
         # both skeletons identical blob-for-blob
-        a = stores.list_tree(f"{slow_root}/direct")
-        b = stores.list_tree(f"{slow_root}/staged")
+        a = stores.list_tree(f"{slow_root}/direct0")
+        b = stores.list_tree(f"{slow_root}/staged0")
         assert a == b and len(a) >= 2 + 2 * (12 + 2)  # group + per-array meta
 
     def test_auto_staging_on_latency_bound_store(self, monkeypatch, tmp_path):
