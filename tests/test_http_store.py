@@ -282,14 +282,21 @@ class TestIoThreading:
             stores, "resolve", lambda p: (slow, real_resolve(p)[1])
         )
         arrays, _ = zarrlite.open_group(path)
-        t0 = time.perf_counter()
-        monkeypatch.setenv("XBS_IO_THREADS", "1")
-        np.testing.assert_array_equal(zarrlite.read_full(arrays["v"]), data)
-        serial = time.perf_counter() - t0
-        monkeypatch.setenv("XBS_IO_THREADS", "16")
-        t0 = time.perf_counter()
-        np.testing.assert_array_equal(zarrlite.read_full(arrays["v"]), data)
-        threaded = time.perf_counter() - t0
+
+        # best-of-2 per mode: the sleep-bound serial number is stable, but
+        # the threaded one can inflate under host co-tenancy (same
+        # hardening as TestStagedSetup)
+        def timed(width: str) -> float:
+            monkeypatch.setenv("XBS_IO_THREADS", width)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                np.testing.assert_array_equal(zarrlite.read_full(arrays["v"]), data)
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        serial = timed("1")
+        threaded = timed("16")
         assert serial / threaded > 2.0, (serial, threaded)
 
 
