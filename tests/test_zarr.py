@@ -831,3 +831,57 @@ class TestCFEdgeCases:
         np.testing.assert_array_equal(
             tmpl.coords["lat"].values, [-90.0, -89.5, -89.0, -88.5]
         )
+
+
+class TestRetryIdempotency:
+    """Task retries and speculative duplicates re-execute a region write
+    with the SAME payload. The aligned-write + atomic-rename contract
+    (reference zarr.py:516-587's safety rule) must make that a no-op:
+    identical final bytes, no torn chunks, no leaked temp files."""
+
+    def _store(self, tmp_path):
+        path = str(tmp_path / "retry.zarr")
+        rng = np.random.default_rng(11)
+        data = rng.normal(size=(12, 8))
+        zarrlite.create_group(path)
+        meta = zarrlite.create_array(
+            path, "v", shape=(12, 8), chunks=(4, 8), dtype="<f8", dims=("t", "x")
+        )
+        return path, meta, data
+
+    def test_same_region_written_twice(self, tmp_path):
+        path, meta, data = self._store(tmp_path)
+        region = data[4:8]
+        zarrlite.write_region(meta, {"t": 4}, region)
+        zarrlite.write_region(meta, {"t": 4}, region)  # the retried attempt
+        got = zarrlite.read_full(meta)
+        np.testing.assert_array_equal(got[4:8], region)
+        leftovers = [f for f in os.listdir(path) if ".tmp" in f or f.startswith("tmp")]
+        assert leftovers == [], leftovers
+
+    def test_concurrent_duplicate_attempts(self, tmp_path):
+        """Two 'attempts' racing on the same chunks (speculation): both
+        write identical payloads; whichever rename lands last, the chunk
+        is one complete blob — never interleaved."""
+        import threading
+
+        path, meta, data = self._store(tmp_path)
+        errs = []
+
+        def attempt():
+            try:
+                for _ in range(10):
+                    zarrlite.write_region(meta, {"t": 0}, data[0:4])
+            except Exception as exc:  # noqa: BLE001
+                errs.append(exc)
+
+        threads = [threading.Thread(target=attempt) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert errs == []
+        got = zarrlite.read_full(meta)
+        np.testing.assert_array_equal(got[0:4], data[0:4])
+        leftovers = [f for f in os.listdir(path) if ".tmp" in f or f.startswith("tmp")]
+        assert leftovers == [], leftovers
