@@ -1321,3 +1321,26 @@ def test_rechunk_accepts_dask_tuples(spark, era5):
 
     with pytest.raises(ValueError, match="inconsistent dask chunks"):
         d.rechunk({"time": (6, 5, 6)})
+
+
+def test_beam_compat_mean_per_key(spark, era5):
+    """Mean.PerKey shim == groupby_reduce: the reference's re-key →
+    keyed-mean climatology in Beam spelling."""
+    import xarray_beam_spark as xbs
+
+    keys = (np.arange(24) % 2).astype(np.int64)  # even/odd-hour climatology
+    piped = (
+        era5
+        | xbs.DatasetToChunks(spark, {"time": 6})
+        | xbs.Mean.PerKey("time", keys, new_dim="parity")
+    ).collect()
+    native = (
+        Dataset.from_numpy(spark, era5, chunks={"time": 6})
+        .groupby_reduce("time", keys, op="mean", new_dim="parity")
+        .collect()
+    )
+    assert piped.identical(native)
+    want = era5.data_vars["asn"].values[::2].mean(axis=0)
+    np.testing.assert_allclose(  # float32 data: ~1e-6 relative error
+        piped.data_vars["asn"].values[0].astype(np.float64), want, rtol=1e-5
+    )

@@ -18,8 +18,7 @@ shims add NO new semantics, only the reference's spelling.
 
 Not shimmed (no faithful equivalent, documented here so the gap is
 explicit): ``MeanCombineFn`` (a Beam CombineFn — Spark's combiner
-lifting is internal to ``Dataset.mean``), ``Mean.PerKey`` (keyed Beam
-PCollections; use ``Dataset.groupby_reduce(key, 'mean')``), and the
+lifting is internal to ``Dataset.mean``) and the
 per-element ``validate_chunk``/``validate_zarr_chunk``/
 ``write_chunk_to_zarr`` trio (Beam DoFn plumbing; the same checks and
 writes run inside ``Dataset.validate`` and ``to_zarr``'s executors —
@@ -137,6 +136,25 @@ class Mean(PTransform):
                 return ds.mean(list(ds.sizes), skipna=skipna)
 
         return _Global()
+
+    @classmethod
+    def PerKey(  # noqa: N802 — reference name
+        cls, dim: str, by, new_dim: str = "group", skipna: bool = True
+    ) -> "PTransform":
+        """Reference ``Mean.PerKey`` averages a KEYED PCollection — the
+        climatology step after a re-key (``examples/era5_climatology.py``
+        there). The keyed-dataset analog here is
+        :meth:`Dataset.groupby_reduce`: ``by`` is the per-element key
+        array (or ``{name: array}`` mapping for multi-key) along ``dim``,
+        exactly the keys the reference's re-key DoFn would emit."""
+
+        class _PerKey(PTransform):
+            def apply(self, ds: Dataset) -> Dataset:
+                return ds.groupby_reduce(
+                    dim, by, op="mean", new_dim=new_dim, skipna=skipna
+                )
+
+        return _PerKey()
 
 
 class ChunksToZarr(PTransform):
