@@ -1344,3 +1344,30 @@ def test_beam_compat_mean_per_key(spark, era5):
     np.testing.assert_allclose(  # float32 data: ~1e-6 relative error
         piped.data_vars["asn"].values[0].astype(np.float64), want, rtol=1e-5
     )
+
+
+def test_beam_compat_per_chunk_write_functions(spark, era5, tmp_path):
+    """validate_zarr_chunk / write_chunk_to_zarr as per-chunk free
+    functions (the reference's DoFn trio): a custom writer validates and
+    region-writes chunk slices; misaligned offsets are rejected loudly."""
+    import xarray_beam_spark as xbs
+    from xarray_beam_spark.sources import zarr_io
+
+    out = str(tmp_path / "custom.zarr")
+    template = xbs.make_template(era5)
+    zarr_io.setup_zarr(template, out, {"time": 8})
+
+    for t0 in (0, 8, 16):
+        chunk = era5.isel({"time": slice(t0, t0 + 8)})
+        xbs.validate_zarr_chunk({"time": t0}, chunk, out)
+        n = xbs.write_chunk_to_zarr({"time": t0}, chunk, out)
+        assert n > 0
+    back = zarr_io.from_zarr(spark, out).collect()
+    assert back.identical(era5)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not aligned"):
+        xbs.validate_zarr_chunk({"time": 3}, era5.isel({"time": slice(3, 11)}), out)
+    with pytest.raises(ValueError, match="not aligned"):
+        xbs.write_chunk_to_zarr({"time": 3}, era5.isel({"time": slice(3, 11)}), out)

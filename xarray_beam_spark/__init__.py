@@ -32,6 +32,8 @@ from xarray_beam_spark.compat import (  # noqa: F401  (Beam-style migration shim
     ValidateEachChunk,
     make_template,
     open_zarr,
+    validate_zarr_chunk,
+    write_chunk_to_zarr,
 )
 from xarray_beam_spark.core import (  # noqa: F401
     Key,

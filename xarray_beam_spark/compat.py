@@ -18,12 +18,10 @@ shims add NO new semantics, only the reference's spelling.
 
 Not shimmed (no faithful equivalent, documented here so the gap is
 explicit): ``MeanCombineFn`` (a Beam CombineFn — Spark's combiner
-lifting is internal to ``Dataset.mean``) and the
-per-element ``validate_chunk``/``validate_zarr_chunk``/
-``write_chunk_to_zarr`` trio (Beam DoFn plumbing; the same checks and
-writes run inside ``Dataset.validate`` and ``to_zarr``'s executors —
-see ``sources/zarrlite.py`` ``validate_region_alignment``/
-``write_region`` for the primitives).
+lifting is internal to ``Dataset.mean``) and the per-element
+``validate_chunk`` DoFn (its checks run inside ``Dataset.validate``).
+``validate_zarr_chunk``/``write_chunk_to_zarr`` ARE provided below as
+per-chunk free functions for custom ``mapInPandas`` pipelines.
 """
 
 from __future__ import annotations
@@ -195,3 +193,69 @@ def make_template(ds: NDDataset) -> Template:
     dataset; the equivalent metadata-only object here is
     :meth:`Template.from_ndds`."""
     return Template.from_ndds(ds)
+
+
+_ARRAYS_META_CACHE: dict[str, dict] = {}
+
+
+def _arrays_meta(store: str) -> dict:
+    """Per-process store-metadata memo for the per-chunk free functions —
+    KB-sized and immutable under the setup-once convention, so a custom
+    pipeline's tasks fetch it once, not once per chunk. A store resized
+    in-process (``to_zarr(append_dim=)``) invalidates the memo: call
+    ``_ARRAYS_META_CACHE.clear()`` (the library write path never uses
+    this cache)."""
+    hit = _ARRAYS_META_CACHE.get(store)
+    if hit is None:
+        from xarray_beam_spark.sources.zarr_io import open_zarr_meta
+
+        hit = open_zarr_meta(store)[2]
+        _ARRAYS_META_CACHE[store] = hit
+    return hit
+
+
+def _physical_region(meta, offsets: Mapping[str, int], shape: tuple) -> tuple:
+    off = tuple(int(offsets.get(d, 0)) for d in meta.logical_dims)
+    if len(meta.dims) == len(meta.logical_dims) + 1:  # 0-d wrapped array
+        off, shape = (0,) + off, (1,) + tuple(shape)
+    return off, tuple(shape)
+
+
+def validate_zarr_chunk(offsets: Mapping[str, int], chunk: NDDataset, store: str) -> None:
+    """Reference ``zarr.py:516-587`` as a per-chunk free function: check
+    that every variable's region at ``offsets`` is write-unit-aligned
+    (chunk, or shard for sharded v3) and in bounds — the safety rule that
+    makes retried/speculative task writes race-free. Raises ``ValueError``
+    with the exact violation; returns None when safe. For the built-in
+    write path this runs inside ``to_zarr``; call it from custom
+    ``mapInPandas`` writers before :func:`write_chunk_to_zarr`."""
+    from xarray_beam_spark.sources import zarrlite
+
+    arrays = _arrays_meta(store)
+    for v, var in chunk.data_vars.items():
+        if v not in arrays:
+            raise ValueError(f"variable {v!r} not in store {store}")
+        meta = arrays[v]
+        off, shape = _physical_region(meta, offsets, var.values.shape)
+        zarrlite.validate_region_alignment(meta, off, shape)
+
+
+def write_chunk_to_zarr(offsets: Mapping[str, int], chunk: NDDataset, store: str) -> int:
+    """Reference ``zarr.py:590-633`` as a per-chunk free function: region-
+    write every variable of ``chunk`` at ``offsets`` (CF-packing applied,
+    atomic renames, alignment enforced). Returns compressed bytes written.
+    The building block for custom executor-side writers; the library path
+    (``to_zarr``) adds per-variable IO threading and write counters on
+    top of the same primitives."""
+    from xarray_beam_spark.sources import zarrlite
+    from xarray_beam_spark.sources.zarr_io import cf_encode
+
+    arrays = _arrays_meta(store)
+    total = 0
+    for v, var in chunk.data_vars.items():
+        if v not in arrays:
+            raise ValueError(f"variable {v!r} not in store {store}")
+        meta = arrays[v]
+        off = {d: int(offsets.get(d, 0)) for d in meta.logical_dims}
+        total += zarrlite.write_region(meta, off, cf_encode(meta, var.values))
+    return total
