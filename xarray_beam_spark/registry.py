@@ -165,6 +165,32 @@ _LAST_CERTIFIED_ROUND: dict[str, int] = {
         "xb_map_blocks_affine", "xb_zarr_roundtrip",
         "xb_zarr_v3_sharded_roundtrip",
     ], 7),
+    # round 8 (freshest; from CORRECTNESS_r08.json — overrides earlier tiers)
+    **dict.fromkeys([
+        "ann_brute_force_topk", "corpus_clean_pipeline",
+        "corpus_decontaminate", "corpus_familiarity_score",
+        "corpus_hash_split", "corpus_importance_sample",
+        "corpus_mixture_weights", "corpus_stratified_cap",
+        "dedup_canonical_docs", "dedup_duplicate_clusters",
+        "dedup_exact", "dedup_levenshtein_twins", "dedup_minhash_lsh",
+        "dedup_passjoin_exact", "dedup_simhash", "doc_fingerprint",
+        "doc_rolling_hash", "doc_token_windows", "doc_vocab_topk",
+        "embedding_neardup_pairs", "events_asof_last_purchase",
+        "events_interval_post_signup", "events_percent_rank",
+        "multimodal_audio_features", "multimodal_features",
+        "multimodal_jpeg_progressive_features",
+        "multimodal_meta_rollup", "ngram_jaccard_adjacent",
+        "stream_dedup_events", "stream_enriched_counts",
+        "stream_hourly_counts", "stream_stateful_user_stats",
+        "stream_user_sessions", "stream_zarr_tail", "text_lang_rollup",
+        "text_langid", "text_normalize_scrub", "text_quality_stats",
+        "text_repetition_signals", "text_scrub_pii",
+        "text_substring_dup", "text_token_counts", "xb_grid_bfill_day",
+        "xb_grid_roll3_day", "xb_grid_rolling7_max",
+        "xb_grid_shift2_day", "xb_grid_shift_neg2_day",
+        "xb_grid_sortby_cumsum_desc", "xb_grid_take_day",
+        "xb_zarr_cf_packed_roundtrip",
+    ], 8),
     # no-oracle gates: pinned by pytest, demoted to the registry tail so
     # they never displace hash-certifiable queries from the driver's
     # ~50-slot sweep (VERDICT r6 "Missing #2").
