@@ -180,3 +180,90 @@ class TestGopherFilter:
         df = spark.createDataFrame([(1, bullets)], "doc_id long, text string")
         r = gopher_quality_filter(df).collect()[0]
         assert r["bullet_frac"] > 0.9 and r["keep"] is False
+
+
+class TestRemoveDuplicateSpans:
+    """remove_duplicate_spans vs a pure-Python brute-force reference
+    (every window enumerated, marks unioned token-by-token)."""
+
+    @staticmethod
+    def _brute_force(rows, window=8, min_count=2):
+        import re
+        from collections import Counter
+
+        docs = {i: re.split(r"\s+", t) for i, t in rows}
+        cnt = Counter()
+        for ws in docs.values():
+            for p in range(len(ws) - window + 1):
+                cnt[" ".join(ws[p : p + window])] += 1
+        out = {}
+        for i, ws in docs.items():
+            rem = [False] * len(ws)
+            for p in range(len(ws) - window + 1):
+                if cnt[" ".join(ws[p : p + window])] >= min_count:
+                    for j in range(p, p + window):
+                        rem[j] = True
+            n_spans = sum(
+                1 for k, r in enumerate(rem) if r and (k == 0 or not rem[k - 1])
+            )
+            out[i] = (
+                " ".join(w for w, r in zip(ws, rem) if not r),
+                len(ws),
+                sum(rem),
+                n_spans,
+            )
+        return out
+
+    def test_vs_brute_force(self, spark):
+        from xarray_beam_spark.functions.text import remove_duplicate_spans
+
+        dup = "the quick brown fox jumps over the lazy dog again today"
+        rows = [
+            (1, "alpha beta " + dup + " gamma delta epsilon zeta eta theta"),
+            (2, "one two three " + dup + " four five six seven eight nine"),
+            (3, "unique words only here nothing repeated at all in this text"),
+            (4, dup),  # removed entirely -> rewritten text is empty
+            (5, "short doc"),  # fewer tokens than the window: untouched
+            (6, "alpha beta " + dup + " gamma delta epsilon zeta eta theta"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (
+                r["text"], r["n_tokens"], r["removed_tokens"], r["n_spans"]
+            )
+            for r in remove_duplicate_spans(df, window=8).collect()
+        }
+        assert got == self._brute_force(rows, window=8)
+        assert got[4][0] == "" and got[4][2] == got[4][1]  # fully excised
+        assert got[5] == ("short doc", 2, 0, 0)
+
+    def test_hash_fn_equivalence(self, spark):
+        from xarray_beam_spark.functions.text import remove_duplicate_spans
+
+        dup = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+        df = spark.createDataFrame(
+            [(1, f"a b {dup} c d"), (2, f"{dup} x y z q"), (3, "all fresh text")],
+            "doc_id long, text string",
+        )
+        a = sorted(remove_duplicate_spans(df, hash_fn="xxhash64").collect())
+        b = sorted(remove_duplicate_spans(df, hash_fn="md5").collect())
+        assert a == b
+
+    def test_disjoint_spans_counted_separately(self, spark):
+        """Two duplicated regions separated by a unique gap must come out
+        as two spans, with the gap tokens kept."""
+        from xarray_beam_spark.functions.text import remove_duplicate_spans
+
+        d1 = "p1 p2 p3 p4 p5 p6 p7 p8"
+        d2 = "q1 q2 q3 q4 q5 q6 q7 q8"
+        rows = [
+            (1, f"{d1} GAPA GAPB GAPC {d2}"),
+            (2, f"left {d1} mid {d2} right"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in remove_duplicate_spans(df, window=8).collect()}
+        assert got[1]["n_spans"] == 2
+        assert got[1]["text"] == "GAPA GAPB GAPC"
+        assert got[1]["removed_tokens"] == 16
+        assert got[2]["n_spans"] == 2
+        assert got[2]["text"] == "left mid right"

@@ -608,6 +608,176 @@ def text_substring_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_windows(docs, window=8, hash_fn="md5")
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring span REMOVAL — the rewrite half of the Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better"
+    pipeline (``substring_dup_windows`` is the stats half). Every
+    ``window``-token sliding window whose hash occurs ``min_count``+
+    times in the corpus marks its tokens as duplicated; per document the
+    duplicated windows are merged into maximal disjoint intervals and
+    those token spans are spliced out.
+
+    Returns one row per input document: the rewritten ``text`` (kept
+    tokens joined by single spaces — the operator is defined over the
+    whitespace-token stream, so output is whitespace-normalized),
+    ``n_tokens`` (original), ``removed_tokens``, and ``n_spans``
+    (maximal removed intervals, adjacent/overlapping windows merged).
+    Like the paper's ExactSubstr, spans are excised from EVERY copy
+    (all occurrences of a duplicated window have count >= min_count).
+
+    Scale shape: one token-scale explode (inherent to substring dedup),
+    one hash group-by for global multiplicity, one hash equi-join back,
+    one doc-id shuffle to regroup positions — no pairwise work anywhere.
+    The interval merge and splice are row-local JVM expressions
+    (``aggregate`` over the sorted position array + ``filter`` over the
+    token array); per-doc cost is O(tokens x merged_spans), bounded by
+    document length, never by corpus size. ``hash_fn="md5"`` switches
+    from xxhash64 to md5 for engine-portable certification (DuckDB has
+    no xxhash64); the two paths are pinned equivalent by pytest.
+    """
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', not {hash_fn!r}")
+    hasher = F.md5 if hash_fn == "md5" else F.xxhash64
+    w = window
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    positions = F.when(
+        n >= w, F.sequence(F.lit(1), n - w + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    win_text = lambda i: F.concat_ws(" ", F.slice(toks, i, w))  # noqa: E731
+    hashes = F.transform(positions, lambda i: hasher(win_text(i)))
+    wins = docs.select(
+        F.col(id_col), F.posexplode(hashes).alias("pos0", "h")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "h")
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("h")
+    )
+    dup_pos = (
+        wins.join(dup_h, "h")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("pos")).alias("dps"))
+    )
+    d = docs.join(dup_pos, id_col, "left")
+    dps = F.coalesce(F.col("dps"), F.array().cast("array<int>"))
+    # Merge overlapping/adjacent removal intervals [p, p+w-1] (dps sorted):
+    # fold each position into the last interval when it touches it, else
+    # open a new one — acc stays disjoint and sorted throughout.
+    iv_t = "array<struct<s:int,e:int>>"
+    merged = F.aggregate(
+        dps,
+        F.array().cast(iv_t),
+        lambda acc, p: F.when(
+            (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["e"] + 1),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        F.greatest(
+                            F.element_at(acc, -1)["e"], p + (w - 1)
+                        ).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(p.alias("s"), (p + (w - 1)).alias("e"))))
+        ),
+    )
+    d = d.select(id_col, toks.alias("_toks"), merged.alias("_iv"))
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.exists(
+            F.col("_iv"),
+            lambda v: (v["s"] <= i + 1) & (i + 1 <= v["e"]),
+        ),
+    )
+    return d.select(
+        id_col,
+        F.concat_ws(" ", kept).alias("text"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.aggregate(
+                F.col("_iv"),
+                F.lit(0).cast("long"),
+                lambda a, v: a + (v["e"] - v["s"] + 1).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+        ).alias("removed_tokens"),
+        F.size("_iv").cast("long").alias("n_spans"),
+    )
+
+
+# Oracle mirrors the operator exactly: window hashes -> global
+# multiplicity -> per-doc gaps-and-islands interval merge (running-max
+# window) -> NOT EXISTS range anti-join to splice, string_agg rewrite.
+_REMOVE_DUP_SPANS_ORACLE = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+wins AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS h
+  FROM t, UNNEST(generate_series(1, len(w) - 7)) AS u(i)
+),
+dup_h AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+dpos AS (SELECT DISTINCT doc_id, pos FROM wins JOIN dup_h USING (h)),
+iv AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM dpos),
+flag AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+             PARTITION BY doc_id ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+         THEN 1 ELSE 0 END AS ng
+  FROM iv
+),
+grp AS (SELECT doc_id, s, e, SUM(ng) OVER (PARTITION BY doc_id ORDER BY s) AS g FROM flag),
+merged AS (SELECT doc_id, g, MIN(s) AS s, MAX(e) AS e FROM grp GROUP BY doc_id, g),
+audit AS (
+  SELECT doc_id, SUM(e - s + 1) AS removed_tokens, COUNT(*) AS n_spans
+  FROM merged GROUP BY doc_id
+),
+toks AS (SELECT doc_id, i, w[i] AS tok FROM t, UNNEST(generate_series(1, len(w))) AS u(i)),
+kept AS (
+  SELECT tk.doc_id, tk.i, tk.tok FROM toks tk
+  WHERE NOT EXISTS (
+    SELECT 1 FROM merged m WHERE m.doc_id = tk.doc_id AND tk.i BETWEEN m.s AND m.e)
+),
+rew AS (SELECT doc_id, COALESCE(string_agg(tok, ' ' ORDER BY i), '') AS text FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       md5(COALESCE(r.text, '')) AS rewritten_fp,
+       CAST(len(regexp_split_to_array(d.text, '\s+')) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+       CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans
+FROM documents d
+LEFT JOIN audit a USING (doc_id)
+LEFT JOIN rew r ON d.doc_id = r.doc_id
+"""
+
+
+@_register("text_remove_dup_spans", _REMOVE_DUP_SPANS_ORACLE)
+def text_remove_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. 2022 exact-substring dedup rewrite over 8-token windows
+    (md5-hashed for the DuckDB oracle; production default is xxhash64,
+    pinned equivalent by pytest). Certifies the rewritten text via its
+    md5 fingerprint plus the removal audit counts."""
+    docs = load(spark, sf_dir, "documents")
+    out = remove_duplicate_spans(docs, window=8, hash_fn="md5")
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("rewritten_fp"),
+        "n_tokens",
+        "removed_tokens",
+        "n_spans",
+    )
+
+
 _GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
