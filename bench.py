@@ -139,6 +139,20 @@ def fit_to_window(doc: dict, timings: dict, round_idx: int, limit: int = 4000) -
         doc["queries"] = {k: round(v, 2) for k, v in sorted(kept)}
         doc["queries_omitted"] = len(timings) - len(kept)
         line = json.dumps(doc, separators=(",", ":"))
+    if len(line) > limit:
+        # Failures alone overflow the window: degrade to a count plus a
+        # truncated name list so the emitted line ALWAYS parses — a line
+        # the driver's tail cuts mid-JSON loses every failure it carried.
+        doc["queries"] = {}
+        doc["queries_omitted"] = len(timings)
+        doc["failed_count"] = len(failed)
+        names = ",".join(sorted(k for k, _ in failed))
+        doc["failed_names"] = names
+        line = json.dumps(doc, separators=(",", ":"))
+        overshoot = len(line) - limit
+        if overshoot > 0:
+            doc["failed_names"] = names[: max(0, len(names) - overshoot - 3)] + "..."
+            line = json.dumps(doc, separators=(",", ":"))
     return line
 
 

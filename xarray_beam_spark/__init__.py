@@ -45,7 +45,12 @@ from xarray_beam_spark.dataset import (  # noqa: F401
     Dataset,
     Template,
     concat,
+    consolidate_chunks,
+    consolidate_fully,
+    consolidate_variables,
     in_memory_rechunk,
+    split_chunks,
+    split_variables,
 )
 from xarray_beam_spark.ndarray_ds import NDDataset, Variable  # noqa: F401
 from xarray_beam_spark.operators.temporal import asof_join, interval_join  # noqa: F401
@@ -61,11 +66,14 @@ from xarray_beam_spark.sources.zarr_io import (  # noqa: F401
 
 # Every reference top-level name is importable here: either natively
 # (Key, Dataset, normalize_chunks, offsets_to_slices, setup_zarr,
-# replace_template_dims, in_memory_rechunk) or as a pipeable Beam-style
-# shim from compat.py (`ds | Rechunk(...) | Mean('time')` — see that
-# module's docstring for the three names deliberately NOT shimmed:
-# MeanCombineFn, Mean.PerKey -> Dataset.groupby_reduce, and the
-# per-element validate/write DoFn trio whose checks run inside
-# Dataset.validate / to_zarr).
+# replace_template_dims, in_memory_rechunk, and the per-chunk free
+# functions split_chunks / split_variables / consolidate_chunks /
+# consolidate_variables / consolidate_fully for custom mapInPandas
+# pipelines) or as a pipeable Beam-style shim from compat.py
+# (`ds | Rechunk(...) | Mean('time')` — see that module's docstring for
+# the two names deliberately NOT shimmed: MeanCombineFn and the
+# per-element validate_chunk DoFn, whose checks run inside
+# Dataset.validate / to_zarr). tests/test_core_math.py pins the
+# import-parity list against the reference `__init__.py`.
 
 __version__ = "0.1.0"

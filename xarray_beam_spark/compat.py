@@ -58,8 +58,18 @@ class DatasetToChunks(PTransform):
         self.spark, self.chunks, self.split_vars = spark, chunks, split_vars
 
     def apply(self, nd: NDDataset) -> Dataset:
+        if self.chunks is None:
+            # Reference behavior (core.py:585-590): with no chunks given it
+            # infers dask chunks or raises. NDDataset payloads are plain
+            # numpy (never dask), so a silent {} default would produce ONE
+            # whole-array chunk — all parallelism lost at scale.
+            raise ValueError(
+                "chunks must be provided if dataset is not already chunked "
+                "(pass chunks={dim: size} — NDDataset carries no dask "
+                "chunks to infer from)"
+            )
         return Dataset.from_numpy(
-            self.spark, nd, chunks=self.chunks or {}, split_vars=self.split_vars
+            self.spark, nd, chunks=self.chunks, split_vars=self.split_vars
         )
 
 
@@ -156,19 +166,50 @@ class Mean(PTransform):
 
 
 class ChunksToZarr(PTransform):
-    """Reference ``zarr.py:636-821``. ``template`` is accepted for
-    signature parity but unused: setup here is synchronous driver work
-    derived from the dataset's own template (no side-input barrier to
-    pre-compute a template for). Terminal: returns the write stats."""
+    """Reference ``zarr.py:636-821``. Setup here is synchronous driver
+    work derived from the dataset's own template (no side-input barrier
+    to pre-compute one for), so an explicit ``template`` does not DRIVE
+    the store layout — it is VALIDATED against the dataset's template at
+    apply time instead: structural drift (sizes, variables, dims,
+    dtypes) raises, attrs drift warns. A silently-ignored template that
+    disagreed would write a store the author did not ask for. Terminal:
+    returns the write stats."""
 
     def __init__(self, store: str, template=None,
                  zarr_chunks: Mapping[str, int] | None = None, **kwargs):
-        del template
+        self.template = template
         self.store, self.zarr_chunks, self.kwargs = store, zarr_chunks, kwargs
+
+    def _check_template(self, ds: Dataset) -> None:
+        tmpl = self.template
+        if tmpl is None:
+            return
+        if isinstance(tmpl, NDDataset):
+            tmpl = Template.from_ndds(tmpl)
+        have = ds.template
+        if tmpl.sizes != have.sizes or tmpl.var_meta != have.var_meta:
+            raise ValueError(
+                "ChunksToZarr: the explicit template disagrees with the "
+                f"dataset's own template (template sizes={tmpl.sizes} "
+                f"vars={tmpl.var_meta}; dataset sizes={have.sizes} "
+                f"vars={have.var_meta}). This engine derives the store "
+                "layout from the dataset — rechunk/rename the dataset, or "
+                "drop the template argument."
+            )
+        if tmpl.attrs != have.attrs:
+            import warnings
+
+            warnings.warn(
+                "ChunksToZarr: template attrs differ from the dataset's "
+                f"({tmpl.attrs!r} vs {have.attrs!r}); the DATASET attrs are "
+                "written",
+                stacklevel=3,
+            )
 
     def apply(self, ds: Dataset) -> dict:
         from xarray_beam_spark.sources import zarr_io
 
+        self._check_template(ds)
         return zarr_io.to_zarr(ds, self.store, zarr_chunks=self.zarr_chunks, **self.kwargs)
 
 
@@ -195,23 +236,70 @@ def make_template(ds: NDDataset) -> Template:
     return Template.from_ndds(ds)
 
 
-_ARRAYS_META_CACHE: dict[str, dict] = {}
+# path -> (fingerprint, monotonic time last verified, parsed array metas).
+_ARRAYS_META_CACHE: dict[str, tuple[str | None, float, dict]] = {}
+# How long a cache hit may go without re-probing the store fingerprint.
+# Executors are long-lived: a store recreated or resized (to_zarr
+# append_dim) at the same path would otherwise serve stale shapes forever
+# — and a stale SMALLER array edge can make alignment validation accept a
+# partial-unit interior write that corrupts the resized store. The
+# default 0 re-probes on EVERY call: the probe is ONE KB-sized GET of the
+# consolidated-metadata document, the same cost class as the parse it
+# skips — correctness by default. Raise it (seconds) on provably
+# immutable stores to trade a bounded staleness window for fewer
+# metadata reads on latency-bound object stores.
+META_RECHECK_SECONDS = 0.0
 
 
-def _arrays_meta(store: str) -> dict:
+def _meta_fingerprint(store: str) -> str | None:
+    """Cheap staleness probe: md5 of the store's consolidated-metadata
+    document (ONE small GET — v2 ``.zmetadata`` or v3 root ``zarr.json``,
+    both carrying every array's shape/chunks). ``None`` when the store
+    has neither (unconsolidated foreign store: no cheap probe exists;
+    staleness is then caught by the re-fetch-on-validation-failure path
+    in :func:`validate_zarr_chunk`)."""
+    import hashlib
+
+    from xarray_beam_spark.sources import stores as _stores
+
+    for key in (".zmetadata", "zarr.json"):
+        st, root = _stores.resolve(_stores.join(store, key))
+        data = st.get(root)
+        if data is not None:
+            return hashlib.md5(data).hexdigest()
+    return None
+
+
+def _arrays_meta(store: str, refresh: bool = False) -> dict:
     """Per-process store-metadata memo for the per-chunk free functions —
-    KB-sized and immutable under the setup-once convention, so a custom
-    pipeline's tasks fetch it once, not once per chunk. A store resized
-    in-process (``to_zarr(append_dim=)``) invalidates the memo: call
-    ``_ARRAYS_META_CACHE.clear()`` (the library write path never uses
-    this cache)."""
-    hit = _ARRAYS_META_CACHE.get(store)
-    if hit is None:
-        from xarray_beam_spark.sources.zarr_io import open_zarr_meta
+    KB-sized, so a custom pipeline's tasks fetch it once per
+    ``META_RECHECK_SECONDS``, not once per chunk. Entries are verified
+    against :func:`_meta_fingerprint` so an in-process recreate or resize
+    (``to_zarr(append_dim=)``) is picked up within the recheck window;
+    ``refresh=True`` forces a full re-fetch (used before raising a
+    validation error, so a just-resized store never yields a stale
+    rejection — or a stale acceptance)."""
+    import time
 
-        hit = open_zarr_meta(store)[2]
-        _ARRAYS_META_CACHE[store] = hit
-    return hit
+    hit = _ARRAYS_META_CACHE.get(store)
+    if hit is not None and not refresh:
+        fp, checked, metas = hit
+        if time.monotonic() - checked < META_RECHECK_SECONDS:
+            return metas
+        new_fp = _meta_fingerprint(store)
+        if new_fp is not None and new_fp == fp:
+            _ARRAYS_META_CACHE[store] = (fp, time.monotonic(), metas)
+            return metas
+        # changed, or no cheap probe available: fall through to re-open
+    from xarray_beam_spark.sources.zarr_io import open_zarr_meta
+
+    metas = open_zarr_meta(store)[2]
+    _ARRAYS_META_CACHE[store] = (
+        _meta_fingerprint(store),
+        time.monotonic(),
+        metas,
+    )
+    return metas
 
 
 def _physical_region(meta, offsets: Mapping[str, int], shape: tuple) -> tuple:
@@ -231,13 +319,21 @@ def validate_zarr_chunk(offsets: Mapping[str, int], chunk: NDDataset, store: str
     ``mapInPandas`` writers before :func:`write_chunk_to_zarr`."""
     from xarray_beam_spark.sources import zarrlite
 
-    arrays = _arrays_meta(store)
-    for v, var in chunk.data_vars.items():
-        if v not in arrays:
-            raise ValueError(f"variable {v!r} not in store {store}")
-        meta = arrays[v]
-        off, shape = _physical_region(meta, offsets, var.values.shape)
-        zarrlite.validate_region_alignment(meta, off, shape)
+    def check(arrays: dict) -> None:
+        for v, var in chunk.data_vars.items():
+            if v not in arrays:
+                raise ValueError(f"variable {v!r} not in store {store}")
+            meta = arrays[v]
+            off, shape = _physical_region(meta, offsets, var.values.shape)
+            zarrlite.validate_region_alignment(meta, off, shape)
+
+    try:
+        check(_arrays_meta(store))
+    except ValueError:
+        # The store may have been recreated/resized since the memo was
+        # taken (long-lived executor): re-fetch once and re-validate
+        # before surfacing the error.
+        check(_arrays_meta(store, refresh=True))
 
 
 def write_chunk_to_zarr(offsets: Mapping[str, int], chunk: NDDataset, store: str) -> int:

@@ -29,6 +29,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import itertools
 import math
 import operator
 from dataclasses import dataclass, field
@@ -3683,6 +3684,210 @@ def _infer_result_meta(
     return tmpl, out_chunks
 
 
+def _key_of(key) -> core.Key:
+    """Coerce a :class:`core.Key` or a plain offsets mapping to a Key."""
+    if isinstance(key, core.Key):
+        return key
+    return core.Key.make(dict(key))
+
+
+# NDDataset.merge is exact-join / equals-compat / attrs-override by
+# construction — exactly the reference's merge defaults. The per-chunk free
+# functions accept the reference's kwargs but only these values.
+_MERGE_DEFAULTS = {"compat": "equals", "join": "exact", "combine_attrs": "override"}
+
+
+def _check_merge_kwargs(kwargs, what: str) -> None:
+    if kwargs:
+        extra = {k: v for k, v in dict(kwargs).items() if _MERGE_DEFAULTS.get(k) != v}
+        if extra:
+            raise ValueError(
+                f"{what}: only the reference defaults {_MERGE_DEFAULTS} are "
+                f"supported, got overrides {extra}"
+            )
+
+
+def _assemble_grid(
+    inputs: Sequence[tuple[Mapping[str, int], NDDataset]], what: str
+) -> tuple[dict[str, int], NDDataset]:
+    """Validate ``(offsets, NDDataset)`` pairs tile a dense grid and
+    assemble them into their bounding block (consolidation core shared by
+    :func:`in_memory_rechunk` and :func:`consolidate_chunks`)."""
+    dims = sorted({d for _, ds in inputs for d in ds.sizes})
+    base = {d: min(int(off.get(d, 0)) for off, _ in inputs) for d in dims}
+    # dense grid positions per dim (consolidate: NDDataset.block)
+    uniq = {
+        d: sorted({int(off.get(d, 0)) for off, _ in inputs}) for d in dims
+    }
+    parts = {
+        tuple(uniq[d].index(int(off.get(d, 0))) for d in dims): ds
+        for off, ds in inputs
+    }
+    if len(parts) != len(inputs):
+        raise ValueError(
+            f"{what}: {len(inputs) - len(parts)} input chunk(s) "
+            "share the same offsets — duplicate inputs would silently "
+            "overwrite each other"
+        )
+    expected = math.prod(len(u) for u in uniq.values())
+    if len(parts) != expected:
+        raise ValueError(
+            f"{what}: inputs do not tile their bounding box "
+            f"(got {len(parts)} of {expected} grid cells)"
+        )
+    merged = NDDataset.block(parts, dims)
+    sizes = merged.sizes
+    for d in dims:
+        span = max(
+            int(off.get(d, 0)) + ds.sizes.get(d, 1) for off, ds in inputs
+        ) - base[d]
+        if d in sizes and sizes[d] != span:
+            raise ValueError(
+                f"{what}: inputs do not tile their bounding box "
+                f"along {d!r}: assembled {sizes[d]} elements but offsets "
+                f"span {span} — gap or overlap between chunks"
+            )
+    return base, merged
+
+
+def split_chunks(
+    key: "core.Key | Mapping[str, int]",
+    dataset: NDDataset,
+    target_chunks: Mapping[str, int],
+) -> Iterator[tuple[core.Key, NDDataset]]:
+    """Split one ``(key, chunk)`` pair into chunks of ``target_chunks``
+    (reference free function ``rechunk.py:400-429``): splits happen on the
+    GLOBAL grid of ``target_chunks``-sized cells, so a chunk whose offset
+    is not grid-aligned first splits at the next grid multiple. Dims
+    absent from ``target_chunks`` are left whole.
+
+    Pure per-element function, usable inside custom ``mapInPandas`` /
+    ``applyInPandas`` stages; the distributed ``Dataset.split_chunks``
+    applies the same math chunk-row-wise."""
+    k = _key_of(key)
+    offs = k.offsets_dict
+    dims = [d for d in target_chunks if d in dataset.sizes]
+    spans = [
+        list(
+            core.chunk_bounds_overlap(
+                int(offs.get(d, 0)),
+                int(offs.get(d, 0)) + dataset.sizes[d],
+                int(target_chunks[d]),
+            )
+        )
+        for d in dims
+    ]
+    for bounds in itertools.product(*spans):
+        new_off = dict(offs)
+        sel: dict[str, slice] = {}
+        for d, (_grid, lo, hi) in zip(dims, bounds):
+            start = int(offs.get(d, 0))
+            new_off[d] = lo
+            sel[d] = slice(lo - start, hi - start)
+        yield core.Key.make(new_off, k.vars), dataset.isel(sel)
+
+
+def split_variables(
+    key: "core.Key | Mapping[str, int]", dataset: NDDataset
+) -> Iterator[tuple[core.Key, NDDataset]]:
+    """Split one ``(key, chunk)`` pair into one pair per data variable
+    (reference free function ``rechunk.py:457-470``): each output key
+    carries ``vars={name}`` and only the offsets for dims that variable
+    (plus its coords) actually uses."""
+    k = _key_of(key)
+    for name in dataset.data_vars:
+        nd = dataset[[name]]
+        offs = {d: o for d, o in k.offsets_dict.items() if d in nd.sizes}
+        yield core.Key.make(offs, {name}), nd
+
+
+def consolidate_chunks(
+    inputs: Iterable[tuple["core.Key | Mapping[str, int]", NDDataset]],
+    combine_kwargs: Mapping[str, Any] | None = None,
+) -> Iterator[tuple[core.Key, NDDataset]]:
+    """Consolidate chunks across offsets into one pair per variable group
+    (reference free function ``rechunk.py:166-197``): inputs are grouped
+    by ``key.vars``; each group must tile its bounding box exactly, and
+    all groups must cover the same offsets on shared dims."""
+    _check_merge_kwargs(combine_kwargs, "consolidate_chunks")
+    pairs = [(_key_of(k), ds) for k, ds in inputs]
+    keys = [k for k, _ in pairs]
+    if len(set(keys)) < len(keys):
+        raise ValueError(f"chunk keys are not unique: {keys}")
+    groups: dict[frozenset | None, list] = {}
+    offsets_by_dim: dict[str, set[int]] = {}
+    offsets_by_vars_dim: dict[tuple, set[int]] = {}
+    for k, ds in pairs:
+        groups.setdefault(k.vars, []).append((k, ds))
+        for d, off in k.offsets:
+            offsets_by_dim.setdefault(d, set()).add(off)
+            offsets_by_vars_dim.setdefault((k.vars, d), set()).add(off)
+    for (cur_vars, d), offs in offsets_by_vars_dim.items():
+        if offs != offsets_by_dim[d]:
+            raise ValueError(
+                f"some expected chunks are missing for vars={cur_vars}"
+            )
+    for cur_vars, grp in groups.items():
+        _base, merged = _assemble_grid(
+            [(k.offsets_dict, ds) for k, ds in grp], "consolidate_chunks"
+        )
+        key_dims = {d for k, _ in grp for d in k.offsets_dict}
+        out_off = {
+            d: min(k.offsets_dict.get(d, 0) for k, _ in grp) for d in key_dims
+        }
+        yield core.Key.make(out_off, cur_vars), merged
+
+
+def consolidate_variables(
+    inputs: Iterable[tuple["core.Key | Mapping[str, int]", NDDataset]],
+    merge_kwargs: Mapping[str, Any] | None = None,
+) -> Iterator[tuple[core.Key, NDDataset]]:
+    """Consolidate chunks across distinct variables into one pair per
+    offsets (reference free function ``rechunk.py:200-238``): inputs with
+    identical offsets merge; overlapping variable names are an error."""
+    _check_merge_kwargs(merge_kwargs, "consolidate_variables")
+    by_off: dict[tuple, list] = {}
+    for k, ds in ((_key_of(k), ds) for k, ds in inputs):
+        by_off.setdefault(k.offsets, []).append(ds)
+    for offsets, chunks in by_off.items():
+        all_vars = [set(ds.data_vars) for ds in chunks]
+        new_vars = set().union(*all_vars)
+        if len(new_vars) != sum(map(len, all_vars)):
+            raise ValueError(
+                f"cannot merge chunks with overlapping variables: {all_vars}"
+            )
+        yield core.Key(offsets, frozenset(new_vars)), NDDataset.merge(chunks)
+
+
+def consolidate_fully(
+    inputs: Iterable[tuple["core.Key | Mapping[str, int]", NDDataset]],
+    *,
+    merge_kwargs: Mapping[str, Any] | None = None,
+    combine_kwargs: Mapping[str, Any] | None = None,
+) -> tuple[core.Key, NDDataset]:
+    """Consolidate chunks via merge + concat into a single pair
+    (reference free function ``rechunk.py:241-289``)."""
+    _check_merge_kwargs(merge_kwargs, "consolidate_fully")
+    concatenated: list[NDDataset] = []
+    combined_off: dict[str, int] = {}
+    combined_vars: set[str] = set()
+    for key, chunk in consolidate_chunks(inputs, combine_kwargs):
+        for d, off in key.offsets:
+            if d in combined_off and combined_off[d] != off:
+                raise ValueError(
+                    "consolidating chunks fully failed because chunk "
+                    f"{chunk!r} has offsets {key.offsets_dict} that differ "
+                    f"from {combined_off}"
+                )
+            combined_off[d] = off
+        concatenated.append(chunk)
+        combined_vars.update(chunk.data_vars)
+    return (
+        core.Key.make(combined_off, frozenset(combined_vars)),
+        NDDataset.merge(concatenated),
+    )
+
+
 def in_memory_rechunk(
     inputs: Sequence[tuple[Mapping[str, int], NDDataset]],
     target_chunks: Mapping[str, int],
@@ -3699,40 +3904,9 @@ def in_memory_rechunk(
     enforces the same completeness rule)."""
     if not inputs:
         return
+    base, merged = _assemble_grid(inputs, "in_memory_rechunk")
     dims = sorted({d for _, ds in inputs for d in ds.sizes})
-    base = {d: min(int(off.get(d, 0)) for off, _ in inputs) for d in dims}
-    # dense grid positions per dim (consolidate: NDDataset.block)
-    uniq = {
-        d: sorted({int(off.get(d, 0)) for off, _ in inputs}) for d in dims
-    }
-    parts = {
-        tuple(uniq[d].index(int(off.get(d, 0))) for d in dims): ds
-        for off, ds in inputs
-    }
-    if len(parts) != len(inputs):
-        raise ValueError(
-            f"in_memory_rechunk: {len(inputs) - len(parts)} input chunk(s) "
-            "share the same offsets — duplicate inputs would silently "
-            "overwrite each other"
-        )
-    expected = math.prod(len(u) for u in uniq.values())
-    if len(parts) != expected:
-        raise ValueError(
-            f"in_memory_rechunk: inputs do not tile their bounding box "
-            f"(got {len(parts)} of {expected} grid cells)"
-        )
-    merged = NDDataset.block(parts, dims)
     sizes = merged.sizes
-    for d in dims:
-        span = max(
-            int(off.get(d, 0)) + ds.sizes.get(d, 1) for off, ds in inputs
-        ) - base[d]
-        if d in sizes and sizes[d] != span:
-            raise ValueError(
-                f"in_memory_rechunk: inputs do not tile their bounding box "
-                f"along {d!r}: assembled {sizes[d]} elements but offsets "
-                f"span {span} — gap or overlap between chunks"
-            )
     tgt = {d: int(target_chunks.get(d, sizes[d])) for d in dims}
     spans = {
         d: list(core.chunk_bounds_overlap(base[d], base[d] + sizes[d], tgt[d]))
