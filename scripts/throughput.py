@@ -36,6 +36,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mb", type=int, default=1024)
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument(
+        "--max-mem", default="256MB",
+        help="per-task memory cap for the whole-dim gather stage",
+    )
     args = ap.parse_args()
 
     spark = get_spark("xbs-throughput", cpus=args.cpus)
@@ -114,6 +118,27 @@ def main() -> None:
         n_rows = zarr_io.from_zarr(spark, b).df.count()
         t_read_back = time.perf_counter() - t0
 
+        # stage 5: whole-dim gather along the BIG dim under a hard
+        # per-task memory cap — the `_gather_dim` auto-split guard under
+        # load. Every post-gather chunk spans the full time axis; the
+        # other dims are auto-halved until a chunk fits --max-mem, so the
+        # stage must complete with bounded tasks, never one giant reducer.
+        from xarray_beam_spark import core as xbs_core
+        from xarray_beam_spark.plans import rechunk_plan
+
+        max_mem = xbs_core.parse_bytes(args.max_mem)
+        g = fresh()
+        gt = rechunk_plan.gather_dim_chunks(
+            g.sizes, g.chunks, "time", 4, max_mem
+        )
+        planned_chunk_bytes = 4
+        for d, c in gt.items():
+            planned_chunk_bytes *= min(c, g.sizes[d])
+        t0 = time.perf_counter()
+        gathered = g._gather_dim("time", max_mem=max_mem)
+        n_gathered = gathered.df.count()
+        t_gather = time.perf_counter() - t0
+
         print(
             json.dumps(
                 {
@@ -132,9 +157,15 @@ def main() -> None:
                         "write_extra": round(t_full - t_read_rechunk, 2),
                     },
                     "chunks_out": n_rows,
+                    "gather_max_mem_mb": round(max_mem / 1e6, 1),
+                    "gather_planned_chunk_mb": round(planned_chunk_bytes / 1e6, 1),
+                    "gather_chunks": n_gathered,
+                    "gather_mb_s": round(mb / t_gather, 1),
+                    "gather_seconds": round(t_gather, 2),
                 }
             )
         )
+        assert planned_chunk_bytes <= max_mem, "gather guard exceeded max_mem"
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

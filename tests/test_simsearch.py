@@ -367,3 +367,90 @@ class TestSemanticDedup:
         )
         assert small == default and len(small) > 0
         assert {c for _, c, _ in small} == {0}  # genuinely one skewed cell
+
+
+class TestPersistedIvfIndex:
+    """build_ivf_index / ivf_topk_persisted: build once, query many."""
+
+    def test_persisted_equals_fresh_and_bucketed_scan_is_shuffle_free(
+        self, spark, sf_dir, tmp_path
+    ):
+        emb = load(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") < 8)
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS annidx LOCATION '{tmp_path}'")
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            ss.build_ivf_index(
+                emb, "annidx.ivf", n_centroids=16, seed=7, n_buckets=4
+            )
+            persisted = ss.ivf_topk_persisted(
+                spark, "annidx.ivf", queries, k=10, n_probe=8
+            )
+            fresh = ss.ivf_topk(
+                emb, queries, k=10, n_centroids=16, n_probe=8, seed=7
+            )
+            got = sorted(map(tuple, persisted.collect()))
+            want = sorted(map(tuple, fresh.collect()))
+            assert got == want and len(got) > 0
+
+            # plan: with bucketing on, the vectors-scan branch feeds the
+            # join with NO Exchange; turning bucketing off inserts the
+            # base-side Exchange the bucket layout exists to remove.
+            import contextlib
+            import io
+
+            def _scan_branch(df):
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    df.explain("formatted")
+                tree = buf.getvalue().split("\n\n")[0]
+                lines = tree.splitlines()
+                join = next(i for i, l in enumerate(lines) if "SortMergeJoin" in l)
+                scan = next(i for i, l in enumerate(lines) if "ivf_vectors" in l)
+                return "\n".join(lines[join + 1 : scan])
+
+            # fresh DFs: an executed DF explains its AQE-finalized plan
+            branch_on = _scan_branch(ss.ivf_topk_persisted(
+                spark, "annidx.ivf", queries, k=10, n_probe=8
+            ))
+            spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+            try:
+                branch_off = _scan_branch(ss.ivf_topk_persisted(
+                    spark, "annidx.ivf", queries, k=10, n_probe=8
+                ))
+            finally:
+                spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+            assert "Exchange" not in branch_on, branch_on
+            assert "Exchange" in branch_off, branch_off
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+            spark.sql("DROP TABLE IF EXISTS annidx.ivf_vectors")
+            spark.sql("DROP TABLE IF EXISTS annidx.ivf_centroids")
+            spark.sql("DROP DATABASE IF EXISTS annidx")
+
+    def test_persisted_index_survives_new_query_batches(self, spark, sf_dir, tmp_path):
+        """Query-many: a second, different query batch against the same
+        persisted index matches its own fresh computation (no state
+        leaks between query batches)."""
+        emb = load(spark, sf_dir, "embeddings")
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS annidx2 LOCATION '{tmp_path}'")
+        try:
+            ss.build_ivf_index(
+                emb, "annidx2.ivf", n_centroids=16, seed=7, n_buckets=4
+            )
+            for lo, hi in ((8, 12), (20, 24)):
+                batch = emb.where(
+                    (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+                )
+                got = sorted(map(tuple, ss.ivf_topk_persisted(
+                    spark, "annidx2.ivf", batch, k=5, n_probe=8
+                ).collect()))
+                want = sorted(map(tuple, ss.ivf_topk(
+                    emb, batch, k=5, n_centroids=16, n_probe=8, seed=7
+                ).collect()))
+                assert got == want and len(got) > 0
+        finally:
+            spark.sql("DROP TABLE IF EXISTS annidx2.ivf_vectors")
+            spark.sql("DROP TABLE IF EXISTS annidx2.ivf_centroids")
+            spark.sql("DROP DATABASE IF EXISTS annidx2")

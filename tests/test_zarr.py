@@ -885,3 +885,126 @@ class TestRetryIdempotency:
         np.testing.assert_array_equal(got[0:4], data[0:4])
         leftovers = [f for f in os.listdir(path) if ".tmp" in f or f.startswith("tmp")]
         assert leftovers == [], leftovers
+
+
+class TestV2Filters:
+    """numcodecs Delta / FixedScaleOffset filters (VERDICT r8 task #5):
+    real-world xarray-written v2 stores carry them; unknown filters must
+    still fail loudly at open time."""
+
+    def test_delta_int64_exact_roundtrip(self, tmp_path):
+        d = str(tmp_path / "g")
+        zarrlite.create_group(d, {}, zarr_format=2)
+        m = zarrlite.create_array(
+            d, "v", shape=(10, 6), chunks=(4, 6), dtype="<i8", dims=("x", "y"),
+            compressor="zlib", filters=[{"id": "delta", "dtype": "<i8"}],
+        )
+        vals = np.arange(60, dtype=np.int64).reshape(10, 6) * 7 - 100
+        zarrlite.write_full(m, vals)
+        m2 = zarrlite.open_array(d, "v")
+        assert m2.filters == ({"id": "delta", "dtype": "<i8", "astype": "<i8"},)
+        np.testing.assert_array_equal(zarrlite.read_full(m2), vals)
+        # partial window crossing a chunk boundary decodes correctly
+        np.testing.assert_array_equal(
+            zarrlite.read_region(m2, {"x": 2}, {"x": 5}), vals[2:7]
+        )
+
+    def test_delta_bytes_actually_differ(self, tmp_path):
+        """The stored chunk really is delta-coded (not a no-op): with no
+        compressor the first chunk's raw bytes are the diffs."""
+        d = str(tmp_path / "g")
+        zarrlite.create_group(d, {}, zarr_format=2)
+        m = zarrlite.create_array(
+            d, "v", shape=(4,), chunks=(4,), dtype="<i8", dims=("x",),
+            compressor=None, filters=[{"id": "delta", "dtype": "<i8"}],
+        )
+        zarrlite.write_full(m, np.array([10, 13, 13, 20], dtype=np.int64))
+        raw = np.frombuffer((tmp_path / "g" / "v" / "0").read_bytes(), "<i8")
+        np.testing.assert_array_equal(raw, [10, 3, 0, 7])
+
+    def test_fixedscaleoffset_quantized_roundtrip(self, tmp_path):
+        d = str(tmp_path / "g")
+        zarrlite.create_group(d, {}, zarr_format=2)
+        m = zarrlite.create_array(
+            d, "w", shape=(10,), chunks=(4,), dtype="<f8", dims=("x",),
+            compressor="zlib",
+            filters=[{
+                "id": "fixedscaleoffset", "dtype": "<f8", "astype": "<i2",
+                "scale": 100, "offset": 5.0,
+            }],
+        )
+        w = 5.0 + np.round(np.linspace(-1, 1, 10), 2)
+        zarrlite.write_full(m, w)
+        got = zarrlite.read_full(zarrlite.open_array(d, "w"))
+        np.testing.assert_allclose(got, w, atol=0.5 / 100)
+
+    def test_chained_filters_roundtrip(self, tmp_path):
+        d = str(tmp_path / "g")
+        zarrlite.create_group(d, {}, zarr_format=2)
+        m = zarrlite.create_array(
+            d, "z", shape=(10,), chunks=(5,), dtype="<f8", dims=("x",),
+            compressor="zlib",
+            filters=[
+                {"id": "fixedscaleoffset", "dtype": "<f8", "astype": "<i4",
+                 "scale": 1000, "offset": 0.0},
+                {"id": "delta", "dtype": "<i4"},
+            ],
+        )
+        z = np.arange(10) / 8.0
+        zarrlite.write_full(m, z)
+        got = zarrlite.read_full(zarrlite.open_array(d, "z"))
+        np.testing.assert_allclose(got, z, atol=0.5 / 1000)
+
+    def test_unknown_filter_fails_loudly(self, tmp_path):
+        """A foreign store with a filter we cannot decode must be
+        rejected at open time, never decoded as garbage."""
+        import json
+
+        d = str(tmp_path / "g")
+        zarrlite.create_group(d, {}, zarr_format=2)
+        m = zarrlite.create_array(
+            d, "v", shape=(4,), chunks=(4,), dtype="<i8", dims=("x",),
+        )
+        doc = json.loads((tmp_path / "g" / "v" / ".zarray").read_text())
+        doc["filters"] = [{"id": "quantize", "digits": 3, "dtype": "<f8"}]
+        (tmp_path / "g" / "v" / ".zarray").write_text(json.dumps(doc))
+        with pytest.raises(ValueError, match="unsupported filter"):
+            zarrlite.open_array(d, "v")
+        with pytest.raises(ValueError, match="unsupported filter"):
+            zarrlite.create_array(
+                d, "b", shape=(4,), chunks=(4,), dtype="<i8", dims=("x",),
+                filters=[{"id": "bitround", "keepbits": 3, "dtype": "<i8"}],
+            )
+
+    def test_filter_chain_validation(self, tmp_path):
+        d = str(tmp_path / "g")
+        zarrlite.create_group(d, {}, zarr_format=2)
+        with pytest.raises(ValueError, match="does not chain"):
+            zarrlite.create_array(
+                d, "v", shape=(4,), chunks=(4,), dtype="<i8", dims=("x",),
+                filters=[{"id": "delta", "dtype": "<i4"}],  # array is <i8
+            )
+        with pytest.raises(ValueError, match="v2 feature"):
+            zarrlite.create_array(
+                d, "v3f", shape=(4,), chunks=(4,), dtype="<i8", dims=("x",),
+                zarr_format=3, filters=[{"id": "delta", "dtype": "<i8"}],
+            )
+
+    def test_to_zarr_encoding_filters_distributed(self, spark, tmp_path):
+        """End-to-end: to_zarr(encoding={'count': {'filters': [Delta]}})
+        writes a filtered store that reads back identically (Delta over
+        int64 is exact), and the .zarray advertises the filter so any
+        zarr-python reader applies it."""
+        import json
+
+        nd = _fixture_ds()
+        d = Dataset.from_numpy(spark, nd, chunks={"time": 5})
+        out = str(tmp_path / "filtered.zarr")
+        zarr_io.to_zarr(
+            d, out,
+            encoding={"count": {"filters": [{"id": "delta", "dtype": "<i8"}]}},
+        )
+        doc = json.loads((tmp_path / "filtered.zarr" / "count" / ".zarray").read_text())
+        assert doc["filters"] == [{"astype": "<i8", "dtype": "<i8", "id": "delta"}]
+        back = zarr_io.from_zarr(spark, out).collect()
+        assert back.identical(nd)

@@ -321,6 +321,39 @@ def xb_zarr_cf_packed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.to_table(dropna=True)
 
 
+@_register("xb_zarr_delta_filter_roundtrip", _CELLS_SQL)
+def xb_zarr_delta_filter_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_zarr → from_zarr identity through a v2 store whose data
+    variable carries a numcodecs ``Delta`` FILTER on top of CF int32
+    packing — the foreign-store layout real xarray writers produce
+    (``encoding={'v': {'filters': [Delta(...)]}}``). Delta over the
+    packed int stream is exact, so the dense grid hash-matches the
+    oracle bit-for-bit, certifying the filter encode → store → decode
+    cycle (filters run array→bytes before the compressor; read applies
+    them reversed)."""
+    from xarray_beam_spark.sources import zarr_io
+
+    d = _events_grid(spark, sf_dir, chunks={"day": 8})
+    path = _materialized(
+        spark, sf_dir, "zarrdelta",
+        lambda p: zarr_io.to_zarr(
+            d,
+            p,
+            zarr_chunks={"day": 8, "hour": 24},
+            encoding={
+                "cnt": {
+                    "dtype": "<i4",
+                    "scale_factor": 1.0,
+                    "add_offset": 0.0,
+                    "filters": [{"id": "delta", "dtype": "<i4"}],
+                }
+            },
+        ),
+    )
+    back = zarr_io.from_zarr(spark, path, chunks={"day": 8})
+    return back.to_table(dropna=True)
+
+
 @_register("xb_zarr_blosc_roundtrip", _CELLS_SQL)
 def xb_zarr_blosc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """to_zarr → from_zarr identity through a BLOSC-compressed v2 store

@@ -455,6 +455,12 @@ def ivf_topk(
             .withColumnRenamed("qvec", "q_qvec")
             .withColumnRenamed("qnorm", "q_qnorm")
         )
+    return _rank_cell_candidates(base, qs, k)
+
+
+def _rank_cell_candidates(base: DataFrame, qs: DataFrame, k: int) -> DataFrame:
+    """Shared IVF tail: cell equi-join → exact quantized-cosine re-rank
+    → per-query top-k window."""
     cand = (
         base.join(qs, on="cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -471,6 +477,79 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "sim")
     )
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    table_prefix: str,
+    n_centroids: int = 32,
+    train_limit: int = 4096,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_buckets: int = 8,
+) -> None:
+    """Build-once half of IVF similarity search ("build once, query
+    many"): train the coarse quantizer on a bounded sample, assign every
+    base vector to its ONE cell, and persist the index as two tables —
+
+    - ``{table_prefix}_centroids``: cell → centroid (tiny; the query-side
+      assignment input, collected per query batch),
+    - ``{table_prefix}_vectors``: (cell, neighbor_id, qvec, qnorm),
+      BUCKETED by ``cell`` (``sinks.write_bucketed``) so every subsequent
+      top-k's candidate equi-join reads the base side pre-partitioned:
+      zero shuffle, zero re-training, zero re-assignment of the (huge)
+      base corpus.
+
+    At 100 TB the base assignment GEMM runs exactly once here instead of
+    per query batch; per-query work becomes centroid collect (KB) +
+    query-side assignment + a bucket-local join. Size ``n_buckets`` so a
+    bucket is ~128-512 MB (see ``sinks.write_bucketed``)."""
+    from xarray_beam_spark import sinks
+
+    spark = emb.sparkSession
+    sample = np.stack(
+        [r[0] for r in emb.select(vec_col).limit(train_limit).collect()]
+    ).astype(np.float64)
+    C = _kmeans(sample, n_centroids, seed=seed)
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in C[i]]) for i in range(len(C))],
+        "cell int, centroid array<double>",
+    )
+    cent.write.format("parquet").mode("overwrite").saveAsTable(
+        f"{table_prefix}_centroids"
+    )
+    base = _with_ivf_cells(emb, C, vec_col, id_col, "neighbor_id", n_probe=1)
+    sinks.write_bucketed(
+        base, f"{table_prefix}_vectors", ["cell"], n_buckets, sort_cols=["cell"]
+    )
+
+
+def ivf_topk_persisted(
+    spark: SparkSession,
+    table_prefix: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query-many half of the persisted IVF index: collect the (tiny)
+    centroid table, assign the queries their ``n_probe`` probe cells, and
+    equi-join against the bucketed vectors table. The base side is read
+    pre-partitioned on ``cell`` (bucket metadata), so only the small
+    query side shuffles — pin: ``test_simsearch.py`` asserts the
+    persisted plan has no Exchange over the vectors scan and that results
+    are identical to a fresh :func:`ivf_topk` at the same seed."""
+    cent_rows = spark.table(f"{table_prefix}_centroids").orderBy("cell").collect()
+    C = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows])
+    base = spark.table(f"{table_prefix}_vectors")
+    qs = (
+        _with_ivf_cells(queries, C, vec_col, id_col, "query_id", n_probe=n_probe)
+        .withColumnRenamed("qvec", "q_qvec")
+        .withColumnRenamed("qnorm", "q_qnorm")
+    )
+    return _rank_cell_candidates(base, qs, k)
 
 
 # ---------------------------------------------------------------------------

@@ -552,12 +552,13 @@ def _setup_zarr_direct(
         raise ValueError(f"encoding for unknown variables {unknown_vars}")
     for v, enc in encoding.items():
         bad = sorted(
-            set(enc) - {"compressor", "fill_value", "dtype", "scale_factor", "add_offset"}
+            set(enc)
+            - {"compressor", "fill_value", "dtype", "scale_factor", "add_offset", "filters"}
         )
         if bad:
             raise ValueError(
                 f"unsupported encoding keys {bad} for {v!r} (supported: "
-                "compressor, fill_value, dtype, scale_factor, add_offset)"
+                "compressor, fill_value, dtype, scale_factor, add_offset, filters)"
             )
     zarrlite.create_group(path, template.attrs, zarr_format=zarr_format)
     for name, coord in template.coords.items():
@@ -613,6 +614,7 @@ def _setup_zarr_direct(
                 },
                 zarr_format=zarr_format,
                 shards=shards,
+                filters=enc.get("filters"),
             )
             continue
         zarrlite.create_array(
@@ -626,6 +628,7 @@ def _setup_zarr_direct(
             fill_value=enc.get("fill_value", "__default__"),
             zarr_format=zarr_format,
             shards=shards,
+            filters=enc.get("filters"),
         )
     # One .zmetadata GET instead of 2+2n metadata round-trips per open —
     # setup is the only writer of metadata, so region writes never

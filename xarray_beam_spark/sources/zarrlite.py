@@ -164,6 +164,11 @@ class ZArray:
     attrs: dict[str, Any]
     zarr_format: int = 2
     shards: tuple[int, ...] | None = None  # v3 shard shape (multiple of chunks)
+    # v2 numcodecs filter chain (applied array->bytes before the
+    # compressor; decode runs it reversed). Supported ids: "delta",
+    # "fixedscaleoffset" — the two real-world xarray/numcodecs filters;
+    # anything else fails loudly at open time.
+    filters: tuple[dict, ...] | None = None
 
     @property
     def grid_shape(self) -> tuple[int, ...]:
@@ -335,6 +340,7 @@ def create_array(
     compressor: str | None = "zlib",
     zarr_format: int = 2,
     shards: Sequence[int] | None = None,
+    filters: Sequence[Mapping[str, Any]] | None = None,
 ) -> ZArray:
     """Write array metadata (no chunk data) — the driver-side skeleton
     (reference ``setup_zarr``, ``zarr.py:462-513``).
@@ -346,6 +352,9 @@ def create_array(
     """
     dtype = np.dtype(dtype)
     compressor = _normalize_compressor(compressor)
+    filters_t = _parse_v2_filters(name, [dict(f) for f in filters or []], dtype)
+    if filters_t is not None and zarr_format != 2:
+        raise ValueError(f"{name}: numcodecs filters are a v2 feature (v3 uses codec chains)")
     if len(shape) != len(chunks) or len(shape) != len(dims):
         raise ValueError(f"rank mismatch for {name!r}: {shape} {chunks} {dims}")
     if fill_value == "__default__":
@@ -366,14 +375,14 @@ def create_array(
             "compressor": _v2_compressor_meta(compressor),
             "fill_value": _encode_fill(fill_value, dtype),
             "order": "C",
-            "filters": None,
+            "filters": list(filters_t) if filters_t else None,
         }
         _put_json(_join(apath, ".zarray"), meta)
         _put_json(_join(apath, ".zattrs"), {_DIMS_ATTR: list(dims), **extra_attrs})
         return ZArray(
             path=apath, name=name, shape=shape_t, chunks=chunks_t, dtype=dtype,
             dims=tuple(dims), fill_value=fill_value, compressor=compressor,
-            attrs=extra_attrs, zarr_format=2, shards=None,
+            attrs=extra_attrs, zarr_format=2, shards=None, filters=filters_t,
         )
 
     if zarr_format != 3:
@@ -505,10 +514,9 @@ def _zarray_from_v2_meta(
         raise ValueError(f"{name}: unsupported zarr_format {meta.get('zarr_format')}")
     if meta.get("order", "C") != "C":
         raise ValueError(f"{name}: only C order supported")
-    if meta.get("filters"):
-        raise ValueError(f"{name}: filters not supported")
     compressor = _parse_v2_compressor(name, meta.get("compressor"))
     dtype = np.dtype(meta["dtype"])
+    filters = _parse_v2_filters(name, meta.get("filters"), dtype)
     attrs = dict(attrs)
     dims = tuple(attrs.pop(_DIMS_ATTR, [f"dim_{i}" for i in range(len(meta["shape"]))]))
     return ZArray(
@@ -523,6 +531,7 @@ def _zarray_from_v2_meta(
         attrs=attrs,
         zarr_format=2,
         shards=None,
+        filters=filters,
     )
 
 
@@ -740,6 +749,99 @@ def _chunk_fname(meta: ZArray, grid_idx: tuple[int, ...]) -> str:
     return "c/" + "/".join(str(i) for i in grid_idx) if grid_idx else "c"
 
 
+_FILTER_IDS = ("delta", "fixedscaleoffset")
+
+
+def _parse_v2_filters(name: str, filters, array_dtype: np.dtype) -> tuple[dict, ...] | None:
+    """Normalize + validate a v2 numcodecs ``filters`` list. The chain
+    must start at the array dtype and each filter's input dtype must be
+    the previous filter's storage dtype, so decode can walk it reversed
+    without guessing byte layouts. Unknown filter ids fail loudly here —
+    decoding garbage later is the one unacceptable outcome."""
+    if not filters:
+        return None
+    out: list[dict] = []
+    prev = np.dtype(array_dtype)
+    for f in filters:
+        if not isinstance(f, dict) or f.get("id") not in _FILTER_IDS:
+            raise ValueError(
+                f"{name}: unsupported filter {f!r} (supported: {_FILTER_IDS})"
+            )
+        fid = f["id"]
+        if "dtype" not in f:
+            raise ValueError(f"{name}: filter {fid!r} missing 'dtype'")
+        dt = np.dtype(f["dtype"])
+        if dt != prev:
+            raise ValueError(
+                f"{name}: filter {fid!r} input dtype {dt} does not chain "
+                f"from {prev}"
+            )
+        astype = np.dtype(f.get("astype") or f["dtype"])
+        spec: dict[str, Any] = {"id": fid, "dtype": dt.str, "astype": astype.str}
+        if fid == "fixedscaleoffset":
+            if "scale" not in f or "offset" not in f:
+                raise ValueError(
+                    f"{name}: fixedscaleoffset filter needs 'scale' and 'offset'"
+                )
+            spec["scale"] = f["scale"]
+            spec["offset"] = f["offset"]
+            if astype.kind not in "iu":
+                raise ValueError(
+                    f"{name}: fixedscaleoffset astype must be integer, got {astype}"
+                )
+        out.append(spec)
+        prev = astype
+    return tuple(out)
+
+
+def _stored_dtype(meta: ZArray) -> np.dtype:
+    """dtype of the raw chunk bytes on disk (after the filter chain)."""
+    if meta.filters:
+        return np.dtype(meta.filters[-1]["astype"])
+    return meta.dtype
+
+
+def _filters_encode(meta: ZArray, values: np.ndarray) -> bytes:
+    """array (meta.dtype, chunk shape) -> raw bytes for the compressor,
+    running the numcodecs filter chain in order."""
+    if not meta.filters:
+        return np.ascontiguousarray(values, dtype=meta.dtype).tobytes()
+    arr = np.ascontiguousarray(values, dtype=meta.dtype).reshape(-1)
+    for spec in meta.filters:
+        astype = np.dtype(spec["astype"])
+        if spec["id"] == "delta":
+            # numcodecs Delta.encode: first element kept, then diffs
+            enc = np.empty(arr.shape, dtype=astype)
+            if arr.size:
+                enc[0] = arr[0]
+                enc[1:] = np.diff(arr)
+            arr = enc
+        else:  # fixedscaleoffset
+            enc = (arr - spec["offset"]) * spec["scale"]
+            # edge-chunk PADDING may be NaN fill — the cast result there is
+            # never read back, so silence the invalid-cast warning
+            with np.errstate(invalid="ignore"):
+                arr = np.around(enc).astype(astype, casting="unsafe")
+    return arr.tobytes()
+
+
+def _filters_decode(meta: ZArray, raw: bytes) -> np.ndarray:
+    """raw decompressed chunk bytes -> array (meta.dtype, chunk shape),
+    running the filter chain reversed."""
+    if not meta.filters:
+        return np.frombuffer(raw, dtype=meta.dtype).reshape(meta.chunks).copy()
+    arr = np.frombuffer(raw, dtype=_stored_dtype(meta))
+    for spec in reversed(meta.filters):
+        dtype = np.dtype(spec["dtype"])
+        if spec["id"] == "delta":
+            arr = np.cumsum(arr, dtype=dtype)
+        else:  # fixedscaleoffset
+            arr = (arr / spec["scale"] + spec["offset"]).astype(
+                dtype, casting="unsafe"
+            )
+    return np.ascontiguousarray(arr).reshape(meta.chunks)
+
+
 def _parse_v2_compressor(name: str, comp) -> str | dict | None:
     """Normalize a v2 numcodecs compressor config to the internal spec:
     ``None``, ``"zlib"`` (legacy shorthand), or a dict keeping the
@@ -789,7 +891,7 @@ def _compress(meta: ZArray, raw: bytes) -> bytes:
     if cid == "blosc":
         return blosc1.blosc_compress(
             raw,
-            typesize=meta.dtype.itemsize,
+            typesize=_stored_dtype(meta).itemsize,
             cname=spec.get("cname", "zlib"),
             clevel=spec.get("clevel", 5),
             shuffle=spec.get("shuffle", 1),
@@ -813,7 +915,7 @@ def _decompress(meta: ZArray, data: bytes) -> bytes:
     if cid == "zstd":
         # chunks are stored padded to the full chunk shape, so the raw
         # size is known from metadata (zstd decode wants it up front)
-        nraw = int(np.prod(meta.chunks)) * meta.dtype.itemsize
+        nraw = int(np.prod(meta.chunks)) * _stored_dtype(meta).itemsize
         return blosc1.zstd_decompress(data, nraw)
     if cid == "blosc":
         return blosc1.blosc_decompress(data)
@@ -842,7 +944,7 @@ def write_chunk(meta: ZArray, grid_idx: tuple[int, ...], values: np.ndarray) -> 
         raise ValueError(
             f"{meta.name}: chunk {grid_idx} must be padded to {meta.chunks}, got {values.shape}"
         )
-    raw = np.ascontiguousarray(values, dtype=meta.dtype).tobytes()
+    raw = _filters_encode(meta, values)
     payload = _compress(meta, raw)
     _put(_join(meta.path, _chunk_fname(meta, grid_idx)), payload)
     return len(payload)
@@ -863,8 +965,7 @@ def write_shard(meta: ZArray, shard_idx: tuple[int, ...], values: np.ndarray) ->
         sl = tuple(
             slice(i * c, (i + 1) * c) for i, c in zip(inner_idx, meta.chunks)
         )
-        raw = np.ascontiguousarray(values[sl], dtype=meta.dtype).tobytes()
-        blobs.append(_compress(meta, raw))
+        blobs.append(_compress(meta, _filters_encode(meta, values[sl])))
     index = np.empty((len(blobs), 2), dtype="<u8")
     pos = 0
     for i, b in enumerate(blobs):
@@ -928,8 +1029,7 @@ def _read_inner_chunk(
     data = _get_range(_join(meta.path, _chunk_fname(meta, shard_idx)), off, nb)
     if data is None or len(data) != nb:
         raise ValueError(f"{meta.name}: shard {shard_idx} truncated at chunk {inner_idx}")
-    raw = _decompress(meta, data)
-    return np.frombuffer(raw, dtype=meta.dtype).reshape(meta.chunks).copy()
+    return _filters_decode(meta, _decompress(meta, data))
 
 
 def chunk_file_exists(meta: ZArray, grid_idx: tuple[int, ...]) -> bool:
@@ -955,8 +1055,7 @@ def read_chunk(
     data = _get(_join(meta.path, _chunk_fname(meta, grid_idx)))
     if data is None:
         return _fill_chunk(meta)
-    raw = _decompress(meta, data)
-    return np.frombuffer(raw, dtype=meta.dtype).reshape(meta.chunks).copy()
+    return _filters_decode(meta, _decompress(meta, data))
 
 
 def _grid_range(offset: int, length: int, chunk: int) -> Iterator[tuple[int, int, int, int, int]]:
