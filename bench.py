@@ -153,6 +153,18 @@ def fit_to_window(doc: dict, timings: dict, round_idx: int, limit: int = 4000) -
         if overshoot > 0:
             doc["failed_names"] = names[: max(0, len(names) - overshoot - 3)] + "..."
             line = json.dumps(doc, separators=(",", ":"))
+        if len(line) > limit:
+            # Even the truncated-name floor overflows (e.g. oversized
+            # non-query fields): drop the names entirely, then strip every
+            # optional field until the line fits. failed_count survives.
+            doc.pop("failed_names", None)
+            line = json.dumps(doc, separators=(",", ":"))
+            required = {"metric", "value", "unit", "queries", "sf", "failed_count"}
+            for k in [k for k in doc if k not in required]:
+                if len(line) <= limit:
+                    break
+                doc.pop(k, None)
+                line = json.dumps(doc, separators=(",", ":"))
     return line
 
 

@@ -101,3 +101,17 @@ def test_sidecar_covers_every_registered_query():
     # new queries land in the registry before the next bench run records
     # them; allow only names absent from the LAST run's registry state
     assert len(missing) <= 25, f"sidecar missing too many queries: {sorted(missing)[:10]}"
+
+
+def test_oversized_nonquery_fields_hard_fallback():
+    """ADVICE r9: even when a non-query field is so large that the
+    truncated-name floor still overflows, the emitted line must fit the
+    window and parse, keeping failed_count."""
+    t = {f"fail_{i:03d}": -1.0 for i in range(50)}
+    doc = _doc(t)
+    doc["giant_diagnostic_blob"] = "x" * 8000  # would defeat name truncation
+    line = fit_to_window(doc, t, 1)
+    assert len(line) <= 4000
+    parsed = json.loads(line)
+    assert parsed["failed_count"] == 50
+    assert "giant_diagnostic_blob" not in parsed

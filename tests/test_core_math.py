@@ -441,6 +441,27 @@ class TestPerChunkFreeFunctions:
         got3 = list(split_chunks({"x": 0}, full, {"x": 6}))
         assert [k.offsets_dict["x"] for k, _ in got3] == [0, 6]
 
+    def test_split_chunks_keep_whole_minus_one(self):
+        # ADVICE r9: target_chunks={dim: -1} is the reference's "keep
+        # whole" convention (_split_chunk_bounds -> [(start, stop)]);
+        # it must yield the untouched chunk, never silently zero chunks.
+        from xarray_beam_spark import Key, split_chunks
+
+        full = self._fixture()
+        got = list(split_chunks(Key.make({"x": 2}), full, {"x": -1}))
+        assert len(got) == 1
+        k, ds = got[0]
+        assert k.offsets_dict["x"] == 2 and ds.sizes["x"] == 12
+        np.testing.assert_array_equal(ds.data_vars["a"].values, full.data_vars["a"].values)
+        # mixed: -1 on one dim, real split on the other
+        got2 = list(split_chunks(Key.make({"x": 0, "y": 0}), full, {"x": -1, "y": 4}))
+        assert sorted((k.offsets_dict["x"], k.offsets_dict["y"]) for k, _ in got2) == [
+            (0, 0), (0, 4),
+        ]
+        # other non-positive sizes fail loudly
+        with pytest.raises(ValueError, match="positive or -1"):
+            list(split_chunks(Key.make({"x": 0}), full, {"x": 0}))
+
     def test_split_variables(self):
         from xarray_beam_spark import Key, split_variables
 
@@ -567,3 +588,13 @@ def test_reference_import_parity():
     assert not missing, f"reference names not importable: {sorted(missing)}"
     for n in documented_non_shims:
         assert not hasattr(xbs, n)  # deliberate: compat.py docstring
+
+
+def test_chunk_bounds_overlap_minus_one_and_invalid():
+    # -1 = keep whole range (reference rechunk.py _split_chunk_bounds)
+    assert list(core.chunk_bounds_overlap(2, 9, -1)) == [(2, 2, 9)]
+    assert list(core.chunk_bounds_overlap(5, 5, -1)) == []
+    with pytest.raises(ValueError):
+        list(core.chunk_bounds_overlap(0, 4, 0))
+    with pytest.raises(ValueError):
+        list(core.chunk_bounds_overlap(0, 4, -2))

@@ -1469,6 +1469,43 @@ def test_free_function_meta_refetch_on_failure(tmp_path, era5, monkeypatch):
     xbs.validate_zarr_chunk({"time": 8}, half.isel({"time": slice(8, 12)}), out)
 
 
+def test_free_function_meta_fingerprint_taken_before_fetch(
+    tmp_path, era5, monkeypatch
+):
+    """ADVICE r9 (low): the memo must fingerprint BEFORE fetching the
+    metadata. If the store is recreated DURING the fetch, caching the
+    post-recreate fingerprint next to the pre-recreate metas would make
+    every later probe match and serve stale shapes forever."""
+    import shutil
+
+    import xarray_beam_spark as xbs
+    from xarray_beam_spark import compat
+    from xarray_beam_spark.sources import zarr_io
+
+    monkeypatch.setattr(compat, "META_RECHECK_SECONDS", 0.0)  # probe always
+    out = str(tmp_path / "midfetch.zarr")
+    zarr_io.setup_zarr(xbs.make_template(era5), out, {"time": 8})
+    half = era5.isel({"time": slice(0, 12)})
+
+    real_open = zarr_io.open_zarr_meta
+
+    def racing_open(path):
+        metas = real_open(path)  # read the OLD (24-long) store...
+        shutil.rmtree(out)  # ...then a concurrent writer recreates it
+        zarr_io.setup_zarr(xbs.make_template(half), out, {"time": 8})
+        return metas  # torn read: stale metas, store already new
+
+    monkeypatch.setattr(zarr_io, "open_zarr_meta", racing_open)
+    stale = compat._arrays_meta(out, refresh=True)
+    assert stale["asn"].shape[0] == 24  # cached the torn read
+    monkeypatch.setattr(zarr_io, "open_zarr_meta", real_open)
+
+    # The cached fingerprint predates the recreate, so the next probe
+    # MUST mismatch and re-fetch the new 12-long store.
+    fresh = compat._arrays_meta(out)
+    assert fresh["asn"].shape[0] == 12
+
+
 def test_compat_chunks_none_raises(spark, era5):
     """ADVICE r8: DatasetToChunks(chunks=None) must raise like the
     reference (no dask chunks to infer from), not default to one giant

@@ -293,12 +293,15 @@ def _arrays_meta(store: str, refresh: bool = False) -> dict:
         # changed, or no cheap probe available: fall through to re-open
     from xarray_beam_spark.sources.zarr_io import open_zarr_meta
 
+    # Fingerprint-then-fetch: take the probe BEFORE reading the metadata.
+    # If the store is recreated/resized while we fetch, the cached pair
+    # holds the PRE-fetch fingerprint, so the next probe mismatches and
+    # re-fetches — caching the post-fetch fingerprint alongside possibly
+    # stale metas would make every later probe match and serve stale
+    # shapes indefinitely (the corruption path this cache must prevent).
+    fp = _meta_fingerprint(store)
     metas = open_zarr_meta(store)[2]
-    _ARRAYS_META_CACHE[store] = (
-        _meta_fingerprint(store),
-        time.monotonic(),
-        metas,
-    )
+    _ARRAYS_META_CACHE[store] = (fp, time.monotonic(), metas)
     return metas
 
 

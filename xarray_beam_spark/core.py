@@ -303,7 +303,18 @@ def chunk_bounds_overlap(
     Yields ``(grid_offset, lo, hi)``: the target chunk's global offset and
     the sub-range [lo, hi) of the input range that falls into it.
     Handles ranges not aligned to the grid (reference ``rechunk.py:374-397``).
+    ``target_chunk == -1`` means "keep the whole range" (the reference's
+    ``_split_chunk_bounds`` returns ``[(start, stop)]`` for ``multiple=-1``);
+    other non-positive sizes raise rather than silently yielding nothing.
     """
+    if target_chunk == -1:
+        if start < stop:
+            yield start, start, stop
+        return
+    if target_chunk <= 0:
+        raise ValueError(
+            f"target chunk size must be positive or -1, got {target_chunk}"
+        )
     first = (start // target_chunk) * target_chunk
     for grid_off in range(first, stop, target_chunk):
         lo = max(start, grid_off)

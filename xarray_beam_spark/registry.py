@@ -191,6 +191,33 @@ _LAST_CERTIFIED_ROUND: dict[str, int] = {
         "xb_grid_sortby_cumsum_desc", "xb_grid_take_day",
         "xb_zarr_cf_packed_roundtrip",
     ], 8),
+    # round 9 (freshest; from CORRECTNESS_r09.json — overrides earlier tiers)
+    **dict.fromkeys([
+        "corpus_bloom_decontaminate", "corpus_epoch_shuffle",
+        "corpus_quality_classifier", "dedup_incremental_new_docs",
+        "dedup_semantic", "events_cms_heavy_hitters",
+        "events_daily_rollup", "events_hll_user_cardinality",
+        "events_running_totals", "multimodal_jpeg_features",
+        "q10_returned_items", "q3_shipping_priority", "q4_order_priority",
+        "q5_local_supplier_volume", "q6_revenue_change",
+        "stream_interval_join", "stream_zarr_append",
+        "text_gopher_filter", "text_remove_dup_spans",
+        "topk_parts_by_revenue", "xb_chunkfiles_roundtrip",
+        "xb_grid_anomaly_dow", "xb_grid_argmin_hour",
+        "xb_grid_climatology_month_dow", "xb_grid_climatology_std_dow",
+        "xb_grid_concat_halves", "xb_grid_corr_day", "xb_grid_cumsum_day",
+        "xb_grid_diff_day", "xb_grid_differentiate_hour",
+        "xb_grid_ffill_day", "xb_grid_groupby_median_dow",
+        "xb_grid_histogram_day", "xb_grid_integrate_hour",
+        "xb_grid_interp_day", "xb_grid_merge_vars", "xb_grid_rank_day",
+        "xb_grid_regrid", "xb_grid_rolling7_mean",
+        "xb_grid_stack_roundtrip", "xb_grid_thin_take",
+        "xb_grid_trend_day", "xb_grid_weighted_mean_hour",
+        "xb_grid_zip_ratio_coread", "xb_netcdf_roundtrip",
+        "xb_sql_on_zarr", "xb_sql_zarr_insert",
+        "xb_zarr_append_roundtrip", "xb_zarr_blosc_roundtrip",
+        "xb_zarr_delta_filter_roundtrip",
+    ], 9),
     # no-oracle gates: pinned by pytest, demoted to the registry tail so
     # they never displace hash-certifiable queries from the driver's
     # ~50-slot sweep (VERDICT r6 "Missing #2").
