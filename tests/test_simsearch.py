@@ -454,3 +454,32 @@ class TestPersistedIvfIndex:
             spark.sql("DROP TABLE IF EXISTS annidx2.ivf_vectors")
             spark.sql("DROP TABLE IF EXISTS annidx2.ivf_centroids")
             spark.sql("DROP DATABASE IF EXISTS annidx2")
+
+    def test_persisted_data_centroids_equals_fresh(self, spark, sf_dir, tmp_path):
+        """data_centroids=True (the gate mode): the persisted index's
+        quantized centroids replay the exact-integer assignment, so the
+        persisted answer is bit-identical to the fresh data-centroid
+        ivf_topk — the property the ann_ivf_persisted_topk oracle gate
+        relies on."""
+        emb = load(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") < 8)
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS annidx3 LOCATION '{tmp_path}'")
+        try:
+            ss.build_ivf_index(
+                emb, "annidx3.ivf", n_centroids=32, n_buckets=4,
+                data_centroids=True,
+            )
+            cent = spark.table("annidx3.ivf_centroids")
+            assert "qcent" in cent.columns  # quantized, engine-portable
+            got = sorted(map(tuple, ss.ivf_topk_persisted(
+                spark, "annidx3.ivf", queries, k=10, n_probe=6
+            ).collect()))
+            want = sorted(map(tuple, ss.ivf_topk(
+                emb, queries, k=10, n_centroids=32, n_probe=6,
+                data_centroids=True,
+            ).collect()))
+            assert got == want and len(got) > 0
+        finally:
+            spark.sql("DROP TABLE IF EXISTS annidx3.ivf_vectors")
+            spark.sql("DROP TABLE IF EXISTS annidx3.ivf_centroids")
+            spark.sql("DROP DATABASE IF EXISTS annidx3")

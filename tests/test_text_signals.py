@@ -267,3 +267,126 @@ class TestRemoveDuplicateSpans:
         assert got[1]["removed_tokens"] == 16
         assert got[2]["n_spans"] == 2
         assert got[2]["text"] == "left mid right"
+
+    @staticmethod
+    def _brute_force_policy(rows, window=8, min_count=2,
+                            min_span_tokens=0, keep_first=False):
+        """Brute-force reference for the paper-policy knobs: global first
+        occurrence of each dup window unmarked, merged spans shorter than
+        min_span_tokens kept."""
+        import re
+        from collections import defaultdict
+
+        docs = {i: re.split(r"\s+", t) for i, t in rows}
+        occ = defaultdict(list)  # window text -> [(doc_id, pos)]
+        for i in sorted(docs):
+            ws = docs[i]
+            for p in range(len(ws) - window + 1):
+                occ[" ".join(ws[p : p + window])].append((i, p))
+        out = {}
+        for i, ws in docs.items():
+            marked = [False] * len(ws)
+            for key, places in occ.items():
+                if len(places) < min_count:
+                    continue
+                skip = min(places) if keep_first else None
+                for d, p in places:
+                    if d != i or (keep_first and (d, p) == skip):
+                        continue
+                    for j in range(p, p + window):
+                        marked[j] = True
+            # merged intervals, then the length floor
+            spans, s = [], None
+            for k, r in enumerate(marked + [False]):
+                if r and s is None:
+                    s = k
+                elif not r and s is not None:
+                    spans.append((s, k - 1))
+                    s = None
+            spans = [sp for sp in spans if sp[1] - sp[0] + 1 >= min_span_tokens]
+            rem = [False] * len(ws)
+            for s0, e0 in spans:
+                for j in range(s0, e0 + 1):
+                    rem[j] = True
+            out[i] = (
+                " ".join(w for w, r in zip(ws, rem) if not r),
+                len(ws),
+                sum(rem),
+                len(spans),
+            )
+        return out
+
+    def test_keep_first_occurrence_vs_brute_force(self, spark):
+        from xarray_beam_spark.functions.text import remove_duplicate_spans
+
+        dup = "the quick brown fox jumps over the lazy dog again today"
+        rows = [
+            (1, "alpha beta " + dup + " gamma delta epsilon zeta eta theta"),
+            (2, "one two three " + dup + " four five six seven eight nine"),
+            (3, "unique words only here nothing repeated at all in this text"),
+            (4, dup),
+            (6, "alpha beta " + dup + " gamma delta epsilon zeta eta theta"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["text"], r["n_tokens"], r["removed_tokens"], r["n_spans"])
+            for r in remove_duplicate_spans(
+                df, window=8, keep_first_occurrence=True
+            ).collect()
+        }
+        want = self._brute_force_policy(rows, window=8, keep_first=True)
+        assert got == want
+        # doc 1 is the lowest (doc_id, pos) copy of every window it
+        # shares: nothing excised there, while doc 6 (identical text)
+        # loses the duplicated region.
+        assert got[1][2] == 0
+        assert got[6][2] > 0
+
+    def test_min_span_tokens_floor(self, spark):
+        from xarray_beam_spark.functions.text import remove_duplicate_spans
+
+        short = "s1 s2 s3 s4 s5 s6 s7 s8"                      # 8-token span
+        long = " ".join(f"L{i}" for i in range(20))             # 20-token span
+        rows = [
+            (1, f"{short} gapa gapb gapc {long}"),
+            (2, f"x {short} y {long} z"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r
+            for r in remove_duplicate_spans(
+                df, window=8, min_span_tokens=12
+            ).collect()
+        }
+        want = self._brute_force_policy(rows, window=8, min_span_tokens=12)
+        for i, r in got.items():
+            assert (r["text"], r["n_tokens"], r["removed_tokens"], r["n_spans"]) == want[i]
+        # the 8-token span is below the floor -> kept; the 20-token one goes
+        assert got[1]["n_spans"] == 1
+        assert got[1]["text"].startswith("s1 s2")
+        assert "L0" not in got[1]["text"]
+
+    def test_policy_knobs_compose(self, spark):
+        """keep_first + min_span together: surviving marks from the
+        keep-first pass still obey the merged-span length floor."""
+        from xarray_beam_spark.functions.text import remove_duplicate_spans
+
+        long = " ".join(f"c{i}" for i in range(24))
+        rows = [
+            (1, f"head {long} tail"),
+            (2, f"pre {long} post"),
+            (3, f"{long}"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["text"], r["n_tokens"], r["removed_tokens"], r["n_spans"])
+            for r in remove_duplicate_spans(
+                df, window=8, min_span_tokens=16, keep_first_occurrence=True
+            ).collect()
+        }
+        want = self._brute_force_policy(
+            rows, window=8, min_span_tokens=16, keep_first=True
+        )
+        assert got == want
+        assert got[1][2] == 0  # first copy untouched
+        assert got[2][2] >= 16 and got[3][2] >= 16

@@ -30,6 +30,18 @@ class Key:
     offsets: tuple[tuple[str, int], ...] = ()
     vars: frozenset[str] | None = None
 
+    def __post_init__(self):
+        # The reference's public constructor spelling is
+        # ``Key({'x': 0}, vars={'foo'})`` (core.py:59-130): accept the
+        # Mapping/set forms directly and normalize to the canonical
+        # hashable state, so ported call sites work unchanged.
+        if isinstance(self.offsets, Mapping):
+            object.__setattr__(self, "offsets", tuple(sorted(self.offsets.items())))
+        if isinstance(self.vars, str):
+            raise TypeError(f"vars must be a set of names, not {self.vars!r}")
+        if self.vars is not None and not isinstance(self.vars, frozenset):
+            object.__setattr__(self, "vars", frozenset(self.vars))
+
     @staticmethod
     def make(offsets: Mapping[str, int] | None = None, vars: frozenset[str] | set[str] | None = None) -> "Key":
         off = tuple(sorted((offsets or {}).items()))

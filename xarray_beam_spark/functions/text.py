@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from xarray_beam_spark.tables import load
 
@@ -615,6 +616,8 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     hash_fn: str = "xxhash64",
     min_count: int = 2,
+    min_span_tokens: int = 0,
+    keep_first_occurrence: bool = False,
 ) -> DataFrame:
     """Exact-substring span REMOVAL — the rewrite half of the Lee et al.
     2022 "Deduplicating Training Data Makes Language Models Better"
@@ -631,6 +634,23 @@ def remove_duplicate_spans(
     (maximal removed intervals, adjacent/overlapping windows merged).
     Like the paper's ExactSubstr, spans are excised from EVERY copy
     (all occurrences of a duplicated window have count >= min_count).
+
+    Two knobs align the policy with the paper's ExactSubstr (Lee et al.
+    2022 §4.1 run their suffix-array dedup with a 50-token minimum match
+    and excise all but one occurrence):
+
+    - ``min_span_tokens``: after merging, removal intervals SHORTER than
+      this many tokens are kept in place (0 = remove everything marked).
+      Filtering happens post-merge, so two adjacent short windows that
+      merge past the threshold are still excised — the paper's "minimum
+      matching substring length", applied to the merged span.
+    - ``keep_first_occurrence``: the globally first copy of each
+      duplicated window (lowest ``(doc_id, pos)``, one ``row_number``
+      over the hash group — same shuffle key as the multiplicity join)
+      is NOT marked for removal, approximating "excise all but one".
+      A first occurrence may still fall inside a span marked by a
+      DIFFERENT overlapping duplicated window; that is the documented
+      (and cheap) approximation.
 
     Scale shape: one token-scale explode (inherent to substring dedup),
     one hash group-by for global multiplicity, one hash equi-join back,
@@ -662,9 +682,18 @@ def remove_duplicate_spans(
         .filter(F.col("c") >= min_count)
         .select("h")
     )
+    marked = wins.join(dup_h, "h")
+    if keep_first_occurrence:
+        # The join output is already hash-partitioned on h, so this
+        # window adds a per-partition sort but no extra exchange.
+        first_w = Window.partitionBy("h").orderBy(F.col(id_col), F.col("pos"))
+        marked = (
+            marked.withColumn("_rn", F.row_number().over(first_w))
+            .filter(F.col("_rn") > 1)
+            .drop("_rn")
+        )
     dup_pos = (
-        wins.join(dup_h, "h")
-        .groupBy(id_col)
+        marked.groupBy(id_col)
         .agg(F.array_sort(F.collect_set("pos")).alias("dps"))
     )
     d = docs.join(dup_pos, id_col, "left")
@@ -693,6 +722,12 @@ def remove_duplicate_spans(
             F.concat(acc, F.array(F.struct(p.alias("s"), (p + (w - 1)).alias("e"))))
         ),
     )
+    if min_span_tokens > 1:
+        # Post-merge length floor (the paper's minimum matching length):
+        # merged-but-short spans are kept in the document.
+        merged = F.filter(
+            merged, lambda v: (v["e"] - v["s"] + 1) >= min_span_tokens
+        )
     d = d.select(id_col, toks.alias("_toks"), merged.alias("_iv"))
     kept = F.filter(
         F.col("_toks"),
@@ -769,6 +804,81 @@ def text_remove_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 fingerprint plus the removal audit counts."""
     docs = load(spark, sf_dir, "documents")
     out = remove_duplicate_spans(docs, window=8, hash_fn="md5")
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("rewritten_fp"),
+        "n_tokens",
+        "removed_tokens",
+        "n_spans",
+    )
+
+
+# Same gaps-and-islands pipeline with the two paper-policy knobs: the
+# keep-first row_number over the hash group and the post-merge span
+# length floor (HAVING on the merged interval).
+_REMOVE_DUP_SPANS_KEEPFIRST_ORACLE = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+wins AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS h
+  FROM t, UNNEST(generate_series(1, len(w) - 7)) AS u(i)
+),
+dup_h AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+dpos AS (
+  SELECT doc_id, pos FROM (
+    SELECT w.doc_id, w.pos, ROW_NUMBER() OVER (PARTITION BY h ORDER BY w.doc_id, w.pos) AS rn
+    FROM wins w JOIN dup_h USING (h)
+  ) WHERE rn > 1
+),
+iv AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM dpos),
+flag AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+             PARTITION BY doc_id ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+         THEN 1 ELSE 0 END AS ng
+  FROM iv
+),
+grp AS (SELECT doc_id, s, e, SUM(ng) OVER (PARTITION BY doc_id ORDER BY s) AS g FROM flag),
+merged AS (
+  SELECT doc_id, g, MIN(s) AS s, MAX(e) AS e FROM grp GROUP BY doc_id, g
+  HAVING MAX(e) - MIN(s) + 1 >= 30
+),
+audit AS (
+  SELECT doc_id, SUM(e - s + 1) AS removed_tokens, COUNT(*) AS n_spans
+  FROM merged GROUP BY doc_id
+),
+toks AS (SELECT doc_id, i, w[i] AS tok FROM t, UNNEST(generate_series(1, len(w))) AS u(i)),
+kept AS (
+  SELECT tk.doc_id, tk.i, tk.tok FROM toks tk
+  WHERE NOT EXISTS (
+    SELECT 1 FROM merged m WHERE m.doc_id = tk.doc_id AND tk.i BETWEEN m.s AND m.e)
+),
+rew AS (SELECT doc_id, COALESCE(string_agg(tok, ' ' ORDER BY i), '') AS text FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       md5(COALESCE(r.text, '')) AS rewritten_fp,
+       CAST(len(regexp_split_to_array(d.text, '\s+')) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+       CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans
+FROM documents d
+LEFT JOIN audit a USING (doc_id)
+LEFT JOIN rew r ON d.doc_id = r.doc_id
+"""
+
+
+@_register("text_remove_dup_spans_keepfirst", _REMOVE_DUP_SPANS_KEEPFIRST_ORACLE)
+def text_remove_dup_spans_keepfirst_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paper-policy variant of exact-substring dedup: keep the
+    globally first copy of each duplicated window ("excise all but one")
+    and only excise merged spans of >= 30 tokens (the minimum matching
+    length knob; Lee et al. 2022 use 50 over BPE tokens)."""
+    docs = load(spark, sf_dir, "documents")
+    out = remove_duplicate_spans(
+        docs,
+        window=8,
+        hash_fn="md5",
+        min_span_tokens=30,
+        keep_first_occurrence=True,
+    )
     return out.select(
         "doc_id",
         F.md5("text").alias("rewritten_fp"),

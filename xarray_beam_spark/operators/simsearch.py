@@ -18,6 +18,7 @@ broken by neighbor id.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -488,6 +489,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_buckets: int = 8,
+    data_centroids: bool = False,
 ) -> None:
     """Build-once half of IVF similarity search ("build once, query
     many"): train the coarse quantizer on a bounded sample, assign every
@@ -504,22 +506,39 @@ def build_ivf_index(
     At 100 TB the base assignment GEMM runs exactly once here instead of
     per query batch; per-query work becomes centroid collect (KB) +
     query-side assignment + a bucket-local join. Size ``n_buckets`` so a
-    bucket is ~128-512 MB (see ``sinks.write_bucketed``)."""
+    bucket is ~128-512 MB (see ``sinks.write_bucketed``).
+
+    ``data_centroids=True`` mirrors :func:`ivf_topk`'s gate mode: the
+    ``n_centroids`` lowest-id vectors become the coarse quantizer (stored
+    QUANTIZED, column ``qcent``) with exact-integer cell assignment, so
+    index build AND every later query are bit-reproducible in any engine
+    — the persisted path's DuckDB-certifiable variant."""
     from xarray_beam_spark import sinks
 
     spark = emb.sparkSession
-    sample = np.stack(
-        [r[0] for r in emb.select(vec_col).limit(train_limit).collect()]
-    ).astype(np.float64)
-    C = _kmeans(sample, n_centroids, seed=seed)
-    cent = spark.createDataFrame(
-        [(i, [float(x) for x in C[i]]) for i in range(len(C))],
-        "cell int, centroid array<double>",
-    )
+    if data_centroids:
+        Cq, _cn = _collect_qcentroids(emb, n_centroids, vec_col, id_col)
+        cent = spark.createDataFrame(
+            [(i, [int(x) for x in Cq[i]]) for i in range(len(Cq))],
+            "cell int, qcent array<bigint>",
+        )
+        base = _with_cells_exact(
+            emb, Cq, _qnorms(Cq, what="centroid"), vec_col, id_col,
+            "neighbor_id", n_probe=1,
+        )
+    else:
+        sample = np.stack(
+            [r[0] for r in emb.select(vec_col).limit(train_limit).collect()]
+        ).astype(np.float64)
+        C = _kmeans(sample, n_centroids, seed=seed)
+        cent = spark.createDataFrame(
+            [(i, [float(x) for x in C[i]]) for i in range(len(C))],
+            "cell int, centroid array<double>",
+        )
+        base = _with_ivf_cells(emb, C, vec_col, id_col, "neighbor_id", n_probe=1)
     cent.write.format("parquet").mode("overwrite").saveAsTable(
         f"{table_prefix}_centroids"
     )
-    base = _with_ivf_cells(emb, C, vec_col, id_col, "neighbor_id", n_probe=1)
     sinks.write_bucketed(
         base, f"{table_prefix}_vectors", ["cell"], n_buckets, sort_cols=["cell"]
     )
@@ -540,15 +559,22 @@ def ivf_topk_persisted(
     pre-partitioned on ``cell`` (bucket metadata), so only the small
     query side shuffles — pin: ``test_simsearch.py`` asserts the
     persisted plan has no Exchange over the vectors scan and that results
-    are identical to a fresh :func:`ivf_topk` at the same seed."""
-    cent_rows = spark.table(f"{table_prefix}_centroids").orderBy("cell").collect()
-    C = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows])
+    are identical to a fresh :func:`ivf_topk` at the same seed. An index
+    built with ``data_centroids=True`` (column ``qcent``) replays the
+    exact quantized-integer assignment instead."""
+    cent_tbl = spark.table(f"{table_prefix}_centroids")
+    cent_rows = cent_tbl.orderBy("cell").collect()
     base = spark.table(f"{table_prefix}_vectors")
-    qs = (
-        _with_ivf_cells(queries, C, vec_col, id_col, "query_id", n_probe=n_probe)
-        .withColumnRenamed("qvec", "q_qvec")
-        .withColumnRenamed("qnorm", "q_qnorm")
-    )
+    if "qcent" in cent_tbl.columns:
+        Cq = np.stack([np.asarray(r["qcent"], dtype=np.int64) for r in cent_rows])
+        qs = _with_cells_exact(
+            queries, Cq, _qnorms(Cq, what="centroid"), vec_col, id_col,
+            "query_id", n_probe=n_probe,
+        )
+    else:
+        C = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows])
+        qs = _with_ivf_cells(queries, C, vec_col, id_col, "query_id", n_probe=n_probe)
+    qs = qs.withColumnRenamed("qvec", "q_qvec").withColumnRenamed("qnorm", "q_qnorm")
     return _rank_cell_candidates(base, qs, k)
 
 
@@ -1250,6 +1276,25 @@ def ann_ivf_trained_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
     return ivf_topk(emb, queries, k=10)
+
+
+@_register("ann_ivf_persisted_topk", _IVF_GATE_ORACLE)
+def ann_ivf_persisted_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once/query-many IVF under driver evidence: build the
+    persisted index (data-point centroids, ``cell``-bucketed vectors
+    table) into the warehouse, then answer from the index alone. The
+    persisted path must agree bit-for-bit with the fresh data-centroid
+    :func:`ivf_topk`, so it certifies against the same oracle
+    (``_IVF_GATE_ORACLE``); the zero-Exchange bucketed-scan plan pin
+    stays in ``tests/test_simsearch.py``."""
+    import re
+
+    emb = load(spark, sf_dir, "embeddings")
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(sf_dir.rstrip("/")))
+    prefix = f"xbs_ivf_gate_{tag}"
+    build_ivf_index(emb, prefix, n_centroids=32, data_centroids=True)
+    queries = emb.where(F.col("vec_id") < 8)
+    return ivf_topk_persisted(spark, prefix, queries, k=10, n_probe=6)
 
 
 @_register("ann_ivfpq_topk", _IVFPQ_GATE_ORACLE)
