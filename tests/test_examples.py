@@ -67,3 +67,24 @@ def test_beam_style_migration_example(tmp_path):
     out = _run("beam_style_migration.py", str(tmp_path))
     assert "spellings agree bit for bit" in out
     assert os.path.exists(tmp_path / "beam_spelling.zarr")
+
+
+def test_migration_doc_snippets():
+    """docs/migration.md must not drift from the engine: extract every
+    ```python fenced block and execute them top-to-bottom in ONE shared
+    namespace (each block asserts its own results)."""
+    import re
+
+    doc = open(os.path.join(REPO, "docs", "migration.md")).read()
+    blocks = re.findall(r"```python\n(.*?)```", doc, flags=re.DOTALL)
+    assert len(blocks) >= 8, "migration.md lost its runnable snippets"
+    script = "\n\n".join(blocks)
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        cwd=REPO,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    assert out.returncode == 0, out.stderr[-4000:]

@@ -3889,12 +3889,14 @@ def consolidate_fully(
 
 
 def in_memory_rechunk(
-    inputs: Sequence[tuple[Mapping[str, int], NDDataset]],
+    inputs: Sequence[tuple["core.Key | Mapping[str, int]", NDDataset]],
     target_chunks: Mapping[str, int],
 ) -> Iterator[tuple[dict[str, int], NDDataset]]:
-    """Rechunk in-memory ``(offsets, NDDataset)`` pairs: consolidate the
-    inputs into their bounding block, then split to ``target_chunks``
-    (reference ``in_memory_rechunk``, ``rechunk.py:492-500``).
+    """Rechunk in-memory ``(key_or_offsets, NDDataset)`` pairs:
+    consolidate the inputs into their bounding block, then split to
+    ``target_chunks`` (reference ``in_memory_rechunk``,
+    ``rechunk.py:492-500``; like the reference, ``core.Key`` keys are
+    accepted — plain offsets mappings also work).
 
     Pure driver/executor-agnostic helper — the same consolidate+split
     semantics the distributed ``Dataset.rechunk`` stages execute, usable
@@ -3904,6 +3906,7 @@ def in_memory_rechunk(
     enforces the same completeness rule)."""
     if not inputs:
         return
+    inputs = [(_key_of(k).offsets_dict, ds) for k, ds in inputs]
     base, merged = _assemble_grid(inputs, "in_memory_rechunk")
     dims = sorted({d for _, ds in inputs for d in ds.sizes})
     sizes = merged.sizes

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from xarray_beam_spark.tables import load
 
@@ -645,9 +644,10 @@ def remove_duplicate_spans(
       merge past the threshold are still excised — the paper's "minimum
       matching substring length", applied to the merged span.
     - ``keep_first_occurrence``: the globally first copy of each
-      duplicated window (lowest ``(doc_id, pos)``, one ``row_number``
-      over the hash group — same shuffle key as the multiplicity join)
-      is NOT marked for removal, approximating "excise all but one".
+      duplicated window (lowest ``(doc_id, pos)``, carried as a
+      ``min(struct)`` on the existing multiplicity aggregation — zero
+      additional shuffles) is NOT marked for removal, approximating
+      "excise all but one".
       A first occurrence may still fall inside a span marked by a
       DIFFERENT overlapping duplicated window; that is the documented
       (and cheap) approximation.
@@ -676,22 +676,35 @@ def remove_duplicate_spans(
     wins = docs.select(
         F.col(id_col), F.posexplode(hashes).alias("pos0", "h")
     ).select(id_col, (F.col("pos0") + 1).alias("pos"), "h")
-    dup_h = (
-        wins.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= min_count)
-        .select("h")
-    )
-    marked = wins.join(dup_h, "h")
     if keep_first_occurrence:
-        # The join output is already hash-partitioned on h, so this
-        # window adds a per-partition sort but no extra exchange.
-        first_w = Window.partitionBy("h").orderBy(F.col(id_col), F.col("pos"))
-        marked = (
-            marked.withColumn("_rn", F.row_number().over(first_w))
-            .filter(F.col("_rn") > 1)
-            .drop("_rn")
+        # The globally first copy rides the SAME multiplicity aggregation
+        # (min over the lexicographic (doc_id, pos) struct), so keep-first
+        # adds zero shuffles in every plan shape — broadcast or
+        # sort-merge — where a row_number window would force an extra
+        # token-scale exchange whenever the multiplicity join broadcasts.
+        dup_h = (
+            wins.groupBy("h")
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+            )
+            .filter(F.col("c") >= min_count)
+            .select("h", "_first")
         )
+        marked = wins.join(dup_h, "h").filter(
+            ~(
+                (F.col(id_col) == F.col(f"_first.{id_col}"))
+                & (F.col("pos") == F.col("_first.pos"))
+            )
+        )
+    else:
+        dup_h = (
+            wins.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= min_count)
+            .select("h")
+        )
+        marked = wins.join(dup_h, "h")
     dup_pos = (
         marked.groupBy(id_col)
         .agg(F.array_sort(F.collect_set("pos")).alias("dps"))
