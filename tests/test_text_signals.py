@@ -390,3 +390,53 @@ class TestRemoveDuplicateSpans:
         assert got == want
         assert got[1][2] == 0  # first copy untouched
         assert got[2][2] >= 16 and got[3][2] >= 16
+
+
+class TestTfidfTopTerms:
+    def test_vs_brute_force(self, spark):
+        from collections import Counter
+
+        from xarray_beam_spark.functions.text import tfidf_top_terms
+
+        rows = [
+            (1, "apple banana apple cherry"),
+            (2, "banana banana durian"),
+            (3, "apple elderberry elderberry elderberry"),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [
+            (r["doc_id"], r["rank"], r["term"], r["tf"], r["score"])
+            for r in tfidf_top_terms(df, k=2).orderBy("doc_id", "rank").collect()
+        ]
+
+        tfs = {i: Counter(t.split()) for i, t in rows if t}
+        dfs = Counter(term for c in tfs.values() for term in c)
+        n = len(rows)
+        want = []
+        for i in sorted(tfs):
+            scored = sorted(
+                (
+                    (term, tf, tf * ((1_000_000 * n) // dfs[term]))
+                    for term, tf in tfs[i].items()
+                ),
+                key=lambda x: (-x[2], x[0]),
+            )[:2]
+            want += [
+                (i, r + 1, term, tf, s) for r, (term, tf, s) in enumerate(scored)
+            ]
+        assert got == want
+        assert not any(d == 4 for d, *_ in got)  # empty doc: no terms
+
+    def test_rare_term_beats_common(self, spark):
+        from xarray_beam_spark.functions.text import tfidf_top_terms
+
+        rows = [(i, "the " + ("zebra" if i == 0 else "yak")) for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        top1 = {
+            r["doc_id"]: r["term"]
+            for r in tfidf_top_terms(df, k=1).collect()
+        }
+        assert top1[0] == "zebra"  # df=1 beats same-tf 'the' (df=10)
+        # yak: df=9 -> idf 1e7//9 = 1_111_111 > 'the' (1e7//10) at equal tf
+        assert all(v == "yak" for k, v in top1.items() if k)

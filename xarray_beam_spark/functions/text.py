@@ -393,6 +393,98 @@ def doc_vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    idf_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document top-``k`` characteristic terms by tf-idf — the
+    keyword-extraction / doc-representation primitive (complement of the
+    global ``doc_vocab_topk``). The idf is the UNLOGGED rational
+    ``floor(idf_scale * N / df)`` computed with integer division, so
+    every score is an exact BIGINT (`tf * idf_scaled`) and the ranking
+    is bit-reproducible in any engine — no libm ``ln`` in the pipeline
+    (production users who want the classic ``ln(N/df)`` can post-scale;
+    the RANKING under monotone idf transforms differs only in how terms
+    sharing a df trade off against tf, and the exact variant is the one
+    a hash oracle can certify).
+
+    Scale shape: one token explode, one (doc, term) count (map-side
+    combinable), one term-level df count, one term equi-join back, one
+    per-doc top-k window — no pairwise work, no driver data collects;
+    the corpus size ``N`` rides a 1-row broadcast. Ties break by term.
+    """
+    from pyspark.sql.window import Window as _W
+
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("term")
+    ).where(F.col("term") != "")
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))  # 1-row scalar (tabular.py:824 pattern)
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.expr(
+                f"tf * (CAST({idf_scale} AS BIGINT) * n_docs DIV df)"
+            ).alias("score"),
+        )
+    )
+    w = _W.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "score")
+    )
+
+
+_TFIDF_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id, w AS term
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents),
+       UNNEST(ws) AS u(w)
+  WHERE w != ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+         tf.tf * ((CAST(1000000 AS BIGINT) * n.n_docs) // df.df) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, CAST(score AS BIGINT) AS score
+FROM ranked WHERE rank <= 5
+"""
+
+
+@_register("text_tfidf_topterms", _TFIDF_ORACLE)
+def text_tfidf_topterms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf-idf terms per document, exact-integer scoring."""
+    docs = load(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, k=5)
+    return out.select(
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        "term",
+        "tf",
+        F.col("score").cast("long").alias("score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # normalization / scrubbing
 # ---------------------------------------------------------------------------
