@@ -1551,3 +1551,20 @@ def test_compat_chunks_to_zarr_template_validated(spark, era5, tmp_path):
         warnings.simplefilter("always")
         ds | xbs.ChunksToZarr(str(tmp_path / "c.zarr"), template=era5)
     assert not [x for x in w if "attrs differ" in str(x.message)]
+
+
+def test_split_chunks_keep_whole_and_coarser_targets(spark, era5):
+    """Distributed split_chunks: -1 / coarser-than-current targets leave
+    the dim untouched and the chunk-grid metadata must describe the rows'
+    ACTUAL layout (a claimed-coarser grid desyncs every later grid-keyed
+    consolidation — collect() raised merge conflicts before the fix)."""
+    d = Dataset.from_numpy(spark, era5, chunks={"time": 6})
+    s = d.split_chunks({"time": -1, "latitude": 4})
+    assert s.chunks["time"] == 6 and s.chunks["latitude"] == 4
+    assert s.collect().identical(era5)
+    # explicit coarser numeric target keeps the rechunk-stage contract:
+    # rows tile the 24-cell (no new cuts here since 6 divides 24) and the
+    # metadata IS the target grid, consumed by a following consolidate
+    s2 = d.split_chunks({"time": 24})
+    assert s2.chunks["time"] == 24
+    assert s2.consolidate_chunks({"time": 24}).collect().identical(era5)

@@ -1922,9 +1922,27 @@ class Dataset:
 
     def split_chunks(self, target_chunks: Mapping[str, int]) -> "Dataset":
         """Narrow split of each chunk to align to ``target_chunks``'s grid
-        (reference ``rechunk.py:400-454``). No shuffle."""
+        (reference ``rechunk.py:400-454``). No shuffle.
+
+        An explicit numeric target splits at THAT grid's boundaries (even
+        a coarser one adds cuts where current chunks straddle its cells —
+        the rechunk-stage contract: rows tile the target cells, metadata
+        is the target grid). A dim given as ``-1`` or absent keeps its
+        CURRENT chunking untouched, rows AND metadata (the reference's
+        "keep whole" convention; defaulting those dims to the full dim
+        size would claim a coarser grid than the rows have and corrupt
+        grid-keyed collect/consolidation downstream)."""
         sizes = self.sizes
-        tgt = core.normalize_chunks(target_chunks, sizes)
+        cur = self.chunks
+        spec = dict(target_chunks)
+        default = spec.pop(..., None) if ... in spec else None
+        tgt: dict[str, int] = {}
+        for d in sizes:
+            v = spec.get(d, default)
+            if v is None or v == -1:
+                tgt[d] = int(cur.get(d, sizes[d]))
+            else:
+                tgt[d] = int(core.normalize_chunks({d: v}, {d: sizes[d]})[d])
         dims = self.dims
         schema = chunk_row_schema(dims)
 
