@@ -3,6 +3,8 @@ covers the bulk behavior; these pin the row-local corner semantics)."""
 
 import math
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from xarray_beam_spark.functions.text import normalize_text, repetition_signals
@@ -440,3 +442,43 @@ class TestTfidfTopTerms:
         assert top1[0] == "zebra"  # df=1 beats same-tf 'the' (df=10)
         # yak: df=9 -> idf 1e7//9 = 1_111_111 > 'the' (1e7//10) at equal tf
         assert all(v == "yak" for k, v in top1.items() if k)
+
+
+class TestRemoveDuplicateSpansProperty:
+    """Hypothesis: engine == brute force for random corpora across the
+    policy-knob grid (small alphabet forces window collisions; catches
+    interval-merge and keep-first tie edge cases fixed cases miss)."""
+
+    @settings(max_examples=10, deadline=None)
+    @given(data=st.data())
+    def test_random_corpora_match_brute_force(self, spark, data):
+        alphabet = ["aa", "bb", "cc"]
+        n_docs = data.draw(st.integers(2, 5))
+        rows = []
+        for i in range(n_docs):
+            n_tok = data.draw(st.integers(0, 14), label=f"len_{i}")
+            toks = [
+                alphabet[data.draw(st.integers(0, 2), label=f"t_{i}_{j}")]
+                for j in range(n_tok)
+            ]
+            rows.append((i, " ".join(toks)))
+        window = data.draw(st.integers(2, 4), label="window")
+        keep_first = data.draw(st.booleans(), label="keep_first")
+        min_span = data.draw(st.sampled_from([0, window, window + 2]), label="min_span")
+
+        from xarray_beam_spark.functions.text import remove_duplicate_spans
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["text"], r["n_tokens"], r["removed_tokens"], r["n_spans"])
+            for r in remove_duplicate_spans(
+                df,
+                window=window,
+                min_span_tokens=min_span,
+                keep_first_occurrence=keep_first,
+            ).collect()
+        }
+        want = TestRemoveDuplicateSpans._brute_force_policy(
+            rows, window=window, min_span_tokens=min_span, keep_first=keep_first
+        )
+        assert got == want
