@@ -1934,15 +1934,15 @@ class Dataset:
         grid-keyed collect/consolidation downstream)."""
         sizes = self.sizes
         cur = self.chunks
-        spec = dict(target_chunks)
-        default = spec.pop(..., None) if ... in spec else None
-        tgt: dict[str, int] = {}
-        for d in sizes:
-            v = spec.get(d, default)
-            if v is None or v == -1:
-                tgt[d] = int(cur.get(d, sizes[d]))
-            else:
-                tgt[d] = int(core.normalize_chunks({d: v}, {d: sizes[d]})[d])
+        spec = dict(target_chunks) if isinstance(target_chunks, Mapping) else target_chunks
+        tgt = dict(core.normalize_chunks(target_chunks, sizes))
+        if isinstance(spec, Mapping):
+            default = spec.get(..., None)
+            for d in sizes:
+                if spec.get(d, default) in (None, -1):
+                    tgt[d] = int(cur.get(d, sizes[d]))
+        elif spec == -1:  # scalar -1: split nothing
+            tgt = {d: int(cur.get(d, sizes[d])) for d in sizes}
         dims = self.dims
         schema = chunk_row_schema(dims)
 
