@@ -482,3 +482,90 @@ class TestRemoveDuplicateSpansProperty:
             rows, window=window, min_span_tokens=min_span, keep_first=keep_first
         )
         assert got == want
+
+
+class TestC4SentenceDedup:
+    def test_sentence_split_reconstructs_exactly(self, spark):
+        """The segmentation's defining property: concatenating the
+        sentence array reproduces the input byte for byte, including
+        weird whitespace, bare punctuation runs, and missing terminal
+        punctuation."""
+        from xarray_beam_spark.functions.text import split_sentences
+
+        cases = [
+            "One. Two!  Three?\n\nFour without end",
+            "no punctuation at all",
+            "!! leading punct. then text",
+            "trailing spaces.   ",
+            "a.b.c",
+            "",
+            "Multi...   ellipsis?! mixed.",
+        ]
+        df = spark.createDataFrame([(c,) for c in cases], "text string")
+        rows = df.select(
+            "text",
+            F.array_join(split_sentences(F.col("text")), "").alias("re"),
+        ).collect()
+        for r in rows:
+            assert r["re"] == r["text"], repr(r["text"])
+
+    def test_c4_policy_keep_first_and_formatting(self, spark):
+        from xarray_beam_spark.functions.text import (
+            remove_duplicate_sentence_spans,
+        )
+
+        span = "Alpha one. Beta two!  Gamma three? "
+        rows = [
+            (1, f"Intro A. {span}Outro A."),
+            (2, f"Intro B.\n{span}Outro B."),
+            (3, "Only unique sentences here. Nothing shared at all."),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r
+            for r in remove_duplicate_sentence_spans(df, window=3).collect()
+        }
+        # doc 1 holds the first copy: untouched, formatting intact
+        assert got[1]["text"] == rows[0][1]
+        assert got[1]["removed_sentences"] == 0
+        # doc 2 loses exactly the 3-sentence span, survivors verbatim
+        assert got[2]["text"] == "Intro B.\nOutro B."
+        assert got[2]["removed_sentences"] == 3 and got[2]["n_spans"] == 1
+        assert got[3]["removed_sentences"] == 0
+
+    def test_excise_every_copy_mode(self, spark):
+        from xarray_beam_spark.functions.text import (
+            remove_duplicate_sentence_spans,
+        )
+
+        span = "Dup one. Dup two. Dup three. "
+        df = spark.createDataFrame(
+            [(1, f"{span}tail one."), (2, f"{span}tail two.")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r
+            for r in remove_duplicate_sentence_spans(
+                df, window=3, keep_first_occurrence=False
+            ).collect()
+        }
+        assert got[1]["text"] == "tail one." and got[2]["text"] == "tail two."
+
+    def test_overlapping_windows_merge(self, spark):
+        """A 4-sentence shared run yields two overlapping 3-windows that
+        must merge into ONE removed span of 4 sentences."""
+        from xarray_beam_spark.functions.text import (
+            remove_duplicate_sentence_spans,
+        )
+
+        run = "S1 a. S2 b. S3 c. S4 d. "
+        df = spark.createDataFrame(
+            [(1, f"{run}u1."), (2, f"{run}u2.")], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r
+            for r in remove_duplicate_sentence_spans(df, window=3).collect()
+        }
+        assert got[1]["removed_sentences"] == 0  # first copy kept
+        assert got[2]["n_spans"] == 1 and got[2]["removed_sentences"] == 4
+        assert got[2]["text"] == "u2."

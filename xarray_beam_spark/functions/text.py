@@ -393,6 +393,139 @@ def doc_vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sentence segmentation shared by the C4-style dedup and its oracle. The
+# three alternatives cover every character ((body+punct+ws) | (tail with
+# no terminal punct) | (bare punct run)), so concatenating the matches
+# reproduces the input byte for byte — the splice below can remove
+# sentence spans WITHOUT re-normalizing the survivors' formatting. No
+# lookarounds, so the Java (Spark) and RE2 (DuckDB) dialects agree.
+SENTENCE_PATTERN = r"[^.!?]+[.!?]+\s*|[^.!?]+$|[.!?]+\s*"
+
+
+def split_sentences(text: Column) -> Column:
+    """``text`` as an array of sentences (terminal punctuation and
+    trailing whitespace kept with their sentence; concatenation of the
+    array reproduces the input exactly)."""
+    return F.regexp_extract_all(text, F.lit(SENTENCE_PATTERN), 0)
+
+
+def remove_duplicate_sentence_spans(
+    docs: DataFrame,
+    window: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    min_count: int = 2,
+    keep_first_occurrence: bool = True,
+) -> DataFrame:
+    """C4-style duplicate-span removal at SENTENCE granularity (Raffel et
+    al. 2020, arXiv:1910.10683 §2.2: "we discarded all but one of any
+    three-sentence span occurring more than once in the data set").
+    Sentences are the units (``split_sentences``: punctuation and
+    whitespace stay attached), every ``window``-sentence sliding span
+    whose text occurs ``min_count``+ times corpus-wide is excised except
+    — with ``keep_first_occurrence=True``, the C4 default — the lowest
+    ``(doc_id, pos)`` copy; kept sentences are re-concatenated verbatim,
+    so the survivors' formatting is untouched (the token-stream operator
+    ``remove_duplicate_spans`` whitespace-normalizes; this one cannot,
+    because C4's unit of meaning is the exact sentence text).
+
+    Returns one row per document: rewritten ``text``, ``n_sentences``,
+    ``removed_sentences``, ``n_spans`` (maximal merged spans). Same
+    scale shape as the token operator: one sentence-scale explode, one
+    hash group-by (keep-first rides it as ``min(struct)``), one equi-join
+    back, one doc-id regroup; merge + splice are row-local JVM
+    expressions.
+    """
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', not {hash_fn!r}")
+    hasher = F.md5 if hash_fn == "md5" else F.xxhash64
+    w = window
+    sents = split_sentences(F.col(text_col))
+    n = F.size(sents)
+    positions = F.when(
+        n >= w, F.sequence(F.lit(1), n - w + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    hashes = F.transform(
+        positions, lambda i: hasher(F.array_join(F.slice(sents, i, w), ""))
+    )
+    wins = docs.select(
+        F.col(id_col), F.posexplode(hashes).alias("pos0", "h")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "h")
+    if keep_first_occurrence:
+        dup_h = (
+            wins.groupBy("h")
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+            )
+            .filter(F.col("c") >= min_count)
+            .select("h", "_first")
+        )
+        marked = wins.join(dup_h, "h").filter(
+            ~(
+                (F.col(id_col) == F.col(f"_first.{id_col}"))
+                & (F.col("pos") == F.col("_first.pos"))
+            )
+        )
+    else:
+        dup_h = (
+            wins.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= min_count)
+            .select("h")
+        )
+        marked = wins.join(dup_h, "h")
+    dup_pos = marked.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("pos")).alias("dps")
+    )
+    d = docs.join(dup_pos, id_col, "left")
+    dps = F.coalesce(F.col("dps"), F.array().cast("array<int>"))
+    iv_t = "array<struct<s:int,e:int>>"
+    merged = F.aggregate(
+        dps,
+        F.array().cast(iv_t),
+        lambda acc, p: F.when(
+            (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["e"] + 1),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        F.greatest(
+                            F.element_at(acc, -1)["e"], p + (w - 1)
+                        ).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(p.alias("s"), (p + (w - 1)).alias("e"))))
+        ),
+    )
+    d = d.select(id_col, sents.alias("_sents"), merged.alias("_iv"))
+    kept = F.filter(
+        F.col("_sents"),
+        lambda t, i: ~F.exists(
+            F.col("_iv"),
+            lambda v: (v["s"] <= i + 1) & (i + 1 <= v["e"]),
+        ),
+    )
+    return d.select(
+        id_col,
+        F.array_join(kept, "").alias("text"),
+        F.size("_sents").cast("long").alias("n_sentences"),
+        F.coalesce(
+            F.aggregate(
+                F.col("_iv"),
+                F.lit(0).cast("long"),
+                lambda a, v: a + (v["e"] - v["s"] + 1).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+        ).alias("removed_sentences"),
+        F.size("_iv").cast("long").alias("n_spans"),
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 5,
@@ -443,6 +576,95 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tf", "score")
+    )
+
+
+# The synthetic documents carry no punctuation, so the gate derives a
+# deterministic sentence structure first (". table " at every " table "
+# occurrence — content-anchored, so duplicated substrings across docs
+# yield identical sentence sequences), the same inline-fixture pattern
+# the twin-corpus dedup gates use. Both engines run the identical
+# replace + RE2/Java-compatible extraction.
+_C4_SENT_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, replace(text, ' table ', '. table ') AS txt FROM documents
+),
+s AS (
+  SELECT doc_id,
+         regexp_extract_all(txt, '[^.!?]+[.!?]+\s*|[^.!?]+$|[.!?]+\s*') AS sents
+  FROM t
+),
+wins AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(list_slice(sents, i, i + 1), '')) AS h
+  FROM s, UNNEST(generate_series(1, len(sents) - 1)) AS u(i)
+),
+dup_h AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+marked AS (
+  SELECT doc_id, pos FROM (
+    SELECT w.doc_id, w.pos,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY w.doc_id, w.pos) AS rn
+    FROM wins w JOIN dup_h USING (h)
+  ) WHERE rn > 1
+),
+iv AS (SELECT doc_id, pos AS st, pos + 1 AS e FROM marked),
+flag AS (
+  SELECT doc_id, st, e,
+         CASE WHEN st > COALESCE(MAX(e) OVER (
+             PARTITION BY doc_id ORDER BY st
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+         THEN 1 ELSE 0 END AS ng
+  FROM iv
+),
+grp AS (SELECT doc_id, st, e, SUM(ng) OVER (PARTITION BY doc_id ORDER BY st) AS g FROM flag),
+merged AS (SELECT doc_id, g, MIN(st) AS st, MAX(e) AS e FROM grp GROUP BY doc_id, g),
+audit AS (
+  SELECT doc_id, SUM(e - st + 1) AS removed_sentences, COUNT(*) AS n_spans
+  FROM merged GROUP BY doc_id
+),
+units AS (SELECT doc_id, i, sents[i] AS sent FROM s, UNNEST(generate_series(1, len(sents))) AS u(i)),
+kept AS (
+  SELECT un.doc_id, un.i, un.sent FROM units un
+  WHERE NOT EXISTS (
+    SELECT 1 FROM merged m WHERE m.doc_id = un.doc_id AND un.i BETWEEN m.st AND m.e)
+),
+rew AS (SELECT doc_id, COALESCE(string_agg(sent, '' ORDER BY i), '') AS text FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       md5(COALESCE(r.text, '')) AS rewritten_fp,
+       CAST(len(regexp_extract_all(replace(d.text, ' table ', '. table '),
+                 '[^.!?]+[.!?]+\s*|[^.!?]+$|[.!?]+\s*')) AS BIGINT) AS n_sentences,
+       CAST(COALESCE(a.removed_sentences, 0) AS BIGINT) AS removed_sentences,
+       CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans
+FROM documents d
+LEFT JOIN audit a USING (doc_id)
+LEFT JOIN rew r ON d.doc_id = r.doc_id
+"""
+
+
+@_register("text_c4_sentence_dedup", _C4_SENT_ORACLE)
+def text_c4_sentence_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-policy sentence-span dedup: derive deterministic sentence
+    boundaries, excise every duplicated 2-sentence span except its
+    lowest-(doc_id, pos) copy, certify the formatting-preserving rewrite
+    via md5 fingerprint plus the removal audit. Window 2 (not the
+    paper's 3) because the gate corpus averages ~2.7 derived sentences
+    per doc; the operator default stays 3."""
+    docs = load(spark, sf_dir, "documents")
+    derived = docs.select(
+        "doc_id",
+        F.replace(  # plain replace-all, identical scan semantics to the
+            F.col("text"), F.lit(" table "), F.lit(". table ")
+        ).alias("text"),  # oracle's replace() on adjacent occurrences
+    )
+    out = remove_duplicate_sentence_spans(
+        derived, window=2, hash_fn="md5", keep_first_occurrence=True
+    )
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("rewritten_fp"),
+        "n_sentences",
+        "removed_sentences",
+        "n_spans",
     )
 
 
