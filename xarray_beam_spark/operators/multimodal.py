@@ -69,10 +69,11 @@ ASSET_SCHEMA = T.StructType(
 
 
 def decode_image(blob: bytes) -> np.ndarray:
-    """Real image decode. PNG and baseline JPEG decode natively via the
-    from-spec pure-Python codecs (``sources/png.py``, ``sources/jpeg.py``
-    — no PIL needed); other formats (webp/tiff/...) need PIL, which this
-    container lacks, and raise ``NotImplementedError`` honestly."""
+    """Real image decode. PNG, baseline/progressive JPEG, and BMP decode
+    natively via the from-spec pure-Python codecs (``sources/png.py``,
+    ``sources/jpeg.py``, ``sources/bmp.py`` — no PIL needed); other
+    formats (webp/tiff/...) need PIL, which this container lacks, and
+    raise ``NotImplementedError`` honestly."""
     if blob[:8] == b"\x89PNG\r\n\x1a\n":
         from xarray_beam_spark.sources.png import decode_png
 
@@ -86,6 +87,15 @@ def decode_image(blob: bytes) -> np.ndarray:
         from xarray_beam_spark.sources.jpeg import decode_jpeg
 
         img = decode_jpeg(blob)
+        if img.ndim == 3:
+            img = (
+                img[:, :, :3].astype(np.uint16).sum(axis=2) // 3
+            ).astype(np.uint8)
+        return img
+    if blob[:2] == b"BM":
+        from xarray_beam_spark.sources.bmp import decode_bmp
+
+        img = decode_bmp(blob)
         if img.ndim == 3:
             img = (
                 img[:, :, :3].astype(np.uint16).sum(axis=2) // 3
@@ -415,6 +425,44 @@ def documents_as_jpeg_assets(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(run, ASSET_SCHEMA)
 
 
+def documents_as_bmp_assets(docs: DataFrame) -> DataFrame:
+    """Demo BMP-asset table: each document becomes a 16x16 grayscale BMP
+    whose 256 pixels are the document's first 256 utf-8 bytes (tiled if
+    shorter), through the from-spec encoder (``sources/bmp.py``). BMP is
+    lossless, so unlike the constant-block JPEG family no special image
+    structure is needed for the feature gate to value-hash-certify."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xarray_beam_spark.sources.bmp import encode_bmp
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                if len(raw) == 0:
+                    raw = np.zeros(1, np.uint8)
+                reps = -(-256 // len(raw))
+                img = np.tile(raw, reps)[:256].reshape(16, 16)
+                blob = encode_bmp(img)
+                rows.append(
+                    {
+                        "asset_id": doc_id,
+                        "blob": blob,
+                        "meta": {
+                            "mime": "image/bmp",
+                            "width": 16,
+                            "height": 16,
+                            "n_frames": 1,
+                            "sample_rate": 0,
+                            "n_bytes": len(blob),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(run, ASSET_SCHEMA)
+
+
 AUDIO_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),
@@ -666,6 +714,46 @@ def multimodal_jpeg_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # files and skips this (values are partition-independent)
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     assets = documents_as_jpeg_assets(docs)
+    feats = extract_features(assets, decoder=decode_image)
+    return feats.select(
+        "asset_id",
+        "mean_px",
+        "std_px",
+        F.element_at("histogram", 1).alias("bin0"),
+    )
+
+
+# Exact by integer sums + power-of-two divisions: 256 byte-valued pixels,
+# mean = int/256 (dyadic), squared deviations carry <= 16 fractional bits
+# in < 2^16 magnitudes — every step representable in float64, so numpy's
+# pairwise and SQL's sequential summation agree bit for bit.
+_BMP_FEATURES_ORACLE = """
+WITH px AS (
+  SELECT doc_id AS asset_id,
+         list_transform(range(1, 257),
+           i -> CAST(ascii(substr(text, CAST(((i - 1) % length(text)) + 1 AS INT), 1)) AS DOUBLE)) AS b
+  FROM documents
+), m AS (
+  SELECT asset_id, b, list_sum(b) / 256.0 AS mean_px FROM px
+)
+SELECT asset_id, mean_px,
+       sqrt(list_sum(list_transform(b, x -> (x - mean_px) * (x - mean_px))) / 256.0) AS std_px,
+       CAST(len(list_filter(b, x -> x < 16)) AS BIGINT) AS bin0
+FROM m
+"""
+
+
+@_register("multimodal_bmp_features", _BMP_FEATURES_ORACLE)
+def multimodal_bmp_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP encode + decode + feature extraction: every document
+    becomes an 8 bpp grayscale BMP through the from-spec encoder,
+    :func:`decode_image` parses it back (palette + stride + bottom-up
+    rows), and the features certify against an oracle that re-derives
+    the 256 pixel bytes exactly in SQL (lossless codec — no structural
+    constraints needed, unlike the constant-block JPEG family)."""
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    assets = documents_as_bmp_assets(docs)
     feats = extract_features(assets, decoder=decode_image)
     return feats.select(
         "asset_id",
