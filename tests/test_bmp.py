@@ -111,6 +111,10 @@ def test_loud_failures():
         decode_bmp(b"XX" + blob[2:])
     with pytest.raises(ValueError, match="uint8"):
         encode_bmp(np.zeros((2, 2), np.float64))
+    with pytest.raises(ValueError, match="empty"):
+        encode_bmp(np.zeros((0, 5), np.uint8))  # undecodable if emitted
+    with pytest.raises(ValueError, match="empty"):
+        encode_bmp(np.zeros((5, 0, 3), np.uint8))
 
 
 def test_decode_image_dispatch():

@@ -1935,14 +1935,20 @@ class Dataset:
         sizes = self.sizes
         cur = self.chunks
         spec = dict(target_chunks) if isinstance(target_chunks, Mapping) else target_chunks
-        tgt = dict(core.normalize_chunks(target_chunks, sizes))
         if isinstance(spec, Mapping):
-            default = spec.get(..., None)
+            # keep-current dims (None or -1, explicit or via ...) are
+            # stripped BEFORE the joint normalize — normalize_chunks
+            # rejects None, and -1 would resolve to the full dim size
+            numeric = {k: v for k, v in spec.items() if v not in (None, -1)}
+            tgt = dict(core.normalize_chunks(numeric, sizes))
+            default = spec.get(..., None)  # absent dims keep current
             for d in sizes:
                 if spec.get(d, default) in (None, -1):
                     tgt[d] = int(cur.get(d, sizes[d]))
-        elif spec == -1:  # scalar -1: split nothing
+        elif spec in (None, -1):  # scalar: split nothing
             tgt = {d: int(cur.get(d, sizes[d])) for d in sizes}
+        else:
+            tgt = dict(core.normalize_chunks(spec, sizes))
         dims = self.dims
         schema = chunk_row_schema(dims)
 

@@ -409,50 +409,47 @@ def split_sentences(text: Column) -> Column:
     return F.regexp_extract_all(text, F.lit(SENTENCE_PATTERN), 0)
 
 
-def remove_duplicate_sentence_spans(
+def _excise_duplicate_window_spans(
     docs: DataFrame,
-    window: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    hash_fn: str = "xxhash64",
-    min_count: int = 2,
-    keep_first_occurrence: bool = True,
+    units: Column,
+    window: int,
+    hash_fn: str,
+    min_count: int,
+    keep_first_occurrence: bool,
+    min_span_units: int,
+    join_sep: str,
+    id_col: str,
+    n_units_name: str,
+    removed_name: str,
 ) -> DataFrame:
-    """C4-style duplicate-span removal at SENTENCE granularity (Raffel et
-    al. 2020, arXiv:1910.10683 §2.2: "we discarded all but one of any
-    three-sentence span occurring more than once in the data set").
-    Sentences are the units (``split_sentences``: punctuation and
-    whitespace stay attached), every ``window``-sentence sliding span
-    whose text occurs ``min_count``+ times corpus-wide is excised except
-    — with ``keep_first_occurrence=True``, the C4 default — the lowest
-    ``(doc_id, pos)`` copy; kept sentences are re-concatenated verbatim,
-    so the survivors' formatting is untouched (the token-stream operator
-    ``remove_duplicate_spans`` whitespace-normalizes; this one cannot,
-    because C4's unit of meaning is the exact sentence text).
-
-    Returns one row per document: rewritten ``text``, ``n_sentences``,
-    ``removed_sentences``, ``n_spans`` (maximal merged spans). Same
-    scale shape as the token operator: one sentence-scale explode, one
-    hash group-by (keep-first rides it as ``min(struct)``), one equi-join
-    back, one doc-id regroup; merge + splice are row-local JVM
-    expressions.
-    """
+    """Shared engine of :func:`remove_duplicate_spans` (token units,
+    space join) and :func:`remove_duplicate_sentence_spans` (sentence
+    units, verbatim join): ``window``-unit sliding hashes → global
+    multiplicity (keep-first riding the same aggregation as a
+    ``min(struct)``) → per-doc merged intervals → post-merge length
+    floor → row-local splice. One unit-scale explode, one hash
+    group-by, one equi-join back, one doc-id regroup; everything after
+    the regroup is a JVM expression."""
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', not {hash_fn!r}")
     hasher = F.md5 if hash_fn == "md5" else F.xxhash64
     w = window
-    sents = split_sentences(F.col(text_col))
-    n = F.size(sents)
+    n = F.size(units)
     positions = F.when(
         n >= w, F.sequence(F.lit(1), n - w + 1)
     ).otherwise(F.array().cast("array<int>"))
     hashes = F.transform(
-        positions, lambda i: hasher(F.array_join(F.slice(sents, i, w), ""))
+        positions, lambda i: hasher(F.array_join(F.slice(units, i, w), join_sep))
     )
     wins = docs.select(
         F.col(id_col), F.posexplode(hashes).alias("pos0", "h")
     ).select(id_col, (F.col("pos0") + 1).alias("pos"), "h")
     if keep_first_occurrence:
+        # The globally first copy rides the SAME multiplicity aggregation
+        # (min over the lexicographic (doc_id, pos) struct), so keep-first
+        # adds zero shuffles in every plan shape — broadcast or
+        # sort-merge — where a row_number window would force an extra
+        # unit-scale exchange whenever the multiplicity join broadcasts.
         dup_h = (
             wins.groupBy("h")
             .agg(
@@ -481,6 +478,9 @@ def remove_duplicate_sentence_spans(
     )
     d = docs.join(dup_pos, id_col, "left")
     dps = F.coalesce(F.col("dps"), F.array().cast("array<int>"))
+    # Merge overlapping/adjacent removal intervals [p, p+w-1] (dps sorted):
+    # fold each position into the last interval when it touches it, else
+    # open a new one — acc stays disjoint and sorted throughout.
     iv_t = "array<struct<s:int,e:int>>"
     merged = F.aggregate(
         dps,
@@ -502,9 +502,15 @@ def remove_duplicate_sentence_spans(
             F.concat(acc, F.array(F.struct(p.alias("s"), (p + (w - 1)).alias("e"))))
         ),
     )
-    d = d.select(id_col, sents.alias("_sents"), merged.alias("_iv"))
+    if min_span_units > 1:
+        # Post-merge length floor (the paper's minimum matching length):
+        # merged-but-short spans are kept in the document.
+        merged = F.filter(
+            merged, lambda v: (v["e"] - v["s"] + 1) >= min_span_units
+        )
+    d = d.select(id_col, units.alias("_units"), merged.alias("_iv"))
     kept = F.filter(
-        F.col("_sents"),
+        F.col("_units"),
         lambda t, i: ~F.exists(
             F.col("_iv"),
             lambda v: (v["s"] <= i + 1) & (i + 1 <= v["e"]),
@@ -512,8 +518,8 @@ def remove_duplicate_sentence_spans(
     )
     return d.select(
         id_col,
-        F.array_join(kept, "").alias("text"),
-        F.size("_sents").cast("long").alias("n_sentences"),
+        F.array_join(kept, join_sep).alias("text"),
+        F.size("_units").cast("long").alias(n_units_name),
         F.coalesce(
             F.aggregate(
                 F.col("_iv"),
@@ -521,8 +527,51 @@ def remove_duplicate_sentence_spans(
                 lambda a, v: a + (v["e"] - v["s"] + 1).cast("long"),
             ),
             F.lit(0).cast("long"),
-        ).alias("removed_sentences"),
+        ).alias(removed_name),
         F.size("_iv").cast("long").alias("n_spans"),
+    )
+
+
+def remove_duplicate_sentence_spans(
+    docs: DataFrame,
+    window: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    min_count: int = 2,
+    keep_first_occurrence: bool = True,
+) -> DataFrame:
+    """C4-style duplicate-span removal at SENTENCE granularity (Raffel et
+    al. 2020, arXiv:1910.10683 §2.2: "we discarded all but one of any
+    three-sentence span occurring more than once in the data set").
+    Sentences are the units (``split_sentences``: punctuation and
+    whitespace stay attached), every ``window``-sentence sliding span
+    whose text occurs ``min_count``+ times corpus-wide is excised except
+    — with ``keep_first_occurrence=True``, the C4 default — the lowest
+    ``(doc_id, pos)`` copy; kept sentences are re-concatenated verbatim,
+    so the survivors' formatting is untouched (the token-stream operator
+    ``remove_duplicate_spans`` whitespace-normalizes; this one cannot,
+    because C4's unit of meaning is the exact sentence text).
+
+    Returns one row per document: rewritten ``text``, ``n_sentences``,
+    ``removed_sentences``, ``n_spans`` (maximal merged spans). Same
+    scale shape as the token operator: one sentence-scale explode, one
+    hash group-by (keep-first rides it as ``min(struct)``), one equi-join
+    back, one doc-id regroup; merge + splice are row-local JVM
+    expressions.
+    """
+    return _excise_duplicate_window_spans(
+        docs,
+        units=split_sentences(F.col(text_col)),
+        window=window,
+        hash_fn=hash_fn,
+        min_count=min_count,
+        keep_first_occurrence=keep_first_occurrence,
+        min_span_units=0,
+        join_sep="",  # verbatim re-concatenation preserves formatting
+        id_col=id_col,
+        n_units_name="n_sentences",
+        removed_name="removed_sentences",
     )
 
 
@@ -976,108 +1025,19 @@ def remove_duplicate_spans(
     from xxhash64 to md5 for engine-portable certification (DuckDB has
     no xxhash64); the two paths are pinned equivalent by pytest.
     """
-    if hash_fn not in ("md5", "xxhash64"):
-        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', not {hash_fn!r}")
-    hasher = F.md5 if hash_fn == "md5" else F.xxhash64
-    w = window
-    toks = F.split(F.col(text_col), r"\s+")
-    n = F.size(toks)
-    positions = F.when(
-        n >= w, F.sequence(F.lit(1), n - w + 1)
-    ).otherwise(F.array().cast("array<int>"))
-    win_text = lambda i: F.concat_ws(" ", F.slice(toks, i, w))  # noqa: E731
-    hashes = F.transform(positions, lambda i: hasher(win_text(i)))
-    wins = docs.select(
-        F.col(id_col), F.posexplode(hashes).alias("pos0", "h")
-    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "h")
-    if keep_first_occurrence:
-        # The globally first copy rides the SAME multiplicity aggregation
-        # (min over the lexicographic (doc_id, pos) struct), so keep-first
-        # adds zero shuffles in every plan shape — broadcast or
-        # sort-merge — where a row_number window would force an extra
-        # token-scale exchange whenever the multiplicity join broadcasts.
-        dup_h = (
-            wins.groupBy("h")
-            .agg(
-                F.count(F.lit(1)).alias("c"),
-                F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
-            )
-            .filter(F.col("c") >= min_count)
-            .select("h", "_first")
-        )
-        marked = wins.join(dup_h, "h").filter(
-            ~(
-                (F.col(id_col) == F.col(f"_first.{id_col}"))
-                & (F.col("pos") == F.col("_first.pos"))
-            )
-        )
-    else:
-        dup_h = (
-            wins.groupBy("h")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter(F.col("c") >= min_count)
-            .select("h")
-        )
-        marked = wins.join(dup_h, "h")
-    dup_pos = (
-        marked.groupBy(id_col)
-        .agg(F.array_sort(F.collect_set("pos")).alias("dps"))
+    return _excise_duplicate_window_spans(
+        docs,
+        units=F.split(F.col(text_col), r"\s+"),
+        window=window,
+        hash_fn=hash_fn,
+        min_count=min_count,
+        keep_first_occurrence=keep_first_occurrence,
+        min_span_units=min_span_tokens,
+        join_sep=" ",  # whitespace-normalized by construction
+        id_col=id_col,
+        n_units_name="n_tokens",
+        removed_name="removed_tokens",
     )
-    d = docs.join(dup_pos, id_col, "left")
-    dps = F.coalesce(F.col("dps"), F.array().cast("array<int>"))
-    # Merge overlapping/adjacent removal intervals [p, p+w-1] (dps sorted):
-    # fold each position into the last interval when it touches it, else
-    # open a new one — acc stays disjoint and sorted throughout.
-    iv_t = "array<struct<s:int,e:int>>"
-    merged = F.aggregate(
-        dps,
-        F.array().cast(iv_t),
-        lambda acc, p: F.when(
-            (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["e"] + 1),
-            F.concat(
-                F.slice(acc, F.lit(1), F.size(acc) - 1),
-                F.array(
-                    F.struct(
-                        F.element_at(acc, -1)["s"].alias("s"),
-                        F.greatest(
-                            F.element_at(acc, -1)["e"], p + (w - 1)
-                        ).alias("e"),
-                    )
-                ),
-            ),
-        ).otherwise(
-            F.concat(acc, F.array(F.struct(p.alias("s"), (p + (w - 1)).alias("e"))))
-        ),
-    )
-    if min_span_tokens > 1:
-        # Post-merge length floor (the paper's minimum matching length):
-        # merged-but-short spans are kept in the document.
-        merged = F.filter(
-            merged, lambda v: (v["e"] - v["s"] + 1) >= min_span_tokens
-        )
-    d = d.select(id_col, toks.alias("_toks"), merged.alias("_iv"))
-    kept = F.filter(
-        F.col("_toks"),
-        lambda t, i: ~F.exists(
-            F.col("_iv"),
-            lambda v: (v["s"] <= i + 1) & (i + 1 <= v["e"]),
-        ),
-    )
-    return d.select(
-        id_col,
-        F.concat_ws(" ", kept).alias("text"),
-        F.size("_toks").cast("long").alias("n_tokens"),
-        F.coalesce(
-            F.aggregate(
-                F.col("_iv"),
-                F.lit(0).cast("long"),
-                lambda a, v: a + (v["e"] - v["s"] + 1).cast("long"),
-            ),
-            F.lit(0).cast("long"),
-        ).alias("removed_tokens"),
-        F.size("_iv").cast("long").alias("n_spans"),
-    )
-
 
 # Oracle mirrors the operator exactly: window hashes -> global
 # multiplicity -> per-doc gaps-and-islands interval merge (running-max

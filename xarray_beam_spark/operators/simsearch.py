@@ -1305,10 +1305,11 @@ def ann_ivf_persisted_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whose tables this catalog does not know) would otherwise fail
     # saveAsTable with LOCATION_ALREADY_EXISTS.
     db = "xbs_ivf_gate"
-    spark.sql(
-        f"CREATE DATABASE IF NOT EXISTS {db} LOCATION "
-        f"'{tempfile.mkdtemp(prefix='xbs_ivf_gate_db_')}'"
-    )
+    if not spark.catalog.databaseExists(db):  # mkdtemp only on first use
+        spark.sql(
+            f"CREATE DATABASE {db} LOCATION "
+            f"'{tempfile.mkdtemp(prefix='xbs_ivf_gate_db_')}'"
+        )
     prefix = f"{db}.ivf_{tag}"
     ckey = (spark.sparkContext.applicationId, sf_dir)
     if _IVF_GATE_INDEX_CACHE.get(ckey) != prefix:

@@ -39,6 +39,10 @@ def encode_bmp(img: np.ndarray) -> bytes:
     img = np.asarray(img)
     if img.dtype != np.uint8:
         raise ValueError(f"BMP encoder takes uint8, got {img.dtype}")
+    if img.size == 0:
+        raise ValueError(
+            f"BMP cannot represent empty images (shape {img.shape})"
+        )
     if img.ndim == 2:
         h, w = img.shape
         bpp = 8
