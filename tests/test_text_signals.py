@@ -569,3 +569,75 @@ class TestC4SentenceDedup:
         assert got[1]["removed_sentences"] == 0  # first copy kept
         assert got[2]["n_spans"] == 1 and got[2]["removed_sentences"] == 4
         assert got[2]["text"] == "u2."
+
+
+class TestLineDedup:
+    def test_keep_first_and_exemptions(self, spark):
+        from xarray_beam_spark.functions.text import remove_duplicate_lines
+
+        boiler = "subscribe to our newsletter today"
+        rows = [
+            (1, f"unique alpha content\n{boiler}\nok\nmore alpha text"),
+            (2, f"{boiler}\nunique beta content\nok"),
+            (3, f"gamma only here\n{boiler}"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r
+            for r in remove_duplicate_lines(df, min_line_chars=5).collect()
+        }
+        # doc 1 holds the first copy of the boilerplate: untouched
+        assert got[1]["text"] == rows[0][1]
+        assert got[1]["removed_lines"] == 0
+        # docs 2 and 3 lose it; 'ok' (< 5 chars) is exempt despite dup
+        assert got[2]["text"] == "unique beta content\nok"
+        assert got[2]["removed_lines"] == 1
+        assert got[3]["text"] == "gamma only here"
+        # byte-exact survivors (newlines intact)
+        assert "\n" in got[2]["text"]
+
+    def test_adjacent_removed_lines_merge_into_one_span(self, spark):
+        from xarray_beam_spark.functions.text import remove_duplicate_lines
+
+        block = "boiler line one\nboiler line two"
+        df = spark.createDataFrame(
+            [(1, f"{block}\nkeep a"), (2, f"{block}\nkeep b")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r for r in remove_duplicate_lines(df).collect()
+        }
+        assert got[1]["removed_lines"] == 0
+        assert got[2]["removed_lines"] == 2 and got[2]["n_spans"] == 1
+        assert got[2]["text"] == "keep b"
+
+    def test_excise_all_copies_mode(self, spark):
+        from xarray_beam_spark.functions.text import remove_duplicate_lines
+
+        df = spark.createDataFrame(
+            [(1, "shared boilerplate line\nkeep one"),
+             (2, "shared boilerplate line\nkeep two")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["text"]
+            for r in remove_duplicate_lines(
+                df, keep_first_occurrence=False
+            ).collect()
+        }
+        assert got == {1: "keep one", 2: "keep two"}
+
+    def test_blank_lines_never_removed(self, spark):
+        from xarray_beam_spark.functions.text import remove_duplicate_lines
+
+        df = spark.createDataFrame(
+            [(1, "paragraph one here\n\nparagraph two here"),
+             (2, "different text\n\nother different text")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r for r in remove_duplicate_lines(df).collect()
+        }
+        # the duplicated blank line is exempt structure in both docs
+        assert got[1]["removed_lines"] == 0 and got[2]["removed_lines"] == 0
+        assert got[1]["text"] == "paragraph one here\n\nparagraph two here"

@@ -421,6 +421,7 @@ def _excise_duplicate_window_spans(
     id_col: str,
     n_units_name: str,
     removed_name: str,
+    unit_filter: "Callable[[Column], Column] | None" = None,
 ) -> DataFrame:
     """Shared engine of :func:`remove_duplicate_spans` (token units,
     space join) and :func:`remove_duplicate_sentence_spans` (sentence
@@ -441,9 +442,19 @@ def _excise_duplicate_window_spans(
     hashes = F.transform(
         positions, lambda i: hasher(F.array_join(F.slice(units, i, w), join_sep))
     )
-    wins = docs.select(
-        F.col(id_col), F.posexplode(hashes).alias("pos0", "h")
-    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "h")
+    if unit_filter is not None:
+        # Windows containing any EXEMPT unit (e.g. short/blank lines —
+        # structure, not boilerplate) hash to null and never match.
+        ok = F.transform(
+            positions,
+            lambda i: F.forall(F.slice(units, i, w), unit_filter),
+        )
+        hashes = F.zip_with(hashes, ok, lambda h, o: F.when(o, h))
+    wins = (
+        docs.select(F.col(id_col), F.posexplode(hashes).alias("pos0", "h"))
+        .filter(F.col("h").isNotNull())
+        .select(id_col, (F.col("pos0") + 1).alias("pos"), "h")
+    )
     if keep_first_occurrence:
         # The globally first copy rides the SAME multiplicity aggregation
         # (min over the lexicographic (doc_id, pos) struct), so keep-first
@@ -572,6 +583,47 @@ def remove_duplicate_sentence_spans(
         id_col=id_col,
         n_units_name="n_sentences",
         removed_name="removed_sentences",
+    )
+
+
+def remove_duplicate_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    min_count: int = 2,
+    min_line_chars: int = 8,
+    keep_first_occurrence: bool = True,
+) -> DataFrame:
+    """Corpus-wide exact LINE deduplication — the boilerplate-removal
+    stage of RefinedWeb-style pipelines (Penedo et al. 2023,
+    arXiv:2306.01116 §3: exact duplicated lines — headers, nav bars,
+    cookie banners — are excised line-wise across the corpus). A line
+    whose exact text occurs ``min_count``+ times is removed from every
+    document except (``keep_first_occurrence``) its lowest
+    ``(doc_id, pos)`` copy. Lines whose trimmed length is under
+    ``min_line_chars`` are EXEMPT — blank/short lines are document
+    structure, not boilerplate, and would otherwise all collide.
+
+    Third unit granularity on the shared span engine (tokens = Lee et
+    al. ExactSubstr, sentences = C4, lines = RefinedWeb): split on
+    ``\\n``, window 1, newline re-join — reconstruction is byte-exact,
+    so surviving lines keep their formatting. Returns rewritten
+    ``text``, ``n_lines``, ``removed_lines``, ``n_spans`` (merged runs
+    of adjacent removed lines)."""
+    return _excise_duplicate_window_spans(
+        docs,
+        units=F.split(F.col(text_col), "\n"),
+        window=1,
+        hash_fn=hash_fn,
+        min_count=min_count,
+        keep_first_occurrence=keep_first_occurrence,
+        min_span_units=0,
+        join_sep="\n",
+        id_col=id_col,
+        n_units_name="n_lines",
+        removed_name="removed_lines",
+        unit_filter=lambda u: F.length(F.trim(u)) >= min_line_chars,
     )
 
 
@@ -713,6 +765,91 @@ def text_c4_sentence_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("rewritten_fp"),
         "n_sentences",
         "removed_sentences",
+        "n_spans",
+    )
+
+
+# Line boundaries derived content-anchored like the C4 gate's sentences
+# (the synthetic corpus is single-line): identical substrings across docs
+# yield identical line sequences, so the planted duplicate spans produce
+# real cross-document duplicate lines. Short lines (< 8 trimmed chars)
+# are exempt in both engines.
+_LINE_DEDUP_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, replace(text, ' row ', chr(10) || 'row ') AS txt FROM documents
+),
+s AS (SELECT doc_id, regexp_split_to_array(txt, '\n') AS lines FROM t),
+u AS (
+  SELECT doc_id, i AS pos, lines[i] AS line
+  FROM s, UNNEST(generate_series(1, len(lines))) AS g(i)
+),
+wins AS (
+  SELECT doc_id, pos, md5(line) AS h FROM u WHERE length(trim(line)) >= 8
+),
+dup_h AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+marked AS (
+  SELECT doc_id, pos FROM (
+    SELECT w.doc_id, w.pos,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY w.doc_id, w.pos) AS rn
+    FROM wins w JOIN dup_h USING (h)
+  ) WHERE rn > 1
+),
+flag AS (
+  SELECT doc_id, pos AS st, pos AS e,
+         CASE WHEN pos > COALESCE(MAX(pos) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+         THEN 1 ELSE 0 END AS ng
+  FROM marked
+),
+grp AS (SELECT doc_id, st, e, SUM(ng) OVER (PARTITION BY doc_id ORDER BY st) AS g FROM flag),
+merged AS (SELECT doc_id, g, MIN(st) AS st, MAX(e) AS e FROM grp GROUP BY doc_id, g),
+audit AS (
+  SELECT doc_id, SUM(e - st + 1) AS removed_lines, COUNT(*) AS n_spans
+  FROM merged GROUP BY doc_id
+),
+kept AS (
+  SELECT un.doc_id, un.i, un.line FROM (
+    SELECT doc_id, i, lines[i] AS line
+    FROM s, UNNEST(generate_series(1, len(lines))) AS g(i)
+  ) un
+  WHERE NOT EXISTS (
+    SELECT 1 FROM marked m WHERE m.doc_id = un.doc_id AND m.pos = un.i)
+),
+rew AS (
+  SELECT doc_id, COALESCE(string_agg(line, chr(10) ORDER BY i), '') AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       md5(COALESCE(r.text, '')) AS rewritten_fp,
+       CAST(len(regexp_split_to_array(replace(d.text, ' row ', chr(10) || 'row '), '\n')) AS BIGINT) AS n_lines,
+       CAST(COALESCE(a.removed_lines, 0) AS BIGINT) AS removed_lines,
+       CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans
+FROM documents d
+LEFT JOIN audit a USING (doc_id)
+LEFT JOIN rew r ON d.doc_id = r.doc_id
+"""
+
+
+@_register("text_line_dedup", _LINE_DEDUP_ORACLE)
+def text_line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-policy exact line dedup: derive deterministic line
+    boundaries, excise every >=8-char line occurring twice corpus-wide
+    except its first copy, certify the byte-exact rewrite fingerprint
+    plus the removal audit."""
+    docs = load(spark, sf_dir, "documents")
+    derived = docs.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" row "), F.lit("\nrow ")).alias("text"),
+    )
+    out = remove_duplicate_lines(
+        derived, hash_fn="md5", min_line_chars=8, keep_first_occurrence=True
+    )
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("rewritten_fp"),
+        "n_lines",
+        "removed_lines",
         "n_spans",
     )
 
