@@ -1,7 +1,7 @@
 """Training-corpus preparation pipeline, end to end.
 
 The LLM-data shape this engine is built for: raw documents → PII scrub →
-quality + language filter → exact dedup → near-dup clustering →
+exact-substring span removal (Lee et al. 2022) → quality + language filter → exact dedup → near-dup clustering →
 canonical doc selection → benchmark decontamination → per-source
 stratified cap → context-window chunking → deterministic train/val/test
 split → partitioned parquet, all as declarative Spark plans (the only
@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from xarray_beam_spark.functions.text import scrub_pii
+from xarray_beam_spark.functions.text import remove_duplicate_spans, scrub_pii
 from xarray_beam_spark.operators.corpus import (
     clean_corpus,
     decontaminate,
@@ -51,6 +51,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out: str = "/tmp/corpus_out") -
     # 0. PII scrub — a narrow JVM regexp stage Catalyst fuses into the
     # same scan pass as the quality filter below
     docs = docs.withColumn("text", scrub_pii(F.col("text")))
+
+    # 0b. exact-substring span removal (Lee et al. 2022 ExactSubstr
+    # rewrite): excise corpus-wide duplicated 8-token spans of >= 16
+    # merged tokens, keeping the first copy — run BEFORE the quality
+    # filter so stats are computed on the deduplicated text
+    rewritten = remove_duplicate_spans(
+        docs, window=8, keep_first_occurrence=True, min_span_tokens=16
+    )
+    n_span_tokens = rewritten.agg(F.sum("removed_tokens")).collect()[0][0] or 0
+    docs = docs.drop("text").join(
+        rewritten.select("doc_id", "text"), on="doc_id"
+    )
 
     # 1. quality + language + exact-dedup funnel (one fused scan)
     kept = clean_corpus(docs.select("doc_id", "source", "text"), min_tokens=10, max_tokens=500)
@@ -90,7 +102,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out: str = "/tmp/corpus_out") -
     back = spark.read.parquet(out)
     per_split = {r["split"]: r["n"] for r in back.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
     print(
-        f"corpus pipeline: raw={n_raw} clean={n_clean} after near-dup={n_canon} "
+        f"corpus pipeline: raw={n_raw} span_tokens_removed={n_span_tokens} "
+        f"clean={n_clean} after near-dup={n_canon} "
         f"after decontam+cap={n_final} "
         f"windows={sum(per_split.values())} splits={per_split}"
     )
