@@ -641,3 +641,30 @@ class TestLineDedup:
         # the duplicated blank line is exempt structure in both docs
         assert got[1]["removed_lines"] == 0 and got[2]["removed_lines"] == 0
         assert got[1]["text"] == "paragraph one here\n\nparagraph two here"
+
+
+class TestSentenceSplitProperty:
+    @settings(max_examples=10, deadline=None)
+    @given(data=st.data())
+    def test_random_text_reconstructs_exactly(self, spark, data):
+        """Segmentation totality: for ANY text built from word chars,
+        punctuation runs, and whitespace (incl. leading punctuation and
+        no terminal punctuation), concatenating the sentence array must
+        reproduce the input byte for byte."""
+        from xarray_beam_spark.functions.text import split_sentences
+
+        pieces = []
+        for _ in range(data.draw(st.integers(0, 12), label="n_pieces")):
+            kind = data.draw(st.sampled_from(["word", "punct", "space"]))
+            if kind == "word":
+                pieces.append(data.draw(st.text("abcXYZ09,;-", min_size=1, max_size=6)))
+            elif kind == "punct":
+                pieces.append(data.draw(st.text(".!?", min_size=1, max_size=3)))
+            else:
+                pieces.append(data.draw(st.text(" \t\n", min_size=1, max_size=3)))
+        text = "".join(pieces)
+        df = spark.createDataFrame([(text,)], "text string")
+        got = df.select(
+            F.array_join(split_sentences(F.col("text")), "").alias("re")
+        ).first()["re"]
+        assert got == text, repr(text)
