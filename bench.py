@@ -2,6 +2,14 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {"q1": sec, ...}, "sf": ...}
+
+Sidecar convention: every run also rewrites ``bench_full.json`` with the
+complete per-query record. The CANONICAL committed record is the
+builder's quiet-host run taken after the round's last gate lands; the
+driver's own post-commit rerun (often on a loaded host) is reference
+output in BENCH_r{N}.json only — if it leaves ``bench_full.json``
+modified in the working tree, discard that diff rather than committing
+it over the quiet-host record.
 """
 
 from __future__ import annotations

@@ -117,6 +117,32 @@ def test_loud_failures():
         encode_bmp(np.zeros((5, 0, 3), np.uint8))
 
 
+def test_data_offset_inside_metadata_rejected():
+    # A data_offset pointing into the header/palette region must not
+    # silently decode metadata bytes as pixels (ADVICE r10).
+    gray = encode_bmp(np.zeros((2, 2), np.uint8))
+    bad = bytearray(gray)
+    struct.pack_into("<I", bad, 10, 14)  # file-header size only
+    with pytest.raises(ValueError, match="data offset"):
+        decode_bmp(bytes(bad))
+    rgb = encode_bmp(np.zeros((2, 2, 3), np.uint8))
+    bad = bytearray(rgb)
+    struct.pack_into("<I", bad, 10, 40)  # inside the info header
+    with pytest.raises(ValueError, match="data offset"):
+        decode_bmp(bytes(bad))
+
+
+def test_wide_image_strides():
+    # Wide rows exercise the vectorized pad-to-stride row assembly on
+    # every padding remainder at realistic widths (encoder rewrite r11).
+    rng = np.random.default_rng(7)
+    for w in (509, 510, 511, 512):
+        gray = rng.integers(0, 256, size=(3, w), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_bmp(encode_bmp(gray)), gray)
+        rgb = rng.integers(0, 256, size=(2, w, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_bmp(encode_bmp(rgb)), rgb)
+
+
 def test_decode_image_dispatch():
     from xarray_beam_spark.operators.multimodal import decode_image
 

@@ -598,3 +598,196 @@ def test_chunk_bounds_overlap_minus_one_and_invalid():
         list(core.chunk_bounds_overlap(0, 4, 0))
     with pytest.raises(ValueError):
         list(core.chunk_bounds_overlap(0, 4, -2))
+
+
+@pytest.mark.parametrize(
+    "start,stop,multiple,expected",
+    [
+        # the reference's exact _split_chunk_bounds table
+        # (rechunk_test.py:456-471)
+        (0, 20, -1, [(0, 20)]),
+        (0, 20, 20, [(0, 20)]),
+        (0, 20, 100, [(0, 20)]),
+        (0, 20, 10, [(0, 10), (10, 20)]),
+        (0, 20, 15, [(0, 15), (15, 20)]),
+        (0, 10, 3, [(0, 3), (3, 6), (6, 9), (9, 10)]),
+        (5, 10, 3, [(5, 6), (6, 9), (9, 10)]),
+        (10, 20, 12, [(10, 12), (12, 20)]),
+        (10, 20, 100, [(10, 20)]),
+    ],
+)
+def test_split_chunk_bounds_reference_table(start, stop, multiple, expected):
+    got = [(lo, hi) for _grid, lo, hi in core.chunk_bounds_overlap(start, stop, multiple)]
+    assert got == expected
+
+
+class TestReferenceRechunkErrorPaths:
+    """The reference's consolidate/split error- and edge-path tests
+    (rechunk_test.py:287-651) ported against the exported free functions.
+    The r9 split_chunks(-1) bug showed the free-function surface can
+    drift from the method surface unless the reference's edge cases ride
+    along with each export (VERDICT r10 task 7)."""
+
+    @staticmethod
+    def _nd(**vars_):
+        from xarray_beam_spark.ndarray_ds import NDDataset
+
+        return NDDataset(vars_)
+
+    def test_consolidate_chunks_not_fully_shared_dims(self):
+        # rechunk_test.py:287 — var groups on disjoint dims consolidate
+        # independently; coverage validation is per (vars, dim)
+        from xarray_beam_spark import Key, consolidate_chunks
+
+        out = list(
+            consolidate_chunks(
+                [
+                    (Key.make({"x": 0}, {"foo"}), self._nd(foo=(("x",), np.arange(0, 5)))),
+                    (Key.make({"x": 5}, {"foo"}), self._nd(foo=(("x",), np.arange(5, 10)))),
+                    (Key.make({"y": 0}, {"bar"}), self._nd(bar=(("y",), np.arange(0, 5)))),
+                ]
+            )
+        )
+        got = {tuple(sorted(k.vars)): (k.offsets_dict, ds) for k, ds in out}
+        assert set(got) == {("foo",), ("bar",)}
+        np.testing.assert_array_equal(
+            got[("foo",)][1].data_vars["foo"].values, np.arange(10)
+        )
+        assert got[("bar",)][0] == {"y": 0}
+
+    def test_consolidate_with_unchunked_vars(self):
+        # rechunk_test.py:332 — 0-d vars consistent across chunks ride
+        # along; INCONSISTENT ones must raise, never keep-first silently
+        from xarray_beam_spark import Key, consolidate_chunks
+
+        a = self._nd(foo=(("x",), np.arange(0, 10)), bar=((), 1))
+        b = self._nd(foo=(("x",), np.arange(10, 20)), bar=((), 1))
+        ((key, merged),) = list(
+            consolidate_chunks([(Key.make({"x": 0}), a), (Key.make({"x": 10}), b)])
+        )
+        assert merged.data_vars["bar"].values == 1
+        assert merged.sizes == {"x": 20}
+        b2 = self._nd(foo=(("x",), np.arange(10, 20)), bar=((), 2))
+        with pytest.raises(ValueError, match="lacks that dim but differs"):
+            list(
+                consolidate_chunks([(Key.make({"x": 0}), a), (Key.make({"x": 10}), b2)])
+            )
+
+    def test_consolidate_variables_merge_fails(self):
+        # rechunk_test.py:435 — same offsets, incompatible dim lengths
+        from xarray_beam_spark import Key, consolidate_variables
+
+        with pytest.raises(ValueError, match="conflicting size for dim 'x'"):
+            list(
+                consolidate_variables(
+                    [
+                        (Key.make({"x": 0}, {"foo"}), self._nd(foo=(("x",), [1, 2]))),
+                        (Key.make({"x": 0}, {"bar"}), self._nd(bar=(("x",), [3, 4, 5]))),
+                    ]
+                )
+            )
+
+    def test_consolidate_fully_overlapping_variables(self):
+        # rechunk_test.py:519 — overlapping var names across groups fail
+        # in the final merge
+        from xarray_beam_spark import Key, consolidate_fully
+
+        with pytest.raises(ValueError, match="merge conflict on variable 'foo'"):
+            consolidate_fully(
+                [
+                    (Key.make({"x": 0}, {"foo"}), self._nd(foo=(("x",), np.arange(0, 5)))),
+                    (
+                        Key.make({"x": 0}, {"foo", "bar"}),
+                        self._nd(
+                            foo=(("x",), np.arange(5, 10)),
+                            bar=(("x",), np.arange(0, 5)),
+                        ),
+                    ),
+                ]
+            )
+
+    def test_consolidate_fully_missing_chunks(self):
+        # rechunk_test.py:564
+        from xarray_beam_spark import Key, consolidate_fully
+
+        with pytest.raises(ValueError, match="some expected chunks are missing"):
+            consolidate_fully(
+                [
+                    (Key.make({"x": 5}, {"foo"}), self._nd(foo=(("x",), np.arange(5, 10)))),
+                    (
+                        Key.make({"x": 0}, {"bar", "baz"}),
+                        self._nd(
+                            bar=(("x",), np.arange(0, 5)),
+                            baz=(("x",), np.arange(0, 5)),
+                        ),
+                    ),
+                ]
+            )
+
+    def test_consolidate_fully_not_fully_shared_dims(self):
+        # rechunk_test.py:538 and :580 — disjoint-dim var groups and
+        # unset-vars keys both consolidate into one merged pair
+        from xarray_beam_spark import Key, consolidate_fully
+
+        foo0 = self._nd(foo=(("x",), np.arange(0, 5)))
+        foo1 = self._nd(foo=(("x",), np.arange(5, 10)))
+        bar = self._nd(bar=(("y",), np.arange(0, 2)))
+        for foo_vars in ({"foo"}, None):  # explicit vars and unset-vars keys
+            key, merged = consolidate_fully(
+                [
+                    (Key.make({"x": 0}, foo_vars), foo0),
+                    (Key.make({"x": 5}, foo_vars), foo1),
+                    (Key.make({"y": 2}, {"bar"}), bar),
+                ]
+            )
+            assert key.offsets_dict == {"x": 0, "y": 2}
+            assert key.vars == frozenset({"foo", "bar"})
+            np.testing.assert_array_equal(
+                merged.data_vars["foo"].values, np.arange(10)
+            )
+            assert merged.sizes == {"x": 10, "y": 2}
+
+    def test_in_memory_rechunk_reference_success(self):
+        # rechunk_test.py:600 — exact expected chunks, non-zero origin
+        from xarray_beam_spark import Key, in_memory_rechunk
+
+        inputs = [
+            (Key.make({"x": 100, "y": 300}), self._nd(foo=(("x", "y"), np.array([[1, 2, 3]])))),
+            (Key.make({"x": 101, "y": 300}), self._nd(foo=(("x", "y"), np.array([[4, 5, 6]])))),
+        ]
+        got = list(in_memory_rechunk(inputs, {"x": 2, "y": 1}))
+        expected = [
+            ({"x": 100, "y": 300}, np.array([[1], [4]])),
+            ({"x": 100, "y": 301}, np.array([[2], [5]])),
+            ({"x": 100, "y": 302}, np.array([[3], [6]])),
+        ]
+        assert len(got) == 3
+        for (off, ds), (eoff, evals) in zip(sorted(got, key=lambda p: sorted(p[0].items())), expected):
+            assert off == eoff
+            np.testing.assert_array_equal(ds.data_vars["foo"].values, evals)
+
+    def test_in_memory_rechunk_not_unique_and_missing(self):
+        # rechunk_test.py:629 and :639
+        from xarray_beam_spark import Key, in_memory_rechunk
+
+        zeros = self._nd(foo=(("x",), [0]))
+        with pytest.raises(ValueError, match="share the same offsets"):
+            list(
+                in_memory_rechunk(
+                    [(Key.make({"x": 0}), zeros), (Key.make({"x": 0}), zeros)],
+                    {"x": 2},
+                )
+            )
+        one = self._nd(foo=(("x", "y"), [[0]]))
+        # diagonal gap: reference raises "some expected chunks are
+        # missing"; ours detects the same failure as a tiling gap
+        with pytest.raises(ValueError, match="do not tile their bounding box"):
+            list(
+                in_memory_rechunk(
+                    [
+                        (Key.make({"x": 0, "y": 0}), one),
+                        (Key.make({"x": 1, "y": 1}), one),
+                    ],
+                    {"x": 2, "y": 2},
+                )
+            )

@@ -286,6 +286,17 @@ class NDDataset:
                     var.dims, np.concatenate([d.data_vars[name].values for d in datasets], axis=ax)
                 )
             else:
+                # carrying the first copy forward silently would hide a
+                # wrong answer when chunks disagree (reference parity:
+                # xarray-beam's combine raises on inconsistent unchunked
+                # variables, rechunk_test.py:332-371)
+                for d in datasets[1:]:
+                    if not _var_equal(var, d.data_vars[name]):
+                        raise ValueError(
+                            f"combining chunks along {dim!r} failed: "
+                            f"variable {name!r} lacks that dim but differs "
+                            "between chunks"
+                        )
                 out_vars[name] = var
         out_coords: dict[str, Variable] = {}
         for name, var in first.coords.items():
@@ -295,6 +306,13 @@ class NDDataset:
                     var.dims, np.concatenate([d.coords[name].values for d in datasets], axis=ax)
                 )
             else:
+                for d in datasets[1:]:
+                    if not _var_equal(var, d.coords[name]):
+                        raise ValueError(
+                            f"combining chunks along {dim!r} failed: "
+                            f"coord {name!r} lacks that dim but differs "
+                            "between chunks"
+                        )
                 out_coords[name] = var
         return NDDataset(out_vars, out_coords, first.attrs)
 

@@ -733,6 +733,7 @@ WITH px AS (
          list_transform(range(1, 257),
            i -> CAST(ascii(substr(text, CAST(((i - 1) % length(text)) + 1 AS INT), 1)) AS DOUBLE)) AS b
   FROM documents
+  WHERE strlen(text) > 0 AND strlen(text) = length(text)
 ), m AS (
   SELECT asset_id, b, list_sum(b) / 256.0 AS mean_px FROM px
 )
@@ -752,6 +753,14 @@ def multimodal_bmp_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 256 pixel bytes exactly in SQL (lossless codec — no structural
     constraints needed, unlike the constant-block JPEG family)."""
     docs = load(spark, sf_dir, "documents")
+    # The oracle tiles CHARACTERS (ascii(substr(..))) while the asset
+    # builder tiles UTF-8 BYTES, and its %-tiling breaks on empty text —
+    # restrict BOTH sides to non-empty pure-ASCII documents (a no-op on
+    # the synthetic corpus, but the gate no longer leans on that).
+    docs = docs.where(
+        (F.octet_length("text") > 0)
+        & (F.octet_length("text") == F.length("text"))
+    )
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     assets = documents_as_bmp_assets(docs)
     feats = extract_features(assets, decoder=decode_image)

@@ -1305,6 +1305,17 @@ def ann_ivf_persisted_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whose tables this catalog does not know) would otherwise fail
     # saveAsTable with LOCATION_ALREADY_EXISTS.
     db = "xbs_ivf_gate"
+    if spark.catalog.databaseExists(db):
+        # A persistent metastore can hand back a database whose mkdtemp
+        # LOCATION belonged to an earlier process and may have been
+        # purged — build_ivf_index would then write into a dangling
+        # path. Recreate unless the recorded location still exists.
+        loc = spark.sql(f"DESCRIBE DATABASE {db}").where(
+            F.col("info_name") == "Location"
+        ).collect()[0]["info_value"]
+        if not os.path.isdir(re.sub(r"^file:", "", loc)):
+            spark.sql(f"DROP DATABASE {db} CASCADE")
+            _IVF_GATE_INDEX_CACHE.clear()
     if not spark.catalog.databaseExists(db):  # mkdtemp only on first use
         spark.sql(
             f"CREATE DATABASE {db} LOCATION "

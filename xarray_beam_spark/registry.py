@@ -218,6 +218,29 @@ _LAST_CERTIFIED_ROUND: dict[str, int] = {
         "xb_zarr_append_roundtrip", "xb_zarr_blosc_roundtrip",
         "xb_zarr_delta_filter_roundtrip",
     ], 9),
+    # round 10 (freshest; from CORRECTNESS_r10.json — overrides earlier tiers)
+    **dict.fromkeys([
+        "ann_ivf_persisted_topk", "ann_ivf_topk", "ann_ivfpq_topk",
+        "ann_lsh_topk", "churned_customers_except", "corpus_pack_sequences",
+        "events_cube_counts", "events_json_props", "events_lag_rank",
+        "events_median_value_by_type", "events_pivot_types",
+        "events_range_window_hour", "events_rollup_totals",
+        "events_sessionize_batch", "multimodal_bmp_features",
+        "q11_important_stock", "q12_priority_lines",
+        "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
+        "q16_supplier_diversity", "q17_small_quantity", "q18_large_volume",
+        "q19_discounted_revenue", "q1_pricing_summary",
+        "q20_excess_suppliers", "q21_sole_returned_supplier",
+        "q22_sales_opportunity", "q2_min_cost_supplier", "q7_volume_shipping",
+        "q8_market_share", "q9_nation_profit", "text_c4_sentence_dedup",
+        "text_line_dedup", "text_remove_dup_spans_keepfirst",
+        "text_tfidf_topterms", "xb_grid_climatology_dow",
+        "xb_grid_fillna_dense", "xb_grid_head", "xb_grid_max_day",
+        "xb_grid_mean_hour", "xb_grid_median_hour", "xb_grid_roundtrip",
+        "xb_grid_split_consolidate", "xb_grid_splitvars_roundtrip",
+        "xb_grid_std_day", "xb_grid_sum_hour", "xb_grid_tail",
+        "xb_zarr_roundtrip", "xb_zarr_v3_sharded_roundtrip",
+    ], 10),
     # no-oracle gates: pinned by pytest, demoted to the registry tail so
     # they never displace hash-certifiable queries from the driver's
     # ~50-slot sweep (VERDICT r6 "Missing #2").

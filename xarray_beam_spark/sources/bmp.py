@@ -50,20 +50,17 @@ def encode_bmp(img: np.ndarray) -> bytes:
         for v in range(256):
             palette += bytes((v, v, v, 0))  # BGRX grayscale ramp
         stride = _row_stride(w, bpp)
-        rows = bytearray()
-        pad = bytes(stride - w)
-        for y in range(h - 1, -1, -1):  # bottom-up
-            rows += img[y].tobytes() + pad
+        padded = np.zeros((h, stride), np.uint8)
+        padded[:, :w] = img
+        rows = padded[::-1].tobytes()  # bottom-up
     elif img.ndim == 3 and img.shape[2] == 3:
         h, w = img.shape[:2]
         bpp = 24
         palette = bytearray()
         stride = _row_stride(w, bpp)
-        bgr = img[:, :, ::-1]  # RGB -> BGR
-        pad = bytes(stride - w * 3)
-        rows = bytearray()
-        for y in range(h - 1, -1, -1):
-            rows += bgr[y].tobytes() + pad
+        padded = np.zeros((h, stride), np.uint8)
+        padded[:, : w * 3] = img[:, :, ::-1].reshape(h, w * 3)  # RGB -> BGR
+        rows = padded[::-1].tobytes()
     else:
         raise ValueError(f"BMP encoder takes (H,W) or (H,W,3), got {img.shape}")
     data_offset = _FILE_HEADER.size + _INFO_HEADER.size + len(palette)
@@ -108,6 +105,14 @@ def decode_bmp(blob: bytes) -> np.ndarray:
         raise ValueError(f"truncated BMP: need {need} bytes, have {len(blob)}")
 
     palette = None
+    palette_bytes = (ncolors or (1 << bpp)) * 4 if bpp <= 8 else ncolors * 4
+    if data_offset < _FILE_HEADER.size + hsize + palette_bytes:
+        # A data_offset inside the header/palette region would silently
+        # decode metadata bytes as pixel rows — fail loudly instead.
+        raise ValueError(
+            f"bad BMP data offset {data_offset}: pixel data cannot start "
+            f"before byte {_FILE_HEADER.size + hsize + palette_bytes}"
+        )
     if bpp <= 8:
         n = ncolors or (1 << bpp)
         poff = _FILE_HEADER.size + hsize
