@@ -668,3 +668,114 @@ class TestSentenceSplitProperty:
             F.array_join(split_sentences(F.col("text")), "").alias("re")
         ).first()["re"]
         assert got == text, repr(text)
+
+
+class TestRemoveDuplicateCharSpans:
+    """Char-granularity ExactSubstr (Lee et al. 2022 index bytes, not
+    tokens): brute-force parity, boundary-straddling duplicates the
+    token mode cannot see, and byte-exact reconstruction."""
+
+    @staticmethod
+    def _brute_force_chars(rows, window, min_count=2, min_span=0, keep_first=True):
+        from collections import defaultdict
+
+        # mirror split(text, '') in both engines: '' -> ['']
+        docs = {i: (list(t) if t else [""]) for i, t in rows}
+        occ = defaultdict(list)
+        for i in sorted(docs):
+            cs = docs[i]
+            for p in range(len(cs) - window + 1):
+                occ["".join(cs[p : p + window])].append((i, p))
+        out = {}
+        for i, cs in docs.items():
+            marked = [False] * len(cs)
+            for key, places in occ.items():
+                if len(places) < min_count:
+                    continue
+                skip = min(places) if keep_first else None
+                for d, p in places:
+                    if d != i or (keep_first and (d, p) == skip):
+                        continue
+                    for j in range(p, p + window):
+                        marked[j] = True
+            spans, s = [], None
+            for k, r in enumerate(marked + [False]):
+                if r and s is None:
+                    s = k
+                elif not r and s is not None:
+                    spans.append((s, k - 1))
+                    s = None
+            spans = [sp for sp in spans if sp[1] - sp[0] + 1 >= min_span]
+            rem = [False] * len(cs)
+            for s0, e0 in spans:
+                for j in range(s0, e0 + 1):
+                    rem[j] = True
+            out[i] = (
+                "".join(c for c, r in zip(cs, rem) if not r),
+                len(cs),
+                sum(rem),
+                len(spans),
+            )
+        return out
+
+    @staticmethod
+    def _run(spark, rows, **kw):
+        from xarray_beam_spark.functions.text import remove_duplicate_char_spans
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["doc_id"]: (r["text"], r["n_chars"], r["removed_chars"], r["n_spans"])
+            for r in remove_duplicate_char_spans(df, **kw).collect()
+        }
+
+    def test_catches_boundary_straddling_duplicate(self, spark):
+        from xarray_beam_spark.functions.text import remove_duplicate_spans
+
+        # the duplicate lives INSIDE single whitespace tokens (no-space
+        # script / URL-ish): invisible to any token window >= 2
+        dup = "quick.brown,fox;jumps!over"
+        rows = [
+            (1, "aaa bbb x" + dup + "y ccc ddd"),
+            (2, "eee z" + dup + "w fff ggg hhh"),
+        ]
+        got = self._run(spark, rows, window=len(dup), keep_first_occurrence=True)
+        assert got == self._brute_force_chars(rows, window=len(dup))
+        assert got[1][2] == 0  # first copy kept
+        assert got[2][2] == len(dup)
+        assert dup not in got[2][0]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        token_mode = {
+            r["doc_id"]: r["removed_tokens"]
+            for r in remove_duplicate_spans(df, window=2).collect()
+        }
+        assert token_mode == {1: 0, 2: 0}  # token windows never collide
+
+    def test_reconstruction_byte_exact_when_nothing_removed(self, spark):
+        rows = [(1, "entirely unique text one"), (2, "and another different doc")]
+        got = self._run(spark, rows, window=10)
+        for i, text in rows:
+            assert got[i][0] == text
+
+    @settings(max_examples=10, deadline=None)
+    @given(data=st.data())
+    def test_random_corpora_match_brute_force(self, spark, data):
+        n_docs = data.draw(st.integers(2, 4))
+        rows = []
+        for i in range(n_docs):
+            rows.append(
+                (i, data.draw(st.text("ab .", max_size=14), label=f"text_{i}"))
+            )
+        window = data.draw(st.integers(2, 4), label="window")
+        keep_first = data.draw(st.booleans(), label="keep_first")
+        min_span = data.draw(st.sampled_from([0, window + 1]), label="min_span")
+        got = self._run(
+            spark,
+            rows,
+            window=window,
+            keep_first_occurrence=keep_first,
+            min_span_chars=min_span,
+        )
+        want = self._brute_force_chars(
+            rows, window=window, keep_first=keep_first, min_span=min_span
+        )
+        assert got == want

@@ -398,8 +398,11 @@ def doc_vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no terminal punct) | (bare punct run)), so concatenating the matches
 # reproduces the input byte for byte — the splice below can remove
 # sentence spans WITHOUT re-normalizing the survivors' formatting. No
-# lookarounds, so the Java (Spark) and RE2 (DuckDB) dialects agree.
-SENTENCE_PATTERN = r"[^.!?]+[.!?]+\s*|[^.!?]+$|[.!?]+\s*"
+# lookarounds, and the whitespace class is spelled explicitly as
+# [ \t\n\f\r] rather than \s because the dialects disagree on \s: Java's
+# includes vertical tab (\x0B) while RE2's does not, so \s would segment
+# a "...!\x0Bnext" document differently in Spark vs the DuckDB oracle.
+SENTENCE_PATTERN = r"[^.!?]+[.!?]+[ \t\n\f\r]*|[^.!?]+$|[.!?]+[ \t\n\f\r]*"
 
 
 def split_sentences(text: Column) -> Column:
@@ -627,6 +630,56 @@ def remove_duplicate_lines(
     )
 
 
+def remove_duplicate_char_spans(
+    docs: DataFrame,
+    window: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    min_count: int = 2,
+    min_span_chars: int = 0,
+    keep_first_occurrence: bool = True,
+) -> DataFrame:
+    """Exact-substring span removal at CHARACTER granularity — the unit
+    Lee et al. 2022 actually operate at (their suffix array indexes
+    bytes, not whitespace tokens), so duplicated substrings that straddle
+    token boundaries — punctuation variants, no-space scripts — are
+    caught here where the token-window mode (``remove_duplicate_spans``)
+    is blind to them. Every ``window``-character sliding substring
+    occurring ``min_count``+ times corpus-wide marks its characters;
+    marked windows merge into maximal intervals (optionally floored at
+    ``min_span_chars``) and are spliced out of every copy except —
+    with ``keep_first_occurrence`` — the lowest ``(doc_id, pos)`` one.
+    Units are single characters joined verbatim (``join_sep=""``), so
+    reconstruction is byte-exact like the sentence/line modes.
+
+    Fourth unit granularity of the shared engine (tokens / sentences /
+    lines / chars). Scale shape is the same one-explode pipeline, but at
+    one row per CHARACTER — ~5x the token mode's row count, the honest
+    cost of byte-level exactness without a distributed suffix array
+    (the paper's suffix array is likewise O(bytes)). At very large
+    corpora prefer the token/sentence modes unless boundary-straddling
+    duplicates matter, or raise ``window`` to shrink the duplicate set
+    (candidate hashing stays O(chars) regardless).
+
+    Returns rewritten ``text``, ``n_chars`` (note: the empty document
+    splits to one empty unit in both Spark and DuckDB, so its n_chars
+    is 1), ``removed_chars``, ``n_spans``."""
+    return _excise_duplicate_window_spans(
+        docs,
+        units=F.split(F.col(text_col), ""),
+        window=window,
+        hash_fn=hash_fn,
+        min_count=min_count,
+        keep_first_occurrence=keep_first_occurrence,
+        min_span_units=min_span_chars,
+        join_sep="",  # verbatim char re-join: byte-exact reconstruction
+        id_col=id_col,
+        n_units_name="n_chars",
+        removed_name="removed_chars",
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 5,
@@ -692,7 +745,7 @@ WITH t AS (
 ),
 s AS (
   SELECT doc_id,
-         regexp_extract_all(txt, '[^.!?]+[.!?]+\s*|[^.!?]+$|[.!?]+\s*') AS sents
+         regexp_extract_all(txt, '[^.!?]+[.!?]+[ \t\n\f\r]*|[^.!?]+$|[.!?]+[ \t\n\f\r]*') AS sents
   FROM t
 ),
 wins AS (
@@ -733,7 +786,7 @@ rew AS (SELECT doc_id, COALESCE(string_agg(sent, '' ORDER BY i), '') AS text FRO
 SELECT d.doc_id,
        md5(COALESCE(r.text, '')) AS rewritten_fp,
        CAST(len(regexp_extract_all(replace(d.text, ' table ', '. table '),
-                 '[^.!?]+[.!?]+\s*|[^.!?]+$|[.!?]+\s*')) AS BIGINT) AS n_sentences,
+                 '[^.!?]+[.!?]+[ \t\n\f\r]*|[^.!?]+$|[.!?]+[ \t\n\f\r]*')) AS BIGINT) AS n_sentences,
        CAST(COALESCE(a.removed_sentences, 0) AS BIGINT) AS removed_sentences,
        CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans
 FROM documents d
@@ -1308,6 +1361,81 @@ def text_remove_dup_spans_keepfirst_q(spark: SparkSession, sf_dir: str) -> DataF
         F.md5("text").alias("rewritten_fp"),
         "n_tokens",
         "removed_tokens",
+        "n_spans",
+    )
+
+
+# Character-granularity variant: windows are substr(text, i, 20) — the
+# per-char unit array joined verbatim — so the oracle can hash substr
+# directly; splice/rewrite walk the per-char list. n_chars mirrors
+# Spark's split(text, '') exactly (the empty document yields [''] in
+# BOTH engines, hence n_chars 1).
+_REMOVE_DUP_SPANS_CHARS_ORACLE = r"""
+WITH wins AS (
+  SELECT doc_id, i AS pos, md5(substr(text, CAST(i AS INT), 20)) AS h
+  FROM documents, UNNEST(generate_series(1, length(text) - 19)) AS u(i)
+),
+dup_h AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+dpos AS (
+  SELECT doc_id, pos FROM (
+    SELECT w.doc_id, w.pos, ROW_NUMBER() OVER (PARTITION BY h ORDER BY w.doc_id, w.pos) AS rn
+    FROM wins w JOIN dup_h USING (h)
+  ) WHERE rn > 1
+),
+iv AS (SELECT doc_id, pos AS s, pos + 19 AS e FROM dpos),
+flag AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+             PARTITION BY doc_id ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+         THEN 1 ELSE 0 END AS ng
+  FROM iv
+),
+grp AS (SELECT doc_id, s, e, SUM(ng) OVER (PARTITION BY doc_id ORDER BY s) AS g FROM flag),
+merged AS (SELECT doc_id, g, MIN(s) AS s, MAX(e) AS e FROM grp GROUP BY doc_id, g),
+audit AS (
+  SELECT doc_id, SUM(e - s + 1) AS removed_chars, COUNT(*) AS n_spans
+  FROM merged GROUP BY doc_id
+),
+chars AS (
+  SELECT doc_id, i, c FROM (
+    SELECT doc_id, UNNEST(regexp_split_to_array(text, '')) AS c,
+           UNNEST(generate_series(1, len(regexp_split_to_array(text, '')))) AS i
+    FROM documents
+  )
+),
+kept AS (
+  SELECT ch.doc_id, ch.i, ch.c FROM chars ch
+  WHERE NOT EXISTS (
+    SELECT 1 FROM merged m WHERE m.doc_id = ch.doc_id AND ch.i BETWEEN m.s AND m.e)
+),
+rew AS (SELECT doc_id, COALESCE(string_agg(c, '' ORDER BY i), '') AS text FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       md5(COALESCE(r.text, '')) AS rewritten_fp,
+       CAST(len(regexp_split_to_array(d.text, '')) AS BIGINT) AS n_chars,
+       CAST(COALESCE(a.removed_chars, 0) AS BIGINT) AS removed_chars,
+       CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans
+FROM documents d
+LEFT JOIN audit a USING (doc_id)
+LEFT JOIN rew r ON d.doc_id = r.doc_id
+"""
+
+
+@_register("text_remove_dup_spans_chars", _REMOVE_DUP_SPANS_CHARS_ORACLE)
+def text_remove_dup_spans_chars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte/char-level ExactSubstr (Lee et al. 2022 operate on suffix
+    positions, not tokens): every duplicated 20-character window is
+    excised except its globally first copy — catching duplicates that
+    straddle token boundaries, invisible to the token-window gate."""
+    docs = load(spark, sf_dir, "documents")
+    out = remove_duplicate_char_spans(
+        docs, window=20, hash_fn="md5", keep_first_occurrence=True
+    )
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("rewritten_fp"),
+        "n_chars",
+        "removed_chars",
         "n_spans",
     )
 
