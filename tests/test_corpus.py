@@ -365,3 +365,73 @@ def test_familiarity_plan_broadcasts_seed(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+class TestUrlCanonicalization:
+    # the canonicalization table, pinned spelling by spelling
+    CASES = [
+        # (raw, canonical)
+        ("https://example.com/docs/1", "https://example.com/docs/1"),
+        ("HTTPS://Example.COM/docs/1/", "https://example.com/docs/1"),
+        ("https://www.example.com:443/docs/1", "https://example.com/docs/1"),
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("http://example.com:8080/a", "http://example.com:8080/a"),  # kept
+        ("https://example.com/a?b=2&a=1", "https://example.com/a?a=1&b=2"),
+        ("https://example.com/a?b=2&utm_source=x&a=1", "https://example.com/a?a=1&b=2"),
+        ("https://example.com/a?utm_campaign=z", "https://example.com/a"),
+        ("https://example.com/a#frag", "https://example.com/a"),
+        ("https://example.com/a?x=1#frag?y=2", "https://example.com/a?x=1"),
+        ("https://example.com///", "https://example.com"),
+        ("https://example.com", "https://example.com"),
+        # %-encoding deliberately untouched (can change the resource)
+        ("https://example.com/a%2Fb", "https://example.com/a%2Fb"),
+    ]
+
+    def test_canonicalization_table(self, spark):
+        from xarray_beam_spark.operators.corpus import canonicalize_url
+
+        df = spark.createDataFrame(self.CASES, "raw string, want string")
+        got = df.select(
+            "raw", "want", canonicalize_url(F.col("raw")).alias("got")
+        ).collect()
+        for r in got:
+            assert r["got"] == r["want"], r["raw"]
+
+    def test_dedup_keep_first_and_host_cap(self, spark):
+        from xarray_beam_spark.operators.corpus import (
+            cap_per_host,
+            dedup_by_canonical_url,
+        )
+
+        rows = [
+            (1, "https://a.com/x"),
+            (2, "HTTPS://WWW.A.COM:443/x/"),   # same page as 1
+            (3, "https://a.com/x?p=1"),         # different page
+            (4, "https://b.com/x"),
+            (5, "https://a.com/y"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        kept = sorted(
+            r["doc_id"] for r in dedup_by_canonical_url(df).collect()
+        )
+        assert kept == [1, 3, 4, 5]  # 2 is the later spelling of 1
+        capped = sorted(
+            r["doc_id"] for r in cap_per_host(df, cap=2).collect()
+        )
+        # host a.com has docs 1,2,3,5 -> its 2 lowest ids; b.com keeps 4
+        assert capped == [1, 2, 4]
+
+    def test_dedup_join_is_broadcastable_and_jvm_only(self, spark):
+        from xarray_beam_spark.operators.corpus import dedup_by_canonical_url
+
+        docs = spark.range(500).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("https://h"),
+                (F.col("id") % 20).cast("string"),
+                F.lit(".com/p/"),
+                (F.col("id") % 50).cast("string"),
+            ).alias("url"),
+        )
+        plan = dedup_by_canonical_url(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -933,3 +933,218 @@ def corpus_familiarity_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     seed = docs.where(F.col("doc_id") % 7 == 0)
     return familiarity_score(docs, seed)
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a URL as ONE row-local JVM expression — the
+    normalization stage that makes exact URL dedup meaningful
+    (RefinedWeb / Penedo et al. 2023 §2 run URL-level dedup before any
+    content stage; CommonCrawl spells the same page a dozen ways):
+
+    - scheme and host lowercased; ``www.`` prefix dropped
+    - default ports stripped (``http:80``, ``https:443``); others kept
+    - fragment dropped (never sent to the server)
+    - trailing slashes on the path dropped
+    - query params: empties and ``utm_*`` tracking params dropped, the
+      rest sorted (order never changes server-side semantics in practice)
+
+    Deliberately NOT done: percent-decoding and IDN/punycode folding —
+    both can CHANGE which resource a URL names; a canonicalizer must
+    only merge spellings that are guaranteed equivalent. Pure regexp
+    expressions (no lookarounds, no UDF), so the stage fuses into the
+    scan and the identical patterns run in any RE2/Java engine."""
+    base = F.regexp_replace(url, "#.*", "")  # fragment
+    query = F.regexp_extract(base, r"\?(.*)$", 1)
+    rest = F.regexp_replace(base, r"\?.*$", "")
+    scheme = F.lower(F.regexp_extract(rest, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    auth = F.lower(F.regexp_extract(rest, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]*)", 1))
+    port = F.regexp_extract(auth, r":([0-9]+)$", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(auth, r":[0-9]+$", ""), r"^www\.", ""
+    )
+    keep_port = ~(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_replace(
+        F.regexp_replace(rest, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
+        "/+$",
+        "",
+    )
+    qsorted = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "") & ~p.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(qsorted != "", F.concat(F.lit("?"), qsorted)).otherwise(F.lit("")),
+    )
+
+
+def url_host(canonical_url: Column) -> Column:
+    """Registrable host of a (canonical) URL — the per-host cap key."""
+    return F.regexp_extract(canonical_url, "://([^/:?]*)", 1)
+
+
+def dedup_by_canonical_url(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    canon_col: str = "canonical_url",
+) -> DataFrame:
+    """Exact URL dedup keep-first: one row per canonical URL, the lowest
+    ``id_col`` copy (first-crawled under monotone ids — the RefinedWeb
+    policy). One map-side-combinable group-by (``min`` over ids) plus
+    one equi-join back; at 100 TB the join key is the canonical-url hash
+    — near-uniform, no skew, no window over the full corpus."""
+    d = docs.withColumn(canon_col, canonicalize_url(F.col(url_col)))
+    firsts = d.groupBy(canon_col).agg(F.min(id_col).alias("__xbs_first"))
+    return (
+        d.join(firsts, canon_col)
+        .where(F.col(id_col) == F.col("__xbs_first"))
+        .drop("__xbs_first")
+    )
+
+
+def cap_per_host(
+    docs: DataFrame,
+    url_col: str = "url",
+    cap: int = 1000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` documents per host, lowest ``id_col`` first —
+    the anti-domination stage (one crawl host must not own the corpus).
+    Same shape and skew note as :func:`stratified_cap`: one shuffle on
+    the host key, per-task sort within each host."""
+    host = url_host(canonicalize_url(F.col(url_col)))
+    w = Window.partitionBy(host).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("__xbs_hrn", F.row_number().over(w))
+        .where(F.col("__xbs_hrn") <= cap)
+        .drop("__xbs_hrn")
+    )
+
+
+# The documents table carries no URL column, so the gate derives a messy
+# deterministic URL per doc (the inline-fixture pattern): docs sharing
+# (source, n_chars % 7) point at the same page, spelled six different
+# ways by doc_id % 6 — exercising every canonicalization rule. Both
+# engines build the identical raw strings, then canonicalize with the
+# identical regex chain; kept/rank decisions are pure integer logic.
+_URL_FIXTURE_SQL = """
+  SELECT doc_id,
+         CASE CAST(doc_id % 6 AS INT)
+           WHEN 0 THEN 'https://example-' || source || '.com/docs/' || (n_chars % 7)
+           WHEN 1 THEN 'HTTPS://Example-' || source || '.COM/docs/' || (n_chars % 7) || '/'
+           WHEN 2 THEN 'https://www.example-' || source || '.com:443/docs/' || (n_chars % 7)
+           WHEN 3 THEN 'http://example-' || source || '.com:8080/docs/' || (n_chars % 7)
+           WHEN 4 THEN 'https://example-' || source || '.com/docs/' || (n_chars % 7) || '?b=2&utm_source=x&a=1'
+           ELSE 'https://example-' || source || '.com/docs/' || (n_chars % 7) || '?a=1&b=2#section'
+         END AS url
+  FROM documents
+"""
+
+_URL_DEDUP_ORACLE = f"""
+WITH raw AS ({_URL_FIXTURE_SQL}),
+canon AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(regexp_replace(
+             lower(regexp_extract(base, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]*)', 1)),
+             ':[0-9]+$', ''), '^www\\.', '') AS host,
+         regexp_extract(lower(regexp_extract(base, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]*)', 1)),
+                        ':([0-9]+)$', 1) AS port,
+         regexp_replace(regexp_replace(nofrag, '\\?.*$', ''),
+                        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', '') AS rawpath,
+         array_to_string(list_sort(list_filter(
+             string_split(regexp_extract(nofrag, '\\?(.*)$', 1), '&'),
+             x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS qsorted
+  FROM (
+    SELECT doc_id, url, regexp_replace(url, '#.*', '') AS nofrag,
+           regexp_replace(regexp_replace(url, '#.*', ''), '\\?.*$', '') AS base
+    FROM raw
+  )
+),
+built AS (
+  SELECT doc_id, url,
+         scheme || '://' || host ||
+         CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+                   AND NOT (scheme = 'https' AND port = '443')
+              THEN ':' || port ELSE '' END ||
+         regexp_replace(rawpath, '/+$', '') ||
+         CASE WHEN qsorted <> '' THEN '?' || qsorted ELSE '' END AS canonical_url,
+         host
+  FROM canon
+)
+SELECT doc_id, url, canonical_url, host,
+       doc_id = MIN(doc_id) OVER (PARTITION BY canonical_url) AS kept_url,
+       CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS BIGINT) AS host_rank,
+       ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) <= 25 AS kept_host_cap
+FROM built
+"""
+
+
+@_register("corpus_url_dedup", _URL_DEDUP_ORACLE)
+def corpus_url_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + keep-first URL dedup + per-host cap — the
+    RefinedWeb §2 pre-content pipeline stages. Six messy spellings per
+    page (case, www, default port, non-default port, query order +
+    utm tracking params, fragment) certify every canonicalization rule
+    plus the dedup/cap decisions document-exactly."""
+    docs = load(spark, sf_dir, "documents")
+    k = (F.col("n_chars") % 7).cast("string")
+    stem = F.concat(F.lit("example-"), F.col("source"), F.lit(".com/docs/"), k)
+    upstem = F.concat(
+        F.lit("Example-"), F.col("source"), F.lit(".COM/docs/"), k
+    )
+    url = (
+        F.when(F.col("doc_id") % 6 == 0, F.concat(F.lit("https://"), stem))
+        .when(F.col("doc_id") % 6 == 1, F.concat(F.lit("HTTPS://"), upstem, F.lit("/")))
+        .when(
+            F.col("doc_id") % 6 == 2,
+            F.concat(
+                F.lit("https://www.example-"),
+                F.col("source"),
+                F.lit(".com:443/docs/"),
+                k,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(
+                F.lit("http://example-"),
+                F.col("source"),
+                F.lit(".com:8080/docs/"),
+                k,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 6 == 4,
+            F.concat(F.lit("https://"), stem, F.lit("?b=2&utm_source=x&a=1")),
+        )
+        .otherwise(F.concat(F.lit("https://"), stem, F.lit("?a=1&b=2#section")))
+    )
+    d = docs.select("doc_id", url.alias("url"))
+    canon = canonicalize_url(F.col("url"))
+    d = d.select("doc_id", "url", canon.alias("canonical_url"), url_host(canon).alias("host"))
+    w_url = Window.partitionBy("canonical_url")
+    w_host = Window.partitionBy("host").orderBy("doc_id")
+    return d.select(
+        "doc_id",
+        "url",
+        "canonical_url",
+        "host",
+        (F.col("doc_id") == F.min("doc_id").over(w_url)).alias("kept_url"),
+        F.row_number().over(w_host).cast("long").alias("host_rank"),
+        (F.row_number().over(w_host) <= 25).alias("kept_host_cap"),
+    )

@@ -243,8 +243,10 @@ _LAST_CERTIFIED_ROUND: dict[str, int] = {
     ], 10),
     # no-oracle gates: pinned by pytest, demoted to the registry tail so
     # they never displace hash-certifiable queries from the driver's
-    # ~50-slot sweep (VERDICT r6 "Missing #2").
-    **dict.fromkeys(["ann_ivf_trained_topk", "corpus_bpe_merges"], 99),
+    # ~50-slot sweep (VERDICT r6 "Missing #2"). corpus_bpe_merges left
+    # this set in r11 (oracle = the training loop unrolled as CTE
+    # stages) and is absent from the map so it sweeps as never-certified.
+    **dict.fromkeys(["ann_ivf_trained_topk"], 99),
 }
 
 
