@@ -1,7 +1,10 @@
 """Training-corpus preparation pipeline, end to end.
 
-The LLM-data shape this engine is built for: raw documents → PII scrub →
-exact-substring span removal (Lee et al. 2022) → quality + language filter → exact dedup → near-dup clustering →
+The LLM-data shape this engine is built for: raw documents →
+URL canonicalization + keep-first URL dedup + per-host cap (RefinedWeb
+stage order: the cheapest filters run before any text is read) →
+PII scrub → exact-substring span removal (Lee et al. 2022) →
+quality + language filter → exact dedup → near-dup clustering →
 canonical doc selection → benchmark decontamination → per-source
 stratified cap → context-window chunking → deterministic train/val/test
 split → partitioned parquet, all as declarative Spark plans (the only
@@ -21,8 +24,10 @@ from pyspark.sql import functions as F
 
 from xarray_beam_spark.functions.text import remove_duplicate_spans, scrub_pii
 from xarray_beam_spark.operators.corpus import (
+    cap_per_host,
     clean_corpus,
     decontaminate,
+    dedup_by_canonical_url,
     hash_split,
     stratified_cap,
     token_windows,
@@ -47,6 +52,23 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out: str = "/tmp/corpus_out") -
 
     docs = load(spark, sf_dir, "documents")
     n_raw = docs.count()
+
+    # -1. URL-level dedup + per-host cap — the RefinedWeb stage order
+    # puts these BEFORE any content stage (cheapest filter first: no
+    # text is read to drop a re-crawled URL). The synthetic corpus has
+    # no URL column, so derive a messy one (spelling varies by doc_id)
+    # to show canonicalization doing real work.
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    path = F.concat(F.lit("/doc/"), (F.col("doc_id") % 240).cast("string"))
+    docs = docs.withColumn(
+        "url",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("https://"), host, path))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("https://www."), host, path, F.lit("/")))
+        .otherwise(F.concat(F.lit("HTTPS://"), F.upper(host), path, F.lit("#ref"))),
+    )
+    docs = dedup_by_canonical_url(docs)
+    docs = cap_per_host(docs, cap=100).drop("url", "canonical_url")
+    n_url_kept = docs.count()
 
     # 0. PII scrub — a narrow JVM regexp stage Catalyst fuses into the
     # same scan pass as the quality filter below
@@ -102,7 +124,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out: str = "/tmp/corpus_out") -
     back = spark.read.parquet(out)
     per_split = {r["split"]: r["n"] for r in back.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
     print(
-        f"corpus pipeline: raw={n_raw} span_tokens_removed={n_span_tokens} "
+        f"corpus pipeline: raw={n_raw} url_kept={n_url_kept} "
+        f"span_tokens_removed={n_span_tokens} "
         f"clean={n_clean} after near-dup={n_canon} "
         f"after decontam+cap={n_final} "
         f"windows={sum(per_split.values())} splits={per_split}"
