@@ -67,7 +67,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out: str = "/tmp/corpus_out") -
         .otherwise(F.concat(F.lit("HTTPS://"), F.upper(host), path, F.lit("#ref"))),
     )
     docs = dedup_by_canonical_url(docs)
-    docs = cap_per_host(docs, cap=100).drop("url", "canonical_url")
+    # reuse the canonical column the dedup stage materialized instead of
+    # re-running the regexp chain from the raw url
+    docs = cap_per_host(docs, cap=100, canonical_col="canonical_url")
+    docs = docs.drop("url", "canonical_url")
     n_url_kept = docs.count()
 
     # 0. PII scrub — a narrow JVM regexp stage Catalyst fuses into the

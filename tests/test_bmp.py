@@ -152,3 +152,13 @@ def test_decode_image_dispatch():
     rgb = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
     luma = (rgb.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
     np.testing.assert_array_equal(decode_image(encode_bmp(rgb)), luma)
+
+
+def test_truecolor_with_declared_palette_still_decodes():
+    # biClrUsed set on a 24 bpp file whose pixels start right after the
+    # headers: the palette is an unused optimization hint we never read,
+    # so the data-offset guard must not demand room for it
+    # (code-review finding r11).
+    img = np.arange(24, dtype=np.uint8).reshape(2, 4, 3) * 3
+    blob = _patch_header(encode_bmp(img), ncolors=256)
+    np.testing.assert_array_equal(decode_bmp(blob), img)

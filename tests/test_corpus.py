@@ -385,6 +385,11 @@ class TestUrlCanonicalization:
         ("https://example.com", "https://example.com"),
         # %-encoding deliberately untouched (can change the resource)
         ("https://example.com/a%2Fb", "https://example.com/a%2Fb"),
+        # userinfo never changes the resource — dropped
+        ("https://user:pw@example.com/a", "https://example.com/a"),
+        # bracketed IPv6 literal: the :: groups are not a port
+        ("https://[2001:db8::1]/p", "https://[2001:db8::1]/p"),
+        ("https://[2001:db8::1]:443/p", "https://[2001:db8::1]/p"),
     ]
 
     def test_canonicalization_table(self, spark):
@@ -420,6 +425,31 @@ class TestUrlCanonicalization:
         )
         # host a.com has docs 1,2,3,5 -> its 2 lowest ids; b.com keeps 4
         assert capped == [1, 2, 4]
+
+    def test_null_urls_are_kept_not_dropped(self, spark):
+        from xarray_beam_spark.operators.corpus import dedup_by_canonical_url
+
+        rows = [(1, "https://a.com/x"), (2, None), (3, None), (4, "https://a.com/x/")]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        kept = sorted(r["doc_id"] for r in dedup_by_canonical_url(df).collect())
+        # NULL-url docs have nothing to dedup on: kept, never silently
+        # dropped by the equi-join (code-review finding r11)
+        assert kept == [1, 2, 3]
+
+    def test_host_key_ipv6_and_userinfo(self, spark):
+        from xarray_beam_spark.operators.corpus import canonicalize_url, url_host
+
+        rows = [
+            ("https://[2001:db8::1]:8443/p", "2001:db8::1"),
+            ("https://[2001:db8::2]/p", "2001:db8::2"),
+            ("https://user@example.com/p", "example.com"),
+            ("https://example.com:8080/p", "example.com"),
+        ]
+        df = spark.createDataFrame(rows, "url string, want string")
+        for r in df.select(
+            "want", url_host(canonicalize_url(F.col("url"))).alias("got")
+        ).collect():
+            assert r["got"] == r["want"]
 
     def test_dedup_join_is_broadcastable_and_jvm_only(self, spark):
         from xarray_beam_spark.operators.corpus import dedup_by_canonical_url

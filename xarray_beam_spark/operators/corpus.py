@@ -957,7 +957,11 @@ def canonicalize_url(url: Column) -> Column:
     query = F.regexp_extract(base, r"\?(.*)$", 1)
     rest = F.regexp_replace(base, r"\?.*$", "")
     scheme = F.lower(F.regexp_extract(rest, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
-    auth = F.lower(F.regexp_extract(rest, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]*)", 1))
+    auth = F.regexp_replace(  # drop userinfo: it never changes the resource
+        F.lower(F.regexp_extract(rest, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]*)", 1)),
+        "^[^@]*@",
+        "",
+    )
     port = F.regexp_extract(auth, r":([0-9]+)$", 1)
     host = F.regexp_replace(
         F.regexp_replace(auth, r":[0-9]+$", ""), r"^www\.", ""
@@ -992,8 +996,17 @@ def canonicalize_url(url: Column) -> Column:
 
 
 def url_host(canonical_url: Column) -> Column:
-    """Registrable host of a (canonical) URL — the per-host cap key."""
-    return F.regexp_extract(canonical_url, "://([^/:?]*)", 1)
+    """Registrable host of a (canonical) URL — the per-host cap key.
+    Userinfo (``user@``) is dropped (it never changes which host serves
+    the resource) and bracketed IPv6 literals key by the address inside
+    the brackets, so ``[2001:db8::1]`` hosts are not all lumped into one
+    ``[`` bucket by the port-separator colon."""
+    auth = F.regexp_replace(
+        F.regexp_extract(canonical_url, "://([^/?]*)", 1), "^[^@]*@", ""
+    )
+    bracket = F.regexp_extract(auth, r"^\[([^\]]*)\]", 1)
+    plain = F.regexp_extract(auth, "^([^:]*)", 1)
+    return F.when(bracket != "", bracket).otherwise(plain)
 
 
 def dedup_by_canonical_url(
@@ -1004,14 +1017,20 @@ def dedup_by_canonical_url(
 ) -> DataFrame:
     """Exact URL dedup keep-first: one row per canonical URL, the lowest
     ``id_col`` copy (first-crawled under monotone ids — the RefinedWeb
-    policy). One map-side-combinable group-by (``min`` over ids) plus
-    one equi-join back; at 100 TB the join key is the canonical-url hash
-    — near-uniform, no skew, no window over the full corpus."""
+    policy). Documents with a NULL ``url_col`` are KEPT, never silently
+    dropped — there is nothing to dedup them on (an inner equi-join
+    would discard every NULL-key row). One map-side-combinable group-by
+    (``min`` over ids) plus one equi-join back; at 100 TB the join key
+    is the canonical-url hash — near-uniform, no skew, no window over
+    the full corpus."""
     d = docs.withColumn(canon_col, canonicalize_url(F.col(url_col)))
     firsts = d.groupBy(canon_col).agg(F.min(id_col).alias("__xbs_first"))
     return (
-        d.join(firsts, canon_col)
-        .where(F.col(id_col) == F.col("__xbs_first"))
+        d.join(firsts, canon_col, "left")
+        .where(
+            F.col(canon_col).isNull()
+            | (F.col(id_col) == F.col("__xbs_first"))
+        )
         .drop("__xbs_first")
     )
 
@@ -1021,12 +1040,19 @@ def cap_per_host(
     url_col: str = "url",
     cap: int = 1000,
     id_col: str = "doc_id",
+    canonical_col: str | None = None,
 ) -> DataFrame:
     """Keep at most ``cap`` documents per host, lowest ``id_col`` first —
     the anti-domination stage (one crawl host must not own the corpus).
+    Pass ``canonical_col`` when a previous stage (e.g.
+    :func:`dedup_by_canonical_url`) already materialized the canonical
+    URL, so the regexp chain is not recomputed from the raw URL.
     Same shape and skew note as :func:`stratified_cap`: one shuffle on
     the host key, per-task sort within each host."""
-    host = url_host(canonicalize_url(F.col(url_col)))
+    if canonical_col is not None:
+        host = url_host(F.col(canonical_col))
+    else:
+        host = url_host(canonicalize_url(F.col(url_col)))
     w = Window.partitionBy(host).orderBy(F.col(id_col))
     return (
         docs.withColumn("__xbs_hrn", F.row_number().over(w))
@@ -1060,9 +1086,9 @@ canon AS (
   SELECT doc_id, url,
          lower(regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
          regexp_replace(regexp_replace(
-             lower(regexp_extract(base, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]*)', 1)),
+             regexp_replace(lower(regexp_extract(base, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]*)', 1)), '^[^@]*@', ''),
              ':[0-9]+$', ''), '^www\\.', '') AS host,
-         regexp_extract(lower(regexp_extract(base, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]*)', 1)),
+         regexp_extract(regexp_replace(lower(regexp_extract(base, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]*)', 1)), '^[^@]*@', ''),
                         ':([0-9]+)$', 1) AS port,
          regexp_replace(regexp_replace(nofrag, '\\?.*$', ''),
                         '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', '') AS rawpath,

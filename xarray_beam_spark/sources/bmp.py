@@ -105,7 +105,11 @@ def decode_bmp(blob: bytes) -> np.ndarray:
         raise ValueError(f"truncated BMP: need {need} bytes, have {len(blob)}")
 
     palette = None
-    palette_bytes = (ncolors or (1 << bpp)) * 4 if bpp <= 8 else ncolors * 4
+    # Lower-bound the pixel offset by the metadata we actually READ:
+    # headers always, plus the palette for indexed depths. Truecolor
+    # files may declare biClrUsed without storing an optimization
+    # palette, and we never read it — only the header bound applies.
+    palette_bytes = (ncolors or (1 << bpp)) * 4 if bpp <= 8 else 0
     if data_offset < _FILE_HEADER.size + hsize + palette_bytes:
         # A data_offset inside the header/palette region would silently
         # decode metadata bytes as pixel rows — fail loudly instead.
