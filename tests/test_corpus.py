@@ -465,3 +465,37 @@ class TestUrlCanonicalization:
         )
         plan = dedup_by_canonical_url(docs)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+from hypothesis import given
+from hypothesis import settings as hyp_settings
+from hypothesis import strategies as st
+
+
+class TestUrlCanonicalizationProperties:
+    @hyp_settings(max_examples=8, deadline=None)
+    @given(data=st.data())
+    def test_canonicalization_is_idempotent(self, spark, data):
+        """canonicalize(canonicalize(u)) == canonicalize(u): the
+        canonical form is a fixed point, so re-running the stage (e.g.
+        on an already-cleaned corpus) never changes keys."""
+        from xarray_beam_spark.operators.corpus import canonicalize_url
+
+        urls = []
+        for i in range(data.draw(st.integers(1, 6), label="n")):
+            scheme = data.draw(st.sampled_from(["http", "https", "HTTPS"]))
+            www = data.draw(st.sampled_from(["", "www.", "WWW."]))
+            user = data.draw(st.sampled_from(["", "u:p@"]))
+            host = data.draw(st.sampled_from(["ex.com", "A.Ex.COM", "[2001:db8::1]"]))
+            port = data.draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+            path = data.draw(st.sampled_from(["", "/", "/a", "/a/b//", "/a%2Fb"]))
+            q = data.draw(st.sampled_from(["", "?b=2&a=1", "?utm_source=x", "?x=1&&y=2"]))
+            frag = data.draw(st.sampled_from(["", "#f", "#f?x=1"]))
+            urls.append((f"{scheme}://{user}{www}{host}{port}{path}{q}{frag}",))
+        df = spark.createDataFrame(urls, "url string")
+        rows = df.select(
+            canonicalize_url(F.col("url")).alias("once"),
+            canonicalize_url(canonicalize_url(F.col("url"))).alias("twice"),
+        ).collect()
+        for r in rows:
+            assert r["once"] == r["twice"], r["once"]
