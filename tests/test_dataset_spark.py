@@ -108,6 +108,60 @@ def test_rechunk_uneven_tails(spark):
     assert r.collect().identical(src)
 
 
+def test_map_blocks_error_contracts(spark):
+    # reference dataset_test.py:1074-1110: the three plan-time guards —
+    # a dropped multi-chunk dim, a chunk-grid-changing chunks= override,
+    # and a var-set change under split_vars — must raise at map_blocks()
+    # time, not corrupt offsets / vars columns and fail at collect
+    src = NDDataset({"foo": (("x",), np.arange(8.0))})
+    d = Dataset.from_numpy(spark, src, chunks={"x": 4})
+    with pytest.raises(ValueError, match="has multiple chunks on the source"):
+        d.map_blocks(lambda ds: ds.mean("x"))
+    with pytest.raises(
+        ValueError, match="has 2 chunks on the source dataset and 8"
+    ):
+        d.map_blocks(lambda ds: ds, chunks={"x": 1})
+    ds_split = Dataset.from_numpy(spark, src, chunks={"x": 4}).split_variables()
+    with pytest.raises(ValueError, match="different set of\\s+variables"):
+        ds_split.map_blocks(
+            lambda ds: NDDataset({"bar": ds.data_vars["foo"]})
+        )
+    # the legitimate shapes stay legal: explicit consistent chunks,
+    # per-chunk size changes that keep the chunk count, reductions over
+    # single-chunk dims
+    assert d.map_blocks(lambda ds: ds, chunks={"x": 4}).collect().identical(src)
+    halved = d.map_blocks(lambda ds: ds.isel({"x": slice(0, 2)}), chunks={"x": 2})
+    assert halved.collect().sizes == {"x": 4}
+    src2 = NDDataset({"foo": (("x", "y"), np.arange(20.0).reshape(4, 5))})
+    d2 = Dataset.from_numpy(spark, src2, chunks={"x": 2})
+    assert d2.map_blocks(lambda ds: ds.median("y")).collect().sizes == {"x": 4}
+
+
+def test_rechunk_inconsistent_dimensions_split_vars(spark):
+    # reference rechunk_test.py:794-810: variables on DIFFERENT dims,
+    # split-vars layout, x-chunked -> y-chunked; bar('y') lacks 'x'
+    # entirely and must come through the plan untouched
+    rs = np.random.RandomState(0)
+    src = NDDataset(
+        {"foo": (("x", "y"), rs.rand(2, 3)), "bar": (("y",), rs.rand(3))}
+    )
+    d = Dataset.from_numpy(spark, src, chunks={"x": 1}).split_variables()
+    r = d.rechunk({"x": -1, "y": 1})
+    assert r.collect().identical(src)
+
+
+def test_rechunk_same_source_and_target_is_elided(spark):
+    # reference rechunk_test.py:811-829 asserts stage_in/stage_out are
+    # empty for a no-op rechunk; our strongest equivalent: the SAME
+    # DataFrame object comes back (zero added stages, zero shuffles)
+    rs = np.random.RandomState(0)
+    src = NDDataset({"foo": (("x", "y"), rs.rand(2, 3))})
+    d = Dataset.from_numpy(spark, src, chunks={"x": 1})
+    r = d.rechunk({"x": 1})
+    assert r.df is d.df
+    assert r.collect().identical(src)
+
+
 def test_mean_over_dim(spark, era5):
     d = Dataset.from_numpy(spark, era5, chunks={"time": 10})
     got = d.mean("time").collect()

@@ -664,12 +664,59 @@ class Dataset:
         if template is None:
             dummy_in = _dummy_chunk(self.template, self.chunks)
             dummy_out = func(dummy_in)
-            template, chunks = _infer_result_meta(
+            if self.split_vars and set(dummy_out.data_vars) != set(
+                dummy_in.data_vars
+            ):
+                # each row carries ONE var name in its vars column; a func
+                # that renames/re-keys variables would silently desync it
+                # (reference dataset.py map_blocks split-vars contract)
+                raise ValueError(
+                    "cannot use map_blocks on a dataset with split_vars=True "
+                    "if the transformation returns a different set of "
+                    f"variables.\nOld split variables: {set(dummy_in.data_vars)}\n"
+                    f"New split variables: {set(dummy_out.data_vars)}"
+                )
+            template, inferred_chunks = _infer_result_meta(
                 self.template, self.chunks, dummy_in, dummy_out
+            )
+            # explicit chunks win over inference (reference map_blocks
+            # signature: template and chunks are independent overrides)
+            chunks = inferred_chunks if chunks is None else chunks
+        elif self.split_vars and set(template.var_meta) != set(
+            self.template.var_meta
+        ):
+            raise ValueError(
+                "cannot use map_blocks on a dataset with split_vars=True "
+                "if the transformation returns a different set of "
+                f"variables.\nOld split variables: {set(self.template.var_meta)}\n"
+                f"New split variables: {set(template.var_meta)}"
             )
         new_chunks = core.normalize_chunks(
             self.chunks if chunks is None else chunks, template.sizes
         )  # `is None`, not truthiness: {} is a valid spec for a 0-d result
+        # Per-chunk maps cannot change the chunk GRID: every source chunk
+        # yields exactly one output chunk, so a multi-chunk dim must
+        # survive into the result and per-dim chunk counts must agree —
+        # otherwise output offsets would collide/overlap and the failure
+        # surfaces only at collect/write time (reference
+        # dataset_test.py:1087-1110 pins both messages).
+        for d, size in self.sizes.items():
+            n_in = -(-size // self.chunks[d])
+            if d not in template.sizes:
+                if n_in > 1:
+                    raise ValueError(
+                        f"dimension {d!r} has multiple chunks on the source "
+                        "dataset, and therefore must be included in the "
+                        "result of map_blocks, but is not in the new "
+                        f"template: {sorted(template.sizes)}"
+                    )
+                continue
+            n_out = -(-template.sizes[d] // new_chunks[d])
+            if n_in != n_out:
+                raise ValueError(
+                    f"dimension {d!r} has {n_in} chunks on the source "
+                    f"dataset and {n_out} in the result of map_blocks"
+                )
         out_dims = sorted(template.sizes)
         schema = chunk_row_schema(out_dims)
         in_sizes = self.sizes
