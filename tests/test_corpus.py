@@ -436,6 +436,20 @@ class TestUrlCanonicalization:
         # dropped by the equi-join (code-review finding r11)
         assert kept == [1, 2, 3]
 
+    def test_null_urls_exempt_from_host_cap(self, spark):
+        from xarray_beam_spark.operators.corpus import cap_per_host
+
+        rows = [(i, None) for i in range(1, 6)] + [
+            (10, "https://a.com/x"),
+            (11, "https://a.com/y"),
+            (12, "https://a.com/z"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        kept = sorted(r["doc_id"] for r in cap_per_host(df, cap=2).collect())
+        # hostless docs are kept (and keyed per-row, so no NULL-partition
+        # skew hotspot); a.com keeps its 2 lowest ids
+        assert kept == [1, 2, 3, 4, 5, 10, 11]
+
     def test_host_key_ipv6_and_userinfo(self, spark):
         from xarray_beam_spark.operators.corpus import canonicalize_url, url_host
 

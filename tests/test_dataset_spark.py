@@ -135,6 +135,21 @@ def test_map_blocks_error_contracts(spark):
     src2 = NDDataset({"foo": (("x", "y"), np.arange(20.0).reshape(4, 5))})
     d2 = Dataset.from_numpy(spark, src2, chunks={"x": 2})
     assert d2.map_blocks(lambda ds: ds.median("y")).collect().sizes == {"x": 4}
+    # a func-ADDED dim must be single-chunk: every output row writes
+    # offset 0 along it, so a multi-chunk spec would lie about the grid
+    def add_dim(ds):
+        v = ds.data_vars["foo"].values
+        return NDDataset(
+            {"foo": (("x", "y"), v), "bar": (("x", "z"), np.tile(v[:, :1], (1, 10)))}
+        )
+
+    with pytest.raises(ValueError, match="new dimension 'z'.*single\\s+chunk"):
+        d2.map_blocks(add_dim, chunks={"x": 2, "y": 5, "z": 5})
+    # explicit template that drops a SINGLE-chunk dim with chunks=None:
+    # source chunks must be filtered to the template dims, not rejected
+    tmpl = d2.map_blocks(lambda ds: ds.median("y")).template
+    got = d2.map_blocks(lambda ds: ds.median("y"), template=tmpl).collect()
+    assert got.sizes == {"x": 4}
 
 
 def test_rechunk_inconsistent_dimensions_split_vars(spark):

@@ -664,42 +664,41 @@ class Dataset:
         if template is None:
             dummy_in = _dummy_chunk(self.template, self.chunks)
             dummy_out = func(dummy_in)
-            if self.split_vars and set(dummy_out.data_vars) != set(
-                dummy_in.data_vars
-            ):
-                # each row carries ONE var name in its vars column; a func
-                # that renames/re-keys variables would silently desync it
-                # (reference dataset.py map_blocks split-vars contract)
-                raise ValueError(
-                    "cannot use map_blocks on a dataset with split_vars=True "
-                    "if the transformation returns a different set of "
-                    f"variables.\nOld split variables: {set(dummy_in.data_vars)}\n"
-                    f"New split variables: {set(dummy_out.data_vars)}"
-                )
+            old_vars: set = set(dummy_in.data_vars)
+            new_vars: set = set(dummy_out.data_vars)
+        else:
+            old_vars = set(self.template.var_meta)
+            new_vars = set(template.var_meta)
+        if self.split_vars and new_vars != old_vars:
+            # each row carries ONE var name in its vars column; a func
+            # that renames/re-keys variables would silently desync it
+            # (reference dataset.py map_blocks split-vars contract)
+            raise ValueError(
+                "cannot use map_blocks on a dataset with split_vars=True "
+                "if the transformation returns a different set of "
+                f"variables.\nOld split variables: {old_vars}\n"
+                f"New split variables: {new_vars}"
+            )
+        if template is None:
             template, inferred_chunks = _infer_result_meta(
                 self.template, self.chunks, dummy_in, dummy_out
             )
             # explicit chunks win over inference (reference map_blocks
             # signature: template and chunks are independent overrides)
             chunks = inferred_chunks if chunks is None else chunks
-        elif self.split_vars and set(template.var_meta) != set(
-            self.template.var_meta
-        ):
-            raise ValueError(
-                "cannot use map_blocks on a dataset with split_vars=True "
-                "if the transformation returns a different set of "
-                f"variables.\nOld split variables: {set(self.template.var_meta)}\n"
-                f"New split variables: {set(template.var_meta)}"
-            )
-        new_chunks = core.normalize_chunks(
-            self.chunks if chunks is None else chunks, template.sizes
-        )  # `is None`, not truthiness: {} is a valid spec for a 0-d result
+        if chunks is None:
+            # defaulting to the source chunks: drop dims the (explicit)
+            # template no longer has, or normalize_chunks rejects them
+            # before the friendly multi-chunk guard below can run
+            chunks = {d: c for d, c in self.chunks.items() if d in template.sizes}
+        new_chunks = core.normalize_chunks(chunks, template.sizes)
         # Per-chunk maps cannot change the chunk GRID: every source chunk
         # yields exactly one output chunk, so a multi-chunk dim must
-        # survive into the result and per-dim chunk counts must agree —
-        # otherwise output offsets would collide/overlap and the failure
-        # surfaces only at collect/write time (reference
-        # dataset_test.py:1087-1110 pins both messages).
+        # survive into the result, per-dim chunk counts must agree, and a
+        # func-ADDED dim must be single-chunk (every output row writes
+        # offset 0 along it) — otherwise output offsets would
+        # collide/overlap and the failure surfaces only at collect/write
+        # time (reference dataset_test.py:1087-1110 pins the messages).
         for d, size in self.sizes.items():
             n_in = -(-size // self.chunks[d])
             if d not in template.sizes:
@@ -716,6 +715,14 @@ class Dataset:
                 raise ValueError(
                     f"dimension {d!r} has {n_in} chunks on the source "
                     f"dataset and {n_out} in the result of map_blocks"
+                )
+        for d in template.sizes:
+            if d not in self.sizes and new_chunks[d] < template.sizes[d]:
+                raise ValueError(
+                    f"new dimension {d!r} from map_blocks must be a single "
+                    f"chunk (every chunk writes offset 0 along it), got "
+                    f"chunk size {new_chunks[d]} for dimension size "
+                    f"{template.sizes[d]}"
                 )
         out_dims = sorted(template.sizes)
         schema = chunk_row_schema(out_dims)

@@ -1047,13 +1047,21 @@ def cap_per_host(
     Pass ``canonical_col`` when a previous stage (e.g.
     :func:`dedup_by_canonical_url`) already materialized the canonical
     URL, so the regexp chain is not recomputed from the raw URL.
+    Documents with a NULL / unparseable URL have no host to cap by and
+    are KEPT (matching :func:`dedup_by_canonical_url`'s NULL policy);
+    they ride the window as single-row partitions keyed by their id, so
+    they are never a one-task skew hotspot either.
     Same shape and skew note as :func:`stratified_cap`: one shuffle on
     the host key, per-task sort within each host."""
     if canonical_col is not None:
         host = url_host(F.col(canonical_col))
     else:
         host = url_host(canonicalize_url(F.col(url_col)))
-    w = Window.partitionBy(host).orderBy(F.col(id_col))
+    host = F.when(host == "", F.lit(None)).otherwise(host)
+    key = F.coalesce(
+        host, F.concat(F.lit("\x00nohost\x00"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(key).orderBy(F.col(id_col))
     return (
         docs.withColumn("__xbs_hrn", F.row_number().over(w))
         .where(F.col("__xbs_hrn") <= cap)
