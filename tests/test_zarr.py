@@ -1146,3 +1146,25 @@ class TestForeignFilterStore:
         assert doc["filters"][0]["id"] == "fixedscaleoffset"
         assert doc["filters"][1]["id"] == "delta"
         assert all("dtype" in f and "astype" in f for f in doc["filters"])
+
+
+def test_open_zarr_inconsistent_chunks_raises(spark, tmp_path):
+    # reference zarr_test.py:46-59: two variables chunked differently
+    # along a shared dim. Divisible grids ({5,10}) keep the exact finest
+    # grid as the default (the foreign-filter fixture relies on it);
+    # NON-divisible grids would make the gcd a guess (gcd(2,3)=1 — task
+    # count explosion), so those raise; an explicit in-flight chunking
+    # opts back in (regions assemble across store chunks).
+    d = str(tmp_path / "store")
+    zarrlite.create_group(d)
+    zarrlite.create_array(d, "foo", shape=(6,), chunks=(2,), dtype="<i8", dims=("x",))
+    zarrlite.create_array(d, "bar", shape=(6,), chunks=(3,), dtype="<i8", dims=("x",))
+    zarrlite.consolidate_metadata(d)
+    with pytest.raises(ValueError, match="inconsistent chunk sizes .* 'x'"):
+        zarr_io.open_zarr_template(d)
+    arrays, _ = zarrlite.open_group(d)
+    zarrlite.write_region(arrays["foo"], {"x": 0}, np.arange(6))
+    zarrlite.write_region(arrays["bar"], {"x": 0}, np.arange(6) * 10)
+    back = zarr_io.from_zarr(spark, d, chunks={"x": 6}).collect()
+    np.testing.assert_array_equal(back.data_vars["foo"].values, np.arange(6))
+    np.testing.assert_array_equal(back.data_vars["bar"].values, np.arange(6) * 10)

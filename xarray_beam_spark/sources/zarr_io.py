@@ -148,6 +148,8 @@ def open_zarr_template(path: str) -> tuple[Template, dict[str, int]]:
 
 def open_zarr_meta(
     path: str,
+    *,
+    allow_inconsistent_chunks: bool = False,
 ) -> tuple[Template, dict[str, int], dict[str, zarrlite.ZArray]]:
     """Like :func:`open_zarr_template` but also returns the parsed
     per-array metadata, so jobs can SHIP it to executors (broadcast /
@@ -162,6 +164,7 @@ def open_zarr_meta(
     var_meta: dict[str, tuple[tuple[str, ...], str]] = {}
     coords: dict[str, Variable] = {}
     chunks: dict[str, int] = {}
+    seen_chunks: dict[str, set[int]] = {}
     for name, meta in arrays.items():
         for d, s in zip(meta.logical_dims, meta.logical_shape):
             if sizes.setdefault(d, s) != s:
@@ -178,10 +181,28 @@ def open_zarr_meta(
             # mask_and_scale behavior, the reference's read semantics)
             var_meta[name] = (meta.logical_dims, cf_decoded_dtype(meta))
             for d, c in zip(meta.logical_dims, meta.logical_chunks):
+                seen_chunks.setdefault(d, set()).add(c)
                 prev = chunks.setdefault(d, c)
                 if prev != c:
-                    # differing per-var encodings: use the finest grid
+                    # differing per-var encodings: the gcd grid still
+                    # reads correctly (regions assemble across store
+                    # chunks) but can silently explode the task count
+                    # (gcd(2, 3) = 1) — so it is opt-in only
                     chunks[d] = math.gcd(prev, c)
+    if not allow_inconsistent_chunks:
+        for d, vals in seen_chunks.items():
+            if len(vals) > 1 and min(vals) != chunks[d]:
+                # When every declared size is a multiple of the smallest
+                # (e.g. {5, 10}), the finest grid is EXACT — all chunk
+                # boundaries align — and stays the default. Otherwise the
+                # gcd (e.g. {2, 3} -> 1) is a guess that can explode the
+                # task count: refuse like the reference's open_zarr
+                # (zarr.py _infer_chunks); an explicit in-flight chunking
+                # (from_zarr chunks=...) opts back in.
+                raise ValueError(
+                    "inconsistent chunk sizes on Zarr dataset for "
+                    f"dimension {d!r}: {set(sorted(vals))}"
+                )
     tmpl = Template(sizes=sizes, var_meta=var_meta, coords=coords, attrs=group_attrs)
     return tmpl, {d: chunks.get(d, s) for d, s in sizes.items()}, arrays
 
@@ -206,7 +227,12 @@ def from_zarr(
     bytes are ever read.
     Reference: ``Dataset.from_zarr`` (``dataset.py:662-703``).
     """
-    template, store_chunks, arrays_meta = open_zarr_meta(path)
+    # an explicit in-flight chunking opts into reading stores whose
+    # variables disagree on their chunk grids (the store default would
+    # be a guess — see open_zarr_meta)
+    template, store_chunks, arrays_meta = open_zarr_meta(
+        path, allow_inconsistent_chunks=chunks is not None
+    )
     if var_subset is not None:
         template = template.select_vars(var_subset)
     win = {d: (int(a), int(b)) for d, (a, b) in (window or {}).items()}
