@@ -1168,3 +1168,37 @@ def test_open_zarr_inconsistent_chunks_raises(spark, tmp_path):
     back = zarr_io.from_zarr(spark, d, chunks={"x": 6}).collect()
     np.testing.assert_array_equal(back.data_vars["foo"].values, np.arange(6))
     np.testing.assert_array_equal(back.data_vars["bar"].values, np.arange(6) * 10)
+
+
+def test_shard_extent_round_up_and_minus_one(spark, tmp_path):
+    """Oversize shard requests clamp to the whole dim rounded UP to a
+    chunk multiple (clamping to the raw dim size would violate the v3
+    shards-divisible-by-chunks rule whenever chunks don't divide the
+    dim); zarr_shards={'d': -1} = whole dim in one shard (reference
+    zarr_test.py:383-404). The final partial shard reads/writes like a
+    final partial chunk."""
+    from xarray_beam_spark.dataset import Template
+
+    t = Template(sizes={"x": 5}, var_meta={"foo": (("x",), "<f8")}, coords={}, attrs={})
+    d = str(tmp_path / "oversize")
+    zarr_io.setup_zarr(t, d, {"x": 2}, None, 3, {"x": 8})
+    arrays, _ = zarrlite.open_group(d)
+    assert arrays["foo"].shards == (6,)  # ceil(5/2)*2, not min(8,5)=5
+    zarrlite.write_region(arrays["foo"], {"x": 0}, np.arange(5.0))
+    np.testing.assert_array_equal(
+        zarrlite.read_region(arrays["foo"], {}, {}), np.arange(5.0)
+    )
+    d2 = str(tmp_path / "minus1")
+    zarr_io.setup_zarr(t, d2, {"x": 2}, None, 3, {"x": -1})
+    arrays2, _ = zarrlite.open_group(d2)
+    assert arrays2["foo"].shards == (6,)
+    # the Dataset-level multiplier spelling clamps the same way
+    src = NDDataset({"foo": (("x",), np.arange(5.0))})
+    d3 = str(tmp_path / "mult")
+    Dataset.from_numpy(spark, src, chunks={"x": 5}).to_zarr(
+        d3, zarr_chunks={"x": 2}, zarr_format=3, zarr_chunks_per_shard={"x": 4}
+    )
+    arrays3, _ = zarrlite.open_group(d3)
+    assert arrays3["foo"].shards == (6,)
+    back = zarr_io.from_zarr(spark, d3).collect()
+    np.testing.assert_array_equal(back.data_vars["foo"].values, np.arange(5.0))

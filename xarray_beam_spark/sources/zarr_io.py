@@ -138,6 +138,18 @@ def cf_encode(meta: zarrlite.ZArray, values: np.ndarray) -> np.ndarray:
     return out
 
 
+def _shard_extent(requested: int, chunk: int, size: int) -> int:
+    """Shard extent along one dim: ``-1`` means the whole dim in one
+    shard; oversize requests clamp to the whole dim — both rounded UP to
+    a chunk multiple so the v3 shards-divisible-by-chunks rule holds even
+    when chunks don't divide the dim size (the final shard is partial,
+    like a final partial chunk)."""
+    full = -(-size // chunk) * chunk
+    if requested == -1:
+        return full
+    return min(int(requested), full)
+
+
 def open_zarr_template(path: str) -> tuple[Template, dict[str, int]]:
     """Open a Zarr group as (Template, zarr chunk dict) — metadata +
     coordinate arrays only, no data chunks (reference ``open_zarr`` +
@@ -604,8 +616,13 @@ def _setup_zarr_direct(
         chunks = [min(zarr_chunks.get(d, template.sizes[d]), template.sizes[d]) for d in dims]
         shards = None
         if zarr_shards is not None:
+            # clamp oversize shard requests to the whole dim ROUNDED UP to
+            # a chunk multiple (never plain dim size: that can break the
+            # shards-divisible-by-chunks rule); -1 = whole dim in one
+            # shard, the reference's zarr_shards={'d': -1} convention
             shards = [
-                min(zarr_shards.get(d, c), template.sizes[d]) for d, c in zip(dims, chunks)
+                _shard_extent(zarr_shards.get(d, c), c, template.sizes[d])
+                for d, c in zip(dims, chunks)
             ]
         enc = encoding.get(name, {})
         if "scale_factor" in enc or "add_offset" in enc or "dtype" in enc:
@@ -873,7 +890,11 @@ def to_zarr(
             if zarr_format != 3:
                 raise ValueError("shards require zarr_format=3")
             zshards = {
-                d: min(zchunks[d] * int(zarr_chunks_per_shard.get(d, 1)), sizes[d])
+                d: _shard_extent(
+                    zchunks[d] * int(zarr_chunks_per_shard.get(d, 1)),
+                    zchunks[d],
+                    sizes[d],
+                )
                 for d in sizes
             }
         unit = zshards or zchunks
