@@ -1202,3 +1202,97 @@ def test_shard_extent_round_up_and_minus_one(spark, tmp_path):
     assert arrays3["foo"].shards == (6,)
     back = zarr_io.from_zarr(spark, d3).collect()
     np.testing.assert_array_equal(back.data_vars["foo"].values, np.arange(5.0))
+
+
+class TestForeignChunkKeyEncodings:
+    """Foreign stores spelling chunk keys differently (v2
+    dimension_separator "/", v3 chunk_key_encoding "v2"/"."): ignoring
+    the field would silently read every chunk as missing -> fill values.
+    Fixtures are written byte-by-byte the way zarr-python spells them."""
+
+    def test_v2_slash_separator_reads_and_region_writes(self, tmp_path):
+        import json
+        import zlib
+
+        d = tmp_path / "store"
+        (d / "v" / "0").mkdir(parents=True)
+        (d / ".zgroup").write_text(json.dumps({"zarr_format": 2}))
+        arr = np.arange(12, dtype="<i8").reshape(2, 6)
+        meta = {
+            "zarr_format": 2, "shape": [2, 6], "chunks": [2, 3],
+            "dtype": "<i8", "compressor": {"id": "zlib", "level": 1},
+            "fill_value": 0, "order": "C", "filters": None,
+            "dimension_separator": "/",
+        }
+        (d / "v" / ".zarray").write_text(json.dumps(meta))
+        (d / "v" / ".zattrs").write_text(
+            json.dumps({"_ARRAY_DIMENSIONS": ["x", "y"]})
+        )
+        for ci, sl in ((0, np.s_[:, 0:3]), (1, np.s_[:, 3:6])):
+            (d / "v" / "0" / str(ci)).write_bytes(
+                zlib.compress(np.ascontiguousarray(arr[sl]).tobytes())
+            )
+        m = zarrlite.open_array(str(d), "v")
+        assert m.key_separator == "/"
+        np.testing.assert_array_equal(zarrlite.read_full(m), arr)
+        # a region write through the parsed meta lands on the SAME keys
+        zarrlite.write_region(m, {"x": 0, "y": 0}, arr[:, 0:3] * 10)
+        assert (d / "v" / "0" / "0").exists()
+        got = zarrlite.read_full(zarrlite.open_array(str(d), "v"))
+        np.testing.assert_array_equal(got[:, 0:3], arr[:, 0:3] * 10)
+        np.testing.assert_array_equal(got[:, 3:6], arr[:, 3:6])
+
+    def test_v2_unknown_separator_rejected(self, tmp_path):
+        import json
+
+        d = tmp_path / "store"
+        (d / "v").mkdir(parents=True)
+        (d / "v" / ".zarray").write_text(json.dumps({
+            "zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<i8",
+            "compressor": None, "fill_value": 0, "order": "C",
+            "filters": None, "dimension_separator": "-",
+        }))
+        with pytest.raises(ValueError, match="dimension_separator"):
+            zarrlite.open_array(str(d), "v")
+
+    def test_v3_v2_style_keys_read(self, tmp_path):
+        import json
+
+        d = tmp_path / "store"
+        (d / "v").mkdir(parents=True)
+        (d / "zarr.json").write_text(json.dumps(
+            {"zarr_format": 3, "node_type": "group", "attributes": {}}
+        ))
+        arr = np.arange(6, dtype="<i4")
+        (d / "v" / "zarr.json").write_text(json.dumps({
+            "zarr_format": 3, "node_type": "array", "shape": [6],
+            "data_type": "int32",
+            "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [3]}},
+            "chunk_key_encoding": {"name": "v2", "configuration": {"separator": "."}},
+            "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+            "fill_value": 0, "dimension_names": ["x"],
+        }))
+        (d / "v" / "0").write_bytes(arr[:3].tobytes())
+        (d / "v" / "1").write_bytes(arr[3:].tobytes())
+        m = zarrlite.open_array(str(d), "v")
+        assert m.key_encoding == "v2" and m.key_separator == "."
+        np.testing.assert_array_equal(zarrlite.read_full(m), arr)
+
+    def test_v3_dot_separator_default_encoding(self, tmp_path):
+        import json
+
+        d = tmp_path / "store"
+        (d / "v").mkdir(parents=True)
+        arr = np.arange(6, dtype="<i4")
+        (d / "v" / "zarr.json").write_text(json.dumps({
+            "zarr_format": 3, "node_type": "array", "shape": [6],
+            "data_type": "int32",
+            "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [3]}},
+            "chunk_key_encoding": {"name": "default", "configuration": {"separator": "."}},
+            "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+            "fill_value": 0, "dimension_names": ["x"],
+        }))
+        (d / "v" / "c.0").write_bytes(arr[:3].tobytes())
+        (d / "v" / "c.1").write_bytes(arr[3:].tobytes())
+        m = zarrlite.open_array(str(d), "v")
+        np.testing.assert_array_equal(zarrlite.read_full(m), arr)

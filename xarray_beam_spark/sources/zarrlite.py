@@ -169,6 +169,14 @@ class ZArray:
     # "fixedscaleoffset" — the two real-world xarray/numcodecs filters;
     # anything else fails loudly at open time.
     filters: tuple[dict, ...] | None = None
+    # chunk-key layout: separator None = the format default ("." for v2,
+    # "/" for v3); key_encoding "v2" (v3 only) drops the "c" prefix.
+    # Parsed from foreign stores' dimension_separator /
+    # chunk_key_encoding so their chunks are FOUND, not silently
+    # fill-value-read; region writes through this meta land on the same
+    # keys.
+    key_separator: str | None = None
+    key_encoding: str = "default"
 
     @property
     def grid_shape(self) -> tuple[int, ...]:
@@ -517,6 +525,10 @@ def _zarray_from_v2_meta(
     compressor = _parse_v2_compressor(name, meta.get("compressor"))
     dtype = np.dtype(meta["dtype"])
     filters = _parse_v2_filters(name, meta.get("filters"), dtype)
+    sep = meta.get("dimension_separator", ".")
+    if sep not in (".", "/"):
+        # ignoring it would read every chunk as missing (fill values)
+        raise ValueError(f"{name}: unsupported dimension_separator {sep!r}")
     attrs = dict(attrs)
     dims = tuple(attrs.pop(_DIMS_ATTR, [f"dim_{i}" for i in range(len(meta["shape"]))]))
     return ZArray(
@@ -532,6 +544,7 @@ def _zarray_from_v2_meta(
         zarr_format=2,
         shards=None,
         filters=filters,
+        key_separator=sep,
     )
 
 
@@ -587,6 +600,16 @@ def _zarray_from_v3_meta(apath: str, name: str, meta: dict) -> ZArray:
         compressor = _compressor_from_v3_codecs(name, codecs)
     attrs = dict(meta.get("attributes") or {})
     dims = tuple(meta.get("dimension_names") or [f"dim_{i}" for i in range(len(meta["shape"]))])
+    cke = meta.get("chunk_key_encoding") or {}
+    enc_name = cke.get("name", "default")
+    # v2-style keys default to "." (zarr v3 spec); default-style to "/"
+    sep = (cke.get("configuration") or {}).get(
+        "separator", "." if enc_name == "v2" else "/"
+    )
+    if enc_name not in ("default", "v2") or sep not in (".", "/"):
+        raise ValueError(
+            f"{name}: unsupported chunk_key_encoding {enc_name!r}/{sep!r}"
+        )
     return ZArray(
         path=apath,
         name=name,
@@ -599,6 +622,8 @@ def _zarray_from_v3_meta(apath: str, name: str, meta: dict) -> ZArray:
         attrs=attrs,
         zarr_format=3,
         shards=shards,
+        key_separator=sep,
+        key_encoding=enc_name,
     )
 
 
@@ -745,8 +770,12 @@ def open_group(path: str) -> tuple[dict[str, ZArray], dict[str, Any]]:
 
 def _chunk_fname(meta: ZArray, grid_idx: tuple[int, ...]) -> str:
     if meta.zarr_format == 2:
-        return ".".join(str(i) for i in grid_idx) if grid_idx else "0"
-    return "c/" + "/".join(str(i) for i in grid_idx) if grid_idx else "c"
+        sep = meta.key_separator or "."
+        return sep.join(str(i) for i in grid_idx) if grid_idx else "0"
+    sep = meta.key_separator or "/"
+    if meta.key_encoding == "v2":
+        return sep.join(str(i) for i in grid_idx) if grid_idx else "0"
+    return ("c" + sep + sep.join(str(i) for i in grid_idx)) if grid_idx else "c"
 
 
 _FILTER_IDS = ("delta", "fixedscaleoffset")
