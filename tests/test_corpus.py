@@ -513,3 +513,19 @@ class TestUrlCanonicalizationProperties:
         ).collect()
         for r in rows:
             assert r["once"] == r["twice"], r["once"]
+
+
+def test_exact_dedup_null_text_rows_each_kept(spark):
+    # NULL-text docs have unknown content: they are NOT duplicates of
+    # each other, so each keeps its own row (content_hash NULL,
+    # n_copies 1) instead of collapsing into one NULL group — the same
+    # NULL-key policy as dedup_by_canonical_url / cap_per_host.
+    from xarray_beam_spark.operators.dedup import exact_dedup
+
+    rows = [(1, "same text"), (2, "same text"), (3, None), (4, None), (5, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["n_copies"], r["content_hash"] is None)
+        for r in exact_dedup(df).collect()
+    )
+    assert got == [(1, 2, False), (3, 1, True), (4, 1, True), (5, 1, False)]

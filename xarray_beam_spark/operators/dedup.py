@@ -135,10 +135,27 @@ def simhash_table(
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by content hash: keep the minimum id per distinct text.
-    Hash-groupBy — fully map-side-combinable, one shuffle on the digest."""
+    Hash-groupBy — fully map-side-combinable, one shuffle on the digest.
+    NULL-text rows are NOT duplicates of each other (their content is
+    unknown): each keeps its own row (``content_hash`` NULL,
+    ``n_copies`` 1) via a per-row group key, never a single collapsed
+    NULL group — one pass, no skew hotspot."""
+    key = F.coalesce(
+        F.md5(F.col(text_col)),
+        # md5 output is lowercase hex, so a \x00-prefixed key can never
+        # collide with a real digest
+        F.concat(F.lit("\x00"), F.col(id_col).cast("string")),
+    )
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        df.groupBy(key.alias("_k"))
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(
+            F.when(F.col("_k").startswith("\x00"), F.lit(None))
+            .otherwise(F.col("_k"))
+            .alias("content_hash"),
+            id_col,
+            "n_copies",
+        )
     )
 
 
@@ -438,8 +455,8 @@ def duplicate_clusters(
 # ---------------------------------------------------------------------------
 
 _EXACT_ORACLE = """
-SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
-FROM documents GROUP BY text
+SELECT md5(MIN(text)) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY COALESCE(text, chr(0) || doc_id)
 """
 
 
