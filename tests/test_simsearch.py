@@ -483,3 +483,22 @@ class TestPersistedIvfIndex:
             spark.sql("DROP TABLE IF EXISTS annidx3.ivf_vectors")
             spark.sql("DROP TABLE IF EXISTS annidx3.ivf_centroids")
             spark.sql("DROP DATABASE IF EXISTS annidx3")
+
+
+def test_quantized_kmeans_trains_and_recall(spark, sf_dir):
+    """The integer-exact Lloyd variant (the hash-certifiable trained
+    quantizer behind ann_ivf_trained_topk) actually TRAINS — centroids
+    move off their init — is rerun-deterministic, and its IVF recall
+    holds up against brute force."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    Cq, Cn = ss._kmeans_quantized(emb, 32, 256, 3, "embedding", "vec_id")
+    Cq2, _ = ss._kmeans_quantized(emb, 32, 256, 3, "embedding", "vec_id")
+    np.testing.assert_array_equal(Cq, Cq2)  # deterministic
+    init, _ = ss._collect_qcentroids(emb, 32, "embedding", "vec_id")
+    assert not np.array_equal(Cq, init)  # Lloyd iterations moved them
+    exact = ss.brute_force_topk(emb, queries, k=10).collect()
+    approx = ss.ivf_topk(
+        emb, queries, k=10, quantized_kmeans=True, n_probe=6
+    ).collect()
+    assert _recall(approx, exact) >= 0.5  # 6 of 32 cells probed

@@ -305,6 +305,51 @@ def _kmeans(sample: np.ndarray, n_centroids: int, iters: int = 8, seed: int = 7)
     return C
 
 
+def _kmeans_quantized(
+    emb: DataFrame,
+    n_centroids: int,
+    sample_n: int,
+    iters: int,
+    vec_col: str,
+    id_col: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Integer-exact Lloyd iterations on quantized vectors — a REAL
+    trained coarse quantizer whose every step any engine replays
+    bit-identically (the convention that hash-certifies the HLL/BPE
+    gates): the sample is the ``sample_n`` lowest ids (pushed-filter
+    scan), init = the first ``n_centroids`` of them, assignment is the
+    exact quantized cosine argmax (ties → lowest centroid id, the
+    ``_with_cells_exact`` rule), and the update is an elementwise
+    TRUNCATING integer division of exact int64 sums (``sm // cnt`` in
+    DuckDB truncates toward zero — mirrored here as sign·(|s|//cnt)).
+    Empty or all-zero updates keep the previous centroid. The float
+    k-means (:func:`_kmeans`) stays the production default; this is the
+    certifiable variant of the same loop."""
+    rows = (
+        emb.where(F.col(id_col) < sample_n)
+        .select(F.col(id_col).alias("_id"), quantize(F.col(vec_col)).alias("qv"))
+        .orderBy("_id")
+        .collect()
+    )
+    X = np.stack([np.asarray(r["qv"], dtype=np.int64) for r in rows])
+    xn = _qnorms(X)
+    C = X[: min(n_centroids, len(X))].copy()
+    for _ in range(iters):
+        Cn = _qnorms(C, what="centroid")
+        sims = (X.astype(np.float64) @ C.astype(np.float64).T) / (
+            xn[:, None] * Cn[None, :]
+        )
+        assign = np.argsort(-sims, axis=1, kind="stable")[:, 0]
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                s = members.sum(axis=0)  # exact: |qv| bounded, n bounded
+                nc = np.sign(s) * (np.abs(s) // len(members))
+                if (nc != 0).any():
+                    C[c] = nc
+    return C, _qnorms(C, what="centroid")
+
+
 def _with_ivf_cells(df: DataFrame, C: np.ndarray, vec_col: str, id_col: str, out_id: str, n_probe: int) -> DataFrame:
     """Assign each vector its ``n_probe`` nearest coarse cells (one GEMM
     per Arrow batch) + quantized vector/norm for exact re-ranking."""
@@ -422,6 +467,9 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     data_centroids: bool = False,
+    quantized_kmeans: bool = False,
+    sample_n: int = 256,
+    train_iters: int = 3,
 ) -> DataFrame:
     """Approximate top-k via an IVF coarse quantizer (the third scale
     path next to brute force and hyperplane LSH): k-means centroids are
@@ -436,9 +484,18 @@ def ivf_topk(
     assignment — deterministic in ANY engine, so the gate query is fully
     DuckDB-oracle-checkable (recall is slightly lower than trained
     centroids; the production default remains k-means).
+    ``quantized_kmeans=True`` TRAINS centroids with the integer-exact
+    Lloyd variant (:func:`_kmeans_quantized`, ``sample_n``/
+    ``train_iters``) — a real trained quantizer that is still
+    engine-replayable, so even the trained path hash-certifies.
     """
-    if data_centroids:
-        Cq, Cn = _collect_qcentroids(emb, n_centroids, vec_col, id_col)
+    if data_centroids or quantized_kmeans:
+        if data_centroids:
+            Cq, Cn = _collect_qcentroids(emb, n_centroids, vec_col, id_col)
+        else:
+            Cq, Cn = _kmeans_quantized(
+                emb, n_centroids, sample_n, train_iters, vec_col, id_col
+            )
         base = _with_cells_exact(emb, Cq, Cn, vec_col, id_col, "neighbor_id", n_probe=1)
         qs = (
             _with_cells_exact(queries, Cq, Cn, vec_col, id_col, "query_id", n_probe=n_probe)
@@ -1264,18 +1321,94 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10, data_centroids=True)
 
 
-@_register("ann_ivf_trained_topk", None)
+# The trained-IVF oracle unrolls the quantized Lloyd loop (sample →
+# init → 3 assignment/update rounds) exactly like the BPE oracle unrolls
+# merges: assignment = quantized-cosine argmax with the cid tiebreak,
+# update = per-element exact int64 sums // count (DuckDB // truncates
+# toward zero — the trainer mirrors that), empty/all-zero updates keep
+# the previous centroid. The query path is the standard cells/cand/
+# rerank tail against the TRAINED centroids.
+_TRAINED_ITERS = 3
+_TRAINED_SAMPLE_N = 256
+
+
+def _sql_lloyd_iteration(k: int, dim: int = 64) -> str:
+    return f""",
+s{k} AS (
+  SELECT vec_id, cid FROM (
+    SELECT s.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+             CAST(list_sum(list_transform(generate_series(1, len(s.qv)), i -> s.qv[i] * c.cqv[i])) AS DOUBLE)
+             / (s.n * sqrt(CAST(list_sum(list_transform(c.cqv, x -> x * x)) AS DOUBLE)))
+             DESC, c.cid) AS rnk
+    FROM samp s CROSS JOIN c{k - 1} c
+  ) WHERE rnk = 1
+),
+u{k} AS (
+  SELECT a.cid, t.i, SUM(s.qv[t.i]) AS sm, COUNT(*) AS cnt
+  FROM s{k} a JOIN samp s USING (vec_id), UNNEST(generate_series(1, {dim})) t(i)
+  GROUP BY a.cid, t.i
+),
+c{k} AS (
+  SELECT c.cid,
+         COALESCE(CASE WHEN list_sum(list_transform(nu.cqv, x -> x * x)) > 0 THEN nu.cqv END, c.cqv) AS cqv
+  FROM c{k - 1} c LEFT JOIN (
+    SELECT cid, list(sm // cnt ORDER BY i) AS cqv FROM u{k} GROUP BY cid
+  ) nu USING (cid)
+)"""
+
+
+_IVF_TRAINED_ORACLE = (
+    f"""
+WITH {_SQL_BASE_CTE},
+samp AS (SELECT vec_id, qv, n FROM base WHERE vec_id < {_TRAINED_SAMPLE_N}),
+c0 AS (SELECT vec_id AS cid, qv AS cqv FROM samp WHERE vec_id < 32)"""
+    + "".join(_sql_lloyd_iteration(k) for k in range(1, _TRAINED_ITERS + 1))
+    + f""",
+cent AS (
+  SELECT cid, cqv,
+         sqrt(CAST(list_sum(list_transform(cqv, x -> x * x)) AS DOUBLE)) AS cn
+  FROM c{_TRAINED_ITERS}
+),
+csims AS (
+  SELECT b.vec_id, c.cid,
+         CAST(list_sum(list_transform(generate_series(1, len(b.qv)),
+                       i -> b.qv[i] * c.cqv[i])) AS DOUBLE) / (b.n * c.cn) AS csim
+  FROM base b CROSS JOIN cent c
+),
+rcells AS (
+  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rnk
+  FROM csims
+),
+bcell AS (SELECT vec_id, cid AS cell FROM rcells WHERE rnk = 1),
+qcell AS (SELECT vec_id AS query_id, cid AS cell FROM rcells WHERE vec_id < 8 AND rnk <= 6),
+cand AS (
+  SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+  FROM qcell q JOIN bcell b USING (cell) WHERE b.vec_id != q.query_id
+),
+{_sql_rerank_topk('cand')}
+"""
+)
+
+
+@_register("ann_ivf_trained_topk", _IVF_TRAINED_ORACLE)
 def ann_ivf_trained_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PRODUCTION-DEFAULT IVF path under driver evidence (rows-only: the
-    trained k-means centroids are float math no SQL engine replays
-    bit-identically, so there is deliberately no oracle — COVERAGE.md
-    scope note). Deterministic end-to-end all the same: the k-means
-    sample is `limit(train_limit)` over a deterministic scan, Lloyd
-    iterations are fixed-seed, and ties in the top-k break by
-    neighbor_id — reruns return identical rows."""
+    """TRAINED-quantizer IVF under driver evidence — hash-certified since
+    r11: the gate trains real Lloyd iterations in the integer-exact
+    variant (:func:`_kmeans_quantized`) and the oracle unrolls the loop
+    as chained CTE stages (the BPE-oracle pattern), so even the trained
+    path certifies end-to-end. The float k-means production default
+    keeps its recall pytests (`test_simsearch.py`)."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
-    return ivf_topk(emb, queries, k=10)
+    return ivf_topk(
+        emb,
+        queries,
+        k=10,
+        quantized_kmeans=True,
+        sample_n=_TRAINED_SAMPLE_N,
+        train_iters=_TRAINED_ITERS,
+    )
 
 
 # (appId, sf_dir) -> table prefix of a COMPLETED index build. Memoizing

@@ -241,11 +241,14 @@ _LAST_CERTIFIED_ROUND: dict[str, int] = {
         "xb_grid_std_day", "xb_grid_sum_hour", "xb_grid_tail",
         "xb_zarr_roundtrip", "xb_zarr_v3_sharded_roundtrip",
     ], 10),
-    # no-oracle gates: pinned by pytest, demoted to the registry tail so
-    # they never displace hash-certifiable queries from the driver's
-    # ~50-slot sweep (VERDICT r6 "Missing #2"). corpus_bpe_merges left
-    # this set in r11 (oracle = the training loop unrolled as CTE
-    # stages) and is absent from the map so it sweeps as never-certified.
+    # corpus_bpe_merges and ann_ivf_trained_topk both left the no-oracle
+    # set in r11 (their training loops unroll as chained CTE stages —
+    # BPE merges / quantized Lloyd iterations). bpe is absent from the
+    # map so it sweeps as never-certified in r11; the trained-IVF gate
+    # stays tail-demoted ONE more round so r11's sweep refreshes the
+    # seven r7-stale keys plus >= 40 r8 keys (VERDICT r10 task 1's
+    # stated budget) — drop this entry at r12 start so it certifies
+    # first in that sweep.
     **dict.fromkeys(["ann_ivf_trained_topk"], 99),
 }
 
