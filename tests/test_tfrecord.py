@@ -1,0 +1,207 @@
+"""TFRecord container + tf.train.Example codec tests.
+
+Both layers are from-spec (no TensorFlow in the container), so the
+golden values here come from the PUBLIC specs themselves: the crc32c
+check vector from RFC 3720 §B.4, the masked-crc framing formula from
+tensorflow core/lib/io/record_writer.cc, and proto wire bytes derived
+by hand from example.proto/feature.proto.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from xarray_beam_spark.sources import tfrecord as tfr
+from xarray_beam_spark.sources.zarrlite import _crc32c
+
+
+class TestFraming:
+    def test_crc32c_check_vector(self):
+        # RFC 3720 §B.4: crc32c("123456789") == 0xE3069283
+        assert _crc32c(b"123456789") == 0xE3069283
+
+    def test_batch_crc_matches_scalar(self):
+        rng = np.random.default_rng(7)
+        bufs = [
+            bytes(rng.integers(0, 256, int(n), dtype=np.uint8).tobytes())
+            for n in rng.integers(0, 64, 50)
+        ] + [b"", b"123456789"]
+        got = tfr._crc32c_batch(bufs)
+        assert [int(x) for x in got] == [_crc32c(b) for b in bufs]
+
+    def test_mask_formula(self):
+        # record_writer.cc: mask = ((crc >> 15) | (crc << 17)) + 0xa282ead8
+        crc = _crc32c(b"data")
+        expect = (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+        assert tfr._masked_crc(b"data") == expect
+        got = tfr._mask_batch(np.asarray([crc], np.uint32))
+        assert int(got[0]) == expect
+
+    def test_roundtrip(self):
+        recs = [b"", b"a", b"hello world" * 10]
+        assert list(tfr.iter_records(tfr.frame_records(recs))) == recs
+
+    def test_frame_layout(self):
+        framed = tfr.frame_records([b"abc"])
+        assert struct.unpack_from("<Q", framed, 0)[0] == 3
+        assert framed[12:15] == b"abc"
+        assert len(framed) == 8 + 4 + 3 + 4
+
+    @pytest.mark.parametrize("byte_off", [0, 9, 13, 16])
+    def test_corruption_is_loud(self, byte_off):
+        framed = bytearray(tfr.frame_records([b"abcd"]))
+        framed[byte_off] ^= 0x01
+        with pytest.raises(ValueError, match="crc mismatch|truncated"):
+            list(tfr.iter_records(bytes(framed)))
+
+    def test_truncation_is_loud(self):
+        framed = tfr.frame_records([b"abcd"])
+        for cut in (4, 13, len(framed) - 1):
+            with pytest.raises(ValueError, match="truncated"):
+                list(tfr.iter_records(framed[:cut]))
+
+
+class TestExampleProto:
+    def test_golden_bytes(self):
+        # Hand-derived from example.proto/feature.proto:
+        # Example{features=1}{ entry{ key="a", value=Feature{int64_list
+        # =3}{ value=1 packed [1] } } }
+        assert tfr.encode_example({"a": ("int64", [1])}) == bytes.fromhex(
+            "0a0c0a0a0a01611205" "1a030a0101"
+        )
+
+    def test_all_kinds_roundtrip(self):
+        feats = {
+            "s": ("bytes", [b"hi", b"", "caf\xe9".encode()]),
+            "i": ("int64", [0, -1, 2**62, -(2**62)]),
+            "f": ("float", [0.0, 1.5, -2.25]),
+        }
+        assert tfr.decode_example(tfr.encode_example(feats)) == feats
+
+    def test_deterministic_key_order(self):
+        a = tfr.encode_example({"b": ("int64", [1]), "a": ("int64", [2])})
+        b = tfr.encode_example({"a": ("int64", [2]), "b": ("int64", [1])})
+        assert a == b
+
+    def test_unpacked_int64_accepted(self):
+        # writers MAY emit repeated int64 unpacked (wire type 0 per value)
+        inner = b"".join(tfr._varint(8) + tfr._varint(v % (1 << 64)) for v in (5, -3))
+        feature = tfr._ld(3, inner)
+        entry = tfr._ld(1, b"x") + tfr._ld(2, feature)
+        msg = tfr._ld(1, tfr._ld(1, entry))
+        assert tfr.decode_example(msg) == {"x": ("int64", [5, -3])}
+
+    def test_unpacked_float_accepted(self):
+        inner = b"".join(
+            tfr._varint((1 << 3) | 5) + np.float32(v).tobytes() for v in (1.5, -2.0)
+        )
+        feature = tfr._ld(2, inner)
+        entry = tfr._ld(1, b"x") + tfr._ld(2, feature)
+        msg = tfr._ld(1, tfr._ld(1, entry))
+        assert tfr.decode_example(msg) == {"x": ("float", [1.5, -2.0])}
+
+    def test_unknown_fields_skipped(self):
+        base = tfr.encode_example({"a": ("int64", [1])})
+        # append an unknown varint field (field 9) at the Example level
+        extended = base + tfr._varint(9 << 3) + tfr._varint(42)
+        assert tfr.decode_example(extended) == {"a": ("int64", [1])}
+
+    @given(
+        st.dictionaries(
+            st.text(min_size=1, max_size=8),
+            st.one_of(
+                st.tuples(
+                    st.just("int64"),
+                    st.lists(st.integers(-(2**63), 2**63 - 1), max_size=5),
+                ),
+                st.tuples(st.just("bytes"), st.lists(st.binary(max_size=16), max_size=5)),
+            ),
+            max_size=5,
+        )
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_property_roundtrip(self, feats):
+        assert tfr.decode_example(tfr.encode_example(feats)) == feats
+
+
+@pytest.mark.usefixtures("spark")
+class TestSparkRoundtrip:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "hello", [1, 2], 1.5, b"\x00\xff", True),
+                (2, None, [], None, None, False),
+                (3, "wörld", [7], 2.25, b"z", None),
+            ],
+            "id long, txt string, arr array<long>, f float, blob binary, flag boolean",
+        )
+
+    def test_roundtrip_all_types(self, spark, tmp_path):
+        df = self._df(spark)
+        stats = tfr.write_tfrecords(df.repartition(2, "id"), str(tmp_path))
+        assert stats["records"] == 3 and stats["shards"] >= 1
+        rows = {r["id"]: r for r in tfr.read_tfrecords(spark, str(tmp_path)).collect()}
+        assert rows[1]["txt"] == "hello" and rows[1]["arr"] == [1, 2]
+        assert bytes(rows[1]["blob"]) == b"\x00\xff" and rows[1]["flag"] is True
+        assert rows[2]["txt"] is None and rows[2]["arr"] == []
+        assert rows[2]["f"] is None and rows[2]["flag"] is False
+        assert rows[3]["f"] == 2.25 and rows[3]["flag"] is None
+
+    def test_sharding(self, spark, tmp_path):
+        df = spark.range(100).select(F_col_id())
+        tfr.write_tfrecords(df.repartition(1), str(tmp_path), shard_records=16)
+        import os
+
+        shards = sorted(p for p in os.listdir(tmp_path) if p.endswith(".tfrecord"))
+        assert len(shards) == 7  # 6 full shards of 16 + remainder of 4
+        back = tfr.read_tfrecords(spark, str(tmp_path))
+        assert sorted(r["id"] for r in back.collect()) == list(range(100))
+
+    def test_double_refused_unless_opted_in(self, spark, tmp_path):
+        df = spark.createDataFrame([(1.5,)], "d double")
+        with pytest.raises(TypeError, match="float32"):
+            tfr.write_tfrecords(df, str(tmp_path))
+        tfr.write_tfrecords(df, str(tmp_path / "ok"), allow_f32_demotion=True)
+        got = tfr.read_tfrecords(
+            spark, str(tmp_path / "ok"), "d float"
+        ).collect()
+        assert got[0]["d"] == 1.5
+
+    def test_unsupported_type_is_loud(self, spark, tmp_path):
+        df = spark.createDataFrame([({"k": 1},)], "m map<string,long>")
+        with pytest.raises(TypeError, match="no\\s+tf.train.Feature mapping"):
+            tfr.write_tfrecords(df, str(tmp_path))
+
+    def test_explicit_ddl_schema_subset(self, spark, tmp_path):
+        tfr.write_tfrecords(self._df(spark), str(tmp_path))
+        got = tfr.read_tfrecords(spark, str(tmp_path), "id long, txt string")
+        assert set(got.columns) == {"id", "txt"}
+        assert {r["id"] for r in got.collect()} == {1, 2, 3}
+
+    def test_missing_sidecar_is_loud(self, spark, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            tfr.read_tfrecords(spark, str(tmp_path))
+
+    def test_deterministic_bytes(self, spark, tmp_path):
+        """Equal rows → identical shard bytes (idempotent task retries)."""
+        df = self._df(spark).repartition(1).sortWithinPartitions("id")
+        tfr.write_tfrecords(df, str(tmp_path / "a"))
+        tfr.write_tfrecords(df, str(tmp_path / "b"))
+        import os
+
+        for name in os.listdir(tmp_path / "a"):
+            if name.endswith(".tfrecord"):
+                ba = (tmp_path / "a" / name).read_bytes()
+                bb = (tmp_path / "b" / name).read_bytes()
+                assert ba == bb
+
+
+def F_col_id():
+    from pyspark.sql import functions as F
+
+    return F.col("id")

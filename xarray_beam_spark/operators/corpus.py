@@ -1182,3 +1182,31 @@ def corpus_url_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_host).cast("long").alias("host_rank"),
         (F.row_number().over(w_host) <= 25).alias("kept_host_cap"),
     )
+
+
+_TFRECORD_ORACLE = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
+@_register("corpus_tfrecord_roundtrip", _TFRECORD_ORACLE)
+def corpus_tfrecord_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → TFRecord shards of ``tf.train.Example`` → read back:
+    the training-data EXPORT leg (T5/BERT/NeoX-style tf.data consumers).
+    Both legs are under test — the distributed shard writer (one shard
+    per 128 records of each partition, masked-crc32c framing, sorted
+    feature keys) and the crc-verifying reader — so the gate certifies
+    byte-level spec compliance document-exactly. All five columns are
+    string/int64 features and round-trip losslessly (FloatList's f32
+    demotion never applies)."""
+    from xarray_beam_spark.grid_queries import _materialized
+    from xarray_beam_spark.sources import tfrecord
+
+    def build(p: str) -> None:
+        docs = load(spark, sf_dir, "documents")
+        tfrecord.write_tfrecords(
+            docs.repartition(8, "doc_id"), p, shard_records=128
+        )
+
+    path = _materialized(spark, sf_dir, "tfrec", build)
+    return tfrecord.read_tfrecords(spark, path)

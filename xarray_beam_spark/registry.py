@@ -250,6 +250,12 @@ _LAST_CERTIFIED_ROUND: dict[str, int] = {
     # stated budget) — drop this entry at r12 start so it certifies
     # first in that sweep.
     **dict.fromkeys(["ann_ivf_trained_topk"], 99),
+    # New r11 surface, registered mid-round AFTER the round's 3-new-gate
+    # sweep budget (bpe/chars/url_dedup) was spent: tail-demote so the
+    # r11 sweep still refreshes the seven r7-stale keys + 40 r8 keys as
+    # planned. Drop these entries at r12 start so they certify first in
+    # that sweep (same pattern as ann_ivf_trained_topk above).
+    **dict.fromkeys(["corpus_tfrecord_roundtrip"], 98),
 }
 
 

@@ -1,0 +1,536 @@
+"""From-spec TFRecord container + ``tf.train.Example`` codec, Spark-first.
+
+The reference (xarray-beam) has no TFRecord surface; this module is part
+of the training-data-pipeline extension (same tier as
+``operators/corpus.py``): TFRecord files of ``tf.train.Example`` protos
+are the canonical export format LLM/seq2seq training jobs consume
+(T5/BERT/NeoX input pipelines), so a corpus engine that cannot emit them
+stops one step short of the trainer.
+
+No TensorFlow in this container (and none needed): both layers are tiny
+PUBLIC specs implemented from scratch —
+
+* TFRecord framing (tensorflow ``core/lib/io/record_writer.cc``):
+  ``uint64le length | uint32le masked_crc32c(length) | data |
+  uint32le masked_crc32c(data)``, where
+  ``mask(crc) = ((crc >> 15 | crc << 17) + 0xa282ead8) mod 2^32``.
+  The crc is CRC-32C (Castagnoli) — same polynomial the Zarr v3 shard
+  index uses (``zarrlite._crc32c``).
+* ``tf.train.Example`` (tensorflow ``core/example/{example,feature}.proto``):
+  ``Example{ Features{ map<string, Feature> } }`` with
+  ``Feature = oneof{ BytesList=1, FloatList=2, Int64List=3 }`` — encoded
+  with a from-scratch protobuf wire codec (varint / length-delimited;
+  packed and unpacked repeated numerics both accepted on read, packed
+  written, unknown fields skipped).
+
+Scale shape: the writer is ``mapInPandas`` — every input partition
+serializes its own rows and puts one shard object per ``shard_records``
+slice through the ``stores`` backend (local fs / http / mem), so the
+write is embarrassingly parallel with zero shuffle and no driver
+participation beyond a one-blob schema sidecar. The reader inverts it:
+shard keys are listed once, parallelized, and each task decodes only its
+shard. CRCs are verified on every read; a flipped bit fails loudly, never
+decodes garbage. Determinism: feature keys are written sorted, so equal
+rows produce identical bytes (needed for the driver's hash gate and for
+idempotent task retries — a re-written shard is byte-identical).
+
+Precision note (spec, not implementation): ``FloatList`` carries
+float32. Double columns are demoted on write and come back as float32
+values; exact round-trips need string/binary/integer columns. The writer
+refuses double columns unless ``allow_f32_demotion=True`` so the loss is
+always opt-in.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xarray_beam_spark.sources import stores
+from xarray_beam_spark.sources.zarrlite import _crc32c, _crc32c_table
+
+_MASK_DELTA = 0xA282EAD8
+_META_NAME = "_xbs_tfrecord_meta.json"
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = _crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + _MASK_DELTA) & 0xFFFFFFFF
+
+
+_TABLE_NP: np.ndarray | None = None
+
+
+def _crc32c_batch(bufs: list[bytes]) -> np.ndarray:
+    """CRC-32C of many buffers at once: vectorized ACROSS records.
+
+    The crc recurrence is sequential in the byte index, so a single
+    buffer cannot vectorize — but a batch can: one numpy gather per byte
+    position over all records still in range. maxlen iterations of
+    O(n_records) vector work instead of sum(len) Python-level steps.
+    """
+    global _TABLE_NP
+    if _TABLE_NP is None:
+        _TABLE_NP = np.asarray(_crc32c_table(), dtype=np.uint32)
+    n = len(bufs)
+    if n == 0:
+        return np.empty(0, np.uint32)
+    lens = np.fromiter((len(b) for b in bufs), np.int64, n)
+    maxlen = int(lens.max(initial=0))
+    mat = np.zeros((n, maxlen), np.uint8)
+    for i, b in enumerate(bufs):
+        mat[i, : len(b)] = np.frombuffer(b, np.uint8)
+    crc = np.full(n, 0xFFFFFFFF, np.uint32)
+    order = np.argsort(lens)  # process short records first, then shrink
+    mat = mat[order]
+    crc_sorted = crc[order]
+    lens_sorted = lens[order]
+    start = 0
+    for j in range(maxlen):
+        # records shorter than j+1 are done; they are a prefix of the
+        # sorted order, so the active set is a single tail slice
+        while start < n and lens_sorted[start] <= j:
+            start += 1
+        c = crc_sorted[start:]
+        b = mat[start:, j]
+        crc_sorted[start:] = _TABLE_NP[(c ^ b) & 0xFF] ^ (c >> 8)
+    out = np.empty(n, np.uint32)
+    out[order] = crc_sorted ^ np.uint32(0xFFFFFFFF)
+    return out
+
+
+def _mask_batch(crc: np.ndarray) -> np.ndarray:
+    rot = ((crc >> np.uint32(15)) | (crc << np.uint32(17))) & np.uint32(0xFFFFFFFF)
+    return (rot + np.uint32(_MASK_DELTA)) & np.uint32(0xFFFFFFFF)
+
+
+def frame_records(records: list[bytes]) -> bytes:
+    """Frame already-encoded payloads into TFRecord bytes (batched crcs)."""
+    if not records:
+        return b""
+    len_bufs = [struct.pack("<Q", len(r)) for r in records]
+    len_crcs = _mask_batch(_crc32c_batch(len_bufs))
+    data_crcs = _mask_batch(_crc32c_batch(records))
+    parts: list[bytes] = []
+    for i, r in enumerate(records):
+        parts.append(len_bufs[i])
+        parts.append(struct.pack("<I", int(len_crcs[i])))
+        parts.append(r)
+        parts.append(struct.pack("<I", int(data_crcs[i])))
+    return b"".join(parts)
+
+
+def iter_records(buf: bytes, *, verify: bool = True) -> Iterator[bytes]:
+    """Yield record payloads from TFRecord bytes; loud on any corruption."""
+    pos, end = 0, len(buf)
+    while pos < end:
+        if end - pos < 12:
+            raise ValueError(f"truncated TFRecord header at byte {pos}")
+        (length,) = struct.unpack_from("<Q", buf, pos)
+        (len_crc,) = struct.unpack_from("<I", buf, pos + 8)
+        if verify and _masked_crc(buf[pos : pos + 8]) != len_crc:
+            raise ValueError(f"TFRecord length crc mismatch at byte {pos}")
+        dstart = pos + 12
+        dend = dstart + length
+        if dend + 4 > end:
+            raise ValueError(f"truncated TFRecord data at byte {pos}")
+        data = buf[dstart:dend]
+        (data_crc,) = struct.unpack_from("<I", buf, dend)
+        if verify and _masked_crc(data) != data_crc:
+            raise ValueError(f"TFRecord data crc mismatch at byte {pos}")
+        yield data
+        pos = dend + 4
+
+
+# ---------------------------------------------------------------------------
+# protobuf wire codec (just enough for example.proto / feature.proto)
+
+def _varint(n: int) -> bytes:
+    if n < 0:
+        n &= (1 << 64) - 1  # int64 negatives: 10-byte two's-complement varint
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("truncated varint")
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long")
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    """length-delimited field (wire type 2)."""
+    return _varint((field << 3) | 2) + _varint(len(payload)) + payload
+
+
+_KIND_FIELD = {"bytes": 1, "float": 2, "int64": 3}
+_FIELD_KIND = {v: k for k, v in _KIND_FIELD.items()}
+
+
+def encode_example(features: dict[str, tuple[str, list]]) -> bytes:
+    """Encode ``{name: (kind, values)}`` → ``tf.train.Example`` bytes.
+
+    kind ∈ {"bytes", "float", "int64"}; values is a list (bytes / float /
+    int). Keys are serialized sorted so encoding is deterministic.
+    """
+    entries: list[bytes] = []
+    for name in sorted(features):
+        kind, values = features[name]
+        if kind == "bytes":
+            inner = b"".join(_ld(1, v) for v in values)
+        elif kind == "float":
+            inner = _ld(1, np.asarray(values, "<f4").tobytes())  # packed
+        elif kind == "int64":
+            inner = _ld(1, b"".join(_varint(int(v)) for v in values))  # packed
+        else:
+            raise ValueError(f"unknown feature kind {kind!r}")
+        feature = _ld(_KIND_FIELD[kind], inner)
+        entry = _ld(1, name.encode()) + _ld(2, feature)
+        entries.append(_ld(1, entry))
+    features_msg = b"".join(entries)
+    return _ld(1, features_msg)  # Example.features = 1
+
+
+def _signed64(n: int) -> int:
+    return n - (1 << 64) if n >= (1 << 63) else n
+
+
+def _decode_numeric_list(buf: bytes, kind: str) -> list:
+    """Parse BytesList/FloatList/Int64List message bytes."""
+    values: list = []
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if field != 1:
+            pos = _skip_field(buf, pos, wire)
+            continue
+        if kind == "bytes":
+            if wire != 2:
+                raise ValueError("BytesList value must be length-delimited")
+            ln, pos = _read_varint(buf, pos)
+            values.append(buf[pos : pos + ln])
+            pos += ln
+        elif kind == "float":
+            if wire == 2:  # packed
+                ln, pos = _read_varint(buf, pos)
+                values.extend(
+                    float(x) for x in np.frombuffer(buf, "<f4", ln // 4, pos)
+                )
+                pos += ln
+            elif wire == 5:  # unpacked fixed32
+                values.append(float(np.frombuffer(buf, "<f4", 1, pos)[0]))
+                pos += 4
+            else:
+                raise ValueError("FloatList value has wrong wire type")
+        else:  # int64
+            if wire == 2:  # packed
+                ln, pos = _read_varint(buf, pos)
+                stop = pos + ln
+                while pos < stop:
+                    v, pos = _read_varint(buf, pos)
+                    values.append(_signed64(v))
+            elif wire == 0:
+                v, pos = _read_varint(buf, pos)
+                values.append(_signed64(v))
+            else:
+                raise ValueError("Int64List value has wrong wire type")
+    return values
+
+
+def _skip_field(buf: bytes, pos: int, wire: int) -> int:
+    if wire == 0:
+        _, pos = _read_varint(buf, pos)
+    elif wire == 1:
+        pos += 8
+    elif wire == 2:
+        ln, pos = _read_varint(buf, pos)
+        pos += ln
+    elif wire == 5:
+        pos += 4
+    else:
+        raise ValueError(f"unsupported protobuf wire type {wire}")
+    return pos
+
+
+def _iter_submessages(buf: bytes, want_field: int) -> Iterator[bytes]:
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if field == want_field and wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            yield buf[pos : pos + ln]
+            pos += ln
+        else:
+            pos = _skip_field(buf, pos, wire)
+
+
+def decode_example(data: bytes) -> dict[str, tuple[str, list]]:
+    """Decode ``tf.train.Example`` bytes → ``{name: (kind, values)}``."""
+    out: dict[str, tuple[str, list]] = {}
+    for features_msg in _iter_submessages(data, 1):  # Example.features
+        for entry in _iter_submessages(features_msg, 1):  # map entry
+            name: str | None = None
+            feature: bytes | None = None
+            pos = 0
+            while pos < len(entry):
+                tag, pos = _read_varint(entry, pos)
+                field, wire = tag >> 3, tag & 7
+                if field == 1 and wire == 2:  # key
+                    ln, pos = _read_varint(entry, pos)
+                    name = entry[pos : pos + ln].decode()
+                    pos += ln
+                elif field == 2 and wire == 2:  # value (Feature)
+                    ln, pos = _read_varint(entry, pos)
+                    feature = entry[pos : pos + ln]
+                    pos += ln
+                else:
+                    pos = _skip_field(entry, pos, wire)
+            if name is None or feature is None:
+                raise ValueError("Features map entry missing key or value")
+            pos = 0
+            while pos < len(feature):
+                tag, pos = _read_varint(feature, pos)
+                field, wire = tag >> 3, tag & 7
+                kind = _FIELD_KIND.get(field)
+                if kind is None or wire != 2:
+                    pos = _skip_field(feature, pos, wire)
+                    continue
+                ln, pos = _read_varint(feature, pos)
+                out[name] = (kind, _decode_numeric_list(feature[pos : pos + ln], kind))
+                pos += ln
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark column mapping
+
+_INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.BooleanType)
+
+
+def _column_kind(field: T.StructField, allow_f32_demotion: bool) -> tuple[str, bool]:
+    """→ (feature kind, is_list) for a Spark column; loud on unsupported."""
+    dt = field.dataType
+    is_list = isinstance(dt, T.ArrayType)
+    if is_list:
+        dt = dt.elementType
+    if isinstance(dt, T.StringType) or isinstance(dt, T.BinaryType):
+        return "bytes", is_list
+    if isinstance(dt, _INT_TYPES):
+        return "int64", is_list
+    if isinstance(dt, T.FloatType):
+        return "float", is_list
+    if isinstance(dt, T.DoubleType):
+        if not allow_f32_demotion:
+            raise TypeError(
+                f"column {field.name!r} is double but FloatList is float32; "
+                "cast to float explicitly or pass allow_f32_demotion=True"
+            )
+        return "float", is_list
+    raise TypeError(
+        f"column {field.name!r}: {field.dataType.simpleString()} has no "
+        "tf.train.Feature mapping (bytes/string/int/float/arrays thereof)"
+    )
+
+
+def _encode_batch(pdf: pd.DataFrame, kinds: dict[str, tuple[str, bool]]) -> list[bytes]:
+    records: list[bytes] = []
+    cols = {c: pdf[c].to_numpy(dtype=object) for c in kinds}
+    for i in range(len(pdf)):
+        feats: dict[str, tuple[str, list]] = {}
+        for name, (kind, is_list) in kinds.items():
+            v = cols[name][i]
+            if v is None or (not is_list and isinstance(v, float) and np.isnan(v)):
+                continue  # missing feature == absent from the map (TF convention)
+            values = list(v) if is_list else [v]
+            if kind == "bytes":
+                values = [x.encode() if isinstance(x, str) else bytes(x) for x in values]
+            elif kind == "int64":
+                values = [int(x) for x in values]
+            else:
+                values = [float(x) for x in values]
+            feats[name] = (kind, values)
+        records.append(encode_example(feats))
+    return records
+
+
+_WRITE_STATS = T.StructType([
+    T.StructField("shards", T.LongType()),
+    T.StructField("records", T.LongType()),
+    T.StructField("bytes", T.LongType()),
+])
+
+
+def write_tfrecords(
+    df: DataFrame,
+    path: str,
+    *,
+    shard_records: int | None = None,
+    allow_f32_demotion: bool = False,
+) -> dict:
+    """Write a DataFrame as TFRecord shards of ``tf.train.Example``.
+
+    One shard object per ``shard_records`` rows of each input partition
+    (default: one shard per partition) named
+    ``part-{partition:05d}-{seq:04d}.tfrecord`` — the layout every
+    tf.data-style consumer globs. Fully distributed mapInPandas; the
+    only driver write is the schema sidecar. Returns
+    ``{"shards": n, "records": n, "bytes": n}``.
+    """
+    kinds = {f.name: _column_kind(f, allow_f32_demotion) for f in df.schema.fields}
+    schema_json = df.schema.json()
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        store, key = stores.resolve(path)
+        pid = TaskContext.get().partitionId()
+        pending: list[bytes] = []
+        seq = n_shards = n_records = n_bytes = 0
+
+        def flush() -> None:
+            nonlocal seq, n_shards, n_bytes, pending
+            if not pending:
+                return
+            blob = frame_records(pending)
+            store.put(
+                stores.join(key, f"part-{pid:05d}-{seq:04d}.tfrecord"), blob
+            )
+            seq += 1
+            n_shards += 1
+            n_bytes += len(blob)
+            pending = []
+
+        for pdf in batches:
+            recs = _encode_batch(pdf, kinds)
+            n_records += len(recs)
+            pending.extend(recs)
+            while shard_records and len(pending) >= shard_records:
+                head, pending = pending[:shard_records], pending[shard_records:]
+                blob = frame_records(head)
+                store.put(
+                    stores.join(key, f"part-{pid:05d}-{seq:04d}.tfrecord"), blob
+                )
+                seq += 1
+                n_shards += 1
+                n_bytes += len(blob)
+        flush()
+        yield pd.DataFrame(
+            {"shards": [n_shards], "records": [n_records], "bytes": [n_bytes]}
+        )
+
+    stats = (
+        df.mapInPandas(write, _WRITE_STATS)
+        .agg(F.sum("shards"), F.sum("records"), F.sum("bytes"))
+        .collect()[0]
+    )
+    store, key = stores.resolve(path)
+    store.put(
+        stores.join(key, _META_NAME),
+        json.dumps(
+            {"format": "xbs-tfrecord-v1", "schema": json.loads(schema_json)},
+            sort_keys=True,
+        ).encode(),
+    )
+    return {
+        "shards": int(stats[0] or 0),
+        "records": int(stats[1] or 0),
+        "bytes": int(stats[2] or 0),
+    }
+
+
+def _from_feature(kind_values, want_kind: str, is_list: bool, dt: T.DataType):
+    if kind_values is None:
+        return None
+    kind, values = kind_values
+    if kind != want_kind:
+        raise ValueError(f"feature holds {kind}, column wants {want_kind}")
+    if want_kind == "bytes" and isinstance(dt, T.StringType):
+        values = [v.decode() for v in values]
+    elif want_kind == "int64" and isinstance(dt, T.BooleanType):
+        values = [bool(v) for v in values]
+    if is_list:
+        return values
+    return values[0] if values else None
+
+
+def read_tfrecords(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    """Read TFRecord shards back into a DataFrame.
+
+    ``schema`` may be a StructType, a DDL string, or None (use the
+    writer's sidecar). Shard keys are listed once on the driver and
+    parallelized; each task fetches and decodes only its shards, crc
+    verified. Missing features decode as NULL; extra features in a
+    record are ignored (protobuf-style forward compatibility).
+    """
+    store, key = stores.resolve(path)
+    if schema is None:
+        raw = store.get(stores.join(key, _META_NAME))
+        if raw is None:
+            raise FileNotFoundError(
+                f"no schema given and no {_META_NAME} sidecar under {path!r}"
+            )
+        meta = json.loads(raw.decode())
+        if meta.get("format") != "xbs-tfrecord-v1":
+            raise ValueError(f"unrecognized sidecar format {meta.get('format')!r}")
+        schema = T.StructType.fromJson(meta["schema"])
+    elif isinstance(schema, str):
+        parsed = spark.createDataFrame([], schema).schema
+        schema = parsed
+    shard_names = sorted(
+        n for n in store.list_dir(key) if n.endswith(".tfrecord")
+    )
+    if not shard_names:
+        raise FileNotFoundError(f"no *.tfrecord shards under {path!r}")
+    fields = [
+        (f.name, _column_kind(f, True), f.dataType) for f in schema.fields
+    ]
+
+    def read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        store, key = stores.resolve(path)
+        for pdf in batches:
+            for shard in pdf["shard"]:
+                blob = store.get(stores.join(key, shard))
+                if blob is None:
+                    raise FileNotFoundError(f"shard {shard!r} vanished under {path!r}")
+                rows: dict[str, list] = {name: [] for name, _, _ in fields}
+                for rec in iter_records(blob):
+                    feats = decode_example(rec)
+                    for name, (kind, is_list), dt in fields:
+                        elem = dt.elementType if is_list else dt
+                        rows[name].append(
+                            _from_feature(feats.get(name), kind, is_list, elem)
+                        )
+                yield pd.DataFrame(rows)
+
+    shards = spark.createDataFrame(
+        [(s,) for s in shard_names], "shard string"
+    ).repartition(min(len(shard_names), 64))
+    return shards.mapInPandas(read, schema)
