@@ -1,0 +1,178 @@
+"""WebDataset tar-shard source/sink tests.
+
+The format is plain POSIX tar + the ``{key}.{ext}`` naming convention,
+so interop is tested against stdlib ``tarfile`` in BOTH directions:
+our shards list cleanly with ``tarfile``, and a tar built with raw
+``tarfile`` (a "foreign" shard) reads back through the Spark reader.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tarfile
+
+import pytest
+
+from xarray_beam_spark.sources import webdataset as wds
+
+
+class TestMemberNames:
+    def test_split(self):
+        assert wds.split_member_name("a/b/c.seg.png") == ("a/b/c", "seg.png")
+        assert wds.split_member_name("x.txt") == ("x", "txt")
+        assert wds.split_member_name("d.ir/x.txt") == ("d.ir/x", "txt")
+
+    def test_no_extension_is_loud(self):
+        with pytest.raises(ValueError, match="no extension"):
+            wds.split_member_name("plain")
+
+
+@pytest.mark.usefixtures("spark")
+class TestSparkRoundtrip:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                ("a/000", "hello", b"\x89PNG", {"lang": "en", "n": 3}, [1, 2]),
+                ("a/001", None, b"zz", {"lang": "de", "n": 1}, []),
+                ("b/002", "wörld", None, None, None),
+            ],
+            "__key__ string, txt string, png binary, "
+            "meta struct<lang:string,n:long>, arr array<long>",
+        )
+
+    def test_roundtrip(self, spark, tmp_path):
+        stats = wds.write_webdataset(
+            self._df(spark).repartition(2, "__key__"), str(tmp_path)
+        )
+        assert stats["samples"] == 3
+        rows = {
+            r["__key__"]: r
+            for r in wds.read_webdataset(spark, str(tmp_path)).collect()
+        }
+        assert rows["a/000"]["txt"] == "hello"
+        assert bytes(rows["a/000"]["png"]) == b"\x89PNG"
+        assert rows["a/000"]["meta"]["lang"] == "en"
+        assert rows["a/000"]["arr"] == [1, 2]
+        assert rows["a/001"]["txt"] is None and rows["a/001"]["arr"] == []
+        assert rows["b/002"]["png"] is None and rows["b/002"]["meta"] is None
+
+    def test_deterministic_bytes(self, spark, tmp_path):
+        df = self._df(spark).repartition(1).sortWithinPartitions("__key__")
+        wds.write_webdataset(df, str(tmp_path / "a"))
+        wds.write_webdataset(df, str(tmp_path / "b"))
+        for n in os.listdir(tmp_path / "a"):
+            if n.endswith(".tar"):
+                assert (tmp_path / "a" / n).read_bytes() == (
+                    tmp_path / "b" / n
+                ).read_bytes()
+
+    def test_shard_splitting(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        df = spark.range(50).select(
+            F.format_string("%06d", "id").alias("__key__"),
+            F.col("id").cast("string").alias("txt"),
+        )
+        wds.write_webdataset(df.repartition(1), str(tmp_path), shard_records=16)
+        shards = [n for n in os.listdir(tmp_path) if n.endswith(".tar")]
+        assert len(shards) == 4  # 3 full + remainder of 2
+        back = wds.read_webdataset(spark, str(tmp_path))
+        assert back.count() == 50
+
+    def test_stdlib_tar_lists_our_shards(self, spark, tmp_path):
+        wds.write_webdataset(
+            self._df(spark).repartition(1).sortWithinPartitions("__key__"),
+            str(tmp_path),
+        )
+        shard = next(n for n in sorted(os.listdir(tmp_path)) if n.endswith(".tar"))
+        with tarfile.open(tmp_path / shard) as tar:
+            names = [m.name for m in tar]
+        # members of a sample are consecutive and extension-sorted
+        assert names[:4] == ["a/000.arr", "a/000.meta", "a/000.png", "a/000.txt"]
+        with tarfile.open(tmp_path / shard) as tar:
+            meta = json.loads(tar.extractfile("a/000.meta").read())
+        assert meta == {"lang": "en", "n": 3}  # canonical JSON, sorted keys
+
+    def test_foreign_tar_reads_back(self, spark, tmp_path):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            for name, data in [
+                ("s1.txt", b"one"),
+                ("s1.cls", b"7"),
+                ("s2.txt", b"two"),
+            ]:
+                ti = tarfile.TarInfo(name)
+                ti.size = len(data)
+                tar.addfile(ti, io.BytesIO(data))
+        (tmp_path / "part-0.tar").write_bytes(buf.getvalue())
+        got = wds.read_webdataset(
+            spark, str(tmp_path), "__key__ string, txt string, cls long"
+        )
+        rows = {r["__key__"]: r for r in got.collect()}
+        assert rows["s1"]["txt"] == "one" and rows["s1"]["cls"] == 7
+        assert rows["s2"]["cls"] is None
+
+    def test_ext_map(self, spark, tmp_path):
+        df = self._df(spark).select("__key__", "meta")
+        wds.write_webdataset(df, str(tmp_path), ext_map={"meta": "json"})
+        shard = next(n for n in sorted(os.listdir(tmp_path)) if n.endswith(".tar"))
+        with tarfile.open(tmp_path / shard) as tar:
+            assert all(m.name.endswith(".json") for m in tar)
+        back = wds.read_webdataset(spark, str(tmp_path))
+        assert back.columns == ["__key__", "meta"]
+
+    def test_dotted_key_is_loud(self, spark, tmp_path):
+        df = spark.createDataFrame([("a.b", "x")], "__key__ string, txt string")
+        with pytest.raises(Exception, match="contains '\\.'"):
+            wds.write_webdataset(df, str(tmp_path))
+
+    def test_null_key_is_loud(self, spark, tmp_path):
+        df = spark.createDataFrame([(None, "x")], "__key__ string, txt string")
+        with pytest.raises(Exception, match="NULL sample key"):
+            wds.write_webdataset(df, str(tmp_path))
+
+    def test_ext_collision_is_loud(self, spark, tmp_path):
+        df = self._df(spark)
+        with pytest.raises(ValueError, match="collision"):
+            wds.write_webdataset(df, str(tmp_path), ext_map={"txt": "png"})
+
+    def test_nonconsecutive_key_is_loud(self, spark, tmp_path):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            for name in ["k1.txt", "k2.txt", "k1.cls"]:
+                ti = tarfile.TarInfo(name)
+                ti.size = 1
+                tar.addfile(ti, io.BytesIO(b"x"))
+        (tmp_path / "part-0.tar").write_bytes(buf.getvalue())
+        df = wds.read_webdataset(spark, str(tmp_path), "__key__ string, txt string")
+        with pytest.raises(Exception, match="not\\s+consecutive"):
+            df.collect()
+
+    def test_duplicate_member_is_loud(self, spark, tmp_path):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            for name in ["k1.txt", "k1.txt"]:
+                ti = tarfile.TarInfo(name)
+                ti.size = 1
+                tar.addfile(ti, io.BytesIO(b"x"))
+        (tmp_path / "part-0.tar").write_bytes(buf.getvalue())
+        df = wds.read_webdataset(spark, str(tmp_path), "__key__ string, txt string")
+        with pytest.raises(Exception, match="duplicate member"):
+            df.collect()
+
+    def test_missing_sidecar_is_loud(self, spark, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            wds.read_webdataset(spark, str(tmp_path))
+
+    def test_unmapped_extension_ignored(self, spark, tmp_path):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tar:
+            for name, data in [("s1.txt", b"one"), ("s1.extra", b"?")]:
+                ti = tarfile.TarInfo(name)
+                ti.size = len(data)
+                tar.addfile(ti, io.BytesIO(data))
+        (tmp_path / "part-0.tar").write_bytes(buf.getvalue())
+        got = wds.read_webdataset(spark, str(tmp_path), "__key__ string, txt string")
+        assert got.collect()[0]["txt"] == "one"

@@ -857,3 +857,50 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "std_px",
         F.element_at("histogram", 1).alias("bin0"),
     )
+
+
+_WDS_ORACLE = """
+SELECT doc_id, text, lang, source, n_chars,
+       CAST(strlen(text) AS BIGINT) AS bin_bytes
+FROM documents
+"""
+
+
+@_register("multimodal_wds_roundtrip", _WDS_ORACLE)
+def multimodal_wds_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → WebDataset tar shards → read back: the multimodal
+    sample-archive leg (tar members ``{key}.{ext}``, the layout open
+    multimodal training stacks stream). Each sample carries three member
+    types — utf-8 text (``txt``), canonical JSON metadata (``json``),
+    and a raw binary leg (``bin``, the utf-8 bytes of the text, so its
+    read-back length is oracle-checkable as strlen) — certifying all
+    three serializers plus key round-tripping document-exactly. NULL
+    text exercises the sparse-sample path (missing members → NULL)."""
+    from xarray_beam_spark.grid_queries import _materialized
+    from xarray_beam_spark.sources import webdataset
+
+    def build(p: str) -> None:
+        docs = load(spark, sf_dir, "documents")
+        samples = docs.select(
+            F.format_string("%012d", F.col("doc_id")).alias(webdataset.KEY_COL),
+            F.col("text").alias("txt"),
+            F.struct("lang", "source", "n_chars").alias("meta"),
+            F.encode("text", "UTF-8").alias("bin"),
+        )
+        webdataset.write_webdataset(
+            samples.repartition(8, webdataset.KEY_COL),
+            p,
+            ext_map={"meta": "json"},
+            shard_records=128,
+        )
+
+    path = _materialized(spark, sf_dir, "wds", build)
+    back = webdataset.read_webdataset(spark, path)
+    return back.select(
+        F.col(webdataset.KEY_COL).cast("long").alias("doc_id"),
+        F.col("txt").alias("text"),
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.source").alias("source"),
+        F.col("meta.n_chars").alias("n_chars"),
+        F.octet_length("bin").cast("long").alias("bin_bytes"),
+    )

@@ -255,7 +255,9 @@ _LAST_CERTIFIED_ROUND: dict[str, int] = {
     # r11 sweep still refreshes the seven r7-stale keys + 40 r8 keys as
     # planned. Drop these entries at r12 start so they certify first in
     # that sweep (same pattern as ann_ivf_trained_topk above).
-    **dict.fromkeys(["corpus_tfrecord_roundtrip"], 98),
+    **dict.fromkeys(
+        ["corpus_tfrecord_roundtrip", "multimodal_wds_roundtrip"], 98
+    ),
 }
 
 

@@ -1,0 +1,329 @@
+"""WebDataset tar shards: the standard multimodal training-data layout.
+
+The reference (xarray-beam) has no sample-archive surface; this module
+is part of the training-data-pipeline extension. WebDataset (the PUBLIC
+convention used by open multimodal training stacks — plain POSIX tar
+files whose members are named ``{key}.{ext}``, with all members of one
+sample stored consecutively) is how image/text/audio corpora ship to
+dataloaders: sequential tar reads give near-raw-IO throughput and a
+shard is the unit of shuffling/parallelism.
+
+Implementation is stdlib ``tarfile`` over the engine's ``stores``
+backend (local fs / http / mem) — no webdataset package needed, the
+format IS tar plus a naming convention:
+
+* sample key = member name up to the FIRST dot of its basename
+  (directory prefixes stay part of the key, multi-dot extensions like
+  ``seg.png`` stay part of the extension),
+* one column ↔ one extension; serialization is type-driven: ``binary``
+  raw, ``string`` utf-8, anything else canonical JSON (sorted keys) so
+  equal rows give identical bytes,
+* tar metadata is pinned (USTAR, mtime=0, uid/gid=0, mode 0644) so
+  shard bytes are deterministic — idempotent task retries rewrite the
+  identical object.
+
+Scale shape mirrors ``tfrecord.py``: the writer is ``mapInPandas`` with
+one shard object per ``shard_records`` slice of each input partition
+(zero shuffle, no driver participation beyond the schema sidecar); the
+reader lists shard keys once, parallelizes them, and each task opens
+only its shards. A shard is held in memory while building/decoding —
+size shards accordingly (the convention's own guidance: ~100 MB-1 GB).
+The reader rejects malformed shards loudly (member before any key,
+duplicate extension within a sample) rather than guessing.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import tarfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xarray_beam_spark.sources import stores
+
+KEY_COL = "__key__"
+_META_NAME = "_xbs_wds_meta.json"
+
+
+def _py(v):
+    """numpy scalars/arrays → plain python, recursively (json.dumps
+    rejects np.int64/np.float32, which is what pandas object columns
+    hold after the Arrow transfer)."""
+    import numpy as np
+
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    if isinstance(v, (list, tuple)):
+        return [_py(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _py(x) for k, x in v.items()}
+    return v
+
+
+def _serializer(field: T.StructField):
+    dt = field.dataType
+    if isinstance(dt, T.BinaryType):
+        return lambda v: bytes(v)
+    if isinstance(dt, T.StringType):
+        return lambda v: v.encode()
+    # canonical JSON for everything else (ints, floats, bools, arrays,
+    # structs arrive from pandas as numpy scalars / lists / dicts)
+    def to_json(v):
+        return json.dumps(_py(v), sort_keys=True, separators=(",", ":")).encode()
+
+    return to_json
+
+
+def _deserializer(field: T.StructField):
+    dt = field.dataType
+    if isinstance(dt, T.BinaryType):
+        return lambda b: b
+    if isinstance(dt, T.StringType):
+        return lambda b: b.decode()
+    return lambda b: json.loads(b.decode())
+
+
+def _tarinfo(name: str, size: int) -> tarfile.TarInfo:
+    ti = tarfile.TarInfo(name)
+    ti.size = size
+    ti.mtime = 0
+    ti.uid = ti.gid = 0
+    ti.uname = ti.gname = ""
+    ti.mode = 0o644
+    return ti
+
+
+def split_member_name(name: str) -> tuple[str, str]:
+    """``dir/base.seg.png`` → (``dir/base``, ``seg.png``) — key is up to
+    the first dot of the BASENAME (webdataset convention)."""
+    slash = name.rfind("/")
+    dot = name.find(".", slash + 1)
+    if dot < 0:
+        raise ValueError(f"tar member {name!r} has no extension")
+    return name[:dot], name[dot + 1 :]
+
+
+_WRITE_STATS = T.StructType([
+    T.StructField("shards", T.LongType()),
+    T.StructField("samples", T.LongType()),
+    T.StructField("bytes", T.LongType()),
+])
+
+
+def write_webdataset(
+    df: DataFrame,
+    path: str,
+    *,
+    key_col: str = KEY_COL,
+    ext_map: dict[str, str] | None = None,
+    shard_records: int | None = None,
+) -> dict:
+    """Write a DataFrame as WebDataset tar shards.
+
+    ``key_col`` supplies each sample's key (string; '/' allowed for
+    subdir keys, dots forbidden — they would shift the key/extension
+    split on read). Every other column becomes one member per sample,
+    named ``{key}.{ext}`` with ``ext = ext_map.get(col, col)``. NULL
+    cells write no member (missing leg of a sample — the convention's
+    own sparse-sample idiom); NULL keys are rejected loudly. Shards are
+    ``part-{partition:05d}-{seq:04d}.tar``. Returns
+    ``{"shards": n, "samples": n, "bytes": n}``.
+    """
+    fields = [f for f in df.schema.fields if f.name != key_col]
+    if key_col not in df.columns:
+        raise ValueError(f"key column {key_col!r} not in DataFrame")
+    if not isinstance(df.schema[key_col].dataType, T.StringType):
+        raise TypeError(f"key column {key_col!r} must be string")
+    ext_map = ext_map or {}
+    exts = {f.name: ext_map.get(f.name, f.name) for f in fields}
+    if len(set(exts.values())) != len(exts):
+        raise ValueError(f"extension collision in {sorted(exts.values())}")
+    sers = {f.name: _serializer(f) for f in fields}
+    # members of a sample are written in sorted-extension order so shard
+    # bytes are deterministic regardless of column order
+    ordered = sorted(fields, key=lambda f: exts[f.name])
+    schema_json = df.schema.json()
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        store, key = stores.resolve(path)
+        pid = TaskContext.get().partitionId()
+        seq = n_shards = n_samples = n_bytes = 0
+        buf = io.BytesIO()
+        tar = tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT)
+        in_shard = 0
+
+        def flush() -> None:
+            nonlocal seq, n_shards, n_bytes, buf, tar, in_shard
+            tar.close()
+            if in_shard == 0:
+                buf = io.BytesIO()
+                tar = tarfile.open(
+                    fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+                )
+                return
+            blob = buf.getvalue()
+            store.put(stores.join(key, f"part-{pid:05d}-{seq:04d}.tar"), blob)
+            seq += 1
+            n_shards += 1
+            n_bytes += len(blob)
+            buf = io.BytesIO()
+            tar = tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT)
+            in_shard = 0
+
+        for pdf in batches:
+            keys = pdf[key_col].to_numpy(dtype=object)
+            cols = {f.name: pdf[f.name].to_numpy(dtype=object) for f in fields}
+            for i in range(len(pdf)):
+                k = keys[i]
+                if k is None:
+                    raise ValueError("NULL sample key")
+                if "." in k.rsplit("/", 1)[-1]:
+                    raise ValueError(
+                        f"sample key {k!r} contains '.', which would shift "
+                        "the key/extension split on read"
+                    )
+                for f in ordered:
+                    v = cols[f.name][i]
+                    if v is None:
+                        continue
+                    data = sers[f.name](v)
+                    tar.addfile(
+                        _tarinfo(f"{k}.{exts[f.name]}", len(data)),
+                        io.BytesIO(data),
+                    )
+                n_samples += 1
+                in_shard += 1
+                if shard_records and in_shard >= shard_records:
+                    flush()
+        flush()
+        yield pd.DataFrame(
+            {"shards": [n_shards], "samples": [n_samples], "bytes": [n_bytes]}
+        )
+
+    stats = (
+        df.mapInPandas(write, _WRITE_STATS)
+        .agg(F.sum("shards"), F.sum("samples"), F.sum("bytes"))
+        .collect()[0]
+    )
+    store, skey = stores.resolve(path)
+    store.put(
+        stores.join(skey, _META_NAME),
+        json.dumps(
+            {
+                "format": "xbs-webdataset-v1",
+                "schema": json.loads(schema_json),
+                "key_col": key_col,
+                "ext_map": exts,
+            },
+            sort_keys=True,
+        ).encode(),
+    )
+    return {
+        "shards": int(stats[0] or 0),
+        "samples": int(stats[1] or 0),
+        "bytes": int(stats[2] or 0),
+    }
+
+
+def read_webdataset(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    *,
+    key_col: str = KEY_COL,
+    ext_map: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read WebDataset tar shards back into a DataFrame.
+
+    With ``schema=None`` the writer's sidecar supplies schema, key
+    column, and extension map — foreign tars need an explicit schema
+    (key column must be string; other columns decode by type: binary
+    raw, string utf-8, else JSON). Missing members decode as NULL;
+    extensions not mapped to any column are ignored. Sample boundaries
+    follow the convention: a sample is the run of consecutive members
+    sharing a key (non-consecutive reuse of a key is a malformed shard
+    and fails loudly, as does a duplicate extension within a sample).
+    """
+    store, skey = stores.resolve(path)
+    if schema is None:
+        raw = store.get(stores.join(skey, _META_NAME))
+        if raw is None:
+            raise FileNotFoundError(
+                f"no schema given and no {_META_NAME} sidecar under {path!r}"
+            )
+        meta = json.loads(raw.decode())
+        if meta.get("format") != "xbs-webdataset-v1":
+            raise ValueError(f"unrecognized sidecar format {meta.get('format')!r}")
+        schema = T.StructType.fromJson(meta["schema"])
+        key_col = meta["key_col"]
+        ext_map = meta["ext_map"]
+    elif isinstance(schema, str):
+        schema = spark.createDataFrame([], schema).schema
+    fields = [f for f in schema.fields if f.name != key_col]
+    exts = {(ext_map or {}).get(f.name, f.name): f.name for f in fields}
+    desers = {f.name: _deserializer(f) for f in fields}
+    shard_names = sorted(n for n in store.list_dir(skey) if n.endswith(".tar"))
+    if not shard_names:
+        raise FileNotFoundError(f"no *.tar shards under {path!r}")
+
+    def read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        store, skey = stores.resolve(path)
+        for pdf in batches:
+            for shard in pdf["shard"]:
+                blob = store.get(stores.join(skey, shard))
+                if blob is None:
+                    raise FileNotFoundError(f"shard {shard!r} vanished under {path!r}")
+                rows: dict[str, list] = {key_col: []}
+                for f in fields:
+                    rows[f.name] = []
+                seen_keys: set[str] = set()
+                cur: str | None = None
+                sample: dict[str, object] = {}
+
+                def emit() -> None:
+                    if cur is None:
+                        return
+                    rows[key_col].append(cur)
+                    for f in fields:
+                        rows[f.name].append(sample.get(f.name))
+
+                with tarfile.open(fileobj=io.BytesIO(blob)) as tar:
+                    for member in tar:
+                        if not member.isfile():
+                            continue
+                        k, ext = split_member_name(member.name)
+                        if k != cur:
+                            if k in seen_keys:
+                                raise ValueError(
+                                    f"{shard}: sample key {k!r} is not "
+                                    "consecutive — malformed shard"
+                                )
+                            emit()
+                            seen_keys.add(k)
+                            cur = k
+                            sample = {}
+                        col = exts.get(ext)
+                        if col is None:
+                            continue
+                        if col in sample:
+                            raise ValueError(
+                                f"{shard}: duplicate member {member.name!r}"
+                            )
+                        data = tar.extractfile(member).read()
+                        sample[col] = desers[col](data)
+                    emit()
+                yield pd.DataFrame(rows)[[f.name for f in schema.fields]]
+
+    shards = spark.createDataFrame(
+        [(s,) for s in shard_names], "shard string"
+    ).repartition(min(len(shard_names), 64))
+    return shards.mapInPandas(read, schema)
