@@ -779,3 +779,90 @@ class TestRemoveDuplicateCharSpans:
             rows, window=window, keep_first=keep_first, min_span=min_span
         )
         assert got == want
+
+
+class TestHtmlToText:
+    """html_to_text: semantics + Java/RE2 dialect parity on hostile input."""
+
+    def _extract(self, spark, s):
+        from pyspark.sql import functions as F
+
+        from xarray_beam_spark.functions.text import html_to_text
+
+        df = spark.createDataFrame([(s,)], "html string")
+        return df.select(html_to_text(F.col("html")).alias("t")).collect()[0]["t"]
+
+    def test_basic_structure(self, spark):
+        got = self._extract(
+            spark,
+            "<html><head><title>x</title><script>var a=1;</script></head>"
+            "<body><h1>Title</h1><p>one</p><p>two</p></body></html>",
+        )
+        assert got == "Title\none\ntwo"
+
+    def test_script_style_contents_dropped(self, spark):
+        got = self._extract(
+            spark,
+            "<p>keep</p><style>p { display: none }</style>"
+            "<SCRIPT type='x'>if (1 < 2) { alert('<p>no</p>') }</SCRIPT><p>end</p>",
+        )
+        assert got == "keep\nend"
+
+    def test_comments_and_doctype_dropped(self, spark):
+        got = self._extract(
+            spark, "<!DOCTYPE html><!-- secret --><p>visible</p><!-- a > b -->"
+        )
+        assert got == "visible"
+
+    def test_entities(self, spark):
+        got = self._extract(spark, "<p>a &lt;b&gt; &quot;c&quot; &#39;d&#39; e&nbsp;f &amp;</p>")
+        assert got == "a <b> \"c\" 'd' e f &"
+
+    def test_double_escaped_entity_stays_text(self, spark):
+        # "&amp;lt;" is the TEXT "&lt;" — decoding &amp; last keeps it so
+        assert self._extract(spark, "<p>&amp;lt;script&amp;gt;</p>") == "&lt;script&gt;"
+
+    def test_inline_tags_become_spaces(self, spark):
+        assert self._extract(spark, "a<b>bold</b>c <em>d</em>") == "a bold c d"
+
+    def test_null_propagates(self, spark):
+        from pyspark.sql import functions as F
+
+        from xarray_beam_spark.functions.text import html_to_text
+
+        df = spark.createDataFrame([(None,)], "html string")
+        assert df.select(html_to_text(F.col("html")).alias("t")).collect()[0]["t"] is None
+
+    def test_dialect_parity_on_hostile_strings(self, spark):
+        """The Spark chain and the DuckDB oracle chain must agree byte-
+        for-byte — including on \\x0B (vertical tab), where Java's \\s
+        and RE2's \\s famously differ (we use explicit classes)."""
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from xarray_beam_spark.functions.text import html_to_text, sql_html_to_text
+
+        hostiles = [
+            "a\x0bb<p>c</p>",                       # vertical tab
+            "<p>x\r\ny</p>\t z",                    # CRLF + tabs
+            "< notatag <p>ok</p>",                  # stray '<'
+            "<p attr='<'>tricky</p>",               # '<' inside attribute
+            "<script>unclosed",                     # unterminated script
+            "text only, no markup",
+            "<P>UPPER</P><BR>case",
+            "&amp;&amp;lt;&nbsp;&nbsp;",
+            "<div><ul><li>a</li><li>b</li></ul></div>",
+            "",
+        ]
+        df = spark.createDataFrame([(h,) for h in hostiles], "html string")
+        got = (
+            df.select(html_to_text(F.col("html")).alias("t"))
+            .toPandas()["t"]
+            .tolist()
+        )
+        con = duckdb.connect()
+        want = [
+            con.execute(f"SELECT {sql_html_to_text('?::VARCHAR')}", [h]).fetchone()[0]
+            for h in hostiles
+        ]
+        assert got == want

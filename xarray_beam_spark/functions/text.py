@@ -1578,3 +1578,129 @@ def text_gopher_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
         "ellipsis_frac", "alpha_word_frac", "n_stop_kinds", "keep",
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (web-corpus ingest)
+# ---------------------------------------------------------------------------
+
+# The C4/RefinedWeb pipelines start from crawled HTML; this is the
+# boilerplate-stripping stage that turns markup into trainable text.
+# Every step is one engine-portable regexp (no lookarounds/backrefs;
+# (?is) inline flags and lazy .*? parse identically in Java regex and
+# DuckDB's RE2; explicit [ \t\n\r\f] instead of \s — Java's \s includes
+# \x0B, RE2's does not). Steps, in order:
+#   1. script/style/title elements dropped WITH their contents
+#   2. comments and <!DOCTYPE>/CDATA-ish declarations dropped
+#   3. block-level tags become newlines (paragraph structure survives)
+#   4. every remaining tag becomes a space
+#   5. the common named entities decode (&amp; LAST, so "&amp;lt;" comes
+#      out as the literal text "&lt;", never as a tag)
+#   6. whitespace normalizes: runs of spaces/tabs collapse, blank lines
+#      collapse, edges trim
+_HTML_STEPS: list[tuple[str, str]] = [
+    (r"(?is)<script\b[^>]*>.*?</script[^>]*>", ""),
+    (r"(?is)<style\b[^>]*>.*?</style[^>]*>", ""),
+    (r"(?is)<title\b[^>]*>.*?</title[^>]*>", ""),
+    (r"(?s)<!--.*?-->", ""),
+    (r"(?s)<![^>]*>", ""),
+    (
+        r"(?i)</?(p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|td|th|table|"
+        r"blockquote|section|article|header|footer|pre|form)\b[^>]*>",
+        "\n",
+    ),
+    (r"(?s)</?[a-zA-Z][^>]*>", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"[ \t\f\r]+", " "),
+    (r" *\n *", "\n"),
+    (r"\n+", "\n"),
+    (r"^[ \n]+|[ \n]+$", ""),
+]
+
+
+def html_to_text(html: Column) -> Column:
+    """Strip an HTML document to its visible text (C4-ingest stage).
+
+    Heuristic, not a browser: drops script/style/comments/declarations,
+    keeps paragraph structure as newlines, decodes the six common
+    entities, normalizes whitespace. Pure JVM regexp expressions — fuses
+    into the scan, no shuffle, no Python."""
+    t = html
+    for pat, repl in _HTML_STEPS:
+        t = F.regexp_replace(t, pat, repl)
+    return t
+
+
+def sql_html_to_text(col: str) -> str:
+    """The identical chain in DuckDB SQL (oracle dialect)."""
+    expr = col
+    for pat, repl in _HTML_STEPS:
+        if repl == "\n":
+            rsql = "chr(10)"
+        else:
+            rsql = "'" + repl.replace("'", "''") + "'"
+        psql = "'" + pat.replace("'", "''") + "'"
+        expr = f"regexp_replace({expr}, {psql}, {rsql}, 'g')"
+    return expr
+
+
+# Deterministic fixture markup wrapped around each document: exercises
+# nested block tags, dropped script/style/comment/doctype content,
+# attributes, entities (including the &amp;lt; double-escape trap), and
+# NULL text (the whole page concats to NULL on both sides).
+_HTML_WRAP_SQL = (
+    "'<!DOCTYPE html><html><head><title>t</title>"
+    "<style>p { color: red }</style>"
+    "<script type=\"text/javascript\">var x = ''1 < 2'';</script></head>"
+    "<body><!-- doc ' || CAST(doc_id AS VARCHAR) || ' -->"
+    "<h1 class=\"hd\">' || source || '</h1>"
+    "<p>' || text || '</p>"
+    "<div>footer &amp; &lt;i&gt;&nbsp;&amp;lt;' || lang || '</div>"
+    "</body></html>'"
+)
+
+_HTML_ORACLE = f"""
+WITH page AS (
+  SELECT doc_id, {_HTML_WRAP_SQL} AS html FROM documents
+)
+SELECT doc_id,
+       {sql_html_to_text('html')} AS extracted,
+       CAST(length({sql_html_to_text('html')}) AS BIGINT) AS n_extracted
+FROM page
+"""
+
+
+@_register("text_html_extract", _HTML_ORACLE)
+def text_html_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping, value-exact: each document is wrapped
+    in deterministic fixture markup (script/style/comment/doctype
+    content to drop, block structure to keep, entity traps) and both
+    engines run the identical portable regexp chain."""
+    docs = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<!DOCTYPE html><html><head><title>t</title>'
+            "<style>p { color: red }</style>"
+            "<script type=\"text/javascript\">var x = '1 < 2';</script></head>"
+            "<body><!-- doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit(' --><h1 class="hd">'),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><div>footer &amp; &lt;i&gt;&nbsp;&amp;lt;"),
+        F.col("lang"),
+        F.lit("</div></body></html>"),
+    )
+    extracted = html_to_text(html)
+    return docs.select(
+        "doc_id",
+        extracted.alias("extracted"),
+        F.length(extracted).cast("long").alias("n_extracted"),
+    )

@@ -256,7 +256,12 @@ _LAST_CERTIFIED_ROUND: dict[str, int] = {
     # planned. Drop these entries at r12 start so they certify first in
     # that sweep (same pattern as ann_ivf_trained_topk above).
     **dict.fromkeys(
-        ["corpus_tfrecord_roundtrip", "multimodal_wds_roundtrip"], 98
+        [
+            "corpus_tfrecord_roundtrip",
+            "multimodal_wds_roundtrip",
+            "text_html_extract",
+        ],
+        98,
     ),
 }
 
