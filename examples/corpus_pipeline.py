@@ -126,6 +126,34 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out: str = "/tmp/corpus_out") -
 
     back = spark.read.parquet(out)
     per_split = {r["split"]: r["n"] for r in back.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    # 4. trainer-facing export legs: the train split ships as TFRecord
+    # shards of tf.train.Example (tf.data consumers) AND as a WebDataset
+    # tar archive (key + .txt member per sample; dataloader streaming).
+    # Both writers are zero-shuffle mapInPandas shard puts.
+    from xarray_beam_spark.sources import tfrecord, webdataset
+
+    train = back.where(F.col("split") == "train").select(
+        "doc_id", "window_id", "n_tokens", "window_text"
+    )
+    tf_stats = tfrecord.write_tfrecords(
+        train, os.path.join(out, "tfrecord"), shard_records=512
+    )
+    wds_stats = webdataset.write_webdataset(
+        train.select(
+            F.format_string("%012d-%04d", "doc_id", "window_id").alias(
+                webdataset.KEY_COL
+            ),
+            F.col("window_text").alias("txt"),
+            F.struct("doc_id", "window_id", "n_tokens").alias("meta"),
+        ),
+        os.path.join(out, "wds"),
+        ext_map={"meta": "json"},
+        shard_records=512,
+    )
+    n_tf_back = tfrecord.read_tfrecords(spark, os.path.join(out, "tfrecord")).count()
+    assert n_tf_back == tf_stats["records"] == per_split.get("train", 0)
+
     print(
         f"corpus pipeline: raw={n_raw} url_kept={n_url_kept} "
         f"span_tokens_removed={n_span_tokens} "
@@ -134,6 +162,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out: str = "/tmp/corpus_out") -
         f"windows={sum(per_split.values())} splits={per_split}"
     )
     print(f"wrote partitioned parquet to {out}")
+    print(
+        f"exported train split: tfrecord shards={tf_stats['shards']} "
+        f"records={tf_stats['records']} | wds shards={wds_stats['shards']} "
+        f"samples={wds_stats['samples']}"
+    )
 
 
 if __name__ == "__main__":

@@ -42,8 +42,11 @@ def test_corpus_pipeline_example(tmp_path):
     out = _run("corpus_pipeline.py", "/root/testdata/sf0.001", str(tmp_path / "corpus"))
     assert "corpus pipeline: raw=500" in out
     assert "wrote partitioned parquet" in out
+    assert "exported train split: tfrecord shards=" in out
     import glob
     assert glob.glob(str(tmp_path / "corpus" / "split=train" / "*.parquet"))
+    assert glob.glob(str(tmp_path / "corpus" / "tfrecord" / "*.tfrecord"))
+    assert glob.glob(str(tmp_path / "corpus" / "wds" / "*.tar"))
 
 
 def test_temporal_analytics_example():
