@@ -853,6 +853,12 @@ class TestHtmlToText:
             "&amp;&amp;lt;&nbsp;&nbsp;",
             "<div><ul><li>a</li><li>b</li></ul></div>",
             "",
+            # U+212A KELVIN SIGN case-folds to 'k' under RE2's (?i) but
+            # not Java's — the chain must use explicit [kK] classes so
+            # a fake '<blocKquote>' tag reads identically (as an
+            # unknown tag → space) in both engines
+            "a<BLOCKQUOTE>b",
+            "x<SCRIPTK>y</SCRIPTK>z",
         ]
         df = spark.createDataFrame([(h,) for h in hostiles], "html string")
         got = (

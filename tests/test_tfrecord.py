@@ -205,3 +205,65 @@ def F_col_id():
     from pyspark.sql import functions as F
 
     return F.col("id")
+
+
+class TestCrcCombine:
+    """GF(2) zero-advance combine + the long-record / memory-cap paths."""
+
+    def test_combine_identity(self):
+        rng = np.random.default_rng(11)
+        for _ in range(20):
+            a = rng.integers(0, 256, int(rng.integers(0, 2000)), dtype=np.uint8).tobytes()
+            b = rng.integers(0, 256, int(rng.integers(0, 2000)), dtype=np.uint8).tobytes()
+            assert tfr.crc32c_combine(_crc32c(a), _crc32c(b), len(b)) == _crc32c(a + b)
+
+    @pytest.mark.parametrize(
+        "length", [0, 1, 4095, 4096, 4097, 65536, 65537, 200001, 1 << 20]
+    )
+    def test_long_record_path(self, length):
+        rng = np.random.default_rng(length or 1)
+        buf = rng.integers(0, 256, length, dtype=np.uint8).tobytes()
+        assert int(tfr._crc32c_batch([buf])[0]) == _crc32c(buf)
+
+    def test_heavy_tailed_batch(self):
+        rng = np.random.default_rng(5)
+        bufs = [
+            rng.integers(0, 256, int(n), dtype=np.uint8).tobytes()
+            for n in list(rng.integers(0, 300, 100)) + [70000, 0, 5]
+        ]
+        assert [int(x) for x in tfr._crc32c_batch(bufs)] == [_crc32c(b) for b in bufs]
+
+    def test_memory_stays_near_sum_of_lengths(self):
+        """One big record must not pad the whole batch to its length:
+        512 x 8 MB dense would be ~4 GB; the cap keeps peak ~_PAD_CAP."""
+        import tracemalloc
+
+        bufs = [bytes(8 << 20)] + [bytes(1024)] * 512
+        tracemalloc.start()
+        tfr._crc32c_batch(bufs)
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        assert peak < 64e6, peak
+
+
+@pytest.mark.usefixtures("spark")
+class TestExactness:
+    """The Arrow (not pandas) data path is load-bearing: int64 exactness
+    with NULLs present, and NULL vs NaN distinction."""
+
+    def test_big_int64_with_null_in_batch(self, spark, tmp_path):
+        big = (1 << 62) + 1  # corrupts via float64 if pandas mediates
+        df = spark.createDataFrame([(1, big), (2, None)], "id long, v long")
+        tfr.write_tfrecords(df.repartition(1), str(tmp_path))
+        rows = {r["id"]: r["v"] for r in tfr.read_tfrecords(spark, str(tmp_path)).collect()}
+        assert rows[1] == big and rows[2] is None
+
+    def test_nan_float_roundtrips_as_nan_not_null(self, spark, tmp_path):
+        import math
+
+        df = spark.createDataFrame(
+            [(1, float("nan")), (2, None), (3, 1.5)], "id long, f float"
+        )
+        tfr.write_tfrecords(df.repartition(1), str(tmp_path))
+        rows = {r["id"]: r["f"] for r in tfr.read_tfrecords(spark, str(tmp_path)).collect()}
+        assert math.isnan(rows[1]) and rows[2] is None and rows[3] == 1.5

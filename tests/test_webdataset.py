@@ -115,7 +115,9 @@ class TestSparkRoundtrip:
         assert rows["s2"]["cls"] is None
 
     def test_ext_map(self, spark, tmp_path):
-        df = self._df(spark).select("__key__", "meta")
+        # b/002's meta is NULL → with meta as the only member column the
+        # sample would be memberless, which the writer (correctly) refuses
+        df = self._df(spark).select("__key__", "meta").where("meta IS NOT NULL")
         wds.write_webdataset(df, str(tmp_path), ext_map={"meta": "json"})
         shard = next(n for n in sorted(os.listdir(tmp_path)) if n.endswith(".tar"))
         with tarfile.open(tmp_path / shard) as tar:
@@ -176,3 +178,30 @@ class TestSparkRoundtrip:
         (tmp_path / "part-0.tar").write_bytes(buf.getvalue())
         got = wds.read_webdataset(spark, str(tmp_path), "__key__ string, txt string")
         assert got.collect()[0]["txt"] == "one"
+
+
+@pytest.mark.usefixtures("spark")
+class TestExactness:
+    """Arrow data path: JSON members must be strict JSON with exact ints."""
+
+    def test_null_bearing_long_column(self, spark, tmp_path):
+        big = (1 << 62) + 1
+        df = spark.createDataFrame(
+            [("k1", big, "x"), ("k2", None, "y")], "__key__ string, n long, txt string"
+        )
+        wds.write_webdataset(df.repartition(1), str(tmp_path))
+        shard = next(n for n in sorted(os.listdir(tmp_path)) if n.endswith(".tar"))
+        with tarfile.open(tmp_path / shard) as tar:
+            names = {m.name for m in tar}
+            # NULL cell → NO member (never a literal NaN), int stays int
+            assert "k2.n" not in names and "k2.txt" in names
+            assert tar.extractfile("k1.n").read() == str(big).encode()
+        rows = {r["__key__"]: r for r in wds.read_webdataset(spark, str(tmp_path)).collect()}
+        assert rows["k1"]["n"] == big and rows["k2"]["n"] is None
+
+    def test_all_null_sample_is_loud(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [("a", "x"), ("b", None)], "__key__ string, txt string"
+        )
+        with pytest.raises(Exception, match="every member column NULL"):
+            wds.write_webdataset(df.repartition(1), str(tmp_path))

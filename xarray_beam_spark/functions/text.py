@@ -1587,9 +1587,16 @@ def text_gopher_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The C4/RefinedWeb pipelines start from crawled HTML; this is the
 # boilerplate-stripping stage that turns markup into trainable text.
 # Every step is one engine-portable regexp (no lookarounds/backrefs;
-# (?is) inline flags and lazy .*? parse identically in Java regex and
+# (?s) inline flags and lazy .*? parse identically in Java regex and
 # DuckDB's RE2; explicit [ \t\n\r\f] instead of \s — Java's \s includes
-# \x0B, RE2's does not). Steps, in order:
+# \x0B, RE2's does not; explicit [sS][cC]… case classes instead of (?i) —
+# Java's (?i) folds ASCII only while RE2's folds full Unicode, so e.g.
+# U+212A KELVIN SIGN matches RE2's (?i)k but not Java's; explicit
+# name-terminator classes instead of \b — Java's \b treats non-ASCII
+# letters as word chars while RE2's is ASCII-only, so '<scriptK>'
+# ends a "word" in RE2 but not in Java. A tag name is terminated by
+# whitespace, '/', or '>' per the HTML tokenizer, which every dialect
+# spells identically). Steps, in order:
 #   1. script/style/title elements dropped WITH their contents
 #   2. comments and <!DOCTYPE>/CDATA-ish declarations dropped
 #   3. block-level tags become newlines (paragraph structure survives)
@@ -1598,17 +1605,30 @@ def text_gopher_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      out as the literal text "&lt;", never as a tag)
 #   6. whitespace normalizes: runs of spaces/tabs collapse, blank lines
 #      collapse, edges trim
+
+
+def _ci(word: str) -> str:
+    """ASCII-case-insensitive literal: 'br' → '[bB][rR]' (dialect-safe
+    in a way (?i) is not — see the KELVIN SIGN note above)."""
+    return "".join(f"[{c}{c.upper()}]" if c.isalpha() else c for c in word)
+
+
+_BLOCK_TAGS = (
+    "p div br li ul ol h1 h2 h3 h4 h5 h6 tr td th table blockquote "
+    "section article header footer pre form"
+).split()
+
+# after a tag name: either the tag closes immediately or a terminator
+# (whitespace / '/') starts the attribute region
+_TAG_REST = r"([ \t\n\r\f/][^>]*)?>"
+
 _HTML_STEPS: list[tuple[str, str]] = [
-    (r"(?is)<script\b[^>]*>.*?</script[^>]*>", ""),
-    (r"(?is)<style\b[^>]*>.*?</style[^>]*>", ""),
-    (r"(?is)<title\b[^>]*>.*?</title[^>]*>", ""),
+    (rf"(?s)<{_ci('script')}{_TAG_REST}.*?</{_ci('script')}{_TAG_REST}", ""),
+    (rf"(?s)<{_ci('style')}{_TAG_REST}.*?</{_ci('style')}{_TAG_REST}", ""),
+    (rf"(?s)<{_ci('title')}{_TAG_REST}.*?</{_ci('title')}{_TAG_REST}", ""),
     (r"(?s)<!--.*?-->", ""),
     (r"(?s)<![^>]*>", ""),
-    (
-        r"(?i)</?(p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|td|th|table|"
-        r"blockquote|section|article|header|footer|pre|form)\b[^>]*>",
-        "\n",
-    ),
+    (rf"</?({'|'.join(_ci(t) for t in _BLOCK_TAGS)}){_TAG_REST}", "\n"),
     (r"(?s)</?[a-zA-Z][^>]*>", " "),
     (r"&lt;", "<"),
     (r"&gt;", ">"),
@@ -1667,11 +1687,13 @@ _HTML_WRAP_SQL = (
 _HTML_ORACLE = f"""
 WITH page AS (
   SELECT doc_id, {_HTML_WRAP_SQL} AS html FROM documents
+),
+ex AS (
+  SELECT doc_id, {sql_html_to_text('html')} AS extracted FROM page
 )
-SELECT doc_id,
-       {sql_html_to_text('html')} AS extracted,
-       CAST(length({sql_html_to_text('html')}) AS BIGINT) AS n_extracted
-FROM page
+SELECT doc_id, extracted,
+       CAST(length(extracted) AS BIGINT) AS n_extracted
+FROM ex
 """
 
 

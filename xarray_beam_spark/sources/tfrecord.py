@@ -23,16 +23,21 @@ PUBLIC specs implemented from scratch —
   packed and unpacked repeated numerics both accepted on read, packed
   written, unknown fields skipped).
 
-Scale shape: the writer is ``mapInPandas`` — every input partition
+Scale shape: the writer is ``mapInArrow`` — every input partition
 serializes its own rows and puts one shard object per ``shard_records``
 slice through the ``stores`` backend (local fs / http / mem), so the
 write is embarrassingly parallel with zero shuffle and no driver
 participation beyond a one-blob schema sidecar. The reader inverts it:
 shard keys are listed once, parallelized, and each task decodes only its
-shard. CRCs are verified on every read; a flipped bit fails loudly, never
-decodes garbage. Determinism: feature keys are written sorted, so equal
-rows produce identical bytes (needed for the driver's hash gate and for
-idempotent task retries — a re-written shard is byte-identical).
+shard. Arrow (not pandas) on both legs is load-bearing for correctness:
+pandas represents a null-bearing int64 column as float64, which silently
+rounds values above 2^53 (hashes, fingerprints) — Arrow's ``to_pylist``
+preserves int64 exactly and keeps NULL (→ missing feature) distinct
+from a genuine float NaN (→ a FloatList holding NaN). CRCs are verified
+on every read; a flipped bit fails loudly, never decodes garbage.
+Determinism: feature keys are written sorted, so equal rows produce
+identical bytes (needed for the driver's hash gate and for idempotent
+task retries — a re-written shard is byte-identical).
 
 Precision note (spec, not implementation): ``FloatList`` carries
 float32. Double columns are demoted on write and come back as float32
@@ -48,7 +53,7 @@ import struct
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -65,44 +70,151 @@ def _masked_crc(data: bytes) -> int:
     return (((crc >> 15) | (crc << 17)) + _MASK_DELTA) & 0xFFFFFFFF
 
 
+# ---------------------------------------------------------------------------
+# batched CRC-32C
+#
+# The crc recurrence is sequential in the byte index, so one buffer can't
+# vectorize — but a batch can: one numpy gather per byte position over
+# every record still in range (iterations = max length, vector work =
+# records). Two shapes need care:
+#   * heterogeneous lengths — a dense (n, max_len) pad matrix costs
+#     n*max, not sum(len); records are length-sorted and processed in
+#     groups whose padded size stays under _PAD_CAP, so one big record
+#     never multiplies against the batch count;
+#   * a single long record — reshaped into equal _SEG_LEN segments
+#     (vector work = segments, iterations = _SEG_LEN) whose CRCs fold
+#     together with the GF(2) zero-advance operator (the crc32_combine
+#     construction from zlib: appending n zero *bits* to a message is a
+#     linear map on the crc register, so M^(8·len) composes segment CRCs
+#     in O(1) per segment after one cached matrix build).
+
 _TABLE_NP: np.ndarray | None = None
+_POLY_REFLECTED = 0x82F63B78
+_PAD_CAP = 1 << 24   # max padded bytes per vectorized group (16 MB)
+_SEG_LEN = 1 << 12   # segment length for long-record reshaping (4 KB)
+_LONG_LEN = 1 << 16  # records above this reshape+fold instead of padding
+                     # (a lone long record in a pad group would serialize
+                     # the whole byte loop at vector width 1)
 
 
-def _crc32c_batch(bufs: list[bytes]) -> np.ndarray:
-    """CRC-32C of many buffers at once: vectorized ACROSS records.
+def _gf2_times(mat: list[int], vec: int) -> int:
+    out = 0
+    i = 0
+    while vec:
+        if vec & 1:
+            out ^= mat[i]
+        vec >>= 1
+        i += 1
+    return out
 
-    The crc recurrence is sequential in the byte index, so a single
-    buffer cannot vectorize — but a batch can: one numpy gather per byte
-    position over all records still in range. maxlen iterations of
-    O(n_records) vector work instead of sum(len) Python-level steps.
-    """
+
+def _gf2_square(mat: list[int]) -> list[int]:
+    return [_gf2_times(mat, m) for m in mat]
+
+
+def _one_bit_op() -> list[int]:
+    # operator advancing the (reflected) crc register by one zero bit
+    return [_POLY_REFLECTED] + [1 << n for n in range(31)]
+
+
+_ZERO_OPS: dict[int, list[int]] = {}
+
+
+def _zero_advance_op(nbits: int) -> list[int]:
+    """Matrix advancing a crc over ``nbits`` zero bits (nbits = power of 2)."""
+    op = _ZERO_OPS.get(nbits)
+    if op is None:
+        assert nbits and nbits & (nbits - 1) == 0, nbits
+        op = _one_bit_op()
+        k = nbits.bit_length() - 1
+        for _ in range(k):
+            op = _gf2_square(op)
+        _ZERO_OPS[nbits] = op
+    return op
+
+
+def crc32c_combine(crc1: int, crc2: int, len2: int) -> int:
+    """crc of A||B from crc(A), crc(B), len(B) — zlib's crc32_combine
+    construction with the Castagnoli polynomial."""
+    if len2 == 0:
+        return crc1
+    odd = _gf2_square(_gf2_square(_one_bit_op()))  # 4 zero bits
+    while True:
+        even = _gf2_square(odd)  # first pass: 8 bits = 1 zero byte
+        if len2 & 1:
+            crc1 = _gf2_times(even, crc1)
+        len2 >>= 1
+        if not len2:
+            break
+        odd = _gf2_square(even)
+        if len2 & 1:
+            crc1 = _gf2_times(odd, crc1)
+        len2 >>= 1
+        if not len2:
+            break
+    return crc1 ^ crc2
+
+
+def _crc32c_matrix(bufs: list[bytes], lens: np.ndarray) -> np.ndarray:
+    """Core vectorized pass: caller guarantees the padded matrix is small."""
     global _TABLE_NP
     if _TABLE_NP is None:
         _TABLE_NP = np.asarray(_crc32c_table(), dtype=np.uint32)
     n = len(bufs)
-    if n == 0:
-        return np.empty(0, np.uint32)
-    lens = np.fromiter((len(b) for b in bufs), np.int64, n)
     maxlen = int(lens.max(initial=0))
     mat = np.zeros((n, maxlen), np.uint8)
     for i, b in enumerate(bufs):
         mat[i, : len(b)] = np.frombuffer(b, np.uint8)
     crc = np.full(n, 0xFFFFFFFF, np.uint32)
-    order = np.argsort(lens)  # process short records first, then shrink
-    mat = mat[order]
-    crc_sorted = crc[order]
-    lens_sorted = lens[order]
-    start = 0
+    start = 0  # bufs are sorted by length: finished records form a prefix
     for j in range(maxlen):
-        # records shorter than j+1 are done; they are a prefix of the
-        # sorted order, so the active set is a single tail slice
-        while start < n and lens_sorted[start] <= j:
+        while start < n and lens[start] <= j:
             start += 1
-        c = crc_sorted[start:]
-        b = mat[start:, j]
-        crc_sorted[start:] = _TABLE_NP[(c ^ b) & 0xFF] ^ (c >> 8)
+        c = crc[start:]
+        crc[start:] = _TABLE_NP[(c ^ mat[start:, j]) & 0xFF] ^ (c >> 8)
+    return crc ^ np.uint32(0xFFFFFFFF)
+
+
+def _crc32c_long(buf: bytes) -> int:
+    """Long record: equal segments vectorize, zero-advance folds them."""
+    segs = [buf[o : o + _SEG_LEN] for o in range(0, len(buf), _SEG_LEN)]
+    crcs = _crc32c_batch(segs)  # every segment ≤ _SEG_LEN: no recursion
+    op = _zero_advance_op(8 * _SEG_LEN)
+    crc = int(crcs[0])
+    for j in range(1, len(segs)):
+        if len(segs[j]) == _SEG_LEN:
+            crc = _gf2_times(op, crc) ^ int(crcs[j])
+        else:  # final short segment
+            crc = crc32c_combine(crc, int(crcs[j]), len(segs[j]))
+    return crc
+
+
+def _crc32c_batch(bufs: list[bytes]) -> np.ndarray:
+    n = len(bufs)
     out = np.empty(n, np.uint32)
-    out[order] = crc_sorted ^ np.uint32(0xFFFFFFFF)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(b) for b in bufs), np.int64, n)
+    order = np.argsort(lens, kind="stable")
+    g0 = 0
+    while g0 < n:
+        if lens[order[g0]] > _LONG_LEN:
+            # ascending order → everything from here on is long
+            for i in order[g0:]:
+                out[i] = _crc32c_long(bufs[i])
+            break
+        # grow the pad group while the dense matrix stays under the cap
+        # (sorted ascending → the group max is its last element)
+        g1 = g0 + 1
+        while (
+            g1 < n
+            and lens[order[g1]] <= _LONG_LEN
+            and (g1 - g0 + 1) * int(lens[order[g1]]) <= _PAD_CAP
+        ):
+            g1 += 1
+        idx = order[g0:g1]
+        out[idx] = _crc32c_matrix([bufs[i] for i in idx], lens[idx])
+        g0 = g1
     return out
 
 
@@ -358,16 +470,24 @@ def _column_kind(field: T.StructField, allow_f32_demotion: bool) -> tuple[str, b
     )
 
 
-def _encode_batch(pdf: pd.DataFrame, kinds: dict[str, tuple[str, bool]]) -> list[bytes]:
+def _encode_arrow_batch(
+    batch: pa.RecordBatch, kinds: dict[str, tuple[str, bool]]
+) -> list[bytes]:
+    # to_pylist (not pandas): int64 stays exact with NULLs present, and
+    # NULL (→ missing feature) stays distinct from float NaN (→ a
+    # FloatList carrying NaN)
+    cols = {
+        name: batch.column(batch.schema.get_field_index(name)).to_pylist()
+        for name in kinds
+    }
     records: list[bytes] = []
-    cols = {c: pdf[c].to_numpy(dtype=object) for c in kinds}
-    for i in range(len(pdf)):
+    for i in range(batch.num_rows):
         feats: dict[str, tuple[str, list]] = {}
         for name, (kind, is_list) in kinds.items():
             v = cols[name][i]
-            if v is None or (not is_list and isinstance(v, float) and np.isnan(v)):
+            if v is None:
                 continue  # missing feature == absent from the map (TF convention)
-            values = list(v) if is_list else [v]
+            values = v if is_list else [v]
             if kind == "bytes":
                 values = [x.encode() if isinstance(x, str) else bytes(x) for x in values]
             elif kind == "int64":
@@ -384,6 +504,9 @@ _WRITE_STATS = T.StructType([
     T.StructField("records", T.LongType()),
     T.StructField("bytes", T.LongType()),
 ])
+_WRITE_STATS_PA = pa.schema(
+    [("shards", pa.int64()), ("records", pa.int64()), ("bytes", pa.int64())]
+)
 
 
 def write_tfrecords(
@@ -398,14 +521,14 @@ def write_tfrecords(
     One shard object per ``shard_records`` rows of each input partition
     (default: one shard per partition) named
     ``part-{partition:05d}-{seq:04d}.tfrecord`` — the layout every
-    tf.data-style consumer globs. Fully distributed mapInPandas; the
+    tf.data-style consumer globs. Fully distributed mapInArrow; the
     only driver write is the schema sidecar. Returns
     ``{"shards": n, "records": n, "bytes": n}``.
     """
     kinds = {f.name: _column_kind(f, allow_f32_demotion) for f in df.schema.fields}
     schema_json = df.schema.json()
 
-    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def write(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
 
         store, key = stores.resolve(path)
@@ -413,39 +536,31 @@ def write_tfrecords(
         pending: list[bytes] = []
         seq = n_shards = n_records = n_bytes = 0
 
-        def flush() -> None:
-            nonlocal seq, n_shards, n_bytes, pending
-            if not pending:
+        def flush(recs: list[bytes]) -> None:
+            nonlocal seq, n_shards, n_bytes
+            if not recs:
                 return
-            blob = frame_records(pending)
-            store.put(
-                stores.join(key, f"part-{pid:05d}-{seq:04d}.tfrecord"), blob
-            )
+            blob = frame_records(recs)
+            store.put(stores.join(key, f"part-{pid:05d}-{seq:04d}.tfrecord"), blob)
             seq += 1
             n_shards += 1
             n_bytes += len(blob)
-            pending = []
 
-        for pdf in batches:
-            recs = _encode_batch(pdf, kinds)
+        for batch in batches:
+            recs = _encode_arrow_batch(batch, kinds)
             n_records += len(recs)
             pending.extend(recs)
             while shard_records and len(pending) >= shard_records:
-                head, pending = pending[:shard_records], pending[shard_records:]
-                blob = frame_records(head)
-                store.put(
-                    stores.join(key, f"part-{pid:05d}-{seq:04d}.tfrecord"), blob
-                )
-                seq += 1
-                n_shards += 1
-                n_bytes += len(blob)
-        flush()
-        yield pd.DataFrame(
-            {"shards": [n_shards], "records": [n_records], "bytes": [n_bytes]}
+                flush(pending[:shard_records])
+                pending = pending[shard_records:]
+        flush(pending)
+        yield pa.RecordBatch.from_pydict(
+            {"shards": [n_shards], "records": [n_records], "bytes": [n_bytes]},
+            schema=_WRITE_STATS_PA,
         )
 
     stats = (
-        df.mapInPandas(write, _WRITE_STATS)
+        df.mapInArrow(write, _WRITE_STATS)
         .agg(F.sum("shards"), F.sum("records"), F.sum("bytes"))
         .collect()[0]
     )
@@ -502,21 +617,21 @@ def read_tfrecords(
             raise ValueError(f"unrecognized sidecar format {meta.get('format')!r}")
         schema = T.StructType.fromJson(meta["schema"])
     elif isinstance(schema, str):
-        parsed = spark.createDataFrame([], schema).schema
-        schema = parsed
+        schema = T.StructType.fromDDL(schema)
     shard_names = sorted(
         n for n in store.list_dir(key) if n.endswith(".tfrecord")
     )
     if not shard_names:
         raise FileNotFoundError(f"no *.tfrecord shards under {path!r}")
-    fields = [
-        (f.name, _column_kind(f, True), f.dataType) for f in schema.fields
-    ]
+    from pyspark.sql.pandas.types import to_arrow_schema
 
-    def read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    pa_schema = to_arrow_schema(schema)
+    fields = [(f.name, _column_kind(f, True), f.dataType) for f in schema.fields]
+
+    def read(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         store, key = stores.resolve(path)
-        for pdf in batches:
-            for shard in pdf["shard"]:
+        for batch in batches:
+            for shard in batch.column(0).to_pylist():
                 blob = store.get(stores.join(key, shard))
                 if blob is None:
                     raise FileNotFoundError(f"shard {shard!r} vanished under {path!r}")
@@ -528,9 +643,15 @@ def read_tfrecords(
                         rows[name].append(
                             _from_feature(feats.get(name), kind, is_list, elem)
                         )
-                yield pd.DataFrame(rows)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(rows[f.name], type=f.type)
+                        for f in pa_schema
+                    ],
+                    schema=pa_schema,
+                )
 
     shards = spark.createDataFrame(
         [(s,) for s in shard_names], "shard string"
     ).repartition(min(len(shard_names), 64))
-    return shards.mapInPandas(read, schema)
+    return shards.mapInArrow(read, schema)

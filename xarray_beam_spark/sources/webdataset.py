@@ -22,11 +22,13 @@ format IS tar plus a naming convention:
   shard bytes are deterministic — idempotent task retries rewrite the
   identical object.
 
-Scale shape mirrors ``tfrecord.py``: the writer is ``mapInPandas`` with
+Scale shape mirrors ``tfrecord.py``: the writer is ``mapInArrow`` with
 one shard object per ``shard_records`` slice of each input partition
 (zero shuffle, no driver participation beyond the schema sidecar); the
 reader lists shard keys once, parallelizes them, and each task opens
-only its shards. A shard is held in memory while building/decoding —
+only its shards. Arrow rather than pandas is load-bearing: pandas
+widens a null-bearing int64 column to float64, which would corrupt
+2^53+ values and serialize NULL as a literal ``NaN`` JSON member. A shard is held in memory while building/decoding —
 size shards accordingly (the convention's own guidance: ~100 MB-1 GB).
 The reader rejects malformed shards loudly (member before any key,
 duplicate extension within a sample) rather than guessing.
@@ -39,7 +41,7 @@ import json
 import tarfile
 from collections.abc import Iterator
 
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -50,33 +52,18 @@ KEY_COL = "__key__"
 _META_NAME = "_xbs_wds_meta.json"
 
 
-def _py(v):
-    """numpy scalars/arrays → plain python, recursively (json.dumps
-    rejects np.int64/np.float32, which is what pandas object columns
-    hold after the Arrow transfer)."""
-    import numpy as np
-
-    if isinstance(v, np.generic):
-        return v.item()
-    if isinstance(v, np.ndarray):
-        return v.tolist()
-    if isinstance(v, (list, tuple)):
-        return [_py(x) for x in v]
-    if isinstance(v, dict):
-        return {k: _py(x) for k, x in v.items()}
-    return v
-
-
 def _serializer(field: T.StructField):
     dt = field.dataType
     if isinstance(dt, T.BinaryType):
         return lambda v: bytes(v)
     if isinstance(dt, T.StringType):
         return lambda v: v.encode()
-    # canonical JSON for everything else (ints, floats, bools, arrays,
-    # structs arrive from pandas as numpy scalars / lists / dicts)
+    # canonical JSON for everything else — Arrow's to_pylist hands over
+    # plain python ints/floats/bools/lists/dicts, so int64 stays exact
+    # (the pandas path would widen a null-bearing long column to float64
+    # and serialize 5 as "5.0" or a NULL as literal NaN)
     def to_json(v):
-        return json.dumps(_py(v), sort_keys=True, separators=(",", ":")).encode()
+        return json.dumps(v, sort_keys=True, separators=(",", ":")).encode()
 
     return to_json
 
@@ -115,6 +102,9 @@ _WRITE_STATS = T.StructType([
     T.StructField("samples", T.LongType()),
     T.StructField("bytes", T.LongType()),
 ])
+_WRITE_STATS_PA = pa.schema(
+    [("shards", pa.int64()), ("samples", pa.int64()), ("bytes", pa.int64())]
+)
 
 
 def write_webdataset(
@@ -132,7 +122,9 @@ def write_webdataset(
     split on read). Every other column becomes one member per sample,
     named ``{key}.{ext}`` with ``ext = ext_map.get(col, col)``. NULL
     cells write no member (missing leg of a sample — the convention's
-    own sparse-sample idiom); NULL keys are rejected loudly. Shards are
+    own sparse-sample idiom); NULL keys and all-NULL samples are
+    rejected loudly (a sample with zero members has no tar
+    representation and would silently vanish on read). Shards are
     ``part-{partition:05d}-{seq:04d}.tar``. Returns
     ``{"shards": n, "samples": n, "bytes": n}``.
     """
@@ -151,7 +143,7 @@ def write_webdataset(
     ordered = sorted(fields, key=lambda f: exts[f.name])
     schema_json = df.schema.json()
 
-    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def write(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
 
         store, key = stores.resolve(path)
@@ -179,10 +171,18 @@ def write_webdataset(
             tar = tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT)
             in_shard = 0
 
-        for pdf in batches:
-            keys = pdf[key_col].to_numpy(dtype=object)
-            cols = {f.name: pdf[f.name].to_numpy(dtype=object) for f in fields}
-            for i in range(len(pdf)):
+        for batch in batches:
+            # Arrow (not pandas) is load-bearing: to_pylist keeps
+            # null-bearing int64 columns exact (pandas would widen to
+            # float64 → "5.0"/"NaN" JSON members, corrupt 2^53+ values)
+            keys = batch.column(batch.schema.get_field_index(key_col)).to_pylist()
+            cols = {
+                f.name: batch.column(
+                    batch.schema.get_field_index(f.name)
+                ).to_pylist()
+                for f in fields
+            }
+            for i in range(batch.num_rows):
                 k = keys[i]
                 if k is None:
                     raise ValueError("NULL sample key")
@@ -191,6 +191,7 @@ def write_webdataset(
                         f"sample key {k!r} contains '.', which would shift "
                         "the key/extension split on read"
                     )
+                wrote_member = False
                 for f in ordered:
                     v = cols[f.name][i]
                     if v is None:
@@ -200,17 +201,26 @@ def write_webdataset(
                         _tarinfo(f"{k}.{exts[f.name]}", len(data)),
                         io.BytesIO(data),
                     )
+                    wrote_member = True
+                if not wrote_member:
+                    raise ValueError(
+                        f"sample {k!r} has every member column NULL — no tar "
+                        "representation exists and it would silently vanish "
+                        "on read; filter such rows out (or add a non-NULL "
+                        "member) before writing"
+                    )
                 n_samples += 1
                 in_shard += 1
                 if shard_records and in_shard >= shard_records:
                     flush()
         flush()
-        yield pd.DataFrame(
-            {"shards": [n_shards], "samples": [n_samples], "bytes": [n_bytes]}
+        yield pa.RecordBatch.from_pydict(
+            {"shards": [n_shards], "samples": [n_samples], "bytes": [n_bytes]},
+            schema=_WRITE_STATS_PA,
         )
 
     stats = (
-        df.mapInPandas(write, _WRITE_STATS)
+        df.mapInArrow(write, _WRITE_STATS)
         .agg(F.sum("shards"), F.sum("samples"), F.sum("bytes"))
         .collect()[0]
     )
@@ -267,18 +277,21 @@ def read_webdataset(
         key_col = meta["key_col"]
         ext_map = meta["ext_map"]
     elif isinstance(schema, str):
-        schema = spark.createDataFrame([], schema).schema
+        schema = T.StructType.fromDDL(schema)
     fields = [f for f in schema.fields if f.name != key_col]
     exts = {(ext_map or {}).get(f.name, f.name): f.name for f in fields}
     desers = {f.name: _deserializer(f) for f in fields}
     shard_names = sorted(n for n in store.list_dir(skey) if n.endswith(".tar"))
     if not shard_names:
         raise FileNotFoundError(f"no *.tar shards under {path!r}")
+    from pyspark.sql.pandas.types import to_arrow_schema
 
-    def read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    pa_schema = to_arrow_schema(schema)
+
+    def read(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         store, skey = stores.resolve(path)
-        for pdf in batches:
-            for shard in pdf["shard"]:
+        for batch in batches:
+            for shard in batch.column(0).to_pylist():
                 blob = store.get(stores.join(skey, shard))
                 if blob is None:
                     raise FileNotFoundError(f"shard {shard!r} vanished under {path!r}")
@@ -321,9 +334,12 @@ def read_webdataset(
                         data = tar.extractfile(member).read()
                         sample[col] = desers[col](data)
                     emit()
-                yield pd.DataFrame(rows)[[f.name for f in schema.fields]]
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(rows[f.name], type=f.type) for f in pa_schema],
+                    schema=pa_schema,
+                )
 
     shards = spark.createDataFrame(
         [(s,) for s in shard_names], "shard string"
     ).repartition(min(len(shard_names), 64))
-    return shards.mapInPandas(read, schema)
+    return shards.mapInArrow(read, schema)
