@@ -155,23 +155,70 @@ def crc32c_combine(crc1: int, crc2: int, len2: int) -> int:
     return crc1 ^ crc2
 
 
+_TABLES8: np.ndarray | None = None
+
+
+def _tables8() -> np.ndarray:
+    """Slicing-by-8 tables: T[0] is the byte table; T[k][b] advances
+    T[k-1][b] through one more zero byte. Processing 8 input bytes per
+    step cuts the python-level loop count 8x."""
+    global _TABLES8, _TABLE_NP
+    if _TABLES8 is None:
+        if _TABLE_NP is None:
+            _TABLE_NP = np.asarray(_crc32c_table(), dtype=np.uint32)
+        t = np.empty((8, 256), np.uint32)
+        t[0] = _TABLE_NP
+        for k in range(1, 8):
+            t[k] = _TABLE_NP[t[k - 1] & 0xFF] ^ (t[k - 1] >> 8)
+        _TABLES8 = t
+    return _TABLES8
+
+
 def _crc32c_matrix(bufs: list[bytes], lens: np.ndarray) -> np.ndarray:
-    """Core vectorized pass: caller guarantees the padded matrix is small."""
-    global _TABLE_NP
-    if _TABLE_NP is None:
-        _TABLE_NP = np.asarray(_crc32c_table(), dtype=np.uint32)
+    """Core vectorized pass: caller guarantees the padded matrix is small
+    and ``lens`` sorted ascending (finished records form a prefix)."""
+    t8 = _tables8()
+    t0, t1, t2, t3, t4, t5, t6, t7 = (t8[k] for k in range(8))
     n = len(bufs)
     maxlen = int(lens.max(initial=0))
-    mat = np.zeros((n, maxlen), np.uint8)
+    nblk = maxlen // 8
+    mat = np.zeros((n, max(nblk * 8, maxlen)), np.uint8)
     for i, b in enumerate(bufs):
         mat[i, : len(b)] = np.frombuffer(b, np.uint8)
     crc = np.full(n, 0xFFFFFFFF, np.uint32)
-    start = 0  # bufs are sorted by length: finished records form a prefix
-    for j in range(maxlen):
-        while start < n and lens[start] <= j:
-            start += 1
-        c = crc[start:]
-        crc[start:] = _TABLE_NP[(c ^ mat[start:, j]) & 0xFF] ^ (c >> 8)
+    full = lens // 8  # number of complete blocks per record
+    # phase 1: slicing-by-8 over each record's 8-byte-aligned prefix;
+    # blocks are read as little-endian uint64 (one strided gather +
+    # shifts — measurably faster than a (n, 8) byte slice + cast)
+    start = 0
+    if nblk:
+        m64 = mat[:, : nblk * 8].view("<u8").reshape(n, nblk)
+        for j in range(nblk):
+            while start < n and full[start] <= j:
+                start += 1
+            d = m64[start:, j]
+            c = crc[start:] ^ (d & 0xFFFFFFFF).astype(np.uint32)
+            hi = (d >> 32).astype(np.uint32)
+            crc[start:] = (
+                t7[c & 0xFF]
+                ^ t6[(c >> 8) & 0xFF]
+                ^ t5[(c >> 16) & 0xFF]
+                ^ t4[c >> 24]
+                ^ t3[hi & 0xFF]
+                ^ t2[(hi >> 8) & 0xFF]
+                ^ t1[(hi >> 16) & 0xFF]
+                ^ t0[hi >> 24]
+            )
+    # phase 2: per-record tails (< 8 bytes), per-byte at per-record offsets
+    base = (full * 8).astype(np.int64)
+    tail = lens - base
+    for t in range(7):
+        rows = np.nonzero(tail > t)[0]
+        if rows.size == 0:
+            break
+        c = crc[rows]
+        b = mat[rows, base[rows] + t]
+        crc[rows] = t0[(c ^ b) & 0xFF] ^ (c >> 8)
     return crc ^ np.uint32(0xFFFFFFFF)
 
 
@@ -239,26 +286,51 @@ def frame_records(records: list[bytes]) -> bytes:
     return b"".join(parts)
 
 
-def iter_records(buf: bytes, *, verify: bool = True) -> Iterator[bytes]:
-    """Yield record payloads from TFRecord bytes; loud on any corruption."""
+def parse_records(buf: bytes, *, verify: bool = True) -> list[bytes]:
+    """Parse TFRecord bytes → payload list; loud on any corruption.
+
+    Verification is batched: frames are walked first (cheap struct
+    reads), then every length-crc and data-crc checks in two vectorized
+    `_crc32c_batch` passes — per-record scalar crc would bottleneck the
+    whole read leg."""
+    records: list[bytes] = []
+    offsets: list[int] = []
+    len_bufs: list[bytes] = []
+    want_len_crcs: list[int] = []
+    want_data_crcs: list[int] = []
     pos, end = 0, len(buf)
     while pos < end:
         if end - pos < 12:
             raise ValueError(f"truncated TFRecord header at byte {pos}")
         (length,) = struct.unpack_from("<Q", buf, pos)
-        (len_crc,) = struct.unpack_from("<I", buf, pos + 8)
-        if verify and _masked_crc(buf[pos : pos + 8]) != len_crc:
-            raise ValueError(f"TFRecord length crc mismatch at byte {pos}")
-        dstart = pos + 12
-        dend = dstart + length
+        dend = pos + 12 + length
         if dend + 4 > end:
             raise ValueError(f"truncated TFRecord data at byte {pos}")
-        data = buf[dstart:dend]
-        (data_crc,) = struct.unpack_from("<I", buf, dend)
-        if verify and _masked_crc(data) != data_crc:
-            raise ValueError(f"TFRecord data crc mismatch at byte {pos}")
-        yield data
+        if verify:
+            offsets.append(pos)
+            len_bufs.append(buf[pos : pos + 8])
+            want_len_crcs.append(struct.unpack_from("<I", buf, pos + 8)[0])
+            want_data_crcs.append(struct.unpack_from("<I", buf, dend)[0])
+        records.append(buf[pos + 12 : dend])
         pos = dend + 4
+    if verify and records:
+        got_len = _mask_batch(_crc32c_batch(len_bufs))
+        got_data = _mask_batch(_crc32c_batch(records))
+        for i in range(len(records)):
+            if int(got_len[i]) != want_len_crcs[i]:
+                raise ValueError(
+                    f"TFRecord length crc mismatch at byte {offsets[i]}"
+                )
+            if int(got_data[i]) != want_data_crcs[i]:
+                raise ValueError(
+                    f"TFRecord data crc mismatch at byte {offsets[i]}"
+                )
+    return records
+
+
+def iter_records(buf: bytes, *, verify: bool = True) -> Iterator[bytes]:
+    """Yield record payloads from TFRecord bytes; loud on any corruption."""
+    yield from parse_records(buf, verify=verify)
 
 
 # ---------------------------------------------------------------------------
