@@ -91,3 +91,24 @@ def test_migration_doc_snippets():
         env={**os.environ, "PYTHONPATH": REPO},
     )
     assert out.returncode == 0, out.stderr[-4000:]
+
+
+def test_training_doc_snippets():
+    """docs/training_data.md gets the same anti-drift treatment as the
+    migration guide: every ```python block executes top-to-bottom in one
+    namespace, each asserting its own results."""
+    import re
+
+    doc = open(os.path.join(REPO, "docs", "training_data.md")).read()
+    blocks = re.findall(r"```python\n(.*?)```", doc, flags=re.DOTALL)
+    assert len(blocks) >= 7, "training_data.md lost its runnable snippets"
+    script = "\n\n".join(blocks)
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        cwd=REPO,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    assert out.returncode == 0, out.stderr[-4000:]
