@@ -267,3 +267,33 @@ class TestExactness:
         tfr.write_tfrecords(df.repartition(1), str(tmp_path))
         rows = {r["id"]: r["f"] for r in tfr.read_tfrecords(spark, str(tmp_path)).collect()}
         assert math.isnan(rows[1]) and rows[2] is None and rows[3] == 1.5
+
+
+@pytest.mark.usefixtures("spark")
+class TestGzipCompression:
+    def test_gzip_roundtrip_and_determinism(self, spark, tmp_path):
+        import gzip
+        import os
+
+        df = self._df(spark)
+        tfr.write_tfrecords(df.repartition(1).sortWithinPartitions("id"),
+                            str(tmp_path / "a"), compression="gzip")
+        tfr.write_tfrecords(df.repartition(1).sortWithinPartitions("id"),
+                            str(tmp_path / "b"), compression="gzip")
+        shards = [n for n in os.listdir(tmp_path / "a") if n.endswith(".tfrecord.gz")]
+        assert shards, "gzip shards must carry the .gz suffix"
+        for n in shards:
+            ba = (tmp_path / "a" / n).read_bytes()
+            assert ba[:2] == b"\x1f\x8b"
+            assert ba == (tmp_path / "b" / n).read_bytes()  # mtime pinned
+            # the payload is an ordinary TFRecord stream
+            assert len(tfr.parse_records(gzip.decompress(ba))) == 3
+        rows = {r["id"]: r for r in tfr.read_tfrecords(spark, str(tmp_path / "a")).collect()}
+        assert rows[1]["txt"] == "hello" and rows[2]["txt"] is None
+
+    def test_unknown_compression_is_loud(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="unsupported compression"):
+            tfr.write_tfrecords(self._df(spark), str(tmp_path), compression="zstd")
+
+    def _df(self, spark):
+        return TestSparkRoundtrip._df(self, spark)

@@ -587,20 +587,31 @@ def write_tfrecords(
     *,
     shard_records: int | None = None,
     allow_f32_demotion: bool = False,
+    compression: str | None = None,
 ) -> dict:
     """Write a DataFrame as TFRecord shards of ``tf.train.Example``.
 
     One shard object per ``shard_records`` rows of each input partition
     (default: one shard per partition) named
     ``part-{partition:05d}-{seq:04d}.tfrecord`` — the layout every
-    tf.data-style consumer globs. Fully distributed mapInArrow; the
-    only driver write is the schema sidecar. Returns
+    tf.data-style consumer globs. ``compression="gzip"`` gzips each
+    whole shard (the ``TFRecordOptions(compression_type="GZIP")``
+    convention; shards get a ``.gz`` suffix and tf.data reads them with
+    that option). mtime/OS bytes in the gzip header are pinned so equal
+    rows still produce identical shard bytes. Fully distributed
+    mapInArrow; the only driver write is the schema sidecar. Returns
     ``{"shards": n, "records": n, "bytes": n}``.
     """
+    if compression not in (None, "gzip"):
+        raise ValueError(f"unsupported compression {compression!r} (None or 'gzip')")
+    suffix = ".tfrecord.gz" if compression else ".tfrecord"
     kinds = {f.name: _column_kind(f, allow_f32_demotion) for f in df.schema.fields}
     schema_json = df.schema.json()
 
     def write(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import gzip
+        import io
+
         from pyspark import TaskContext
 
         store, key = stores.resolve(path)
@@ -613,7 +624,12 @@ def write_tfrecords(
             if not recs:
                 return
             blob = frame_records(recs)
-            store.put(stores.join(key, f"part-{pid:05d}-{seq:04d}.tfrecord"), blob)
+            if compression:
+                out = io.BytesIO()
+                with gzip.GzipFile(fileobj=out, mode="wb", mtime=0) as gz:
+                    gz.write(blob)
+                blob = out.getvalue()
+            store.put(stores.join(key, f"part-{pid:05d}-{seq:04d}{suffix}"), blob)
             seq += 1
             n_shards += 1
             n_bytes += len(blob)
@@ -691,7 +707,9 @@ def read_tfrecords(
     elif isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     shard_names = sorted(
-        n for n in store.list_dir(key) if n.endswith(".tfrecord")
+        n
+        for n in store.list_dir(key)
+        if n.endswith(".tfrecord") or n.endswith(".tfrecord.gz")
     )
     if not shard_names:
         raise FileNotFoundError(f"no *.tfrecord shards under {path!r}")
@@ -701,12 +719,16 @@ def read_tfrecords(
     fields = [(f.name, _column_kind(f, True), f.dataType) for f in schema.fields]
 
     def read(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import gzip
+
         store, key = stores.resolve(path)
         for batch in batches:
             for shard in batch.column(0).to_pylist():
                 blob = store.get(stores.join(key, shard))
                 if blob is None:
                     raise FileNotFoundError(f"shard {shard!r} vanished under {path!r}")
+                if blob[:2] == b"\x1f\x8b":  # gzip magic, sniffed not trusted
+                    blob = gzip.decompress(blob)
                 rows: dict[str, list] = {name: [] for name, _, _ in fields}
                 for rec in iter_records(blob):
                     feats = decode_example(rec)
