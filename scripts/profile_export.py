@@ -45,14 +45,25 @@ def main() -> None:
 
     doc_bytes = args.doc_kb * 1024
     n_docs = (args.mb * (1 << 20)) // doc_bytes
-    # incompressible-ish deterministic text: per-doc md5 chain expanded
-    # to the target size (JVM expressions; no driver data)
+    # deterministic per-doc text: every 32-byte block is the md5 of a
+    # (doc, block) pair, so no block repeats (hex, so ~4 bits/char of
+    # entropy — "hard to compress", not incompressible). Generated as
+    # JVM expressions and materialized via persist() BEFORE timing, so
+    # generation cost never leaks into the measured legs.
     reps = doc_bytes // 32
     docs = (
         spark.range(n_docs)
         .select(
             F.col("id").alias("doc_id"),
-            F.repeat(F.md5(F.col("id").cast("string")), reps).alias("text"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(reps)),
+                    lambda i: F.md5(
+                        F.concat(F.col("id").cast("string"), F.lit("-"), i.cast("string"))
+                    ),
+                ),
+            ).alias("text"),
         )
         .repartition(cores * 2)
         .persist()

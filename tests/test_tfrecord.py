@@ -297,3 +297,13 @@ class TestGzipCompression:
 
     def _df(self, spark):
         return TestSparkRoundtrip._df(self, spark)
+
+
+def test_uncompressed_shard_with_gzip_magic_prefix(tmp_path):
+    """A record of exactly 0x8B1F bytes makes an uncompressed shard START
+    with the gzip magic; the reader must dispatch on the .gz suffix, not
+    sniff content, or this valid shard becomes unreadable."""
+    rec = b"x" * 0x8B1F
+    blob = tfr.frame_records([rec])
+    assert blob[:2] == b"\x1f\x8b"  # the trap is real
+    assert tfr.parse_records(blob) == [rec]

@@ -182,7 +182,7 @@ def _crc32c_matrix(bufs: list[bytes], lens: np.ndarray) -> np.ndarray:
     n = len(bufs)
     maxlen = int(lens.max(initial=0))
     nblk = maxlen // 8
-    mat = np.zeros((n, max(nblk * 8, maxlen)), np.uint8)
+    mat = np.zeros((n, maxlen), np.uint8)
     for i, b in enumerate(bufs):
         mat[i, : len(b)] = np.frombuffer(b, np.uint8)
     crc = np.full(n, 0xFFFFFFFF, np.uint32)
@@ -727,7 +727,10 @@ def read_tfrecords(
                 blob = store.get(stores.join(key, shard))
                 if blob is None:
                     raise FileNotFoundError(f"shard {shard!r} vanished under {path!r}")
-                if blob[:2] == b"\x1f\x8b":  # gzip magic, sniffed not trusted
+                if shard.endswith(".gz"):
+                    # dispatch on the suffix, NOT a magic-byte sniff: a
+                    # valid uncompressed shard whose first record length
+                    # is ≡ 0x8B1F (mod 2^16) starts with the gzip magic
                     blob = gzip.decompress(blob)
                 rows: dict[str, list] = {name: [] for name, _, _ in fields}
                 for rec in iter_records(blob):
