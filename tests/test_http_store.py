@@ -711,3 +711,51 @@ class TestHttpStreamAppend:
         store.delete(key)
         with pytest.raises(Exception, match="out-of-order ingest"):
             es.stream_append_to_zarr(spark, sf, out)
+
+
+class TestExportSinksOverHttp:
+    """The trainer export legs go through the same Store seam: a full
+    distributed write → read cycle against a real HTTP server, plus the
+    mem:// refusal (process-local; executors could not reach it)."""
+
+    def test_tfrecord_roundtrip_over_http(self, http_root, spark):
+        _, base = http_root
+        from xarray_beam_spark.sources import tfrecord
+
+        df = spark.createDataFrame(
+            [(1, "alpha"), (2, None), (3, "gamma")], "id long, txt string"
+        )
+        stats = tfrecord.write_tfrecords(
+            df.repartition(2, "id"), f"{base}/tfr", shard_records=2
+        )
+        assert stats["records"] == 3
+        rows = {
+            r["id"]: r["txt"]
+            for r in tfrecord.read_tfrecords(spark, f"{base}/tfr").collect()
+        }
+        assert rows == {1: "alpha", 2: None, 3: "gamma"}
+
+    def test_webdataset_roundtrip_over_http(self, http_root, spark):
+        _, base = http_root
+        from xarray_beam_spark.sources import webdataset
+
+        df = spark.createDataFrame(
+            [("k1", "alpha"), ("k2", "beta")], "__key__ string, txt string"
+        )
+        webdataset.write_webdataset(df.repartition(1), f"{base}/wds")
+        got = webdataset.read_webdataset(spark, f"{base}/wds")
+        assert {r["txt"] for r in got.collect()} == {"alpha", "beta"}
+
+    def test_mem_store_refused(self, spark):
+        from xarray_beam_spark.sources import tfrecord, webdataset
+
+        df = spark.createDataFrame([(1, "x")], "id long, txt string")
+        with pytest.raises(ValueError, match="process-local"):
+            tfrecord.write_tfrecords(df, "mem://nope/tfr")
+        with pytest.raises(ValueError, match="process-local"):
+            tfrecord.read_tfrecords(spark, "mem://nope/tfr")
+        wdf = spark.createDataFrame([("k", "x")], "__key__ string, txt string")
+        with pytest.raises(ValueError, match="process-local"):
+            webdataset.write_webdataset(wdf, "mem://nope/wds")
+        with pytest.raises(ValueError, match="process-local"):
+            webdataset.read_webdataset(spark, "mem://nope/wds")

@@ -317,6 +317,21 @@ def memory_store(name: str) -> MemStore:
         return _MEM[name]
 
 
+def assert_executor_reachable(path: str, what: str) -> None:
+    """Refuse ``mem://`` for data that Spark tasks must read or write.
+
+    A MemStore is one python process's dict; executor workers are
+    separate processes, so a distributed write would scatter blobs
+    across workers (and vanish with them) while the job happily reports
+    success. Driver-side unit use is what mem:// is for.
+    """
+    if path.startswith("mem://"):
+        raise ValueError(
+            f"{what} needs a store executors can reach; mem:// is "
+            "process-local to the driver. Use a filesystem or http(s) path."
+        )
+
+
 def resolve(path: str) -> tuple[Store, str]:
     """Path → (backend, backend-local key). Plain paths → local FS."""
     if path.startswith("mem://"):

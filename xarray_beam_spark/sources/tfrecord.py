@@ -575,9 +575,15 @@ _WRITE_STATS = T.StructType([
     T.StructField("shards", T.LongType()),
     T.StructField("records", T.LongType()),
     T.StructField("bytes", T.LongType()),
+    T.StructField("shard_names", T.ArrayType(T.StringType())),
 ])
 _WRITE_STATS_PA = pa.schema(
-    [("shards", pa.int64()), ("records", pa.int64()), ("bytes", pa.int64())]
+    [
+        ("shards", pa.int64()),
+        ("records", pa.int64()),
+        ("bytes", pa.int64()),
+        ("shard_names", pa.list_(pa.string())),
+    ]
 )
 
 
@@ -602,6 +608,7 @@ def write_tfrecords(
     mapInArrow; the only driver write is the schema sidecar. Returns
     ``{"shards": n, "records": n, "bytes": n}``.
     """
+    stores.assert_executor_reachable(path, "write_tfrecords")
     if compression not in (None, "gzip"):
         raise ValueError(f"unsupported compression {compression!r} (None or 'gzip')")
     suffix = ".tfrecord.gz" if compression else ".tfrecord"
@@ -617,10 +624,11 @@ def write_tfrecords(
         store, key = stores.resolve(path)
         pid = TaskContext.get().partitionId()
         pending: list[bytes] = []
-        seq = n_shards = n_records = n_bytes = 0
+        names: list[str] = []
+        seq = n_records = n_bytes = 0
 
         def flush(recs: list[bytes]) -> None:
-            nonlocal seq, n_shards, n_bytes
+            nonlocal seq, n_bytes
             if not recs:
                 return
             blob = frame_records(recs)
@@ -629,9 +637,10 @@ def write_tfrecords(
                 with gzip.GzipFile(fileobj=out, mode="wb", mtime=0) as gz:
                     gz.write(blob)
                 blob = out.getvalue()
-            store.put(stores.join(key, f"part-{pid:05d}-{seq:04d}{suffix}"), blob)
+            name = f"part-{pid:05d}-{seq:04d}{suffix}"
+            store.put(stores.join(key, name), blob)
+            names.append(name)
             seq += 1
-            n_shards += 1
             n_bytes += len(blob)
 
         for batch in batches:
@@ -643,20 +652,38 @@ def write_tfrecords(
                 pending = pending[shard_records:]
         flush(pending)
         yield pa.RecordBatch.from_pydict(
-            {"shards": [n_shards], "records": [n_records], "bytes": [n_bytes]},
+            {
+                "shards": [len(names)],
+                "records": [n_records],
+                "bytes": [n_bytes],
+                "shard_names": [names],
+            },
             schema=_WRITE_STATS_PA,
         )
 
     stats = (
         df.mapInArrow(write, _WRITE_STATS)
-        .agg(F.sum("shards"), F.sum("records"), F.sum("bytes"))
+        .agg(
+            F.sum("shards"),
+            F.sum("records"),
+            F.sum("bytes"),
+            F.flatten(F.collect_list("shard_names")),
+        )
         .collect()[0]
     )
     store, key = stores.resolve(path)
+    # the sidecar doubles as the shard MANIFEST: listing-less stores
+    # (plain http) have no list_dir, and even on object stores one GET
+    # beats a LIST — the same consolidated-metadata move the Zarr path
+    # makes
     store.put(
         stores.join(key, _META_NAME),
         json.dumps(
-            {"format": "xbs-tfrecord-v1", "schema": json.loads(schema_json)},
+            {
+                "format": "xbs-tfrecord-v1",
+                "schema": json.loads(schema_json),
+                "shards": sorted(stats[3] or []),
+            },
             sort_keys=True,
         ).encode(),
     )
@@ -688,25 +715,31 @@ def read_tfrecords(
     """Read TFRecord shards back into a DataFrame.
 
     ``schema`` may be a StructType, a DDL string, or None (use the
-    writer's sidecar). Shard keys are listed once on the driver and
-    parallelized; each task fetches and decodes only its shards, crc
-    verified. Missing features decode as NULL; extra features in a
+    writer's sidecar). The shard set comes from the sidecar's manifest
+    when present (one GET — works on listing-less stores like plain
+    http), falling back to a directory listing for foreign shard
+    directories; each task then fetches and decodes only its shards,
+    crc verified. Missing features decode as NULL; extra features in a
     record are ignored (protobuf-style forward compatibility).
     """
+    stores.assert_executor_reachable(path, "read_tfrecords")
     store, key = stores.resolve(path)
-    if schema is None:
-        raw = store.get(stores.join(key, _META_NAME))
-        if raw is None:
-            raise FileNotFoundError(
-                f"no schema given and no {_META_NAME} sidecar under {path!r}"
-            )
+    manifest: list[str] | None = None
+    raw = store.get(stores.join(key, _META_NAME))
+    if raw is not None:
         meta = json.loads(raw.decode())
         if meta.get("format") != "xbs-tfrecord-v1":
             raise ValueError(f"unrecognized sidecar format {meta.get('format')!r}")
-        schema = T.StructType.fromJson(meta["schema"])
-    elif isinstance(schema, str):
+        manifest = meta.get("shards")
+        if schema is None:
+            schema = T.StructType.fromJson(meta["schema"])
+    if schema is None:
+        raise FileNotFoundError(
+            f"no schema given and no {_META_NAME} sidecar under {path!r}"
+        )
+    if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
-    shard_names = sorted(
+    shard_names = manifest or sorted(
         n
         for n in store.list_dir(key)
         if n.endswith(".tfrecord") or n.endswith(".tfrecord.gz")

@@ -101,9 +101,15 @@ _WRITE_STATS = T.StructType([
     T.StructField("shards", T.LongType()),
     T.StructField("samples", T.LongType()),
     T.StructField("bytes", T.LongType()),
+    T.StructField("shard_names", T.ArrayType(T.StringType())),
 ])
 _WRITE_STATS_PA = pa.schema(
-    [("shards", pa.int64()), ("samples", pa.int64()), ("bytes", pa.int64())]
+    [
+        ("shards", pa.int64()),
+        ("samples", pa.int64()),
+        ("bytes", pa.int64()),
+        ("shard_names", pa.list_(pa.string())),
+    ]
 )
 
 
@@ -128,6 +134,7 @@ def write_webdataset(
     ``part-{partition:05d}-{seq:04d}.tar``. Returns
     ``{"shards": n, "samples": n, "bytes": n}``.
     """
+    stores.assert_executor_reachable(path, "write_webdataset")
     fields = [f for f in df.schema.fields if f.name != key_col]
     if key_col not in df.columns:
         raise ValueError(f"key column {key_col!r} not in DataFrame")
@@ -148,13 +155,14 @@ def write_webdataset(
 
         store, key = stores.resolve(path)
         pid = TaskContext.get().partitionId()
-        seq = n_shards = n_samples = n_bytes = 0
+        names: list[str] = []
+        seq = n_samples = n_bytes = 0
         buf = io.BytesIO()
         tar = tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT)
         in_shard = 0
 
         def flush() -> None:
-            nonlocal seq, n_shards, n_bytes, buf, tar, in_shard
+            nonlocal seq, n_bytes, buf, tar, in_shard
             tar.close()
             if in_shard == 0:
                 buf = io.BytesIO()
@@ -163,9 +171,10 @@ def write_webdataset(
                 )
                 return
             blob = buf.getvalue()
-            store.put(stores.join(key, f"part-{pid:05d}-{seq:04d}.tar"), blob)
+            name = f"part-{pid:05d}-{seq:04d}.tar"
+            store.put(stores.join(key, name), blob)
+            names.append(name)
             seq += 1
-            n_shards += 1
             n_bytes += len(blob)
             buf = io.BytesIO()
             tar = tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT)
@@ -215,16 +224,28 @@ def write_webdataset(
                     flush()
         flush()
         yield pa.RecordBatch.from_pydict(
-            {"shards": [n_shards], "samples": [n_samples], "bytes": [n_bytes]},
+            {
+                "shards": [len(names)],
+                "samples": [n_samples],
+                "bytes": [n_bytes],
+                "shard_names": [names],
+            },
             schema=_WRITE_STATS_PA,
         )
 
     stats = (
         df.mapInArrow(write, _WRITE_STATS)
-        .agg(F.sum("shards"), F.sum("samples"), F.sum("bytes"))
+        .agg(
+            F.sum("shards"),
+            F.sum("samples"),
+            F.sum("bytes"),
+            F.flatten(F.collect_list("shard_names")),
+        )
         .collect()[0]
     )
     store, skey = stores.resolve(path)
+    # sidecar doubles as the shard manifest (listing-less stores; one
+    # GET instead of a LIST on object stores)
     store.put(
         stores.join(skey, _META_NAME),
         json.dumps(
@@ -233,6 +254,7 @@ def write_webdataset(
                 "schema": json.loads(schema_json),
                 "key_col": key_col,
                 "ext_map": exts,
+                "shards": sorted(stats[3] or []),
             },
             sort_keys=True,
         ).encode(),
@@ -263,25 +285,31 @@ def read_webdataset(
     sharing a key (non-consecutive reuse of a key is a malformed shard
     and fails loudly, as does a duplicate extension within a sample).
     """
+    stores.assert_executor_reachable(path, "read_webdataset")
     store, skey = stores.resolve(path)
-    if schema is None:
-        raw = store.get(stores.join(skey, _META_NAME))
-        if raw is None:
-            raise FileNotFoundError(
-                f"no schema given and no {_META_NAME} sidecar under {path!r}"
-            )
+    manifest: list[str] | None = None
+    raw = store.get(stores.join(skey, _META_NAME))
+    if raw is not None:
         meta = json.loads(raw.decode())
         if meta.get("format") != "xbs-webdataset-v1":
             raise ValueError(f"unrecognized sidecar format {meta.get('format')!r}")
-        schema = T.StructType.fromJson(meta["schema"])
-        key_col = meta["key_col"]
-        ext_map = meta["ext_map"]
-    elif isinstance(schema, str):
+        manifest = meta.get("shards")
+        if schema is None:
+            schema = T.StructType.fromJson(meta["schema"])
+            key_col = meta["key_col"]
+            ext_map = meta["ext_map"]
+    if schema is None:
+        raise FileNotFoundError(
+            f"no schema given and no {_META_NAME} sidecar under {path!r}"
+        )
+    if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     fields = [f for f in schema.fields if f.name != key_col]
     exts = {(ext_map or {}).get(f.name, f.name): f.name for f in fields}
     desers = {f.name: _deserializer(f) for f in fields}
-    shard_names = sorted(n for n in store.list_dir(skey) if n.endswith(".tar"))
+    shard_names = manifest or sorted(
+        n for n in store.list_dir(skey) if n.endswith(".tar")
+    )
     if not shard_names:
         raise FileNotFoundError(f"no *.tar shards under {path!r}")
     from pyspark.sql.pandas.types import to_arrow_schema
