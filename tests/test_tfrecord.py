@@ -307,3 +307,74 @@ def test_uncompressed_shard_with_gzip_magic_prefix(tmp_path):
     blob = tfr.frame_records([rec])
     assert blob[:2] == b"\x1f\x8b"  # the trap is real
     assert tfr.parse_records(blob) == [rec]
+
+
+def test_decode_pruning_skips_unwanted_features():
+    ex = tfr.encode_example({
+        "keep": ("int64", [1]),
+        "big": ("bytes", [b"z" * 1000]),
+    })
+    got = tfr.decode_example(ex, wanted=frozenset({"keep"}))
+    assert got == {"keep": ("int64", [1])}
+    # corrupt the SKIPPED feature's payload region: pruned decode must
+    # not even look at it
+    broken = bytearray(ex)
+    idx = bytes(broken).find(b"z" * 10)
+    broken[idx] ^= 0xFF
+    assert tfr.decode_example(bytes(broken), wanted=frozenset({"keep"})) == {
+        "keep": ("int64", [1])
+    }
+
+
+@pytest.mark.usefixtures("spark")
+class TestStreamingSink:
+    def test_foreachbatch_appends_and_skips_replays(self, spark, tmp_path):
+        sink = tfr.tfrecord_stream_sink(str(tmp_path), shard_records=8)
+        b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, txt string")
+        b1 = spark.createDataFrame([(3, "c")], "id long, txt string")
+        sink(b0, 0)
+        sink(b1, 1)
+        sink(b0, 0)  # replay of an old batch id: must be a no-op
+        got = sorted(
+            (r["id"], r["txt"])
+            for r in tfr.read_tfrecords(spark, str(tmp_path)).collect()
+        )
+        assert got == [(1, "a"), (2, "b"), (3, "c")]
+        import os
+
+        names = sorted(n for n in os.listdir(tmp_path) if n.endswith(".tfrecord"))
+        assert all(n.startswith("batch-") for n in names)
+        # manifest covers both batches
+        import json as _json
+
+        meta = _json.loads((tmp_path / "_xbs_tfrecord_meta.json").read_text())
+        assert meta["shards"] == names
+
+    def test_schema_drift_is_loud(self, spark, tmp_path):
+        sink = tfr.tfrecord_stream_sink(str(tmp_path))
+        sink(spark.createDataFrame([(1, "a")], "id long, txt string"), 0)
+        with pytest.raises(Exception, match="different schema"):
+            sink(spark.createDataFrame([(1.5,)], "f float"), 1)
+
+    def test_real_stream_available_now(self, spark, tmp_path):
+        """End-to-end through Structured Streaming: file-source batches →
+        foreachBatch sink → read back the exact row set."""
+        src_dir = tmp_path / "src"
+        out = tmp_path / "out"
+        spark.createDataFrame(
+            [(i, f"doc-{i}") for i in range(40)], "id long, txt string"
+        ).repartition(4).write.parquet(str(src_dir))
+        src = (
+            spark.readStream.schema("id long, txt string")
+            .option("maxFilesPerTrigger", "2")  # several micro-batches
+            .parquet(str(src_dir))
+        )
+        q = (
+            src.writeStream.foreachBatch(tfr.tfrecord_stream_sink(str(out)))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        back = tfr.read_tfrecords(spark, str(out))
+        assert sorted(r["id"] for r in back.collect()) == list(range(40))

@@ -205,3 +205,39 @@ class TestExactness:
         )
         with pytest.raises(Exception, match="every member column NULL"):
             wds.write_webdataset(df.repartition(1), str(tmp_path))
+
+
+class TestProperties:
+    def test_random_samples_roundtrip(self, spark, tmp_path):
+        """Deterministic pseudo-random corpus: keys, NULL patterns, and
+        value shapes all vary; write → read must be the identity on the
+        non-NULL cells and NULL-preserving elsewhere."""
+        import random
+
+        rng = random.Random(42)
+        rows = []
+        for i in range(60):
+            txt = None if rng.random() < 0.2 else "".join(
+                rng.choice("abœ€ xyz\n") for _ in range(rng.randint(0, 40))
+            )
+            blob = None if rng.random() < 0.2 else bytes(
+                rng.getrandbits(8) for _ in range(rng.randint(0, 64))
+            )
+            n = None if rng.random() < 0.2 else rng.randint(-(2**62), 2**62)
+            if txt is None and blob is None and n is None:
+                txt = "fallback"  # all-NULL samples are (correctly) refused
+            rows.append((f"s/{i:04d}", txt, blob, n))
+        df = spark.createDataFrame(
+            rows, "__key__ string, txt string, blob binary, n long"
+        )
+        wds.write_webdataset(df.repartition(3, "__key__"), str(tmp_path))
+        got = {
+            r["__key__"]: r
+            for r in wds.read_webdataset(spark, str(tmp_path)).collect()
+        }
+        assert len(got) == 60
+        for k, txt, blob, n in rows:
+            r = got[k]
+            assert r["txt"] == txt
+            assert (bytes(r["blob"]) if r["blob"] is not None else None) == blob
+            assert r["n"] == n

@@ -474,8 +474,16 @@ def _iter_submessages(buf: bytes, want_field: int) -> Iterator[bytes]:
             pos = _skip_field(buf, pos, wire)
 
 
-def decode_example(data: bytes) -> dict[str, tuple[str, list]]:
-    """Decode ``tf.train.Example`` bytes → ``{name: (kind, values)}``."""
+def decode_example(
+    data: bytes, wanted: frozenset[str] | set[str] | None = None
+) -> dict[str, tuple[str, list]]:
+    """Decode ``tf.train.Example`` bytes → ``{name: (kind, values)}``.
+
+    ``wanted`` prunes the decode: features whose name is not in the set
+    are skipped without parsing their value lists — the reader passes
+    its schema's column names, so a 2-column read of a 20-feature
+    record pays for 2 value parses (the protobuf analogue of parquet
+    column pruning)."""
     out: dict[str, tuple[str, list]] = {}
     for features_msg in _iter_submessages(data, 1):  # Example.features
         for entry in _iter_submessages(features_msg, 1):  # map entry
@@ -497,6 +505,8 @@ def decode_example(data: bytes) -> dict[str, tuple[str, list]]:
                     pos = _skip_field(entry, pos, wire)
             if name is None or feature is None:
                 raise ValueError("Features map entry missing key or value")
+            if wanted is not None and name not in wanted:
+                continue
             pos = 0
             while pos < len(feature):
                 tag, pos = _read_varint(feature, pos)
@@ -594,6 +604,8 @@ def write_tfrecords(
     shard_records: int | None = None,
     allow_f32_demotion: bool = False,
     compression: str | None = None,
+    _shard_prefix: str = "part",
+    _merge_manifest: bool = False,
 ) -> dict:
     """Write a DataFrame as TFRecord shards of ``tf.train.Example``.
 
@@ -637,7 +649,7 @@ def write_tfrecords(
                 with gzip.GzipFile(fileobj=out, mode="wb", mtime=0) as gz:
                     gz.write(blob)
                 blob = out.getvalue()
-            name = f"part-{pid:05d}-{seq:04d}{suffix}"
+            name = f"{_shard_prefix}-{pid:05d}-{seq:04d}{suffix}"
             store.put(stores.join(key, name), blob)
             names.append(name)
             seq += 1
@@ -675,14 +687,26 @@ def write_tfrecords(
     # the sidecar doubles as the shard MANIFEST: listing-less stores
     # (plain http) have no list_dir, and even on object stores one GET
     # beats a LIST — the same consolidated-metadata move the Zarr path
-    # makes
+    # makes. _merge_manifest (streaming appends) unions with the
+    # existing manifest instead of replacing it; the schema must match.
+    shards = sorted(stats[3] or [])
+    if _merge_manifest:
+        raw = store.get(stores.join(key, _META_NAME))
+        if raw is not None:
+            prev = json.loads(raw.decode())
+            if prev.get("schema") != json.loads(schema_json):
+                raise ValueError(
+                    f"appending to {path!r} with a different schema than its "
+                    "existing sidecar records"
+                )
+            shards = sorted(set(prev.get("shards") or []) | set(shards))
     store.put(
         stores.join(key, _META_NAME),
         json.dumps(
             {
                 "format": "xbs-tfrecord-v1",
                 "schema": json.loads(schema_json),
-                "shards": sorted(stats[3] or []),
+                "shards": shards,
             },
             sort_keys=True,
         ).encode(),
@@ -750,6 +774,7 @@ def read_tfrecords(
 
     pa_schema = to_arrow_schema(schema)
     fields = [(f.name, _column_kind(f, True), f.dataType) for f in schema.fields]
+    wanted = frozenset(f.name for f in schema.fields)
 
     def read(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import gzip
@@ -767,7 +792,7 @@ def read_tfrecords(
                     blob = gzip.decompress(blob)
                 rows: dict[str, list] = {name: [] for name, _, _ in fields}
                 for rec in iter_records(blob):
-                    feats = decode_example(rec)
+                    feats = decode_example(rec, wanted)
                     for name, (kind, is_list), dt in fields:
                         elem = dt.elementType if is_list else dt
                         rows[name].append(
@@ -785,3 +810,47 @@ def read_tfrecords(
         [(s,) for s in shard_names], "shard string"
     ).repartition(min(len(shard_names), 64))
     return shards.mapInArrow(read, schema)
+
+
+def tfrecord_stream_sink(
+    path: str,
+    *,
+    shard_records: int | None = None,
+    compression: str | None = None,
+    allow_f32_demotion: bool = False,
+):
+    """``foreachBatch`` callback: exactly-once streaming TFRecord export.
+
+    Each micro-batch lands as its own shard set under
+    ``batch-{id:06d}-…`` names (no cross-batch collisions even with
+    repeated partition ids) and the sidecar manifest grows per batch, so
+    a reader always sees a consistent snapshot. Replayed batch ids are
+    skipped via a batch-id high-water marker NEXT TO the directory (the
+    standard foreachBatch idempotency pattern, same as the Zarr append
+    sink) — a retried batch re-puts byte-identical shards anyway, but
+    the marker spares the recompute and keeps the manifest idempotent.
+
+    Usage::
+
+        q = (df.writeStream.foreachBatch(tfrecord_stream_sink(out))
+               .trigger(availableNow=True).start())
+    """
+    stores.assert_executor_reachable(path, "tfrecord_stream_sink")
+    marker_store, marker_key = stores.resolve(path.rstrip("/") + "_highwater")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        raw = marker_store.get(marker_key)
+        if raw is not None and int(raw) >= batch_id:
+            return  # replayed batch: shards + manifest already committed
+        write_tfrecords(
+            batch_df,
+            path,
+            shard_records=shard_records,
+            compression=compression,
+            allow_f32_demotion=allow_f32_demotion,
+            _shard_prefix=f"batch-{batch_id:06d}",
+            _merge_manifest=True,
+        )
+        marker_store.put(marker_key, str(batch_id).encode())
+
+    return write_batch
