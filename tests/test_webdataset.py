@@ -241,3 +241,26 @@ class TestProperties:
             assert r["txt"] == txt
             assert (bytes(r["blob"]) if r["blob"] is not None else None) == blob
             assert r["n"] == n
+
+
+@pytest.mark.usefixtures("spark")
+class TestStreamingSink:
+    def test_foreachbatch_appends_and_skips_replays(self, spark, tmp_path):
+        sink = wds.webdataset_stream_sink(str(tmp_path))
+        b0 = spark.createDataFrame([("k0", "a"), ("k1", "b")], "__key__ string, txt string")
+        b1 = spark.createDataFrame([("k2", "c")], "__key__ string, txt string")
+        sink(b0, 0)
+        sink(b1, 1)
+        sink(b0, 0)  # replayed batch id: no-op
+        got = {r["__key__"]: r["txt"] for r in wds.read_webdataset(spark, str(tmp_path)).collect()}
+        assert got == {"k0": "a", "k1": "b", "k2": "c"}
+        names = sorted(n for n in os.listdir(tmp_path) if n.endswith(".tar"))
+        assert all(n.startswith("batch-") for n in names)
+        meta = json.loads((tmp_path / "_xbs_wds_meta.json").read_text())
+        assert meta["shards"] == names
+
+    def test_contract_drift_is_loud(self, spark, tmp_path):
+        sink = wds.webdataset_stream_sink(str(tmp_path))
+        sink(spark.createDataFrame([("k", "a")], "__key__ string, txt string"), 0)
+        with pytest.raises(Exception, match="different schema"):
+            sink(spark.createDataFrame([("k", b"a")], "__key__ string, blob binary"), 1)

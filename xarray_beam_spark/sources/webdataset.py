@@ -25,13 +25,15 @@ format IS tar plus a naming convention:
 Scale shape mirrors ``tfrecord.py``: the writer is ``mapInArrow`` with
 one shard object per ``shard_records`` slice of each input partition
 (zero shuffle, no driver participation beyond the schema sidecar); the
-reader lists shard keys once, parallelizes them, and each task opens
-only its shards. Arrow rather than pandas is load-bearing: pandas
-widens a null-bearing int64 column to float64, which would corrupt
-2^53+ values and serialize NULL as a literal ``NaN`` JSON member. A shard is held in memory while building/decoding —
-size shards accordingly (the convention's own guidance: ~100 MB-1 GB).
-The reader rejects malformed shards loudly (member before any key,
-duplicate extension within a sample) rather than guessing.
+reader takes the shard set from the sidecar's manifest (one GET; no
+listing needed), parallelizes it, and each task opens only its shards.
+Arrow rather than pandas is load-bearing: pandas widens a null-bearing
+int64 column to float64, which would corrupt 2^53+ values and serialize
+NULL as a literal ``NaN`` JSON member. A shard is held in memory while
+building/decoding — size shards accordingly (the convention's own
+guidance: ~100 MB-1 GB). The reader rejects malformed shards loudly
+(member before any key, duplicate extension within a sample) rather
+than guessing.
 """
 
 from __future__ import annotations
@@ -120,6 +122,8 @@ def write_webdataset(
     key_col: str = KEY_COL,
     ext_map: dict[str, str] | None = None,
     shard_records: int | None = None,
+    _shard_prefix: str = "part",
+    _merge_manifest: bool = False,
 ) -> dict:
     """Write a DataFrame as WebDataset tar shards.
 
@@ -171,7 +175,7 @@ def write_webdataset(
                 )
                 return
             blob = buf.getvalue()
-            name = f"part-{pid:05d}-{seq:04d}.tar"
+            name = f"{_shard_prefix}-{pid:05d}-{seq:04d}.tar"
             store.put(stores.join(key, name), blob)
             names.append(name)
             seq += 1
@@ -245,7 +249,24 @@ def write_webdataset(
     )
     store, skey = stores.resolve(path)
     # sidecar doubles as the shard manifest (listing-less stores; one
-    # GET instead of a LIST on object stores)
+    # GET instead of a LIST on object stores); _merge_manifest
+    # (streaming appends) unions with the existing manifest — the
+    # schema/key/ext contract must match the prior batches'.
+    shards = sorted(stats[3] or [])
+    if _merge_manifest:
+        raw = store.get(stores.join(skey, _META_NAME))
+        if raw is not None:
+            prev = json.loads(raw.decode())
+            if (
+                prev.get("schema") != json.loads(schema_json)
+                or prev.get("key_col") != key_col
+                or prev.get("ext_map") != exts
+            ):
+                raise ValueError(
+                    f"appending to {path!r} with a different schema/key/ext "
+                    "contract than its existing sidecar records"
+                )
+            shards = sorted(set(prev.get("shards") or []) | set(shards))
     store.put(
         stores.join(skey, _META_NAME),
         json.dumps(
@@ -254,7 +275,7 @@ def write_webdataset(
                 "schema": json.loads(schema_json),
                 "key_col": key_col,
                 "ext_map": exts,
-                "shards": sorted(stats[3] or []),
+                "shards": shards,
             },
             sort_keys=True,
         ).encode(),
@@ -371,3 +392,37 @@ def read_webdataset(
         [(s,) for s in shard_names], "shard string"
     ).repartition(min(len(shard_names), 64))
     return shards.mapInArrow(read, schema)
+
+
+def webdataset_stream_sink(
+    path: str,
+    *,
+    key_col: str = KEY_COL,
+    ext_map: dict[str, str] | None = None,
+    shard_records: int | None = None,
+):
+    """``foreachBatch`` callback: exactly-once streaming WebDataset export.
+
+    Mirror of ``tfrecord.tfrecord_stream_sink``: per-batch shard
+    prefixes, manifest grown per batch, batch-id high-water marker next
+    to the directory, loud refusal on schema drift between batches.
+    """
+    stores.assert_executor_reachable(path, "webdataset_stream_sink")
+    marker_store, marker_key = stores.resolve(path.rstrip("/") + "_highwater")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        raw = marker_store.get(marker_key)
+        if raw is not None and int(raw) >= batch_id:
+            return  # replayed batch: shards + manifest already committed
+        write_webdataset(
+            batch_df,
+            path,
+            key_col=key_col,
+            ext_map=ext_map,
+            shard_records=shard_records,
+            _shard_prefix=f"batch-{batch_id:06d}",
+            _merge_manifest=True,
+        )
+        marker_store.put(marker_key, str(batch_id).encode())
+
+    return write_batch
