@@ -153,7 +153,9 @@ class TestSparkRoundtrip:
         assert rows[3]["f"] == 2.25 and rows[3]["flag"] is None
 
     def test_sharding(self, spark, tmp_path):
-        df = spark.range(100).select(F_col_id())
+        from pyspark.sql import functions as F
+
+        df = spark.range(100).select(F.col("id"))
         tfr.write_tfrecords(df.repartition(1), str(tmp_path), shard_records=16)
         import os
 
@@ -200,11 +202,6 @@ class TestSparkRoundtrip:
                 bb = (tmp_path / "b" / name).read_bytes()
                 assert ba == bb
 
-
-def F_col_id():
-    from pyspark.sql import functions as F
-
-    return F.col("id")
 
 
 class TestCrcCombine:
