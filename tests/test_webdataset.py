@@ -264,3 +264,32 @@ class TestStreamingSink:
         sink(spark.createDataFrame([("k", "a")], "__key__ string, txt string"), 0)
         with pytest.raises(Exception, match="different schema"):
             sink(spark.createDataFrame([("k", b"a")], "__key__ string, blob binary"), 1)
+
+    def test_real_stream_available_now(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        src_dir = tmp_path / "src"
+        out = tmp_path / "out"
+        spark.createDataFrame(
+            [(i, f"doc-{i}") for i in range(30)], "id long, txt string"
+        ).repartition(3).write.parquet(str(src_dir))
+        src = (
+            spark.readStream.schema("id long, txt string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src_dir))
+            .select(
+                F.format_string("%06d", "id").alias("__key__"),
+                F.col("txt"),
+            )
+        )
+        q = (
+            src.writeStream.foreachBatch(wds.webdataset_stream_sink(str(out)))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        back = wds.read_webdataset(spark, str(out))
+        assert sorted(r["__key__"] for r in back.collect()) == [
+            f"{i:06d}" for i in range(30)
+        ]
