@@ -1,0 +1,169 @@
+"""WARC / WET (ISO 28500) source/sink tests.
+
+Golden framing is pinned byte-for-byte against the spec's record
+grammar, foreign fixtures exercise the tolerances real files need
+(bare-LF header blocks, plain vs multi-member-gzip, mixed record
+types), and corruption fails loudly.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+
+from xarray_beam_spark.sources import warc
+
+
+def _record(headers: list[tuple[str, str]], payload: bytes) -> bytes:
+    return warc._record_bytes(headers, payload)
+
+
+class TestParser:
+    def test_golden_record(self):
+        rec = _record(
+            [("WARC-Type", "conversion"), ("WARC-Target-URI", "http://x/1")],
+            b"hello",
+        )
+        assert rec == (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: conversion\r\n"
+            b"WARC-Target-URI: http://x/1\r\n"
+            b"Content-Length: 5\r\n"
+            b"\r\n"
+            b"hello"
+            b"\r\n\r\n"
+        )
+        (got,) = warc.parse_warc(rec)
+        assert got["headers"]["warc-type"] == "conversion"
+        assert got["payload"] == b"hello"
+
+    def test_multiple_records_and_gzip_members(self):
+        a = _record([("WARC-Type", "conversion")], b"one")
+        b = _record([("WARC-Type", "conversion")], b"two")
+        # plain concatenation
+        assert [r["payload"] for r in warc.parse_warc(a + b)] == [b"one", b"two"]
+        # Common Crawl convention: one gzip member per record
+        blob = warc._gzip_member(a) + warc._gzip_member(b)
+        assert [r["payload"] for r in warc.parse_warc(blob)] == [b"one", b"two"]
+
+    def test_bare_lf_headers_tolerated(self):
+        rec = b"WARC/1.0\nWARC-Type: conversion\nContent-Length: 3\n\nabc\r\n\r\n"
+        (got,) = warc.parse_warc(rec)
+        assert got["payload"] == b"abc"
+
+    def test_payload_containing_warc_magic(self):
+        # Content-Length framing means payload bytes are NEVER scanned
+        body = b"WARC/1.0\r\nnot a real record"
+        rec = _record([("WARC-Type", "conversion")], body)
+        (got,) = warc.parse_warc(rec)
+        assert got["payload"] == body
+
+    def test_bad_magic_is_loud(self):
+        with pytest.raises(ValueError, match="WARC/ magic"):
+            warc.parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+
+    def test_truncated_payload_is_loud(self):
+        rec = _record([("WARC-Type", "conversion")], b"hello")
+        with pytest.raises(ValueError, match="truncated"):
+            warc.parse_warc(rec[:-9])  # cut into the payload
+
+    def test_missing_content_length_is_loud(self):
+        rec = b"WARC/1.0\r\nWARC-Type: conversion\r\n\r\nxx\r\n\r\n"
+        with pytest.raises(ValueError, match="Content-Length"):
+            warc.parse_warc(rec)
+
+
+@pytest.mark.usefixtures("spark")
+class TestSparkWet:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                ("http://a.com/1", "hello wörld"),
+                ("http://b.com/2", "line one\nline two"),
+            ],
+            "url string, text string",
+        )
+
+    def test_roundtrip(self, spark, tmp_path):
+        stats = warc.write_wet(self._df(spark).repartition(2, "url"), str(tmp_path))
+        assert stats["records"] == 2
+        rows = {r["url"]: r for r in warc.read_wet(spark, str(tmp_path)).collect()}
+        assert rows["http://a.com/1"]["text"] == "hello wörld"
+        assert rows["http://a.com/1"]["content_length"] == len("hello wörld".encode())
+        assert rows["http://b.com/2"]["text"] == "line one\nline two"
+        assert rows["http://a.com/1"]["record_id"].startswith("<urn:uuid:")
+
+    def test_deterministic_bytes(self, spark, tmp_path):
+        df = self._df(spark).repartition(1).sortWithinPartitions("url")
+        warc.write_wet(df, str(tmp_path / "a"))
+        warc.write_wet(df, str(tmp_path / "b"))
+        for n in os.listdir(tmp_path / "a"):
+            if n.endswith(".gz"):
+                assert (tmp_path / "a" / n).read_bytes() == (
+                    tmp_path / "b" / n
+                ).read_bytes()
+
+    def test_warcinfo_header_record(self, spark, tmp_path):
+        warc.write_wet(self._df(spark).repartition(1), str(tmp_path))
+        shard = next(n for n in os.listdir(tmp_path) if n.endswith(".gz"))
+        raw = gzip.decompress((tmp_path / shard).read_bytes())
+        assert raw.startswith(b"WARC/1.0\r\nWARC-Type: warcinfo")
+
+    def test_null_rows_refused(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [("http://a.com/1", None)], "url string, text string"
+        )
+        with pytest.raises(Exception, match="url and text"):
+            warc.write_wet(df, str(tmp_path))
+
+    def test_foreign_mixed_warc(self, spark, tmp_path):
+        """A hand-built plain (uncompressed, bare-name) WARC with request/
+        response records interleaved: only conversions become rows."""
+        blob = b"".join(
+            [
+                _record([("WARC-Type", "request")], b"GET / HTTP/1.1"),
+                _record(
+                    [
+                        ("WARC-Type", "conversion"),
+                        ("WARC-Target-URI", "http://f.com/x"),
+                        ("WARC-Date", "2020-05-05T00:00:00Z"),
+                    ],
+                    b"foreign text",
+                ),
+                _record([("WARC-Type", "response")], b"HTTP/1.1 200 OK\r\n\r\nbody"),
+            ]
+        )
+        (tmp_path / "crawl.warc").write_bytes(blob)
+        got = warc.read_wet(spark, str(tmp_path)).collect()
+        assert len(got) == 1
+        assert got[0]["url"] == "http://f.com/x"
+        assert got[0]["warc_date"] == "2020-05-05T00:00:00Z"
+        assert got[0]["text"] == "foreign text"
+
+    def test_explicit_file_list(self, spark, tmp_path):
+        """The wet.paths workflow: hand the reader a manifest slice."""
+        warc.write_wet(self._df(spark).repartition(1), str(tmp_path), shard_records=1)
+        shards = sorted(n for n in os.listdir(tmp_path) if n.endswith(".gz"))
+        assert len(shards) == 2
+        got = warc.read_wet(spark, str(tmp_path), files=shards[:1])
+        assert got.count() == 1
+
+    def test_shard_splitting(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        df = spark.range(20).select(
+            F.concat(F.lit("http://s.com/"), F.col("id").cast("string")).alias("url"),
+            F.col("id").cast("string").alias("text"),
+        )
+        warc.write_wet(df.repartition(1), str(tmp_path), shard_records=6)
+        shards = [n for n in os.listdir(tmp_path) if n.endswith(".gz")]
+        assert len(shards) == 4  # 3 full + remainder of 2
+        assert warc.read_wet(spark, str(tmp_path)).count() == 20
+
+    def test_mem_store_refused(self, spark):
+        with pytest.raises(ValueError, match="process-local"):
+            warc.write_wet(self._df(spark), "mem://nope/wet")
+        with pytest.raises(ValueError, match="process-local"):
+            warc.read_wet(spark, "mem://nope/wet")

@@ -1210,3 +1210,43 @@ def corpus_tfrecord_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _materialized(spark, sf_dir, "tfrec", build)
     return tfrecord.read_tfrecords(spark, path)
+
+
+_WET_ORACLE = """
+SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS content_length
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+@_register("corpus_wet_ingest", _WET_ORACLE)
+def corpus_wet_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET (Common Crawl extracted-text, ISO 28500) ingest leg: documents
+    land as real one-gzip-member-per-record WET shards — warcinfo header
+    record, conversion records with deterministic uuid5 ids — and come
+    back through the distributed parser. text + byte length certify the
+    payload and framing exactly; NULL-text rows are excluded on both
+    sides (a conversion record without text has no meaning and the
+    writer refuses it)."""
+    from xarray_beam_spark.grid_queries import _materialized
+    from xarray_beam_spark.sources import warc
+
+    def build(p: str) -> None:
+        docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+        with_urls = docs.select(
+            F.concat(
+                F.lit("http://"),
+                F.col("source"),
+                F.lit(".example.com/doc/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            "text",
+        )
+        warc.write_wet(with_urls.repartition(8, "url"), p, shard_records=128)
+
+    path = _materialized(spark, sf_dir, "wet", build)
+    back = warc.read_wet(spark, path)
+    return back.select(
+        F.regexp_extract("url", "/doc/([0-9]+)$", 1).cast("long").alias("doc_id"),
+        "text",
+        "content_length",
+    )

@@ -248,28 +248,23 @@ _LAST_CERTIFIED_ROUND: dict[str, int] = {
         "xb_grid_std_day", "xb_grid_sum_hour", "xb_grid_tail",
         "xb_zarr_roundtrip", "xb_zarr_v3_sharded_roundtrip",
     ], 10),
-    # corpus_bpe_merges and ann_ivf_trained_topk both left the no-oracle
-    # set in r11 (their training loops unroll as chained CTE stages —
-    # BPE merges / quantized Lloyd iterations). bpe is absent from the
-    # map so it sweeps as never-certified in r11; the trained-IVF gate
-    # stays tail-demoted ONE more round so r11's sweep refreshes the
-    # seven r7-stale keys plus >= 40 r8 keys (VERDICT r10 task 1's
-    # stated budget) — drop this entry at r12 start so it certifies
-    # first in that sweep.
-    **dict.fromkeys(["ann_ivf_trained_topk"], 99),
-    # New r11 surface, registered mid-round AFTER the round's 3-new-gate
-    # sweep budget (bpe/chars/url_dedup) was spent: tail-demote so the
-    # r11 sweep still refreshes the seven r7-stale keys + 40 r8 keys as
-    # planned. Drop these entries at r12 start so they certify first in
-    # that sweep (same pattern as ann_ivf_trained_topk above).
+    # Tail-demoted gates, STAGED so every future round's sweep certifies
+    # at most ~3 first-time keys while still refreshing >= 40 stale-tier
+    # keys (r11's sweep budget went to bpe/chars/url_dedup; the r11
+    # surface registered after that budget was spent waits its turn).
+    # ann_ivf_trained_topk left the no-oracle set at r10's end (training
+    # loop unrolled as chained CTE stages) and has waited longest.
+    #   → drop the 98-valued entries at r12 start (certify first in r12)
     **dict.fromkeys(
         [
+            "ann_ivf_trained_topk",
             "corpus_tfrecord_roundtrip",
             "multimodal_wds_roundtrip",
-            "text_html_extract",
         ],
         98,
     ),
+    #   → drop the 99-valued entries at r13 start (certify first in r13)
+    **dict.fromkeys(["text_html_extract", "corpus_wet_ingest"], 99),
 }
 
 

@@ -1,0 +1,344 @@
+"""WARC / WET (ISO 28500) source + sink: the web-corpus ingest format.
+
+The reference (xarray-beam) has no crawl surface; this module is part of
+the training-data-pipeline extension. Every open web corpus (C4,
+RefinedWeb, the Common Crawl-derived sets) begins life as WARC files —
+and their text-extraction derivative, WET ("conversion" records holding
+plain text) is the usual entry point for LLM data work. The format is a
+tiny PUBLIC spec (ISO 28500 / the WARC 1.0 format document):
+
+    WARC/1.0<CRLF>
+    Name: value<CRLF> ...          (header block)
+    <CRLF>
+    <Content-Length bytes of payload>
+    <CRLF><CRLF>                   (record separator)
+
+Files are either plain or gzip with ONE MEMBER PER RECORD (the Common
+Crawl convention — member boundaries are what make records individually
+fetchable via byte-range indexes); python's gzip handles multi-member
+streams natively, so both read identically here.
+
+Scale shape mirrors the other export/ingest legs: the reader lists the
+shard set once (sidecar manifest when our writer produced it, directory
+listing for foreign dirs, or an explicit file list for e.g. a Common
+Crawl WET.paths slice), parallelizes it, and each task parses only its
+files via ``mapInArrow``. The writer is zero-shuffle per-partition shard
+puts. One WET file is held in memory while parsing (Common Crawl WET
+shards are ~150 MB compressed — within task budgets; the record-level
+random access real pipelines use for WARC is the byte-range index, out
+of scope here). Malformed records fail loudly: bad magic, short payload,
+missing mandatory headers — never silently skipped.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import json
+import uuid
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xarray_beam_spark.sources import stores
+
+_META_NAME = "_xbs_wet_meta.json"
+_CRLF = b"\r\n"
+
+
+def parse_warc(buf: bytes) -> list[dict]:
+    """Parse WARC bytes → record dicts ``{headers: {lower-name: value},
+    payload: bytes}``; loud on structural damage."""
+    if buf[:2] == b"\x1f\x8b":
+        buf = gzip.decompress(buf)  # multi-member streams supported
+    records: list[dict] = []
+    pos = 0
+    end = len(buf)
+    while pos < end:
+        # tolerate inter-record padding newlines
+        while pos < end and buf[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= end:
+            break
+        if not buf.startswith(b"WARC/", pos):
+            raise ValueError(f"expected WARC/ magic at byte {pos}")
+        # header block ends at the FIRST blank line — CRLF per spec, but
+        # tolerate bare-LF writers (take whichever terminator comes first;
+        # a "\r\n\r\n" contains "\n\n" one byte later, so strictly-earlier
+        # comparison picks the CRLF form for spec-conforming records)
+        crlf_end = buf.find(b"\r\n\r\n", pos)
+        lf_end = buf.find(b"\n\n", pos)
+        if crlf_end >= 0 and (lf_end < 0 or crlf_end < lf_end):
+            hdr_end, sep = crlf_end, 4
+        elif lf_end >= 0:
+            hdr_end, sep = lf_end, 2
+        else:
+            raise ValueError(f"unterminated WARC header block at byte {pos}")
+        headers: dict[str, str] = {}
+        lines = buf[pos:hdr_end].decode("utf-8", "replace").splitlines()
+        version = lines[0].strip()
+        if not version.startswith("WARC/"):
+            raise ValueError(f"bad WARC version line {version!r}")
+        for line in lines[1:]:
+            name, _, value = line.partition(":")
+            if not _:
+                raise ValueError(f"malformed WARC header line {line!r}")
+            headers[name.strip().lower()] = value.strip()
+        if "content-length" not in headers:
+            raise ValueError("WARC record missing Content-Length")
+        length = int(headers["content-length"])
+        body_start = hdr_end + sep
+        if body_start + length > end:
+            raise ValueError(
+                f"truncated WARC payload at byte {body_start} "
+                f"(need {length} bytes)"
+            )
+        records.append(
+            {"headers": headers, "payload": buf[body_start : body_start + length]}
+        )
+        pos = body_start + length
+    return records
+
+
+def _record_bytes(headers: list[tuple[str, str]], payload: bytes) -> bytes:
+    out = bytearray(b"WARC/1.0\r\n")
+    for name, value in headers:
+        out += f"{name}: {value}\r\n".encode()
+    out += f"Content-Length: {len(payload)}\r\n".encode()
+    out += _CRLF
+    out += payload
+    out += _CRLF + _CRLF
+    return bytes(out)
+
+
+def _gzip_member(data: bytes) -> bytes:
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(data)
+    return buf.getvalue()
+
+
+_WET_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_date", T.StringType()),
+    T.StructField("record_id", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("content_length", T.LongType()),
+])
+
+_WRITE_STATS = T.StructType([
+    T.StructField("shards", T.LongType()),
+    T.StructField("records", T.LongType()),
+    T.StructField("bytes", T.LongType()),
+    T.StructField("shard_names", T.ArrayType(T.StringType())),
+])
+_WRITE_STATS_PA = pa.schema(
+    [
+        ("shards", pa.int64()),
+        ("records", pa.int64()),
+        ("bytes", pa.int64()),
+        ("shard_names", pa.list_(pa.string())),
+    ]
+)
+
+
+def write_wet(
+    df: DataFrame,
+    path: str,
+    *,
+    url_col: str = "url",
+    text_col: str = "text",
+    date_col: str | None = None,
+    default_date: str = "2026-01-01T00:00:00Z",
+    shard_records: int | None = None,
+    compress: bool = True,
+) -> dict:
+    """Write (url, text) rows as WET shards of ``conversion`` records.
+
+    Each shard opens with a ``warcinfo`` record (the WET convention) and
+    is gzip'd one member per record so foreign range-index tooling can
+    address records individually. Record IDs are uuid5 of the URL —
+    deterministic, so equal rows give byte-identical shards (idempotent
+    retries, hash-certifiable gates). NULL urls/texts are rejected
+    loudly (a conversion record without both has no meaning).
+    """
+    stores.assert_executor_reachable(path, "write_wet")
+    for c in (url_col, text_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in DataFrame")
+    suffix = ".warc.wet.gz" if compress else ".warc.wet"
+    cols = [url_col, text_col] + ([date_col] if date_col else [])
+    narrowed = df.select(*cols)
+
+    def write(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        store, key = stores.resolve(path)
+        pid = TaskContext.get().partitionId()
+        names: list[str] = []
+        seq = n_records = n_bytes = 0
+        parts: list[bytes] = []
+        in_shard = 0
+
+        def shard_header() -> bytes:
+            info = b"software: xarray_beam_spark.sources.warc\r\nformat: WARC File Format 1.0\r\n"
+            rec = _record_bytes(
+                [
+                    ("WARC-Type", "warcinfo"),
+                    (
+                        "WARC-Record-ID",
+                        f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, 'xbs-warcinfo')}>",
+                    ),
+                    ("Content-Type", "application/warc-fields"),
+                ],
+                info,
+            )
+            return _gzip_member(rec) if compress else rec
+
+        def flush() -> None:
+            nonlocal seq, n_bytes, parts, in_shard
+            if in_shard == 0:
+                return
+            blob = shard_header() + b"".join(parts)
+            name = f"part-{pid:05d}-{seq:04d}{suffix}"
+            store.put(stores.join(key, name), blob)
+            names.append(name)
+            seq += 1
+            n_bytes += len(blob)
+            parts = []
+            in_shard = 0
+
+        for batch in batches:
+            urls = batch.column(batch.schema.get_field_index(url_col)).to_pylist()
+            texts = batch.column(batch.schema.get_field_index(text_col)).to_pylist()
+            dates = (
+                batch.column(batch.schema.get_field_index(date_col)).to_pylist()
+                if date_col
+                else [default_date] * batch.num_rows
+            )
+            for url, text, date in zip(urls, texts, dates):
+                if url is None or text is None:
+                    raise ValueError(
+                        "WET conversion records need both url and text; "
+                        "filter NULL rows before writing"
+                    )
+                rec = _record_bytes(
+                    [
+                        ("WARC-Type", "conversion"),
+                        ("WARC-Target-URI", url),
+                        ("WARC-Date", date or default_date),
+                        (
+                            "WARC-Record-ID",
+                            f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, url)}>",
+                        ),
+                        ("Content-Type", "text/plain"),
+                    ],
+                    text.encode(),
+                )
+                parts.append(_gzip_member(rec) if compress else rec)
+                n_records += 1
+                in_shard += 1
+                if shard_records and in_shard >= shard_records:
+                    flush()
+        flush()
+        yield pa.RecordBatch.from_pydict(
+            {
+                "shards": [len(names)],
+                "records": [n_records],
+                "bytes": [n_bytes],
+                "shard_names": [names],
+            },
+            schema=_WRITE_STATS_PA,
+        )
+
+    stats = (
+        narrowed.mapInArrow(write, _WRITE_STATS)
+        .agg(
+            F.sum("shards"),
+            F.sum("records"),
+            F.sum("bytes"),
+            F.flatten(F.collect_list("shard_names")),
+        )
+        .collect()[0]
+    )
+    store, key = stores.resolve(path)
+    store.put(
+        stores.join(key, _META_NAME),
+        json.dumps(
+            {"format": "xbs-wet-v1", "shards": sorted(stats[3] or [])},
+            sort_keys=True,
+        ).encode(),
+    )
+    return {
+        "shards": int(stats[0] or 0),
+        "records": int(stats[1] or 0),
+        "bytes": int(stats[2] or 0),
+    }
+
+
+def read_wet(
+    spark: SparkSession, path: str, *, files: list[str] | None = None
+) -> DataFrame:
+    """Read WET shards → (url, warc_date, record_id, text, content_length).
+
+    ``files`` overrides shard discovery with an explicit relative-name
+    list (the Common Crawl ``wet.paths`` workflow: hand the reader a
+    slice of the published manifest). Otherwise the writer's sidecar
+    manifest is used, falling back to a directory listing for foreign
+    dirs. Only ``conversion`` records become rows (warcinfo/request/
+    response records in mixed WARC inputs are skipped — they carry no
+    extracted text); structural damage in ANY record fails the task.
+    """
+    stores.assert_executor_reachable(path, "read_wet")
+    store, key = stores.resolve(path)
+    shard_names = files
+    if shard_names is None:
+        raw = store.get(stores.join(key, _META_NAME))
+        if raw is not None:
+            meta = json.loads(raw.decode())
+            if meta.get("format") != "xbs-wet-v1":
+                raise ValueError(
+                    f"unrecognized sidecar format {meta.get('format')!r}"
+                )
+            shard_names = meta.get("shards")
+    if shard_names is None:
+        shard_names = sorted(
+            n
+            for n in store.list_dir(key)
+            if n.endswith((".warc", ".warc.gz", ".warc.wet", ".warc.wet.gz"))
+        )
+    if not shard_names:
+        raise FileNotFoundError(f"no WET shards under {path!r}")
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    pa_schema = to_arrow_schema(_WET_SCHEMA)
+
+    def read(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        store, key = stores.resolve(path)
+        for batch in batches:
+            for shard in batch.column(0).to_pylist():
+                blob = store.get(stores.join(key, shard))
+                if blob is None:
+                    raise FileNotFoundError(f"shard {shard!r} vanished under {path!r}")
+                rows = {f.name: [] for f in _WET_SCHEMA.fields}
+                for rec in parse_warc(blob):
+                    h = rec["headers"]
+                    if h.get("warc-type") != "conversion":
+                        continue
+                    rows["url"].append(h.get("warc-target-uri"))
+                    rows["warc_date"].append(h.get("warc-date"))
+                    rows["record_id"].append(h.get("warc-record-id"))
+                    rows["text"].append(rec["payload"].decode("utf-8", "replace"))
+                    rows["content_length"].append(len(rec["payload"]))
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(rows[f.name], type=f.type) for f in pa_schema],
+                    schema=pa_schema,
+                )
+
+    shards = spark.createDataFrame(
+        [(s,) for s in shard_names], "shard string"
+    ).repartition(min(len(shard_names), 64))
+    return shards.mapInArrow(read, _WET_SCHEMA)
