@@ -167,3 +167,65 @@ class TestSparkWet:
             warc.write_wet(self._df(spark), "mem://nope/wet")
         with pytest.raises(ValueError, match="process-local"):
             warc.read_wet(spark, "mem://nope/wet")
+
+
+class TestParserHardening:
+    """Findings from review: adversarial shapes must stay O(n) and loud."""
+
+    def test_no_blank_line_payloads_parse_in_linear_time(self):
+        import time
+
+        recs = b"".join(
+            _record(
+                [("WARC-Type", "conversion"), ("WARC-Target-URI", f"http://x/{i}")],
+                b"single paragraph, no blank lines " * 10,
+            )
+            for i in range(5000)
+        )
+        t0 = time.monotonic()
+        assert len(warc.parse_warc(recs)) == 5000
+        assert time.monotonic() - t0 < 5.0  # the quadratic scan took ~30 s
+
+    def test_negative_content_length_is_loud(self):
+        with pytest.raises(ValueError, match="negative Content-Length"):
+            warc.parse_warc(b"WARC/1.0\r\nContent-Length: -33\r\n\r\n")
+
+    def test_folded_header_continuation(self):
+        rec = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: conversion\r\n"
+            b"WARC-Target-URI: http://x/\r\n"
+            b" very/long:path\r\n"
+            b"Content-Length: 2\r\n"
+            b"\r\nok\r\n\r\n"
+        )
+        (got,) = warc.parse_warc(rec)
+        assert got["headers"]["warc-target-uri"] == "http://x/ very/long:path"
+
+    def test_continuation_before_any_header_is_loud(self):
+        rec = b"WARC/1.0\r\n folded\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+        with pytest.raises(ValueError, match="continuation"):
+            warc.parse_warc(rec)
+
+    def test_unicode_line_separators_in_header_values(self):
+        # U+0085 NEL (and U+2028-class chars) are line boundaries to
+        # str.splitlines but NOT to the WARC grammar
+        uri = "http://x/ab\u0085c"
+        rec = _record(
+            [("WARC-Type", "conversion"), ("WARC-Target-URI", uri)], b"x"
+        )
+        (got,) = warc.parse_warc(rec)
+        assert got["headers"]["warc-target-uri"] == uri
+
+
+@pytest.mark.usefixtures("spark")
+class TestRecordIds:
+    def test_same_url_different_text_distinct_ids(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [("http://dup.com/x", "first crawl"), ("http://dup.com/x", "second crawl")],
+            "url string, text string",
+        )
+        warc.write_wet(df.repartition(1), str(tmp_path))
+        got = warc.read_wet(spark, str(tmp_path)).collect()
+        ids = {r["record_id"] for r in got}
+        assert len(ids) == 2

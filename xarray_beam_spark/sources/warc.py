@@ -66,11 +66,12 @@ def parse_warc(buf: bytes) -> list[dict]:
         if not buf.startswith(b"WARC/", pos):
             raise ValueError(f"expected WARC/ magic at byte {pos}")
         # header block ends at the FIRST blank line — CRLF per spec, but
-        # tolerate bare-LF writers (take whichever terminator comes first;
-        # a "\r\n\r\n" contains "\n\n" one byte later, so strictly-earlier
-        # comparison picks the CRLF form for spec-conforming records)
+        # tolerate bare-LF writers. The LF probe is BOUNDED by the CRLF
+        # hit (an \n\n strictly before it wins): an unbounded find would
+        # rescan to EOF per record — quadratic — whenever payloads hold
+        # no blank line, which is the common case.
         crlf_end = buf.find(b"\r\n\r\n", pos)
-        lf_end = buf.find(b"\n\n", pos)
+        lf_end = buf.find(b"\n\n", pos, crlf_end + 3 if crlf_end >= 0 else end)
         if crlf_end >= 0 and (lf_end < 0 or crlf_end < lf_end):
             hdr_end, sep = crlf_end, 4
         elif lf_end >= 0:
@@ -78,18 +79,31 @@ def parse_warc(buf: bytes) -> list[dict]:
         else:
             raise ValueError(f"unterminated WARC header block at byte {pos}")
         headers: dict[str, str] = {}
-        lines = buf[pos:hdr_end].decode("utf-8", "replace").splitlines()
+        # split on explicit line terminators, NOT splitlines(): header
+        # values are arbitrary UTF-8 and may contain U+0085/U+2028-class
+        # characters that splitlines would treat as line breaks
+        raw_lines = buf[pos:hdr_end].replace(b"\r\n", b"\n").split(b"\n")
+        lines = [ln.decode("utf-8", "replace") for ln in raw_lines]
         version = lines[0].strip()
         if not version.startswith("WARC/"):
             raise ValueError(f"bad WARC version line {version!r}")
+        last_name: str | None = None
         for line in lines[1:]:
-            name, _, value = line.partition(":")
-            if not _:
+            if line[:1] in (" ", "\t"):  # ISO 28500 LWS-folded continuation
+                if last_name is None:
+                    raise ValueError(f"continuation line before any header: {line!r}")
+                headers[last_name] += " " + line.strip()
+                continue
+            name, colon, value = line.partition(":")
+            if not colon:
                 raise ValueError(f"malformed WARC header line {line!r}")
-            headers[name.strip().lower()] = value.strip()
+            last_name = name.strip().lower()
+            headers[last_name] = value.strip()
         if "content-length" not in headers:
             raise ValueError("WARC record missing Content-Length")
         length = int(headers["content-length"])
+        if length < 0:
+            raise ValueError(f"negative Content-Length at byte {pos}")
         body_start = hdr_end + sep
         if body_start + length > end:
             raise ValueError(
@@ -160,10 +174,11 @@ def write_wet(
 
     Each shard opens with a ``warcinfo`` record (the WET convention) and
     is gzip'd one member per record so foreign range-index tooling can
-    address records individually. Record IDs are uuid5 of the URL —
+    address records individually. Record IDs are uuid5 of (url, text) —
     deterministic, so equal rows give byte-identical shards (idempotent
-    retries, hash-certifiable gates). NULL urls/texts are rejected
-    loudly (a conversion record without both has no meaning).
+    retries, hash-certifiable gates), yet globally unique even when the
+    same URL appears with different content. NULL urls/texts are
+    rejected loudly (a conversion record without both has no meaning).
     """
     stores.assert_executor_reachable(path, "write_wet")
     for c in (url_col, text_col):
@@ -188,6 +203,7 @@ def write_wet(
             rec = _record_bytes(
                 [
                     ("WARC-Type", "warcinfo"),
+                    ("WARC-Date", default_date),  # mandatory for EVERY record
                     (
                         "WARC-Record-ID",
                         f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, 'xbs-warcinfo')}>",
@@ -231,8 +247,12 @@ def write_wet(
                         ("WARC-Target-URI", url),
                         ("WARC-Date", date or default_date),
                         (
+                            # record IDs must be globally unique — a page
+                            # crawled twice (same URL, different text) is
+                            # routine, so the content participates in the
+                            # (still deterministic) id
                             "WARC-Record-ID",
-                            f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, url)}>",
+                            f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, url + chr(0) + text)}>",
                         ),
                         ("Content-Type", "text/plain"),
                     ],
