@@ -100,6 +100,21 @@ def main() -> None:
         n = webdataset.read_webdataset(spark, f"{base}/wds").count()
         assert n == n_docs, (n, n_docs)
         out["wds_read_mbps"] = round(payload / (1 << 20) / (time.monotonic() - t0), 1)
+
+        from xarray_beam_spark.sources import warc
+
+        wet_in = docs.select(
+            F.concat(F.lit("http://p.example.com/"), F.col("doc_id").cast("string")).alias("url"),
+            "text",
+        )
+        t0 = time.monotonic()
+        warc.write_wet(wet_in, f"{base}/wet", shard_records=2048)
+        out["wet_write_mbps"] = round(payload / (1 << 20) / (time.monotonic() - t0), 1)
+
+        t0 = time.monotonic()
+        n = warc.read_wet(spark, f"{base}/wet").count()
+        assert n == n_docs, (n, n_docs)
+        out["wet_read_mbps"] = round(payload / (1 << 20) / (time.monotonic() - t0), 1)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

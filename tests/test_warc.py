@@ -229,3 +229,70 @@ class TestRecordIds:
         got = warc.read_wet(spark, str(tmp_path)).collect()
         ids = {r["record_id"] for r in got}
         assert len(ids) == 2
+
+
+class TestParserProperty:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.text(
+                    alphabet=st.characters(
+                        blacklist_categories=("Cs",), blacklist_characters="\r\n"
+                    ),
+                    min_size=1,
+                    max_size=30,
+                ),
+                st.binary(max_size=200),
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_record_roundtrip(self, samples):
+        """encode -> parse is the identity on (headers subset, payload)
+        for arbitrary UTF-8 URI values and arbitrary payload bytes
+        (including payloads that contain WARC magic / blank lines)."""
+        blob = b"".join(
+            _record(
+                [("WARC-Type", "conversion"), ("WARC-Target-URI", uri)], payload
+            )
+            for uri, payload in samples
+        )
+        got = warc.parse_warc(blob)
+        assert len(got) == len(samples)
+        for (uri, payload), rec in zip(samples, got):
+            # LWS folding canonicalizes interior whitespace runs that
+            # START a continuation; values without leading/trailing LWS
+            # round-trip exactly
+            assert rec["headers"]["warc-target-uri"] == uri.strip()
+            assert rec["payload"] == payload
+
+
+class TestGunzipMembers:
+    def test_matches_stdlib_and_is_linear(self):
+        import time
+
+        blob = b"".join(
+            warc._gzip_member(_record([("WARC-Type", "conversion")], b"y" * 500))
+            for _ in range(4000)
+        )
+        t0 = time.monotonic()
+        got = warc.gunzip_members(blob)
+        elapsed = time.monotonic() - t0
+        assert got == gzip.decompress(blob)
+        # stdlib's per-member remainder copies take >10 s on this input
+        assert elapsed < 3.0
+
+    def test_single_member_and_empty(self):
+        one = warc._gzip_member(b"hello" * 1000)
+        assert warc.gunzip_members(one) == gzip.decompress(one)
+        assert warc.gunzip_members(b"") == b""
+
+    def test_truncated_member_is_loud(self):
+        blob = warc._gzip_member(b"payload" * 100)
+        with pytest.raises(Exception):
+            warc.gunzip_members(blob[:-5])

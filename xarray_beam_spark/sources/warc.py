@@ -36,6 +36,7 @@ import gzip
 import io
 import json
 import uuid
+import zlib
 from collections.abc import Iterator
 
 import pyarrow as pa
@@ -49,11 +50,50 @@ _META_NAME = "_xbs_wet_meta.json"
 _CRLF = b"\r\n"
 
 
+def gunzip_members(buf: bytes) -> bytes:
+    """Multi-member gzip decompress in O(n).
+
+    stdlib ``gzip.decompress`` materializes ``unused_data`` — a copy of
+    the ENTIRE remaining stream — once per member, which is quadratic on
+    Common-Crawl-style one-member-per-record files (measured 3 MB/s on a
+    2048-member 16 MB shard). Feeding bounded chunks caps each member's
+    leftover copy at the chunk size, restoring linear cost for any
+    member-size distribution (small chunks also keep single-member files
+    cheap: one ~8 KB call per chunk).
+    """
+    out = []
+    view = memoryview(buf)
+    n = len(buf)
+    pos = 0
+    chunk = 1 << 13
+    o = zlib.decompressobj(wbits=31)
+    mid_member = False  # current member has consumed bytes, no eof yet
+    carry: bytes | None = None
+    while pos < n or carry is not None:
+        if carry is not None:
+            data, carry = carry, None
+        else:
+            nxt = min(pos + chunk, n)
+            data = view[pos:nxt]
+            pos = nxt
+        out.append(o.decompress(data))
+        mid_member = True
+        if o.eof:
+            rem = o.unused_data  # ≤ chunk bytes by construction
+            o = zlib.decompressobj(wbits=31)
+            mid_member = False
+            if rem:
+                carry = rem
+    if mid_member:
+        raise ValueError("truncated gzip member")
+    return b"".join(out)
+
+
 def parse_warc(buf: bytes) -> list[dict]:
     """Parse WARC bytes → record dicts ``{headers: {lower-name: value},
     payload: bytes}``; loud on structural damage."""
     if buf[:2] == b"\x1f\x8b":
-        buf = gzip.decompress(buf)  # multi-member streams supported
+        buf = gunzip_members(buf)  # one member per record (CC convention)
     records: list[dict] = []
     pos = 0
     end = len(buf)
