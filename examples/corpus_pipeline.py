@@ -1,6 +1,7 @@
 """Training-corpus preparation pipeline, end to end.
 
-The LLM-data shape this engine is built for: raw documents →
+The LLM-data shape this engine is built for: WET crawl ingest
+(ISO 28500 shards, one gzip member per record) →
 URL canonicalization + keep-first URL dedup + per-host cap (RefinedWeb
 stage order: the cheapest filters run before any text is read) →
 PII scrub → exact-substring span removal (Lee et al. 2022) →
@@ -52,6 +53,32 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out: str = "/tmp/corpus_out") -
 
     docs = load(spark, sf_dir, "documents")
     n_raw = docs.count()
+
+    # -2. the crawl leg: a real pipeline starts from Common Crawl WET
+    # shards, so round-trip the corpus through actual ISO 28500 bytes
+    # (one gzip member per record) before any content stage — the same
+    # read_wet call would consume a wet.paths manifest slice.
+    from xarray_beam_spark.sources import warc
+
+    wet_dir = os.path.join(out, "wet_ingest")
+    crawl = docs.where(F.col("text").isNotNull()).select(
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/crawl/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    warc.write_wet(crawl.repartition(4, "url"), wet_dir, shard_records=256)
+    ingested = warc.read_wet(spark, wet_dir)
+    n_wet = ingested.count()
+    # rejoin the ingested text to its metadata by the doc_id in the URL
+    docs = (
+        ingested.select(
+            F.regexp_extract("url", "/crawl/([0-9]+)$", 1).cast("long").alias("doc_id"),
+            F.col("text"),
+        )
+        .join(docs.drop("text"), on="doc_id")
+    )
 
     # -1. URL-level dedup + per-host cap — the RefinedWeb stage order
     # puts these BEFORE any content stage (cheapest filter first: no
@@ -155,7 +182,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out: str = "/tmp/corpus_out") -
     assert n_tf_back == tf_stats["records"] == per_split.get("train", 0)
 
     print(
-        f"corpus pipeline: raw={n_raw} url_kept={n_url_kept} "
+        f"corpus pipeline: raw={n_raw} wet_ingested={n_wet} url_kept={n_url_kept} "
         f"span_tokens_removed={n_span_tokens} "
         f"clean={n_clean} after near-dup={n_canon} "
         f"after decontam+cap={n_final} "
