@@ -332,6 +332,26 @@ def assert_executor_reachable(path: str, what: str) -> None:
         )
 
 
+def exactly_once_batch_sink(path: str, write_batch):
+    """Wrap a per-batch writer as an idempotent ``foreachBatch`` callback.
+
+    The standard exactly-once idiom (same as the Zarr append sink's
+    ``BatchHighWater``): a monotone batch-id high-water marker lives
+    NEXT TO the output directory, replayed batch ids are skipped, and
+    the marker commits only after the batch's write returns.
+    """
+    store, key = resolve(path.rstrip("/") + "_highwater")
+
+    def callback(batch_df, batch_id: int) -> None:
+        raw = store.get(key)
+        if raw is not None and int(raw) >= batch_id:
+            return  # replayed batch: already committed
+        write_batch(batch_df, batch_id)
+        store.put(key, str(batch_id).encode())
+
+    return callback
+
+
 def resolve(path: str) -> tuple[Store, str]:
     """Path → (backend, backend-local key). Plain paths → local FS."""
     if path.startswith("mem://"):

@@ -659,9 +659,14 @@ def write_tfrecords(
             recs = _encode_arrow_batch(batch, kinds)
             n_records += len(recs)
             pending.extend(recs)
-            while shard_records and len(pending) >= shard_records:
-                flush(pending[:shard_records])
-                pending = pending[shard_records:]
+            if shard_records and len(pending) >= shard_records:
+                # drain by index: re-slicing the remainder per shard
+                # would copy O(shards x remaining) list entries
+                off = 0
+                while len(pending) - off >= shard_records:
+                    flush(pending[off : off + shard_records])
+                    off += shard_records
+                pending = pending[off:]
         flush(pending)
         yield pa.RecordBatch.from_pydict(
             {
@@ -836,12 +841,8 @@ def tfrecord_stream_sink(
                .trigger(availableNow=True).start())
     """
     stores.assert_executor_reachable(path, "tfrecord_stream_sink")
-    marker_store, marker_key = stores.resolve(path.rstrip("/") + "_highwater")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        raw = marker_store.get(marker_key)
-        if raw is not None and int(raw) >= batch_id:
-            return  # replayed batch: shards + manifest already committed
         write_tfrecords(
             batch_df,
             path,
@@ -851,6 +852,5 @@ def tfrecord_stream_sink(
             _shard_prefix=f"batch-{batch_id:06d}",
             _merge_manifest=True,
         )
-        marker_store.put(marker_key, str(batch_id).encode())
 
-    return write_batch
+    return stores.exactly_once_batch_sink(path, write_batch)

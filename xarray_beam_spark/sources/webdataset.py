@@ -408,12 +408,7 @@ def webdataset_stream_sink(
     to the directory, loud refusal on schema drift between batches.
     """
     stores.assert_executor_reachable(path, "webdataset_stream_sink")
-    marker_store, marker_key = stores.resolve(path.rstrip("/") + "_highwater")
-
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        raw = marker_store.get(marker_key)
-        if raw is not None and int(raw) >= batch_id:
-            return  # replayed batch: shards + manifest already committed
         write_webdataset(
             batch_df,
             path,
@@ -423,6 +418,5 @@ def webdataset_stream_sink(
             _shard_prefix=f"batch-{batch_id:06d}",
             _merge_manifest=True,
         )
-        marker_store.put(marker_key, str(batch_id).encode())
 
-    return write_batch
+    return stores.exactly_once_batch_sink(path, write_batch)
