@@ -248,21 +248,33 @@ _LAST_CERTIFIED_ROUND: dict[str, int] = {
         "xb_grid_std_day", "xb_grid_sum_hour", "xb_grid_tail",
         "xb_zarr_roundtrip", "xb_zarr_v3_sharded_roundtrip",
     ], 10),
-    # Tail-demoted gates, STAGED so every future round's sweep certifies
-    # at most ~3 first-time keys while still refreshing >= 40 stale-tier
-    # keys (r11's sweep budget went to bpe/chars/url_dedup; the r11
-    # surface registered after that budget was spent waits its turn).
-    # ann_ivf_trained_topk left the no-oracle set at r10's end (training
-    # loop unrolled as chained CTE stages) and has waited longest.
-    #   → drop the 98-valued entries at r12 start (certify first in r12)
-    **dict.fromkeys(
-        [
-            "ann_ivf_trained_topk",
-            "corpus_tfrecord_roundtrip",
-            "multimodal_wds_roundtrip",
-        ],
-        98,
-    ),
+    # round 11 (freshest; from CORRECTNESS_r11.json — overrides earlier
+    # tiers). The r11 98-valued demotions (ann_ivf_trained_topk,
+    # corpus_tfrecord_roundtrip, multimodal_wds_roundtrip) were dropped at
+    # r12 start per the staged plan, so those three certify FIRST in r12
+    # (never-certified → round 0 → head of the sweep).
+    **dict.fromkeys([
+        "ann_brute_force_topk", "corpus_bpe_merges", "corpus_clean_pipeline",
+        "corpus_decontaminate", "corpus_familiarity_score",
+        "corpus_hash_split", "corpus_importance_sample",
+        "corpus_mixture_weights", "corpus_stratified_cap", "corpus_url_dedup",
+        "dedup_canonical_docs", "dedup_duplicate_clusters", "dedup_exact",
+        "dedup_levenshtein_twins", "dedup_minhash_lsh", "dedup_passjoin_exact",
+        "dedup_simhash", "doc_fingerprint", "doc_rolling_hash",
+        "doc_token_windows", "doc_vocab_topk", "embedding_neardup_pairs",
+        "events_asof_last_purchase", "events_interval_post_signup",
+        "events_percent_rank", "multimodal_audio_features",
+        "multimodal_features", "multimodal_jpeg_progressive_features",
+        "multimodal_meta_rollup", "ngram_jaccard_adjacent",
+        "stream_dedup_events", "stream_hourly_counts",
+        "stream_stateful_user_stats", "stream_user_sessions",
+        "text_lang_rollup", "text_langid", "text_normalize_scrub",
+        "text_quality_stats", "text_remove_dup_spans_chars",
+        "text_repetition_signals", "text_scrub_pii", "text_substring_dup",
+        "text_token_counts", "xb_grid_coarsen", "xb_grid_getitem",
+        "xb_grid_resample_week", "xb_grid_transpose", "xb_grid_where",
+        "xb_grid_zip_ratio", "xb_map_blocks_affine",
+    ], 11),
     #   → drop the 99-valued entries at r13 start (certify first in r13)
     **dict.fromkeys(["text_html_extract", "corpus_wet_ingest"], 99),
 }
