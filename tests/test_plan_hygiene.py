@@ -52,6 +52,74 @@ def test_no_unintended_cartesian_products(spark, sf_dir):
     assert not bad, f"unexpected nested-loop/cartesian joins in: {bad}"
 
 
+class TestShardReadParallelism:
+    """The ingest legs must scale reads like they scale writes: shard
+    readers size their task count by cluster parallelism, never a
+    constant cap (a 64-task constant serializes a 100k-shard corpus onto
+    64 streams on a 1,000-core cluster)."""
+
+    def test_helper_scales_with_cluster(self):
+        from xarray_beam_spark.sources import stores
+
+        class _SC:
+            def __init__(self, dp):
+                self.sparkContext = type("sc", (), {"defaultParallelism": dp})()
+
+        # big cluster, big corpus: one task per core, not a constant
+        assert stores.shard_read_partitions(_SC(1000), 100_000) == 1000
+        # never more tasks than shards
+        assert stores.shard_read_partitions(_SC(1000), 10) == 10
+        # small session keeps the 64 floor to overlap network GETs
+        assert stores.shard_read_partitions(_SC(8), 100_000) == 64
+        assert stores.shard_read_partitions(_SC(8), 0) == 1
+
+    def test_readers_use_cluster_sized_partitions(self, spark, tmp_path):
+        """Pinned: with enough shards, the read DF has >= defaultParallelism
+        partitions (was capped at a constant 64 before round 12)."""
+        from pyspark.sql import functions as F
+
+        from xarray_beam_spark.sources import stores, tfrecord as tfr
+
+        n = 70  # > the 64 floor, > local[32] defaultParallelism
+        df = spark.range(n).select(F.col("id"))
+        tfr.write_tfrecords(df.repartition(1), str(tmp_path), shard_records=1)
+        back = tfr.read_tfrecords(spark, str(tmp_path))
+        got = back.rdd.getNumPartitions()
+        dp = spark.sparkContext.defaultParallelism
+        assert got == stores.shard_read_partitions(spark, n)
+        assert got >= dp
+
+    def test_no_constant_repartition_caps_in_shard_readers(self):
+        """Source sweep: the three shard readers must size partitions via
+        the shared helper, not an inline constant."""
+        import pathlib
+
+        root = pathlib.Path(__file__).resolve().parents[1] / "xarray_beam_spark"
+        for mod in ("sources/warc.py", "sources/tfrecord.py", "sources/webdataset.py"):
+            src = (root / mod).read_text()
+            assert "shard_read_partitions" in src, mod
+            assert "min(len(shard_names), 64)" not in src, mod
+
+
+def test_export_paths_have_no_unbounded_driver_aggregates():
+    """The ONLY .collect() on an export path is the bounded manifest
+    aggregate (one totals row + ~25 B/shard name), and each site must say
+    so in an adjacent 'bounded driver aggregate' comment."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "xarray_beam_spark"
+    sites = 0
+    for mod in ("sources/warc.py", "sources/tfrecord.py", "sources/webdataset.py"):
+        lines = (root / mod).read_text().splitlines()
+        for i, line in enumerate(lines):
+            if ".collect()" not in line:
+                continue
+            window = "\n".join(lines[max(0, i - 12) : i])
+            assert "bounded driver aggregate" in window, f"{mod}:{i + 1}"
+            sites += 1
+    assert sites == 3
+
+
 def test_scalar_broadcast_whitelist_is_tight(spark, sf_dir):
     """Every whitelisted query must actually need its scalar broadcast —
     prune the whitelist when a plan improves."""

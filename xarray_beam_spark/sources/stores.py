@@ -352,6 +352,17 @@ def exactly_once_batch_sink(path: str, write_batch):
     return callback
 
 
+def shard_read_partitions(spark, n_shards: int) -> int:
+    """Read-side task count for a shard listing: one task per shard, up
+    to the cluster's core count (floor 64 so a small local session still
+    overlaps its network-bound GETs).  Each read task streams its shards
+    *sequentially*, so a constant cap would serialize the ingest leg of a
+    100k-shard corpus onto a handful of streams no matter how many
+    executors exist — size by ``defaultParallelism`` like the NetCDF and
+    Zarr chunk readers do."""
+    return max(1, min(n_shards, max(64, spark.sparkContext.defaultParallelism)))
+
+
 def resolve(path: str) -> tuple[Store, str]:
     """Path → (backend, backend-local key). Plain paths → local FS."""
     if path.startswith("mem://"):

@@ -315,6 +315,10 @@ def write_wet(
         )
 
     stats = (
+        # bounded driver aggregate: one row of totals plus the shard-name
+        # list for the manifest sidecar — ~25 B per shard name, so ~25 MB
+        # even at a million shards. This is the ONLY driver-side size term
+        # on the export path; row data never leaves the executors.
         narrowed.mapInArrow(write, _WRITE_STATS)
         .agg(
             F.sum("shards"),
@@ -400,5 +404,5 @@ def read_wet(
 
     shards = spark.createDataFrame(
         [(s,) for s in shard_names], "shard string"
-    ).repartition(min(len(shard_names), 64))
+    ).repartition(stores.shard_read_partitions(spark, len(shard_names)))
     return shards.mapInArrow(read, _WET_SCHEMA)

@@ -238,6 +238,10 @@ def write_webdataset(
         )
 
     stats = (
+        # bounded driver aggregate: one row of totals plus the shard-name
+        # list for the manifest sidecar — ~25 B per shard name, so ~25 MB
+        # even at a million shards. This is the ONLY driver-side size term
+        # on the export path; row data never leaves the executors.
         df.mapInArrow(write, _WRITE_STATS)
         .agg(
             F.sum("shards"),
@@ -390,7 +394,7 @@ def read_webdataset(
 
     shards = spark.createDataFrame(
         [(s,) for s in shard_names], "shard string"
-    ).repartition(min(len(shard_names), 64))
+    ).repartition(stores.shard_read_partitions(spark, len(shard_names)))
     return shards.mapInArrow(read, schema)
 
 
