@@ -157,7 +157,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out: str = "/tmp/corpus_out") -
     # 4. trainer-facing export legs: the train split ships as TFRecord
     # shards of tf.train.Example (tf.data consumers) AND as a WebDataset
     # tar archive (key + .txt member per sample; dataloader streaming).
-    # Both writers are zero-shuffle mapInPandas shard puts.
+    # Both writers are zero-shuffle mapInArrow shard puts.
     from xarray_beam_spark.sources import tfrecord, webdataset
 
     train = back.where(F.col("split") == "train").select(

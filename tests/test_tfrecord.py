@@ -375,3 +375,71 @@ class TestStreamingSink:
         q.awaitTermination(120)
         back = tfr.read_tfrecords(spark, str(out))
         assert sorted(r["id"] for r in back.collect()) == list(range(40))
+
+
+class TestMalformedProtobuf:
+    """Foreign/corrupt records must decode loudly, never silently
+    truncated: the container CRC only covers our own shards."""
+
+    def test_truncated_example_is_loud(self):
+        enc = tfr.encode_example({"txt": ("bytes", [b"hello"])})
+        for cut in (1, 2, 3, 4):
+            with pytest.raises(ValueError, match="truncated"):
+                tfr.decode_example(enc[:-cut])
+
+    def test_packed_float_length_not_multiple_of_4_is_loud(self):
+        float_list = tfr._ld(1, b"\x00\x01\x02")  # 3-byte packed payload
+        feature = tfr._ld(2, float_list)  # Feature.float_list = 2
+        entry = tfr._ld(1, b"f") + tfr._ld(2, feature)
+        example = tfr._ld(1, tfr._ld(1, entry))
+        with pytest.raises(ValueError, match="multiple of 4"):
+            tfr.decode_example(example)
+
+    def test_overlong_length_in_skipped_field_is_loud(self):
+        # unknown field whose declared length overruns the buffer must
+        # raise even though its value is never materialized
+        bogus = tfr._varint((9 << 3) | 2) + tfr._varint(1000) + b"xx"
+        enc = tfr.encode_example({"a": ("int64", [1])})
+        with pytest.raises(ValueError, match="truncated"):
+            tfr.decode_example(enc + bogus)
+
+    def test_truncated_packed_int64_is_loud(self):
+        int_list = tfr._ld(1, b"\x80")  # declared 1 byte, varint continues
+        feature = tfr._ld(3, int_list)  # Feature.int64_list = 3
+        entry = tfr._ld(1, b"i") + tfr._ld(2, feature)
+        example = tfr._ld(1, tfr._ld(1, entry))
+        with pytest.raises(ValueError):
+            tfr.decode_example(example)
+
+
+class TestManifestAndFilesOverride:
+    def test_empty_dataset_roundtrips_as_zero_rows(self, spark, tmp_path):
+        """An empty-but-present manifest (e.g. an empty first streaming
+        micro-batch wrote shards=[]) is a valid empty dataset, not
+        FileNotFoundError."""
+        df = spark.createDataFrame([], "id long, txt string")
+        stats = tfr.write_tfrecords(df, str(tmp_path))
+        assert stats["records"] == 0 and stats["shards"] == 0
+        back = tfr.read_tfrecords(spark, str(tmp_path))
+        assert back.columns == ["id", "txt"]
+        assert back.count() == 0
+
+    def test_files_override_reads_sidecarless_dir(self, spark, tmp_path):
+        """Foreign shard sets with neither sidecar nor listing (plain-http
+        tf.data exports) are readable by explicit shard list + schema."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        df = spark.range(10).select(F.col("id"))
+        tfr.write_tfrecords(df.repartition(1), str(tmp_path), shard_records=5)
+        os.remove(tmp_path / "_xbs_tfrecord_meta.json")
+        shards = sorted(n for n in os.listdir(tmp_path) if n.endswith(".tfrecord"))
+        assert len(shards) == 2
+        got = tfr.read_tfrecords(
+            spark, str(tmp_path), "id long", files=shards[:1]
+        )
+        assert got.count() == 5
+        # explicit empty list = empty dataset, schema preserved
+        empty = tfr.read_tfrecords(spark, str(tmp_path), "id long", files=[])
+        assert empty.count() == 0 and empty.columns == ["id"]

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import gzip
 import os
+import re
 
 import pytest
 
@@ -296,3 +297,54 @@ class TestGunzipMembers:
         blob = warc._gzip_member(b"payload" * 100)
         with pytest.raises(Exception):
             warc.gunzip_members(blob[:-5])
+
+
+class TestHeaderInjectionAndEmptyManifest:
+    def test_crlf_in_url_is_loud(self, spark, tmp_path):
+        """A newline embedded in a crawled URL must not inject header
+        lines (it could flip WARC-Type and silently drop the record)."""
+        df = spark.createDataFrame(
+            [("http://evil.com/\r\nWARC-Type: warcinfo", "body")],
+            "url string, text string",
+        )
+        with pytest.raises(Exception, match="CR/LF"):
+            warc.write_wet(df, str(tmp_path))
+
+    def test_crlf_in_date_is_loud(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [("http://a.com/1", "b", "2020-01-01\nX: y")],
+            "url string, text string, d string",
+        )
+        with pytest.raises(Exception, match="CR/LF"):
+            warc.write_wet(df, str(tmp_path), date_col="d")
+
+    def test_empty_manifest_reads_as_zero_rows(self, spark, tmp_path):
+        df = spark.createDataFrame([], "url string, text string")
+        warc.write_wet(df, str(tmp_path))
+        got = warc.read_wet(spark, str(tmp_path))
+        assert got.count() == 0
+        assert "url" in got.columns and "text" in got.columns
+
+    def test_warcinfo_ids_unique_across_shards(self, spark, tmp_path):
+        """ISO 28500: record ids globally unique — the per-shard warcinfo
+        id derives from the shard name (deterministic, but never shared
+        between shards)."""
+        warc.write_wet(
+            self_df_four(spark).repartition(1), str(tmp_path), shard_records=1
+        )
+        ids = set()
+        for n in sorted(os.listdir(tmp_path)):
+            if not n.endswith(".gz"):
+                continue
+            raw = gzip.decompress((tmp_path / n).read_bytes())
+            m = re.search(rb"WARC-Type: warcinfo.*?WARC-Record-ID: (<[^>]+>)", raw, re.S)
+            assert m, n
+            ids.add(m.group(1))
+        assert len(ids) == 4
+
+
+def self_df_four(spark):
+    return spark.createDataFrame(
+        [(f"http://x.com/{i}", f"text {i}") for i in range(4)],
+        "url string, text string",
+    )

@@ -293,3 +293,37 @@ class TestStreamingSink:
         assert sorted(r["__key__"] for r in back.collect()) == [
             f"{i:06d}" for i in range(30)
         ]
+
+
+class TestManifestAndFilesOverride:
+    def test_empty_dataset_roundtrips_as_zero_rows(self, spark, tmp_path):
+        df = spark.createDataFrame([], "__key__ string, txt string")
+        stats = wds.write_webdataset(df, str(tmp_path))
+        assert stats["samples"] == 0
+        back = wds.read_webdataset(spark, str(tmp_path))
+        assert back.columns == ["__key__", "txt"]
+        assert back.count() == 0
+
+    def test_files_override_reads_sidecarless_dir(self, spark, tmp_path):
+        import os
+
+        wds.write_webdataset(
+            _simple_df(spark).repartition(1), str(tmp_path), shard_records=1
+        )
+        os.remove(tmp_path / "_xbs_wds_meta.json")
+        shards = sorted(n for n in os.listdir(tmp_path) if n.endswith(".tar"))
+        assert len(shards) == 3
+        got = wds.read_webdataset(
+            spark,
+            str(tmp_path),
+            "__key__ string, txt string",
+            files=shards[:2],
+        )
+        assert got.count() == 2
+
+
+def _simple_df(spark):
+    return spark.createDataFrame(
+        [("a/000", "x"), ("a/001", "y"), ("a/002", "z")],
+        "__key__ string, txt string",
+    )

@@ -371,6 +371,20 @@ def _ld(field: int, payload: bytes) -> bytes:
     return _varint((field << 3) | 2) + _varint(len(payload)) + payload
 
 
+def _take(buf: bytes, pos: int, ln: int) -> tuple[bytes, int]:
+    """Bounds-checked slice of a length-delimited payload: a declared
+    length that runs past the buffer is malformed input and must raise,
+    not silently truncate the value (the container CRC covers our own
+    shards, but foreign records reach this codec unchecked)."""
+    end = pos + ln
+    if end > len(buf):
+        raise ValueError(
+            f"truncated protobuf: field declares {ln} bytes, "
+            f"{len(buf) - pos} remain"
+        )
+    return buf[pos:end], end
+
+
 _KIND_FIELD = {"bytes": 1, "float": 2, "int64": 3}
 _FIELD_KIND = {v: k for k, v in _KIND_FIELD.items()}
 
@@ -417,27 +431,36 @@ def _decode_numeric_list(buf: bytes, kind: str) -> list:
             if wire != 2:
                 raise ValueError("BytesList value must be length-delimited")
             ln, pos = _read_varint(buf, pos)
-            values.append(buf[pos : pos + ln])
-            pos += ln
+            v, pos = _take(buf, pos, ln)
+            values.append(v)
         elif kind == "float":
             if wire == 2:  # packed
                 ln, pos = _read_varint(buf, pos)
-                values.extend(
-                    float(x) for x in np.frombuffer(buf, "<f4", ln // 4, pos)
-                )
-                pos += ln
+                raw, pos = _take(buf, pos, ln)
+                if ln % 4:
+                    raise ValueError(
+                        f"packed FloatList length {ln} not a multiple of 4"
+                    )
+                values.extend(float(x) for x in np.frombuffer(raw, "<f4"))
             elif wire == 5:  # unpacked fixed32
-                values.append(float(np.frombuffer(buf, "<f4", 1, pos)[0]))
-                pos += 4
+                raw, pos = _take(buf, pos, 4)
+                values.append(float(np.frombuffer(raw, "<f4", 1)[0]))
             else:
                 raise ValueError("FloatList value has wrong wire type")
         else:  # int64
             if wire == 2:  # packed
                 ln, pos = _read_varint(buf, pos)
                 stop = pos + ln
+                if stop > len(buf):
+                    raise ValueError(
+                        f"truncated packed Int64List: {ln} bytes declared, "
+                        f"{len(buf) - pos} remain"
+                    )
                 while pos < stop:
                     v, pos = _read_varint(buf, pos)
                     values.append(_signed64(v))
+                if pos != stop:
+                    raise ValueError("packed Int64List overran declared length")
             elif wire == 0:
                 v, pos = _read_varint(buf, pos)
                 values.append(_signed64(v))
@@ -450,12 +473,12 @@ def _skip_field(buf: bytes, pos: int, wire: int) -> int:
     if wire == 0:
         _, pos = _read_varint(buf, pos)
     elif wire == 1:
-        pos += 8
+        _, pos = _take(buf, pos, 8)
     elif wire == 2:
         ln, pos = _read_varint(buf, pos)
-        pos += ln
+        _, pos = _take(buf, pos, ln)
     elif wire == 5:
-        pos += 4
+        _, pos = _take(buf, pos, 4)
     else:
         raise ValueError(f"unsupported protobuf wire type {wire}")
     return pos
@@ -468,8 +491,8 @@ def _iter_submessages(buf: bytes, want_field: int) -> Iterator[bytes]:
         field, wire = tag >> 3, tag & 7
         if field == want_field and wire == 2:
             ln, pos = _read_varint(buf, pos)
-            yield buf[pos : pos + ln]
-            pos += ln
+            sub, pos = _take(buf, pos, ln)
+            yield sub
         else:
             pos = _skip_field(buf, pos, wire)
 
@@ -495,12 +518,11 @@ def decode_example(
                 field, wire = tag >> 3, tag & 7
                 if field == 1 and wire == 2:  # key
                     ln, pos = _read_varint(entry, pos)
-                    name = entry[pos : pos + ln].decode()
-                    pos += ln
+                    raw, pos = _take(entry, pos, ln)
+                    name = raw.decode()
                 elif field == 2 and wire == 2:  # value (Feature)
                     ln, pos = _read_varint(entry, pos)
-                    feature = entry[pos : pos + ln]
-                    pos += ln
+                    feature, pos = _take(entry, pos, ln)
                 else:
                     pos = _skip_field(entry, pos, wire)
             if name is None or feature is None:
@@ -516,8 +538,8 @@ def decode_example(
                     pos = _skip_field(feature, pos, wire)
                     continue
                 ln, pos = _read_varint(feature, pos)
-                out[name] = (kind, _decode_numeric_list(feature[pos : pos + ln], kind))
-                pos += ln
+                raw, pos = _take(feature, pos, ln)
+                out[name] = (kind, _decode_numeric_list(raw, kind))
     return out
 
 
@@ -743,17 +765,28 @@ def _from_feature(kind_values, want_kind: str, is_list: bool, dt: T.DataType):
 
 
 def read_tfrecords(
-    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    *,
+    files: list[str] | None = None,
 ) -> DataFrame:
     """Read TFRecord shards back into a DataFrame.
 
     ``schema`` may be a StructType, a DDL string, or None (use the
-    writer's sidecar). The shard set comes from the sidecar's manifest
-    when present (one GET — works on listing-less stores like plain
-    http), falling back to a directory listing for foreign shard
-    directories; each task then fetches and decodes only its shards,
-    crc verified. Missing features decode as NULL; extra features in a
-    record are ignored (protobuf-style forward compatibility).
+    writer's sidecar). ``files`` overrides shard discovery with an
+    explicit relative-name list (foreign, sidecar-less exports on
+    listing-less stores — e.g. a plain-http tf.data shard set — are
+    unreadable any other way); it requires an explicit ``schema``
+    unless a sidecar also exists. Otherwise the shard set comes from
+    the sidecar's manifest when present (one GET — works on
+    listing-less stores), falling back to a directory listing for
+    foreign shard directories; each task then fetches and decodes only
+    its shards, crc verified. An empty-but-present manifest (e.g. an
+    empty first streaming micro-batch) reads back as zero rows — only
+    failed *discovery* raises. Missing features decode as NULL; extra
+    features in a record are ignored (protobuf-style forward
+    compatibility).
     """
     stores.assert_executor_reachable(path, "read_tfrecords")
     store, key = stores.resolve(path)
@@ -772,13 +805,15 @@ def read_tfrecords(
         )
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
-    shard_names = manifest or sorted(
-        n
-        for n in store.list_dir(key)
-        if n.endswith(".tfrecord") or n.endswith(".tfrecord.gz")
-    )
-    if not shard_names:
-        raise FileNotFoundError(f"no *.tfrecord shards under {path!r}")
+    shard_names = files if files is not None else manifest
+    if shard_names is None:  # discovery: foreign dir without a sidecar
+        shard_names = sorted(
+            n
+            for n in store.list_dir(key)
+            if n.endswith(".tfrecord") or n.endswith(".tfrecord.gz")
+        )
+        if not shard_names:
+            raise FileNotFoundError(f"no *.tfrecord shards under {path!r}")
     from pyspark.sql.pandas.types import to_arrow_schema
 
     pa_schema = to_arrow_schema(schema)

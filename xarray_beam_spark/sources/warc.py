@@ -160,6 +160,15 @@ def parse_warc(buf: bytes) -> list[dict]:
 def _record_bytes(headers: list[tuple[str, str]], payload: bytes) -> bytes:
     out = bytearray(b"WARC/1.0\r\n")
     for name, value in headers:
+        # CR/LF in a header value is header injection: a newline embedded
+        # in a crawled URL would open an extra header line (e.g. flipping
+        # WARC-Type so the record vanishes from read_wet's conversion
+        # filter). Loud failure, matching the writer's NULL-rejection.
+        if "\r" in name or "\n" in name or "\r" in value or "\n" in value:
+            raise ValueError(
+                f"WARC header {name!r} contains CR/LF (value {value!r}); "
+                "scrub newlines from urls/dates before writing"
+            )
         out += f"{name}: {value}\r\n".encode()
     out += f"Content-Length: {len(payload)}\r\n".encode()
     out += _CRLF
@@ -238,15 +247,19 @@ def write_wet(
         parts: list[bytes] = []
         in_shard = 0
 
-        def shard_header() -> bytes:
+        def shard_header(shard_name: str) -> bytes:
             info = b"software: xarray_beam_spark.sources.warc\r\nformat: WARC File Format 1.0\r\n"
             rec = _record_bytes(
                 [
                     ("WARC-Type", "warcinfo"),
                     ("WARC-Date", default_date),  # mandatory for EVERY record
                     (
+                        # ISO 28500 requires globally unique record ids;
+                        # derive from the shard name so the id stays
+                        # deterministic per shard (idempotent retries)
+                        # yet unique across shards
                         "WARC-Record-ID",
-                        f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, 'xbs-warcinfo')}>",
+                        f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, f'xbs-warcinfo/{shard_name}')}>",
                     ),
                     ("Content-Type", "application/warc-fields"),
                 ],
@@ -258,8 +271,8 @@ def write_wet(
             nonlocal seq, n_bytes, parts, in_shard
             if in_shard == 0:
                 return
-            blob = shard_header() + b"".join(parts)
             name = f"part-{pid:05d}-{seq:04d}{suffix}"
+            blob = shard_header(name) + b"".join(parts)
             store.put(stores.join(key, name), blob)
             names.append(name)
             seq += 1
@@ -368,14 +381,16 @@ def read_wet(
                     f"unrecognized sidecar format {meta.get('format')!r}"
                 )
             shard_names = meta.get("shards")
-    if shard_names is None:
+    if shard_names is None:  # discovery: foreign dir without a sidecar
         shard_names = sorted(
             n
             for n in store.list_dir(key)
             if n.endswith((".warc", ".warc.gz", ".warc.wet", ".warc.wet.gz"))
         )
-    if not shard_names:
-        raise FileNotFoundError(f"no WET shards under {path!r}")
+        if not shard_names:
+            raise FileNotFoundError(f"no WET shards under {path!r}")
+    # an empty-but-present manifest (or explicit files=[]) is a valid
+    # empty dataset: zero rows, not FileNotFoundError
     from pyspark.sql.pandas.types import to_arrow_schema
 
     pa_schema = to_arrow_schema(_WET_SCHEMA)

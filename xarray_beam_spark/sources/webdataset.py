@@ -298,6 +298,7 @@ def read_webdataset(
     *,
     key_col: str = KEY_COL,
     ext_map: dict[str, str] | None = None,
+    files: list[str] | None = None,
 ) -> DataFrame:
     """Read WebDataset tar shards back into a DataFrame.
 
@@ -309,6 +310,12 @@ def read_webdataset(
     follow the convention: a sample is the run of consecutive members
     sharing a key (non-consecutive reuse of a key is a malformed shard
     and fails loudly, as does a duplicate extension within a sample).
+
+    ``files`` overrides shard discovery with an explicit relative-name
+    list (foreign, sidecar-less shard sets on listing-less stores);
+    pair it with an explicit ``schema`` unless a sidecar exists. An
+    empty-but-present manifest reads back as zero rows — only failed
+    *discovery* raises.
     """
     stores.assert_executor_reachable(path, "read_webdataset")
     store, skey = stores.resolve(path)
@@ -332,11 +339,13 @@ def read_webdataset(
     fields = [f for f in schema.fields if f.name != key_col]
     exts = {(ext_map or {}).get(f.name, f.name): f.name for f in fields}
     desers = {f.name: _deserializer(f) for f in fields}
-    shard_names = manifest or sorted(
-        n for n in store.list_dir(skey) if n.endswith(".tar")
-    )
-    if not shard_names:
-        raise FileNotFoundError(f"no *.tar shards under {path!r}")
+    shard_names = files if files is not None else manifest
+    if shard_names is None:  # discovery: foreign dir without a sidecar
+        shard_names = sorted(
+            n for n in store.list_dir(skey) if n.endswith(".tar")
+        )
+        if not shard_names:
+            raise FileNotFoundError(f"no *.tar shards under {path!r}")
     from pyspark.sql.pandas.types import to_arrow_schema
 
     pa_schema = to_arrow_schema(schema)
