@@ -348,3 +348,214 @@ def self_df_four(spark):
         [(f"http://x.com/{i}", f"text {i}") for i in range(4)],
         "url string, text string",
     )
+
+
+class TestHttpResponseParsing:
+    """parse_http_response / decode_http_body adversarial fixtures."""
+
+    def _msg(self, head: str, body: bytes) -> bytes:
+        return head.encode("latin-1") + b"\r\n\r\n" + body
+
+    def test_golden_response(self):
+        payload = self._msg(
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8",
+            "héllo".encode(),
+        )
+        status, headers, body = warc.parse_http_response(payload)
+        assert status == 200
+        assert headers["content-type"] == "text/html; charset=utf-8"
+        text, charset = warc.decode_http_body(body, headers["content-type"])
+        assert text == "héllo" and charset == "utf-8"
+
+    def test_chunked_transfer_encoding_declared(self):
+        chunked = b"5\r\nhello\r\n6;ext=1\r\n world\r\n0\r\nX-Trailer: t\r\n\r\n"
+        payload = self._msg(
+            "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked", chunked
+        )
+        status, headers, body = warc.parse_http_response(payload)
+        assert body == b"hello world"
+
+    def test_truncated_chunk_is_loud(self):
+        payload = self._msg(
+            "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked", b"ff\r\nshort\r\n"
+        )
+        with pytest.raises(ValueError, match="truncated chunk"):
+            warc.parse_http_response(payload)
+
+    def test_bad_chunk_size_is_loud(self):
+        payload = self._msg(
+            "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked", b"zz\r\nhello\r\n"
+        )
+        with pytest.raises(ValueError, match="chunk size"):
+            warc.parse_http_response(payload)
+
+    def test_truncated_http_head_is_loud(self):
+        # head cut off before the blank line: must raise, never guess a body
+        with pytest.raises(ValueError, match="truncated HTTP head"):
+            warc.parse_http_response(b"HTTP/1.1 200 OK\r\nContent-Type: text/h")
+
+    def test_malformed_status_line_is_loud(self):
+        with pytest.raises(ValueError, match="status line"):
+            warc.parse_http_response(b"<html>not http</html>\r\n\r\nbody")
+        with pytest.raises(ValueError, match="status line"):
+            warc.parse_http_response(b"HTTP/1.1 OK\r\n\r\nbody")
+
+    def test_non_utf8_charset(self):
+        body = "café señor".encode("iso-8859-1")
+        text, charset = warc.decode_http_body(
+            body, "text/html; charset=ISO-8859-1"
+        )
+        assert text == "café señor" and charset == "ISO-8859-1"
+
+    def test_unknown_charset_falls_back_to_utf8(self):
+        text, charset = warc.decode_http_body(
+            "ok".encode(), "text/html; charset=x-martian"
+        )
+        assert text == "ok" and charset == "x-martian"
+
+    def test_missing_charset_falls_back_to_utf8(self):
+        text, charset = warc.decode_http_body("dépôt".encode(), "text/html")
+        assert text == "dépôt" and charset is None
+
+    def test_charset_lie_never_dies(self):
+        # latin-1 bytes under a utf-8 label: replacement chars, no raise
+        text, _ = warc.decode_http_body(
+            "é".encode("iso-8859-1"), "text/html; charset=utf-8"
+        )
+        assert "�" in text
+
+    def test_bare_lf_head_tolerated(self):
+        payload = b"HTTP/1.1 404 Not Found\nContent-Type: text/plain\n\nmiss"
+        status, headers, body = warc.parse_http_response(payload)
+        assert status == 404 and body == b"miss"
+
+    def test_repeated_headers_join(self):
+        payload = self._msg(
+            "HTTP/1.1 200 OK\r\nSet-Cookie: a=1\r\nSet-Cookie: b=2", b""
+        )
+        _, headers, _ = warc.parse_http_response(payload)
+        assert headers["set-cookie"] == "a=1, b=2"
+
+    def test_http_content_length_does_not_recut_body(self):
+        # WARC framing is the authority: a lying HTTP Content-Length
+        # must not truncate or extend the captured body
+        payload = self._msg("HTTP/1.1 200 OK\r\nContent-Length: 2", b"full body")
+        _, _, body = warc.parse_http_response(payload)
+        assert body == b"full body"
+
+
+class TestSparkResponses:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                ("http://a.com/1", "<p>hello wörld</p>", "text/html; charset=utf-8"),
+                ("http://b.com/2", "<p>ascii only</p>", "text/html; charset=ISO-8859-1"),
+                ("http://c.com/3", "<p>no label</p>", "text/html"),
+            ],
+            "url string, body string, ct string",
+        )
+
+    def test_roundtrip_mixed_charsets(self, spark, tmp_path):
+        stats = warc.write_warc_responses(
+            self._df(spark).repartition(2, "url"), str(tmp_path), content_type_col="ct"
+        )
+        assert stats["records"] == 3
+        rows = {
+            r["url"]: r
+            for r in warc.read_warc_responses(spark, str(tmp_path)).collect()
+        }
+        assert rows["http://a.com/1"]["body"] == "<p>hello wörld</p>"
+        assert rows["http://a.com/1"]["charset"] == "utf-8"
+        assert rows["http://a.com/1"]["status"] == 200
+        assert rows["http://b.com/2"]["charset"] == "ISO-8859-1"
+        assert rows["http://b.com/2"]["body"] == "<p>ascii only</p>"
+        assert rows["http://b.com/2"]["content_length"] == len("<p>ascii only</p>")
+        assert rows["http://c.com/3"]["charset"] is None
+        assert rows["http://c.com/3"]["body"] == "<p>no label</p>"
+
+    def test_latin1_body_bytes_on_disk(self, spark, tmp_path):
+        """The writer must honor the row's declared charset when encoding."""
+        df = spark.createDataFrame(
+            [("http://x.com/1", "café", "text/plain; charset=ISO-8859-1")],
+            "url string, body string, ct string",
+        )
+        warc.write_warc_responses(
+            df, str(tmp_path), content_type_col="ct", compress=False
+        )
+        shard = next(n for n in os.listdir(tmp_path) if n.endswith(".warc"))
+        raw = (tmp_path / shard).read_bytes()
+        assert "café".encode("iso-8859-1") in raw
+        assert "café".encode() not in raw
+        back = warc.read_warc_responses(spark, str(tmp_path)).collect()
+        assert back[0]["body"] == "café"
+
+    def test_unencodable_body_is_loud(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [("http://x.com/1", "日本語", "text/plain; charset=ISO-8859-1")],
+            "url string, body string, ct string",
+        )
+        with pytest.raises(Exception, match="latin-1|encode"):
+            warc.write_warc_responses(df, str(tmp_path), content_type_col="ct")
+
+    def test_mixed_foreign_warc_only_responses(self, spark, tmp_path):
+        blob = b"".join(
+            [
+                _record([("WARC-Type", "request")], b"GET / HTTP/1.1\r\n\r\n"),
+                _record(
+                    [
+                        ("WARC-Type", "response"),
+                        ("WARC-Target-URI", "http://f.com/x"),
+                        ("WARC-Date", "2020-05-05T00:00:00Z"),
+                        ("Content-Type", "application/http; msgtype=response"),
+                    ],
+                    b"HTTP/1.0 301 Moved\r\nLocation: http://f.com/y\r\n\r\ngone",
+                ),
+                _record(
+                    [("WARC-Type", "conversion"), ("WARC-Target-URI", "http://f.com/x")],
+                    b"extracted text",
+                ),
+            ]
+        )
+        (tmp_path / "crawl.warc").write_bytes(blob)
+        got = warc.read_warc_responses(spark, str(tmp_path)).collect()
+        assert len(got) == 1
+        assert got[0]["status"] == 301
+        assert got[0]["body"] == "gone"
+        assert got[0]["warc_date"] == "2020-05-05T00:00:00Z"
+
+    def test_null_rows_refused(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [("http://a.com/1", None)], "url string, body string"
+        )
+        with pytest.raises(Exception, match="url and body"):
+            warc.write_warc_responses(df, str(tmp_path))
+
+    def test_empty_manifest_zero_rows(self, spark, tmp_path):
+        warc.write_warc_responses(
+            spark.createDataFrame([], "url string, body string"), str(tmp_path)
+        )
+        assert warc.read_warc_responses(spark, str(tmp_path)).count() == 0
+
+    def test_files_override(self, spark, tmp_path):
+        warc.write_warc_responses(
+            self._df(spark).repartition(1), str(tmp_path), shard_records=1
+        )
+        shards = sorted(n for n in os.listdir(tmp_path) if n.endswith(".warc.gz"))
+        assert len(shards) == 3
+        got = warc.read_warc_responses(spark, str(tmp_path), files=shards[:2])
+        assert got.count() == 2
+
+    def test_html_to_text_pairing(self, spark, tmp_path):
+        """The crawl→HTML→text pipeline composes on the body column."""
+        from pyspark.sql import functions as F
+
+        from xarray_beam_spark.functions.text import html_to_text
+
+        df = spark.createDataFrame(
+            [("http://a.com/1", "<html><body><p>one</p><p>two &amp; three</p></body></html>")],
+            "url string, body string",
+        )
+        warc.write_warc_responses(df, str(tmp_path))
+        back = warc.read_warc_responses(spark, str(tmp_path))
+        out = back.select(html_to_text(F.col("body")).alias("t")).collect()
+        assert out[0]["t"] == "one\ntwo & three"

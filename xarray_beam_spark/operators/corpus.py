@@ -1250,3 +1250,83 @@ def corpus_wet_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "content_length",
     )
+
+
+def _warc_responses_oracle() -> str:
+    from xarray_beam_spark.functions.text import sql_html_to_text
+
+    wrap = (
+        "'<html><head><title>t</title></head><body><h1>' || source || "
+        "'</h1><p>' || text || '</p></body></html>'"
+    )
+    return f"""
+WITH page AS (
+  SELECT doc_id, {wrap} AS html
+  FROM documents WHERE text IS NOT NULL
+),
+ex AS (
+  SELECT doc_id, html, {sql_html_to_text('html')} AS extracted FROM page
+)
+SELECT doc_id,
+       CAST(200 AS BIGINT) AS status,
+       CASE CAST(doc_id % 3 AS INTEGER)
+            WHEN 0 THEN 'utf-8' WHEN 1 THEN 'UTF-8' ELSE NULL END AS charset,
+       extracted,
+       CAST(octet_length(CAST(html AS BLOB)) AS BIGINT) AS content_length
+FROM ex
+"""
+
+
+@_register("corpus_warc_responses", _warc_responses_oracle())
+def corpus_warc_responses_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl entry point, end to end: documents become real WARC
+    ``response`` records (captured HTTP/1.1 messages — status line,
+    Content-Type, utf-8 body) and come back through the distributed
+    response parser into ``html_to_text`` — the crawl→HTML→text path a
+    C4/RefinedWeb-style pipeline starts from, which the WET leg bypasses.
+    Three Content-Type spellings per corpus (charset=utf-8, a quoted
+    charset="UTF-8", and no charset at all → utf-8 fallback) certify the
+    charset-label parsing; status, the declared-charset column, the
+    extracted text, and the body's exact byte length certify HTTP
+    framing + decode document-exactly."""
+    from xarray_beam_spark.functions.text import html_to_text
+    from xarray_beam_spark.grid_queries import _materialized
+    from xarray_beam_spark.sources import warc
+
+    def build(p: str) -> None:
+        docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+        html = F.concat(
+            F.lit("<html><head><title>t</title></head><body><h1>"),
+            F.col("source"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        )
+        ct = (
+            F.when(F.col("doc_id") % 3 == 0, F.lit("text/html; charset=utf-8"))
+            .when(F.col("doc_id") % 3 == 1, F.lit('text/html; charset="UTF-8"'))
+            .otherwise(F.lit("text/html"))
+        )
+        rows = docs.select(
+            F.concat(
+                F.lit("http://"),
+                F.col("source"),
+                F.lit(".example.com/page/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            html.alias("body"),
+            ct.alias("ct"),
+        )
+        warc.write_warc_responses(
+            rows.repartition(8, "url"), p, content_type_col="ct", shard_records=128
+        )
+
+    path = _materialized(spark, sf_dir, "warc_resp", build)
+    back = warc.read_warc_responses(spark, path)
+    return back.select(
+        F.regexp_extract("url", "/page/([0-9]+)$", 1).cast("long").alias("doc_id"),
+        "status",
+        "charset",
+        html_to_text(F.col("body")).alias("extracted"),
+        "content_length",
+    )

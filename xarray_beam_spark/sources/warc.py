@@ -32,9 +32,11 @@ missing mandatory headers — never silently skipped.
 
 from __future__ import annotations
 
+import codecs
 import gzip
 import io
 import json
+import re
 import uuid
 import zlib
 from collections.abc import Iterator
@@ -208,6 +210,136 @@ _WRITE_STATS_PA = pa.schema(
 )
 
 
+class _Sharder:
+    """Per-task shard accumulator shared by the WET and HTTP-response
+    writers: buffers record bytes, flushes every ``shard_records`` into
+    ``part-{pid:05d}-{seq:04d}{suffix}`` opened by a ``warcinfo`` record
+    whose id derives from the shard name (deterministic per shard for
+    idempotent retries, unique across shards per ISO 28500)."""
+
+    def __init__(
+        self, store, key, pid, suffix, *, shard_records, compress, default_date
+    ):
+        self.store, self.key, self.pid, self.suffix = store, key, pid, suffix
+        self.shard_records, self.compress = shard_records, compress
+        self.default_date = default_date
+        self.names: list[str] = []
+        self.seq = self.n_records = self.n_bytes = 0
+        self.parts: list[bytes] = []
+        self.in_shard = 0
+
+    def _shard_header(self, shard_name: str) -> bytes:
+        info = (
+            b"software: xarray_beam_spark.sources.warc\r\n"
+            b"format: WARC File Format 1.0\r\n"
+        )
+        rec = _record_bytes(
+            [
+                ("WARC-Type", "warcinfo"),
+                ("WARC-Date", self.default_date),  # mandatory for EVERY record
+                (
+                    "WARC-Record-ID",
+                    f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, f'xbs-warcinfo/{shard_name}')}>",
+                ),
+                ("Content-Type", "application/warc-fields"),
+            ],
+            info,
+        )
+        return _gzip_member(rec) if self.compress else rec
+
+    def add(self, record: bytes) -> None:
+        self.parts.append(_gzip_member(record) if self.compress else record)
+        self.n_records += 1
+        self.in_shard += 1
+        if self.shard_records and self.in_shard >= self.shard_records:
+            self.flush()
+
+    def flush(self) -> None:
+        if self.in_shard == 0:
+            return
+        name = f"part-{self.pid:05d}-{self.seq:04d}{self.suffix}"
+        blob = self._shard_header(name) + b"".join(self.parts)
+        self.store.put(stores.join(self.key, name), blob)
+        self.names.append(name)
+        self.seq += 1
+        self.n_bytes += len(blob)
+        self.parts = []
+        self.in_shard = 0
+
+    def stats_batch(self) -> pa.RecordBatch:
+        self.flush()
+        return pa.RecordBatch.from_pydict(
+            {
+                "shards": [len(self.names)],
+                "records": [self.n_records],
+                "bytes": [self.n_bytes],
+                "shard_names": [self.names],
+            },
+            schema=_WRITE_STATS_PA,
+        )
+
+
+def _run_shard_write(narrowed, write, path: str, meta_name: str, fmt: str) -> dict:
+    stats = (
+        # bounded driver aggregate: one row of totals plus the shard-name
+        # list for the manifest sidecar — ~25 B per shard name, so ~25 MB
+        # even at a million shards. This is the ONLY driver-side size term
+        # on the export path; row data never leaves the executors.
+        narrowed.mapInArrow(write, _WRITE_STATS)
+        .agg(
+            F.sum("shards"),
+            F.sum("records"),
+            F.sum("bytes"),
+            F.flatten(F.collect_list("shard_names")),
+        )
+        .collect()[0]
+    )
+    store, key = stores.resolve(path)
+    store.put(
+        stores.join(key, meta_name),
+        json.dumps(
+            {"format": fmt, "shards": sorted(stats[3] or [])}, sort_keys=True
+        ).encode(),
+    )
+    return {
+        "shards": int(stats[0] or 0),
+        "records": int(stats[1] or 0),
+        "bytes": int(stats[2] or 0),
+    }
+
+
+def _discover_shards(
+    store,
+    key,
+    path: str,
+    files: list[str] | None,
+    meta_name: str,
+    fmt: str,
+    suffixes: tuple[str, ...],
+) -> list[str]:
+    """Shard set for a read: explicit ``files`` override, else the
+    writer's sidecar manifest (one GET — listing-less stores work), else
+    a directory listing. An empty-but-present manifest (or files=[]) is
+    a valid zero-row dataset; only failed *discovery* raises."""
+    shard_names = files
+    if shard_names is None:
+        raw = store.get(stores.join(key, meta_name))
+        if raw is not None:
+            meta = json.loads(raw.decode())
+            if meta.get("format") != fmt:
+                raise ValueError(
+                    f"unrecognized sidecar format {meta.get('format')!r}"
+                )
+            shard_names = meta.get("shards")
+    if shard_names is None:  # discovery: foreign dir without a sidecar
+        shard_names = sorted(
+            n for n in store.list_dir(key) if n.endswith(suffixes)
+        )
+        if not shard_names:
+            raise FileNotFoundError(f"no WARC shards under {path!r}")
+    return shard_names
+
+
 def write_wet(
     df: DataFrame,
     path: str,
@@ -241,45 +373,15 @@ def write_wet(
         from pyspark import TaskContext
 
         store, key = stores.resolve(path)
-        pid = TaskContext.get().partitionId()
-        names: list[str] = []
-        seq = n_records = n_bytes = 0
-        parts: list[bytes] = []
-        in_shard = 0
-
-        def shard_header(shard_name: str) -> bytes:
-            info = b"software: xarray_beam_spark.sources.warc\r\nformat: WARC File Format 1.0\r\n"
-            rec = _record_bytes(
-                [
-                    ("WARC-Type", "warcinfo"),
-                    ("WARC-Date", default_date),  # mandatory for EVERY record
-                    (
-                        # ISO 28500 requires globally unique record ids;
-                        # derive from the shard name so the id stays
-                        # deterministic per shard (idempotent retries)
-                        # yet unique across shards
-                        "WARC-Record-ID",
-                        f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, f'xbs-warcinfo/{shard_name}')}>",
-                    ),
-                    ("Content-Type", "application/warc-fields"),
-                ],
-                info,
-            )
-            return _gzip_member(rec) if compress else rec
-
-        def flush() -> None:
-            nonlocal seq, n_bytes, parts, in_shard
-            if in_shard == 0:
-                return
-            name = f"part-{pid:05d}-{seq:04d}{suffix}"
-            blob = shard_header(name) + b"".join(parts)
-            store.put(stores.join(key, name), blob)
-            names.append(name)
-            seq += 1
-            n_bytes += len(blob)
-            parts = []
-            in_shard = 0
-
+        sh = _Sharder(
+            store,
+            key,
+            TaskContext.get().partitionId(),
+            suffix,
+            shard_records=shard_records,
+            compress=compress,
+            default_date=default_date,
+        )
         for batch in batches:
             urls = batch.column(batch.schema.get_field_index(url_col)).to_pylist()
             texts = batch.column(batch.schema.get_field_index(text_col)).to_pylist()
@@ -311,49 +413,10 @@ def write_wet(
                     ],
                     text.encode(),
                 )
-                parts.append(_gzip_member(rec) if compress else rec)
-                n_records += 1
-                in_shard += 1
-                if shard_records and in_shard >= shard_records:
-                    flush()
-        flush()
-        yield pa.RecordBatch.from_pydict(
-            {
-                "shards": [len(names)],
-                "records": [n_records],
-                "bytes": [n_bytes],
-                "shard_names": [names],
-            },
-            schema=_WRITE_STATS_PA,
-        )
+                sh.add(rec)
+        yield sh.stats_batch()
 
-    stats = (
-        # bounded driver aggregate: one row of totals plus the shard-name
-        # list for the manifest sidecar — ~25 B per shard name, so ~25 MB
-        # even at a million shards. This is the ONLY driver-side size term
-        # on the export path; row data never leaves the executors.
-        narrowed.mapInArrow(write, _WRITE_STATS)
-        .agg(
-            F.sum("shards"),
-            F.sum("records"),
-            F.sum("bytes"),
-            F.flatten(F.collect_list("shard_names")),
-        )
-        .collect()[0]
-    )
-    store, key = stores.resolve(path)
-    store.put(
-        stores.join(key, _META_NAME),
-        json.dumps(
-            {"format": "xbs-wet-v1", "shards": sorted(stats[3] or [])},
-            sort_keys=True,
-        ).encode(),
-    )
-    return {
-        "shards": int(stats[0] or 0),
-        "records": int(stats[1] or 0),
-        "bytes": int(stats[2] or 0),
-    }
+    return _run_shard_write(narrowed, write, path, _META_NAME, "xbs-wet-v1")
 
 
 def read_wet(
@@ -371,26 +434,15 @@ def read_wet(
     """
     stores.assert_executor_reachable(path, "read_wet")
     store, key = stores.resolve(path)
-    shard_names = files
-    if shard_names is None:
-        raw = store.get(stores.join(key, _META_NAME))
-        if raw is not None:
-            meta = json.loads(raw.decode())
-            if meta.get("format") != "xbs-wet-v1":
-                raise ValueError(
-                    f"unrecognized sidecar format {meta.get('format')!r}"
-                )
-            shard_names = meta.get("shards")
-    if shard_names is None:  # discovery: foreign dir without a sidecar
-        shard_names = sorted(
-            n
-            for n in store.list_dir(key)
-            if n.endswith((".warc", ".warc.gz", ".warc.wet", ".warc.wet.gz"))
-        )
-        if not shard_names:
-            raise FileNotFoundError(f"no WET shards under {path!r}")
-    # an empty-but-present manifest (or explicit files=[]) is a valid
-    # empty dataset: zero rows, not FileNotFoundError
+    shard_names = _discover_shards(
+        store,
+        key,
+        path,
+        files,
+        _META_NAME,
+        "xbs-wet-v1",
+        (".warc", ".warc.gz", ".warc.wet", ".warc.wet.gz"),
+    )
     from pyspark.sql.pandas.types import to_arrow_schema
 
     pa_schema = to_arrow_schema(_WET_SCHEMA)
@@ -421,3 +473,298 @@ def read_wet(
         [(s,) for s in shard_names], "shard string"
     ).repartition(stores.shard_read_partitions(spark, len(shard_names)))
     return shards.mapInArrow(read, _WET_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WARC *response* records: the crawl→HTML→text entry point.
+#
+# A real C4/RefinedWeb pipeline does not start from WET extractions — it
+# starts from the crawl's ``response`` records, whose payload is the raw
+# captured HTTP message (status line + headers + body, RFC 7230 framing).
+# This leg splits the HTTP head from the body, honors the declared
+# Transfer-Encoding/charset, and hands decoded markup to
+# ``functions.text.html_to_text`` — the same entry-point role
+# ``open_zarr`` (reference xarray_beam/_src/zarr.py:71-96) plays for the
+# reference's pipelines.
+# ---------------------------------------------------------------------------
+
+_WARC_META_NAME = "_xbs_warc_meta.json"
+
+_CHARSET_RE = re.compile(r'charset\s*=\s*"?\'?([A-Za-z0-9._\-]+)', re.IGNORECASE)
+
+
+def parse_http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
+    """Split a captured HTTP response message → (status, headers, body).
+
+    Loud on structural damage — a truncated head (no blank line before
+    the body) or a malformed status line raises; a body whose head
+    declares ``Transfer-Encoding: chunked`` is de-chunked (trailers
+    dropped). Repeated header names join with ", " (RFC 7230 §3.2.2);
+    names are lowercased. The WARC record's Content-Length is the
+    framing authority, so an HTTP-level Content-Length is reported but
+    never used to re-cut the body.
+    """
+    crlf_end = payload.find(b"\r\n\r\n")
+    lf_end = payload.find(b"\n\n", 0, crlf_end + 3 if crlf_end >= 0 else None)
+    if crlf_end >= 0 and (lf_end < 0 or crlf_end < lf_end):
+        head, body = payload[:crlf_end], payload[crlf_end + 4 :]
+    elif lf_end >= 0:
+        head, body = payload[:lf_end], payload[lf_end + 2 :]
+    else:
+        raise ValueError("truncated HTTP head: no blank line before body")
+    lines = head.replace(b"\r\n", b"\n").split(b"\n")
+    status_line = lines[0].decode("latin-1")
+    parts = status_line.split(None, 2)
+    if len(parts) < 2 or not parts[0].upper().startswith("HTTP/") or not parts[1].isdigit():
+        raise ValueError(f"malformed HTTP status line {status_line[:60]!r}")
+    status = int(parts[1])
+    headers: dict[str, str] = {}
+    last_name: str | None = None
+    for raw in lines[1:]:
+        line = raw.decode("latin-1")
+        if not line.strip():
+            continue
+        if line[:1] in (" ", "\t"):  # obs-fold continuation
+            if last_name is None:
+                raise ValueError(f"continuation line before any header: {line!r}")
+            headers[last_name] += " " + line.strip()
+            continue
+        name, colon, value = line.partition(":")
+        if not colon:
+            raise ValueError(f"malformed HTTP header line {line[:60]!r}")
+        last_name = name.strip().lower()
+        if last_name in headers:
+            headers[last_name] += ", " + value.strip()
+        else:
+            headers[last_name] = value.strip()
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    return status, headers, body
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode a chunked transfer-coding body; loud on truncation."""
+    out: list[bytes] = []
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("truncated chunked body: missing chunk-size line")
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()  # drop extensions
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(f"bad chunk size {size_tok[:16]!r}") from None
+        pos = eol + 2
+        if size == 0:
+            return b"".join(out)  # trailers (if any) are dropped
+        if pos + size > len(body):
+            raise ValueError("truncated chunk payload")
+        out.append(body[pos : pos + size])
+        pos += size
+        if body[pos : pos + 2] != b"\r\n":
+            raise ValueError("chunk missing CRLF terminator")
+        pos += 2
+
+
+def decode_http_body(body: bytes, content_type: str | None) -> tuple[str, str | None]:
+    """Decode an HTTP body per its Content-Type charset → (text, charset).
+
+    The charset label is matched case-insensitively and looked up via the
+    codec registry (so ``ISO-8859-1``/``latin-1``/``windows-1252`` all
+    resolve); an absent or unknown label falls back to utf-8. Decode is
+    ``errors="replace"`` — crawl bytes routinely lie about their charset
+    and a crawl ingest must not die on one mojibake page.
+    """
+    charset = None
+    if content_type:
+        m = _CHARSET_RE.search(content_type)
+        if m:
+            charset = m.group(1)
+    enc = "utf-8"
+    if charset:
+        try:
+            codecs.lookup(charset)
+            enc = charset
+        except LookupError:
+            pass  # unknown label → utf-8 fallback
+    return body.decode(enc, "replace"), charset
+
+
+_RESPONSE_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_date", T.StringType()),
+    T.StructField("record_id", T.StringType()),
+    T.StructField("status", T.LongType()),
+    T.StructField("content_type", T.StringType()),
+    T.StructField("charset", T.StringType()),
+    T.StructField("body", T.StringType()),
+    T.StructField("content_length", T.LongType()),
+])
+
+
+def write_warc_responses(
+    df: DataFrame,
+    path: str,
+    *,
+    url_col: str = "url",
+    body_col: str = "body",
+    content_type_col: str | None = None,
+    date_col: str | None = None,
+    default_content_type: str = "text/html; charset=utf-8",
+    default_date: str = "2026-01-01T00:00:00Z",
+    shard_records: int | None = None,
+    compress: bool = True,
+) -> dict:
+    """Write (url, body) rows as WARC ``response`` records.
+
+    Each record's payload is a minimal captured HTTP/1.1 200 message —
+    status line, Content-Type (per-row column or the default),
+    Content-Length, blank line, then the body encoded with the charset
+    its own Content-Type declares (loud on unencodable text — writing a
+    page whose declared charset cannot represent it would corrupt the
+    capture). Deterministic bytes end to end: uuid5 record ids, shared
+    ``_Sharder`` shard framing. Primarily a test/fixture leg — real
+    pipelines *read* foreign crawls — but it makes the response parser
+    certifiable document-exactly.
+    """
+    stores.assert_executor_reachable(path, "write_warc_responses")
+    for c in (url_col, body_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in DataFrame")
+    suffix = ".warc.gz" if compress else ".warc"
+    cols = [url_col, body_col]
+    if content_type_col:
+        cols.append(content_type_col)
+    if date_col:
+        cols.append(date_col)
+    narrowed = df.select(*cols)
+
+    def write(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        store, key = stores.resolve(path)
+        sh = _Sharder(
+            store,
+            key,
+            TaskContext.get().partitionId(),
+            suffix,
+            shard_records=shard_records,
+            compress=compress,
+            default_date=default_date,
+        )
+        for batch in batches:
+            urls = batch.column(batch.schema.get_field_index(url_col)).to_pylist()
+            bodies = batch.column(batch.schema.get_field_index(body_col)).to_pylist()
+            n = batch.num_rows
+            ctypes = (
+                batch.column(batch.schema.get_field_index(content_type_col)).to_pylist()
+                if content_type_col
+                else [default_content_type] * n
+            )
+            dates = (
+                batch.column(batch.schema.get_field_index(date_col)).to_pylist()
+                if date_col
+                else [default_date] * n
+            )
+            for url, text, ctype, date in zip(urls, bodies, ctypes, dates):
+                if url is None or text is None:
+                    raise ValueError(
+                        "response records need both url and body; "
+                        "filter NULL rows before writing"
+                    )
+                ctype = ctype or default_content_type
+                m = _CHARSET_RE.search(ctype)
+                enc = m.group(1) if m else "utf-8"
+                body = text.encode(enc)  # loud on unencodable text
+                http = (
+                    f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+                    f"Content-Length: {len(body)}\r\n\r\n"
+                ).encode("latin-1") + body
+                rec = _record_bytes(
+                    [
+                        ("WARC-Type", "response"),
+                        ("WARC-Target-URI", url),
+                        ("WARC-Date", date or default_date),
+                        (
+                            "WARC-Record-ID",
+                            f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, url + chr(0) + text)}>",
+                        ),
+                        ("Content-Type", "application/http; msgtype=response"),
+                    ],
+                    http,
+                )
+                sh.add(rec)
+        yield sh.stats_batch()
+
+    return _run_shard_write(narrowed, write, path, _WARC_META_NAME, "xbs-warc-v1")
+
+
+def read_warc_responses(
+    spark: SparkSession, path: str, *, files: list[str] | None = None
+) -> DataFrame:
+    """Read WARC ``response`` records → decoded HTTP captures.
+
+    Columns: url, warc_date, record_id, status, content_type, charset
+    (the label the page *declared*, NULL if none), body (decoded text —
+    pair with ``functions.text.html_to_text`` for the crawl→HTML→text
+    pipeline), content_length (byte length of the de-chunked body).
+
+    ``files`` overrides shard discovery (the Common Crawl ``warc.paths``
+    workflow); otherwise the writer's sidecar manifest is used, falling
+    back to a directory listing for foreign dirs. Only records whose
+    WARC-Type is ``response`` with an ``application/http`` payload
+    become rows (warcinfo/request/metadata/conversion records in mixed
+    inputs carry no HTTP response and are skipped); structural damage in
+    any parsed record — WARC framing, HTTP head, chunked coding — fails
+    the task loudly.
+    """
+    stores.assert_executor_reachable(path, "read_warc_responses")
+    store, key = stores.resolve(path)
+    shard_names = _discover_shards(
+        store,
+        key,
+        path,
+        files,
+        _WARC_META_NAME,
+        "xbs-warc-v1",
+        (".warc", ".warc.gz"),
+    )
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    pa_schema = to_arrow_schema(_RESPONSE_SCHEMA)
+
+    def read(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        store, key = stores.resolve(path)
+        for batch in batches:
+            for shard in batch.column(0).to_pylist():
+                blob = store.get(stores.join(key, shard))
+                if blob is None:
+                    raise FileNotFoundError(f"shard {shard!r} vanished under {path!r}")
+                rows = {f.name: [] for f in _RESPONSE_SCHEMA.fields}
+                for rec in parse_warc(blob):
+                    h = rec["headers"]
+                    if h.get("warc-type") != "response":
+                        continue
+                    if not h.get("content-type", "").startswith("application/http"):
+                        continue
+                    status, http_headers, body = parse_http_response(rec["payload"])
+                    ctype = http_headers.get("content-type")
+                    text, charset = decode_http_body(body, ctype)
+                    rows["url"].append(h.get("warc-target-uri"))
+                    rows["warc_date"].append(h.get("warc-date"))
+                    rows["record_id"].append(h.get("warc-record-id"))
+                    rows["status"].append(status)
+                    rows["content_type"].append(ctype)
+                    rows["charset"].append(charset)
+                    rows["body"].append(text)
+                    rows["content_length"].append(len(body))
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(rows[f.name], type=f.type) for f in pa_schema],
+                    schema=pa_schema,
+                )
+
+    shards = spark.createDataFrame(
+        [(s,) for s in shard_names], "shard string"
+    ).repartition(stores.shard_read_partitions(spark, len(shard_names)))
+    return shards.mapInArrow(read, _RESPONSE_SCHEMA)
