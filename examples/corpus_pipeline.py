@@ -1,7 +1,8 @@
 """Training-corpus preparation pipeline, end to end.
 
-The LLM-data shape this engine is built for: WET crawl ingest
-(ISO 28500 shards, one gzip member per record) →
+The LLM-data shape this engine is built for: WARC response-record crawl
+ingest (captured HTTP, ISO 28500 shards, one gzip member per record) →
+HTML→text extraction →
 URL canonicalization + keep-first URL dedup + per-host cap (RefinedWeb
 stage order: the cheapest filters run before any text is read) →
 PII scrub → exact-substring span removal (Lee et al. 2022) →
@@ -54,28 +55,35 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out: str = "/tmp/corpus_out") -
     docs = load(spark, sf_dir, "documents")
     n_raw = docs.count()
 
-    # -2. the crawl leg: a real pipeline starts from Common Crawl WET
-    # shards, so round-trip the corpus through actual ISO 28500 bytes
-    # (one gzip member per record) before any content stage — the same
-    # read_wet call would consume a wet.paths manifest slice.
+    # -2. the crawl leg: a real pipeline starts from the crawl's WARC
+    # *response* records — captured HTTP messages whose body is raw
+    # HTML — so round-trip the corpus through actual ISO 28500 bytes and
+    # extract text with the portable regexp chain (crawl → HTML → text).
+    # The WET shortcut (read_wet on pre-extracted conversion records /
+    # a wet.paths manifest slice) skips straight past html_to_text.
+    from xarray_beam_spark.functions.text import html_to_text
     from xarray_beam_spark.sources import warc
 
-    wet_dir = os.path.join(out, "wet_ingest")
+    warc_dir = os.path.join(out, "warc_ingest")
     crawl = docs.where(F.col("text").isNotNull()).select(
         F.concat(
             F.lit("http://"), F.col("source"), F.lit(".example.com/crawl/"),
             F.col("doc_id").cast("string"),
         ).alias("url"),
-        "text",
+        F.concat(
+            F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")
+        ).alias("body"),
     )
-    warc.write_wet(crawl.repartition(4, "url"), wet_dir, shard_records=256)
-    ingested = warc.read_wet(spark, wet_dir)
+    warc.write_warc_responses(crawl.repartition(4, "url"), warc_dir, shard_records=256)
+    ingested = warc.read_warc_responses(spark, warc_dir).where(
+        (F.col("status") == 200) & F.col("content_type").startswith("text/html")
+    )
     n_wet = ingested.count()
-    # rejoin the ingested text to its metadata by the doc_id in the URL
+    # rejoin the extracted text to its metadata by the doc_id in the URL
     docs = (
         ingested.select(
             F.regexp_extract("url", "/crawl/([0-9]+)$", 1).cast("long").alias("doc_id"),
-            F.col("text"),
+            html_to_text(F.col("body")).alias("text"),
         )
         .join(docs.drop("text"), on="doc_id")
     )
@@ -182,7 +190,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out: str = "/tmp/corpus_out") -
     assert n_tf_back == tf_stats["records"] == per_split.get("train", 0)
 
     print(
-        f"corpus pipeline: raw={n_raw} wet_ingested={n_wet} url_kept={n_url_kept} "
+        f"corpus pipeline: raw={n_raw} crawl_ingested={n_wet} url_kept={n_url_kept} "
         f"span_tokens_removed={n_span_tokens} "
         f"clean={n_clean} after near-dup={n_canon} "
         f"after decontam+cap={n_final} "

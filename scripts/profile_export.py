@@ -115,6 +115,20 @@ def main() -> None:
         n = warc.read_wet(spark, f"{base}/wet").count()
         assert n == n_docs, (n, n_docs)
         out["wet_read_mbps"] = round(payload / (1 << 20) / (time.monotonic() - t0), 1)
+
+        resp_in = wet_in.withColumnRenamed("text", "body")
+        t0 = time.monotonic()
+        warc.write_warc_responses(resp_in, f"{base}/resp", shard_records=2048)
+        out["warc_resp_write_mbps"] = round(
+            payload / (1 << 20) / (time.monotonic() - t0), 1
+        )
+
+        t0 = time.monotonic()
+        n = warc.read_warc_responses(spark, f"{base}/resp").count()
+        assert n == n_docs, (n, n_docs)
+        out["warc_resp_read_mbps"] = round(
+            payload / (1 << 20) / (time.monotonic() - t0), 1
+        )
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

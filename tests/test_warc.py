@@ -559,3 +559,63 @@ class TestSparkResponses:
         back = warc.read_warc_responses(spark, str(tmp_path))
         out = back.select(html_to_text(F.col("body")).alias("t")).collect()
         assert out[0]["t"] == "one\ntwo & three"
+
+
+class TestStreamingSinks:
+    def test_wet_sink_appends_and_skips_replays(self, spark, tmp_path):
+        import json as _json
+
+        sink = warc.wet_stream_sink(str(tmp_path), shard_records=8)
+        b0 = spark.createDataFrame(
+            [("http://a/1", "one"), ("http://a/2", "two")],
+            "url string, text string",
+        )
+        b1 = spark.createDataFrame([("http://a/3", "three")], "url string, text string")
+        sink(b0, 0)
+        sink(b1, 1)
+        sink(b0, 0)  # replay: no-op
+        got = sorted(
+            (r["url"], r["text"]) for r in warc.read_wet(spark, str(tmp_path)).collect()
+        )
+        assert got == [("http://a/1", "one"), ("http://a/2", "two"), ("http://a/3", "three")]
+        names = sorted(n for n in os.listdir(tmp_path) if n.endswith(".warc.wet.gz"))
+        assert all(n.startswith("batch-") for n in names)
+        meta = _json.loads((tmp_path / "_xbs_wet_meta.json").read_text())
+        assert meta["shards"] == names
+
+    def test_responses_sink_real_stream(self, spark, tmp_path):
+        src_dir = tmp_path / "src"
+        out = tmp_path / "out"
+        spark.createDataFrame(
+            [(f"http://s/{i}", f"<p>doc {i}</p>") for i in range(20)],
+            "url string, body string",
+        ).repartition(4).write.parquet(str(src_dir))
+        src = (
+            spark.readStream.schema("url string, body string")
+            .option("maxFilesPerTrigger", "2")
+            .parquet(str(src_dir))
+        )
+        q = (
+            src.writeStream.foreachBatch(warc.warc_responses_stream_sink(str(out)))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        back = warc.read_warc_responses(spark, str(out))
+        got = sorted(r["url"] for r in back.collect())
+        assert got == sorted(f"http://s/{i}" for i in range(20))
+
+    def test_merge_format_mismatch_is_loud(self, spark, tmp_path):
+        warc.write_warc_responses(
+            spark.createDataFrame([("http://a/1", "x")], "url string, body string"),
+            str(tmp_path),
+        )
+        # WET append onto a response dir: different sidecar file, so it
+        # must NOT merge; a same-file format clash must raise
+        (tmp_path / "_xbs_wet_meta.json").write_text(
+            '{"format": "xbs-warc-v1", "shards": []}'
+        )
+        df = spark.createDataFrame([("http://a/2", "y")], "url string, text string")
+        with pytest.raises(Exception, match="format"):
+            warc.write_wet(df, str(tmp_path), _merge_manifest=True)

@@ -218,11 +218,21 @@ class _Sharder:
     idempotent retries, unique across shards per ISO 28500)."""
 
     def __init__(
-        self, store, key, pid, suffix, *, shard_records, compress, default_date
+        self,
+        store,
+        key,
+        pid,
+        suffix,
+        *,
+        shard_records,
+        compress,
+        default_date,
+        prefix: str = "part",
     ):
         self.store, self.key, self.pid, self.suffix = store, key, pid, suffix
         self.shard_records, self.compress = shard_records, compress
         self.default_date = default_date
+        self.prefix = prefix
         self.names: list[str] = []
         self.seq = self.n_records = self.n_bytes = 0
         self.parts: list[bytes] = []
@@ -257,7 +267,7 @@ class _Sharder:
     def flush(self) -> None:
         if self.in_shard == 0:
             return
-        name = f"part-{self.pid:05d}-{self.seq:04d}{self.suffix}"
+        name = f"{self.prefix}-{self.pid:05d}-{self.seq:04d}{self.suffix}"
         blob = self._shard_header(name) + b"".join(self.parts)
         self.store.put(stores.join(self.key, name), blob)
         self.names.append(name)
@@ -279,7 +289,9 @@ class _Sharder:
         )
 
 
-def _run_shard_write(narrowed, write, path: str, meta_name: str, fmt: str) -> dict:
+def _run_shard_write(
+    narrowed, write, path: str, meta_name: str, fmt: str, merge: bool = False
+) -> dict:
     stats = (
         # bounded driver aggregate: one row of totals plus the shard-name
         # list for the manifest sidecar — ~25 B per shard name, so ~25 MB
@@ -295,11 +307,23 @@ def _run_shard_write(narrowed, write, path: str, meta_name: str, fmt: str) -> di
         .collect()[0]
     )
     store, key = stores.resolve(path)
+    shards = sorted(stats[3] or [])
+    if merge:
+        # streaming appends union with the existing manifest instead of
+        # replacing it (each micro-batch adds its own batch-prefixed
+        # shards; a replayed batch re-puts byte-identical names)
+        raw = store.get(stores.join(key, meta_name))
+        if raw is not None:
+            prev = json.loads(raw.decode())
+            if prev.get("format") != fmt:
+                raise ValueError(
+                    f"appending to {path!r} whose sidecar has format "
+                    f"{prev.get('format')!r}, expected {fmt!r}"
+                )
+            shards = sorted(set(prev.get("shards") or []) | set(shards))
     store.put(
         stores.join(key, meta_name),
-        json.dumps(
-            {"format": fmt, "shards": sorted(stats[3] or [])}, sort_keys=True
-        ).encode(),
+        json.dumps({"format": fmt, "shards": shards}, sort_keys=True).encode(),
     )
     return {
         "shards": int(stats[0] or 0),
@@ -350,6 +374,8 @@ def write_wet(
     default_date: str = "2026-01-01T00:00:00Z",
     shard_records: int | None = None,
     compress: bool = True,
+    _shard_prefix: str = "part",
+    _merge_manifest: bool = False,
 ) -> dict:
     """Write (url, text) rows as WET shards of ``conversion`` records.
 
@@ -381,6 +407,7 @@ def write_wet(
             shard_records=shard_records,
             compress=compress,
             default_date=default_date,
+            prefix=_shard_prefix,
         )
         for batch in batches:
             urls = batch.column(batch.schema.get_field_index(url_col)).to_pylist()
@@ -416,7 +443,9 @@ def write_wet(
                 sh.add(rec)
         yield sh.stats_batch()
 
-    return _run_shard_write(narrowed, write, path, _META_NAME, "xbs-wet-v1")
+    return _run_shard_write(
+        narrowed, write, path, _META_NAME, "xbs-wet-v1", merge=_merge_manifest
+    )
 
 
 def read_wet(
@@ -615,6 +644,8 @@ def write_warc_responses(
     default_date: str = "2026-01-01T00:00:00Z",
     shard_records: int | None = None,
     compress: bool = True,
+    _shard_prefix: str = "part",
+    _merge_manifest: bool = False,
 ) -> dict:
     """Write (url, body) rows as WARC ``response`` records.
 
@@ -652,6 +683,7 @@ def write_warc_responses(
             shard_records=shard_records,
             compress=compress,
             default_date=default_date,
+            prefix=_shard_prefix,
         )
         for batch in batches:
             urls = batch.column(batch.schema.get_field_index(url_col)).to_pylist()
@@ -697,7 +729,9 @@ def write_warc_responses(
                 sh.add(rec)
         yield sh.stats_batch()
 
-    return _run_shard_write(narrowed, write, path, _WARC_META_NAME, "xbs-warc-v1")
+    return _run_shard_write(
+        narrowed, write, path, _WARC_META_NAME, "xbs-warc-v1", merge=_merge_manifest
+    )
 
 
 def read_warc_responses(
@@ -768,3 +802,74 @@ def read_warc_responses(
         [(s,) for s in shard_names], "shard string"
     ).repartition(stores.shard_read_partitions(spark, len(shard_names)))
     return shards.mapInArrow(read, _RESPONSE_SCHEMA)
+
+
+def wet_stream_sink(
+    path: str,
+    *,
+    url_col: str = "url",
+    text_col: str = "text",
+    date_col: str | None = None,
+    shard_records: int | None = None,
+    compress: bool = True,
+):
+    """``foreachBatch`` callback: exactly-once streaming WET export.
+
+    Same idiom as the TFRecord/WebDataset stream sinks (shared
+    ``stores.exactly_once_batch_sink`` high-water wrapper): each
+    micro-batch lands as its own ``batch-{id:06d}-…`` shard set, the
+    sidecar manifest grows per batch, replayed batch ids are skipped.
+
+    Usage::
+
+        q = (df.writeStream.foreachBatch(wet_stream_sink(out))
+               .trigger(availableNow=True).start())
+    """
+    stores.assert_executor_reachable(path, "wet_stream_sink")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_wet(
+            batch_df,
+            path,
+            url_col=url_col,
+            text_col=text_col,
+            date_col=date_col,
+            shard_records=shard_records,
+            compress=compress,
+            _shard_prefix=f"batch-{batch_id:06d}",
+            _merge_manifest=True,
+        )
+
+    return stores.exactly_once_batch_sink(path, write_batch)
+
+
+def warc_responses_stream_sink(
+    path: str,
+    *,
+    url_col: str = "url",
+    body_col: str = "body",
+    content_type_col: str | None = None,
+    date_col: str | None = None,
+    shard_records: int | None = None,
+    compress: bool = True,
+):
+    """``foreachBatch`` callback: exactly-once streaming WARC-response
+    export (continuous crawl archiving). Same high-water idiom as the
+    other stream sinks."""
+    stores.assert_executor_reachable(path, "warc_responses_stream_sink")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_warc_responses(
+            batch_df,
+            path,
+            url_col=url_col,
+            body_col=body_col,
+            content_type_col=content_type_col,
+            date_col=date_col,
+            shard_records=shard_records,
+            compress=compress,
+            _shard_prefix=f"batch-{batch_id:06d}",
+            _merge_manifest=True,
+        )
+
+    return stores.exactly_once_batch_sink(path, write_batch)
