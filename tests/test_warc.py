@@ -619,3 +619,91 @@ class TestStreamingSinks:
         df = spark.createDataFrame([("http://a/2", "y")], "url string, text string")
         with pytest.raises(Exception, match="format"):
             warc.write_wet(df, str(tmp_path), _merge_manifest=True)
+
+
+class TestContentEncodingAndTruncation:
+    def test_gzip_content_encoding_decoded(self):
+        body = gzip.compress("compressed <p>page</p>".encode())
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            b"Content-Encoding: gzip\r\n\r\n" + body
+        )
+        _, headers, out = warc.parse_http_response(payload)
+        assert out == "compressed <p>page</p>".encode()
+
+    def test_deflate_both_variants_decoded(self):
+        import zlib
+
+        raw = b"deflated body bytes"
+        co = zlib.compressobj(wbits=-15)
+        raw_deflate = co.compress(raw) + co.flush()
+        for enc in (zlib.compress(raw), raw_deflate):
+            payload = (
+                b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + enc
+            )
+            _, _, out = warc.parse_http_response(payload)
+            assert out == raw
+
+    def test_chunked_then_gzip_layering(self):
+        # TE comes off first, then CE (RFC 7230 §3.3)
+        gz = gzip.compress(b"layered")
+        chunked = (
+            format(len(gz), "x").encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n"
+        )
+        payload = (
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+            b"Content-Encoding: gzip\r\n\r\n" + chunked
+        )
+        _, _, out = warc.parse_http_response(payload)
+        assert out == b"layered"
+
+    def test_unsupported_content_encoding_is_loud(self):
+        payload = b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nxxxx"
+        with pytest.raises(ValueError, match="Content-Encoding"):
+            warc.parse_http_response(payload)
+
+    def test_marked_truncated_capture_yields_null_body(self, spark, tmp_path):
+        """WARC-Truncated captures with an undecodable body surface as a
+        row with NULL body; unmarked damage still fails the task."""
+        gz = gzip.compress(b"x" * 1000)
+        cut = gz[: len(gz) // 2]
+        head = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+        marked = _record(
+            [
+                ("WARC-Type", "response"),
+                ("WARC-Target-URI", "http://t.com/cut"),
+                ("WARC-Truncated", "length"),
+                ("Content-Type", "application/http; msgtype=response"),
+            ],
+            head + cut,
+        )
+        whole = _record(
+            [
+                ("WARC-Type", "response"),
+                ("WARC-Target-URI", "http://t.com/ok"),
+                ("Content-Type", "application/http; msgtype=response"),
+            ],
+            b"HTTP/1.1 200 OK\r\n\r\nfine",
+        )
+        (tmp_path / "a.warc").write_bytes(marked + whole)
+        rows = {
+            r["url"]: r
+            for r in warc.read_warc_responses(spark, str(tmp_path)).collect()
+        }
+        assert rows["http://t.com/cut"]["body"] is None
+        assert rows["http://t.com/cut"]["truncated"] == "length"
+        assert rows["http://t.com/ok"]["body"] == "fine"
+        assert rows["http://t.com/ok"]["truncated"] is None
+
+    def test_unmarked_damage_still_loud(self, spark, tmp_path):
+        bad = _record(
+            [
+                ("WARC-Type", "response"),
+                ("WARC-Target-URI", "http://t.com/bad"),
+                ("Content-Type", "application/http; msgtype=response"),
+            ],
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/h",  # no blank line
+        )
+        (tmp_path / "a.warc").write_bytes(bad)
+        with pytest.raises(Exception, match="truncated HTTP head"):
+            warc.read_warc_responses(spark, str(tmp_path)).collect()

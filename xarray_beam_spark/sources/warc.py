@@ -568,6 +568,24 @@ def parse_http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
             headers[last_name] = value.strip()
     if "chunked" in headers.get("transfer-encoding", "").lower():
         body = _dechunk(body)
+    # content-coding comes off AFTER the transfer-coding (RFC 7230 §3.3:
+    # Transfer-Encoding is hop-by-hop and applied last). A gzip body
+    # decoded as text would be silent mojibake — the failure class this
+    # module exists to prevent — so decode it here; unsupported codings
+    # (br, compress) raise rather than pass compressed bytes downstream.
+    ce = headers.get("content-encoding", "").strip().lower()
+    if ce in ("", "identity"):
+        pass
+    elif ce in ("gzip", "x-gzip"):
+        body = gunzip_members(body)
+    elif ce == "deflate":
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            # raw-deflate variant: servers historically sent either
+            body = zlib.decompress(body, -15)
+    else:
+        raise ValueError(f"unsupported Content-Encoding {ce!r}")
     return status, headers, body
 
 
@@ -629,6 +647,9 @@ _RESPONSE_SCHEMA = T.StructType([
     T.StructField("charset", T.StringType()),
     T.StructField("body", T.StringType()),
     T.StructField("content_length", T.LongType()),
+    # the WARC-Truncated reason ("length", "time", …) or NULL — crawlers
+    # mark captures they cut short; pipelines filter on this
+    T.StructField("truncated", T.StringType()),
 ])
 
 
@@ -741,8 +762,13 @@ def read_warc_responses(
 
     Columns: url, warc_date, record_id, status, content_type, charset
     (the label the page *declared*, NULL if none), body (decoded text —
-    pair with ``functions.text.html_to_text`` for the crawl→HTML→text
-    pipeline), content_length (byte length of the de-chunked body).
+    de-chunked, content-decoded (gzip/deflate), charset-decoded; pair
+    with ``functions.text.html_to_text`` for the crawl→HTML→text
+    pipeline), content_length (byte length of the decoded body),
+    truncated (the WARC-Truncated reason, NULL if whole). A capture the
+    crawler MARKED truncated whose body no longer parses/decompresses
+    yields its row with a NULL body instead of failing the task;
+    unmarked damage stays loud.
 
     ``files`` overrides shard discovery (the Common Crawl ``warc.paths``
     workflow); otherwise the writer's sidecar manifest is used, falling
@@ -782,9 +808,24 @@ def read_warc_responses(
                         continue
                     if not h.get("content-type", "").startswith("application/http"):
                         continue
-                    status, http_headers, body = parse_http_response(rec["payload"])
-                    ctype = http_headers.get("content-type")
-                    text, charset = decode_http_body(body, ctype)
+                    trunc = h.get("warc-truncated")
+                    try:
+                        status, http_headers, body = parse_http_response(
+                            rec["payload"]
+                        )
+                        ctype = http_headers.get("content-type")
+                        text, charset = decode_http_body(body, ctype)
+                        blen = len(body)
+                    except ValueError:
+                        # the crawler MARKED this capture incomplete
+                        # (WARC-Truncated, ISO 28500 §5.13) — a cut-off
+                        # chunked or gzip body is expected, not damage.
+                        # Surface the row with a NULL body so pipelines
+                        # can count/filter it; UNMARKED damage still
+                        # fails the task loudly.
+                        if trunc is None:
+                            raise
+                        status = ctype = text = charset = blen = None
                     rows["url"].append(h.get("warc-target-uri"))
                     rows["warc_date"].append(h.get("warc-date"))
                     rows["record_id"].append(h.get("warc-record-id"))
@@ -792,7 +833,8 @@ def read_warc_responses(
                     rows["content_type"].append(ctype)
                     rows["charset"].append(charset)
                     rows["body"].append(text)
-                    rows["content_length"].append(len(body))
+                    rows["content_length"].append(blen)
+                    rows["truncated"].append(trunc)
                 yield pa.RecordBatch.from_arrays(
                     [pa.array(rows[f.name], type=f.type) for f in pa_schema],
                     schema=pa_schema,
