@@ -707,3 +707,37 @@ class TestContentEncodingAndTruncation:
         (tmp_path / "a.warc").write_bytes(bad)
         with pytest.raises(Exception, match="truncated HTTP head"):
             warc.read_warc_responses(spark, str(tmp_path)).collect()
+
+
+class TestHttpResponseProperty:
+    """Encode→parse→decode totality over arbitrary bodies/charsets."""
+
+    def test_roundtrip_property(self):
+        from hypothesis import assume, given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            st.text(min_size=0, max_size=400),
+            st.sampled_from(["utf-8", "ISO-8859-1", "windows-1252"]),
+            st.booleans(),  # gzip content-coding
+        )
+        def prop(text, charset, gz):
+            try:
+                body = text.encode(charset)
+            except UnicodeEncodeError:
+                assume(False)
+            # round-trip guard: cp1252 maps some bytes to the same chars
+            assume(body.decode(charset, "strict") == text)
+            wire = gzip.compress(body) if gz else body
+            head = (
+                f"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset={charset}\r\n"
+                + ("Content-Encoding: gzip\r\n" if gz else "")
+                + "\r\n"
+            ).encode("latin-1")
+            status, headers, out = warc.parse_http_response(head + wire)
+            assert status == 200 and out == body
+            decoded, cs = warc.decode_http_body(out, headers["content-type"])
+            assert decoded == text and cs == charset
+
+        prop()
