@@ -65,13 +65,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001", out: str = "/tmp/corpus_out") -
     from xarray_beam_spark.sources import warc
 
     warc_dir = os.path.join(out, "warc_ingest")
+    # HTML-escape before wrapping: a raw '<' in document text would read
+    # as a tag and html_to_text would silently swallow the span ('&'
+    # first so the escapes themselves survive; the extractor decodes
+    # these entities back)
+    esc = F.col("text")
+    for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.regexp_replace(esc, raw, ent)
     crawl = docs.where(F.col("text").isNotNull()).select(
         F.concat(
             F.lit("http://"), F.col("source"), F.lit(".example.com/crawl/"),
             F.col("doc_id").cast("string"),
         ).alias("url"),
         F.concat(
-            F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")
+            F.lit("<html><body><p>"), esc, F.lit("</p></body></html>")
         ).alias("body"),
     )
     warc.write_warc_responses(crawl.repartition(4, "url"), warc_dir, shard_records=256)

@@ -741,3 +741,54 @@ class TestHttpResponseProperty:
             assert decoded == text and cs == charset
 
         prop()
+
+
+class TestReviewRegressions:
+    """Round-12 review findings, pinned."""
+
+    def test_truncated_deflate_capture_tolerated(self, spark, tmp_path):
+        """zlib.error from a cut compressed body must count as the
+        expected damage class for a WARC-Truncated capture (it is not a
+        ValueError subclass and used to escape the tolerance handler)."""
+        import hashlib
+        import zlib
+
+        # incompressible payload so the cut truly truncates the stream
+        raw = b"".join(hashlib.md5(bytes([i])).digest() for i in range(200))
+        full = zlib.compress(raw)
+        assert len(full) > 1000
+        cut = full[: len(full) // 2]
+        head = b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+        marked = _record(
+            [
+                ("WARC-Type", "response"),
+                ("WARC-Target-URI", "http://t.com/z"),
+                ("WARC-Truncated", "length"),
+                ("Content-Type", "application/http; msgtype=response"),
+            ],
+            head + cut,
+        )
+        (tmp_path / "a.warc").write_bytes(marked)
+        rows = warc.read_warc_responses(spark, str(tmp_path)).collect()
+        assert rows[0]["body"] is None and rows[0]["truncated"] == "length"
+
+    def test_bytes_transform_charset_label_falls_back(self):
+        """codecs.lookup resolves bytes↔bytes transforms (base64, hex,
+        rot13); their .decode raises on str output — must fall back to
+        utf-8, never kill the task."""
+        for label in ("base64", "hex", "rot13", "zip"):
+            text, cs = warc.decode_http_body(
+                "safe".encode(), f"text/html; charset={label}"
+            )
+            assert text == "safe" and cs == label
+
+    def test_crlf_in_content_type_is_loud(self, spark, tmp_path):
+        """Per-row content types are crawl-derived data: a CR/LF inside
+        one would end the framed HTTP head early (verified silent body
+        corruption before the guard)."""
+        df = spark.createDataFrame(
+            [("http://a.com/1", "body", "text/html\r\n\r\nEVIL")],
+            "url string, body string, ct string",
+        )
+        with pytest.raises(Exception, match="CR/LF"):
+            warc.write_warc_responses(df, str(tmp_path), content_type_col="ct")

@@ -352,6 +352,31 @@ def exactly_once_batch_sink(path: str, write_batch):
     return callback
 
 
+def discover_shards(
+    store,
+    key: str,
+    path: str,
+    files: list[str] | None,
+    manifest: list[str] | None,
+    suffixes: tuple[str, ...],
+) -> list[str]:
+    """The shard-set cascade every shard reader shares: explicit
+    ``files`` override first, else the sidecar ``manifest`` the caller
+    already parsed, else a directory listing. An empty-but-present
+    manifest (or ``files=[]``) is a valid zero-row dataset; only failed
+    *discovery* — a listing that finds nothing — raises."""
+    shard_names = files if files is not None else manifest
+    if shard_names is None:  # discovery: foreign dir without a sidecar
+        shard_names = sorted(
+            n for n in store.list_dir(key) if n.endswith(suffixes)
+        )
+        if not shard_names:
+            raise FileNotFoundError(
+                f"no {'/'.join(suffixes)} shards under {path!r}"
+            )
+    return shard_names
+
+
 def shard_read_partitions(spark, n_shards: int) -> int:
     """Read-side task count for a shard listing: one task per shard, up
     to the cluster's core count (floor 64 so a small local session still

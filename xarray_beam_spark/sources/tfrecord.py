@@ -805,15 +805,9 @@ def read_tfrecords(
         )
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
-    shard_names = files if files is not None else manifest
-    if shard_names is None:  # discovery: foreign dir without a sidecar
-        shard_names = sorted(
-            n
-            for n in store.list_dir(key)
-            if n.endswith(".tfrecord") or n.endswith(".tfrecord.gz")
-        )
-        if not shard_names:
-            raise FileNotFoundError(f"no *.tfrecord shards under {path!r}")
+    shard_names = stores.discover_shards(
+        store, key, path, files, manifest, (".tfrecord", ".tfrecord.gz")
+    )
     from pyspark.sql.pandas.types import to_arrow_schema
 
     pa_schema = to_arrow_schema(schema)

@@ -341,12 +341,10 @@ def _discover_shards(
     fmt: str,
     suffixes: tuple[str, ...],
 ) -> list[str]:
-    """Shard set for a read: explicit ``files`` override, else the
-    writer's sidecar manifest (one GET — listing-less stores work), else
-    a directory listing. An empty-but-present manifest (or files=[]) is
-    a valid zero-row dataset; only failed *discovery* raises."""
-    shard_names = files
-    if shard_names is None:
+    """Parse the format-checked sidecar manifest, then run the shared
+    files→manifest→listing cascade (``stores.discover_shards``)."""
+    manifest = None
+    if files is None:
         raw = store.get(stores.join(key, meta_name))
         if raw is not None:
             meta = json.loads(raw.decode())
@@ -354,14 +352,8 @@ def _discover_shards(
                 raise ValueError(
                     f"unrecognized sidecar format {meta.get('format')!r}"
                 )
-            shard_names = meta.get("shards")
-    if shard_names is None:  # discovery: foreign dir without a sidecar
-        shard_names = sorted(
-            n for n in store.list_dir(key) if n.endswith(suffixes)
-        )
-        if not shard_names:
-            raise FileNotFoundError(f"no WARC shards under {path!r}")
-    return shard_names
+            manifest = meta.get("shards")
+    return stores.discover_shards(store, key, path, files, manifest, suffixes)
 
 
 def write_wet(
@@ -577,13 +569,22 @@ def parse_http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
     if ce in ("", "identity"):
         pass
     elif ce in ("gzip", "x-gzip"):
-        body = gunzip_members(body)
+        try:
+            body = gunzip_members(body)
+        except (zlib.error, ValueError) as e:
+            # normalize to ValueError: this function's loud-failure
+            # contract (and read_warc_responses' WARC-Truncated
+            # tolerance) keys on ValueError, and zlib.error isn't one
+            raise ValueError(f"bad gzip content-coding: {e}") from None
     elif ce == "deflate":
         try:
-            body = zlib.decompress(body)
-        except zlib.error:
-            # raw-deflate variant: servers historically sent either
-            body = zlib.decompress(body, -15)
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                # raw-deflate variant: servers historically sent either
+                body = zlib.decompress(body, -15)
+        except zlib.error as e:
+            raise ValueError(f"bad deflate content-coding: {e}") from None
     else:
         raise ValueError(f"unsupported Content-Encoding {ce!r}")
     return status, headers, body
@@ -631,11 +632,19 @@ def decode_http_body(body: bytes, content_type: str | None) -> tuple[str, str | 
     enc = "utf-8"
     if charset:
         try:
-            codecs.lookup(charset)
-            enc = charset
+            info = codecs.lookup(charset)
+            # the codec registry also resolves bytes↔bytes transforms
+            # (base64, hex, zip, …) whose .decode would then raise on a
+            # bytes+errors call — a page declaring charset=base64 must
+            # fall back, not kill the task
+            if getattr(info, "_is_text_encoding", True):
+                enc = charset
         except LookupError:
             pass  # unknown label → utf-8 fallback
-    return body.decode(enc, "replace"), charset
+    try:
+        return body.decode(enc, "replace"), charset
+    except (LookupError, TypeError):  # belt-and-braces for exotic codecs
+        return body.decode("utf-8", "replace"), charset
 
 
 _RESPONSE_SCHEMA = T.StructType([
@@ -727,6 +736,15 @@ def write_warc_responses(
                         "filter NULL rows before writing"
                     )
                 ctype = ctype or default_content_type
+                # same injection class _record_bytes rejects for WARC
+                # headers: a CR/LF inside a per-row content type would
+                # end the framed HTTP head early and silently corrupt
+                # the capture (verified: body swallows the real head)
+                if "\r" in ctype or "\n" in ctype:
+                    raise ValueError(
+                        f"content type {ctype!r} contains CR/LF; scrub "
+                        "newlines before writing"
+                    )
                 m = _CHARSET_RE.search(ctype)
                 enc = m.group(1) if m else "utf-8"
                 body = text.encode(enc)  # loud on unencodable text

@@ -339,13 +339,9 @@ def read_webdataset(
     fields = [f for f in schema.fields if f.name != key_col]
     exts = {(ext_map or {}).get(f.name, f.name): f.name for f in fields}
     desers = {f.name: _deserializer(f) for f in fields}
-    shard_names = files if files is not None else manifest
-    if shard_names is None:  # discovery: foreign dir without a sidecar
-        shard_names = sorted(
-            n for n in store.list_dir(skey) if n.endswith(".tar")
-        )
-        if not shard_names:
-            raise FileNotFoundError(f"no *.tar shards under {path!r}")
+    shard_names = stores.discover_shards(
+        store, skey, path, files, manifest, (".tar",)
+    )
     from pyspark.sql.pandas.types import to_arrow_schema
 
     pa_schema = to_arrow_schema(schema)
