@@ -792,3 +792,55 @@ class TestReviewRegressions:
         )
         with pytest.raises(Exception, match="CR/LF"):
             warc.write_warc_responses(df, str(tmp_path), content_type_col="ct")
+
+
+class TestParserFuzz:
+    """Arbitrary/mutated bytes must parse or raise ValueError — never an
+    IndexError/KeyError/zlib.error/hang (executor tasks turn anything
+    else into an opaque task failure; ValueError is the loud contract)."""
+
+    def test_random_bytes_total(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.binary(min_size=0, max_size=400))
+        def prop(buf):
+            for fn in (warc.parse_warc, warc.parse_http_response):
+                try:
+                    fn(buf)
+                except ValueError:
+                    pass
+
+        prop()
+
+    def test_mutated_valid_records_total(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        rec = _record(
+            [
+                ("WARC-Type", "response"),
+                ("WARC-Target-URI", "http://f.com/x"),
+                ("Content-Type", "application/http; msgtype=response"),
+            ],
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n5\r\nhello\r\n0\r\n\r\n",
+        )
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            st.integers(min_value=0, max_value=len(rec) - 1),
+            st.integers(min_value=0, max_value=255),
+        )
+        def prop(pos, byte):
+            mutated = rec[:pos] + bytes([byte]) + rec[pos + 1 :]
+            try:
+                out = warc.parse_warc(mutated)
+                for r in out:
+                    if r["headers"].get("warc-type") == "response":
+                        warc.parse_http_response(r["payload"])
+            except ValueError:
+                pass
+
+        prop()
