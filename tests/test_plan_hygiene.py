@@ -103,21 +103,25 @@ class TestShardReadParallelism:
 
 def test_export_paths_have_no_unbounded_driver_aggregates():
     """The ONLY .collect() on an export path is the bounded manifest
-    aggregate (one totals row + ~25 B/shard name), and each site must say
-    so in an adjacent 'bounded driver aggregate' comment."""
+    aggregate (one totals row + ~25 B/shard name) — now a single shared
+    site (stores.finalize_shard_write) that must carry the 'bounded
+    driver aggregate' comment; the format modules have none at all."""
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parents[1] / "xarray_beam_spark"
-    sites = 0
     for mod in ("sources/warc.py", "sources/tfrecord.py", "sources/webdataset.py"):
-        lines = (root / mod).read_text().splitlines()
-        for i, line in enumerate(lines):
-            if ".collect()" not in line:
-                continue
-            window = "\n".join(lines[max(0, i - 12) : i])
-            assert "bounded driver aggregate" in window, f"{mod}:{i + 1}"
-            sites += 1
-    assert sites == 3
+        src = (root / mod).read_text()
+        assert ".collect()" not in src, f"driver collect crept into {mod}"
+        assert "finalize_shard_write" in src, mod
+    lines = (root / "sources/stores.py").read_text().splitlines()
+    sites = 0
+    for i, line in enumerate(lines):
+        if ".collect()" not in line:
+            continue
+        window = "\n".join(lines[max(0, i - 12) : i])
+        assert "bounded driver aggregate" in window, f"sources/stores.py:{i + 1}"
+        sites += 1
+    assert sites == 1
 
 
 def test_scalar_broadcast_whitelist_is_tight(spark, sf_dir):

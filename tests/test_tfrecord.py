@@ -443,3 +443,28 @@ class TestManifestAndFilesOverride:
         # explicit empty list = empty dataset, schema preserved
         empty = tfr.read_tfrecords(spark, str(tmp_path), "id long", files=[])
         assert empty.count() == 0 and empty.columns == ["id"]
+
+
+class TestReviewRegressions:
+    """Round-12 module-review findings, pinned."""
+
+    def test_noncanonical_varint_masked_to_64_bits(self):
+        # Int64List value 2^65 encoded as a 10-byte varint: protobuf
+        # semantics are value mod 2^64, so this must decode as 0 — not a
+        # >64-bit python int that _signed64 mis-normalizes
+        int_list = tfr._ld(1, bytes([0x80] * 9 + [0x04]))
+        feature = tfr._ld(3, int_list)
+        entry = tfr._ld(1, b"i") + tfr._ld(2, feature)
+        example = tfr._ld(1, tfr._ld(1, entry))
+        assert tfr.decode_example(example) == {"i": ("int64", [0])}
+
+    def test_null_array_element_named_loudly(self, spark, tmp_path):
+        df = spark.createDataFrame([([1, None],)], "arr array<long>")
+        with pytest.raises(Exception, match="arr.*NULL array element"):
+            tfr.write_tfrecords(df, str(tmp_path))
+
+    def test_multivalue_feature_into_scalar_column_is_loud(self, spark, tmp_path):
+        df = spark.createDataFrame([([1.0, 2.0, 3.0],)], "x array<float>")
+        tfr.write_tfrecords(df, str(tmp_path))
+        with pytest.raises(Exception, match="3 values.*scalar"):
+            tfr.read_tfrecords(spark, str(tmp_path), "x float").collect()

@@ -327,3 +327,35 @@ def _simple_df(spark):
         [("a/000", "x"), ("a/001", "y"), ("a/002", "z")],
         "__key__ string, txt string",
     )
+
+
+class TestReviewRegressions:
+    """Round-12 module-review findings, pinned."""
+
+    def test_duplicate_key_in_partition_is_loud(self, spark, tmp_path):
+        """Consecutive same-key rows would merge into ONE sample on read
+        (2 rows in, 1 out, flush-boundary-dependent) — refuse at write."""
+        df = spark.createDataFrame(
+            [("k", "a", None), ("k", None, b"x")],
+            "__key__ string, txt string, bin binary",
+        )
+        with pytest.raises(Exception, match="duplicate sample key"):
+            wds.write_webdataset(df.repartition(1), str(tmp_path))
+
+    def test_reader_ext_collision_is_loud(self, spark, tmp_path):
+        wds.write_webdataset(_simple_df(spark), str(tmp_path))
+        with pytest.raises(ValueError, match="extension collision"):
+            wds.read_webdataset(
+                spark,
+                str(tmp_path),
+                "__key__ string, a string, b string",
+                ext_map={"a": "x", "b": "x"},
+            )
+
+    def test_overlong_key_names_the_sample(self, spark, tmp_path):
+        long_key = "k" * 140  # no '/' → USTAR cannot split the name
+        df = spark.createDataFrame(
+            [(long_key, "v")], "__key__ string, txt string"
+        )
+        with pytest.raises(Exception, match="USTAR name limit"):
+            wds.write_webdataset(df, str(tmp_path))

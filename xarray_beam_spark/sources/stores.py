@@ -352,6 +352,62 @@ def exactly_once_batch_sink(path: str, write_batch):
     return callback
 
 
+def finalize_shard_write(
+    narrowed,
+    write,
+    stats_schema,
+    path: str,
+    meta_name: str,
+    meta: dict,
+    merge: bool,
+    count_key: str,
+) -> dict:
+    """Shared tail of every shard writer (TFRecord/WebDataset/WET/WARC):
+    run the zero-shuffle ``mapInArrow`` write, reduce per-task stats to
+    one row, and publish the sidecar that doubles as the shard MANIFEST
+    (listing-less stores have no list_dir, and even on object stores one
+    GET beats a LIST — the consolidated-metadata move the Zarr path
+    makes). ``merge`` (streaming appends) unions with the existing
+    manifest instead of replacing it, after checking every ``meta``
+    field against the prior sidecar's contract."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    c0, c1, c2, c3 = stats_schema.fieldNames()
+    stats = (
+        # bounded driver aggregate: one row of totals plus the shard-name
+        # list for the manifest sidecar — ~25 B per shard name, so ~25 MB
+        # even at a million shards. This is the ONLY driver-side size term
+        # on the export path; row data never leaves the executors.
+        narrowed.mapInArrow(write, stats_schema)
+        .agg(F.sum(c0), F.sum(c1), F.sum(c2), F.flatten(F.collect_list(c3)))
+        .collect()[0]
+    )
+    store, key = resolve(path)
+    shards = sorted(stats[3] or [])
+    if merge:
+        raw = store.get(join(key, meta_name))
+        if raw is not None:
+            prev = _json.loads(raw.decode())
+            for k, v in meta.items():
+                if prev.get(k) != v:
+                    raise ValueError(
+                        f"appending to {path!r} with a different {k} than "
+                        "its existing sidecar records"
+                    )
+            shards = sorted(set(prev.get("shards") or []) | set(shards))
+    store.put(
+        join(key, meta_name),
+        _json.dumps({**meta, "shards": shards}, sort_keys=True).encode(),
+    )
+    return {
+        "shards": int(stats[0] or 0),
+        count_key: int(stats[1] or 0),
+        "bytes": int(stats[2] or 0),
+    }
+
+
 def discover_shards(
     store,
     key: str,

@@ -360,7 +360,11 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
         pos += 1
         result |= (b & 0x7F) << shift
         if not b & 0x80:
-            return result, pos
+            # a 10-byte varint can carry up to 70 significand bits;
+            # protobuf semantics are value mod 2^64 — without the mask a
+            # non-canonical encoding silently decodes to a >64-bit int
+            # that _signed64 then mis-normalizes
+            return result & 0xFFFFFFFFFFFFFFFF, pos
         shift += 7
         if shift > 63:
             raise ValueError("varint too long")
@@ -592,6 +596,15 @@ def _encode_arrow_batch(
             if v is None:
                 continue  # missing feature == absent from the map (TF convention)
             values = v if is_list else [v]
+            if is_list and any(x is None for x in values):
+                # a whole-NULL cell maps to a missing feature, but a NULL
+                # *element* has no tf.train.Feature representation — name
+                # the column instead of dying in int(None) deep in a task
+                raise ValueError(
+                    f"column {name!r} holds a NULL array element; "
+                    "tf.train.Feature value lists cannot represent NULLs — "
+                    "filter or fill them before writing"
+                )
             if kind == "bytes":
                 values = [x.encode() if isinstance(x, str) else bytes(x) for x in values]
             elif kind == "int64":
@@ -700,67 +713,42 @@ def write_tfrecords(
             schema=_WRITE_STATS_PA,
         )
 
-    stats = (
-        # bounded driver aggregate: one row of totals plus the shard-name
-        # list for the manifest sidecar — ~25 B per shard name, so ~25 MB
-        # even at a million shards. This is the ONLY driver-side size term
-        # on the export path; row data never leaves the executors.
-        df.mapInArrow(write, _WRITE_STATS)
-        .agg(
-            F.sum("shards"),
-            F.sum("records"),
-            F.sum("bytes"),
-            F.flatten(F.collect_list("shard_names")),
-        )
-        .collect()[0]
+    return stores.finalize_shard_write(
+        df,
+        write,
+        _WRITE_STATS,
+        path,
+        _META_NAME,
+        {"format": "xbs-tfrecord-v1", "schema": json.loads(schema_json)},
+        _merge_manifest,
+        "records",
     )
-    store, key = stores.resolve(path)
-    # the sidecar doubles as the shard MANIFEST: listing-less stores
-    # (plain http) have no list_dir, and even on object stores one GET
-    # beats a LIST — the same consolidated-metadata move the Zarr path
-    # makes. _merge_manifest (streaming appends) unions with the
-    # existing manifest instead of replacing it; the schema must match.
-    shards = sorted(stats[3] or [])
-    if _merge_manifest:
-        raw = store.get(stores.join(key, _META_NAME))
-        if raw is not None:
-            prev = json.loads(raw.decode())
-            if prev.get("schema") != json.loads(schema_json):
-                raise ValueError(
-                    f"appending to {path!r} with a different schema than its "
-                    "existing sidecar records"
-                )
-            shards = sorted(set(prev.get("shards") or []) | set(shards))
-    store.put(
-        stores.join(key, _META_NAME),
-        json.dumps(
-            {
-                "format": "xbs-tfrecord-v1",
-                "schema": json.loads(schema_json),
-                "shards": shards,
-            },
-            sort_keys=True,
-        ).encode(),
-    )
-    return {
-        "shards": int(stats[0] or 0),
-        "records": int(stats[1] or 0),
-        "bytes": int(stats[2] or 0),
-    }
 
 
-def _from_feature(kind_values, want_kind: str, is_list: bool, dt: T.DataType):
+def _from_feature(
+    kind_values, want_kind: str, is_list: bool, dt: T.DataType, name: str
+):
     if kind_values is None:
         return None
     kind, values = kind_values
     if kind != want_kind:
-        raise ValueError(f"feature holds {kind}, column wants {want_kind}")
+        raise ValueError(
+            f"column {name!r}: feature holds {kind}, column wants {want_kind}"
+        )
     if want_kind == "bytes" and isinstance(dt, T.StringType):
         values = [v.decode() for v in values]
     elif want_kind == "int64" and isinstance(dt, T.BooleanType):
         values = [bool(v) for v in values]
     if is_list:
         return values
+    if len(values) > 1:
+        # foreign shards can hold multi-value features; reading one into
+        # a scalar column must not silently drop values[1:]
+        raise ValueError(
+            f"column {name!r}: feature holds {len(values)} values but the "
+            f"schema says scalar {dt.simpleString()}; read it as "
+            f"array<{dt.simpleString()}>"
+        )
     return values[0] if values else None
 
 
@@ -834,7 +822,7 @@ def read_tfrecords(
                     for name, (kind, is_list), dt in fields:
                         elem = dt.elementType if is_list else dt
                         rows[name].append(
-                            _from_feature(feats.get(name), kind, is_list, elem)
+                            _from_feature(feats.get(name), kind, is_list, elem, name)
                         )
                 yield pa.RecordBatch.from_arrays(
                     [

@@ -292,44 +292,9 @@ class _Sharder:
 def _run_shard_write(
     narrowed, write, path: str, meta_name: str, fmt: str, merge: bool = False
 ) -> dict:
-    stats = (
-        # bounded driver aggregate: one row of totals plus the shard-name
-        # list for the manifest sidecar — ~25 B per shard name, so ~25 MB
-        # even at a million shards. This is the ONLY driver-side size term
-        # on the export path; row data never leaves the executors.
-        narrowed.mapInArrow(write, _WRITE_STATS)
-        .agg(
-            F.sum("shards"),
-            F.sum("records"),
-            F.sum("bytes"),
-            F.flatten(F.collect_list("shard_names")),
-        )
-        .collect()[0]
+    return stores.finalize_shard_write(
+        narrowed, write, _WRITE_STATS, path, meta_name, {"format": fmt}, merge, "records"
     )
-    store, key = stores.resolve(path)
-    shards = sorted(stats[3] or [])
-    if merge:
-        # streaming appends union with the existing manifest instead of
-        # replacing it (each micro-batch adds its own batch-prefixed
-        # shards; a replayed batch re-puts byte-identical names)
-        raw = store.get(stores.join(key, meta_name))
-        if raw is not None:
-            prev = json.loads(raw.decode())
-            if prev.get("format") != fmt:
-                raise ValueError(
-                    f"appending to {path!r} whose sidecar has format "
-                    f"{prev.get('format')!r}, expected {fmt!r}"
-                )
-            shards = sorted(set(prev.get("shards") or []) | set(shards))
-    store.put(
-        stores.join(key, meta_name),
-        json.dumps({"format": fmt, "shards": shards}, sort_keys=True).encode(),
-    )
-    return {
-        "shards": int(stats[0] or 0),
-        "records": int(stats[1] or 0),
-        "bytes": int(stats[2] or 0),
-    }
 
 
 def _discover_shards(

@@ -164,6 +164,7 @@ def write_webdataset(
         buf = io.BytesIO()
         tar = tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT)
         in_shard = 0
+        prev_key: str | None = None
 
         def flush() -> None:
             nonlocal seq, n_bytes, buf, tar, in_shard
@@ -204,16 +205,38 @@ def write_webdataset(
                         f"sample key {k!r} contains '.', which would shift "
                         "the key/extension split on read"
                     )
+                if k == prev_key:
+                    # the read convention merges consecutive same-key
+                    # members into ONE sample, so two rows sharing a key
+                    # would silently collapse (or, with overlapping
+                    # columns, write a shard every read rejects) — and
+                    # whether they even land adjacent depends on shard
+                    # flush boundaries. Refuse at the source.
+                    raise ValueError(
+                        f"duplicate sample key {k!r} in one partition; "
+                        "webdataset keys must be unique — two rows with "
+                        "one key cannot round-trip as two samples"
+                    )
+                prev_key = k
                 wrote_member = False
                 for f in ordered:
                     v = cols[f.name][i]
                     if v is None:
                         continue
                     data = sers[f.name](v)
-                    tar.addfile(
-                        _tarinfo(f"{k}.{exts[f.name]}", len(data)),
-                        io.BytesIO(data),
-                    )
+                    member = f"{k}.{exts[f.name]}"
+                    try:
+                        tar.addfile(
+                            _tarinfo(member, len(data)), io.BytesIO(data)
+                        )
+                    except ValueError as e:
+                        # tarfile's bare "name is too long" names neither
+                        # the row nor the USTAR limit
+                        raise ValueError(
+                            f"sample key {k!r}: tar member {member!r} "
+                            f"exceeds the USTAR name limit (~100 chars, "
+                            f"or 155+100 split at a '/'): {e}"
+                        ) from None
                     wrote_member = True
                 if not wrote_member:
                     raise ValueError(
@@ -237,58 +260,21 @@ def write_webdataset(
             schema=_WRITE_STATS_PA,
         )
 
-    stats = (
-        # bounded driver aggregate: one row of totals plus the shard-name
-        # list for the manifest sidecar — ~25 B per shard name, so ~25 MB
-        # even at a million shards. This is the ONLY driver-side size term
-        # on the export path; row data never leaves the executors.
-        df.mapInArrow(write, _WRITE_STATS)
-        .agg(
-            F.sum("shards"),
-            F.sum("samples"),
-            F.sum("bytes"),
-            F.flatten(F.collect_list("shard_names")),
-        )
-        .collect()[0]
+    return stores.finalize_shard_write(
+        df,
+        write,
+        _WRITE_STATS,
+        path,
+        _META_NAME,
+        {
+            "format": "xbs-webdataset-v1",
+            "schema": json.loads(schema_json),
+            "key_col": key_col,
+            "ext_map": exts,
+        },
+        _merge_manifest,
+        "samples",
     )
-    store, skey = stores.resolve(path)
-    # sidecar doubles as the shard manifest (listing-less stores; one
-    # GET instead of a LIST on object stores); _merge_manifest
-    # (streaming appends) unions with the existing manifest — the
-    # schema/key/ext contract must match the prior batches'.
-    shards = sorted(stats[3] or [])
-    if _merge_manifest:
-        raw = store.get(stores.join(skey, _META_NAME))
-        if raw is not None:
-            prev = json.loads(raw.decode())
-            if (
-                prev.get("schema") != json.loads(schema_json)
-                or prev.get("key_col") != key_col
-                or prev.get("ext_map") != exts
-            ):
-                raise ValueError(
-                    f"appending to {path!r} with a different schema/key/ext "
-                    "contract than its existing sidecar records"
-                )
-            shards = sorted(set(prev.get("shards") or []) | set(shards))
-    store.put(
-        stores.join(skey, _META_NAME),
-        json.dumps(
-            {
-                "format": "xbs-webdataset-v1",
-                "schema": json.loads(schema_json),
-                "key_col": key_col,
-                "ext_map": exts,
-                "shards": shards,
-            },
-            sort_keys=True,
-        ).encode(),
-    )
-    return {
-        "shards": int(stats[0] or 0),
-        "samples": int(stats[1] or 0),
-        "bytes": int(stats[2] or 0),
-    }
 
 
 def read_webdataset(
@@ -337,7 +323,13 @@ def read_webdataset(
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     fields = [f for f in schema.fields if f.name != key_col]
-    exts = {(ext_map or {}).get(f.name, f.name): f.name for f in fields}
+    wanted = [(ext_map or {}).get(f.name, f.name) for f in fields]
+    if len(set(wanted)) != len(wanted):
+        # mirror the writer's check: a dict build would silently keep
+        # only the LAST column per extension, decoding the other as
+        # all-NULL with no error
+        raise ValueError(f"extension collision in {sorted(wanted)}")
+    exts = {ext: f.name for ext, f in zip(wanted, fields)}
     desers = {f.name: _deserializer(f) for f in fields}
     shard_names = stores.discover_shards(
         store, skey, path, files, manifest, (".tar",)
