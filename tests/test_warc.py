@@ -844,3 +844,19 @@ class TestParserFuzz:
                 pass
 
         prop()
+
+
+def test_case_insensitive_http_content_type(spark, tmp_path):
+    """Media types are case-insensitive (RFC 2045): an 'Application/HTTP'
+    capture must not silently vanish from read_warc_responses."""
+    rec = _record(
+        [
+            ("WARC-Type", "response"),
+            ("WARC-Target-URI", "http://c.com/x"),
+            ("Content-Type", "Application/HTTP; msgtype=response"),
+        ],
+        b"HTTP/1.1 200 OK\r\n\r\nupper",
+    )
+    (tmp_path / "a.warc").write_bytes(rec)
+    got = warc.read_warc_responses(spark, str(tmp_path)).collect()
+    assert len(got) == 1 and got[0]["body"] == "upper"

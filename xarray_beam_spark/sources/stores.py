@@ -360,7 +360,6 @@ def finalize_shard_write(
     meta_name: str,
     meta: dict,
     merge: bool,
-    count_key: str,
 ) -> dict:
     """Shared tail of every shard writer (TFRecord/WebDataset/WET/WARC):
     run the zero-shuffle ``mapInArrow`` write, reduce per-task stats to
@@ -374,6 +373,9 @@ def finalize_shard_write(
 
     from pyspark.sql import functions as F
 
+    # the stats schema IS the contract: (shards, <count>, bytes,
+    # shard_names) — the count field's own name keys the returned dict,
+    # so a caller cannot mislabel it
     c0, c1, c2, c3 = stats_schema.fieldNames()
     stats = (
         # bounded driver aggregate: one row of totals plus the shard-name
@@ -403,7 +405,7 @@ def finalize_shard_write(
     )
     return {
         "shards": int(stats[0] or 0),
-        count_key: int(stats[1] or 0),
+        c1: int(stats[1] or 0),
         "bytes": int(stats[2] or 0),
     }
 

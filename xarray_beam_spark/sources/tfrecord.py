@@ -55,7 +55,6 @@ from collections.abc import Iterator
 import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from xarray_beam_spark.sources import stores
@@ -721,7 +720,6 @@ def write_tfrecords(
         _META_NAME,
         {"format": "xbs-tfrecord-v1", "schema": json.loads(schema_json)},
         _merge_manifest,
-        "records",
     )
 
 

@@ -43,7 +43,6 @@ from collections.abc import Iterator
 
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from xarray_beam_spark.sources import stores
@@ -293,7 +292,7 @@ def _run_shard_write(
     narrowed, write, path: str, meta_name: str, fmt: str, merge: bool = False
 ) -> dict:
     return stores.finalize_shard_write(
-        narrowed, write, _WRITE_STATS, path, meta_name, {"format": fmt}, merge, "records"
+        narrowed, write, _WRITE_STATS, path, meta_name, {"format": fmt}, merge
     )
 
 
@@ -789,7 +788,10 @@ def read_warc_responses(
                     h = rec["headers"]
                     if h.get("warc-type") != "response":
                         continue
-                    if not h.get("content-type", "").startswith("application/http"):
+                    ctype_hdr = h.get("content-type", "")
+                    # media types are case-insensitive (RFC 2045); a
+                    # foreign 'Application/HTTP' capture must not vanish
+                    if not ctype_hdr.lower().startswith("application/http"):
                         continue
                     trunc = h.get("warc-truncated")
                     try:

@@ -45,7 +45,6 @@ from collections.abc import Iterator
 
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from xarray_beam_spark.sources import stores
@@ -273,7 +272,6 @@ def write_webdataset(
             "ext_map": exts,
         },
         _merge_manifest,
-        "samples",
     )
 
 
