@@ -91,3 +91,54 @@ def test_overlap_merges_leftmost_first(spark):
     assert merges[0][:2] == ("a", "a")
     enc = bpe.bpe_encode(d, merges).collect()[0]["bpe_tokens"]
     assert list(enc) == ["aa", "a", bpe.END, "aa", "a", bpe.END, "aa", "a", bpe.END]
+
+
+class TestRound12Regressions:
+    def test_zero_word_docs_survive_encode(self, spark):
+        """NULL text / no [a-z] runs must yield []/0 — not vanish — and
+        input columns must be preserved."""
+        d = spark.createDataFrame(
+            [(0, "low lower", "a"), (1, "12345 678", "b"), (2, None, "c")],
+            "doc_id long, text string, src string",
+        )
+        merges = bpe.bpe_train(d, n_merges=2)
+        rows = {r["doc_id"]: r for r in bpe.bpe_encode(d, merges).collect()}
+        assert len(rows) == 3
+        assert rows[1]["bpe_tokens"] == [] and rows[1]["n_bpe_tokens"] == 0
+        assert rows[2]["bpe_tokens"] == [] and rows[2]["n_bpe_tokens"] == 0
+        assert rows[0]["n_bpe_tokens"] > 0
+        assert rows[0]["src"] == "a"  # other columns kept
+
+    def test_arrow_path_matches_expression_path(self, spark):
+        """The rank-loop Arrow encoder (the >128-merge path) must agree
+        exactly with the chained-JVM-fold path."""
+        texts = [
+            "low lower lowest newer newest wide widest",
+            "the cat sat on the mat with another cat",
+            None,
+            "banana bandana ananas",
+        ]
+        d = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        merges = bpe.bpe_train(d, n_merges=8)
+        small = {
+            r["doc_id"]: (list(r["bpe_tokens"]), r["n_bpe_tokens"])
+            for r in bpe.bpe_encode(d, merges).collect()
+        }
+        big = {
+            r["doc_id"]: (list(r["bpe_tokens"]), r["n_bpe_tokens"])
+            for r in bpe._bpe_encode_arrow(
+                d, merges, "text", "bpe_tokens", "doc_id"
+            ).collect()
+        }
+        assert small == big
+
+    def test_train_storage_bounded(self, spark):
+        """Each round's localCheckpoint must free the previous round's
+        blocks — the trainer holds at most ~2 symbol-table copies."""
+        d = _docs(spark, ["low lower lowest newer newest " * 5] * 4)
+        before = bpe._persistent_rdd_ids(spark)
+        bpe.bpe_train(d, n_merges=6)
+        leaked = bpe._persistent_rdd_ids(spark) - before
+        assert len(leaked) <= 2, f"{len(leaked)} checkpointed tables leaked"

@@ -1,5 +1,6 @@
 """Corpus-cleaning funnel: stage semantics + plan shape."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from xarray_beam_spark.operators.corpus import clean_corpus
@@ -529,3 +530,26 @@ def test_exact_dedup_null_text_rows_each_kept(spark):
         for r in exact_dedup(df).collect()
     )
     assert got == [(1, 2, False), (3, 1, True), (4, 1, True), (5, 1, False)]
+
+
+class TestRound12Regressions:
+    def test_pack_sequences_null_tokens_is_loud(self, spark):
+        from xarray_beam_spark.operators.corpus import pack_sequences
+
+        df = spark.createDataFrame(
+            [(0, 10), (1, None)], "doc_id long, n_tokens long"
+        )
+        with pytest.raises(Exception, match="NULL token counts"):
+            pack_sequences(df, budget=100).collect()
+
+    def test_quality_classifier_null_text_scores_zero(self, spark):
+        """NULL text scores 0 (matching the oracle's COALESCE), not NULL."""
+        from xarray_beam_spark.operators.corpus import hashed_quality_classifier
+
+        df = spark.createDataFrame(
+            [(0, "good words here", "s"), (1, None, "s")],
+            "doc_id long, text string, source string",
+        )
+        rows = {r["doc_id"]: r for r in hashed_quality_classifier(df).collect()}
+        assert rows[1]["score"] == 0
+        assert rows[1]["label"] == "drop"

@@ -35,8 +35,9 @@ additionally pins the trainer to a from-scratch pure-Python reference.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from xarray_beam_spark.tables import load
 
@@ -100,6 +101,7 @@ def bpe_train(
     ).localCheckpoint(eager=True)
 
     merges: list[tuple[str, str, int]] = []
+    prev_ckpt_ids: set[int] = set()
     for _ in range(n_merges):
         pairs = syms.select(
             F.explode(
@@ -122,10 +124,46 @@ def bpe_train(
             break  # nothing left worth merging
         l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
         merges.append((l, r, n))
+        before = _persistent_rdd_ids(spark)
         syms = syms.select(
             _merge_pair(F.col("s"), l, r).alias("s"), "cnt"
         ).localCheckpoint(eager=True)
+        # free the PREVIOUS round's checkpoint blocks now that the new
+        # eager checkpoint no longer depends on them — without this,
+        # every round pins another full copy of the symbol table in
+        # executor storage until a driver GC happens to reap it
+        new_ids = _persistent_rdd_ids(spark) - before
+        _unpersist_rdds(spark, prev_ckpt_ids)
+        prev_ckpt_ids = new_ids
     return merges
+
+
+def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+    except Exception:  # py4j surface drift → fall back to GC-based cleanup
+        return set()
+
+
+def _unpersist_rdds(spark: SparkSession, rdd_ids: set[int]) -> None:
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in rdd_ids:
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+    except Exception:
+        pass  # best-effort: ContextCleaner reaps on driver GC anyway
+
+
+# Above this many merges the chained-JVM-fold path is refused: each
+# merge nests another aggregate() around the previous, and a
+# production-sized merge list (thousands+) would blow the analyzer's
+# recursion / janino's 64 KB codegen method limit (same failure class
+# functions/text.py documents for detect_language). The Arrow path has
+# no such limit and is the realistic shape at tokenizer scale.
+_EXPR_MERGE_LIMIT = 128
 
 
 def bpe_encode(
@@ -133,27 +171,116 @@ def bpe_encode(
     merges: list[tuple[str, str, int]],
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Apply a learned merge list to every word of every document —
-    ``n_merges`` chained JVM folds over exploded words, re-assembled per
-    document. Adds ``out_col`` (array of subword tokens, ``</w>``-marked)
-    and ``n_bpe_tokens``. Zero Python, zero shuffle beyond the doc-id
-    re-assembly group-by."""
+    """Apply a learned merge list to every word of every document.
+
+    Adds ``out_col`` (array of subword tokens, ``</w>``-marked) and
+    ``n_bpe_tokens`` to EVERY input row — a document with no encodable
+    words (NULL text, digits only) gets ``[]``/0, never silently
+    vanishes — and keeps all other input columns.
+
+    Two physical paths, same result (pinned equal by pytest):
+    ``len(merges) <= _EXPR_MERGE_LIMIT`` chains one JVM fold per merge
+    over exploded words (zero Python; fuses into the scan); above that,
+    chained expressions would blow analyzer/codegen limits, so an
+    Arrow-batched rank-loop encoder runs per partition (the standard
+    BPE encode: repeatedly merge the earliest-learned pair present —
+    order-equivalent to replaying the merge list — with a per-batch
+    word cache since corpus words repeat heavily). Both paths are
+    shuffle-free except the small-path doc-id re-assembly group-by."""
+    if len(merges) > _EXPR_MERGE_LIMIT:
+        return _bpe_encode_arrow(docs, merges, text_col, out_col, id_col)
     words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
     exploded = docs.select(
-        "doc_id", F.posexplode(words).alias("pos", "word")
+        F.col(id_col), F.posexplode(words).alias("pos", "word")
     )
     s = F.concat(F.split(F.col("word"), ""), F.array(F.lit(END)))
     for l, r, _ in merges:
         s = _merge_pair(s, l, r)
-    per_word = exploded.select("doc_id", "pos", s.alias("toks"))
+    per_word = exploded.select(id_col, "pos", s.alias("toks"))
+    enc = per_word.groupBy(id_col).agg(
+        F.flatten(
+            F.array_sort(F.collect_list(F.struct("pos", "toks"))).getField("toks")
+        ).alias(out_col)
+    )
     return (
-        per_word.groupBy("doc_id")
-        .agg(
-            F.flatten(F.array_sort(F.collect_list(F.struct("pos", "toks"))).getField("toks")).alias(out_col)
+        docs.join(enc, on=id_col, how="left")
+        .withColumn(
+            out_col, F.coalesce(F.col(out_col), F.array().cast("array<string>"))
         )
         .withColumn("n_bpe_tokens", F.size(out_col).cast("long"))
     )
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Rank-loop BPE encode of one word (GPT-2-style): merge the
+    earliest-learned adjacent pair present, greedy leftmost within a
+    pass — equivalent to replaying the merge list in order, because a
+    merge's operands can only be produced by EARLIER merges."""
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        best_rank = None
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, (syms[i], syms[i + 1])
+        if best is None:
+            break
+        l, r = best
+        merged = l + r
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _bpe_encode_arrow(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str,
+    out_col: str,
+    id_col: str,
+) -> DataFrame:
+    import re as _re
+
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+    schema = T.StructType(
+        list(docs.schema.fields)
+        + [
+            T.StructField(out_col, T.ArrayType(T.StringType())),
+            T.StructField("n_bpe_tokens", T.LongType()),
+        ]
+    )
+    word_re = _re.compile(r"[a-z]+")
+
+    def encode(batches):
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            toks = []
+            for text in pdf[text_col]:
+                ws = word_re.findall((text or "").lower())
+                doc: list[str] = []
+                for w in ws:
+                    t = cache.get(w)
+                    if t is None:
+                        t = cache[w] = _encode_word(w, ranks)
+                    doc.extend(t)
+                toks.append(doc)
+            pdf = pdf.copy()
+            pdf[out_col] = toks
+            pdf["n_bpe_tokens"] = [len(t) for t in toks]
+            yield pdf
+
+    return docs.mapInPandas(encode, schema)
 
 
 def _bpe_oracle_stage(k: int) -> str:

@@ -454,6 +454,14 @@ def pack_sequences(
     def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         import bisect
 
+        if pdf["n_tokens"].isna().any():
+            # Arrow hands a nullable int64 to pandas as float64+NaN;
+            # int(NaN) would die with an opaque executor traceback —
+            # name the actual problem instead
+            raise ValueError(
+                "pack_sequences: NULL token counts (e.g. "
+                "size(split(NULL text))) — filter them before packing"
+            )
         bucket = int(key[0])
         pdf = pdf.sort_values(
             ["n_tokens", "doc_id"], ascending=[False, True]
@@ -548,14 +556,7 @@ def corpus_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket count sized so each bucket packs >> budget worth of
     # tokens (rule: n_buckets ~ total_tokens / (budget * 100));
     # 256 (the scale default) would leave 500 gate docs ~2 per bucket
-    md5_bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("xbs-pack"), F.col("doc_id").cast("string"))), 25, 8),
-            16,
-            10,
-        ).cast("long")
-        % 8
-    )
+    md5_bucket = hash_bucket("doc_id", 8, "xbs-pack")
     packed = pack_sequences(
         toks, budget=1024, n_buckets=8, strategy="next_fit", bucket_expr=md5_bucket
     )
@@ -588,8 +589,6 @@ def mixture_weights(
     (alpha=0.5 uses IEEE-exact sqrt; other alphas use pow, whose last
     bit may differ across libms — fine for production, not for the
     hash-certified gate)."""
-    from pyspark.sql import Window
-
     counts = docs.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_docs"))
     nd = F.col("n_docs").cast("double")
     raw = F.sqrt(nd) if alpha == 0.5 else F.pow(nd, F.lit(alpha))
@@ -722,8 +721,13 @@ def hashed_quality_classifier(
         % modulus
         - weight_range
     )
-    score = F.aggregate(
-        F.transform(feats, weight), F.lit(0).cast("long"), lambda acc, v: acc + v
+    score = F.coalesce(
+        F.aggregate(
+            F.transform(feats, weight), F.lit(0).cast("long"), lambda acc, v: acc + v
+        ),
+        # NULL text → NULL feature array → NULL aggregate; the oracle
+        # (and sense) says an empty document scores 0, not NULL
+        F.lit(0).cast("long"),
     )
     return (
         docs.withColumn("_feats", feats)
