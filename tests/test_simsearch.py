@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from xarray_beam_spark.operators import simsearch as ss
@@ -502,3 +503,88 @@ def test_quantized_kmeans_trains_and_recall(spark, sf_dir):
         emb, queries, k=10, quantized_kmeans=True, n_probe=6
     ).collect()
     assert _recall(approx, exact) >= 0.5  # 6 of 32 cells probed
+
+
+class TestRound12Regressions:
+    def test_gemm_topk_includes_rank_k_single_partition(self, spark):
+        """The self-row used to consume a partial-top-k slot, silently
+        dropping the true k-th neighbor when queries ⊂ emb in one
+        partition. With float-exact synthetic vectors the GEMM path must
+        match a numpy oracle EXACTLY."""
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(size=(40, 8)).astype(np.float32)
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+            "vec_id long, embedding array<float>",
+        ).repartition(1)
+        qvecs = {i: vecs[i] for i in range(3)}
+        got = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in ss.brute_force_topk_numpy(
+                emb, qvecs, k=5, id_col="vec_id", vec_col="embedding"
+            ).collect()
+        }
+        M = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        for q in range(3):
+            sims = M @ M[q]
+            order = [
+                i
+                for i in sorted(range(40), key=lambda i: (-float(sims[i]), i))
+                if i != q
+            ]
+            for rank in range(1, 6):
+                assert got[(q, rank)] == order[rank - 1], (q, rank)
+
+    def test_null_text_docs_are_not_neardup_twins(self, spark):
+        from xarray_beam_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            simhash_table,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (0, None),
+                (1, None),
+                (2, "the quick brown fox jumps over the lazy dog"),
+                (3, "the quick brown fox jumps over the lazy dog"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = minhash_lsh_pairs(docs, min_jaccard=0.5).collect()
+        assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(2, 3)}
+        # NULL-text docs have no shingles → no fingerprint row
+        fps = {r["doc_id"] for r in simhash_table(docs).collect()}
+        assert fps == {2, 3}
+
+    def test_bad_band_config_is_loud(self, spark):
+        from xarray_beam_spark.operators.dedup import minhash_lsh_pairs
+
+        docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="must divide"):
+            minhash_lsh_pairs(docs, n_hashes=64, n_bands=100)
+        with pytest.raises(ValueError, match="must divide"):
+            minhash_lsh_pairs(docs, n_hashes=64, n_bands=48)
+
+    def test_nonconvergence_is_loud(self, spark):
+        from xarray_beam_spark.operators.dedup import duplicate_clusters
+
+        # a long path needs multiple label-propagation rounds
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 12)], "doc_a long, doc_b long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            duplicate_clusters(edges, algorithm="label", max_iters=1)
+
+    def test_reset_unpersists_shingle_tables(self, spark):
+        from xarray_beam_spark.operators import dedup
+
+        docs = spark.createDataFrame(
+            [(i, f"doc number {i} with words") for i in range(6)],
+            "doc_id long, text string",
+        )
+        dedup.minhash_lsh_pairs(docs).count()
+        assert dedup._EPHEMERAL_PERSISTS
+        dedup.reset_ephemeral_caches()
+        assert not dedup._EPHEMERAL_PERSISTS

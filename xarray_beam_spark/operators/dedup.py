@@ -54,7 +54,15 @@ def word_shingles(text: Column, n: int = 3) -> Column:
         shifted = F.slice(words, j + 1, k)  # words[j:], null-padded by zip_with
         grams = F.zip_with(grams, shifted, lambda g, w: F.concat(g, F.lit(" "), w))
     grams = F.slice(grams, 1, F.greatest(k - (n - 1), F.lit(0)))
-    return F.when(k >= n, F.array_distinct(grams)).otherwise(F.array(F.concat_ws(" ", words)))
+    out = F.when(k >= n, F.array_distinct(grams)).otherwise(
+        F.array(F.concat_ws(" ", words))
+    )
+    # NULL text must stay NULL — concat_ws would fold it to [""], the
+    # same shingle set as an empty document, making every pair of
+    # NULL-text rows a jaccard-1.0 "duplicate" (exact_dedup's contract
+    # says the opposite: NULL rows are never duplicates of each other).
+    # Downstream explodes then simply emit no rows for such docs.
+    return F.when(text.isNull(), F.lit(None).cast("array<string>")).otherwise(out)
 
 
 def minhash_table(
@@ -216,14 +224,26 @@ def minhash_lsh_pairs(
     with overwhelming probability, so recall loss is negligible while the
     worst-case join cost becomes bounded).
     """
+    if n_bands > n_hashes or n_hashes % n_bands != 0:
+        # rows_per_band = 0 would make every band hash a constant (the
+        # self-join goes quadratic over the whole corpus); a non-dividing
+        # n_bands would silently drop trailing signature hashes
+        raise ValueError(
+            f"n_bands={n_bands} must divide n_hashes={n_hashes}"
+        )
     rows_per_band = n_hashes // n_bands
     # The shingle table feeds three consumers (signatures, and both sides
     # of the verification join); persist it so the split/distinct work runs
     # once instead of three times through the lineage. At cluster scale
-    # this is the natural checkpoint of the dedup pipeline.
+    # this is the natural checkpoint of the dedup pipeline. The persist is
+    # registered for reset_ephemeral_caches(): the returned plan is lazy,
+    # so this function cannot know when to unpersist — without the hook,
+    # repeated invocations (bench best-of-N) pile persisted shingle
+    # tables into the CacheManager, which never reference-GCs them.
     shingles = docs.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
     ).persist()
+    _EPHEMERAL_PERSISTS.append(shingles)
     exploded = shingles.select(F.col(id_col), F.explode("shingles").alias("sh"))
     aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"mh{i}") for i in range(n_hashes)]
     sig = exploded.groupBy(id_col).agg(*aggs)
@@ -357,6 +377,16 @@ def _cc_two_phase(
         canon = small
         if unchanged:
             break
+    else:
+        # falling out of the loop mid-convergence would hand downstream a
+        # partially-rewired edge set read as a star forest: some doc_id
+        # labels would silently NOT be component minima, splitting one
+        # duplicate cluster into several. O(log n) rounds means hitting
+        # this bound signals a real problem, never routine input.
+        raise RuntimeError(
+            f"connected components did not converge in max_iters={max_iters} "
+            "rounds; raise max_iters (rounds needed grow ~log n)"
+        )
     if _rounds_out is not None:
         _rounds_out.append(rounds)
     # converged: canon is a star forest (u → component min). Roots never
@@ -445,6 +475,12 @@ def duplicate_clusters(
         labels = new_labels.select("node", "label")
         if n_changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in max_iters={max_iters} "
+            "rounds; labels would silently not be component minima "
+            "(rounds needed grow with graph diameter — prefer 'star')"
+        )
     if _rounds_out is not None:
         _rounds_out.append(rounds)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
@@ -886,6 +922,7 @@ SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
 # queries' cost — the duplicate_clusters iteration already truncates
 # lineage, so the cached frame is a handful of in-memory label rows.
 _CLUSTER_CACHE: dict = {}
+_EPHEMERAL_PERSISTS: list = []  # persisted frames lazy results depend on
 
 
 def _variant_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -935,8 +972,15 @@ def reset_ephemeral_caches() -> None:
     """Forget the session-memoized clustering (bench best-of-N: the
     iterative clustering IS the certified work of the clusters gates, so
     each bench run must recompute it; dropping the references lets the
-    ContextCleaner reclaim the old checkpoint blocks)."""
+    ContextCleaner reclaim the old checkpoint blocks) and unpersist the
+    shingle tables minhash_lsh_pairs registered (lazy results mean the
+    builder cannot unpersist them itself)."""
     _CLUSTER_CACHE.clear()
+    while _EPHEMERAL_PERSISTS:
+        try:
+            _EPHEMERAL_PERSISTS.pop().unpersist()
+        except Exception:
+            pass  # session already stopped
 
 
 @_register("dedup_duplicate_clusters", _CLUSTERS_ORACLE)

@@ -81,6 +81,18 @@ def with_qnorm(df: DataFrame, qcol: str = "qvec") -> DataFrame:
     )
 
 
+def _topk_window(scored: DataFrame, k: int) -> DataFrame:
+    """THE per-query ranking contract every ANN variant shares (and the
+    oracles replay): rank by sim desc, neighbor_id asc tie-break, keep
+    the top k — one place, so a tie-break change cannot silently diverge
+    between variants."""
+    win = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(win))
+    return ranked.where(F.col("rank") <= k).select(
+        "query_id", "rank", "neighbor_id", "sim"
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -103,12 +115,7 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"),
         qcosine(F.col("q_qvec"), F.col("qvec"), F.col("q_qnorm"), F.col("qnorm")).alias("sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "sim")
-    )
+    return _topk_window(scored, k)
 
 
 def brute_force_topk_numpy(
@@ -137,11 +144,16 @@ def brute_force_topk_numpy(
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qids_l, Qn_l = bc.value
         for pdf in batches:
+            if not len(pdf):
+                continue
             ids = pdf[id_col].to_numpy()
             M = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
             M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
             sims = Qn_l @ M.T  # (Q, batch)
-            kk = min(k, sims.shape[1])
+            # k+1, not k: when the query itself lives in this batch its
+            # own sim=1.0 row occupies a partial-top-k slot before the
+            # self-filter below, silently dropping the true k-th neighbor
+            kk = min(k + 1, sims.shape[1])
             part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
             rows = []
             for qi, qid in enumerate(qids_l):
@@ -151,12 +163,7 @@ def brute_force_topk_numpy(
             yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "sim"])
 
     scored = emb.select(id_col, vec_col).mapInPandas(score, schema)
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "sim")
-    )
+    return _topk_window(scored, k)
 
 
 def rademacher_planes(n_tables: int, n_planes: int, dim: int, seed: int) -> np.ndarray:
@@ -281,12 +288,7 @@ def lsh_topk(
             qcosine(F.col("q_qvec"), F.col("qvec"), F.col("q_qnorm"), F.col("qnorm")).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "sim")
-    )
+    return _topk_window(cand, k)
 
 
 def _kmeans(sample: np.ndarray, n_centroids: int, iters: int = 8, seed: int = 7) -> np.ndarray:
@@ -367,6 +369,8 @@ def _with_ivf_cells(df: DataFrame, C: np.ndarray, vec_col: str, id_col: str, out
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         Cl = bc.value
         for pdf in batches:
+            if not len(pdf):
+                continue
             ids = pdf[id_col].to_numpy()
             M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             qv = np.floor(M * QUANT).astype(np.int64)
@@ -503,8 +507,18 @@ def ivf_topk(
             .withColumnRenamed("qnorm", "q_qnorm")
         )
     else:
+        # deterministic sample: LIMIT without ORDER BY is engine/
+        # partitioning-dependent, which would make the "seeded" k-means
+        # train on a different sample per plan — order by id first (the
+        # quantized path already does)
         sample = np.stack(
-            [r[0] for r in emb.select(vec_col).limit(train_limit).collect()]
+            [
+                r[1]
+                for r in emb.select(id_col, vec_col)
+                .orderBy(id_col)
+                .limit(train_limit)
+                .collect()
+            ]
         ).astype(np.float64)
         C = _kmeans(sample, n_centroids, seed=seed)
         base = _with_ivf_cells(emb, C, vec_col, id_col, "neighbor_id", n_probe=1)
@@ -529,12 +543,7 @@ def _rank_cell_candidates(base: DataFrame, qs: DataFrame, k: int) -> DataFrame:
             qcosine(F.col("q_qvec"), F.col("qvec"), F.col("q_qnorm"), F.col("qnorm")).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "sim")
-    )
+    return _topk_window(cand, k)
 
 
 def build_ivf_index(
@@ -584,8 +593,18 @@ def build_ivf_index(
             "neighbor_id", n_probe=1,
         )
     else:
+        # deterministic sample: LIMIT without ORDER BY is engine/
+        # partitioning-dependent, which would make the "seeded" k-means
+        # train on a different sample per plan — order by id first (the
+        # quantized path already does)
         sample = np.stack(
-            [r[0] for r in emb.select(vec_col).limit(train_limit).collect()]
+            [
+                r[1]
+                for r in emb.select(id_col, vec_col)
+                .orderBy(id_col)
+                .limit(train_limit)
+                .collect()
+            ]
         ).astype(np.float64)
         C = _kmeans(sample, n_centroids, seed=seed)
         cent = spark.createDataFrame(
@@ -841,8 +860,18 @@ def ivfpq_topk(
 
         adc_init = "CAST(0 AS BIGINT)"
     else:
+        # deterministic sample: LIMIT without ORDER BY is engine/
+        # partitioning-dependent, which would make the "seeded" k-means
+        # train on a different sample per plan — order by id first (the
+        # quantized path already does)
         sample = np.stack(
-            [r[0] for r in emb.select(vec_col).limit(train_limit).collect()]
+            [
+                r[1]
+                for r in emb.select(id_col, vec_col)
+                .orderBy(id_col)
+                .limit(train_limit)
+                .collect()
+            ]
         ).astype(np.float64)
         C = _kmeans(sample, n_centroids, seed=seed)
         books = _pq_train(sample, m_sub, k_sub, seed=seed + 101)  # (M, K, d)
@@ -854,6 +883,8 @@ def ivfpq_topk(
             # argmin ||x-c||² == argmax (x·c - ||c||²/2), one GEMM per subspace
             half = [(Bk[m] ** 2).sum(axis=1) / 2.0 for m in range(m_sub)]
             for pdf in batches:
+                if not len(pdf):
+                    continue
                 ids = pdf[id_col].to_numpy()
                 M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
                 Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
@@ -869,6 +900,8 @@ def ivfpq_topk(
         def qside(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             Cl, Bk = bc.value
             for pdf in batches:
+                if not len(pdf):
+                    continue
                 ids = pdf[id_col].to_numpy()
                 M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
                 Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
@@ -934,12 +967,7 @@ def ivfpq_topk(
             ).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "sim")
-    )
+    return _topk_window(scored, k)
 
 
 def neardup_pairs_blocked(
@@ -1432,7 +1460,18 @@ def ann_ivf_persisted_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = load(spark, sf_dir, "embeddings")
-    tag = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(sf_dir.rstrip("/")))
+    # the tag must key on the FULL path, not the basename: two corpus
+    # dirs named sf0.01 under different parents would otherwise share
+    # one table name while the build cache keys on full sf_dir — the
+    # second path's queries would silently read the first path's index
+    import hashlib
+
+    digest = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    tag = (
+        re.sub(r"[^0-9a-zA-Z]+", "_", os.path.basename(sf_dir.rstrip("/")))
+        + "_"
+        + digest
+    )
     # Dedicated database at a FRESH per-process location: a stale
     # spark-warehouse/ in the driver's cwd (left by an earlier process
     # whose tables this catalog does not know) would otherwise fail
