@@ -24,6 +24,7 @@ SCALAR_BROADCAST_OK = {
     # corpus, never corpus×corpus. The scale path is ann_lsh/ann_ivf.
     "ann_brute_force_topk",
     "text_tfidf_topterms",   # corpus-size N scalar (1-row broadcast)
+    "events_cms_heavy_hitters",  # total-events scalar (1-row broadcast)
 }
 
 # Streaming gates execute eagerly through a sink when called; their join

@@ -176,3 +176,17 @@ class TestBloomInline:
         )
         with pytest.raises(ValueError, match="inline bloom capped"):
             sk.bloom_bitmask(bloom, 1 << 20)
+
+
+def test_hll_w_zero_key_does_not_corrupt_estimate(spark):
+    """Keys whose 32-bit md5 slice is < 256 (w == 0; p ~ 2^-24 per key —
+    inevitable at scale) used to set rank WBITS+1, making the dyadic sum
+    shiftleft(1, -1) = LONG_MIN and the estimate garbage. Capped at
+    WBITS, the estimate stays within normal HLL error."""
+    from xarray_beam_spark.operators.sketches import hll_build, hll_estimate
+
+    # 1946096's md5('xbs-hll:…') low-32 slice is < 256 (found by search)
+    keys = [1946096] + list(range(100))
+    df = spark.createDataFrame([(k,) for k in keys], "user_id long")
+    est = hll_estimate(hll_build(df, "user_id")).collect()[0]["est"]
+    assert 0 < est < 400, est  # was hugely negative before the cap

@@ -282,3 +282,45 @@ def test_asof_single_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+class TestRound12Regressions:
+    def test_interval_join_fractional_hi_keeps_boundary_bin(self, spark):
+        """Double time columns: hi_u - 1 on a TRUNCATED hi dropped the
+        bin holding points with trunc(t) == trunc(hi) — t=4.2 in
+        [1.0, 4.9) silently vanished."""
+        points = spark.createDataFrame(
+            [(1, 4.2), (1, 4.95)], "k long, t double"
+        )
+        ivs = spark.createDataFrame(
+            [(1, 1.0, 4.9)], "k long, lo double, hi double"
+        )
+        got = interval_join(
+            points, ivs, on=["k"], point_time="t", lo="lo", hi="hi",
+            bin_width=1.0, closed="left",
+        ).collect()
+        assert [r["t"] for r in got] == [4.2]  # 4.95 >= hi stays excluded
+
+    def test_interval_join_integer_hi_still_exact(self, spark):
+        points = spark.createDataFrame([(1, 4), (1, 5)], "k long, t long")
+        ivs = spark.createDataFrame([(1, 1, 5)], "k long, lo long, hi long")
+        got = interval_join(
+            points, ivs, on=["k"], point_time="t", lo="lo", hi="hi",
+            bin_width=1, closed="left",
+        ).collect()
+        assert [r["t"] for r in got] == [4]
+
+    def test_asof_nearest_exact_above_2_53(self, spark):
+        """int64 distances near 2^53: the double detour misrounded them
+        and attached the wrong side."""
+        base = 1 << 53
+        left = spark.createDataFrame([(1, base + 3)], "k long, t long")
+        right = spark.createDataFrame(
+            [(1, base + 2, "back"), (1, base + 5, "fwd")],
+            "k long, rt long, tag string",
+        )
+        got = asof_join(
+            left, right, on=["k"], left_time="t", right_time="rt",
+            direction="nearest",
+        ).collect()
+        assert got[0]["tag"] == "back"  # true dists: 1 vs 2

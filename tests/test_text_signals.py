@@ -872,3 +872,69 @@ class TestHtmlToText:
             for h in hostiles
         ]
         assert got == want
+
+
+class TestRound12Regressions:
+    def test_pii_boundary_matches_re2_on_non_ascii(self, spark):
+        """Java's Unicode \\b saw no boundary in 'café192.168.0.1' while
+        RE2's ASCII \\b did — Spark under-redacted relative to every
+        oracle. The Spark side now spells the boundary as ASCII
+        lookarounds; both engines must agree."""
+        import duckdb
+
+        from xarray_beam_spark.functions.text import scrub_pii, sql_scrub_pii
+
+        cases = [
+            "café192.168.0.1 and café555-123-4567",
+            "plain 10.0.0.1 text",
+            "word192.168.0.1 stays",  # ASCII word char: no boundary, keep
+            "x_555-123-4567 stays",   # underscore is a word char in both
+        ]
+        df = spark.createDataFrame([(c,) for c in cases], "t string")
+        got = [r["s"] for r in df.select(scrub_pii(F.col("t")).alias("s")).collect()]
+        con = duckdb.connect()
+        for case, spark_out in zip(cases, got):
+            want = con.execute(
+                f"SELECT {sql_scrub_pii('t')} FROM (SELECT ? AS t)", [case]
+            ).fetchone()[0]
+            assert spark_out == want, (case, spark_out, want)
+        assert "<IP>" in got[0] and "<PHONE>" in got[0]
+        assert got[2] == cases[2] and got[3] == cases[3]
+
+    def test_token_sep_matches_re2_on_vertical_tab(self, spark):
+        """\\x0B: inside Java's \\s, outside RE2's — the spelled-out class
+        keeps both engines splitting identically."""
+        import duckdb
+
+        from xarray_beam_spark.functions.text import token_count
+
+        df = spark.createDataFrame([("a\x0bb c",)], "t string")
+        n_spark = df.select(token_count(F.col("t")).alias("n")).collect()[0]["n"]
+        n_duck = duckdb.connect().execute(
+            r"SELECT len(regexp_split_to_array(?, '[ \t\n\x0B\f\r]+'))",
+            ["a\x0bb c"],
+        ).fetchone()[0]
+        assert n_spark == n_duck == 3
+
+    def test_rewrite_gates_coalesce_null_text_fp(self, spark):
+        """The span-dedup gates' rewritten_fp must md5 a COALESCEd text
+        (the oracles all spell md5(COALESCE(text,''))) — a plain
+        F.md5('text') would return NULL for NULL-text docs and break
+        hash parity the first time a corpus carries one. Also pin the
+        operator itself: NULL text survives as a row (never dropped)."""
+        import pathlib
+
+        from xarray_beam_spark.functions.text import remove_duplicate_spans
+
+        src = (
+            pathlib.Path(__file__).resolve().parents[1]
+            / "xarray_beam_spark/functions/text.py"
+        ).read_text()
+        assert 'F.md5("text").alias("rewritten_fp")' not in src
+        docs = spark.createDataFrame(
+            [(0, "alpha beta gamma delta " * 4), (1, None)],
+            "doc_id long, text string",
+        )
+        out = remove_duplicate_spans(docs, window=4)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert len(rows) == 2 and rows[1]["text"] is None

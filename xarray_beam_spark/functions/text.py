@@ -25,9 +25,17 @@ def _register(name: str, oracle: str | None):
     return deco
 
 
+# Java's \s is exactly [ \t\n\x0B\f\r] (ASCII, no Unicode flag) but
+# RE2's \s LACKS \x0B — the one token-split divergence between the engine
+# and its DuckDB oracles. Spell the class out on BOTH sides (the same
+# bytes reach both regex engines) so tokenization can never diverge; the
+# Spark-side semantics are unchanged (the class IS Java's \s).
+TOKEN_SEP = r"[ \t\n\x0B\f\r]+"
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count (split semantics shared with DuckDB)."""
-    return F.size(F.split(text, r"\s+")).cast("long")
+    return F.size(F.split(text, TOKEN_SEP)).cast("long")
 
 
 # GPT-2-flavoured pre-tokenizer classes (simplified to an engine-portable
@@ -49,7 +57,7 @@ def rolling_hash(text: Column, base: int = 131, mod: int = 1_000_003) -> Column:
     Pure JVM expression (``aggregate`` over the split array); the per-step
     modulo keeps every intermediate < 2^40, so bigint arithmetic is exact
     in both Spark and DuckDB."""
-    words = F.split(text, r"\s+")
+    words = F.split(text, TOKEN_SEP)
     step = lambda acc, w: (acc * base + F.ascii(w) + F.length(w)) % mod  # noqa: E731
     return F.aggregate(words, F.lit(0).cast("long"), step)
 
@@ -60,7 +68,7 @@ def sql_rolling_hash(col: str, base: int = 131, mod: int = 1_000_003) -> str:
     # instead fold with an explicit seed element mapped to 0.
     return (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(regexp_split_to_array({col}, '\\s+'), "
+        f"list_transform(regexp_split_to_array({col}, '[ \\t\\n\\x0B\\f\\r]+'), "
         f"w -> CAST(ascii(w) + length(w) AS BIGINT))), "
         f"(acc, x) -> (acc * {base} + x) % {mod})"
     )
@@ -162,7 +170,7 @@ def quality_features(text: Column) -> dict[str, Column]:
 _STATS_ORACLE = f"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
-       CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens,
        CAST({sql_substr_count("(' ' || text || ' ')", ' the ')}
           + {sql_substr_count("(' ' || text || ' ')", ' a ')}
           + {sql_substr_count("(' ' || text || ' ')", ' and ')}
@@ -174,9 +182,9 @@ SELECT doc_id,
           + {sql_substr_count("(' ' || text || ' ')", ' and ')}
           + {sql_substr_count("(' ' || text || ' ')", ' of ')}
           + {sql_substr_count("(' ' || text || ' ')", ' to ')} AS DOUBLE)
-         / len(regexp_split_to_array(text, '\\s+')) AS stopword_ratio,
-       CAST(length(text) - len(regexp_split_to_array(text, '\\s+')) + 1 AS DOUBLE)
-         / len(regexp_split_to_array(text, '\\s+')) AS mean_token_len
+         / len(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')) AS stopword_ratio,
+       CAST(length(text) - len(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')) + 1 AS DOUBLE)
+         / len(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')) AS mean_token_len
 FROM documents
 """
 
@@ -231,7 +239,7 @@ def text_lang_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_ORACLE = r"""
 SELECT doc_id,
-       CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS ws_tokens,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
 FROM documents
 """
@@ -295,7 +303,7 @@ def repetition_signals(text: Column) -> dict[str, Column]:
     folding a (prev, run, best) struct over it with ``aggregate`` instead
     of an explode + groupBy, trading a per-row O(g log g) sort for not
     shuffling the corpus."""
-    words = F.split(text, r"\s+")
+    words = F.split(text, TOKEN_SEP)
     n = F.size(words)
     n_unique = F.size(F.array_distinct(words))
     dup_word_fraction = F.lit(1.0) - n_unique.cast("double") / n.cast("double")
@@ -331,7 +339,7 @@ def repetition_signals(text: Column) -> dict[str, Column]:
 # cross-check rather than the same code run twice.
 _REPETITION_ORACLE = r"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(text, '\s+') AS words FROM documents
+  SELECT doc_id, regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS words FROM documents
 ), g AS (
   SELECT doc_id,
          unnest(list_transform(range(1, len(words)),
@@ -367,7 +375,7 @@ def text_repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VOCAB_ORACLE = r"""
 SELECT w AS word, COUNT(*) AS cnt
-FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents)
+FROM (SELECT unnest(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS w FROM documents)
 WHERE w <> ''
 GROUP BY 1
 ORDER BY cnt DESC, word ASC
@@ -384,7 +392,7 @@ def doc_vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     word so the result set is deterministic."""
     docs = load(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(F.split("text", r"\s+")).alias("word"))
+        docs.select(F.explode(F.split("text", TOKEN_SEP)).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -706,7 +714,7 @@ def tfidf_top_terms(
     from pyspark.sql.window import Window as _W
 
     words = docs.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("term")
+        F.col(id_col), F.explode(F.split(F.col(text_col), TOKEN_SEP)).alias("term")
     ).where(F.col("term") != "")
     tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -815,7 +823,7 @@ def text_c4_sentence_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "doc_id",
-        F.md5("text").alias("rewritten_fp"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("rewritten_fp"),  # oracle: md5(COALESCE(text,''))
         "n_sentences",
         "removed_sentences",
         "n_spans",
@@ -900,7 +908,7 @@ def text_line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "doc_id",
-        F.md5("text").alias("rewritten_fp"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("rewritten_fp"),  # oracle: md5(COALESCE(text,''))
         "n_lines",
         "removed_lines",
         "n_spans",
@@ -910,7 +918,7 @@ def text_line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TFIDF_ORACLE = r"""
 WITH words AS (
   SELECT doc_id, w AS term
-  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents),
+  FROM (SELECT doc_id, regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS ws FROM documents),
        UNNEST(ws) AS u(w)
   WHERE w != ''
 ),
@@ -990,9 +998,14 @@ def text_normalize_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PII scrubbing
 # ---------------------------------------------------------------------------
 
-# Engine-portable patterns (no lookarounds/backrefs — valid in both Java
-# regex and DuckDB's RE2): scrub order matters — emails first (their
-# domains contain dots/digits an IP pattern could bite into).
+# Oracle-dialect patterns (DuckDB/RE2): RE2's \b is an ASCII word
+# boundary ([0-9A-Za-z_] vs not). Java's \b is Unicode-aware — 'é'
+# counts as a word char — so running THESE patterns in Spark would
+# under-redact 'café192.168.0.1' while the oracle redacts it. The Spark
+# side therefore spells the boundary as explicit ASCII lookarounds
+# (_java_pii_pattern below; lookarounds exist in Java, not in RE2) —
+# two spellings, one match set. Scrub order matters — emails first
+# (their domains contain dots/digits an IP pattern could bite into).
 PII_PATTERNS: dict[str, tuple[str, str]] = {
     "email": (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
     "ipv4": (r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
@@ -1000,22 +1013,35 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 }
 
 
+def _java_pii_pattern(pat: str) -> str:
+    """Java-dialect spelling: replace leading/trailing ``\\b`` with
+    zero-width ASCII-word lookarounds so Spark matches exactly RE2's
+    ASCII boundary semantics (incl. against non-ASCII neighbors)."""
+    if pat.startswith(r"\b"):
+        pat = r"(?<![0-9A-Za-z_])" + pat[2:]
+    if pat.endswith(r"\b"):
+        pat = pat[:-2] + r"(?![0-9A-Za-z_])"
+    return pat
+
+
 def scrub_pii(text: Column) -> Column:
     """Redact emails, IPv4 addresses and phone numbers with typed
     placeholder tokens — the C4/RefinedWeb-style PII pass a web corpus
     runs before training. Pure JVM ``regexp_replace`` chain: zero
-    shuffle, whole-stage-codegen friendly, identical RE2-safe patterns
-    shared with the SQL oracle dialect."""
+    shuffle, whole-stage-codegen friendly; patterns match the SQL
+    oracle dialect's set exactly (see ``_java_pii_pattern``)."""
     out = text
     for pat, token in PII_PATTERNS.values():
-        out = F.regexp_replace(out, pat, token)
+        out = F.regexp_replace(out, _java_pii_pattern(pat), token)
     return out
 
 
 def pii_counts(text: Column) -> dict[str, Column]:
     """Per-category PII match counts on the raw text (audit metrics)."""
     return {
-        f"n_{name}": F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("long")
+        f"n_{name}": F.size(
+            F.regexp_extract_all(text, F.lit(_java_pii_pattern(pat)), 0)
+        ).cast("long")
         for name, (pat, _) in PII_PATTERNS.items()
     }
 
@@ -1090,7 +1116,7 @@ def substring_dup_windows(
     at any corpus size, no pairwise comparison anywhere. ``hash_fn="md5"``
     switches to md5 (4x wider keys) for engine-portable certification —
     DuckDB has no xxhash64."""
-    toks = F.split(F.col(text_col), r"\s+")
+    toks = F.split(F.col(text_col), TOKEN_SEP)
     n = F.size(toks)
     positions = F.when(
         n >= window, F.sequence(F.lit(1), n - window + 1)
@@ -1131,7 +1157,7 @@ def substring_dup_windows(
 
 
 _SUBSTRING_DUP_ORACLE = r"""
-WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS w FROM documents),
 wins AS (
   SELECT doc_id, md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS h
   FROM t, UNNEST(generate_series(1, len(w) - 7)) AS u(i)
@@ -1217,7 +1243,7 @@ def remove_duplicate_spans(
     """
     return _excise_duplicate_window_spans(
         docs,
-        units=F.split(F.col(text_col), r"\s+"),
+        units=F.split(F.col(text_col), TOKEN_SEP),
         window=window,
         hash_fn=hash_fn,
         min_count=min_count,
@@ -1233,7 +1259,7 @@ def remove_duplicate_spans(
 # multiplicity -> per-doc gaps-and-islands interval merge (running-max
 # window) -> NOT EXISTS range anti-join to splice, string_agg rewrite.
 _REMOVE_DUP_SPANS_ORACLE = r"""
-WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS w FROM documents),
 wins AS (
   SELECT doc_id, i AS pos, md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS h
   FROM t, UNNEST(generate_series(1, len(w) - 7)) AS u(i)
@@ -1264,7 +1290,7 @@ kept AS (
 rew AS (SELECT doc_id, COALESCE(string_agg(tok, ' ' ORDER BY i), '') AS text FROM kept GROUP BY doc_id)
 SELECT d.doc_id,
        md5(COALESCE(r.text, '')) AS rewritten_fp,
-       CAST(len(regexp_split_to_array(d.text, '\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_split_to_array(d.text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
        CAST(COALESCE(a.removed_tokens, 0) AS BIGINT) AS removed_tokens,
        CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans
 FROM documents d
@@ -1283,7 +1309,7 @@ def text_remove_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = remove_duplicate_spans(docs, window=8, hash_fn="md5")
     return out.select(
         "doc_id",
-        F.md5("text").alias("rewritten_fp"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("rewritten_fp"),  # oracle: md5(COALESCE(text,''))
         "n_tokens",
         "removed_tokens",
         "n_spans",
@@ -1294,7 +1320,7 @@ def text_remove_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keep-first row_number over the hash group and the post-merge span
 # length floor (HAVING on the merged interval).
 _REMOVE_DUP_SPANS_KEEPFIRST_ORACLE = r"""
-WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+WITH t AS (SELECT doc_id, regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS w FROM documents),
 wins AS (
   SELECT doc_id, i AS pos, md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS h
   FROM t, UNNEST(generate_series(1, len(w) - 7)) AS u(i)
@@ -1333,7 +1359,7 @@ kept AS (
 rew AS (SELECT doc_id, COALESCE(string_agg(tok, ' ' ORDER BY i), '') AS text FROM kept GROUP BY doc_id)
 SELECT d.doc_id,
        md5(COALESCE(r.text, '')) AS rewritten_fp,
-       CAST(len(regexp_split_to_array(d.text, '\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_split_to_array(d.text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
        CAST(COALESCE(a.removed_tokens, 0) AS BIGINT) AS removed_tokens,
        CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans
 FROM documents d
@@ -1358,7 +1384,7 @@ def text_remove_dup_spans_keepfirst_q(spark: SparkSession, sf_dir: str) -> DataF
     )
     return out.select(
         "doc_id",
-        F.md5("text").alias("rewritten_fp"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("rewritten_fp"),  # oracle: md5(COALESCE(text,''))
         "n_tokens",
         "removed_tokens",
         "n_spans",
@@ -1433,7 +1459,7 @@ def text_remove_dup_spans_chars_q(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return out.select(
         "doc_id",
-        F.md5("text").alias("rewritten_fp"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("rewritten_fp"),  # oracle: md5(COALESCE(text,''))
         "n_chars",
         "removed_chars",
         "n_spans",
@@ -1453,7 +1479,7 @@ def gopher_quality_signals(text: Column) -> dict[str, Column]:
     bullet-start / ellipsis-end line fractions, fraction of words with an
     alphabetic character, and how many of the 8 Gopher stop words appear.
     """
-    words = F.split(text, r"\s+")
+    words = F.split(text, TOKEN_SEP)
     n = F.size(words)
     n_chars = F.length(text)
     mean_word_len = (n_chars - n + 1).cast("double") / n.cast("double")
@@ -1529,21 +1555,21 @@ def gopher_quality_filter(
 _GOPHER_ORACLE = r"""
 WITH s AS (
   SELECT doc_id,
-         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_words,
-         CAST(length(text) - len(regexp_split_to_array(text, '\s+')) + 1 AS DOUBLE)
-           / len(regexp_split_to_array(text, '\s+')) AS mean_word_len,
+         CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_words,
+         CAST(length(text) - len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) + 1 AS DOUBLE)
+           / len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS mean_word_len,
          CAST((length(text) - length(replace(text, '#', '')))
               + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE)
-           / len(regexp_split_to_array(text, '\s+')) AS symbol_ratio,
+           / len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS symbol_ratio,
          CAST(len(list_filter(regexp_split_to_array(text, '\n'),
                               l -> regexp_matches(l, '^\s*([•‣◦]|-\s)'))) AS DOUBLE)
            / len(regexp_split_to_array(text, '\n')) AS bullet_frac,
          CAST(len(list_filter(regexp_split_to_array(text, '\n'),
                               l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE)
            / len(regexp_split_to_array(text, '\n')) AS ellipsis_frac,
-         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+         CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
                               w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
-           / len(regexp_split_to_array(text, '\s+')) AS alpha_word_frac,
+           / len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS alpha_word_frac,
          CAST(
            (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' the ', '')) THEN 1 ELSE 0 END) +
            (CASE WHEN length(' '||text||' ') > length(replace(' '||text||' ', ' be ', '')) THEN 1 ELSE 0 END) +

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from xarray_beam_spark.functions.text import (
+    TOKEN_SEP,
     detect_language,
     quality_features,
     sql_detect_language,
@@ -82,9 +83,9 @@ WITH corpus AS (
 ),
 q AS (
   SELECT doc_id, source, text,
-         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+         CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens
   FROM corpus
-  WHERE len(regexp_split_to_array(text, '\s+')) BETWEEN 25 AND 95
+  WHERE len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) BETWEEN 25 AND 95
 ),
 l AS (
   SELECT *, {sql_detect_language('text')} AS detected FROM q
@@ -140,7 +141,7 @@ def token_windows(
     ``sequence`` of window indices, slice the word array per window. No
     shuffle, no Python; output row count is Σ⌈tokens/window⌉, produced
     streaming per input partition."""
-    words = F.split(F.col(text_col), r"\s+")
+    words = F.split(F.col(text_col), TOKEN_SEP)
     n_windows = F.ceil(F.col("_n").cast("double") / window_tokens).cast("int")
     w = F.explode(F.sequence(F.lit(0), n_windows - 1)).alias("window_id")
     start = F.col("window_id") * window_tokens
@@ -159,7 +160,7 @@ def token_windows(
 
 _WINDOWS_ORACLE = r"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(text, '\s+') AS words FROM documents
+  SELECT doc_id, regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS words FROM documents
 )
 SELECT doc_id,
        CAST(i AS BIGINT) AS window_id,
@@ -517,7 +518,7 @@ def pack_sequences(
 _PACK_ORACLE = rf"""
 WITH RECURSIVE toks AS (
   SELECT doc_id,
-         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
          {sql_hash_bucket("CAST(doc_id AS VARCHAR)", 8, salt="xbs-pack")} AS bucket
   FROM documents
 ),
@@ -551,7 +552,7 @@ def corpus_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     capacity/determinism pytests)."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tokens")
+        "doc_id", F.size(F.split(F.col("text"), TOKEN_SEP)).cast("long").alias("n_tokens")
     )
     # bucket count sized so each bucket packs >> budget worth of
     # tokens (rule: n_buckets ~ total_tokens / (budget * 100));

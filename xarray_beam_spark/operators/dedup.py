@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from xarray_beam_spark.functions.text import TOKEN_SEP
 from xarray_beam_spark.tables import load
 
 REGISTRY: dict = {}
@@ -47,7 +48,7 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     lookup inside the lambda — O(words²) per document, ~40x slower at
     500-word documents.)
     """
-    words = F.split(text, r"\s+")
+    words = F.split(text, TOKEN_SEP)
     k = F.size(words)
     grams = words
     for j in range(1, n):
@@ -531,8 +532,8 @@ WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 1000000000 AS doc_id,
-         array_to_string(list_slice(regexp_split_to_array(text, '\\s+'), 1,
-                         greatest(len(regexp_split_to_array(text, '\\s+')) - 2, 1)), ' ') AS text
+         array_to_string(list_slice(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), 1,
+                         greatest(len(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')) - 2, 1)), ' ') AS text
   FROM documents
 ),
 sh AS (
@@ -541,7 +542,7 @@ sh AS (
            list_distinct(list_transform(generate_series(1, len(w) - 2),
                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
          ELSE [array_to_string(w, ' ')] END AS s
-  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM corpus)
+  FROM (SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+') AS w FROM corpus)
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
@@ -555,7 +556,7 @@ WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
 @_register("dedup_minhash_lsh", _TWIN_ORACLE)
 def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    words = F.split(F.col("text"), r"\s+")
+    words = F.split(F.col("text"), TOKEN_SEP)
     twins = docs.select(
         (F.col("doc_id") + F.lit(1000000000)).alias("doc_id"),
         F.concat_ws(
@@ -577,7 +578,7 @@ WITH sh AS (
            list_distinct(list_transform(generate_series(1, len(w) - 2),
                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
          ELSE [array_to_string(w, ' ')] END AS s
-  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents)
+  FROM (SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+') AS w FROM documents)
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
@@ -801,7 +802,7 @@ WITH corpus AS (
   UNION ALL
   SELECT doc_id + 1000000000 AS doc_id,
          array_to_string(list_slice(w, 3, len(w)), ' ') AS text
-  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)
+  FROM (SELECT doc_id, regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS w FROM documents)
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(levenshtein(left(a.text, 200), left(b.text, 200)) AS BIGINT) AS dist
@@ -820,7 +821,7 @@ def dedup_levenshtein_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``levenshtein(left(…))`` in SQL — both engines run the classic DP,
     so the integer distances match exactly."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    words = F.split(F.col("text"), r"\s+")
+    words = F.split(F.col("text"), TOKEN_SEP)
     twins = docs.select(
         (F.col("doc_id") + F.lit(1000000000)).alias("doc_id"),
         F.concat_ws(
@@ -885,11 +886,11 @@ corpus AS (
   UNION ALL
   SELECT doc_id + 1000000000,
          array_to_string(list_slice(w, 1, greatest(len(w) - 2, 1)), ' ')
-  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)
+  FROM (SELECT doc_id, regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS w FROM documents)
   UNION ALL
   SELECT doc_id + 2000000000,
          array_to_string(list_slice(w, 1, greatest(len(w) - 4, 1)), ' ')
-  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)
+  FROM (SELECT doc_id, regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS w FROM documents)
 ),
 sh AS (
   SELECT doc_id,
@@ -897,7 +898,7 @@ sh AS (
            list_distinct(list_transform(generate_series(1, len(w) - 2),
                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
          ELSE [array_to_string(w, ' ')] END AS s
-  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM corpus)
+  FROM (SELECT doc_id, regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS w FROM corpus)
 ),
 edges AS (
   SELECT a.doc_id AS a, b.doc_id AS b
@@ -927,7 +928,7 @@ _EPHEMERAL_PERSISTS: list = []  # persisted frames lazy results depend on
 
 def _variant_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    words = F.split(F.col("text"), r"\s+")
+    words = F.split(F.col("text"), TOKEN_SEP)
 
     def variant(drop: int, shift: int) -> DataFrame:
         return docs.select(
@@ -1003,7 +1004,7 @@ WITH sh AS (
              list_distinct(list_transform(generate_series(1, len(w) - 1),
                            i -> w[i] || ' ' || w[i+1]))
            ELSE [array_to_string(w, ' ')] END) AS sh
-  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)
+  FROM (SELECT doc_id, regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS w FROM documents)
 ),
 h AS (SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h FROM sh),
 b AS (
@@ -1130,11 +1131,11 @@ corpus AS (
   UNION ALL
   SELECT doc_id + 1000000000,
          array_to_string(list_slice(w, 1, greatest(len(w) - 2, 1)), ' ')
-  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)
+  FROM (SELECT doc_id, regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS w FROM documents)
   UNION ALL
   SELECT doc_id + 2000000000,
          array_to_string(list_slice(w, 1, greatest(len(w) - 4, 1)), ' ')
-  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)
+  FROM (SELECT doc_id, regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS w FROM documents)
 ),
 sh AS (
   SELECT doc_id,
@@ -1142,7 +1143,7 @@ sh AS (
            list_distinct(list_transform(generate_series(1, len(w) - 2),
                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
          ELSE [array_to_string(w, ' ')] END AS s
-  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM corpus)
+  FROM (SELECT doc_id, regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS w FROM corpus)
 ),
 edges AS (
   SELECT a.doc_id AS a, b.doc_id AS b

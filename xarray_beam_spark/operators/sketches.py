@@ -168,10 +168,14 @@ def events_cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = ev.select("user_id").distinct()
     est = cms_estimate(cms, keys, "user_id", _CMS_WIDTH, _CMS_DEPTH)
     truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
-    total = ev.count()
+    # 1-row broadcast scalar (the tabular.py pattern), not an eager
+    # driver-side ev.count(): that paid a full extra scan job before the
+    # real query and froze the count as a plan literal
+    total = ev.agg(F.count(F.lit(1)).alias("__total"))
     return (
         est.join(truth, "user_id")
-        .where(F.col("est") * 200 >= F.lit(total))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("est") * 200 >= F.col("__total"))
         .select("user_id", "est", "true_cnt")
     )
 
@@ -375,7 +379,13 @@ def hll_build(df: DataFrame, key_col: str, group_cols: list[str] | None = None,
     bucket = h % _HLL_M
     w = h / F.lit(_HLL_M)
     w = F.floor(w).cast("long")
-    rank = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+    # w == 0 conceptually means rank WBITS+1, but the dyadic-sum
+    # estimate stores 2^(WBITS - reg) as a BIGINT: reg = WBITS+1 would be
+    # shiftleft(1, -1), which Java masks to shiftleft(1, 63) = LONG_MIN —
+    # a corrupted estimate (and DuckDB's `1 << -1` diverges separately).
+    # Cap at WBITS: the term contributes 1 instead of an unrepresentable
+    # 0.5 — a one-part-in-2^24 bias on ~2^-24-probability keys.
+    rank = F.when(w == 0, F.lit(_HLL_WBITS)).otherwise(
         F.bit_count((w.bitwiseAND(-w)) - 1) + 1
     )
     gcols = list(group_cols or [])
@@ -421,7 +431,7 @@ parts AS (
 ),
 ranks AS (
   SELECT event_type, bucket,
-         CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+         CASE WHEN w = 0 THEN {_HLL_WBITS}
               ELSE bit_count(CAST(w & -w AS BIGINT) - 1) + 1 END AS r
   FROM parts
 ),

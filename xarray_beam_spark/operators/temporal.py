@@ -31,7 +31,15 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import NumericType, TimestampNTZType, TimestampType
+from pyspark.sql.types import (
+    ByteType,
+    IntegerType,
+    LongType,
+    NumericType,
+    ShortType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 from xarray_beam_spark.tables import load
 
@@ -175,6 +183,13 @@ def asof_join(
         if isinstance(rt_dtype, (TimestampType, TimestampNTZType)):
             def _num(c: Column) -> Column:
                 return F.unix_micros(c.cast("timestamp"))
+        elif isinstance(
+            rt_dtype, (ByteType, ShortType, IntegerType, LongType)
+        ):
+            # exact: a double detour would misround int64 above 2^53 and
+            # decide backward-vs-forward ties by the wrong distance
+            def _num(c: Column) -> Column:
+                return c.cast("long")
         else:
             def _num(c: Column) -> Column:
                 return c.cast("double")
@@ -281,7 +296,16 @@ def interval_join(
         width = max(int(bin_width * scale), 1)
 
     # [lo, hi) needs bins up to floor((hi-1)/w); [lo, hi] up to floor(hi/w).
-    hi_bin_end = hi_u - 1 if closed == "left" else hi_u
+    # The -1 is valid ONLY when hi's int64 image is exact (timestamps are
+    # µs-exact; integers are themselves): for fractional columns,
+    # _to_long truncates, so hi_u - 1 would drop the bin holding points
+    # whose truncated value equals trunc(hi) — silently missing pairs
+    # like t=4.2 in [1.0, 4.9).
+    exact = isinstance(
+        intervals.schema[hi].dataType,
+        (TimestampType, TimestampNTZType, ByteType, ShortType, IntegerType, LongType),
+    )
+    hi_bin_end = hi_u - 1 if (closed == "left" and exact) else hi_u
     iv = intervals.where(hi_bin_end >= lo_u).select(
         "*",
         F.explode(
