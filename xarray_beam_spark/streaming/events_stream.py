@@ -18,6 +18,7 @@ bounds state size at scale.
 
 from __future__ import annotations
 
+import atexit
 import os
 import uuid
 
@@ -39,19 +40,37 @@ def _register(name: str, oracle: str | None):
     return deco
 
 
+_RAW_SCHEMA_CACHE: dict = {}
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a file stream (schema from the static reader,
-    same ns→µs timestamp normalization as ``tables.load``)."""
+    """events.parquet as a file stream — ``tables.normalize_ts`` gives it
+    the SAME ns→µs / NTZ→LTZ timestamp view the batch reader has (one
+    shared helper, so the two can never desynchronize). The raw parquet
+    schema (a driver-side footer read) is memoized per (session, dir)."""
+    from xarray_beam_spark.tables import normalize_ts
+
     load(spark, sf_dir, "events")  # sets session tz (+ nanosAsLong conf)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = spark.readStream.schema(raw_schema).parquet(f"{sf_dir}", pathGlobFilter="events.parquet")
-    if isinstance(raw_schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
-        # NTZ → LTZ relabel (session tz pinned UTC by tables.load): watermarks
-        # require TIMESTAMP, not TIMESTAMP_NTZ.
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    skey = (spark.sparkContext.applicationId, sf_dir)
+    raw_schema = _RAW_SCHEMA_CACHE.get(skey)
+    if raw_schema is None:
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        _RAW_SCHEMA_CACHE[skey] = raw_schema
+    stream = spark.readStream.schema(raw_schema).parquet(
+        f"{sf_dir}", pathGlobFilter="events.parquet"
+    )
+    return normalize_ts(stream)
+
+
+_SCRATCH_DIRS: list[str] = []
+
+
+@atexit.register
+def _cleanup_scratch_dirs() -> None:
+    import shutil
+
+    while _SCRATCH_DIRS:
+        shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
 
 
 def _run_to_memory(result: DataFrame, mode: str = "complete") -> DataFrame:
@@ -69,6 +88,10 @@ def _run_to_memory(result: DataFrame, mode: str = "complete") -> DataFrame:
 
     spark = result.sparkSession
     outdir = tempfile.mkdtemp(prefix=f"xbs_stream_{uuid.uuid4().hex[:8]}_")
+    # the returned DataFrame reads outdir lazily, so it cannot be deleted
+    # here — register it for interpreter-exit cleanup instead of leaking
+    # one result dir per streaming-gate run into /tmp forever
+    _SCRATCH_DIRS.append(outdir)
     data_dir, ckpt_dir = f"{outdir}/data", f"{outdir}/ckpt"
     # The checkpoint of a run-to-completion (AvailableNow) query is pure
     # scratch — it never outlives this function — so put its WAL/state
@@ -226,8 +249,11 @@ def stream_hourly_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSIONS_ORACLE = """
 WITH marked AS (
   SELECT user_id, ts,
+         -- >= not >: session_window's end bound is EXCLUSIVE, so a gap
+         -- of exactly 30:00 starts a new session (matches the batch
+         -- twin's oracle, tabular.py events_sessionize_batch)
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   > INTERVAL 30 MINUTE OR
+                   >= INTERVAL 30 MINUTE OR
                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events
@@ -331,39 +357,74 @@ def stream_to_zarr_hourly(spark: SparkSession, sf_dir: str, out_path: str) -> di
     )
     zarr_io.setup_zarr(template, out_path, {"day": 1, "hour": 24, "event_type": len(etypes)})
 
+    # Day→batch ledger NEXT TO the store: a day chunk is written whole
+    # (fill 0.0 for absent cells), so a day whose events were SPLIT
+    # across micro-batches would be silently clobbered by whichever
+    # batch lands last. The ledger turns that contract violation into a
+    # loud error while keeping legit flows intact: distinct-day batches
+    # never clash, and a RETRY of the same batch id rewrites its own
+    # (byte-identical, full-chunk-aligned) regions idempotently.
+    from xarray_beam_spark.sources import stores as _stores
+
+    ledger_store, ledger_key = _stores.resolve(out_path + "_daybatches")
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import json as _json
+
         cells = batch_df.groupBy(
             F.date_trunc("day", F.col("ts")).alias("day"),
             F.hour("ts").cast("long").alias("hour"),
             F.col("event_type"),
         ).agg(F.count(F.lit(1)).cast("double").alias("cnt")).persist()
-        batch_days = np.array(
-            [r[0] for r in cells.select("day").distinct().orderBy("day").collect()],
-            dtype="datetime64[us]",
-        )
-        if not len(batch_days):
-            return
-        # Region-write each maximal contiguous run of PRESENT days, not one
-        # min-to-max slab: a slab would fill absent interior days with zeros,
-        # clobbering real counts another batch/job already landed there.
-        for lo, hi in contiguous_runs([day_index[d] for d in batch_days]):
-            run_cells = cells.filter(
-                (F.col("day") >= F.lit(days[lo].item())) & (F.col("day") < F.lit(days[hi - 1].item()) + F.expr("INTERVAL 1 DAY"))
+        try:
+            batch_days = np.array(
+                [r[0] for r in cells.select("day").distinct().orderBy("day").collect()],
+                dtype="datetime64[us]",
             )
-            grid = Dataset.from_table(
-                run_cells,
-                dims=["day", "hour", "event_type"],
-                coords={
-                    "day": days[lo:hi],
-                    "hour": np.arange(24, dtype=np.int64),
-                    "event_type": etypes,
-                },
-                var_cols=["cnt"],
-                chunks={"day": 1},
-                fill_value=0.0,
+            if not len(batch_days):
+                return
+            raw = ledger_store.get(ledger_key)
+            ledger = _json.loads(raw.decode()) if raw else {}
+            clash = sorted(
+                str(d)
+                for d in batch_days
+                if ledger.get(str(day_index[d])) not in (None, batch_id)
             )
-            zarr_io.to_zarr(grid, out_path, needs_setup=False, origin={"day": lo})
-        cells.unpersist()
+            if clash:
+                raise ValueError(
+                    f"day(s) {clash} already written by another batch: "
+                    "a day's events must arrive whole in ONE micro-batch "
+                    "(whole-chunk region writes would clobber the earlier "
+                    "batch's counts)"
+                )
+            # Region-write each maximal contiguous run of PRESENT days, not
+            # one min-to-max slab: a slab would fill absent interior days
+            # with zeros, clobbering real counts another batch/job already
+            # landed there.
+            for lo, hi in contiguous_runs([day_index[d] for d in batch_days]):
+                run_cells = cells.filter(
+                    (F.col("day") >= F.lit(days[lo].item())) & (F.col("day") < F.lit(days[hi - 1].item()) + F.expr("INTERVAL 1 DAY"))
+                )
+                grid = Dataset.from_table(
+                    run_cells,
+                    dims=["day", "hour", "event_type"],
+                    coords={
+                        "day": days[lo:hi],
+                        "hour": np.arange(24, dtype=np.int64),
+                        "event_type": etypes,
+                    },
+                    var_cols=["cnt"],
+                    chunks={"day": 1},
+                    fill_value=0.0,
+                )
+                zarr_io.to_zarr(grid, out_path, needs_setup=False, origin={"day": lo})
+            for d in batch_days:
+                ledger[str(day_index[d])] = batch_id
+            ledger_store.put(
+                ledger_key, _json.dumps(ledger, sort_keys=True).encode()
+            )
+        finally:
+            cells.unpersist()
 
     ev = stream_events(spark, sf_dir)
     q = (
@@ -644,13 +705,28 @@ def stream_append_to_zarr(spark: SparkSession, sf_dir: str, out_path: str) -> di
                 # first day is not past the store's extent means duplicate
                 # or out-of-order delivery, which append cannot represent
                 tmpl, _ = zarr_io.open_zarr_template(out_path)
-                last = np.asarray(tmpl.coords["day"].values)[-1]
+                days_all = np.asarray(tmpl.coords["day"].values).astype(
+                    "datetime64[us]"
+                )
+                last = days_all[-1]
                 if batch_days[0] <= last:
-                    raise ValueError(
-                        f"out-of-order ingest: batch starts at {batch_days[0]} "
-                        f"but the store already extends to {last}"
-                    )
-                zarr_io.to_zarr(grid, out_path, append_dim="day")
+                    if len(days_all) >= len(batch_days) and np.array_equal(
+                        days_all[-len(batch_days) :], batch_days
+                    ):
+                        # commit-crash replay: the append itself landed but
+                        # the process died before the high-water commit —
+                        # the store's tail IS this batch. Fall through to
+                        # the commit instead of wedging every restart on
+                        # the out-of-order check.
+                        pass
+                    else:
+                        raise ValueError(
+                            f"out-of-order ingest: batch starts at "
+                            f"{batch_days[0]} but the store already "
+                            f"extends to {last}"
+                        )
+                else:
+                    zarr_io.to_zarr(grid, out_path, append_dim="day")
             else:
                 zarr_io.to_zarr(
                     grid, out_path,

@@ -41,18 +41,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # needs no conversion — detect from the loaded schema.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if isinstance(df.schema["ts"].dataType, LongType):
-            # exact integer division — double division loses precision at
-            # ns-epoch magnitude (~1.8e18 > 2^53)
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
-            # TIMESTAMP(MICROS, isAdjustedToUTC=false) loads as NTZ, which
-            # watermarks / unix_micros reject; with the session tz pinned to
-            # UTC this cast is a pure metadata relabel to LTZ, matching
-            # DuckDB's naive-timestamp view of the same column.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        return normalize_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Generator-version-proof ``ts`` normalization, shared by the batch
+    reader above and the streaming reader (``streaming.events_stream``)
+    so the two views of the column can never desynchronize."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        # nanosAsLong epoch-ns: exact integer division — double division
+        # loses precision at ns-epoch magnitude (~1.8e18 > 2^53)
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) loads as NTZ, which
+        # watermarks / unix_micros reject; with the session tz pinned to
+        # UTC this cast is a pure metadata relabel to LTZ, matching
+        # DuckDB's naive-timestamp view of the same column.
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -797,14 +797,17 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q22_ORACLE = """
 WITH avg_bal AS (
-  SELECT AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS a FROM customer
+  -- division-free threshold: bal > avg  <=>  bal * n > sum, all exact
+  -- decimals/integers (DuckDB's AVG over DECIMAL returns DOUBLE while
+  -- Spark's decimal AVG rounds to scale+4 — two different thresholds)
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS n FROM customer
   WHERE c_acctbal > 0
 )
 SELECT c_mktsegment,
        COUNT(*) AS numcust,
        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
 FROM customer, avg_bal
-WHERE c_acctbal > a
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY c_mktsegment
@@ -814,16 +817,22 @@ GROUP BY c_mktsegment
 @register("q22_sales_opportunity", _Q22_ORACLE)
 def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rich-but-recently-inactive customers: scalar-subquery threshold
-    (exact decimal average) + left-anti join against recent orders."""
+    + left-anti join against recent orders. The above-average test runs
+    division-free (bal * n > sum — exact decimal/integer math on both
+    engines; an AVG would be decimal(22,6)-rounded in Spark but a DOUBLE
+    in DuckDB, two subtly different thresholds)."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     # scalar subquery as a broadcast 1-row cross join: stays one Spark job
     # (no driver round-trip blocking plan construction)
-    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg(dec("c_acctbal")).alias("__avg_bal"))
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(dec("c_acctbal")).alias("__sum_bal"),
+        F.count(F.lit(1)).alias("__n_bal"),
+    )
     rich = (
         c.crossJoin(F.broadcast(avg_bal))
-        .filter(dec("c_acctbal") > F.col("__avg_bal"))
-        .drop("__avg_bal")
+        .filter(dec("c_acctbal") * F.col("__n_bal") > F.col("__sum_bal"))
+        .drop("__sum_bal", "__n_bal")
     )
     recent = o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
     inactive = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
@@ -899,16 +908,6 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Window-function variety: lag deltas + per-user ranking.
 # ---------------------------------------------------------------------------
 
-_LAG_ORACLE = """
-SELECT event_id, user_id,
-       CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w AS_PREV) AS BIGINT) AS gap_us,
-       RANK() OVER (PARTITION BY user_id ORDER BY CAST(value AS DECIMAL(18,6)) DESC, event_id)
-         AS value_rank
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-"""
-
-# DuckDB has no AS_PREV; write it plainly.
 _LAG_ORACLE = """
 SELECT event_id, user_id,
        CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
