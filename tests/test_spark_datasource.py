@@ -61,10 +61,14 @@ def test_filter_pushdown_prunes_partitions(spark, store):
     parts2 = rd2.partitions()
     assert len(parts2) == 1
     assert parts2[0].value == {"lat": (2, 3), "time": (0, 2)}
-    # contradictory window: no partitions at all
+    # contradictory window: ONE empty-marker partition (never []:
+    # PySpark substitutes [None] for an empty list and read(None) would
+    # crash with AttributeError), and reading it yields zero batches
     rd3 = src.reader(src.schema())
     rd3.pushFilters([EqualTo(("lat",), 999.0)])
-    assert rd3.partitions() == []
+    parts3 = rd3.partitions()
+    assert len(parts3) == 1 and parts3[0].value is None
+    assert list(rd3.read(parts3[0])) == []
 
 
 def test_auto_coarsened_partitions(spark, store):
@@ -465,3 +469,69 @@ class TestJvmChunkKey:
             got = [r[0] for r in df.select(expr).collect()]
             want = _dim_index(col, axis, 12, axis)
             assert got == list(want), col
+
+
+class TestRound12Regressions:
+    def test_fully_pruned_sql_query_returns_zero_rows(self, spark, store):
+        """A filter that prunes every partition must yield an empty
+        result, not crash in read(None)."""
+        p, _ = store
+        spark_datasource.register(spark)
+        df = spark.read.format("xbs_zarr").option("path", p).load()
+        assert df.where(F.col("lat") == 999.0).count() == 0
+
+    def test_sql_write_to_sharded_store(self, spark, store, tmp_path):
+        """v3 sharded destination: the writer must buffer/flush/own at
+        the SHARD (write unit), not the inner chunk — previously every
+        task died on validate_region_alignment."""
+        p, nd = store
+        spark_datasource.register(spark)
+        dst = str(tmp_path / "dst_sharded")
+        zarr_io.setup_zarr(
+            Dataset.from_numpy(spark, nd, chunks={"time": 12}).template,
+            dst,
+            {"time": 6, "lat": 5},  # inner chunks
+            zarr_format=3,
+            zarr_shards={"time": 12, "lat": 5},  # write unit = 2 chunks/dim
+        )
+        src_df = spark.read.format("xbs_zarr").option("path", p).load()
+        out = spark_datasource.repartition_for_write(src_df, dst)
+        out.write.format("xbs_zarr").option("path", dst).mode("append").save()
+        back = spark.read.format("xbs_zarr").option("path", dst).load()
+        a = src_df.orderBy("time", "lat").collect()
+        b = back.orderBy("time", "lat").collect()
+        assert a == b
+
+    def test_descending_axis_write(self, spark, tmp_path):
+        """ERA5-style descending latitude: the writer's index math must
+        map values on a descending axis instead of rejecting them."""
+        nd = NDDataset(
+            {"v": (("lat",), np.arange(4, dtype=np.float64))},
+            coords={"lat": np.array([60.0, 30.0, 0.0, -30.0])},
+        )
+        p = str(tmp_path / "desc")
+        zarr_io.to_zarr(Dataset.from_numpy(spark, nd, chunks={"lat": 2}), p)
+        spark_datasource.register(spark)
+        dst = str(tmp_path / "desc_dst")
+        zarr_io.setup_zarr(
+            Dataset.from_numpy(spark, nd, chunks={"lat": 2}).template,
+            dst,
+            {"lat": 2},
+        )
+        src_df = spark.read.format("xbs_zarr").option("path", p).load()
+        out = spark_datasource.repartition_for_write(src_df, dst)
+        out.write.format("xbs_zarr").option("path", dst).mode("append").save()
+        back = spark.read.format("xbs_zarr").option("path", dst).load()
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, src_df.collect())
+        )
+
+    def test_salted_join_outer_refused(self, spark):
+        from xarray_beam_spark.skew import salted_join
+
+        big = spark.createDataFrame([(1, "x")], "k long, a string")
+        small = spark.createDataFrame([(2, "y")], "k long, b string")
+        with pytest.raises(ValueError, match="salted_join cannot express"):
+            salted_join(big, small, on=["k"], how="full")
+        # the allowed types still work
+        assert salted_join(big, small, on=["k"], how="left").count() == 1

@@ -45,7 +45,18 @@ def salted_join(
     """Equi-join where ``big``'s join keys are skewed: hot keys spread
     over ``salt`` shuffle partitions, ``small`` replicated ``salt`` times
     so every (key, salt) bucket still finds its match. Output is identical
-    to ``big.join(small, on, how)`` minus the salt column."""
+    to ``big.join(small, on, how)`` minus the salt column — for join
+    types that preserve the BIG side only. Right/full outer joins are
+    refused: an unmatched small-side key would surface once per salt
+    replica (``salt`` duplicated null-extended rows), a silently wrong
+    result no caller could distinguish from real data."""
+    normalized = how.lower().replace("_", "")
+    if normalized not in ("inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti"):
+        raise ValueError(
+            f"salted_join cannot express how={how!r}: the replicated small "
+            "side would emit one row per salt for unmatched keys; use an "
+            "unsalted join (or bucketing) for right/full outer joins"
+        )
     b = add_salt(big, salt)
     s = replicate_salts(small, salt)
     return b.join(s, on=[*on, SALT_COL], how=how).drop(SALT_COL)

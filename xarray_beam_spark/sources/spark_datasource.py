@@ -63,6 +63,13 @@ def _np_to_spark(dt: np.dtype) -> T.DataType:
     if kind == "i":
         return {1: T.ByteType(), 2: T.ShortType(), 4: T.IntegerType(), 8: T.LongType()}[size]
     if kind == "u":
+        if size == 8:
+            # uint64 cannot fit LongType (values >= 2^63 would wrap
+            # negative silently) — refuse at schema time
+            raise TypeError(
+                "uint64 variables are not representable in Spark SQL "
+                "(LongType is signed); re-encode as int64 or float64"
+            )
         return T.LongType()
     if kind == "b":
         return T.BooleanType()
@@ -122,12 +129,13 @@ class ZarrDataSource(DataSource):
                 if cand is None:
                     break
                 chunks[cand] = min(chunks[cand] * 2, sizes[cand])
-            # never coarsen the STREAM dim: the slab is the availability /
-            # offset granularity, and waiting for a coarse slab would
-            # delay emission of already-durable store chunks
-            sd = self.options.get("stream_dim")
-            if sd in chunks:
-                chunks[sd] = store_chunks[sd]
+        # never coarsen the STREAM dim — on EVERY path, including an
+        # explicit user ``chunks`` option: the slab is the availability/
+        # offset granularity, and waiting for a coarse slab would delay
+        # emission of already-durable store chunks
+        sd = self.options.get("stream_dim")
+        if sd in chunks:
+            chunks[sd] = store_chunks[sd]
         dims = sorted(template.sizes)
         var_names = sorted(template.var_meta)
         # explicit column pruning (the Python DataSource API has no
@@ -207,7 +215,10 @@ class ZarrDataSource(DataSource):
         return ZarrWriter(*self._plan_write(schema))
 
     def _plan_write(self, schema: T.StructType):
-        path, template, chunks, dims, var_names, arrays = self._plan()
+        path, template, _chunks, dims, var_names, arrays = self._plan()
+        # writes buffer/group/flush at the WRITE-UNIT grid (shards when
+        # sharded), never the read-side inner-chunk grid
+        chunks = _write_unit_grid(dims, arrays, _chunks, var_names)
         cols = [f.name for f in schema.fields]
         missing = [d for d in dims if d not in cols]
         if missing:
@@ -247,8 +258,15 @@ class ZarrReader(DataSourceReader):
         self.window = {d: (0, self.sizes[d]) for d in dims}
 
     # -- pushdown ---------------------------------------------------------
-    def _axis(self, d: str) -> np.ndarray:
-        return self.coords.get(d, np.arange(self.sizes[d]))
+    def _axis(self, d: str, lo: int = 0, hi: int | None = None) -> np.ndarray:
+        """Coordinate window [lo, hi) — for coordinate-less dims the index
+        values themselves, generated for the WINDOW only (a full-dim
+        arange per task would allocate gigabytes on a 1e9-element dim)."""
+        hi = self.sizes[d] if hi is None else hi
+        a = self.coords.get(d)
+        if a is None:
+            return np.arange(lo, hi)
+        return a[lo:hi]
 
     def _tighten(self, d: str, lo: int, hi: int) -> None:
         a, b = self.window[d]
@@ -259,7 +277,32 @@ class ZarrReader(DataSourceReader):
             attr = getattr(f, "attribute", None)
             if attr and len(attr) == 1 and attr[0] in self.dims:
                 d = attr[0]
-                vals = self._axis(d)
+                if d in self.coords:
+                    vals = self.coords[d]
+                else:
+                    # coordinate-less dim: the axis IS 0..n-1 — a bounded
+                    # arange is enough for the searchsorted windows below
+                    # (a full arange would allocate 8 GB on a 1e9 dim)
+                    vals = np.arange(min(self.sizes[d], 1 << 22))
+                    if self.sizes[d] > len(vals):
+                        # huge index dim: prune only if the literal is a
+                        # plain integer (window arithmetic, no array)
+                        try:
+                            iv = int(getattr(f, "value", None))
+                        except (TypeError, ValueError):
+                            continue
+                        n = self.sizes[d]
+                        if isinstance(f, EqualTo):
+                            self._tighten(d, iv, iv + 1)
+                        elif isinstance(f, GreaterThan):
+                            self._tighten(d, iv + 1, n)
+                        elif isinstance(f, GreaterThanOrEqual):
+                            self._tighten(d, iv, n)
+                        elif isinstance(f, LessThan):
+                            self._tighten(d, 0, iv)
+                        elif isinstance(f, LessThanOrEqual):
+                            self._tighten(d, 0, iv + 1)
+                        continue
                 if vals.ndim == 1 and bool((vals[1:] >= vals[:-1]).all()):
                     v = getattr(f, "value", None)
                     try:
@@ -287,7 +330,10 @@ class ZarrReader(DataSourceReader):
         for d in self.dims:
             lo, hi = self.window[d]
             if lo >= hi:
-                return []
+                # a fully-pruned scan must return a marker partition, not
+                # []: PySpark substitutes [None] for an empty list and
+                # then calls read(None), which would crash on .value
+                return [InputPartition(None)]
             c = self.chunks[d]
             spans.append(
                 [(o, min(o + c, hi)) for o in range((lo // c) * c, hi, c)]
@@ -304,7 +350,9 @@ class ZarrReader(DataSourceReader):
     def read(self, partition: InputPartition):
         import pyarrow as pa
 
-        part: dict[str, tuple[int, int]] = partition.value
+        part: dict[str, tuple[int, int]] | None = partition.value
+        if part is None:
+            return  # fully-pruned scan: zero rows
         offsets = {d: lo for d, (lo, _) in part.items()}
         shape = {d: hi - lo for d, (lo, hi) in part.items()}
         ext = [shape[d] for d in self.dims]
@@ -314,7 +362,7 @@ class ZarrReader(DataSourceReader):
         arrays = self.arrays
         cols = []
         for i, d in enumerate(self.dims):
-            axis = self._axis(d)[offsets[d] : offsets[d] + ext[i]]
+            axis = self._axis(d, offsets[d], offsets[d] + ext[i])
             inner = int(math.prod(ext[i + 1 :]))
             outer = int(math.prod(ext[:i]))
             cols.append(pa.array(np.tile(np.repeat(axis, inner), outer)))
@@ -325,7 +373,13 @@ class ZarrReader(DataSourceReader):
             region = zarr_io.read_region_decoded(meta, offsets, shape)
             # store dim order may differ from the sorted column order
             order = [meta.logical_dims.index(d) for d in self.dims]
-            return pa.array(np.ascontiguousarray(region.transpose(order)).reshape(cells))
+            flat = np.ascontiguousarray(region.transpose(order)).reshape(cells)
+            if flat.dtype.kind == "u":
+                # schema() declared LongType for unsigned dtypes; emit
+                # int64 Arrow data to match (a raw uint8 batch would fail
+                # the JVM-side Arrow type check)
+                flat = flat.astype(np.int64)
+            return pa.array(flat)
 
         # per-variable IO threading on latency-bound stores
         cols += iothread.thread_map(read_var, self.var_names, iothread.io_width(self.path))
@@ -406,6 +460,30 @@ class ZarrStreamReader(DataSourceStreamReader):
         return None
 
 
+def _write_unit_grid(dims, arrays, store_chunks, var_names=None) -> dict:
+    """Per-dim WRITE-UNIT grid. ``open_zarr_meta``'s chunk grid is the
+    inner-chunk view — right for reads, but writes must buffer, group,
+    own and flush at each array's write unit (the SHARD when v3-sharded,
+    else the chunk): per dim, the lcm across variables, so every flushed
+    region is whole-unit-aligned for every variable it touches. Without
+    this, SQL writes to sharded or mixed-chunk-grid stores fail
+    validate_region_alignment on every task."""
+    grid = {d: int(store_chunks[d]) for d in dims}
+    # DATA variables only: coordinate arrays are often single-chunk over
+    # the whole axis, and folding their grid in would inflate the write
+    # unit to the full dimension
+    names = var_names if var_names is not None else [
+        v for v in arrays if v not in dims
+    ]
+    for v in names:
+        meta = arrays[v]
+        unit = meta.write_unit[:-1] if meta.wrapped else meta.write_unit
+        for dim, u in zip(meta.logical_dims, unit):
+            if dim in grid:
+                grid[dim] = math.lcm(grid[dim], int(u))
+    return grid
+
+
 def _dim_index(d: str, axis, size: int, vals: np.ndarray) -> np.ndarray:
     """Global element indices for one dim's coordinate values
     (searchsorted on the metadata-sized axis; bare int indices for
@@ -421,7 +499,14 @@ def _dim_index(d: str, axis, size: int, vals: np.ndarray) -> np.ndarray:
             raise ValueError(f"index out of range for coordinate-less dim {d!r}")
         return idx
     v = vals.astype(axis.dtype) if axis.dtype.kind == "M" else vals
-    idx = np.clip(np.searchsorted(axis, v, side="left"), 0, len(axis) - 1)
+    if len(axis) > 1 and axis[0] > axis[-1]:
+        # descending axis (ERA5-style latitude): searchsorted needs
+        # ascending input — index the reversed view and map back
+        rev = axis[::-1]
+        pos = np.clip(np.searchsorted(rev, v, side="left"), 0, len(rev) - 1)
+        idx = (len(axis) - 1) - pos
+    else:
+        idx = np.clip(np.searchsorted(axis, v, side="left"), 0, len(axis) - 1)
     if not (axis[idx] == v).all():
         bad = np.asarray(v)[axis[idx] != v][:3]
         raise ValueError(f"values not on the {d!r} coordinate axis: {bad!r}")
@@ -541,7 +626,17 @@ class ZarrWriter(DataSourceArrowWriter):
                 local = [idx[d][rows] - offsets[d] for d in cdims]
                 flat = np.ravel_multi_index(local, [extent[d] for d in cdims])
                 for v in self.var_names:
-                    bufs[k][v][flat] = col[v][rows]  # later rows win
+                    vals = col[v][rows]
+                    buf = bufs[k][v]
+                    if buf.dtype.kind != "f" and vals.dtype.kind == "f":
+                        # Arrow hands a null-bearing integer column to
+                        # numpy as float64+NaN; NaN into an int buffer
+                        # raises a bare numpy cast error deep in the
+                        # task. NULL cell == absent cell: keep the fill.
+                        present = ~np.isnan(vals)
+                        buf[flat[present]] = vals[present]
+                    else:
+                        buf[flat] = vals  # later rows win
         def flush(kv) -> None:
             k, v = kv
             offsets = self._key_to_offsets(k)
@@ -671,21 +766,31 @@ def _jvm_dim_index(d: str, axis, df):
             return None
         step = int(steps[0])
         spark_t = df.schema[d].dataType
+        # `div` (integer division), never `/`: long / long in Spark SQL
+        # detours through double, which is exact only below 2^53 — a µs
+        # axis spanning 285+ years (or ns-epoch ints) would misindex some
+        # rows, splitting one store chunk across two shuffle keys. For
+        # on-axis values the diff is a non-negative exact multiple of
+        # step, where div == floor-div; off-axis values fail loudly in
+        # the writer's _dim_index validation regardless of their key.
         if isinstance(spark_t, ST.TimestampNTZType):
             origin = str(np.datetime64(axis[0], "us")).replace("T", " ")
-            diff = F.expr(f"timestampdiff(MICROSECOND, timestamp_ntz'{origin}', `{d}`)")
-        elif isinstance(spark_t, ST.TimestampType):
-            diff = F.unix_micros(df[d]) - F.lit(int(us[0]))
-        else:
-            return None
-        return F.floor(diff / F.lit(step)).cast("long")
+            return F.expr(
+                f"timestampdiff(MICROSECOND, timestamp_ntz'{origin}', `{d}`) "
+                f"div {step}"
+            ).cast("long")
+        if isinstance(spark_t, ST.TimestampType):
+            return F.expr(
+                f"(unix_micros(`{d}`) - {int(us[0])}L) div {step}"
+            ).cast("long")
+        return None
     if axis.dtype.kind in "iu":
         iv = axis.astype(np.int64)
         steps = np.diff(iv)
         if not ((steps > 0).all() and (steps == steps[0]).all()):
             return None
-        return F.floor(
-            (df[d].cast("long") - F.lit(int(iv[0]))) / F.lit(int(steps[0]))
+        return F.expr(
+            f"(cast(`{d}` as bigint) - {int(iv[0])}L) div {int(steps[0])}"
         ).cast("long")
     if axis.dtype.kind in "USO" and len(axis) <= 4096:
         pairs: list = []
@@ -718,11 +823,12 @@ def repartition_for_write(df, path: str, chunks: dict | None = None, num_partiti
     the writer's strict off-axis validation."""
     from pyspark.sql import functions as F
 
-    template, store_chunks = zarr_io.open_zarr_template(path)
-    cchunks = dict(store_chunks)
+    template, store_chunks, arrays = zarr_io.open_zarr_meta(path)
+    dims = sorted(template.sizes)
+    # mirror the writer exactly: keys group at the WRITE-UNIT grid
+    cchunks = _write_unit_grid(dims, arrays, store_chunks)
     if chunks:
         cchunks.update({d: int(c) for d, c in chunks.items()})
-    dims = sorted(template.sizes)
     sizes = {d: int(template.sizes[d]) for d in dims}
     axes = {
         d: np.asarray(template.coords[d].values)
@@ -758,8 +864,14 @@ def repartition_for_write(df, path: str, chunks: dict | None = None, num_partiti
             return pd.Series(_linear_chunk_key(dims, sizes, cchunks, idx))
 
         key_col = _chunk_key(F.struct(*[df[d] for d in dims]))
-    n_parts = num_partitions or int(math.prod(n_chunks_d.values()))
-    return df.repartition(min(n_parts, 2048), key_col)
+    if num_partitions is not None:
+        # an explicit request is the caller's memory sizing — honoring a
+        # silent 2048 clamp would multiply per-task chunk volume ~4x on a
+        # big write with no indication why executors OOM
+        n_parts = num_partitions
+    else:
+        n_parts = min(int(math.prod(n_chunks_d.values())), 2048)
+    return df.repartition(n_parts, key_col)
 
 
 def register(spark) -> None:
