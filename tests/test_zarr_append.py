@@ -260,3 +260,151 @@ class TestAppendProperties:
             zarr_io.to_zarr(b, path, append_dim="time")
             got = zarr_io.from_zarr(spark, path).collect()
             assert got.equals(src), (nt, c, cut)
+
+
+class TestRound12Regressions:
+    def _mk(self, spark, tmp_path, n=8):
+        nd = NDDataset(
+            {"v": (("t", "x"), np.arange(n * 8, dtype=np.float64).reshape(n, 8))},
+            coords={"t": np.arange(n, dtype=np.int64),
+                    "x": np.arange(8, dtype=np.int64)},
+        )
+        p = str(tmp_path / "s")
+        zarr_io.to_zarr(
+            Dataset.from_numpy(spark, nd, chunks={"t": 4, "x": 8}), p
+        )
+        return p, nd
+
+    def test_transposed_variable_write_rejected(self, spark, tmp_path):
+        """A square grid passes every size/alignment check — the dim-order
+        check is the only thing between a transposed dataset and silently
+        corrupted chunks."""
+        nd = NDDataset(
+            {"v": (("t", "x"), np.zeros((8, 8)))},
+            coords={"t": np.arange(8, dtype=np.int64),
+                    "x": np.arange(8, dtype=np.int64)},
+        )
+        p = str(tmp_path / "sq")
+        zarr_io.to_zarr(Dataset.from_numpy(spark, nd, chunks={"t": 4, "x": 4}), p)
+        swapped = NDDataset(
+            {"v": (("x", "t"), np.ones((8, 8)))},
+            coords=nd.coords,
+        )
+        with pytest.raises(ValueError, match="store dims"):
+            zarr_io.to_zarr(
+                Dataset.from_numpy(spark, swapped, chunks={"x": 4, "t": 4}),
+                p,
+                needs_setup=False,
+            )
+
+    def test_origin_typo_rejected(self, spark, tmp_path):
+        """An unknown origin dim used to be silently dropped — the slice
+        landed at offset 0 over existing data."""
+        p, nd = self._mk(spark, tmp_path)
+        half = NDDataset(
+            {"v": (("t", "x"), np.zeros((4, 8)))},
+            coords={"t": np.arange(4, dtype=np.int64), "x": nd.coords["x"]},
+        )
+        ds = Dataset.from_numpy(spark, half, chunks={"t": 4, "x": 8})
+        with pytest.raises(ValueError, match="origin names dims"):
+            zarr_io.to_zarr(ds, p, needs_setup=False, origin={"tiem": 4})
+
+    def test_append_preserves_coord_attrs_and_cf(self, spark, tmp_path):
+        """Appending extends a CF-packed/attributed coordinate in the
+        DECODED domain and keeps its attrs — previously attrs vanished
+        and the old half kept raw packed codes."""
+        p, nd = self._mk(spark, tmp_path, n=4)
+        # retrofit CF packing + a units attr onto the t coordinate
+        cmeta = zarrlite.open_array(p, "t")
+        packed = zarrlite.create_array(
+            p, "t", shape=(4,), chunks=(4,), dtype=np.int32, dims=("t",),
+            attrs={"scale_factor": 0.5, "add_offset": 10.0, "units": "days"},
+        )
+        zarrlite.write_full(packed, np.array([0, 1, 2, 3], dtype=np.int32))
+        zarrlite.consolidate_metadata(p)
+        # decoded labels are 10.0, 10.5, 11.0, 11.5; append 12.0, 12.5
+        nxt = NDDataset(
+            {"v": (("t", "x"), np.zeros((2, 8)))},
+            coords={"t": np.array([12.0, 12.5]), "x": nd.coords["x"]},
+        )
+        zarr_io.append_to_zarr(
+            Dataset.from_numpy(spark, nxt, chunks={"t": 2, "x": 8}), p, "t"
+        )
+        cmeta2 = zarrlite.open_array(p, "t")
+        assert cmeta2.attrs.get("units") == "days"
+        assert cmeta2.attrs.get("scale_factor") == 0.5
+        got = zarr_io.read_region_decoded(cmeta2, {"t": 0}, {"t": 6})
+        np.testing.assert_array_equal(
+            got, [10.0, 10.5, 11.0, 11.5, 12.0, 12.5]
+        )
+        # stored codes stay int32-packed end to end
+        raw = zarrlite.read_full(cmeta2)
+        assert raw.dtype == np.int32
+        np.testing.assert_array_equal(raw, [0, 1, 2, 3, 4, 5])
+
+    def test_fillvalue_on_datetime_coord_not_cf_decoded(self, tmp_path):
+        """_FillValue on a non-numeric dtype is a mask hint, not CF
+        packing — the float64 decode detour corrupted datetimes."""
+        path = str(tmp_path / "dt")
+        zarrlite.create_group(path)
+        vals = np.array(["2024-01-01", "2024-01-02"], dtype="datetime64[us]")
+        meta = zarrlite.create_array(
+            path, "time", shape=(2,), chunks=(2,), dtype=vals.dtype,
+            dims=("time",), attrs={"_FillValue": "NaT"},
+        )
+        zarrlite.write_full(meta, vals)
+        got = zarr_io.read_region_decoded(meta, {"time": 0}, {"time": 2})
+        assert got.dtype == vals.dtype
+        np.testing.assert_array_equal(got, vals)
+
+    def test_window_dim_dropped_by_var_subset(self, spark, tmp_path):
+        """isel-then-getitem: the rewritten scan's window may reference a
+        dim the projection removed — xarray semantics say ignore it."""
+        nd = NDDataset(
+            {
+                "temp": (("t", "x"), np.zeros((8, 4))),
+                "static": (("x",), np.arange(4, dtype=np.float64)),
+            },
+            coords={"t": np.arange(8, dtype=np.int64),
+                    "x": np.arange(4, dtype=np.int64)},
+        )
+        p = str(tmp_path / "sub")
+        zarr_io.to_zarr(Dataset.from_numpy(spark, nd, chunks={"t": 4, "x": 4}), p)
+        ds = zarr_io.from_zarr(spark, p)
+        out = ds.isel(t=slice(0, 5))[["static"]].collect()
+        np.testing.assert_array_equal(
+            out.data_vars["static"].values, np.arange(4, dtype=np.float64)
+        )
+
+    def test_zlib_level_preserved(self, tmp_path):
+        path = str(tmp_path / "z")
+        zarrlite.create_group(path)
+        rng = np.random.default_rng(0)
+        data = np.repeat(rng.normal(size=512), 16)  # compressible
+        m1 = zarrlite.create_array(
+            path, "a", shape=data.shape, chunks=data.shape,
+            dtype=data.dtype, dims=("i",),
+            compressor={"id": "zlib", "level": 9},
+        )
+        zarrlite.write_full(m1, data)
+        back = zarrlite.read_full(zarrlite.open_array(path, "a"))
+        np.testing.assert_array_equal(back, data)
+        reopened = zarrlite.open_array(path, "a")
+        assert reopened.compressor == {"id": "zlib", "level": 9}
+
+    def test_v3_foreign_index_location_rejected_at_open(self, tmp_path):
+        import json as _json
+        import os
+
+        path = str(tmp_path / "v3")
+        zarrlite.create_group(path, zarr_format=3)
+        meta = zarrlite.create_array(
+            path, "a", shape=(4,), chunks=(2,), dtype=np.float64,
+            dims=("t",), zarr_format=3, shards=(4,),
+        )
+        zpath = os.path.join(path, "a", "zarr.json")
+        doc = _json.loads(open(zpath).read())
+        doc["codecs"][0]["configuration"]["index_location"] = "start"
+        open(zpath, "w").write(_json.dumps(doc))
+        with pytest.raises(ValueError, match="index_location"):
+            zarrlite.open_array(path, "a")

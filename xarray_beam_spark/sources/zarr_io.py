@@ -65,6 +65,12 @@ def _cf_spec(meta: zarrlite.ZArray):
     if "scale_factor" not in a and "add_offset" not in a and "_FillValue" not in a:
         return None
     stored = meta.logical_dtype
+    if stored.kind not in "iuf":
+        # CF packing is numeric-only: a datetime64/string array carrying
+        # a _FillValue attr (common in netCDF-converted stores) must NOT
+        # detour through astype(float64) — that corrupts datetimes and
+        # crashes on strings
+        return None
     decoded = stored.str if stored.kind == "f" else "<f8"
     return (
         float(a.get("scale_factor", 1.0)),
@@ -247,8 +253,15 @@ def from_zarr(
     )
     if var_subset is not None:
         template = template.select_vars(var_subset)
-    win = {d: (int(a), int(b)) for d, (a, b) in (window or {}).items()}
     full_sizes = dict(template.sizes)
+    # drop window dims the var_subset projection removed (xarray
+    # semantics: isel on a dim absent from the selected variables is a
+    # no-op) — the isel-then-getitem scan rewrite hits this legitimately
+    win = {
+        d: (int(a), int(b))
+        for d, (a, b) in (window or {}).items()
+        if d in full_sizes
+    }
     for d, (a, b) in win.items():
         if not (0 <= a < b <= full_sizes[d]):
             raise ValueError(f"window {win[d]} out of range for dim {d!r} of size {full_sizes[d]}")
@@ -382,15 +395,22 @@ def zip_from_zarr(
     """
     if len(paths) < 2:
         raise ValueError("zip_from_zarr needs >= 2 stores")
-    tmpls: list[Template] = []
-    arrays_per: list[dict] = []
-    store_chunks0: dict[str, int] | None = None
-    for p in paths:
-        t, sc, arrs = open_zarr_meta(p)
-        tmpls.append(t)
-        arrays_per.append(arrs)
-        if store_chunks0 is None:
-            store_chunks0 = sc
+    from xarray_beam_spark.sources import iothread, stores as _stores
+
+    # an explicit chunks= opts into mixed-chunk-grid stores, the same
+    # escape hatch from_zarr documents; metadata opens are threaded on
+    # latency-bound stores so N co-read stores pay ~one round-trip, not N
+    latency = any(
+        getattr(_stores.resolve(p)[0], "latency_bound", False) for p in paths
+    )
+    metas = iothread.thread_map(
+        lambda p: open_zarr_meta(p, allow_inconsistent_chunks=chunks is not None),
+        list(paths),
+        width=min(16, len(paths)) if latency else 1,
+    )
+    tmpls: list[Template] = [m[0] for m in metas]
+    arrays_per: list[dict] = [m[2] for m in metas]
+    store_chunks0: dict[str, int] | None = metas[0][1]
     sizes = dict(tmpls[0].sizes)
     for p, t in zip(paths[1:], tmpls[1:]):
         if dict(t.sizes) != sizes:
@@ -803,19 +823,37 @@ def append_to_zarr(ds: Dataset, path: str, append_dim: str) -> dict[str, int]:
     # rewrite in full; metadata-sized by construction)
     if store_has_coord:
         cmeta = arrays[append_dim]
-        old_vals = zarrlite.read_full(cmeta)
+        # concatenate in the DECODED domain and re-encode: a foreign
+        # store's CF-packed coordinate would otherwise mix raw stored
+        # codes (old half) with decoded values cast to the packed dtype
+        # (new half) — silently wrong labels for every reader
+        old_vals = read_region_decoded(
+            cmeta, {append_dim: 0}, {append_dim: old}
+        )
         new_vals = np.concatenate([old_vals, np.asarray(ds_coord.values)])
+        # preserve the coordinate's attrs (units/calendar/CF packing) —
+        # create_array adds _ARRAY_DIMENSIONS itself
+        keep_attrs = {
+            k: v for k, v in cmeta.attrs.items() if k != zarrlite._DIMS_ATTR
+        }
+        stored = cf_encode(cmeta, new_vals)
+        if _cf_spec(cmeta) is None:
+            # non-CF coord: keep the store's dtype stable (concatenate
+            # may have promoted, e.g. ds int32 labels onto an int64 axis)
+            stored = stored.astype(cmeta.logical_dtype)
         cmeta2 = zarrlite.create_array(
             path,
             append_dim,
-            shape=new_vals.shape,
-            chunks=new_vals.shape,
-            dtype=old_vals.dtype,
+            shape=stored.shape,
+            chunks=stored.shape,
+            dtype=stored.dtype,
             dims=(append_dim,),
+            attrs=keep_attrs or None,
+            fill_value=cmeta.fill_value,
             compressor=cmeta.compressor,
             zarr_format=cmeta.zarr_format,
         )
-        zarrlite.write_full(cmeta2, new_vals.astype(old_vals.dtype))
+        zarrlite.write_full(cmeta2, stored)
 
     # 3. one .zmetadata GET per open stays true after the resize; the
     # array set is known here, so this works on listing-free object
@@ -880,6 +918,15 @@ def to_zarr(
         return append_to_zarr(ds, path, append_dim)
     work = ds.consolidate_variables() if ds.split_vars else ds
     sizes = dict(work.sizes)
+    if origin:
+        unknown = sorted(set(origin) - set(sizes))
+        if unknown:
+            # a typo'd or stale origin key would silently write the slice
+            # at offset 0 over existing data
+            raise ValueError(
+                f"origin names dims {unknown} not in the dataset "
+                f"(dims: {sorted(sizes)})"
+            )
     base = {d: int((origin or {}).get(d, 0)) for d in sizes}
     if needs_setup:
         if origin:
@@ -913,6 +960,14 @@ def to_zarr(
             if cf_decoded_dtype(meta) != dtype:
                 raise ValueError(
                     f"{v!r}: dtype {dtype} != store {cf_decoded_dtype(meta)}"
+                )
+            if tuple(dims) != tuple(meta.logical_dims):
+                # a square grid would pass every size/alignment check and
+                # land every chunk transposed — silent corruption
+                raise ValueError(
+                    f"{v!r}: dataset dims {tuple(dims)} != store dims "
+                    f"{tuple(meta.logical_dims)}; transpose the dataset to "
+                    "the store's dim order before writing"
                 )
             wu = meta.write_unit[: len(meta.logical_dims)]
             for d, u, s in zip(meta.logical_dims, wu, meta.logical_shape):

@@ -593,6 +593,22 @@ def _zarray_from_v3_meta(apath: str, name: str, meta: dict) -> ZArray:
     compressor = None
     if codecs and codecs[0].get("name") == "sharding_indexed":
         cfg = codecs[0]["configuration"]
+        # fail loudly at OPEN time for spec-valid layouts this reader
+        # does not implement — otherwise index_location='start' makes the
+        # tail read parse chunk data as an index and every read dies with
+        # a misleading 'index crc32c mismatch'
+        loc = cfg.get("index_location", "end")
+        if loc != "end":
+            raise ValueError(
+                f"{name}: unsupported sharding index_location {loc!r} "
+                "(only 'end' is implemented)"
+            )
+        icodecs = [c.get("name") for c in cfg.get("index_codecs") or []]
+        if icodecs and icodecs != ["bytes", "crc32c"]:
+            raise ValueError(
+                f"{name}: unsupported sharding index_codecs {icodecs!r} "
+                "(only ['bytes', 'crc32c'] is implemented)"
+            )
         shards = grid_shape
         chunks = tuple(cfg["chunk_shape"])
         compressor = _compressor_from_v3_codecs(name, cfg["codecs"])
@@ -881,7 +897,11 @@ def _parse_v2_compressor(name: str, comp) -> str | dict | None:
         raise ValueError(f"{name}: unsupported compressor {comp!r}")
     cid = comp.get("id")
     if cid == "zlib":
-        return "zlib"
+        lvl = int(comp.get("level", 1))
+        # keep a non-default level instead of collapsing to the level-1
+        # shorthand — {'id':'zlib','level':9} used to silently write
+        # level 1 (several times larger output than requested)
+        return "zlib" if lvl == 1 else {"id": "zlib", "level": lvl}
     if cid == "gzip":
         return {"id": "gzip", "level": int(comp.get("level", 1))}
     if cid == "lz4":
@@ -909,6 +929,8 @@ def _compress(meta: ZArray, raw: bytes) -> bytes:
     if spec == "zlib":
         return zlib.compress(raw, 1) if meta.zarr_format == 2 else _gzip.compress(raw, 1)
     cid = spec["id"]
+    if cid == "zlib":
+        return zlib.compress(raw, spec.get("level", 1))
     if cid == "gzip":
         return _gzip.compress(raw, spec.get("level", 1))
     if cid == "lz4":
@@ -936,6 +958,8 @@ def _decompress(meta: ZArray, data: bytes) -> bytes:
     if spec == "zlib":
         return zlib.decompress(data) if meta.zarr_format == 2 else _gzip.decompress(data)
     cid = spec["id"]
+    if cid == "zlib":
+        return zlib.decompress(data)
     if cid == "gzip":
         return _gzip.decompress(data)
     if cid == "lz4":
@@ -1101,10 +1125,6 @@ def _grid_range(offset: int, length: int, chunk: int) -> Iterator[tuple[int, int
         yield gi, lo - clo, hi - clo, lo - offset, hi - offset
 
 
-def _is_wrapped(meta: ZArray) -> bool:
-    return _DTYPE_ATTR in meta.attrs
-
-
 def _wrap_values(meta: ZArray, values: np.ndarray) -> np.ndarray:
     """Logical array → stored uint8 array with trailing itemsize axis."""
     true_dtype = np.dtype(meta.attrs[_DTYPE_ATTR])
@@ -1151,7 +1171,7 @@ def read_region(meta: ZArray, offsets: Mapping[str, int], shape: Mapping[str, in
     # latency-bound stores: fetch chunk files concurrently (reference
     # threads chunk IO inside each task, core.py:528-530/threadmap.py:111)
     _iothread.thread_map(fetch, tasks, _iothread.io_width(meta.path))
-    return _unwrap_values(meta, out) if _is_wrapped(meta) else out
+    return _unwrap_values(meta, out) if meta.wrapped else out
 
 
 def write_region(meta: ZArray, offsets: Mapping[str, int], values: np.ndarray) -> int:
@@ -1161,7 +1181,7 @@ def write_region(meta: ZArray, offsets: Mapping[str, int], values: np.ndarray) -
     reference's no-partial-chunk-writes safety rule (``zarr.py:516-587``)
     which makes concurrent/retried task writes race-free. Returns bytes
     written (compressed)."""
-    if _is_wrapped(meta) and values.ndim == len(meta.dims) - 1:
+    if meta.wrapped and values.ndim == len(meta.dims) - 1:
         values = _wrap_values(meta, values)
     off = tuple(int(offsets.get(d, 0)) for d in meta.dims)
     if values.ndim != len(meta.dims):
