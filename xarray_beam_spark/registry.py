@@ -275,8 +275,36 @@ _LAST_CERTIFIED_ROUND: dict[str, int] = {
         "xb_grid_resample_week", "xb_grid_transpose", "xb_grid_where",
         "xb_grid_zip_ratio", "xb_map_blocks_affine",
     ], 11),
-    #   → drop the 99-valued entries at r13 start (certify first in r13)
-    **dict.fromkeys(["text_html_extract", "corpus_wet_ingest"], 99),
+    # round 12 (freshest; from CORRECTNESS_r12.json — overrides earlier
+    # tiers). The r12 99-valued demotions (text_html_extract,
+    # corpus_wet_ingest) were dropped at r13 start per the staged plan, so
+    # those two certify FIRST in r13 (never-certified → round 0 → head of
+    # the sweep), followed by the 14 r9-stale xb_grid_* keys.
+    **dict.fromkeys([
+        "ann_ivf_trained_topk", "corpus_bloom_decontaminate",
+        "corpus_epoch_shuffle", "corpus_quality_classifier",
+        "corpus_tfrecord_roundtrip", "corpus_warc_responses",
+        "dedup_incremental_new_docs", "dedup_semantic",
+        "events_cms_heavy_hitters", "events_daily_rollup",
+        "events_hll_user_cardinality", "events_running_totals",
+        "multimodal_jpeg_features", "multimodal_wds_roundtrip",
+        "q10_returned_items", "q3_shipping_priority", "q4_order_priority",
+        "q5_local_supplier_volume", "q6_revenue_change",
+        "stream_enriched_counts", "stream_interval_join",
+        "stream_zarr_append", "stream_zarr_tail", "text_gopher_filter",
+        "text_remove_dup_spans", "topk_parts_by_revenue",
+        "xb_chunkfiles_roundtrip", "xb_grid_bfill_day",
+        "xb_grid_climatology_month_dow", "xb_grid_climatology_std_dow",
+        "xb_grid_corr_day", "xb_grid_groupby_median_dow",
+        "xb_grid_histogram_day", "xb_grid_regrid", "xb_grid_roll3_day",
+        "xb_grid_rolling7_max", "xb_grid_shift2_day",
+        "xb_grid_shift_neg2_day", "xb_grid_sortby_cumsum_desc",
+        "xb_grid_stack_roundtrip", "xb_grid_take_day", "xb_grid_trend_day",
+        "xb_grid_zip_ratio_coread", "xb_netcdf_roundtrip", "xb_sql_on_zarr",
+        "xb_sql_zarr_insert", "xb_zarr_append_roundtrip",
+        "xb_zarr_blosc_roundtrip", "xb_zarr_cf_packed_roundtrip",
+        "xb_zarr_delta_filter_roundtrip",
+    ], 12),
 }
 
 
