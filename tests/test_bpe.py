@@ -134,11 +134,34 @@ class TestRound12Regressions:
         }
         assert small == big
 
+    @staticmethod
+    def _persistent_rdd_ids(spark):
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
     def test_train_storage_bounded(self, spark):
         """Each round's localCheckpoint must free the previous round's
         blocks — the trainer holds at most ~2 symbol-table copies."""
         d = _docs(spark, ["low lower lowest newer newest " * 5] * 4)
-        before = bpe._persistent_rdd_ids(spark)
+        before = self._persistent_rdd_ids(spark)
         bpe.bpe_train(d, n_merges=6)
-        leaked = bpe._persistent_rdd_ids(spark) - before
+        leaked = self._persistent_rdd_ids(spark) - before
         assert len(leaked) <= 2, f"{len(leaked)} checkpointed tables leaked"
+
+    def test_train_cleanup_spares_foreign_persists(self, spark):
+        """The per-round checkpoint release must touch ONLY the
+        trainer's own tables: an RDD another job persisted in the same
+        session (here: persisted mid-window by being live across the
+        whole train call) must still be persisted afterwards."""
+        foreign = spark.createDataFrame([(1, "x")], "id long, t string").persist()
+        foreign.count()  # materialize the persist
+        fid = {
+            int(k)
+            for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        }
+        d = _docs(spark, ["low lower lowest newer newest " * 5] * 4)
+        bpe.bpe_train(d, n_merges=4)
+        after = self._persistent_rdd_ids(spark)
+        assert fid & after == fid, "bpe_train unpersisted a foreign RDD"
+        assert foreign.count() == 1
+        foreign.unpersist()

@@ -1,0 +1,250 @@
+"""Bounded-memory shard-ingest machinery (bytestream + stores.iter_blob).
+
+The shard readers (WARC/WET, TFRecord, WebDataset) must be
+O(record + batch) per task regardless of shard size — a foreign Common
+Crawl WARC is ~1 GB gzip / ~4-5 GB decoded, and the pre-streaming shape
+(whole blob + whole decompressed stream + whole row list + one
+RecordBatch, simultaneously) cost ~10+ GB per task.  These tests pin:
+
+* the incremental framers agree with the whole-buffer parsers at EVERY
+  chunk boundary (1-byte chunks included),
+* allocation stays bounded while a large multi-record stream passes
+  through (tracemalloc peak ~ record size, not stream size),
+* the readers emit MULTIPLE RecordBatches per shard when rows exceed
+  ``batch_bytes`` and the multi-batch path round-trips exactly,
+* ``stores.iter_blob`` streams via ranged reads on backends that have
+  them and falls back to one whole ``get`` (never O(n^2)) otherwise.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import tarfile
+import tracemalloc
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from xarray_beam_spark.sources import bytestream, stores, tfrecord, warc
+
+
+def _chunked(buf: bytes, size: int):
+    return [buf[i : i + size] for i in range(0, len(buf), size)]
+
+
+def _member(data: bytes) -> bytes:
+    out = io.BytesIO()
+    with gzip.GzipFile(fileobj=out, mode="wb", mtime=0) as gz:
+        gz.write(data)
+    return out.getvalue()
+
+
+class TestIterGunzip:
+    def test_multi_member_all_chunkings(self):
+        parts = [b"alpha" * 7, b"", b"beta\n" * 100, b"x"]
+        stream = b"".join(_member(p) for p in parts)
+        want = b"".join(parts)
+        for size in (1, 2, 7, 64, len(stream), len(stream) + 5):
+            got = b"".join(bytestream.iter_gunzip(_chunked(stream, size)))
+            assert got == want, size
+
+    def test_truncated_final_member_is_loud(self):
+        stream = _member(b"hello world") + _member(b"tail")[:-4]
+        with pytest.raises(ValueError, match="truncated gzip member"):
+            list(bytestream.iter_gunzip(_chunked(stream, 3)))
+
+    def test_trailing_garbage_is_loud(self):
+        stream = _member(b"ok") + b"not gzip at all"
+        with pytest.raises(zlib.error):
+            list(bytestream.iter_gunzip(_chunked(stream, 5)))
+
+    @given(
+        st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=97),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_property_any_members_any_chunking(self, parts, size):
+        stream = b"".join(_member(p) for p in parts)
+        got = b"".join(bytestream.iter_gunzip(_chunked(stream, size)))
+        assert got == b"".join(parts)
+
+
+class TestIterWarcRecords:
+    def _records(self, n: int, body: bytes = b"payload text") -> bytes:
+        out = []
+        for i in range(n):
+            out.append(
+                warc._record_bytes(
+                    [
+                        ("WARC-Type", "conversion"),
+                        ("WARC-Target-URI", f"http://x/{i}"),
+                        ("WARC-Date", "2026-01-01T00:00:00Z"),
+                        ("WARC-Record-ID", f"<urn:uuid:{i}>"),
+                        ("Content-Type", "text/plain"),
+                    ],
+                    body + str(i).encode(),
+                )
+            )
+        return b"".join(out)
+
+    def test_every_chunk_boundary_matches_whole_buffer(self):
+        buf = self._records(5)
+        want = warc.parse_warc(buf)
+        for size in (1, 2, 3, 17, 100, len(buf)):
+            got = list(warc.iter_warc_records(_chunked(buf, size)))
+            assert got == want, size
+
+    def test_gzip_sniff_with_one_byte_first_chunk(self):
+        # the magic sniff must survive a 1-byte first chunk
+        buf = self._records(3)
+        gz = _member(buf)
+        got = list(warc._iter_warc_stream(_chunked(gz, 1)))
+        assert got == warc.parse_warc(buf)
+
+    def test_truncated_payload_is_loud_at_any_chunking(self):
+        buf = self._records(2)[:-10]
+        for size in (1, 7, len(buf)):
+            with pytest.raises(ValueError, match="truncated WARC payload"):
+                list(warc.iter_warc_records(_chunked(buf, size)))
+
+    def test_unterminated_header_is_loud(self):
+        with pytest.raises(ValueError, match="unterminated WARC header"):
+            list(warc.iter_warc_records([b"WARC/1.0\r\nName: value\r\n"]))
+
+    def test_bounded_allocation_on_large_stream(self):
+        # ~48 MB of decoded records through the full gz route: peak
+        # traced allocation must scale with ONE record (+ chunk), not
+        # the stream.  The old whole-shard shape would peak >= 96 MB
+        # here (decompressed copy + record list); the bound below is
+        # ~25x under that and ~6x over the honest O(record+chunk) cost.
+        rec = self._records(1, body=b"z" * (256 << 10))  # ~256 KB/record
+        n = 192
+        gz_whole = _member(rec * n)  # ONE member: decompressor-bounded too
+
+        def chunks():
+            view = memoryview(gz_whole)
+            for i in range(0, len(view), 1 << 20):
+                yield bytes(view[i : i + (1 << 20)])
+
+        tracemalloc.start()
+        count = 0
+        for r in warc._iter_warc_stream(chunks()):
+            count += 1
+            assert len(r["payload"]) >= 256 << 10
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        assert count == n
+        assert peak < 4 << 20, f"peak {peak} bytes is not O(record + chunk)"
+
+
+class TestIterTfrecordStream:
+    def test_every_chunk_boundary_matches_whole_buffer(self):
+        recs = [b"a" * 5, b"", b"c" * 300, b"dd"]
+        buf = tfrecord.frame_records(recs)
+        for size in (1, 2, 13, len(buf)):
+            got = list(tfrecord.iter_records_stream(_chunked(buf, size)))
+            assert got == recs, size
+
+    def test_crc_mismatch_is_loud_across_chunks(self):
+        buf = bytearray(tfrecord.frame_records([b"payload-bytes"]))
+        buf[14] ^= 0x01  # flip a data byte
+        with pytest.raises(ValueError, match="data crc mismatch"):
+            list(tfrecord.iter_records_stream(_chunked(bytes(buf), 3)))
+
+    def test_truncation_is_loud(self):
+        buf = tfrecord.frame_records([b"abcdef"])
+        with pytest.raises(ValueError, match="truncated TFRecord"):
+            list(tfrecord.iter_records_stream(_chunked(buf[:-2], 4)))
+        with pytest.raises(ValueError, match="truncated TFRecord header"):
+            list(tfrecord.iter_records_stream([buf + b"\x01\x02"]))
+
+    def test_verify_groups_flush_mid_stream(self, monkeypatch):
+        # shrink the group bound so several groups flush before EOF
+        monkeypatch.setattr(tfrecord, "_VERIFY_GROUP_BYTES", 64)
+        recs = [bytes([i]) * 40 for i in range(10)]
+        buf = tfrecord.frame_records(recs)
+        assert list(tfrecord.iter_records_stream(_chunked(buf, 7))) == recs
+
+
+class TestChunkReader:
+    def test_tarfile_stream_mode(self):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tar:
+            for name, data in [("a.txt", b"alpha"), ("b.txt", b"b" * 7000)]:
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                tar.addfile(info, io.BytesIO(data))
+        f = bytestream.reader(_chunked(buf.getvalue(), 100))
+        with tarfile.open(fileobj=f, mode="r|*") as tar:
+            members = {m.name: tar.extractfile(m).read() for m in tar if m.isfile()}
+        assert members == {"a.txt": b"alpha", "b.txt": b"b" * 7000}
+
+    def test_empty_chunks_are_skipped(self):
+        f = bytestream.reader([b"", b"ab", b"", b"c"])
+        assert f.read() == b"abc"
+
+
+class TestBatchBuilder:
+    def _schema(self):
+        import pyarrow as pa
+
+        return pa.schema([("k", pa.string()), ("v", pa.int64())])
+
+    def test_flushes_at_bound_and_final_always_emits(self):
+        bb = bytestream.BatchBuilder(self._schema(), flush_bytes=200)
+        batches = []
+        for i in range(10):
+            bb.rows["k"].append(str(i))
+            bb.rows["v"].append(i)
+            batches.extend(bb.note(10))
+        batches.append(bb.final())
+        assert len(batches) > 1
+        rows = [r for b in batches for r in b.to_pylist()]
+        assert rows == [{"k": str(i), "v": i} for i in range(10)]
+        empty = bytestream.BatchBuilder(self._schema(), flush_bytes=200)
+        assert empty.final().num_rows == 0
+
+
+class TestIterBlob:
+    def test_fs_store_streams_ranged(self, tmp_path):
+        p = tmp_path / "blob.bin"
+        data = bytes(range(256)) * 700  # ~175 KB
+        p.write_bytes(data)
+        store, key = stores.resolve(str(p))
+        got = list(stores.iter_blob(store, key, chunk_size=1 << 16))
+        assert b"".join(got) == data
+        assert len(got) == 3  # 175 KB in 64 KB chunks
+        assert all(len(c) <= 1 << 16 for c in got)
+
+    def test_missing_raises_custom_message(self, tmp_path):
+        store, key = stores.resolve(str(tmp_path / "nope"))
+        with pytest.raises(FileNotFoundError, match="gone-gone"):
+            list(stores.iter_blob(store, key, missing="gone-gone"))
+
+    def test_exact_multiple_of_chunk(self, tmp_path):
+        p = tmp_path / "blob.bin"
+        p.write_bytes(b"x" * (4 << 10))
+        store, key = stores.resolve(str(p))
+        got = list(stores.iter_blob(store, key, chunk_size=1 << 10))
+        assert b"".join(got) == b"x" * (4 << 10) and len(got) == 4
+
+    def test_rangeless_backend_takes_one_get(self):
+        calls = []
+
+        class Counting(stores.Store):
+            def get(self, key):
+                calls.append(key)
+                return b"y" * 1000
+
+        got = list(stores.iter_blob(Counting(), "k", chunk_size=64))
+        assert b"".join(got) == b"y" * 1000
+        assert calls == ["k"]  # one fetch, sliced — never O(n^2)
+
+    def test_empty_object_yields_no_chunks(self, tmp_path):
+        p = tmp_path / "empty.bin"
+        p.write_bytes(b"")
+        store, key = stores.resolve(str(p))
+        assert list(stores.iter_blob(store, key)) == []

@@ -535,3 +535,57 @@ class TestRound12Regressions:
             salted_join(big, small, on=["k"], how="full")
         # the allowed types still work
         assert salted_join(big, small, on=["k"], how="left").count() == 1
+
+
+def test_huge_dim_fractional_literal_pruning_is_exact(spark, store):
+    """The >2^22 coordinate-less branch must round fractional literals
+    TOWARD keeping indices: int() truncation on LessThan(3.5) would
+    prune away index 3 (which satisfies d < 3.5), and a pruning loss
+    cannot be restored by Spark's post-scan re-filter."""
+    from pyspark.sql.datasource import GreaterThan, LessThanOrEqual
+
+    p, _ = store
+    src = spark_datasource.ZarrDataSource({"path": p})
+
+    def huge_reader():
+        rd = src.reader(src.schema())
+        n = 1 << 23  # force the coordinate-less window-arithmetic branch
+        rd.sizes["time"] = n
+        rd.coords.pop("time", None)
+        rd.window["time"] = (0, n)
+        return rd, n
+
+    rd, n = huge_reader()
+    rd.pushFilters([LessThan(("time",), 3.5)])
+    assert rd.window["time"] == (0, 4)  # indices 0..3 all satisfy < 3.5
+
+    rd, n = huge_reader()
+    rd.pushFilters([GreaterThan(("time",), 3.5)])
+    assert rd.window["time"] == (4, n)
+
+    rd, n = huge_reader()
+    rd.pushFilters([GreaterThanOrEqual(("time",), 3.5)])
+    assert rd.window["time"] == (4, n)
+
+    rd, n = huge_reader()
+    rd.pushFilters([LessThanOrEqual(("time",), 3.5)])
+    assert rd.window["time"] == (0, 4)
+
+    # integer literals keep their exact windows
+    rd, n = huge_reader()
+    rd.pushFilters([LessThan(("time",), 3), GreaterThanOrEqual(("time",), 1)])
+    assert rd.window["time"] == (1, 3)
+
+    # fractional equality matches no index: window untouched (post-scan
+    # filter yields empty); non-numeric / non-finite literals never prune
+    import math
+
+    rd, n = huge_reader()
+    rd.pushFilters([EqualTo(("time",), 2.5)])
+    assert rd.window["time"] == (0, n)
+    rd.pushFilters([LessThan(("time",), math.inf)])
+    assert rd.window["time"] == (0, n)
+    rd.pushFilters([EqualTo(("time",), True)])
+    assert rd.window["time"] == (0, n)
+    rd.pushFilters([EqualTo(("time",), 7.0)])
+    assert rd.window["time"] == (7, 8)

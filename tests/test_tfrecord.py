@@ -468,3 +468,29 @@ class TestReviewRegressions:
         tfr.write_tfrecords(df, str(tmp_path))
         with pytest.raises(Exception, match="3 values.*scalar"):
             tfr.read_tfrecords(spark, str(tmp_path), "x float").collect()
+
+
+class TestBoundedBatches:
+    """A shard whose rows exceed ``batch_bytes`` must leave the read
+    task as MULTIPLE RecordBatches (the bounded-memory contract) and
+    still round-trip exactly."""
+
+    def test_multiple_batches_per_shard_roundtrip(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        df = spark.range(200).select(
+            "id", F.concat(F.lit("t" * 500), F.col("id").cast("string")).alias("txt")
+        )
+        # ONE shard of 200 ~500 B rows, read back with a 2 KB flush
+        # bound -> ~50 flushes inside one task
+        tfr.write_tfrecords(df.repartition(1), str(tmp_path), shard_records=1000)
+        back = tfr.read_tfrecords(spark, str(tmp_path), batch_bytes=2048)
+        rows = {r["id"]: r["txt"] for r in back.collect()}
+        assert len(rows) == 200
+        assert rows[7] == "t" * 500 + "7"
+
+    def test_gz_shard_streams_through_gunzip(self, spark, tmp_path):
+        df = spark.range(50).withColumnRenamed("id", "v")
+        tfr.write_tfrecords(df.repartition(1), str(tmp_path), compression="gzip")
+        back = tfr.read_tfrecords(spark, str(tmp_path), batch_bytes=64)
+        assert sorted(r["v"] for r in back.collect()) == list(range(50))

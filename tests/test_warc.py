@@ -860,3 +860,36 @@ def test_case_insensitive_http_content_type(spark, tmp_path):
     (tmp_path / "a.warc").write_bytes(rec)
     got = warc.read_warc_responses(spark, str(tmp_path)).collect()
     assert len(got) == 1 and got[0]["body"] == "upper"
+
+
+class TestBoundedBatches:
+    """Rows exceeding ``batch_bytes`` must leave the read task as
+    multiple RecordBatches (streaming gunzip + incremental framing +
+    bounded flushes) and still round-trip exactly."""
+
+    def test_wet_multiple_batches_per_shard_roundtrip(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        df = spark.range(150).select(
+            F.concat(F.lit("http://e.com/"), F.col("id").cast("string")).alias("url"),
+            F.concat(F.lit("w" * 300), F.col("id").cast("string")).alias("text"),
+        )
+        warc.write_wet(df.repartition(1), str(tmp_path), shard_records=1000)
+        back = warc.read_wet(spark, str(tmp_path), batch_bytes=1024)
+        rows = {r["url"]: r["text"] for r in back.collect()}
+        assert len(rows) == 150
+        assert rows["http://e.com/3"] == "w" * 300 + "3"
+
+    def test_responses_multiple_batches_per_shard_roundtrip(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        df = spark.range(80).select(
+            F.concat(F.lit("http://e.com/p"), F.col("id").cast("string")).alias("url"),
+            F.concat(F.lit("<p>"), F.col("id").cast("string"), F.lit("</p>" + "b" * 200)).alias("body"),
+        )
+        warc.write_warc_responses(df.repartition(1), str(tmp_path), shard_records=1000)
+        back = warc.read_warc_responses(spark, str(tmp_path), batch_bytes=512)
+        rows = {r["url"]: r for r in back.collect()}
+        assert len(rows) == 80
+        assert rows["http://e.com/p5"]["body"] == "<p>5</p>" + "b" * 200
+        assert rows["http://e.com/p5"]["status"] == 200

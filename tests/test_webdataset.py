@@ -359,3 +359,22 @@ class TestReviewRegressions:
         )
         with pytest.raises(Exception, match="USTAR name limit"):
             wds.write_webdataset(df, str(tmp_path))
+
+
+class TestBoundedBatches:
+    """Rows exceeding ``batch_bytes`` must leave the read task as
+    multiple RecordBatches (tarfile stream mode + bounded flushes) and
+    still round-trip exactly."""
+
+    def test_multiple_batches_per_shard_roundtrip(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        df = spark.range(120).select(
+            F.concat(F.lit("k/"), F.col("id").cast("string")).alias("__key__"),
+            F.concat(F.lit("x" * 400), F.col("id").cast("string")).alias("txt"),
+        )
+        wds.write_webdataset(df.repartition(1), str(tmp_path), shard_records=1000)
+        back = wds.read_webdataset(spark, str(tmp_path), batch_bytes=1024)
+        rows = {r["__key__"]: r["txt"] for r in back.collect()}
+        assert len(rows) == 120
+        assert rows["k/9"] == "x" * 400 + "9"

@@ -40,7 +40,11 @@ def token_count(text: Column) -> Column:
 
 # GPT-2-flavoured pre-tokenizer classes (simplified to an engine-portable
 # regex): word = letters, number = digits, else one punctuation char.
-BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# The negated class spells whitespace out instead of \s for the same
+# reason TOKEN_SEP does: Java's \s includes \x0B, RE2's does not, and
+# the same bytes must reach both engines so a \x0B char is a separator
+# (never a punctuation token) on both sides.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 def bpe_token_count(text: Column) -> Column:
@@ -240,7 +244,7 @@ def text_lang_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ORACLE = r"""
 SELECT doc_id,
        CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS ws_tokens,
-       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS bpe_tokens
 FROM documents
 """
 

@@ -101,7 +101,6 @@ def bpe_train(
     ).localCheckpoint(eager=True)
 
     merges: list[tuple[str, str, int]] = []
-    prev_ckpt_ids: set[int] = set()
     for _ in range(n_merges):
         pairs = syms.select(
             F.explode(
@@ -124,35 +123,29 @@ def bpe_train(
             break  # nothing left worth merging
         l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
         merges.append((l, r, n))
-        before = _persistent_rdd_ids(spark)
+        prev = syms
         syms = syms.select(
             _merge_pair(F.col("s"), l, r).alias("s"), "cnt"
         ).localCheckpoint(eager=True)
         # free the PREVIOUS round's checkpoint blocks now that the new
-        # eager checkpoint no longer depends on them — without this,
+        # EAGER checkpoint no longer depends on them — without this,
         # every round pins another full copy of the symbol table in
-        # executor storage until a driver GC happens to reap it
-        new_ids = _persistent_rdd_ids(spark) - before
-        _unpersist_rdds(spark, prev_ckpt_ids)
-        prev_ckpt_ids = new_ids
+        # executor storage until a driver GC happens to reap it.  The
+        # released RDD is taken from the DataFrame OBJECT itself, never
+        # from a getPersistentRDDs() before/after diff: a diff races
+        # with any other thread persisting an RDD in the same session
+        # during the window and would wrongly unpersist it.
+        _unpersist_checkpoint(prev)
     return merges
 
 
-def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Release the block-manager copy behind a localCheckpoint'ed
+    DataFrame.  ``df.rdd`` would build a NEW python-facing pipeline, not
+    the persisted RDD — the checkpointed RDD is the one the plan's
+    LogicalRDD node wraps, so it is read off the analyzed plan."""
     try:
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        return {int(k) for k in jmap.keySet().toArray()}
-    except Exception:  # py4j surface drift → fall back to GC-based cleanup
-        return set()
-
-
-def _unpersist_rdds(spark: SparkSession, rdd_ids: set[int]) -> None:
-    try:
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        for rid in rdd_ids:
-            jrdd = jmap.get(rid)
-            if jrdd is not None:
-                jrdd.unpersist(False)
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
         pass  # best-effort: ContextCleaner reaps on driver GC anyway
 

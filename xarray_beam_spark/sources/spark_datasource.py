@@ -285,23 +285,36 @@ class ZarrReader(DataSourceReader):
                     # (a full arange would allocate 8 GB on a 1e9 dim)
                     vals = np.arange(min(self.sizes[d], 1 << 22))
                     if self.sizes[d] > len(vals):
-                        # huge index dim: prune only if the literal is a
-                        # plain integer (window arithmetic, no array)
-                        try:
-                            iv = int(getattr(f, "value", None))
-                        except (TypeError, ValueError):
+                        # huge index dim: prune with window arithmetic
+                        # (no array).  Fractional literals must round
+                        # TOWARD keeping indices — int() truncation on
+                        # e.g. LessThan(3.5) would drop index 3, and a
+                        # pruning loss can never be restored by Spark's
+                        # post-scan re-filter.  (Spark's
+                        # UnwrapCastInBinaryComparison normally
+                        # normalizes such predicates away, so this is a
+                        # guard, not a hot path.)
+                        import math
+
+                        v = getattr(f, "value", None)
+                        if (
+                            isinstance(v, bool)
+                            or not isinstance(v, (int, float))
+                            or (isinstance(v, float) and not math.isfinite(v))
+                        ):
                             continue
                         n = self.sizes[d]
                         if isinstance(f, EqualTo):
-                            self._tighten(d, iv, iv + 1)
+                            if isinstance(v, int) or v.is_integer():
+                                self._tighten(d, int(v), int(v) + 1)
                         elif isinstance(f, GreaterThan):
-                            self._tighten(d, iv + 1, n)
+                            self._tighten(d, math.floor(v) + 1, n)
                         elif isinstance(f, GreaterThanOrEqual):
-                            self._tighten(d, iv, n)
+                            self._tighten(d, math.ceil(v), n)
                         elif isinstance(f, LessThan):
-                            self._tighten(d, 0, iv)
+                            self._tighten(d, 0, math.ceil(v))
                         elif isinstance(f, LessThanOrEqual):
-                            self._tighten(d, 0, iv + 1)
+                            self._tighten(d, 0, math.floor(v) + 1)
                         continue
                 if vals.ndim == 1 and bool((vals[1:] >= vals[:-1]).all()):
                     v = getattr(f, "value", None)

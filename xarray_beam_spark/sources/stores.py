@@ -410,6 +410,48 @@ def finalize_shard_write(
     }
 
 
+def iter_blob(
+    store: Store,
+    key: str,
+    *,
+    chunk_size: int = 8 << 20,
+    missing: str | None = None,
+):
+    """Stream an object's bytes as bounded chunks through the Store seam.
+
+    Backends with native partial reads (file seek, HTTP Range) serve
+    ``chunk_size`` ranged GETs, so the reader never holds more than one
+    chunk of the raw object — the piece that makes the shard-ingest legs
+    O(record + batch) instead of O(shard).  Backends still on the
+    fetch-whole ``Store.get_range`` default would turn repeated ranged
+    reads into O(n^2) transfer, so they are detected and served as ONE
+    ``get`` sliced into chunks (memory O(object), exactly the old
+    whole-blob behavior — never worse).
+
+    Raises ``FileNotFoundError(missing or key)`` if the object is
+    missing, including an object that vanishes mid-read (a short
+    manifest-vs-store race must fail loudly, not truncate silently).
+    """
+    if type(store).get_range is Store.get_range:
+        data = store.get(key)
+        if data is None:
+            raise FileNotFoundError(missing or key)
+        view = memoryview(data)
+        for pos in range(0, len(view), chunk_size):
+            yield bytes(view[pos : pos + chunk_size])
+        return
+    pos = 0
+    while True:
+        b = store.get_range(key, pos, chunk_size)
+        if b is None:
+            raise FileNotFoundError(missing or key)
+        if b:
+            yield b
+        if len(b) < chunk_size:
+            return
+        pos += len(b)
+
+
 def discover_shards(
     store,
     key: str,

@@ -57,7 +57,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from xarray_beam_spark.sources import stores
+from xarray_beam_spark.sources import bytestream, stores
 from xarray_beam_spark.sources.zarrlite import _crc32c, _crc32c_table
 
 _MASK_DELTA = 0xA282EAD8
@@ -285,51 +285,89 @@ def frame_records(records: list[bytes]) -> bytes:
     return b"".join(parts)
 
 
-def parse_records(buf: bytes, *, verify: bool = True) -> list[bytes]:
-    """Parse TFRecord bytes → payload list; loud on any corruption.
+# crc verification stays vectorized on the streaming path by batching
+# records into groups of up to this many payload bytes before the two
+# `_crc32c_batch` passes run — per-record scalar crc would bottleneck
+# the whole read leg.  Also the framer's memory bound: pending
+# yet-unverified records never exceed max(_VERIFY_GROUP_BYTES, one
+# record).
+_VERIFY_GROUP_BYTES = 32 << 20
 
-    Verification is batched: frames are walked first (cheap struct
-    reads), then every length-crc and data-crc checks in two vectorized
-    `_crc32c_batch` passes — per-record scalar crc would bottleneck the
-    whole read leg."""
-    records: list[bytes] = []
-    offsets: list[int] = []
-    len_bufs: list[bytes] = []
-    want_len_crcs: list[int] = []
-    want_data_crcs: list[int] = []
-    pos, end = 0, len(buf)
-    while pos < end:
-        if end - pos < 12:
-            raise ValueError(f"truncated TFRecord header at byte {pos}")
-        (length,) = struct.unpack_from("<Q", buf, pos)
-        dend = pos + 12 + length
-        if dend + 4 > end:
-            raise ValueError(f"truncated TFRecord data at byte {pos}")
-        if verify:
-            offsets.append(pos)
-            len_bufs.append(buf[pos : pos + 8])
-            want_len_crcs.append(struct.unpack_from("<I", buf, pos + 8)[0])
-            want_data_crcs.append(struct.unpack_from("<I", buf, dend)[0])
-        records.append(buf[pos + 12 : dend])
-        pos = dend + 4
-    if verify and records:
-        got_len = _mask_batch(_crc32c_batch(len_bufs))
-        got_data = _mask_batch(_crc32c_batch(records))
-        for i in range(len(records)):
-            if int(got_len[i]) != want_len_crcs[i]:
-                raise ValueError(
-                    f"TFRecord length crc mismatch at byte {offsets[i]}"
+
+def iter_records_stream(chunks, *, verify: bool = True) -> Iterator[bytes]:
+    """Incrementally frame TFRecord payloads from a byte-chunk stream;
+    loud on any corruption.
+
+    The bounded-memory core of the TFRecord ingest leg: only the
+    current partial record plus one crc-verification group (~32 MB) is
+    buffered, so a foreign multi-GB shard costs O(record + group), not
+    O(shard).  Verification is batched: frames are walked first (cheap
+    struct reads), then each group's length-crcs and data-crcs check in
+    two vectorized `_crc32c_batch` passes."""
+    buf = bytearray()
+    base = 0  # absolute stream offset of buf[0], for error messages
+    pend_recs: list[bytes] = []
+    pend_lens: list[bytes] = []
+    pend_want: list[tuple[int, int, int]] = []  # (len_crc, data_crc, offset)
+    pend_bytes = 0
+
+    def verified() -> list[bytes]:
+        nonlocal pend_recs, pend_lens, pend_want, pend_bytes
+        got_len = _mask_batch(_crc32c_batch(pend_lens))
+        got_data = _mask_batch(_crc32c_batch(pend_recs))
+        for i, (want_l, want_d, off) in enumerate(pend_want):
+            if int(got_len[i]) != want_l:
+                raise ValueError(f"TFRecord length crc mismatch at byte {off}")
+            if int(got_data[i]) != want_d:
+                raise ValueError(f"TFRecord data crc mismatch at byte {off}")
+        out = pend_recs
+        pend_recs, pend_lens, pend_want, pend_bytes = [], [], [], 0
+        return out
+
+    for chunk in chunks:
+        buf.extend(chunk)
+        pos = 0
+        while True:
+            if len(buf) - pos < 12:
+                break
+            (length,) = struct.unpack_from("<Q", buf, pos)
+            dend = pos + 12 + length
+            if dend + 4 > len(buf):
+                break
+            rec = bytes(buf[pos + 12 : dend])
+            if verify:
+                pend_recs.append(rec)
+                pend_lens.append(bytes(buf[pos : pos + 8]))
+                pend_want.append(
+                    (
+                        struct.unpack_from("<I", buf, pos + 8)[0],
+                        struct.unpack_from("<I", buf, dend)[0],
+                        base + pos,
+                    )
                 )
-            if int(got_data[i]) != want_data_crcs[i]:
-                raise ValueError(
-                    f"TFRecord data crc mismatch at byte {offsets[i]}"
-                )
-    return records
+                pend_bytes += len(rec)
+            else:
+                yield rec
+            pos = dend + 4
+        base += pos
+        del buf[:pos]
+        if pend_bytes >= _VERIFY_GROUP_BYTES:
+            yield from verified()
+    if buf:
+        kind = "header" if len(buf) < 12 else "data"
+        raise ValueError(f"truncated TFRecord {kind} at byte {base}")
+    if pend_recs:
+        yield from verified()
+
+
+def parse_records(buf: bytes, *, verify: bool = True) -> list[bytes]:
+    """Parse TFRecord bytes → payload list; loud on any corruption."""
+    return list(iter_records_stream([buf], verify=verify))
 
 
 def iter_records(buf: bytes, *, verify: bool = True) -> Iterator[bytes]:
     """Yield record payloads from TFRecord bytes; loud on any corruption."""
-    yield from parse_records(buf, verify=verify)
+    yield from iter_records_stream([buf], verify=verify)
 
 
 # ---------------------------------------------------------------------------
@@ -756,6 +794,7 @@ def read_tfrecords(
     schema: T.StructType | str | None = None,
     *,
     files: list[str] | None = None,
+    batch_bytes: int | None = None,
 ) -> DataFrame:
     """Read TFRecord shards back into a DataFrame.
 
@@ -772,7 +811,9 @@ def read_tfrecords(
     empty first streaming micro-batch) reads back as zero rows — only
     failed *discovery* raises. Missing features decode as NULL; extra
     features in a record are ignored (protobuf-style forward
-    compatibility).
+    compatibility). ``batch_bytes`` caps the per-flush RecordBatch
+    payload (default ~64 MB) — per-task memory is O(record + batch),
+    not O(shard).
     """
     stores.assert_executor_reachable(path, "read_tfrecords")
     store, key = stores.resolve(path)
@@ -801,34 +842,34 @@ def read_tfrecords(
     wanted = frozenset(f.name for f in schema.fields)
 
     def read(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import gzip
-
         store, key = stores.resolve(path)
+        # bounded-memory leg (same shape as the WARC readers): ranged-GET
+        # chunks → streaming gunzip → incremental crc-verified framing →
+        # ~64 MB RecordBatch flushes.  Per-task memory is
+        # O(record + batch), independent of shard size.
+        bb = bytestream.BatchBuilder(pa_schema, batch_bytes)
         for batch in batches:
             for shard in batch.column(0).to_pylist():
-                blob = store.get(stores.join(key, shard))
-                if blob is None:
-                    raise FileNotFoundError(f"shard {shard!r} vanished under {path!r}")
+                chunks = stores.iter_blob(
+                    store,
+                    stores.join(key, shard),
+                    missing=f"shard {shard!r} vanished under {path!r}",
+                )
                 if shard.endswith(".gz"):
                     # dispatch on the suffix, NOT a magic-byte sniff: a
                     # valid uncompressed shard whose first record length
                     # is ≡ 0x8B1F (mod 2^16) starts with the gzip magic
-                    blob = gzip.decompress(blob)
-                rows: dict[str, list] = {name: [] for name, _, _ in fields}
-                for rec in iter_records(blob):
+                    chunks = bytestream.iter_gunzip(chunks)
+                for rec in iter_records_stream(chunks):
                     feats = decode_example(rec, wanted)
+                    rows = bb.rows
                     for name, (kind, is_list), dt in fields:
                         elem = dt.elementType if is_list else dt
                         rows[name].append(
                             _from_feature(feats.get(name), kind, is_list, elem, name)
                         )
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(rows[f.name], type=f.type)
-                        for f in pa_schema
-                    ],
-                    schema=pa_schema,
-                )
+                    yield from bb.note(len(rec))
+        yield bb.final()
 
     shards = spark.createDataFrame(
         [(s,) for s in shard_names], "shard string"

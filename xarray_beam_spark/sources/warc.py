@@ -23,11 +23,14 @@ shard set once (sidecar manifest when our writer produced it, directory
 listing for foreign dirs, or an explicit file list for e.g. a Common
 Crawl WET.paths slice), parallelizes it, and each task parses only its
 files via ``mapInArrow``. The writer is zero-shuffle per-partition shard
-puts. One WET file is held in memory while parsing (Common Crawl WET
-shards are ~150 MB compressed — within task budgets; the record-level
-random access real pipelines use for WARC is the byte-range index, out
-of scope here). Malformed records fail loudly: bad magic, short payload,
-missing mandatory headers — never silently skipped.
+puts. Reading is bounded-memory end to end: ranged GETs through the
+Store seam (``stores.iter_blob``) feed a streaming gunzip and an
+incremental record framer (:func:`iter_warc_records`), and decoded rows
+leave the task as ~64 MB RecordBatch flushes — per-task memory is
+O(record + batch) regardless of shard size, so a foreign Common Crawl
+WARC (~1 GB gzip / ~4-5 GB decoded) never costs its decoded size.
+Malformed records fail loudly: bad magic, short payload, missing
+mandatory headers — never silently skipped.
 """
 
 from __future__ import annotations
@@ -37,6 +40,7 @@ import gzip
 import io
 import json
 import re
+import itertools
 import uuid
 import zlib
 from collections.abc import Iterator
@@ -45,7 +49,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from xarray_beam_spark.sources import stores
+from xarray_beam_spark.sources import bytestream, stores
 
 _META_NAME = "_xbs_wet_meta.json"
 _CRLF = b"\r\n"
@@ -57,105 +61,156 @@ def gunzip_members(buf: bytes) -> bytes:
     stdlib ``gzip.decompress`` materializes ``unused_data`` — a copy of
     the ENTIRE remaining stream — once per member, which is quadratic on
     Common-Crawl-style one-member-per-record files (measured 3 MB/s on a
-    2048-member 16 MB shard). Feeding bounded chunks caps each member's
-    leftover copy at the chunk size, restoring linear cost for any
-    member-size distribution (small chunks also keep single-member files
-    cheap: one ~8 KB call per chunk).
+    2048-member 16 MB shard). Delegates to the streaming
+    :func:`bytestream.iter_gunzip`, which feeds bounded slices so each
+    member's leftover copy is capped at the slice size.
     """
-    out = []
-    view = memoryview(buf)
-    n = len(buf)
-    pos = 0
-    chunk = 1 << 13
-    o = zlib.decompressobj(wbits=31)
-    mid_member = False  # current member has consumed bytes, no eof yet
-    carry: bytes | None = None
-    while pos < n or carry is not None:
-        if carry is not None:
-            data, carry = carry, None
-        else:
-            nxt = min(pos + chunk, n)
-            data = view[pos:nxt]
-            pos = nxt
-        out.append(o.decompress(data))
-        mid_member = True
-        if o.eof:
-            rem = o.unused_data  # ≤ chunk bytes by construction
-            o = zlib.decompressobj(wbits=31)
-            mid_member = False
-            if rem:
-                carry = rem
-    if mid_member:
-        raise ValueError("truncated gzip member")
-    return b"".join(out)
+    return b"".join(bytestream.iter_gunzip([buf]))
+
+
+def _parse_header_block(block: bytes) -> dict[str, str]:
+    """One WARC header block (version line + name:value lines, LWS
+    folding) → lower-cased name→value dict; loud on structural damage."""
+    headers: dict[str, str] = {}
+    # split on explicit line terminators, NOT splitlines(): header
+    # values are arbitrary UTF-8 and may contain U+0085/U+2028-class
+    # characters that splitlines would treat as line breaks
+    raw_lines = block.replace(b"\r\n", b"\n").split(b"\n")
+    lines = [ln.decode("utf-8", "replace") for ln in raw_lines]
+    version = lines[0].strip()
+    if not version.startswith("WARC/"):
+        raise ValueError(f"bad WARC version line {version!r}")
+    last_name: str | None = None
+    for line in lines[1:]:
+        if line[:1] in (" ", "\t"):  # ISO 28500 LWS-folded continuation
+            if last_name is None:
+                raise ValueError(f"continuation line before any header: {line!r}")
+            headers[last_name] += " " + line.strip()
+            continue
+        name, colon, value = line.partition(":")
+        if not colon:
+            raise ValueError(f"malformed WARC header line {line!r}")
+        last_name = name.strip().lower()
+        headers[last_name] = value.strip()
+    return headers
+
+
+def iter_warc_records(chunks) -> Iterator[dict]:
+    """Incrementally frame WARC records from a (decompressed) byte-chunk
+    stream → record dicts ``{headers: {lower-name: value}, payload:
+    bytes}``; loud on structural damage.
+
+    This is the bounded-memory core of the ingest legs: it buffers only
+    the current record's header block + payload (plus one input chunk),
+    so a multi-GB foreign shard costs O(record), not O(shard).  Consumed
+    bytes are compacted out of the buffer after every record.
+    """
+    it = iter(chunks)
+    buf = bytearray()
+    base = 0  # absolute stream offset of buf[0], for error messages
+    eof = False
+
+    def pull() -> bool:
+        nonlocal eof
+        if eof:
+            return False
+        nxt = next(it, None)
+        if nxt is None:
+            eof = True
+            return False
+        buf.extend(nxt)
+        return True
+
+    while True:
+        # tolerate inter-record padding newlines
+        pos = 0
+        while True:
+            while pos < len(buf) and buf[pos] in (0x0D, 0x0A):
+                pos += 1
+            if pos < len(buf) or not pull():
+                break
+        base += pos
+        del buf[:pos]
+        if not buf:
+            return  # clean end of stream
+        # accumulate the header block.  It ends at the FIRST blank line —
+        # CRLF per spec, but tolerate bare-LF writers; the LF probe is
+        # BOUNDED by the CRLF hit (an \n\n strictly before it wins).  A
+        # failed search re-scans the buffered prefix on the next chunk,
+        # but header blocks are ~1 KB vs MB-sized chunks, so the rescan
+        # is O(1) amortized per record (payload bytes are skipped by
+        # length below and never scanned).
+        while True:
+            if len(buf) >= 5:
+                if not buf.startswith(b"WARC/"):
+                    raise ValueError(f"expected WARC/ magic at byte {base}")
+                crlf_end = buf.find(b"\r\n\r\n")
+                lf_end = buf.find(
+                    b"\n\n", 0, crlf_end + 3 if crlf_end >= 0 else len(buf)
+                )
+                if crlf_end >= 0 and (lf_end < 0 or crlf_end < lf_end):
+                    hdr_end, sep = crlf_end, 4
+                    break
+                if lf_end >= 0:
+                    hdr_end, sep = lf_end, 2
+                    break
+            elif not buf.startswith(b"WARC/"[: len(buf)]):
+                raise ValueError(f"expected WARC/ magic at byte {base}")
+            if not pull():
+                if len(buf) < 5:  # stream ends inside the magic itself
+                    raise ValueError(f"expected WARC/ magic at byte {base}")
+                raise ValueError(f"unterminated WARC header block at byte {base}")
+        headers = _parse_header_block(bytes(buf[:hdr_end]))
+        if "content-length" not in headers:
+            raise ValueError("WARC record missing Content-Length")
+        length = int(headers["content-length"])
+        if length < 0:
+            raise ValueError(f"negative Content-Length at byte {base}")
+        body_start = hdr_end + sep
+        while len(buf) < body_start + length:
+            if not pull():
+                raise ValueError(
+                    f"truncated WARC payload at byte {base + body_start} "
+                    f"(need {length} bytes)"
+                )
+        yield {
+            "headers": headers,
+            "payload": bytes(buf[body_start : body_start + length]),
+        }
+        base += body_start + length
+        del buf[: body_start + length]
+
+
+def _iter_warc_stream(chunks) -> Iterator[dict]:
+    """Sniff gzip magic on a raw shard chunk stream, then frame records."""
+    it = iter(chunks)
+    head = b""
+    while len(head) < 2:
+        nxt = next(it, None)
+        if nxt is None:
+            break
+        head += nxt
+    if not head:
+        return
+    full = itertools.chain([head], it)
+    if head[:2] == b"\x1f\x8b":
+        full = bytestream.iter_gunzip(full)  # one member per record (CC)
+    yield from iter_warc_records(full)
 
 
 def parse_warc(buf: bytes) -> list[dict]:
     """Parse WARC bytes → record dicts ``{headers: {lower-name: value},
     payload: bytes}``; loud on structural damage."""
-    if buf[:2] == b"\x1f\x8b":
-        buf = gunzip_members(buf)  # one member per record (CC convention)
-    records: list[dict] = []
-    pos = 0
-    end = len(buf)
-    while pos < end:
-        # tolerate inter-record padding newlines
-        while pos < end and buf[pos : pos + 1] in (b"\r", b"\n"):
-            pos += 1
-        if pos >= end:
-            break
-        if not buf.startswith(b"WARC/", pos):
-            raise ValueError(f"expected WARC/ magic at byte {pos}")
-        # header block ends at the FIRST blank line — CRLF per spec, but
-        # tolerate bare-LF writers. The LF probe is BOUNDED by the CRLF
-        # hit (an \n\n strictly before it wins): an unbounded find would
-        # rescan to EOF per record — quadratic — whenever payloads hold
-        # no blank line, which is the common case.
-        crlf_end = buf.find(b"\r\n\r\n", pos)
-        lf_end = buf.find(b"\n\n", pos, crlf_end + 3 if crlf_end >= 0 else end)
-        if crlf_end >= 0 and (lf_end < 0 or crlf_end < lf_end):
-            hdr_end, sep = crlf_end, 4
-        elif lf_end >= 0:
-            hdr_end, sep = lf_end, 2
-        else:
-            raise ValueError(f"unterminated WARC header block at byte {pos}")
-        headers: dict[str, str] = {}
-        # split on explicit line terminators, NOT splitlines(): header
-        # values are arbitrary UTF-8 and may contain U+0085/U+2028-class
-        # characters that splitlines would treat as line breaks
-        raw_lines = buf[pos:hdr_end].replace(b"\r\n", b"\n").split(b"\n")
-        lines = [ln.decode("utf-8", "replace") for ln in raw_lines]
-        version = lines[0].strip()
-        if not version.startswith("WARC/"):
-            raise ValueError(f"bad WARC version line {version!r}")
-        last_name: str | None = None
-        for line in lines[1:]:
-            if line[:1] in (" ", "\t"):  # ISO 28500 LWS-folded continuation
-                if last_name is None:
-                    raise ValueError(f"continuation line before any header: {line!r}")
-                headers[last_name] += " " + line.strip()
-                continue
-            name, colon, value = line.partition(":")
-            if not colon:
-                raise ValueError(f"malformed WARC header line {line!r}")
-            last_name = name.strip().lower()
-            headers[last_name] = value.strip()
-        if "content-length" not in headers:
-            raise ValueError("WARC record missing Content-Length")
-        length = int(headers["content-length"])
-        if length < 0:
-            raise ValueError(f"negative Content-Length at byte {pos}")
-        body_start = hdr_end + sep
-        if body_start + length > end:
-            raise ValueError(
-                f"truncated WARC payload at byte {body_start} "
-                f"(need {length} bytes)"
-            )
-        records.append(
-            {"headers": headers, "payload": buf[body_start : body_start + length]}
-        )
-        pos = body_start + length
-    return records
+    return list(_iter_warc_stream([buf]))
+
+
+def _record_uuid(url: str, date: str, text: str) -> uuid.UUID:
+    """Deterministic per-record id: uuid5 over (url, capture date,
+    content), NUL-separated.  The date term keeps two captures of an
+    UNCHANGED page (same url + body, e.g. a recrawl in one export)
+    distinct per ISO 28500 §5.2's per-record uniqueness, while identical
+    writer inputs still reproduce byte-identical shards."""
+    return uuid.uuid5(uuid.NAMESPACE_URL, url + chr(0) + date + chr(0) + text)
 
 
 def _record_bytes(headers: list[tuple[str, str]], payload: bytes) -> bytes:
@@ -385,12 +440,14 @@ def write_wet(
                         ("WARC-Target-URI", url),
                         ("WARC-Date", date or default_date),
                         (
-                            # record IDs must be globally unique — a page
-                            # crawled twice (same URL, different text) is
-                            # routine, so the content participates in the
+                            # record IDs must be globally unique (ISO
+                            # 28500 §5.2) — a page crawled twice with
+                            # identical text (an unchanged recrawl in one
+                            # export) is routine, so the capture DATE
+                            # participates alongside url + content in the
                             # (still deterministic) id
                             "WARC-Record-ID",
-                            f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, url + chr(0) + text)}>",
+                            f"<urn:uuid:{_record_uuid(url, date or default_date, text)}>",
                         ),
                         ("Content-Type", "text/plain"),
                     ],
@@ -405,7 +462,11 @@ def write_wet(
 
 
 def read_wet(
-    spark: SparkSession, path: str, *, files: list[str] | None = None
+    spark: SparkSession,
+    path: str,
+    *,
+    files: list[str] | None = None,
+    batch_bytes: int | None = None,
 ) -> DataFrame:
     """Read WET shards → (url, warc_date, record_id, text, content_length).
 
@@ -416,6 +477,8 @@ def read_wet(
     dirs. Only ``conversion`` records become rows (warcinfo/request/
     response records in mixed WARC inputs are skipped — they carry no
     extracted text); structural damage in ANY record fails the task.
+    ``batch_bytes`` caps the per-flush RecordBatch payload (default
+    ~64 MB) — per-task memory is O(record + batch), not O(shard).
     """
     stores.assert_executor_reachable(path, "read_wet")
     store, key = stores.resolve(path)
@@ -434,25 +497,31 @@ def read_wet(
 
     def read(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         store, key = stores.resolve(path)
+        # bounded-memory leg: ranged-GET chunks → streaming gunzip →
+        # incremental record framing → ~64 MB RecordBatch flushes.  Peak
+        # per-task memory is O(record + batch), independent of shard
+        # size — a foreign Common Crawl shard (~1 GB gz / ~4-5 GB
+        # decoded) no longer costs its decoded size 3-5x over.
+        bb = bytestream.BatchBuilder(pa_schema, batch_bytes)
         for batch in batches:
             for shard in batch.column(0).to_pylist():
-                blob = store.get(stores.join(key, shard))
-                if blob is None:
-                    raise FileNotFoundError(f"shard {shard!r} vanished under {path!r}")
-                rows = {f.name: [] for f in _WET_SCHEMA.fields}
-                for rec in parse_warc(blob):
+                chunks = stores.iter_blob(
+                    store,
+                    stores.join(key, shard),
+                    missing=f"shard {shard!r} vanished under {path!r}",
+                )
+                for rec in _iter_warc_stream(chunks):
                     h = rec["headers"]
                     if h.get("warc-type") != "conversion":
                         continue
+                    rows = bb.rows
                     rows["url"].append(h.get("warc-target-uri"))
                     rows["warc_date"].append(h.get("warc-date"))
                     rows["record_id"].append(h.get("warc-record-id"))
                     rows["text"].append(rec["payload"].decode("utf-8", "replace"))
                     rows["content_length"].append(len(rec["payload"]))
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(rows[f.name], type=f.type) for f in pa_schema],
-                    schema=pa_schema,
-                )
+                    yield from bb.note(len(rec["payload"]))
+        yield bb.final()
 
     shards = spark.createDataFrame(
         [(s,) for s in shard_names], "shard string"
@@ -723,7 +792,7 @@ def write_warc_responses(
                         ("WARC-Date", date or default_date),
                         (
                             "WARC-Record-ID",
-                            f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, url + chr(0) + text)}>",
+                            f"<urn:uuid:{_record_uuid(url, date or default_date, text)}>",
                         ),
                         ("Content-Type", "application/http; msgtype=response"),
                     ],
@@ -738,7 +807,11 @@ def write_warc_responses(
 
 
 def read_warc_responses(
-    spark: SparkSession, path: str, *, files: list[str] | None = None
+    spark: SparkSession,
+    path: str,
+    *,
+    files: list[str] | None = None,
+    batch_bytes: int | None = None,
 ) -> DataFrame:
     """Read WARC ``response`` records → decoded HTTP captures.
 
@@ -778,13 +851,20 @@ def read_warc_responses(
 
     def read(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         store, key = stores.resolve(path)
+        # same bounded-memory shape as read_wet: ranged-GET chunks →
+        # streaming gunzip → incremental framing → ~64 MB flushes.  The
+        # canonical foreign input here is Common Crawl WARC (~1 GB gz /
+        # ~4-5 GB decoded), where O(shard) materialization would cost
+        # ~10+ GB per task.
+        bb = bytestream.BatchBuilder(pa_schema, batch_bytes)
         for batch in batches:
             for shard in batch.column(0).to_pylist():
-                blob = store.get(stores.join(key, shard))
-                if blob is None:
-                    raise FileNotFoundError(f"shard {shard!r} vanished under {path!r}")
-                rows = {f.name: [] for f in _RESPONSE_SCHEMA.fields}
-                for rec in parse_warc(blob):
+                chunks = stores.iter_blob(
+                    store,
+                    stores.join(key, shard),
+                    missing=f"shard {shard!r} vanished under {path!r}",
+                )
+                for rec in _iter_warc_stream(chunks):
                     h = rec["headers"]
                     if h.get("warc-type") != "response":
                         continue
@@ -811,6 +891,7 @@ def read_warc_responses(
                         if trunc is None:
                             raise
                         status = ctype = text = charset = blen = None
+                    rows = bb.rows
                     rows["url"].append(h.get("warc-target-uri"))
                     rows["warc_date"].append(h.get("warc-date"))
                     rows["record_id"].append(h.get("warc-record-id"))
@@ -820,10 +901,8 @@ def read_warc_responses(
                     rows["body"].append(text)
                     rows["content_length"].append(blen)
                     rows["truncated"].append(trunc)
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(rows[f.name], type=f.type) for f in pa_schema],
-                    schema=pa_schema,
-                )
+                    yield from bb.note(len(rec["payload"]))
+        yield bb.final()
 
     shards = spark.createDataFrame(
         [(s,) for s in shard_names], "shard string"

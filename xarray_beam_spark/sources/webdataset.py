@@ -29,9 +29,12 @@ reader takes the shard set from the sidecar's manifest (one GET; no
 listing needed), parallelizes it, and each task opens only its shards.
 Arrow rather than pandas is load-bearing: pandas widens a null-bearing
 int64 column to float64, which would corrupt 2^53+ values and serialize
-NULL as a literal ``NaN`` JSON member. A shard is held in memory while
-building/decoding — size shards accordingly (the convention's own
-guidance: ~100 MB-1 GB). The reader rejects malformed shards loudly
+NULL as a literal ``NaN`` JSON member. The WRITER holds one shard in
+memory while building (bounded by ``shard_records``); the READER is
+bounded-memory regardless of shard size — ranged GETs feed tarfile's
+stream mode and samples leave as ~64 MB RecordBatch flushes, so a
+foreign multi-GB tar costs O(member + batch), never O(shard). The
+reader rejects malformed shards loudly
 (member before any key, duplicate extension within a sample) rather
 than guessing.
 """
@@ -47,7 +50,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from xarray_beam_spark.sources import stores
+from xarray_beam_spark.sources import bytestream, stores
 
 KEY_COL = "__key__"
 _META_NAME = "_xbs_wds_meta.json"
@@ -163,7 +166,13 @@ def write_webdataset(
         buf = io.BytesIO()
         tar = tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT)
         in_shard = 0
-        prev_key: str | None = None
+        # ALL keys this task has written, not just the previous one:
+        # two same-key rows separated by another key within a partition
+        # are just as unreadable (non-consecutive reuse fails the
+        # reader), and if they straddle a shard boundary the reader
+        # would silently yield two samples with one key.  Memory is
+        # bounded by rows per task.
+        written_keys: set[str] = set()
 
         def flush() -> None:
             nonlocal seq, n_bytes, buf, tar, in_shard
@@ -204,7 +213,7 @@ def write_webdataset(
                         f"sample key {k!r} contains '.', which would shift "
                         "the key/extension split on read"
                     )
-                if k == prev_key:
+                if k in written_keys:
                     # the read convention merges consecutive same-key
                     # members into ONE sample, so two rows sharing a key
                     # would silently collapse (or, with overlapping
@@ -216,7 +225,7 @@ def write_webdataset(
                         "webdataset keys must be unique — two rows with "
                         "one key cannot round-trip as two samples"
                     )
-                prev_key = k
+                written_keys.add(k)
                 wrote_member = False
                 for f in ordered:
                     v = cols[f.name][i]
@@ -283,6 +292,7 @@ def read_webdataset(
     key_col: str = KEY_COL,
     ext_map: dict[str, str] | None = None,
     files: list[str] | None = None,
+    batch_bytes: int | None = None,
 ) -> DataFrame:
     """Read WebDataset tar shards back into a DataFrame.
 
@@ -299,7 +309,9 @@ def read_webdataset(
     list (foreign, sidecar-less shard sets on listing-less stores);
     pair it with an explicit ``schema`` unless a sidecar exists. An
     empty-but-present manifest reads back as zero rows — only failed
-    *discovery* raises.
+    *discovery* raises. ``batch_bytes`` caps the per-flush RecordBatch
+    payload (default ~64 MB) — per-task memory is O(member + batch),
+    not O(shard).
     """
     stores.assert_executor_reachable(path, "read_webdataset")
     store, skey = stores.resolve(path)
@@ -338,26 +350,36 @@ def read_webdataset(
 
     def read(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         store, skey = stores.resolve(path)
+        # bounded-memory leg (same shape as the WARC/TFRecord readers):
+        # ranged-GET chunks feed tarfile's non-seeking STREAM mode
+        # ("r|" — members are read strictly forward, never the whole
+        # tar), and decoded samples leave as ~64 MB RecordBatch flushes.
+        # Per-task memory is O(member + batch), independent of shard
+        # size.
+        bb = bytestream.BatchBuilder(pa_schema, batch_bytes)
         for batch in batches:
             for shard in batch.column(0).to_pylist():
-                blob = store.get(stores.join(skey, shard))
-                if blob is None:
-                    raise FileNotFoundError(f"shard {shard!r} vanished under {path!r}")
-                rows: dict[str, list] = {key_col: []}
-                for f in fields:
-                    rows[f.name] = []
+                chunks = stores.iter_blob(
+                    store,
+                    stores.join(skey, shard),
+                    missing=f"shard {shard!r} vanished under {path!r}",
+                )
                 seen_keys: set[str] = set()
                 cur: str | None = None
                 sample: dict[str, object] = {}
+                sample_bytes = 0
 
-                def emit() -> None:
+                def emit() -> Iterator[pa.RecordBatch]:
                     if cur is None:
                         return
-                    rows[key_col].append(cur)
+                    bb.rows[key_col].append(cur)
                     for f in fields:
-                        rows[f.name].append(sample.get(f.name))
+                        bb.rows[f.name].append(sample.get(f.name))
+                    yield from bb.note(sample_bytes)
 
-                with tarfile.open(fileobj=io.BytesIO(blob)) as tar:
+                with tarfile.open(
+                    fileobj=bytestream.reader(chunks), mode="r|*"
+                ) as tar:
                     for member in tar:
                         if not member.isfile():
                             continue
@@ -368,10 +390,11 @@ def read_webdataset(
                                     f"{shard}: sample key {k!r} is not "
                                     "consecutive — malformed shard"
                                 )
-                            emit()
+                            yield from emit()
                             seen_keys.add(k)
                             cur = k
                             sample = {}
+                            sample_bytes = 0
                         col = exts.get(ext)
                         if col is None:
                             continue
@@ -380,12 +403,10 @@ def read_webdataset(
                                 f"{shard}: duplicate member {member.name!r}"
                             )
                         data = tar.extractfile(member).read()
+                        sample_bytes += len(data)
                         sample[col] = desers[col](data)
-                    emit()
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(rows[f.name], type=f.type) for f in pa_schema],
-                    schema=pa_schema,
-                )
+                    yield from emit()
+        yield bb.final()
 
     shards = spark.createDataFrame(
         [(s,) for s in shard_names], "shard string"
