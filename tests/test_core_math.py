@@ -791,3 +791,91 @@ class TestReferenceRechunkErrorPaths:
                     {"x": 2, "y": 2},
                 )
             )
+
+
+class TestR13ReviewRegressions:
+    """Round-13 deep-review fixes for core.py / ndarray_ds.py /
+    plans/rechunk_plan.py (never-reviewed modules)."""
+
+    def test_key_tuple_form_canonicalizes(self):
+        from xarray_beam_spark.core import Key
+
+        assert Key((("y", 0), ("x", 0))) == Key.make({"x": 0, "y": 0})
+        assert hash(Key([("x", 0)])) == hash(Key.make({"x": 0}))
+        import numpy as np
+
+        k = Key((("x", np.int64(3)),))
+        assert k == Key.make({"x": 3})
+
+    def test_normalize_chunks_unknown_dim_loud_with_ellipsis(self):
+        import pytest
+
+        from xarray_beam_spark.core import normalize_chunks
+
+        with pytest.raises(ValueError, match="tyme"):
+            normalize_chunks({"x": 5, "tyme": 3, ...: -1}, {"x": 10, "time": 20})
+        assert normalize_chunks({"x": 5, ...: -1}, {"x": 10, "time": 20}) == {
+            "x": 5,
+            "time": 20,
+        }
+
+    def test_parse_bytes_tb_and_above(self):
+        from xarray_beam_spark.core import parse_bytes
+
+        assert parse_bytes("1TiB") == 2**40
+        assert parse_bytes("1PiB") == 2**50
+        assert parse_bytes("2PB") == 2 * 10**15
+
+    def test_rechunk_helpers_total_and_consistent(self):
+        from xarray_beam_spark.plans.rechunk_plan import (
+            needs_consolidate,
+            needs_split,
+        )
+
+        # dims absent from to_chunks keep their source chunk: no-op
+        assert needs_split({"x": 4}, {}) is False
+        assert needs_consolidate({"x": 4}, {}) is False
+        assert needs_split({"x": 4}, {"x": 6}) is True
+        assert needs_split({"x": 4}, {"x": 8}) is False
+        assert needs_consolidate({"x": 8}, {"x": 4}) is False
+        assert needs_consolidate({"x": 4}, {"x": 8}) is True
+
+    def test_isel_integer_drops_dim_and_outer_indexing(self):
+        import numpy as np
+        import pytest
+
+        from xarray_beam_spark.ndarray_ds import NDDataset
+
+        nd = NDDataset(
+            {"f": (("x", "y"), np.arange(12).reshape(3, 4))},
+            coords={"x": np.array([10, 20, 30])},
+        )
+        got = nd.isel(x=0)
+        assert got.data_vars["f"].dims == ("y",)
+        assert list(got.data_vars["f"].values) == [0, 1, 2, 3]
+        assert got.coords["x"].dims == ()  # coord follows the drop
+        # outer (not diagonal) multi-array indexing
+        got = nd.isel(x=[0, 2], y=[1, 3])
+        assert got.data_vars["f"].values.shape == (2, 2)
+        assert got.data_vars["f"].values.tolist() == [[1, 3], [9, 11]]
+        # boolean mask
+        got = nd.isel(x=np.array([True, False, True]))
+        assert got.data_vars["f"].values.shape == (2, 4)
+        # unknown dim is loud
+        with pytest.raises(ValueError, match="nonexistent"):
+            nd.isel(z=0)
+
+    def test_concat_mismatched_vars_loud(self):
+        import numpy as np
+        import pytest
+
+        from xarray_beam_spark.ndarray_ds import NDDataset
+
+        a = NDDataset({"f": (("x",), np.arange(3))})
+        b = NDDataset(
+            {"f": (("x",), np.arange(3)), "g": (("x",), np.arange(3))}
+        )
+        with pytest.raises(ValueError, match="different\\s+variables"):
+            NDDataset.concat([a, b], "x")
+        with pytest.raises(ValueError, match="different\\s+variables"):
+            NDDataset.concat([b, a], "x")

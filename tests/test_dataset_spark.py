@@ -7,6 +7,8 @@ single-machine computation on the identical fixture.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -1637,3 +1639,89 @@ def test_split_chunks_keep_whole_and_coarser_targets(spark, era5):
     s2 = d.split_chunks({"time": 24})
     assert s2.chunks["time"] == 24
     assert s2.consolidate_chunks({"time": 24}).collect().identical(era5)
+
+
+class TestR13CompatReviewRegressions:
+    """Round-13 deep-review fixes in compat.py's per-chunk free functions."""
+
+    def _dt_store(self, tmp_path, fmt=3):
+        import xarray_beam_spark as xbs
+        from xarray_beam_spark.ndarray_ds import NDDataset
+        from xarray_beam_spark.sources import zarr_io
+
+        nd = NDDataset(
+            {
+                "when": (
+                    ("time",),
+                    np.arange(16).astype("datetime64[s]").astype("datetime64[ns]"),
+                ),
+                "val": (("time",), np.arange(16.0)),
+            },
+        )
+        out = str(tmp_path / f"dt{fmt}.zarr")
+        zarr_io.setup_zarr(xbs.make_template(nd), out, {"time": 8}, zarr_format=fmt)
+        return nd, out
+
+    def test_wrapped_dtype_chunk_validates_and_writes(self, spark, tmp_path):
+        """A v3 non-core dtype (datetime64) is stored as uint8 with a
+        TRAILING __bytes__ axis; validate_zarr_chunk previously paired a
+        PREPENDED axis with the offsets, rejecting every correct write
+        to a wrapped variable."""
+        import xarray_beam_spark as xbs
+        from xarray_beam_spark.sources import zarr_io
+
+        nd, out = self._dt_store(tmp_path)
+        for t0 in (0, 8):
+            chunk = nd.isel({"time": slice(t0, t0 + 8)})
+            xbs.validate_zarr_chunk({"time": t0}, chunk, out)  # must not raise
+            assert xbs.write_chunk_to_zarr({"time": t0}, chunk, out) > 0
+        back = zarr_io.from_zarr(spark, out).collect()
+        assert back.identical(nd)
+        # misalignment on a wrapped variable is still loud
+        import pytest
+
+        with pytest.raises(ValueError, match="not aligned"):
+            xbs.validate_zarr_chunk({"time": 3}, nd.isel({"time": slice(3, 11)}), out)
+
+    def test_transposed_chunk_rejected_by_free_functions(self, tmp_path):
+        """Square-grid transposed chunk: every size/alignment check passes,
+        so the free functions need the same dim-ORDER guard the library
+        write path applies (silent corruption otherwise)."""
+        import pytest
+
+        import xarray_beam_spark as xbs
+        from xarray_beam_spark.ndarray_ds import NDDataset, Variable
+        from xarray_beam_spark.sources import zarr_io
+
+        nd = NDDataset(
+            {"f": (("time", "lat"), np.arange(64.0).reshape(8, 8))},
+        )
+        out = str(tmp_path / "sq.zarr")
+        zarr_io.setup_zarr(xbs.make_template(nd), out, {"time": 8, "lat": 8})
+        flipped = NDDataset(
+            {"f": Variable(("lat", "time"), nd.data_vars["f"].values.T.copy())}
+        )
+        with pytest.raises(ValueError, match="transpose"):
+            xbs.validate_zarr_chunk({"time": 0, "lat": 0}, flipped, out)
+        with pytest.raises(ValueError, match="transpose"):
+            xbs.write_chunk_to_zarr({"time": 0, "lat": 0}, flipped, out)
+        # the correctly-ordered chunk passes
+        xbs.validate_zarr_chunk({"time": 0, "lat": 0}, nd, out)
+        assert xbs.write_chunk_to_zarr({"time": 0, "lat": 0}, nd, out) > 0
+
+    def test_unconsolidated_v3_root_is_not_a_staleness_probe(self, tmp_path):
+        """An UNconsolidated v3 root zarr.json never changes when a child
+        array is resized — hashing it would serve stale shapes forever.
+        _meta_fingerprint must return None for such stores (falling back
+        to the refetch-on-validation-failure path)."""
+        import json
+
+        from xarray_beam_spark import compat
+
+        nd, out = self._dt_store(tmp_path)
+        assert compat._meta_fingerprint(out) is not None  # consolidated: real probe
+        root = os.path.join(out, "zarr.json")
+        doc = json.loads(open(root).read())
+        doc.pop("consolidated_metadata", None)
+        open(root, "w").write(json.dumps(doc))
+        assert compat._meta_fingerprint(out) is None

@@ -253,20 +253,31 @@ META_RECHECK_SECONDS = 0.0
 
 def _meta_fingerprint(store: str) -> str | None:
     """Cheap staleness probe: md5 of the store's consolidated-metadata
-    document (ONE small GET — v2 ``.zmetadata`` or v3 root ``zarr.json``,
-    both carrying every array's shape/chunks). ``None`` when the store
-    has neither (unconsolidated foreign store: no cheap probe exists;
+    document (ONE small GET — v2 ``.zmetadata`` or v3 root ``zarr.json``
+    WITH inline consolidated metadata, both carrying every array's
+    shape/chunks). ``None`` when the store has neither (unconsolidated
+    foreign store: no cheap probe exists — an UNconsolidated v3 root
+    ``zarr.json`` is just the group node and never changes when a child
+    array is resized, so hashing it would serve stale shapes forever);
     staleness is then caught by the re-fetch-on-validation-failure path
-    in :func:`validate_zarr_chunk`)."""
+    in :func:`validate_zarr_chunk`."""
     import hashlib
+    import json as _json
 
     from xarray_beam_spark.sources import stores as _stores
 
     for key in (".zmetadata", "zarr.json"):
         st, root = _stores.resolve(_stores.join(store, key))
         data = st.get(root)
-        if data is not None:
-            return hashlib.md5(data).hexdigest()
+        if data is None:
+            continue
+        if key == "zarr.json":
+            try:
+                if not _json.loads(data.decode()).get("consolidated_metadata"):
+                    return None  # group node only: not a staleness probe
+            except (ValueError, UnicodeDecodeError):
+                return None
+        return hashlib.md5(data).hexdigest()
     return None
 
 
@@ -281,16 +292,21 @@ def _arrays_meta(store: str, refresh: bool = False) -> dict:
     rejection — or a stale acceptance)."""
     import time
 
+    probed = False
+    fp: str | None = None
     hit = _ARRAYS_META_CACHE.get(store)
     if hit is not None and not refresh:
-        fp, checked, metas = hit
+        old_fp, checked, metas = hit
         if time.monotonic() - checked < META_RECHECK_SECONDS:
             return metas
-        new_fp = _meta_fingerprint(store)
-        if new_fp is not None and new_fp == fp:
+        fp = _meta_fingerprint(store)
+        probed = True
+        if fp is not None and fp == old_fp:
             _ARRAYS_META_CACHE[store] = (fp, time.monotonic(), metas)
             return metas
         # changed, or no cheap probe available: fall through to re-open
+        # (the probe just taken doubles as the pre-fetch fingerprint —
+        # re-probing here would double the metadata GETs per refresh)
     from xarray_beam_spark.sources.zarr_io import open_zarr_meta
 
     # Fingerprint-then-fetch: take the probe BEFORE reading the metadata.
@@ -299,17 +315,36 @@ def _arrays_meta(store: str, refresh: bool = False) -> dict:
     # re-fetches — caching the post-fetch fingerprint alongside possibly
     # stale metas would make every later probe match and serve stale
     # shapes indefinitely (the corruption path this cache must prevent).
-    fp = _meta_fingerprint(store)
+    if not probed:
+        fp = _meta_fingerprint(store)
     metas = open_zarr_meta(store)[2]
     _ARRAYS_META_CACHE[store] = (fp, time.monotonic(), metas)
     return metas
 
 
+def _check_dim_order(v: str, var, meta, store: str) -> None:
+    """Same guard the library write path applies (``zarr_io.py``,
+    needs_setup=False): on a square grid a transposed chunk passes every
+    size/alignment check and lands every value transposed — silent
+    corruption — so dim ORDER must match the store, not just dim set."""
+    if tuple(var.dims) != tuple(meta.logical_dims):
+        raise ValueError(
+            f"{v!r}: chunk dims {tuple(var.dims)} != store dims "
+            f"{tuple(meta.logical_dims)}; transpose the chunk to the "
+            f"store's dim order before writing to {store}"
+        )
+
+
 def _physical_region(meta, offsets: Mapping[str, int], shape: tuple) -> tuple:
     off = tuple(int(offsets.get(d, 0)) for d in meta.logical_dims)
-    if len(meta.dims) == len(meta.logical_dims) + 1:  # 0-d wrapped array
-        off, shape = (0,) + off, (1,) + tuple(shape)
-    return off, tuple(shape)
+    shape = tuple(shape)
+    if meta.wrapped:
+        # non-core dtypes are stored as uint8 with a TRAILING itemsize
+        # axis (zarrlite: dims + ("__bytes__",)): the physical region is
+        # the logical one plus offset 0 / full extent on that last axis
+        off += (0,)
+        shape += (meta.shape[-1],)
+    return off, shape
 
 
 def validate_zarr_chunk(offsets: Mapping[str, int], chunk: NDDataset, store: str) -> None:
@@ -327,6 +362,7 @@ def validate_zarr_chunk(offsets: Mapping[str, int], chunk: NDDataset, store: str
             if v not in arrays:
                 raise ValueError(f"variable {v!r} not in store {store}")
             meta = arrays[v]
+            _check_dim_order(v, var, meta, store)
             off, shape = _physical_region(meta, offsets, var.values.shape)
             zarrlite.validate_region_alignment(meta, off, shape)
 
@@ -355,6 +391,7 @@ def write_chunk_to_zarr(offsets: Mapping[str, int], chunk: NDDataset, store: str
         if v not in arrays:
             raise ValueError(f"variable {v!r} not in store {store}")
         meta = arrays[v]
+        _check_dim_order(v, var, meta, store)
         off = {d: int(offsets.get(d, 0)) for d in meta.logical_dims}
         total += zarrlite.write_region(meta, off, cf_encode(meta, var.values))
     return total

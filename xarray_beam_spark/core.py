@@ -37,6 +37,15 @@ class Key:
         # hashable state, so ported call sites work unchanged.
         if isinstance(self.offsets, Mapping):
             object.__setattr__(self, "offsets", tuple(sorted(self.offsets.items())))
+        else:
+            # canonicalize tuple/list-of-pairs construction too: an
+            # unsorted pair tuple would make Key((('y',0),('x',0))) hash
+            # differently from Key.make({'x':0,'y':0}) — one chunk's
+            # records silently split into two groups when construction
+            # styles mix — and a list would be unhashable in a frozen Key
+            object.__setattr__(
+                self, "offsets", tuple(sorted((str(d), int(o)) for d, o in self.offsets))
+            )
         if isinstance(self.vars, str):
             raise TypeError(f"vars must be a set of names, not {self.vars!r}")
         if self.vars is not None and not isinstance(self.vars, frozenset):
@@ -105,9 +114,12 @@ _BYTE_UNITS = {
     "MB": 10**6,
     "GB": 10**9,
     "TB": 10**12,
+    "PB": 10**15,
     "KIB": 2**10,
     "MIB": 2**20,
     "GIB": 2**30,
+    "TIB": 2**40,
+    "PIB": 2**50,
 }
 
 
@@ -173,6 +185,12 @@ def normalize_chunks(
     tuples = {d: c for d, c in chunks.items() if isinstance(c, (tuple, list))}
     if tuples:  # dask-style expanded chunks: validate + collapse to ints
         chunks.update(dask_to_xbeam_chunks(tuples))
+    unknown = sorted(set(chunks) - set(sizes) - {...})
+    if unknown:
+        # checked BEFORE the ... expansion: rebuilding over sizes' dims
+        # would silently discard a typo'd dim's spec and leave the real
+        # dim unchunked (one whole-dim chunk — all parallelism lost)
+        raise ValueError(f"chunks for unknown dimensions {unknown}; sizes has {sorted(sizes)}")
     if ... in chunks:
         default = chunks.pop(...)
         chunks = {dim: chunks.get(dim, default) for dim in sizes}
@@ -182,9 +200,6 @@ def normalize_chunks(
             "(dask-only semantics). Supply an explicit number of bytes "
             f"instead, e.g., '100MB'. Got chunks={chunks}"
         )
-    unknown = sorted(set(chunks) - set(sizes))
-    if unknown:
-        raise ValueError(f"chunks for unknown dimensions {unknown}; sizes has {sorted(sizes)}")
     out: dict[str, int] = {}
     pending: dict[str, str] = {}
     for dim, size in sizes.items():

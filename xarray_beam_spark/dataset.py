@@ -2189,8 +2189,8 @@ class Dataset:
             # moves into gcd=3 slivers, 10x the shuffle records for the
             # same bytes. Piece count now equals the planner's lcm region
             # model (stage_io_ops), so plan cost and execution agree.
-            split_needed = any(to[d] % frm[d] != 0 for d in sizes)
-            consolidate_needed = any(frm[d] % to[d] != 0 for d in sizes)
+            split_needed = rechunk_plan.needs_split(frm, to)
+            consolidate_needed = rechunk_plan.needs_consolidate(frm, to)
             if split_needed:
                 out = out.split_chunks(to)
             if consolidate_needed:

@@ -132,10 +132,47 @@ class NDDataset:
 
     def isel(self, indexers: Mapping[str, Any] | None = None, **kw) -> "NDDataset":
         idx = {**(indexers or {}), **kw}
+        unknown = [d for d in idx if d not in self.sizes]
+        if unknown:
+            # xarray raises here too — a typo'd dim name silently
+            # returning the full dataset is a wrong answer, not a no-op
+            raise ValueError(
+                f"isel indexers for nonexistent dimensions: {unknown} "
+                f"(dataset dims: {sorted(self.sizes)})"
+            )
 
         def take(var: Variable) -> Variable:
-            key = tuple(idx.get(d, slice(None)) for d in var.dims)
-            return Variable(var.dims, var.values[key])
+            # one axis at a time: xarray's OUTER-indexing semantics (an
+            # all-at-once numpy key with 2+ arrays would be numpy's
+            # diagonal advanced indexing); integer indexers drop the dim
+            vals = var.values
+            out_dims = list(var.dims)
+            for d in var.dims:
+                if d not in idx:
+                    continue
+                sel = idx[d]
+                ax = out_dims.index(d)
+                if isinstance(sel, slice):
+                    vals = vals[(slice(None),) * ax + (sel,)]
+                elif isinstance(sel, (int, np.integer)) and not isinstance(sel, bool):
+                    vals = np.take(vals, int(sel), axis=ax)
+                    out_dims.pop(ax)
+                else:
+                    arr = np.asarray(sel)
+                    if arr.ndim != 1:
+                        raise ValueError(
+                            f"isel indexer for {d!r} must be an int, slice, "
+                            f"or 1-D sequence; got ndim {arr.ndim}"
+                        )
+                    if arr.dtype == bool:
+                        if len(arr) != vals.shape[ax]:
+                            raise ValueError(
+                                f"boolean indexer for {d!r} has length "
+                                f"{len(arr)}, dim has {vals.shape[ax]}"
+                            )
+                        arr = np.nonzero(arr)[0]
+                    vals = np.take(vals, arr, axis=ax)
+            return Variable(tuple(out_dims), vals)
 
         return NDDataset(
             {k: take(v) for k, v in self.data_vars.items()},
@@ -278,6 +315,23 @@ class NDDataset:
         if not datasets:
             raise ValueError("concat of empty list")
         first = datasets[0]
+        for d in datasets[1:]:
+            # iterate the FIRST dataset's names below — a var present
+            # only in a later chunk would silently vanish (and one
+            # missing from a later chunk would surface as a bare
+            # KeyError); both directions must be loud, the same rule the
+            # lacks-the-dim branch applies to VALUES
+            if set(d.data_vars) != set(first.data_vars):
+                raise ValueError(
+                    f"concat along {dim!r}: datasets carry different "
+                    f"variables ({sorted(first.data_vars)} vs "
+                    f"{sorted(d.data_vars)})"
+                )
+            if set(d.coords) != set(first.coords):
+                raise ValueError(
+                    f"concat along {dim!r}: datasets carry different "
+                    f"coords ({sorted(first.coords)} vs {sorted(d.coords)})"
+                )
         out_vars: dict[str, Variable] = {}
         for name, var in first.data_vars.items():
             if dim in var.dims:

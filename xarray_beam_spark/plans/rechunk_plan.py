@@ -234,11 +234,13 @@ def plan_stages(
 
 def needs_split(from_chunks: Mapping[str, int], to_chunks: Mapping[str, int]) -> bool:
     """A narrow split pass is skippable when every target chunk size is a
-    multiple of the source (reference elision: ``rechunk.py:503-517``)."""
-    return any(to_chunks[d] % from_chunks[d] != 0 for d in from_chunks if from_chunks[d])
+    multiple of the source (reference elision: ``rechunk.py:503-517``).
+    A dim absent from ``to_chunks`` keeps its source chunk (no-op)."""
+    return any(to_chunks.get(d, c) % c != 0 for d, c in from_chunks.items() if c)
 
 
 def needs_consolidate(from_chunks: Mapping[str, int], to_chunks: Mapping[str, int]) -> bool:
     """The shuffle+combine pass is skippable when every source chunk size
-    is a multiple of the target (pure splitting)."""
-    return any(from_chunks[d] % to_chunks[d] != 0 for d in from_chunks if to_chunks[d])
+    is a multiple of the target (pure splitting).  A dim absent from
+    ``to_chunks`` keeps its source chunk (no-op)."""
+    return any(c % to_chunks.get(d, c) != 0 for d, c in from_chunks.items() if to_chunks.get(d, c))
