@@ -12,7 +12,9 @@ import os
 import numpy as np
 import pytest
 
-from xarray_beam_spark.dataset import Dataset, Template
+from pyspark.sql import functions as F
+
+from xarray_beam_spark.dataset import Dataset, Template, off_col
 from xarray_beam_spark.ndarray_ds import NDDataset
 
 
@@ -1725,3 +1727,132 @@ class TestR13CompatReviewRegressions:
         doc.pop("consolidated_metadata", None)
         open(root, "w").write(json.dumps(doc))
         assert compat._meta_fingerprint(out) is None
+
+
+class TestR13DatasetReviewRegressions:
+    """Round-13 deep-review fixes in dataset.py."""
+
+    def test_stack_keeps_other_dims_chunked(self, spark, era5):
+        # stack rechunks dims[1:] to single chunks — the OTHER dims must
+        # keep their chunking (a partial rechunk mapping used to collapse
+        # them to one whole-dim chunk each)
+        d = Dataset.from_numpy(
+            spark, era5, chunks={"time": 6, "latitude": 7, "longitude": 3}
+        )
+        st = d.stack("z", ["latitude", "longitude"])
+        assert st.chunks["time"] == 6  # unrelated dim chunking preserved
+        got = st.collect()
+        want = era5.data_vars["asn"].values.reshape(24, -1)
+        np.testing.assert_array_equal(got.data_vars["asn"].values, want)
+
+    def test_unstack_keeps_other_dims_chunked(self, spark, era5):
+        d = Dataset.from_numpy(
+            spark, era5, chunks={"time": 6, "latitude": 7, "longitude": 3}
+        )
+        st = d.stack("z", ["latitude", "longitude"])
+        back = st.unstack(
+            "z",
+            sizes={"latitude": 7, "longitude": 9},
+            coords={
+                "latitude": era5.coords["latitude"].values,
+                "longitude": era5.coords["longitude"].values,
+            },
+        )
+        assert back.chunks["time"] == 6
+        assert back.collect().equals(era5.transpose("time", "latitude", "longitude"))
+
+    def test_from_table_sparse_cells_fill(self, spark):
+        # a grid cell with ZERO table rows must still exist (fill_value
+        # chunk), not leave a hole that silently truncates collect()
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "x": [0, 1, 2, 7, 8, 9],  # nothing lands in cell x∈[3,6)
+                "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+            }
+        )
+        tbl = spark.createDataFrame(pdf)
+        d = Dataset.from_table(
+            tbl,
+            dims=["x"],
+            coords={"x": np.arange(10, dtype=np.int64)},
+            var_cols=["v"],
+            chunks={"x": 3},
+            fill_value=np.nan,
+        )
+        got = d.collect()
+        assert got.sizes["x"] == 10
+        vals = got.data_vars["v"].values
+        assert np.isnan(vals[3:7]).all()
+        assert vals[0] == 1.0 and vals[9] == 6.0
+
+    def test_collect_incomplete_grid_is_loud(self, spark, era5):
+        d = Dataset.from_numpy(spark, era5, chunks={"time": 6})
+        broken = Dataset(
+            spark,
+            d.df.filter(F.col(off_col("time")) != 6),
+            d.template,
+            d.chunks,
+            d.split_vars,
+        )
+        with pytest.raises(ValueError, match="missing chunk rows"):
+            broken.collect()
+
+    def test_getitem_unknown_var_is_loud(self, spark, era5):
+        d = Dataset.from_numpy(spark, era5, chunks={"time": 6})
+        with pytest.raises(KeyError, match="temperture"):
+            d["temperture"]
+        ds = Dataset.from_numpy(spark, era5, chunks={"time": 6}, split_vars=True)
+        with pytest.raises(KeyError, match="temperture"):
+            ds["temperture"]
+
+    def test_expand_dims_existing_dim_is_loud(self, spark, era5):
+        d = Dataset.from_numpy(spark, era5, chunks={"time": 6})
+        with pytest.raises(ValueError, match="already exist"):
+            d.expand_dims(time=5)
+
+    def test_sel_exact_on_unsorted_coord(self, spark):
+        nd = NDDataset(
+            {"f": (("t",), np.array([10.0, 20.0, 30.0]))},
+            coords={"t": np.array([2020, 2021, 2019], dtype=np.int64)},
+        )
+        d = Dataset.from_numpy(spark, nd, chunks={"t": 3})
+        got = d.sel(t=2019).collect()
+        assert got.data_vars["f"].values.tolist() == [30.0]
+        # duplicates: first occurrence wins
+        nd2 = NDDataset(
+            {"f": (("t",), np.array([1.0, 2.0, 3.0]))},
+            coords={"t": np.array([7, 3, 7], dtype=np.int64)},
+        )
+        d2 = Dataset.from_numpy(spark, nd2, chunks={"t": 3})
+        assert d2.sel(t=7).collect().data_vars["f"].values.tolist() == [1.0]
+
+    def test_groupby_min_int_empty_group_is_loud(self, spark):
+        nd = NDDataset(
+            {"f": (("t",), np.arange(6, dtype=np.int64))},
+        )
+        d = Dataset.from_numpy(spark, nd, chunks={"t": 3})
+        # multi-key: the composite covers the FULL a x b product, so the
+        # (0, 1) and (1, 0) combinations are empty
+        by = {
+            "a": np.array([0, 0, 0, 1, 1, 1]),
+            "b": np.array([0, 0, 0, 1, 1, 1]),
+        }
+        with pytest.raises(Exception, match="integer dtype"):
+            d.groupby_reduce("t", by, op="min", new_dim="g").collect()
+        # float variables represent empties as NaN, no error
+        ndf = NDDataset({"f": (("t",), np.arange(6, dtype=np.float64))})
+        df_ = Dataset.from_numpy(spark, ndf, chunks={"t": 3})
+        got = df_.groupby_reduce("t", by, op="min", new_dim="g").collect()
+        vals = got.data_vars["f"].values
+        assert vals[0, 0] == 0.0 and vals[1, 1] == 3.0
+        assert np.isnan(vals[0, 1]) and np.isnan(vals[1, 0])
+
+    def test_agg_with_non_identifier_dim_name(self, spark):
+        nd = NDDataset(
+            {"f": (("lat-lon",), np.arange(8.0))},
+        )
+        d = Dataset.from_numpy(spark, nd, chunks={"lat-lon": 4})
+        got = d.mean("lat-lon").collect()
+        assert float(got.data_vars["f"].values) == 3.5

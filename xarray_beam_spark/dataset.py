@@ -308,18 +308,18 @@ class Dataset:
         schema = chunk_row_schema(dims)
         bc_coords = spark.sparkContext.broadcast({d: np.asarray(coords[d]) for d in dims})
 
-        def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            offsets = dict(zip([d for d in dims_sorted], [int(k) for k in key]))
+        def build_row(offsets: dict[str, int], pdf: pd.DataFrame | None) -> dict:
             cvals = bc_coords.value
             shape = tuple(
                 min(cchunks[d], sizes[d] - offsets[d]) for d in dims
             )
             arrs = {v: np.full(shape, fill_value, dtype=np.float64) for v in var_cols}
-            idx = tuple(
-                (pdf[f"__idx_{d}"].to_numpy() - offsets[d]) for d in dims
-            )
-            for v in var_cols:
-                arrs[v][idx] = pdf[v].to_numpy(dtype=np.float64)
+            if pdf is not None:
+                idx = tuple(
+                    (pdf[f"__idx_{d}"].to_numpy() - offsets[d]) for d in dims
+                )
+                for v in var_cols:
+                    arrs[v][idx] = pdf[v].to_numpy(dtype=np.float64)
             chunk_coords = {
                 d: Variable((d,), cvals[d][offsets[d] : offsets[d] + shape[i]])
                 for i, d in enumerate(dims)
@@ -328,11 +328,56 @@ class Dataset:
             row = {off_col(d): offsets[d] for d in dims_sorted}
             row["vars"] = None
             row["payload"] = encode_chunk(ds)
+            return row
+
+        def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            offsets = dict(zip([d for d in dims_sorted], [int(k) for k in key]))
+            row = build_row(offsets, pdf)
             return pd.DataFrame([row], columns=[f.name for f in schema.fields])
 
-        grouped = out.groupBy(*[off_col(d) for d in dims_sorted]).applyInPandas(
-            assemble, schema
+        off_cols = [off_col(d) for d in dims_sorted]
+        grouped = out.groupBy(*off_cols).applyInPandas(assemble, schema)
+
+        # Grid completeness: groupBy materializes only cells that HAVE
+        # rows, so a sparse table would leave holes in the chunk grid —
+        # collect() would silently truncate an axis and rechunk would
+        # miss sub-chunks.  Emit a fill_value chunk for every absent
+        # cell: the full cell grid is enumerated distributed
+        # (spark.range → key_for_index, metadata-sized) and anti-joined
+        # against the present offsets; a dense table adds zero rows.
+        n_cells = 1
+        for d in dims_sorted:
+            n_cells *= -(-sizes[d] // cchunks[d])
+
+        def cell_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                cells = [
+                    core.key_for_index(int(i), sizes, cchunks) for i in pdf["id"]
+                ]
+                if cells:
+                    yield pd.DataFrame(
+                        {c: [o[d] for o in cells] for c, d in zip(off_cols, dims_sorted)}
+                    )
+
+        cell_schema = ", ".join(f"`{c}` long" for c in off_cols)
+        all_cells = spark.range(n_cells).mapInPandas(cell_rows, cell_schema)
+        # present offsets come from the PRE-assembly table (column-pruned
+        # distinct), not from `grouped` — referencing `grouped` twice in
+        # one plan would run the whole chunk assembly twice
+        missing = all_cells.join(
+            out.select(*off_cols).distinct(), on=off_cols, how="left_anti"
         )
+
+        def fill_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = [
+                    build_row({d: int(r[off_col(d)]) for d in dims_sorted}, None)
+                    for r in pdf.to_dict("records")
+                ]
+                if rows:
+                    yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+        grouped = grouped.unionByName(missing.mapInPandas(fill_rows, schema))
         return Dataset(spark, grouped, tmpl, cchunks, False)
 
     @staticmethod
@@ -472,6 +517,12 @@ class Dataset:
         """Add new leading dims of the given sizes by broadcasting every
         chunk (new dims are unchunked)."""
         tmpl = self.template
+        clash = sorted(set(dim_sizes) & set(tmpl.sizes))
+        if clash:
+            # {**dim_sizes, **sizes} would keep the OLD size while the
+            # var dims tuple gained a duplicate name — corrupt template,
+            # desynced offsets downstream (xarray raises here too)
+            raise ValueError(f"dimensions already exist: {clash}")
         new_tmpl = Template(
             sizes={**dim_sizes, **tmpl.sizes},
             var_meta={
@@ -635,6 +686,17 @@ class Dataset:
             merged.setdefault(idx, []).append(decode_chunk(row["payload"]))
         parts = {idx: NDDataset.merge(chunks) for idx, chunks in merged.items()}
         out = NDDataset.block(parts, dims_sorted)
+        # grid-completeness guard: NDDataset.block concatenates whatever
+        # cells exist, so a missing chunk row (sparse producer, foreign
+        # DataFrame) would silently TRUNCATE an axis instead of erroring
+        for d, want in self.template.sizes.items():
+            got = out.sizes.get(d, want)
+            if got != want:
+                raise ValueError(
+                    f"collect(): assembled size {got} != template size "
+                    f"{want} along {d!r} — the dataset is missing chunk "
+                    "rows (incomplete grid)"
+                )
         # global attrs live on the TEMPLATE (chunk payloads of store reads
         # carry none): merge them in, chunk-level attrs winning on clash
         if self.template.attrs:
@@ -770,6 +832,15 @@ class Dataset:
     def __getitem__(self, names) -> "Dataset":
         if isinstance(names, str):
             names = [names]
+        missing = [n for n in names if n not in self.template.var_meta]
+        if missing:
+            # Template.select_vars just filters — without this a typo'd
+            # name yields an empty/partial dataset whose error surfaces
+            # only at collect() (xarray raises KeyError immediately)
+            raise KeyError(
+                f"no such data variables: {missing} "
+                f"(have {sorted(self.template.var_meta)})"
+            )
         tmpl = self.template.select_vars(names)
         if self._scan is not None:
             # projection pushdown into the scan: unread variables are
@@ -933,10 +1004,19 @@ class Dataset:
 
             def lookup(label, d=d, vals=vals):
                 target = np.asarray(label, vals.dtype)
-                pos = int(np.searchsorted(vals, target, "left"))
-                exact = pos < len(vals) and vals[pos] == target
-                if not exact and method is None:
+                # exact match by equality scan, not searchsorted: the
+                # binary search assumes a sorted axis, so on an unsorted
+                # coordinate it would mislocate existing labels (spurious
+                # KeyError, or the wrong occurrence among duplicates —
+                # first occurrence wins here). Coords are driver-side
+                # metadata arrays, so the O(n) scan is cheap.
+                hits = np.nonzero(vals == target)[0]
+                exact = hits.size > 0
+                if exact:
+                    return int(hits[0])
+                if method is None:
                     raise KeyError(f"label {label!r} not found in coordinate {d!r}")
+                pos = int(np.searchsorted(vals, target, "left"))
                 if not exact:
                     if len(vals) > 1 and not np.all(vals[1:] >= vals[:-1]):
                         raise ValueError(
@@ -1105,7 +1185,11 @@ class Dataset:
         base = self.consolidate_variables() if self.split_vars else self
         need = {d: -1 for d in dims[1:] if base.chunks[d] != base.sizes[d]}
         if need:
-            base = base.rechunk(need)
+            # merge with the CURRENT chunks: rechunk()/normalize_chunks
+            # treat absent dims as one whole-dim chunk, so a partial
+            # mapping would silently consolidate the first stacked dim
+            # and every non-stacked dim into single chunks (OOM at scale)
+            base = base.rechunk({**base.chunks, **need})
         dset = set(dims)
         tmpl = base.template
         for v, (dims_v, _) in tmpl.var_meta.items():
@@ -1226,7 +1310,9 @@ class Dataset:
         base = self.consolidate_variables() if self.split_vars else self
         if base.chunks[dim] % tail != 0:
             mult = max(1, base.chunks[dim] // tail) * tail
-            base = base.rechunk({dim: int(mult)})
+            # merge with the CURRENT chunks — a bare {dim: mult} would
+            # rechunk every OTHER dim to one whole-dim chunk (see stack)
+            base = base.rechunk({**base.chunks, dim: int(mult)})
         tmpl = base.template
         for v, (dims_v, _) in tmpl.var_meta.items():
             if dim not in dims_v:
@@ -2784,8 +2870,11 @@ class Dataset:
         def pre(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 rows = []
-                for r in pdf.itertuples():
-                    rd = r._asdict()
+                # to_dict('records') like every other per-chunk stage —
+                # itertuples()._asdict() RENAMES columns that are not
+                # valid identifiers (dim 'lat-lon' → '_1'), breaking the
+                # off-column lookups below for such dims
+                for rd in pdf.to_dict("records"):
                     ds = decode_chunk(rd["payload"])
                     acc = _pre_aggregate(
                         ds,
@@ -3129,6 +3218,18 @@ class Dataset:
                     # empty groups (count 0) → NaN; legitimate ±inf survives.
                     cnt = np.sum([p.data_vars[f"{v}__cnt"].values for p in parts], axis=0)
                     res = np.where(cnt == 0, np.nan, res)
+                    if (
+                        not np.issubdtype(np.dtype(out_dtypes[v]), np.floating)
+                        and np.any(cnt == 0)
+                    ):
+                        # NaN→int is an undefined numpy cast (INT64_MIN
+                        # garbage reported as a real minimum): integer
+                        # variables cannot represent an empty group — loud
+                        raise ValueError(
+                            f"groupby_reduce({op!r}): variable {v!r} has "
+                            "empty group combinations but an integer dtype "
+                            "— cast it to float first (NaN marks empties)"
+                        )
                     out[v] = Variable(
                         first.data_vars[f"{v}__{op}"].dims, res.astype(out_dtypes[v], copy=False)
                     )
