@@ -6,6 +6,7 @@ Mirrors the reference's test strategy (``core_test.py``,
 
 from __future__ import annotations
 
+import os
 import math
 
 import numpy as np
@@ -879,3 +880,76 @@ class TestR13ReviewRegressions:
             NDDataset.concat([a, b], "x")
         with pytest.raises(ValueError, match="different\\s+variables"):
             NDDataset.concat([b, a], "x")
+
+
+class TestMaterializedCache:
+    """_materialized persistent-store publication (r13 review fixes)."""
+
+    def test_build_dir_inside_cache_root(self, tmp_path, monkeypatch):
+        """The build dir must live IN the cache root: os.rename across
+        filesystems raises EXDEV, so a default-tempdir build would never
+        publish when XBS_CACHE_DIR is on another mount (every process
+        rebuilding + leaking its build dir)."""
+        from xarray_beam_spark import grid_queries as gq
+
+        monkeypatch.setenv("XBS_CACHE_DIR", str(tmp_path / "cache"))
+        seen = {}
+        import tempfile as _tf
+
+        real = _tf.mkdtemp
+
+        def spy(*a, **kw):
+            seen.update(kw)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(_tf, "mkdtemp", spy)
+
+        class _SC:
+            applicationId = "test-app-exdev"
+
+        class _Spark:
+            sparkContext = _SC()
+
+        def build(p):
+            import pathlib
+
+            pathlib.Path(p, "marker").write_text("x")
+
+        path = gq._materialized(
+            _Spark(), str(tmp_path), "exdev_probe", build, persistent=True
+        )
+        assert seen.get("dir") == str(tmp_path / "cache")
+        assert path.startswith(str(tmp_path / "cache"))
+        assert os.path.exists(os.path.join(path, "marker"))
+        gq._CACHE.pop(("test-app-exdev", str(tmp_path), "exdev_probe"), None)
+
+    def test_params_participate_in_digest(self, tmp_path, monkeypatch):
+        """Changing the build lambda's layout params must invalidate the
+        warm cache by itself (no hand-bumped version constant needed)."""
+        from xarray_beam_spark import grid_queries as gq
+
+        monkeypatch.setenv("XBS_CACHE_DIR", str(tmp_path / "cache"))
+
+        class _SC:
+            applicationId = "test-app-params"
+
+        class _Spark:
+            sparkContext = _SC()
+
+        paths = []
+        for i, params in enumerate(["chunks=a", "chunks=b"]):
+            def build(p, i=i):
+                import pathlib
+
+                pathlib.Path(p, "layout").write_text(str(i))
+
+            gq._CACHE.pop(("test-app-params", str(tmp_path), "pdig"), None)
+            paths.append(
+                gq._materialized(
+                    _Spark(), str(tmp_path), "pdig", build,
+                    persistent=True, params=params,
+                )
+            )
+        assert paths[0] != paths[1]
+        assert open(os.path.join(paths[1], "layout")).read() == "1"
+        gq._CACHE.pop(("test-app-params", str(tmp_path), "pdig"), None)

@@ -42,6 +42,18 @@ FROM events
 GROUP BY 1, 2, 3
 """
 
+# cnt + distinct-users variant, shared by the four two-variable gates
+# (corr_day, zip_ratio, zip_ratio_coread, merge_vars) — ONE copy, so a
+# future normalization fix cannot silently miss one oracle
+_CELLS_USERS_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+       event_type,
+       CAST(COUNT(*) AS DOUBLE) AS cnt,
+       CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS users
+FROM events GROUP BY 1, 2, 3
+"""
+
 
 # Grid inputs are shared by ~20 gate queries in one session: the events
 # aggregation, the two coordinate collects, and each chunking's assembled
@@ -112,7 +124,12 @@ _STORE_LAYOUT_VERSION = "v1"
 
 
 def _materialized(
-    spark: SparkSession, sf_dir: str, tag: str, write, persistent: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    write,
+    persistent: bool = False,
+    params: str = "",
 ) -> str:
     """Write-once store materialization per (session, sf_dir, tag).
 
@@ -124,7 +141,12 @@ def _materialized(
     ``persistent=True`` additionally reuses the store ACROSS processes
     (build-once per machine under a layout-versioned path, atomic-rename
     publish) — only for stores that are pure INPUTS to the gate under
-    test, never for a store whose write path is itself being certified.
+    test, never for a store whose store WRITE is itself being certified.
+
+    ``params``: a string describing the build lambda's layout-affecting
+    arguments (chunking, encoding, format); it participates in the
+    persistent digest so a parameter change invalidates warm caches by
+    itself instead of relying on a hand-bumped _STORE_LAYOUT_VERSION.
     """
     import hashlib
     import os
@@ -149,7 +171,7 @@ def _materialized(
         except OSError:
             fp = "?"
         digest = hashlib.md5(
-            f"{sf_dir}|{tag}|{_STORE_LAYOUT_VERSION}|{fp}".encode()
+            f"{sf_dir}|{tag}|{_STORE_LAYOUT_VERSION}|{params}|{fp}".encode()
         ).hexdigest()[:10]
         # Per-user cache root: a world-shared predictable path could be
         # pre-created (poisoned) by another user, or be unreadable 0700
@@ -165,7 +187,11 @@ def _materialized(
             )
         final = os.path.join(base, f"xbs_gate_cache_{tag}_{digest}")
         if not os.path.isdir(final):
-            tmp = tempfile.mkdtemp(prefix=f"xbs_{tag}_build_")
+            # build INSIDE the cache root: os.rename across filesystems
+            # raises EXDEV, so a default-tempdir build would never
+            # publish whenever XBS_CACHE_DIR is on another mount (every
+            # process would rebuild and leak its build dir)
+            tmp = tempfile.mkdtemp(prefix=f"xbs_{tag}_build_", dir=base)
             write(tmp)
             try:
                 os.rename(tmp, final)  # atomic publish; loser keeps its copy
@@ -244,6 +270,13 @@ def xb_zarr_append_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _events_grid(spark, sf_dir, chunks={"day": 8})
     half = (d.sizes["day"] // 2 // 8) * 8 or 8
+    if half >= d.sizes["day"]:
+        # a whole-axis "first half" would make the append an EMPTY write
+        # — the gate would silently certify a no-op instead of append
+        # semantics.  The fixture contract is >8 distinct days.
+        raise ValueError(
+            f"xb_zarr_append_roundtrip needs >8 distinct days, got {d.sizes['day']}"
+        )
     first = d.isel(day=slice(0, half))
     second = d.isel(day=slice(half, None))
 
@@ -281,6 +314,7 @@ def stream_zarr_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "dsv2",
         lambda p: zarr_io.to_zarr(d, p, zarr_chunks={"day": 8, "hour": 6}),
         persistent=True,
+        params="zarr_chunks=day:8,hour:6",
     )
     spark_datasource.register(spark)
     cells = (
@@ -447,6 +481,7 @@ def xb_sql_on_zarr(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "dsv2",
         lambda p: zarr_io.to_zarr(d, p, zarr_chunks={"day": 8, "hour": 6}),
         persistent=True,
+        params="zarr_chunks=day:8,hour:6",
     )
     spark_datasource.register(spark)
     cells = spark.read.format("xbs_zarr").option("path", path).load()
@@ -486,6 +521,7 @@ def xb_sql_zarr_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "dsv2",
         lambda p: zarr_io.to_zarr(d, p, zarr_chunks={"day": 8, "hour": 6}),
         persistent=True,
+        params="zarr_chunks=day:8,hour:6",
     )
     spark_datasource.register(spark)
 
@@ -698,15 +734,8 @@ def xb_grid_histogram_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "xb_grid_corr_day",
-    """
-WITH cells AS (
-  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-         CAST(extract(hour FROM ts) AS BIGINT) AS hour,
-         event_type,
-         CAST(COUNT(*) AS DOUBLE) AS cnt,
-         CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS users
-  FROM events GROUP BY 1, 2, 3
-)
+    f"""
+WITH cells AS ({_CELLS_USERS_SQL})
 SELECT hour, event_type,
        (COUNT(*) * SUM(cnt * users) - SUM(cnt) * SUM(users))
        / sqrt((COUNT(*) * SUM(cnt * cnt) - SUM(cnt) * SUM(cnt))
@@ -775,12 +804,17 @@ def xb_grid_climatology_std_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "xb_grid_head",
     f"""
-SELECT * FROM ({_CELLS_SQL})
-WHERE day < (SELECT MIN(day) FROM ({_CELLS_SQL})) + INTERVAL 7 DAY
+WITH cells AS ({_CELLS_SQL}),
+ranked AS (SELECT day, DENSE_RANK() OVER (ORDER BY day) AS r FROM (SELECT DISTINCT day FROM cells))
+SELECT c.* FROM cells c JOIN ranked USING (day) WHERE ranked.r <= 7
 """,
 )
 def xb_grid_head(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """head(): offset-predicate chunk pruning (dataset.py:1105-1133)."""
+    """head(): offset-predicate chunk pruning (dataset.py:1105-1133).
+    head() is POSITIONAL on the day axis (first 7 present days), so the
+    oracle ranks the distinct days rather than spanning a calendar
+    interval — a calendar gap in the day coordinate would make
+    MIN(day)+INTERVAL 7 DAY cover fewer than 7 positions."""
     d = _events_grid(spark, sf_dir, chunks={"day": 2})
     return d.head(day=7).to_table(dropna=True)
 
@@ -867,13 +901,15 @@ def xb_grid_climatology_month_dow(spark: SparkSession, sf_dir: str) -> DataFrame
 @_register(
     "xb_grid_tail",
     f"""
-SELECT * FROM ({_CELLS_SQL})
-WHERE day >= (SELECT MAX(day) FROM ({_CELLS_SQL})) - INTERVAL 9 DAY
+WITH cells AS ({_CELLS_SQL}),
+ranked AS (SELECT day, DENSE_RANK() OVER (ORDER BY day DESC) AS r FROM (SELECT DISTINCT day FROM cells))
+SELECT c.* FROM cells c JOIN ranked USING (day) WHERE ranked.r <= 10
 """,
 )
 def xb_grid_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tail(): last-N window with chunk pruning + offset rebase
-    (reference ``dataset.py:1105-1133``)."""
+    (reference ``dataset.py:1105-1133``).  Positional oracle (last 10
+    PRESENT days, ranked) for the same calendar-gap reason as head."""
     d = _events_grid(spark, sf_dir, chunks={"day": 4})
     return d.tail(day=10).to_table(dropna=True)
 
@@ -918,14 +954,7 @@ def xb_grid_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "xb_grid_zip_ratio",
     f"""
-WITH cells AS (
-  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-         CAST(extract(hour FROM ts) AS BIGINT) AS hour,
-         event_type,
-         CAST(COUNT(*) AS DOUBLE) AS cnt,
-         CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS users
-  FROM events GROUP BY 1, 2, 3
-)
+WITH cells AS ({_CELLS_USERS_SQL})
 SELECT day, hour, event_type, cnt / users AS events_per_user FROM cells
 """,
 )
@@ -957,14 +986,7 @@ def xb_grid_zip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "xb_grid_zip_ratio_coread",
     f"""
-WITH cells AS (
-  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-         CAST(extract(hour FROM ts) AS BIGINT) AS hour,
-         event_type,
-         CAST(COUNT(*) AS DOUBLE) AS cnt,
-         CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS users
-  FROM events GROUP BY 1, 2, 3
-)
+WITH cells AS ({_CELLS_USERS_SQL})
 SELECT day, hour, event_type, cnt / users AS events_per_user FROM cells
 """,
 )
@@ -973,20 +995,34 @@ def xb_grid_zip_ratio_coread(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-join co-read (reference ``DatasetToChunks([ds1, ds2])``,
     ``core.py:419-460``): both grids live in Zarr stores and each scan
     task reads BOTH regions — no join exchange anywhere in the plan."""
-    import tempfile
-
     from xarray_beam_spark.ndarray_ds import NDDataset, Variable
     from xarray_beam_spark.sources import zarr_io
 
-    key = (spark.sparkContext.applicationId, sf_dir, "coread_stores")
-    paths = _CACHE.get(key)
-    if paths is None:
-        both = _events_grid(spark, sf_dir, chunks={"day": 7}, var_cols=("cnt", "users"))
-        p_cnt = tempfile.mkdtemp(prefix="xbs_coread_cnt_")
-        p_users = tempfile.mkdtemp(prefix="xbs_coread_users_")
-        zarr_io.to_zarr(both["cnt"], p_cnt)
-        zarr_io.to_zarr(both["users"], p_users)
-        _CACHE[key] = paths = (p_cnt, p_users)
+    # one _materialized store per co-read side — the shared memoization/
+    # cleanup path every other store-building gate uses (an earlier
+    # inline mkdtemp version leaked a pair of /tmp dirs per process and
+    # was invisible to reset_ephemeral_caches)
+    def _build(var: str):
+        def build(p: str) -> None:
+            both = _events_grid(
+                spark, sf_dir, chunks={"day": 7}, var_cols=("cnt", "users")
+            )
+            zarr_io.to_zarr(both[var], p)
+
+        return build
+
+    # pure INPUT stores (the zip co-read is what's under test): safe to
+    # build once per machine, like the dsv2 SQL-gate store
+    paths = (
+        _materialized(
+            spark, sf_dir, "coread_cnt", _build("cnt"),
+            persistent=True, params="chunks=day:7;var=cnt",
+        ),
+        _materialized(
+            spark, sf_dir, "coread_users", _build("users"),
+            persistent=True, params="chunks=day:7;var=users",
+        ),
+    )
 
     def ratio(a: NDDataset, b: NDDataset) -> NDDataset:
         import numpy as np
@@ -1266,15 +1302,7 @@ def xb_grid_diff_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "xb_grid_merge_vars",
-    """
-SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-       CAST(extract(hour FROM ts) AS BIGINT) AS hour,
-       event_type,
-       CAST(COUNT(*) AS DOUBLE) AS cnt,
-       CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS users
-FROM events
-GROUP BY 1, 2, 3
-""",
+    _CELLS_USERS_SQL,
 )
 def xb_grid_merge_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``Dataset.merge`` (xarray ``xr.merge``): two single-variable grids
@@ -1410,6 +1438,12 @@ def xb_grid_concat_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _events_grid(spark, sf_dir, chunks={"day": 7})
     half = (d.sizes["day"] // 2 // 7) * 7 or 7
+    if half >= d.sizes["day"]:
+        # concat of (whole axis, empty) never exercises the offset
+        # re-keying this gate certifies — loud on undersized fixtures
+        raise ValueError(
+            f"xb_grid_concat_halves needs >7 distinct days, got {d.sizes['day']}"
+        )
     a = d.isel(day=slice(0, half))
     b = d.isel(day=slice(half, None))
     return dsmod.concat([a, b], "day").to_table(dropna=True)
@@ -1440,7 +1474,7 @@ def xb_grid_weighted_mean_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH cells AS ({_CELLS_SQL})
 SELECT d.day, h.hour, t.event_type, COALESCE(c.cnt, 0.0) AS cnt
 FROM (SELECT DISTINCT day FROM cells) d
-CROSS JOIN (SELECT DISTINCT hour FROM cells) h
+CROSS JOIN (SELECT CAST(unnest(range(0, 24)) AS BIGINT) AS hour) h
 CROSS JOIN (SELECT DISTINCT event_type FROM cells) t
 LEFT JOIN cells c USING (day, hour, event_type)
 """,
@@ -1448,8 +1482,10 @@ LEFT JOIN cells c USING (day, hour, event_type)
 def xb_grid_fillna_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``fillna(0)`` then densified output (``dropna=False``): every grid
     cell materializes, absent cells as 0 — the oracle builds the same dense
-    grid relationally. Note the hour axis densifies only hours present in
-    the data-derived coordinate (all 24 at gate scale)."""
+    grid relationally. The hour axis is the FIXED 0..23 range on both
+    sides (the engine grid hard-codes ``hour=np.arange(24)``, so a
+    DISTINCT-hour oracle would diverge whenever some hour-of-day has zero
+    events globally); day/event_type are data-derived on both sides."""
     d = _events_grid(spark, sf_dir, chunks={"day": 7})
     return d.fillna(0.0).to_table(dropna=False)
 
@@ -1643,4 +1679,11 @@ def xb_grid_take_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     positional join that hits position 5 twice — duplicated selections
     are the classic fancy-indexing trap this certifies."""
     d = _events_grid(spark, sf_dir, chunks={"day": 7})
+    if d.sizes["day"] <= 17:
+        # positions are pinned in the (import-time, static) oracle SQL,
+        # so they cannot be derived from the axis size — refuse loudly
+        # on undersized fixtures instead of IndexError-ing mid-job
+        raise ValueError(
+            f"xb_grid_take_day needs >=18 distinct days, got {d.sizes['day']}"
+        )
     return d.take("day", [5, 0, 17, 5, 11]).to_table(dropna=True)
