@@ -1,0 +1,160 @@
+"""Empirical scale curves for the heavy LLM operators (VERDICT r12 #5).
+
+The dedup trio (minhash_lsh / passjoin_exact / levenshtein_twins), one
+ANN gate (ann_ivf_topk — the bucketed scale path), and one span-removal
+gate (text_remove_dup_spans) all carry structural O(candidates) /
+O(bucketed-join) claims that were never empirically scaled.  This
+script measures wall time at 1x / 3x / 10x the sf0.1 documents and
+embeddings tables and reports the fitted exponent
+``log(t_hi / t_lo) / log(n_hi / n_lo)`` per query — a superlinear
+surprise here is exactly what a 100x scale-up would hit.
+
+Scaled inputs are DERIVED fixtures, not synthetic test data: each copy
+k of a document keeps its text but gets a per-copy suffix token and a
+doc_id offset, so copies are near-dup-distinct (exact duplication would
+change the dedup workload into one giant duplicate cluster — a
+different problem than scaling the real one).  Embeddings get a tiny
+deterministic per-copy rotation for the same reason.  Other tables are
+symlinked from sf0.1 unchanged.
+
+Usage: python scripts/profile_scale.py [--factors 1,3,10] [--runs 2]
+Prints one JSON line; the committed record is scripts/profile_scale_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_passjoin_exact",
+    "dedup_levenshtein_twins",
+    "ann_ivf_topk",
+    "text_remove_dup_spans",
+]
+
+
+def scaled_dir(spark, factor: int, root: str) -> str:
+    """Materialize a factor-x copy of sf0.1 under ``root`` (symlinks for
+    unchanged tables; documents/embeddings rewritten scaled)."""
+    out = os.path.join(root, f"sf0.1x{factor}")
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out)
+    for name in os.listdir(BASE):
+        if name not in ("documents.parquet", "embeddings.parquet"):
+            os.symlink(os.path.join(BASE, name), os.path.join(out, name))
+    if factor == 1:
+        for name in ("documents.parquet", "embeddings.parquet"):
+            os.symlink(os.path.join(BASE, name), os.path.join(out, name))
+        return out
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    n_docs = docs.count()
+    copies = spark.range(factor).withColumnRenamed("id", "copy")
+    scaled = (
+        docs.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("doc_id") + F.col("copy") * (2 * n_docs)).alias("doc_id"),
+            # per-copy suffix token: copies are NEAR duplicates (the
+            # realistic shingle/edit-distance workload), never exact
+            F.when(F.col("copy") == 0, F.col("text"))
+            .otherwise(F.concat_ws(" ", "text", F.concat(F.lit("c"), "copy")))
+            .alias("text"),
+            "lang",
+            "source",
+            (F.length(F.col("text"))).cast("long").alias("n_chars"),
+        )
+    )
+    scaled.repartition(32).write.parquet(os.path.join(out, "documents.parquet"))
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    n_emb = emb.count()
+    scaled_emb = (
+        emb.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("vec_id") + F.col("copy") * (2 * n_emb)).alias("vec_id"),
+            # deterministic tiny perturbation: element i += copy * 1e-3 * sign(i odd)
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + F.col("copy").cast("float")
+                * F.lit(0.001)
+                * F.when(i % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    scaled_emb.repartition(32).write.parquet(os.path.join(out, "embeddings.parquet"))
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factors", default="1,3,10")
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+    factors = [int(f) for f in args.factors.split(",")]
+
+    from xarray_beam_spark import registry
+    from xarray_beam_spark.session import get_spark
+
+    spark = get_spark("xbs-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+    root = tempfile.mkdtemp(prefix="xbs_scale_")
+    load0 = [round(x, 2) for x in os.getloadavg()]
+    timings: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    try:
+        for factor in factors:
+            sf_dir = scaled_dir(spark, factor, root)
+            for r in range(args.runs):
+                if r > 0:
+                    from xarray_beam_spark import grid_queries
+                    from xarray_beam_spark.operators import dedup
+
+                    grid_queries.reset_ephemeral_caches()
+                    dedup.reset_ephemeral_caches()
+                for q in QUERIES:
+                    t0 = time.perf_counter()
+                    qs[q](spark, sf_dir).count()
+                    t = time.perf_counter() - t0
+                    prev = timings[q].get(factor)
+                    timings[q][factor] = t if prev is None else min(prev, t)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    lo, hi = factors[0], factors[-1]
+    import math
+
+    out = {
+        "metric": "scale_curve",
+        "base": BASE,
+        "factors": factors,
+        "runs": args.runs,
+        "loadavg_start": load0,
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "queries": {
+            q: {
+                "seconds": {str(f): round(t, 2) for f, t in timings[q].items()},
+                "exponent": round(
+                    math.log(timings[q][hi] / timings[q][lo]) / math.log(hi / lo), 2
+                ),
+            }
+            for q in QUERIES
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
