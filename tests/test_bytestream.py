@@ -248,3 +248,73 @@ class TestIterBlob:
         p.write_bytes(b"")
         store, key = stores.resolve(str(p))
         assert list(stores.iter_blob(store, key)) == []
+
+
+class TestRangeDegradation:
+    """iter_blob against backends whose ranged reads secretly transfer
+    the whole object (r13 review findings)."""
+
+    def test_base_get_tail_zero_is_empty(self):
+        class S(stores.Store):
+            def get(self, key):
+                return b"abcdef"
+
+        assert S().get_tail("k", 0) == b""
+        assert S().get_tail("k", 3) == b"def"
+
+    def test_degraded_ranges_fall_back_to_one_get(self):
+        """A store that reports ranges_degraded after the first 'ranged'
+        read must be served with ONE extra whole get — total transfer
+        ~2x the object, never n_chunks x object."""
+        data = bytes(range(256)) * 1000  # 256 KB
+
+        class Degraded(stores.Store):
+            def __init__(self):
+                self.range_calls = 0
+                self.get_calls = 0
+
+            def get(self, key):
+                self.get_calls += 1
+                return data
+
+            def get_range(self, key, start, length):
+                self.range_calls += 1
+                return data[start : start + length]
+
+            def ranges_degraded(self, key):
+                return self.range_calls > 0
+
+        st = Degraded()
+        got = b"".join(stores.iter_blob(st, "k", chunk_size=1 << 14))
+        assert got == data
+        assert st.range_calls == 1  # first probe only
+        assert st.get_calls == 1  # one whole-object fallback
+
+    def test_mem_store_concurrent_put_during_listing(self):
+        import threading
+
+        ms = stores.MemStore()
+        for i in range(2000):
+            ms.put(f"a/{i}", b"x")
+        errs = []
+        barrier = threading.Barrier(2)
+
+        def writer():
+            barrier.wait()
+            for i in range(20000):  # bounded: keeps the reader O(n) total
+                ms.put(f"a/new{i}", b"y")
+
+        def reader():
+            barrier.wait()
+            try:
+                for _ in range(200):
+                    ms.list_dir("a")
+                    ms.exists("a")
+            except RuntimeError as e:  # dict changed size during iteration
+                errs.append(e)
+
+        t = threading.Thread(target=writer)
+        t.start()
+        reader()
+        t.join()
+        assert not errs

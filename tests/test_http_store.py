@@ -802,3 +802,36 @@ class TestRangedShardIngest:
             if r.endswith(".warc.wet.gz") and not r.startswith(("PUT", "DELETE"))
         ]
         assert ranged and not whole
+
+
+class TestRangelessIterBlob:
+    def test_iter_blob_on_rangeless_server_is_bounded(self, tmp_path):
+        """A server that answers 200 to Range requests turns every
+        'ranged' read into a whole-object transfer: iter_blob must learn
+        that after the FIRST chunk and finish with one whole get —
+        total ~2 object transfers, never one per chunk."""
+        count = {"gets": 0}
+
+        class CountingHandler(http.server.SimpleHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_GET(self):
+                count["gets"] += 1
+                super().do_GET()  # stdlib: ignores Range, answers 200
+
+        handler = functools.partial(CountingHandler, directory=str(tmp_path))
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            data = bytes(range(256)) * 2000  # 512 KB
+            (tmp_path / "big.bin").write_bytes(data)
+            url = f"http://127.0.0.1:{srv.server_address[1]}"
+            store, key = stores.resolve(f"{url}/big.bin")
+            got = b"".join(stores.iter_blob(store, key, chunk_size=1 << 15))
+            assert got == data
+            # 512 KB / 32 KB = 16 chunks; without degradation detection
+            # this would be 16+ full downloads
+            assert count["gets"] <= 3, count["gets"]
+        finally:
+            srv.shutdown()

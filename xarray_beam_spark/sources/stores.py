@@ -61,8 +61,21 @@ class Store:
     def get_tail(self, key: str, length: int) -> bytes | None:
         """The object's last ``length`` bytes (the whole object when
         smaller); None = missing object."""
+        if length <= 0:
+            # data[-0:] would be the WHOLE object, contradicting the
+            # contract (FsStore/HttpStore already special-case this)
+            data = self.get(key)
+            return None if data is None else b""
         data = self.get(key)
         return None if data is None else data[-length:]
+
+    def ranges_degraded(self, key: str) -> bool:
+        """True when this backend has LEARNED that ranged reads for this
+        object degrade to whole-object transfers (e.g. an HTTP server
+        answering 200 to Range requests).  Streaming readers consult it
+        to fall back to one whole ``get`` instead of re-downloading the
+        object once per chunk."""
+        return False
 
 
 class FsStore(Store):
@@ -135,12 +148,16 @@ class MemStore(Store):
         if k in self.blobs:
             return True
         prefix = f"{k}/" if k else ""
-        return any(b.startswith(prefix) for b in self.blobs) if prefix else bool(self.blobs)
+        with self._lock:  # snapshot: a concurrent put (foreachBatch /
+            blobs = list(self.blobs)  # thread_map) must not grow the dict mid-iteration
+        return any(b.startswith(prefix) for b in blobs) if prefix else bool(blobs)
 
     def list_dir(self, key: str) -> list[str]:
         k = self._norm(key)
         prefix = f"{k}/" if k else ""
-        children = {b[len(prefix):].split("/", 1)[0] for b in self.blobs if b.startswith(prefix)}
+        with self._lock:
+            blobs = list(self.blobs)
+        children = {b[len(prefix):].split("/", 1)[0] for b in blobs if b.startswith(prefix)}
         return sorted(children)
 
 
@@ -172,6 +189,10 @@ class HttpStore(Store):
     def __init__(self, scheme: str) -> None:
         self.scheme = scheme
         self._local = threading.local()  # per-thread keep-alive conns
+        # hosts observed answering 200 to Range requests (range support
+        # is a HOST property, so the memory is instance-wide, not
+        # per-thread — every reader thread benefits from one probe)
+        self._rangeless: set[str] = set()
 
     def _url(self, key: str) -> str:
         return f"{self.scheme}://{key}"
@@ -234,27 +255,38 @@ class HttpStore(Store):
 
     def _ranged(self, key: str, range_value: str, length: int) -> bytes | None:
         """One Range GET (``bytes=a-b`` or suffix ``bytes=-n``). Servers
-        without range support answer 200 with the full body — slice it,
-        which degrades to exactly the old whole-object behavior."""
+        without range support answer 200 with the full body — slice it
+        (one whole-object transfer for this call) and REMEMBER the host
+        as range-degraded so streaming readers (``iter_blob``) switch to
+        a single whole ``get`` instead of re-downloading the object once
+        per chunk (O(n^2) transfer otherwise)."""
         status, body = self._request("GET", key, headers={"Range": range_value})
         if status in (404, 410):
             return None
         if status == 206:
             return body
         if status == 200:
+            self._rangeless.add(key.partition("/")[0])  # set.add: thread-safe
             if range_value.startswith("bytes=-"):
                 return body[-length:]
             start = int(range_value[len("bytes="):].split("-", 1)[0])
             return body[start : start + length]
         if status == 416:  # range not satisfiable: object shorter than asked
+            if not range_value.startswith("bytes=-"):
+                # a start-range 416 PROVES the object exists (missing →
+                # 404 above) with size <= start: the answer is empty — a
+                # full-object fallback GET here would double the
+                # transfer of every exact-multiple-of-chunk-size object
+                # read through iter_blob
+                return b""
             data = self.get(key)
             if data is None:
                 return None
-            if range_value.startswith("bytes=-"):
-                return data[-length:]
-            start = int(range_value[len("bytes="):].split("-", 1)[0])
-            return data[start : start + length]
+            return data[-length:]
         raise OSError(f"GET {self._url(key)} ({range_value}) -> HTTP {status}")
+
+    def ranges_degraded(self, key: str) -> bool:
+        return key.partition("/")[0] in self._rangeless
 
     def get_range(self, key: str, start: int, length: int) -> bytes | None:
         if length <= 0:
@@ -432,13 +464,16 @@ def iter_blob(
     missing, including an object that vanishes mid-read (a short
     manifest-vs-store race must fail loudly, not truncate silently).
     """
+    def sliced(data: bytes, start: int):
+        view = memoryview(data)
+        for pos in range(start, len(view), chunk_size):
+            yield bytes(view[pos : pos + chunk_size])
+
     if type(store).get_range is Store.get_range:
         data = store.get(key)
         if data is None:
             raise FileNotFoundError(missing or key)
-        view = memoryview(data)
-        for pos in range(0, len(view), chunk_size):
-            yield bytes(view[pos : pos + chunk_size])
+        yield from sliced(data, 0)
         return
     pos = 0
     while True:
@@ -450,6 +485,16 @@ def iter_blob(
         if len(b) < chunk_size:
             return
         pos += len(b)
+        if store.ranges_degraded(key):
+            # the backend just LEARNED this host ignores Range headers
+            # (each "ranged" read was a whole-object download): switch
+            # to one whole get for the remainder — total transfer is
+            # bounded at ~2x the object instead of N_chunks x object
+            data = store.get(key)
+            if data is None:
+                raise FileNotFoundError(missing or key)
+            yield from sliced(data, pos)
+            return
 
 
 def discover_shards(
@@ -540,8 +585,12 @@ def copy_tree(src: str, dst: str, width: int = 128) -> int:
     src_store, src_root = resolve(src)
     dst_store, dst_root = resolve(dst)
     rels = list_tree(src)
-    if not getattr(dst_store, "latency_bound", False):
-        width = 1  # local destination: threading is pure overhead
+    if not (
+        getattr(dst_store, "latency_bound", False)
+        or getattr(src_store, "latency_bound", False)
+    ):
+        width = 1  # local-to-local: threading is pure overhead (a
+        # latency-bound side — EITHER side — is what the pool overlaps)
 
     def copy_one(rel: str) -> None:
         data = src_store.get(f"{src_root}/{rel}" if rel else src_root)
