@@ -318,3 +318,61 @@ class TestRangeDegradation:
         reader()
         t.join()
         assert not errs
+
+
+class TestR13NewCodeReview:
+    """Adversarial review fixes over the round-13 streaming-ingest code."""
+
+    def test_dechunk_rejects_negative_and_prefixed_sizes(self):
+        from xarray_beam_spark.sources.warc import _dechunk
+
+        # int(tok, 16) would parse the sign, move pos BACKWARDS, and
+        # silently return garbage re-read from consumed bytes
+        with pytest.raises(ValueError, match="bad chunk size"):
+            _dechunk(b"-b\r\nXQ\r\n0\r\n\r\n")
+        with pytest.raises(ValueError, match="bad chunk size"):
+            _dechunk(b"0x2\r\nab\r\n0\r\n\r\n")
+        with pytest.raises(ValueError, match="bad chunk size"):
+            _dechunk(b"+2\r\nab\r\n0\r\n\r\n")
+        assert _dechunk(b"2\r\nab\r\n0\r\n\r\n") == b"ab"
+
+    def test_tfrecord_corrupt_length_fails_fast_and_bounded(self):
+        # a flipped high bit in a length field must raise a LENGTH crc
+        # mismatch at the first incomplete-buffer break, not buffer the
+        # whole remaining stream and die with 'truncated'
+        buf = bytearray(tfrecord.frame_records([b"x" * 50, b"y" * 50]))
+        buf[6] |= 0x40  # blow the first record's length into the TBs
+        chunks = _chunked(bytes(buf), 16)
+        with pytest.raises(ValueError, match="length crc mismatch"):
+            list(tfrecord.iter_records_stream(chunks))
+
+    def test_response_record_ids_distinct_per_content_type(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("http://a/1", "same body", "text/html"),
+             ("http://a/1", "same body", "text/plain")],
+            "url string, body string, ct string",
+        )
+        warc.write_warc_responses(
+            df.repartition(1).sortWithinPartitions("ct"),
+            str(tmp_path),
+            content_type_col="ct",
+        )
+        back = warc.read_warc_responses(spark, str(tmp_path)).collect()
+        ids = [r["record_id"] for r in back]
+        assert len(ids) == 2 and ids[0] != ids[1]
+
+    def test_wds_reader_missing_key_col_is_loud_at_plan_time(self, spark, tmp_path):
+        from xarray_beam_spark.sources import webdataset as wds
+
+        df = spark.createDataFrame(
+            [("k1", "alpha")], "__key__ string, txt string"
+        )
+        wds.write_webdataset(df.repartition(1), str(tmp_path))
+        with pytest.raises(ValueError, match="key column"):
+            wds.read_webdataset(spark, str(tmp_path), schema="txt string")
+        with pytest.raises(TypeError, match="must be string"):
+            wds.read_webdataset(
+                spark, str(tmp_path), schema="__key__ long, txt string"
+            )

@@ -384,6 +384,29 @@ def exactly_once_batch_sink(path: str, write_batch):
     return callback
 
 
+def write_stats_schemas(count_field: str):
+    """The (Spark, Arrow) schema pair for per-task shard-writer stats —
+    the exact positional contract :func:`finalize_shard_write` consumes
+    (c0..c3).  ONE definition parameterized on the count-field name
+    ("records"/"samples"), so the three shard writers cannot drift."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    spark_schema = T.StructType([
+        T.StructField("shards", T.LongType()),
+        T.StructField(count_field, T.LongType()),
+        T.StructField("bytes", T.LongType()),
+        T.StructField("shard_names", T.ArrayType(T.StringType())),
+    ])
+    pa_schema = pa.schema([
+        ("shards", pa.int64()),
+        (count_field, pa.int64()),
+        ("bytes", pa.int64()),
+        ("shard_names", pa.list_(pa.string())),
+    ])
+    return spark_schema, pa_schema
+
+
 def finalize_shard_write(
     narrowed,
     write,

@@ -333,6 +333,21 @@ def iter_records_stream(chunks, *, verify: bool = True) -> Iterator[bytes]:
             (length,) = struct.unpack_from("<Q", buf, pos)
             dend = pos + 12 + length
             if dend + 4 > len(buf):
+                if verify:
+                    # the length's own crc sits in the SAME 12 bytes we
+                    # already have: check it BEFORE trusting the length
+                    # to ask for more data — a corrupted length field
+                    # would otherwise buffer the entire remaining shard
+                    # (O(shard) memory) and die with a misleading
+                    # 'truncated' error instead of a crc mismatch.
+                    # Scalar crc, but only on incomplete-buffer breaks
+                    # (~once per input chunk), so the vectorized batch
+                    # path still carries the per-record work.
+                    want = struct.unpack_from("<I", buf, pos + 8)[0]
+                    if _masked_crc(bytes(buf[pos : pos + 8])) != want:
+                        raise ValueError(
+                            f"TFRecord length crc mismatch at byte {base + pos}"
+                        )
                 break
             rec = bytes(buf[pos + 12 : dend])
             if verify:
@@ -653,20 +668,7 @@ def _encode_arrow_batch(
     return records
 
 
-_WRITE_STATS = T.StructType([
-    T.StructField("shards", T.LongType()),
-    T.StructField("records", T.LongType()),
-    T.StructField("bytes", T.LongType()),
-    T.StructField("shard_names", T.ArrayType(T.StringType())),
-])
-_WRITE_STATS_PA = pa.schema(
-    [
-        ("shards", pa.int64()),
-        ("records", pa.int64()),
-        ("bytes", pa.int64()),
-        ("shard_names", pa.list_(pa.string())),
-    ]
-)
+_WRITE_STATS, _WRITE_STATS_PA = stores.write_stats_schemas("records")
 
 
 def write_tfrecords(

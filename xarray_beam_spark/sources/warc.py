@@ -204,13 +204,16 @@ def parse_warc(buf: bytes) -> list[dict]:
     return list(_iter_warc_stream([buf]))
 
 
-def _record_uuid(url: str, date: str, text: str) -> uuid.UUID:
+def _record_uuid(url: str, date: str, text: str, *extra: str) -> uuid.UUID:
     """Deterministic per-record id: uuid5 over (url, capture date,
-    content), NUL-separated.  The date term keeps two captures of an
-    UNCHANGED page (same url + body, e.g. a recrawl in one export)
-    distinct per ISO 28500 §5.2's per-record uniqueness, while identical
-    writer inputs still reproduce byte-identical shards."""
-    return uuid.uuid5(uuid.NAMESPACE_URL, url + chr(0) + date + chr(0) + text)
+    content, extra distinguishers), NUL-separated.  The date term keeps
+    two captures of an UNCHANGED page (same url + body, e.g. a recrawl
+    in one export) distinct per ISO 28500 §5.2's per-record uniqueness;
+    the response writer adds its per-row content type so two rows
+    differing only there stay distinct too.  Identical writer inputs
+    still reproduce byte-identical shards."""
+    name = chr(0).join((url, date, text, *extra))
+    return uuid.uuid5(uuid.NAMESPACE_URL, name)
 
 
 def _record_bytes(headers: list[tuple[str, str]], payload: bytes) -> bytes:
@@ -248,20 +251,7 @@ _WET_SCHEMA = T.StructType([
     T.StructField("content_length", T.LongType()),
 ])
 
-_WRITE_STATS = T.StructType([
-    T.StructField("shards", T.LongType()),
-    T.StructField("records", T.LongType()),
-    T.StructField("bytes", T.LongType()),
-    T.StructField("shard_names", T.ArrayType(T.StringType())),
-])
-_WRITE_STATS_PA = pa.schema(
-    [
-        ("shards", pa.int64()),
-        ("records", pa.int64()),
-        ("bytes", pa.int64()),
-        ("shard_names", pa.list_(pa.string())),
-    ]
-)
+_WRITE_STATS, _WRITE_STATS_PA = stores.write_stats_schemas("records")
 
 
 class _Sharder:
@@ -632,10 +622,13 @@ def _dechunk(body: bytes) -> bytes:
         if eol < 0:
             raise ValueError("truncated chunked body: missing chunk-size line")
         size_tok = body[pos:eol].split(b";", 1)[0].strip()  # drop extensions
-        try:
-            size = int(size_tok, 16)
-        except ValueError:
-            raise ValueError(f"bad chunk size {size_tok[:16]!r}") from None
+        # strict RFC 7230 chunk-size grammar (1*HEXDIG): int(tok, 16)
+        # also parses signs and '0x' prefixes — a NEGATIVE size would
+        # move pos backwards and silently RETURN garbage re-read from
+        # already-consumed bytes instead of failing loudly
+        if not size_tok or not all(c in b"0123456789abcdefABCDEF" for c in size_tok):
+            raise ValueError(f"bad chunk size {size_tok[:16]!r}")
+        size = int(size_tok, 16)
         pos = eol + 2
         if size == 0:
             return b"".join(out)  # trailers (if any) are dropped
@@ -792,7 +785,7 @@ def write_warc_responses(
                         ("WARC-Date", date or default_date),
                         (
                             "WARC-Record-ID",
-                            f"<urn:uuid:{_record_uuid(url, date or default_date, text)}>",
+                            f"<urn:uuid:{_record_uuid(url, date or default_date, text, ctype)}>",
                         ),
                         ("Content-Type", "application/http; msgtype=response"),
                     ],
@@ -901,7 +894,12 @@ def read_warc_responses(
                     rows["body"].append(text)
                     rows["content_length"].append(blen)
                     rows["truncated"].append(trunc)
-                    yield from bb.note(len(rec["payload"]))
+                    # note the DECODED text size, not the record payload:
+                    # the payload is the compressed-on-the-wire capture,
+                    # so a content-coded shard would inflate the flush
+                    # bound by its compression ratio (the O(shard)-class
+                    # blowup this bound exists to prevent)
+                    yield from bb.note(len(text or ""))
         yield bb.final()
 
     shards = spark.createDataFrame(

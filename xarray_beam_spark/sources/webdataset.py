@@ -101,20 +101,7 @@ def split_member_name(name: str) -> tuple[str, str]:
     return name[:dot], name[dot + 1 :]
 
 
-_WRITE_STATS = T.StructType([
-    T.StructField("shards", T.LongType()),
-    T.StructField("samples", T.LongType()),
-    T.StructField("bytes", T.LongType()),
-    T.StructField("shard_names", T.ArrayType(T.StringType())),
-])
-_WRITE_STATS_PA = pa.schema(
-    [
-        ("shards", pa.int64()),
-        ("samples", pa.int64()),
-        ("bytes", pa.int64()),
-        ("shard_names", pa.list_(pa.string())),
-    ]
-)
+_WRITE_STATS, _WRITE_STATS_PA = stores.write_stats_schemas("samples")
 
 
 def write_webdataset(
@@ -332,6 +319,16 @@ def read_webdataset(
         )
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
+    if key_col not in schema.fieldNames():
+        # mirror of the writer's plan-time check: without it an explicit
+        # schema lacking the key column dies as a bare KeyError deep
+        # inside an executor task
+        raise ValueError(
+            f"key column {key_col!r} not in schema {schema.fieldNames()}; "
+            "webdataset samples are keyed — include it (string)"
+        )
+    if not isinstance(schema[key_col].dataType, T.StringType):
+        raise TypeError(f"key column {key_col!r} must be string")
     fields = [f for f in schema.fields if f.name != key_col]
     wanted = [(ext_map or {}).get(f.name, f.name) for f in fields]
     if len(set(wanted)) != len(wanted):
