@@ -108,8 +108,13 @@ def test_decode_video_dispatch():
     frames[1] = 200
     back = decode_video(encode_gif(frames))
     np.testing.assert_array_equal(back, frames)
-    with pytest.raises(NotImplementedError):
+    # r13: MJPEG MP4s decode natively (sources/mp4.py) — see
+    # tests/test_mp4.py. A structurally-damaged mp4 is loud (ValueError
+    # from the box walker), other containers still refuse honestly.
+    with pytest.raises(ValueError):
         decode_video(b"\x00\x00\x00\x18ftypmp42-not-supported")
+    with pytest.raises(NotImplementedError, match="webm"):
+        decode_video(b"\x1a\x45\xdf\xa3 webm-ish garbage")
 
 
 def test_video_frame_features_spark(spark):

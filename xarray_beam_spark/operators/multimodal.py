@@ -8,12 +8,15 @@ stay off the Spark driver. At 100 TB the asset table partitions by size
 (``spark.sql.files.maxPartitionBytes``) and the UDF stages are narrow —
 no shuffles anywhere in this module.
 
-The container has no image/audio codecs (no PIL/ffmpeg), so the actual
-byte→pixels decode is STUBBED: :func:`decode_image` raises
-``NotImplementedError`` unless PIL is importable, and the tested path uses
-:func:`fake_decode` — a deterministic bytes→array transform with the same
-signature/shape contract, so every piece of Spark plumbing (schema,
-batching, partitioning, feature math) is real and verified.
+The container has no media libraries (no PIL/ffmpeg), so every decode
+that happens is FROM-SPEC: PNG/JPEG(baseline+progressive)/BMP images,
+RIFF/PCM WAV audio, GIF89a animations, and Motion-JPEG MP4 video
+(ISO BMFF demux + JPEG frame decode) all parse natively via the
+``sources/`` codecs. Formats that would need a licensed/entropy decoder
+this repo cannot reimplement (webp/tiff, mp3/ogg, H.264/HEVC) raise
+``NotImplementedError`` honestly — for MP4 the codec-agnostic sample
+EXTRACTION still works, only the frame decode refuses.
+:func:`fake_decode` remains for plumbing tests of the refused formats.
 """
 
 from __future__ import annotations
@@ -130,18 +133,33 @@ def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
 
 
 def decode_video(blob: bytes) -> np.ndarray:
-    """Real multi-frame decode for GIF animations via the from-spec
-    pure-Python codec (``sources/gif.py`` — LZW + frame composition, no
-    ffmpeg needed); true video containers (mp4/webm) need codecs this
-    container lacks and raise ``NotImplementedError`` honestly.
-    Returns ``(n_frames, H, W, 3)`` uint8."""
+    """Real multi-frame decode for GIF animations (from-spec
+    ``sources/gif.py`` — LZW + frame composition) and Motion-JPEG MP4s
+    (from-spec ISO BMFF demux ``sources/mp4.py`` + the JPEG decoder) —
+    no ffmpeg needed. H.264/HEVC MP4 tracks demux (sample extraction is
+    codec-agnostic table arithmetic) but their entropy DECODE is out of
+    scope for a from-spec engine and raises ``NotImplementedError``
+    honestly, as do other containers (webm). Returns
+    ``(n_frames, H, W, 3)`` uint8."""
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         from xarray_beam_spark.sources.gif import decode_gif
 
         return decode_gif(blob)
+    if blob[4:8] == b"ftyp":
+        from xarray_beam_spark.sources import mp4
+
+        info = mp4.demux_video(blob)
+        frames = []
+        for off, size, _dts in info["samples"]:
+            img = mp4.decode_frame(info["codec"], blob[off : off + size])
+            if img.ndim == 2:  # grayscale → replicate to RGB
+                img = np.repeat(img[:, :, None], 3, axis=2)
+            frames.append(img[:, :, :3])
+        return np.stack(frames)
     raise NotImplementedError(
-        "video codecs (mp4/webm) not installed in this environment; GIF "
-        "animations decode natively via xarray_beam_spark.sources.gif"
+        "video codecs (webm, non-MJPEG mp4) not installed in this "
+        "environment; GIF animations and Motion-JPEG MP4s decode "
+        "natively (sources/gif.py, sources/mp4.py)"
     )
 
 
@@ -904,3 +922,144 @@ def multimodal_wds_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.n_chars").alias("n_chars"),
         F.octet_length("bin").cast("long").alias("bin_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MP4 (Motion-JPEG) video column — the last multimodal modality
+# ---------------------------------------------------------------------------
+
+def documents_as_mp4_assets(docs: DataFrame) -> DataFrame:
+    """Demo video-asset table: each document becomes a Motion-JPEG MP4 of
+    ``2 + doc_id % 3`` frames (25 fps) through the from-spec ISO BMFF
+    muxer (``sources/mp4.py``). Frame ``k`` is the same lossless
+    constant-block 16x16 JPEG family as :func:`documents_as_jpeg_assets`
+    with block values taken from the document's utf-8 bytes at offsets
+    ``4k..4k+3`` (tiled) — which is what lets the frame-feature gate be
+    value-hash-certified despite JPEG being lossy. ASCII-only non-empty
+    docs (bytes == chars) so the SQL oracle's character indexing agrees
+    with the builder's byte indexing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xarray_beam_spark.sources.jpeg import encode_jpeg
+        from xarray_beam_spark.sources.mp4 import mux_mjpeg
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                n_frames = 2 + int(doc_id) % 3
+                need = 4 * n_frames
+                reps = -(-need // len(raw))
+                vals = np.tile(raw, reps)[:need]
+                frames = []
+                for k in range(n_frames):
+                    b = vals[4 * k : 4 * k + 4]
+                    img = np.empty((16, 16), np.uint8)
+                    img[:8, :8], img[:8, 8:] = b[0], b[1]
+                    img[8:, :8], img[8:, 8:] = b[2], b[3]
+                    frames.append(encode_jpeg(img, quality=100, subsample=False))
+                blob = mux_mjpeg(frames, 16, 16, fps=25)
+                rows.append(
+                    {
+                        "asset_id": doc_id,
+                        "blob": blob,
+                        "meta": {
+                            "mime": "video/mp4",
+                            "width": 16,
+                            "height": 16,
+                            "n_frames": n_frames,
+                            "sample_rate": 0,
+                            "n_bytes": len(blob),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(run, ASSET_SCHEMA)
+
+
+_MP4_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("pts_ms", T.LongType()),
+        T.StructField("mean_px", T.DoubleType()),
+    ]
+)
+
+
+def mp4_frame_features(
+    assets: DataFrame, every_k: int = 1, max_frames: int | None = None
+) -> DataFrame:
+    """Frame-sample a binary MP4 column: demux (codec-agnostic table
+    arithmetic), decode each kept frame (real for MJPEG), and emit one
+    row per frame with its presentation time and mean luma. The video
+    analog of :func:`extract_features` — Arrow-batched ``mapInPandas``,
+    row-local, no shuffle; ``every_k``/``max_frames`` are the standard
+    frame-sampling knobs a training pipeline exposes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xarray_beam_spark.sources import mp4
+
+        for pdf in batches:
+            rows = []
+            for asset_id, blob in zip(pdf["asset_id"], pdf["blob"]):
+                blob = bytes(blob)
+                info = mp4.demux_video(blob)
+                scale = info["timescale"]
+                for i, (dts, sample) in enumerate(
+                    mp4.extract_frames(blob, every_k=every_k, max_frames=max_frames)
+                ):
+                    img = mp4.decode_frame(info["codec"], sample)
+                    rows.append(
+                        {
+                            "asset_id": int(asset_id),
+                            "frame_idx": i * every_k,
+                            "pts_ms": dts * 1000 // scale,
+                            "mean_px": float(img.astype(np.float64).mean()),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows, columns=[f.name for f in _MP4_FRAME_SCHEMA])
+
+    return assets.mapInPandas(run, _MP4_FRAME_SCHEMA)
+
+
+# Same exactness argument as the JPEG gate: constant 8x8 blocks round-trip
+# losslessly at quality 100, the 16x16 mean is (b0+b1+b2+b3)/4 — a dyadic
+# fraction, bit-identical in both engines. pts is integer ms at 25 fps.
+_MP4_FRAMES_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, text, 2 + doc_id % 3 AS n_frames FROM documents
+  WHERE strlen(text) > 0 AND strlen(text) = length(text)
+), frames AS (
+  SELECT doc_id, text, CAST(k AS BIGINT) AS frame_idx
+  FROM docs, UNNEST(range(0, n_frames)) AS u(k)
+)
+SELECT doc_id AS asset_id, frame_idx, frame_idx * 40 AS pts_ms,
+       list_sum(list_transform(range(0, 4),
+         j -> CAST(ascii(substr(text,
+               CAST(((4 * frame_idx + j) % length(text)) + 1 AS INT), 1)) AS DOUBLE)
+       )) / 4.0 AS mean_px
+FROM frames
+"""
+
+
+@_register("multimodal_mp4_frames", _MP4_FRAMES_ORACLE)
+def multimodal_mp4_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video pipeline end to end: documents become Motion-JPEG MP4s
+    through the from-spec ISO BMFF muxer, then :func:`mp4_frame_features`
+    demuxes the sample tables (stsc/stco/stsz/stts arithmetic), decodes
+    every frame with the from-spec JPEG decoder, and emits per-frame
+    presentation times + mean luma — value-hash-certified against an
+    oracle that re-derives the constant-block pixels and 25 fps timing
+    exactly in SQL. Closes the one multimodal modality (video) the
+    engine previously stubbed."""
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.where(
+        (F.octet_length("text") > 0)
+        & (F.octet_length("text") == F.length("text"))
+    )
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    assets = documents_as_mp4_assets(docs)
+    return mp4_frame_features(assets)
