@@ -57,6 +57,7 @@ def main() -> None:
     # pays one-time fixture builds (memoized store materialization), which
     # are setup cost, not query cost — the min reads through that too.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    action = os.environ.get("SPARK_GRAFT_BENCH_ACTION", "noop")
     timings: dict[str, float] = {}
     for r in range(runs):
         if r > 0:
@@ -72,8 +73,19 @@ def main() -> None:
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
-                n = df.count() if hasattr(df, "count") else 0
-                _ = n
+                # Force FULL materialization of every output column via
+                # the noop sink: df.count() lets Catalyst column-prune a
+                # deterministic row-preserving projection down to a
+                # column-less scan, so a 10x regression in e.g. the text
+                # normalize/scrub expressions would never move the
+                # headline (VERDICT r13 measurement fix; convention
+                # break r12->r13 is bridged in BASELINE.md §r13).
+                # SPARK_GRAFT_BENCH_ACTION=count restores the old action
+                # for historical comparison.
+                if action == "count":
+                    _ = df.count() if hasattr(df, "count") else 0
+                elif hasattr(df, "write"):
+                    df.write.format("noop").mode("overwrite").save()
                 t = round(time.perf_counter() - t0, 4)
             except Exception as exc:  # record failures as negative sentinel
                 t = -1.0
@@ -88,6 +100,7 @@ def main() -> None:
                 timings[name] = t if prev is None else min(prev, t)
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    failed = sum(1 for t in timings.values() if t < 0)
     # ONE compact line: the driver records only the last ~4096 chars of
     # stdout and parses the JSON from there — rounds 1-5 overflowed that
     # window (BENCH_r*.json all show parsed: null) and the judge could
@@ -101,6 +114,10 @@ def main() -> None:
         "sf": sf,
         "runs": runs,
         "aggregation": "min_per_query",
+        "action": action,
+        # a crash DROPS that query's wall time from "value", which would
+        # read as a speedup round-over-round — surface it at top level
+        "failed": failed,
         "loadavg_start": load_start,
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }

@@ -1,6 +1,6 @@
 """Driver-style verification: runs the /verify recipe end to end.
 
-Usage: python scripts/verify.py [--sf SF_DIR] [--bench]
+Usage: python scripts/verify.py [--sf SF_DIR] [--only name1,name2]
 Must be run with cwd != /root/repo to catch executor-import issues
 (the script enforces this by chdir'ing to a temp dir).
 """
@@ -31,7 +31,6 @@ def main() -> int:
     spark = SparkSession.builder.master("local[8]").getOrCreate()  # vanilla, like the driver
     spark.sparkContext.setLogLevel("ERROR")
 
-    sys.path.insert(0, REPO)
     import __spark_entry__ as E
 
     print("entry rows:", len(E.entry(spark).collect()))

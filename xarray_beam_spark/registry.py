@@ -330,8 +330,14 @@ def _collect() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         try:
             mod = __import__(modname, fromlist=["REGISTRY"])
             modules.append(mod)
-        except ImportError:
-            continue
+        except ImportError as exc:
+            # every module here is INTERNAL — an import failure is a
+            # refactor bug, and silently dropping the module would shrink
+            # queries()/oracle_sql() with verify still printing TOTAL
+            # FAILS: 0 over the smaller set.  Loud, naming the module.
+            raise RuntimeError(
+                f"registry module {modname} failed to import: {exc}"
+            ) from exc
     for mod in modules:
         for name, entry in mod.REGISTRY.items():
             if name in merged:

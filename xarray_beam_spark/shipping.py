@@ -55,7 +55,15 @@ def ensure_shipped(spark: SparkSession) -> None:
     if getattr(sc, _FLAG, False):
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(tempfile.mkdtemp(prefix="xbs_pyfiles_"), "xarray_beam_spark.zip")
+    zdir = tempfile.mkdtemp(prefix="xbs_pyfiles_")
+    # the zip must outlive this function (executors fetch it lazily) but
+    # not the process: without the atexit reap every bench/verify run
+    # left one ~package-sized orphan dir in /tmp forever
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, zdir, ignore_errors=True)
+    zpath = os.path.join(zdir, "xarray_beam_spark.zip")
     with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             if "__pycache__" in root:
