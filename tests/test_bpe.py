@@ -153,12 +153,13 @@ class TestRound12Regressions:
         trainer's own tables: an RDD another job persisted in the same
         session (here: persisted mid-window by being live across the
         whole train call) must still be persisted afterwards."""
+        before = self._persistent_rdd_ids(spark)
         foreign = spark.createDataFrame([(1, "x")], "id long, t string").persist()
         foreign.count()  # materialize the persist
-        fid = {
-            int(k)
-            for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
-        }
+        # only OUR persist's ids: the shared test session carries other
+        # suites' caches, which their owners may unpersist concurrently
+        fid = self._persistent_rdd_ids(spark) - before
+        assert fid, "foreign persist did not register"
         d = _docs(spark, ["low lower lowest newer newest " * 5] * 4)
         bpe.bpe_train(d, n_merges=4)
         after = self._persistent_rdd_ids(spark)
