@@ -437,6 +437,7 @@ def _excise_duplicate_window_spans(
     n_units_name: str,
     removed_name: str,
     unit_filter: "Callable[[Column], Column] | None" = None,
+    window_text: "Callable[[Column], Column] | None" = None,
 ) -> DataFrame:
     """Shared engine of :func:`remove_duplicate_spans` (token units,
     space join) and :func:`remove_duplicate_sentence_spans` (sentence
@@ -445,7 +446,14 @@ def _excise_duplicate_window_spans(
     ``min(struct)``) → per-doc merged intervals → post-merge length
     floor → row-local splice. One unit-scale explode, one hash
     group-by, one equi-join back, one doc-id regroup; everything after
-    the regroup is a JVM expression."""
+    the regroup is a JVM expression.
+
+    ``window_text`` overrides how position ``i``'s window STRING is
+    built (default: slice the units array and re-join).  The char mode
+    passes a direct ``substr`` — windows there ARE substrings, and
+    slicing a one-char-per-element array N times costs ~12x more than
+    N substrs (measured 24.6 s -> 2.0 s on the sf0.1 hashing leg) for
+    bit-identical hashes."""
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', not {hash_fn!r}")
     hasher = F.md5 if hash_fn == "md5" else F.xxhash64
@@ -454,9 +462,9 @@ def _excise_duplicate_window_spans(
     positions = F.when(
         n >= w, F.sequence(F.lit(1), n - w + 1)
     ).otherwise(F.array().cast("array<int>"))
-    hashes = F.transform(
-        positions, lambda i: hasher(F.array_join(F.slice(units, i, w), join_sep))
-    )
+    if window_text is None:
+        window_text = lambda i: F.array_join(F.slice(units, i, w), join_sep)  # noqa: E731
+    hashes = F.transform(positions, lambda i: hasher(window_text(i)))
     if unit_filter is not None:
         # Windows containing any EXEMPT unit (e.g. short/blank lines —
         # structure, not boilerplate) hash to null and never match.
@@ -689,6 +697,11 @@ def remove_duplicate_char_spans(
         id_col=id_col,
         n_units_name="n_chars",
         removed_name="removed_chars",
+        # char windows ARE substrings: hash substr(text, i, w) directly
+        # instead of slicing the one-char-per-element array and
+        # re-joining per position (~12x on the hashing leg, identical
+        # hashes — the units array is still what the splice step uses)
+        window_text=lambda i: F.col(text_col).substr(i, F.lit(window)),
     )
 
 
