@@ -305,6 +305,36 @@ _LAST_CERTIFIED_ROUND: dict[str, int] = {
         "xb_zarr_blosc_roundtrip", "xb_zarr_cf_packed_roundtrip",
         "xb_zarr_delta_filter_roundtrip",
     ], 12),
+    # round 13 (freshest; from CORRECTNESS_r13.json — overrides earlier
+    # tiers). No staged demotions this time (new-gate budget was 1 of 3:
+    # multimodal_mp4_frames), so the head of the r14 sweep is the 17
+    # r10-stale keys followed by the r11 tier.
+    **dict.fromkeys([
+        'ann_ivf_topk', 'ann_lsh_topk', 'churned_customers_except',
+        'corpus_pack_sequences', 'corpus_wet_ingest',
+        'events_cube_counts', 'events_json_props', 'events_lag_rank',
+        'events_median_value_by_type', 'events_pivot_types',
+        'events_range_window_hour', 'events_rollup_totals',
+        'events_sessionize_batch', 'multimodal_mp4_frames',
+        'q11_important_stock', 'q12_priority_lines',
+        'q13_customer_distribution', 'q14_promo_effect',
+        'q15_top_supplier', 'q16_supplier_diversity',
+        'q17_small_quantity', 'q18_large_volume',
+        'q19_discounted_revenue', 'q1_pricing_summary',
+        'q20_excess_suppliers', 'q21_sole_returned_supplier',
+        'q22_sales_opportunity', 'q2_min_cost_supplier',
+        'q7_volume_shipping', 'q8_market_share', 'q9_nation_profit',
+        'text_c4_sentence_dedup', 'text_html_extract',
+        'text_line_dedup', 'text_remove_dup_spans_keepfirst',
+        'text_tfidf_topterms', 'xb_grid_anomaly_dow',
+        'xb_grid_argmin_hour', 'xb_grid_concat_halves',
+        'xb_grid_cumsum_day', 'xb_grid_diff_day',
+        'xb_grid_differentiate_hour', 'xb_grid_ffill_day',
+        'xb_grid_integrate_hour', 'xb_grid_interp_day',
+        'xb_grid_merge_vars', 'xb_grid_rank_day',
+        'xb_grid_rolling7_mean', 'xb_grid_thin_take',
+        'xb_grid_weighted_mean_hour',
+    ], 13),
 }
 
 
