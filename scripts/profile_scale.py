@@ -40,6 +40,7 @@ QUERIES = [
     "dedup_levenshtein_twins",
     "ann_ivf_topk",
     "text_remove_dup_spans",
+    "text_remove_dup_spans_chars",
 ]
 
 
@@ -62,18 +63,22 @@ def scaled_dir(spark, factor: int, root: str) -> str:
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     n_docs = docs.count()
     copies = spark.range(factor).withColumnRenamed("id", "copy")
+    # per-copy suffix token: copies are NEAR duplicates (the realistic
+    # shingle/edit-distance workload), never exact
+    suffixed = F.when(F.col("copy") == 0, F.col("text")).otherwise(
+        F.concat_ws(" ", "text", F.concat(F.lit("c"), "copy"))
+    )
     scaled = (
         docs.crossJoin(F.broadcast(copies))
         .select(
             (F.col("doc_id") + F.col("copy") * (2 * n_docs)).alias("doc_id"),
-            # per-copy suffix token: copies are NEAR duplicates (the
-            # realistic shingle/edit-distance workload), never exact
-            F.when(F.col("copy") == 0, F.col("text"))
-            .otherwise(F.concat_ws(" ", "text", F.concat(F.lit("c"), "copy")))
-            .alias("text"),
+            suffixed.alias("text"),
             "lang",
             "source",
-            (F.length(F.col("text"))).cast("long").alias("n_chars"),
+            # length of the SUFFIXED text: F.length("text") here would
+            # resolve against the input column, leaving text/n_chars
+            # inconsistent for copy>0 fixtures
+            F.length(suffixed).cast("long").alias("n_chars"),
         )
     )
     scaled.repartition(32).write.parquet(os.path.join(out, "documents.parquet"))
@@ -126,7 +131,14 @@ def main() -> None:
                     dedup.reset_ephemeral_caches()
                 for q in QUERIES:
                     t0 = time.perf_counter()
-                    qs[q](spark, sf_dir).count()
+                    # noop sink, NOT count(): count() lets Catalyst prune
+                    # projections and aggregate expressions, so a
+                    # row-preserving rewrite (the span family) never
+                    # executes and its curve is a no-op's (bench.py's r13
+                    # measurement fix applies here identically).
+                    qs[q](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
                     t = time.perf_counter() - t0
                     prev = timings[q].get(factor)
                     timings[q][factor] = t if prev is None else min(prev, t)
@@ -138,6 +150,7 @@ def main() -> None:
 
     out = {
         "metric": "scale_curve",
+        "action": "noop_sink_write",
         "base": BASE,
         "factors": factors,
         "runs": args.runs,

@@ -458,23 +458,33 @@ def _excise_duplicate_window_spans(
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', not {hash_fn!r}")
     hasher = F.md5 if hash_fn == "md5" else F.xxhash64
     w = window
-    n = F.size(units)
+    # Bind the units expression to a REAL column before any lambda touches
+    # it: higher-order functions get no common-subexpression elimination,
+    # so a lambda referencing the raw `split(...)` expression re-tokenizes
+    # the whole document once PER WINDOW POSITION — O(doc_len) work where
+    # an attribute read is O(1) (measured 2.7 s -> 0.6 s on the sf0.1
+    # token-mode hashing leg).  `_xbs_u` is dropped before returning.
+    if "_xbs_u" in docs.columns:
+        raise ValueError("input already has a column named '_xbs_u'")
+    bound = docs.withColumn("_xbs_u", units)
+    u = F.col("_xbs_u")
+    n = F.size(u)
     positions = F.when(
         n >= w, F.sequence(F.lit(1), n - w + 1)
     ).otherwise(F.array().cast("array<int>"))
     if window_text is None:
-        window_text = lambda i: F.array_join(F.slice(units, i, w), join_sep)  # noqa: E731
+        window_text = lambda i: F.array_join(F.slice(u, i, w), join_sep)  # noqa: E731
     hashes = F.transform(positions, lambda i: hasher(window_text(i)))
     if unit_filter is not None:
         # Windows containing any EXEMPT unit (e.g. short/blank lines —
         # structure, not boilerplate) hash to null and never match.
         ok = F.transform(
             positions,
-            lambda i: F.forall(F.slice(units, i, w), unit_filter),
+            lambda i: F.forall(F.slice(u, i, w), unit_filter),
         )
         hashes = F.zip_with(hashes, ok, lambda h, o: F.when(o, h))
     wins = (
-        docs.select(F.col(id_col), F.posexplode(hashes).alias("pos0", "h"))
+        bound.select(F.col(id_col), F.posexplode(hashes).alias("pos0", "h"))
         .filter(F.col("h").isNotNull())
         .select(id_col, (F.col("pos0") + 1).alias("pos"), "h")
     )
@@ -836,7 +846,7 @@ def text_c4_sentence_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),  # oracle's replace() on adjacent occurrences
     )
     out = remove_duplicate_sentence_spans(
-        derived, window=2, hash_fn="md5", keep_first_occurrence=True
+        derived, window=2, hash_fn="xxhash64", keep_first_occurrence=True
     )
     return out.select(
         "doc_id",
@@ -921,7 +931,7 @@ def text_line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("text"), F.lit(" row "), F.lit("\nrow ")).alias("text"),
     )
     out = remove_duplicate_lines(
-        derived, hash_fn="md5", min_line_chars=8, keep_first_occurrence=True
+        derived, hash_fn="xxhash64", min_line_chars=8, keep_first_occurrence=True
     )
     return out.select(
         "doc_id",
@@ -1133,7 +1143,15 @@ def substring_dup_windows(
     at any corpus size, no pairwise comparison anywhere. ``hash_fn="md5"``
     switches to md5 (4x wider keys) for engine-portable certification —
     DuckDB has no xxhash64."""
-    toks = F.split(F.col(text_col), TOKEN_SEP)
+    # Bind the token array to a real column before the window lambdas:
+    # HOFs get no subexpression elimination, so referencing the raw
+    # split() inside the transform re-tokenizes the doc once per window
+    # position (see _excise_duplicate_window_spans — same fix, ~4.7x on
+    # the hashing leg).
+    if "_xbs_u" in docs.columns:
+        raise ValueError("input already has a column named '_xbs_u'")
+    bound = docs.withColumn("_xbs_u", F.split(F.col(text_col), TOKEN_SEP))
+    toks = F.col("_xbs_u")
     n = F.size(toks)
     positions = F.when(
         n >= window, F.sequence(F.lit(1), n - window + 1)
@@ -1142,7 +1160,7 @@ def substring_dup_windows(
     if hash_fn not in ("md5", "xxhash64"):
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', not {hash_fn!r}")
     hasher = F.md5 if hash_fn == "md5" else F.xxhash64
-    wins = docs.select(
+    wins = bound.select(
         F.col(id_col),
         F.explode(F.transform(positions, lambda i: hasher(win_text(i)))).alias("h"),
     )
@@ -1198,10 +1216,12 @@ FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
 @_register("text_substring_dup", _SUBSTRING_DUP_ORACLE)
 def text_substring_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document exact-substring duplication stats over 8-token
-    windows (md5-hashed for the DuckDB oracle; production default is
-    xxhash64, covered by an equivalence pytest)."""
+    windows. The window hash is internal to the plan (the oracle's md5
+    and this xxhash64 run flag the same duplicate set — equivalence
+    pinned by pytest); xxhash64's 8-byte keys shuffle ~4x lighter than
+    md5 hex strings."""
     docs = load(spark, sf_dir, "documents")
-    return substring_dup_windows(docs, window=8, hash_fn="md5")
+    return substring_dup_windows(docs, window=8, hash_fn="xxhash64")
 
 
 def remove_duplicate_spans(
@@ -1318,12 +1338,13 @@ LEFT JOIN rew r ON d.doc_id = r.doc_id
 
 @_register("text_remove_dup_spans", _REMOVE_DUP_SPANS_ORACLE)
 def text_remove_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lee et al. 2022 exact-substring dedup rewrite over 8-token windows
-    (md5-hashed for the DuckDB oracle; production default is xxhash64,
-    pinned equivalent by pytest). Certifies the rewritten text via its
-    md5 fingerprint plus the removal audit counts."""
+    """Lee et al. 2022 exact-substring dedup rewrite over 8-token windows.
+    The window hash never leaves the plan, so the production xxhash64 run
+    matches the oracle's internal-md5 run exactly (pinned equivalent by
+    pytest). Certifies the rewritten text via its md5 fingerprint plus
+    the removal audit counts."""
     docs = load(spark, sf_dir, "documents")
-    out = remove_duplicate_spans(docs, window=8, hash_fn="md5")
+    out = remove_duplicate_spans(docs, window=8, hash_fn="xxhash64")
     return out.select(
         "doc_id",
         F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("rewritten_fp"),  # oracle: md5(COALESCE(text,''))
@@ -1395,7 +1416,7 @@ def text_remove_dup_spans_keepfirst_q(spark: SparkSession, sf_dir: str) -> DataF
     out = remove_duplicate_spans(
         docs,
         window=8,
-        hash_fn="md5",
+        hash_fn="xxhash64",
         min_span_tokens=30,
         keep_first_occurrence=True,
     )
@@ -1472,7 +1493,7 @@ def text_remove_dup_spans_chars_q(spark: SparkSession, sf_dir: str) -> DataFrame
     straddle token boundaries, invisible to the token-window gate."""
     docs = load(spark, sf_dir, "documents")
     out = remove_duplicate_char_spans(
-        docs, window=20, hash_fn="md5", keep_first_occurrence=True
+        docs, window=20, hash_fn="xxhash64", keep_first_occurrence=True
     )
     return out.select(
         "doc_id",
