@@ -424,6 +424,22 @@ def split_sentences(text: Column) -> Column:
     return F.regexp_extract_all(text, F.lit(SENTENCE_PATTERN), 0)
 
 
+def _fan_out_narrow_scan(docs: DataFrame) -> DataFrame:
+    """Rebalance ``docs`` across the cluster when its scan parallelism is
+    below ``defaultParallelism`` — the window explode fans every input
+    row into hundreds of unit rows, so inheriting a narrow scan's
+    partitioning (one small parquet file = ONE split under
+    ``files.maxPartitionBytes``) serializes the entire hashing leg on one
+    core (measured 6.5 s -> 1.7 s on the sf0.1 char gate). A real
+    many-file corpus already scans wider than the cluster, so this is a
+    no-op there — no shuffle is ever added at scale."""
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
+
+
 def _excise_duplicate_window_spans(
     docs: DataFrame,
     units: Column,
@@ -466,7 +482,7 @@ def _excise_duplicate_window_spans(
     # token-mode hashing leg).  `_xbs_u` is dropped before returning.
     if "_xbs_u" in docs.columns:
         raise ValueError("input already has a column named '_xbs_u'")
-    bound = docs.withColumn("_xbs_u", units)
+    bound = _fan_out_narrow_scan(docs).withColumn("_xbs_u", units)
     u = F.col("_xbs_u")
     n = F.size(u)
     positions = F.when(
@@ -1150,7 +1166,9 @@ def substring_dup_windows(
     # the hashing leg).
     if "_xbs_u" in docs.columns:
         raise ValueError("input already has a column named '_xbs_u'")
-    bound = docs.withColumn("_xbs_u", F.split(F.col(text_col), TOKEN_SEP))
+    bound = _fan_out_narrow_scan(docs).withColumn(
+        "_xbs_u", F.split(F.col(text_col), TOKEN_SEP)
+    )
     toks = F.col("_xbs_u")
     n = F.size(toks)
     positions = F.when(

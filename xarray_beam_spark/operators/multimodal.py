@@ -149,6 +149,8 @@ def decode_video(blob: bytes) -> np.ndarray:
         from xarray_beam_spark.sources import mp4
 
         info = mp4.demux_video(blob)
+        if not info["samples"]:
+            raise ValueError("video track has no samples")
         frames = []
         for off, size, _dts in info["samples"]:
             img = mp4.decode_frame(info["codec"], blob[off : off + size])
@@ -1008,7 +1010,9 @@ def mp4_frame_features(
                 info = mp4.demux_video(blob)
                 scale = info["timescale"]
                 for i, (dts, sample) in enumerate(
-                    mp4.extract_frames(blob, every_k=every_k, max_frames=max_frames)
+                    mp4.extract_frames(
+                        blob, every_k=every_k, max_frames=max_frames, info=info
+                    )
                 ):
                     img = mp4.decode_frame(info["codec"], sample)
                     rows.append(

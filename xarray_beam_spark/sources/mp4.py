@@ -44,6 +44,17 @@ def _full(typ: bytes, version: int, flags: int, payload: bytes) -> bytes:
     return _box(typ, struct.pack(">I", (version << 24) | flags) + payload)
 
 
+def _read(fmt: str, buf: bytes, off: int, what: str):
+    """``struct.unpack_from`` with the parser's loudness contract: a read
+    past the end of the buffer raises ``ValueError`` (executor tasks turn
+    a leaked ``struct.error``/``IndexError`` into an opaque task failure;
+    ValueError is the documented total-parser contract, same as WARC)."""
+    try:
+        return struct.unpack_from(fmt, buf, off)
+    except struct.error as exc:
+        raise ValueError(f"truncated {what} at byte {off}") from exc
+
+
 def _iter_boxes(buf: bytes, start: int, end: int):
     """Yield ``(fourcc, payload_start, payload_end)`` for the child boxes
     of ``buf[start:end]``; loud on structural damage (ISO 14496-12 §4.2:
@@ -207,11 +218,13 @@ def demux_video(buf: bytes) -> dict:
         if bytes(buf[ha + 8 : ha + 12]) != _VIDEO_HANDLER:
             continue  # audio/hint/subtitle track
         ma, _mb = mdia[b"mdhd"]
+        if ma >= len(buf):
+            raise ValueError("truncated mdhd box")
         version = buf[ma]
         if version == 1:
-            (timescale,) = struct.unpack_from(">I", buf, ma + 4 + 16)
+            (timescale,) = _read(">I", buf, ma + 4 + 16, "mdhd v1 timescale")
         else:
-            (timescale,) = struct.unpack_from(">I", buf, ma + 4 + 8)
+            (timescale,) = _read(">I", buf, ma + 4 + 8, "mdhd timescale")
         minf = _children(buf, *mdia[b"minf"])
         if b"stbl" not in minf:
             raise ValueError("minf missing stbl")
@@ -225,42 +238,51 @@ def demux_video(buf: bytes) -> dict:
             raise ValueError("compact stz2 sample sizes not supported")
 
         sa, sb = stbl[b"stsd"]
-        (n_desc,) = struct.unpack_from(">I", buf, sa + 4)
+        (n_desc,) = _read(">I", buf, sa + 4, "stsd entry count")
         if n_desc < 1:
             raise ValueError("empty stsd")
         codec = bytes(buf[sa + 12 : sa + 16]).decode("latin-1")
 
         za, zb = stbl[b"stsz"]
-        const_size, n_samples = struct.unpack_from(">II", buf, za + 4)
+        const_size, n_samples = _read(">II", buf, za + 4, "stsz header")
         if const_size:
+            # every sample must live inside the file, so a declared count
+            # beyond len(buf)/const_size is structural damage — without
+            # this bound a crafted 16-byte stsz (count 2^32-1) allocates
+            # a multi-GB list before any offset check runs
+            if n_samples * const_size > len(buf):
+                raise ValueError(
+                    f"stsz declares {n_samples} samples of {const_size} "
+                    "bytes — more than the file holds"
+                )
             sizes = [const_size] * n_samples
         else:
             if za + 12 + 4 * n_samples > zb:
                 raise ValueError("truncated stsz table")
-            sizes = list(struct.unpack_from(f">{n_samples}I", buf, za + 12))
+            sizes = list(_read(f">{n_samples}I", buf, za + 12, "stsz table"))
 
         if b"stco" in stbl:
             ca, cb = stbl[b"stco"]
-            (n_chunks,) = struct.unpack_from(">I", buf, ca + 4)
+            (n_chunks,) = _read(">I", buf, ca + 4, "stco count")
             if ca + 8 + 4 * n_chunks > cb:
                 raise ValueError("truncated stco table")
-            chunk_offsets = list(struct.unpack_from(f">{n_chunks}I", buf, ca + 8))
+            chunk_offsets = list(_read(f">{n_chunks}I", buf, ca + 8, "stco table"))
         else:
             ca, cb = stbl[b"co64"]
-            (n_chunks,) = struct.unpack_from(">I", buf, ca + 4)
+            (n_chunks,) = _read(">I", buf, ca + 4, "co64 count")
             if ca + 8 + 8 * n_chunks > cb:
                 raise ValueError("truncated co64 table")
-            chunk_offsets = list(struct.unpack_from(f">{n_chunks}Q", buf, ca + 8))
+            chunk_offsets = list(_read(f">{n_chunks}Q", buf, ca + 8, "co64 table"))
 
         # stsc: runs of (first_chunk, samples_per_chunk, sdi) — expand to
         # per-chunk sample counts (§8.7.4: a run applies until the next
         # run's first_chunk)
         xa, xb = stbl[b"stsc"]
-        (n_runs,) = struct.unpack_from(">I", buf, xa + 4)
+        (n_runs,) = _read(">I", buf, xa + 4, "stsc count")
         if xa + 8 + 12 * n_runs > xb:
             raise ValueError("truncated stsc table")
         runs = [
-            struct.unpack_from(">III", buf, xa + 8 + 12 * i) for i in range(n_runs)
+            _read(">III", buf, xa + 8 + 12 * i, "stsc run") for i in range(n_runs)
         ]
         for i, (first, _, _) in enumerate(runs):
             if first < 1 or (i and first <= runs[i - 1][0]):
@@ -268,13 +290,13 @@ def demux_video(buf: bytes) -> dict:
 
         # stts: runs of (sample_count, delta) → per-sample dts
         ta, tb = stbl[b"stts"]
-        (n_truns,) = struct.unpack_from(">I", buf, ta + 4)
+        (n_truns,) = _read(">I", buf, ta + 4, "stts count")
         if ta + 8 + 8 * n_truns > tb:
             raise ValueError("truncated stts table")
         dts: list[int] = []
         t = 0
         for i in range(n_truns):
-            cnt, delta = struct.unpack_from(">II", buf, ta + 8 + 8 * i)
+            cnt, delta = _read(">II", buf, ta + 8 + 8 * i, "stts run")
             for _ in range(min(cnt, n_samples - len(dts))):
                 dts.append(t)
                 t += delta
@@ -285,14 +307,15 @@ def demux_video(buf: bytes) -> dict:
 
         samples: list[tuple[int, int, int]] = []
         si = 0
+        ri = 0  # index of the stsc run governing the current chunk
+        spc = 0
         for ci in range(n_chunks):
-            # samples_per_chunk of the run governing chunk ci (1-based)
-            spc = 0
-            for first, per, _ in runs:
-                if first <= ci + 1:
-                    spc = per
-                else:
-                    break
+            # advance to the last run whose first_chunk <= ci+1 (runs are
+            # strictly increasing, so the pointer only moves forward:
+            # O(n_chunks + n_runs) where a per-chunk rescan is quadratic)
+            while ri < len(runs) and runs[ri][0] <= ci + 1:
+                spc = runs[ri][1]
+                ri += 1
             off = chunk_offsets[ci]
             for _ in range(spc):
                 if si >= n_samples:
@@ -314,14 +337,21 @@ def demux_video(buf: bytes) -> dict:
 
 
 def extract_frames(
-    buf: bytes, every_k: int = 1, max_frames: int | None = None
+    buf: bytes,
+    every_k: int = 1,
+    max_frames: int | None = None,
+    info: dict | None = None,
 ) -> list[tuple[int, bytes]]:
     """Sample the first video track: every ``every_k``-th frame's
     ``(dts_in_timescale_units, raw_sample_bytes)``, capped at
-    ``max_frames``. Codec-agnostic — pair with :func:`decode_frame`."""
+    ``max_frames``. Codec-agnostic — pair with :func:`decode_frame`.
+    Pass a pre-parsed ``info`` (from :func:`demux_video` on the same
+    ``buf``) to skip re-parsing the sample tables — callers that also
+    need the codec/timescale would otherwise demux every blob twice."""
     if every_k < 1:
         raise ValueError(f"every_k must be >= 1, got {every_k}")
-    info = demux_video(buf)
+    if info is None:
+        info = demux_video(buf)
     out = []
     for i, (off, size, dts) in enumerate(info["samples"]):
         if i % every_k:
