@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from xarray_beam_spark.tables import fan_out_narrow_scan as _fan_out_narrow_scan
 from xarray_beam_spark.tables import load
 
 REGISTRY: dict = {}
@@ -422,22 +423,6 @@ def split_sentences(text: Column) -> Column:
     trailing whitespace kept with their sentence; concatenation of the
     array reproduces the input exactly)."""
     return F.regexp_extract_all(text, F.lit(SENTENCE_PATTERN), 0)
-
-
-def _fan_out_narrow_scan(docs: DataFrame) -> DataFrame:
-    """Rebalance ``docs`` across the cluster when its scan parallelism is
-    below ``defaultParallelism`` — the window explode fans every input
-    row into hundreds of unit rows, so inheriting a narrow scan's
-    partitioning (one small parquet file = ONE split under
-    ``files.maxPartitionBytes``) serializes the entire hashing leg on one
-    core (measured 6.5 s -> 1.7 s on the sf0.1 char gate). A real
-    many-file corpus already scans wider than the cluster, so this is a
-    no-op there — no shuffle is ever added at scale."""
-    spark = docs.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        return docs.repartition(target)
-    return docs
 
 
 def _excise_duplicate_window_spans(

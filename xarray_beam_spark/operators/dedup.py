@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from xarray_beam_spark.functions.text import TOKEN_SEP
-from xarray_beam_spark.tables import load
+from xarray_beam_spark.tables import fan_out_narrow_scan, load
 
 REGISTRY: dict = {}
 
@@ -81,7 +81,7 @@ def minhash_table(
     it re-evaluates the shingle array per hash function and defeats
     whole-stage codegen.)
     """
-    exploded = docs.select(
+    exploded = fan_out_narrow_scan(docs).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
     )
     aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"mh{i}") for i in range(n_hashes)]
@@ -124,7 +124,7 @@ def simhash_table(
     shuffle on ``id_col``.
     """
     hf = hash_fn if hash_fn is not None else F.xxhash64
-    exploded = df.select(
+    exploded = fan_out_narrow_scan(df).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
     ).withColumn("h", hf(F.col("sh")))
     bit_sums = [
@@ -694,7 +694,7 @@ def passjoin_pairs(
         raise ValueError("max_dist must be >= 1 (use exact_dedup for 0)")
     k1 = k + 1
     t = F.col(text_col)
-    base = docs.select(
+    base = fan_out_narrow_scan(docs).select(
         F.col(id_col).alias("__id"), t.alias("__t"), F.length(t).alias("__m")
     ).where(F.col("__t").isNotNull())
 
