@@ -1335,3 +1335,153 @@ def corpus_warc_responses_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         html_to_text(F.col("body")).alias("extracted"),
         "content_length",
     )
+
+
+def _e2e_pipeline_oracle() -> str:
+    from xarray_beam_spark.functions.text import sql_html_to_text
+
+    wrap = (
+        "'<html><head><title>t</title></head><body><h1>' || source || "
+        "'</h1><p>' || text || '</p></body></html>'"
+    )
+    # Survivors of the near-dedup stage are exactly the original docs:
+    # the planted twins (doc_id + 1e9, last two tokens dropped) are the
+    # only pairs the twin-offset filter admits, so the oracle models the
+    # post-dedup corpus as the originals and replays extraction + the
+    # next-fit packing walk on them. A single missed twin on the Spark
+    # side changes the pack layout and fails the hash.
+    return rf"""
+WITH RECURSIVE page AS (
+  SELECT doc_id, {wrap} AS html
+  FROM documents WHERE text IS NOT NULL
+),
+ex AS (
+  SELECT doc_id, {sql_html_to_text('html')} AS text FROM page
+),
+toks AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
+         {sql_hash_bucket("CAST(doc_id AS VARCHAR)", 8, salt="xbs-pack")} AS bucket
+  FROM ex
+),
+ordered AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM toks
+),
+walk AS (
+  SELECT bucket, rn, doc_id, n_tokens, text,
+         CAST(0 AS BIGINT) AS pack, n_tokens AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.bucket, o.rn, o.doc_id, o.n_tokens, o.text,
+         CASE WHEN w.fill + o.n_tokens <= 1024 THEN w.pack ELSE w.pack + 1 END,
+         CASE WHEN w.fill + o.n_tokens <= 1024 THEN w.fill + o.n_tokens ELSE o.n_tokens END
+  FROM walk w JOIN ordered o ON o.bucket = w.bucket AND o.rn = w.rn + 1
+)
+SELECT bucket * 4294967296 + pack AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       CAST(SUM(CAST('0x' || substr(md5(text), 25, 8) AS BIGINT)) AS BIGINT) AS text_fp
+FROM walk GROUP BY 1
+"""
+
+
+@_register("corpus_e2e_train_pipeline", _e2e_pipeline_oracle())
+def corpus_e2e_train_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data funnel as ONE chain, ingest to export:
+    WARC ``response`` records (originals + planted near-dup twins) →
+    distributed response parse → ``html_to_text`` → MinHash-LSH
+    near-dedup (twins excised, lowest-id copy kept) → next-fit sequence
+    packing → TFRecord export → crc-verified re-read → per-pack rollup.
+    Each stage is individually gated elsewhere (``corpus_warc_responses``,
+    ``text_html_extract``, ``dedup_minhash_lsh``, ``corpus_pack_sequences``,
+    ``corpus_tfrecord_roundtrip``); this gate certifies their
+    COMPOSITION through one Spark plan — recall of the dedup stage (a
+    surviving twin changes the pack layout), extraction fidelity (the
+    per-doc 32-bit md5 fingerprint is computed from the text AFTER the
+    TFRecord round-trip, so export corruption surfaces), and the packing
+    walk over the post-dedup corpus (replayed by the recursive-CTE
+    oracle). Scale shape: extraction fuses into the WARC scan; the only
+    shuffles are the dedup group-bys/joins, the pack bucket scatter, and
+    the pack-id join-back (pinned by test_plan_hygiene)."""
+    from xarray_beam_spark.functions.text import html_to_text
+    from xarray_beam_spark.grid_queries import _materialized
+    from xarray_beam_spark.operators.dedup import minhash_lsh_pairs
+    from xarray_beam_spark.sources import tfrecord, warc
+
+    def build(p: str) -> None:
+        docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+        words = F.split(F.col("text"), TOKEN_SEP)
+        twins = docs.select(
+            (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+            F.concat_ws(
+                " ", F.slice(words, 1, F.greatest(F.size(words) - 2, F.lit(1)))
+            ).alias("text"),
+            "source",
+        )
+        corpus = docs.select("doc_id", "text", "source").unionAll(twins)
+        html = F.concat(
+            F.lit("<html><head><title>t</title></head><body><h1>"),
+            F.col("source"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        )
+        rows = corpus.select(
+            F.concat(
+                F.lit("http://"),
+                F.col("source"),
+                F.lit(".example.com/page/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            html.alias("body"),
+            F.lit("text/html; charset=utf-8").alias("ct"),
+        )
+        warc.write_warc_responses(
+            rows.repartition(8, "url"), f"{p}/warc", content_type_col="ct",
+            shard_records=128,
+        )
+        # ingest -> extract -> dedup -> pack: one declarative chain
+        ext = warc.read_warc_responses(spark, f"{p}/warc").select(
+            F.regexp_extract("url", "/page/([0-9]+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            html_to_text(F.col("body")).alias("text"),
+        )
+        pairs = minhash_lsh_pairs(ext, min_jaccard=0.6)
+        removed = (
+            pairs.where(F.col("doc_b") - F.col("doc_a") == 1_000_000_000)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        survivors = ext.join(removed, "doc_id", "left_anti")
+        toks = survivors.select(
+            "doc_id",
+            "text",
+            F.size(F.split(F.col("text"), TOKEN_SEP)).cast("long").alias("n_tokens"),
+        )
+        packed = pack_sequences(
+            toks.select("doc_id", "n_tokens"),
+            budget=1024,
+            n_buckets=8,
+            strategy="next_fit",
+            bucket_expr=hash_bucket("doc_id", 8, "xbs-pack"),
+        )
+        out = toks.join(packed.select("doc_id", "pack_id"), "doc_id")
+        tfrecord.write_tfrecords(
+            out.repartition(8, "doc_id"), f"{p}/tfrec", shard_records=128
+        )
+
+    path = _materialized(spark, sf_dir, "e2e_pipe", build)
+    back = tfrecord.read_tfrecords(spark, f"{path}/tfrec")
+    # fingerprint computed from the text that CAME BACK from the export
+    fp = F.conv(F.substring(F.md5(F.col("text")), 25, 8), 16, 10).cast("long")
+    return (
+        back.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.sum(fp).alias("text_fp"),
+        )
+        .orderBy("pack_id")
+    )
