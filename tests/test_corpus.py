@@ -553,3 +553,104 @@ class TestRound12Regressions:
         rows = {r["doc_id"]: r for r in hashed_quality_classifier(df).collect()}
         assert rows[1]["score"] == 0
         assert rows[1]["label"] == "drop"
+
+
+class TestE2ETrainPipeline:
+    """The composed ingest->dedup->pack chain (corpus_e2e_train_pipeline
+    gate) — plan-shape pins for the VERDICT r13 #5 requirement: the
+    composition adds no shuffle beyond the dedup group-bys/joins, the
+    pack scatter, and the pack-id join-back."""
+
+    @staticmethod
+    def _write_fixture(spark, path, n=30):
+        from pyspark.sql import functions as F
+
+        from xarray_beam_spark.sources import warc
+
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"w{i}tok"), (F.col("id") * (i + 1)).cast("string"))
+                    for i in range(12)
+                ],
+            ).alias("text"),
+            F.lit("src").alias("source"),
+        )
+        words = F.split(F.col("text"), r"[ \t\n\x0B\f\r]+")
+        twins = docs.select(
+            (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+            F.concat_ws(
+                " ", F.slice(words, 1, F.greatest(F.size(words) - 2, F.lit(1)))
+            ).alias("text"),
+            "source",
+        )
+        corpus = docs.unionAll(twins)
+        rows = corpus.select(
+            F.concat(
+                F.lit("http://src.example.com/page/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.concat(
+                F.lit("<html><head><title>t</title></head><body><h1>"),
+                F.col("source"),
+                F.lit("</h1><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ).alias("body"),
+            F.lit("text/html; charset=utf-8").alias("ct"),
+        )
+        warc.write_warc_responses(
+            rows.repartition(4, "url"), path, content_type_col="ct"
+        )
+
+    def test_extraction_fuses_into_scan(self, spark, tmp_path):
+        """read -> html_to_text -> token count is one stage: zero
+        Exchange nodes before the dedup group-bys."""
+        from pyspark.sql import functions as F
+
+        from xarray_beam_spark.functions.text import TOKEN_SEP, html_to_text
+        from xarray_beam_spark.sources import warc
+
+        p = str(tmp_path / "warc")
+        self._write_fixture(spark, p)
+        ext = warc.read_warc_responses(spark, p).select(
+            F.regexp_extract("url", "/page/([0-9]+)$", 1).cast("long").alias("doc_id"),
+            html_to_text(F.col("body")).alias("text"),
+            F.size(F.split(html_to_text(F.col("body")), TOKEN_SEP)).alias("n_tokens"),
+        )
+        plan = ext._jdf.queryExecution().executedPlan().toString()
+        # the single Exchange is the shard-NAME list scatter (a handful
+        # of rows, before the read); extraction itself adds none — the
+        # regexp chain projects inside the MapInArrow stage
+        assert plan.count("Exchange") == 1, plan
+        assert "RoundRobinPartitioning" in plan, plan
+
+    def test_composition_shuffle_budget_and_results(self, spark, tmp_path):
+        """End to end on the fixture: every twin excised, survivors =
+        originals, and the whole chain's plan stays inside the documented
+        shuffle inventory (no cartesian, bounded Exchange count)."""
+        from xarray_beam_spark.operators.corpus import ingest_dedup_pack
+
+        p = str(tmp_path / "warc")
+        self._write_fixture(spark, p, n=30)
+        out = ingest_dedup_pack(spark, p)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # shuffle inventory (logical): minhash signature group-by,
+        # band-bucket self-join, candidate-pair distinct, removed-id
+        # distinct, anti-join, pack bucket scatter, pack-id join-back,
+        # narrow-scan fan-out — ~8 distinct shuffles. The displayed
+        # physical tree re-instantiates the shared ingest subtree on
+        # every branch (AQE collapses the copies to ReusedExchange at
+        # runtime), multiplying the count ~4x; the bound is a tripwire
+        # against a structural regression (per-band or per-row joins
+        # would add O(32+) more), not an exact inventory.
+        n_exchange = plan.count("Exchange")
+        assert n_exchange <= 36, f"{n_exchange} exchanges:\n{plan}"
+        rows = out.collect()
+        ids = sorted(r["doc_id"] for r in rows)
+        assert ids == list(range(30)), ids  # all twins gone, no original lost
+        assert all(r["pack_id"] is not None for r in rows)

@@ -1337,6 +1337,52 @@ def corpus_warc_responses_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ingest_dedup_pack(
+    spark: SparkSession,
+    warc_path: str,
+    budget: int = 1024,
+    n_buckets: int = 8,
+    twin_offset: int = 1_000_000_000,
+) -> DataFrame:
+    """The ingest->extract->near-dedup->pack chain of the end-to-end
+    training funnel, as ONE declarative Spark plan: WARC response parse,
+    ``html_to_text`` (fuses into the scan — no exchange before the dedup
+    group-bys), MinHash-LSH twin excision (left-anti on the removed ids),
+    next-fit sequence packing, pack-id join-back. Returns
+    ``(doc_id, text, n_tokens, pack_id)``; export it with any sink.
+    Shuffle inventory (pinned by tests/test_corpus.py): the dedup
+    signature/band group-bys + candidate join, the anti-join, the pack
+    bucket scatter, and the final pack-id equi-join — nothing else."""
+    from xarray_beam_spark.functions.text import html_to_text
+    from xarray_beam_spark.operators.dedup import minhash_lsh_pairs
+    from xarray_beam_spark.sources import warc
+
+    ext = warc.read_warc_responses(spark, warc_path).select(
+        F.regexp_extract("url", "/page/([0-9]+)$", 1).cast("long").alias("doc_id"),
+        html_to_text(F.col("body")).alias("text"),
+    )
+    pairs = minhash_lsh_pairs(ext, min_jaccard=0.6)
+    removed = (
+        pairs.where(F.col("doc_b") - F.col("doc_a") == twin_offset)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = ext.join(removed, "doc_id", "left_anti")
+    toks = survivors.select(
+        "doc_id",
+        "text",
+        F.size(F.split(F.col("text"), TOKEN_SEP)).cast("long").alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        toks.select("doc_id", "n_tokens"),
+        budget=budget,
+        n_buckets=n_buckets,
+        strategy="next_fit",
+        bucket_expr=hash_bucket("doc_id", n_buckets, "xbs-pack"),
+    )
+    return toks.join(packed.select("doc_id", "pack_id"), "doc_id")
+
+
 def _e2e_pipeline_oracle() -> str:
     from xarray_beam_spark.functions.text import sql_html_to_text
 
@@ -1404,12 +1450,10 @@ def corpus_e2e_train_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle). Scale shape: extraction fuses into the WARC scan; the only
     shuffles are the dedup group-bys/joins, the pack bucket scatter, and
     the pack-id join-back (pinned by test_plan_hygiene)."""
-    from xarray_beam_spark.functions.text import html_to_text
     from xarray_beam_spark.grid_queries import _materialized
-    from xarray_beam_spark.operators.dedup import minhash_lsh_pairs
     from xarray_beam_spark.sources import tfrecord, warc
 
-    def build(p: str) -> None:
+    def build_warc(p: str) -> None:
         docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
         words = F.split(F.col("text"), TOKEN_SEP)
         twins = docs.select(
@@ -1438,36 +1482,20 @@ def corpus_e2e_train_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("text/html; charset=utf-8").alias("ct"),
         )
         warc.write_warc_responses(
-            rows.repartition(8, "url"), f"{p}/warc", content_type_col="ct",
+            rows.repartition(8, "url"), p, content_type_col="ct",
             shard_records=128,
         )
-        # ingest -> extract -> dedup -> pack: one declarative chain
-        ext = warc.read_warc_responses(spark, f"{p}/warc").select(
-            F.regexp_extract("url", "/page/([0-9]+)$", 1)
-            .cast("long")
-            .alias("doc_id"),
-            html_to_text(F.col("body")).alias("text"),
-        )
-        pairs = minhash_lsh_pairs(ext, min_jaccard=0.6)
-        removed = (
-            pairs.where(F.col("doc_b") - F.col("doc_a") == 1_000_000_000)
-            .select(F.col("doc_b").alias("doc_id"))
-            .distinct()
-        )
-        survivors = ext.join(removed, "doc_id", "left_anti")
-        toks = survivors.select(
-            "doc_id",
-            "text",
-            F.size(F.split(F.col("text"), TOKEN_SEP)).cast("long").alias("n_tokens"),
-        )
-        packed = pack_sequences(
-            toks.select("doc_id", "n_tokens"),
-            budget=1024,
-            n_buckets=8,
-            strategy="next_fit",
-            bucket_expr=hash_bucket("doc_id", 8, "xbs-pack"),
-        )
-        out = toks.join(packed.select("doc_id", "pack_id"), "doc_id")
+
+    # The WARC corpus is a pure INPUT fixture (its write leg is certified
+    # by corpus_warc_responses) — persistent, built once per machine. The
+    # chain under test (ingest -> dedup -> pack -> export) is the
+    # ephemeral, rebuilt-per-run store.
+    warc_path = _materialized(
+        spark, sf_dir, "e2e_warc", build_warc, persistent=True, params="twins-v1"
+    )
+
+    def build(p: str) -> None:
+        out = ingest_dedup_pack(spark, warc_path)
         tfrecord.write_tfrecords(
             out.repartition(8, "doc_id"), f"{p}/tfrec", shard_records=128
         )
