@@ -91,10 +91,15 @@ def scaled_dir(spark, factor: int, root: str) -> str:
             # deterministic tiny perturbation: element i += copy * 1e-3 * sign(i odd)
             F.transform(
                 "embedding",
-                lambda x, i: x
-                + F.col("copy").cast("float")
-                * F.lit(0.001)
-                * F.when(i % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+                lambda x, i: (
+                    x
+                    + F.col("copy").cast("float")
+                    * F.lit(0.001)
+                    * F.when(i % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+                ).cast("float"),
+                # cast back: the arithmetic widens to double, which would
+                # make factor>1 fixtures scan 2x the bytes PER ELEMENT and
+                # inflate the fitted exponent (a spurious superlinearity)
             ).alias("embedding"),
             "label",
         )
@@ -136,12 +141,21 @@ def main() -> None:
                     # row-preserving rewrite (the span family) never
                     # executes and its curve is a no-op's (bench.py's r13
                     # measurement fix applies here identically).
-                    qs[q](spark, sf_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                    t = time.perf_counter() - t0
+                    try:
+                        qs[q](spark, sf_dir).write.format("noop").mode(
+                            "overwrite"
+                        ).save()
+                        t = time.perf_counter() - t0
+                    except Exception as exc:  # noqa: BLE001 — keep the
+                        # hours of timings already collected; -1 marks the
+                        # failed (query, factor) like bench.py's sentinel
+                        print(f"# scale error {q}@{factor}x: {exc}", file=sys.stderr)
+                        t = -1.0
                     prev = timings[q].get(factor)
-                    timings[q][factor] = t if prev is None else min(prev, t)
+                    if t < 0 or (prev is not None and prev < 0):
+                        timings[q][factor] = -1.0
+                    else:
+                        timings[q][factor] = t if prev is None else min(prev, t)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -159,8 +173,16 @@ def main() -> None:
         "queries": {
             q: {
                 "seconds": {str(f): round(t, 2) for f, t in timings[q].items()},
-                "exponent": round(
-                    math.log(timings[q][hi] / timings[q][lo]) / math.log(hi / lo), 2
+                # None when unfittable: single-point run, or a failed
+                # endpoint (-1 sentinel)
+                "exponent": (
+                    round(
+                        math.log(timings[q][hi] / timings[q][lo])
+                        / math.log(hi / lo),
+                        2,
+                    )
+                    if hi != lo and timings[q][lo] > 0 and timings[q][hi] > 0
+                    else None
                 ),
             }
             for q in QUERIES

@@ -35,13 +35,16 @@ def main() -> int:
 
     print("entry rows:", len(E.entry(spark).collect()))
 
+    from xarray_beam_spark.tables import TABLE_NAMES
+
     con = duckdb.connect()
-    for t in [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]:
+    for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
 
+    # canon() deliberately MIRRORS THE DRIVER's comparison (see
+    # .claude/skills/verify), not xarray_beam_spark.oracle._canon — adding
+    # normalization the driver lacks would make this runner pass where the
+    # driver fails.
     def canon(df: pd.DataFrame) -> pd.DataFrame:
         df = df[sorted(df.columns)].copy()
         for c in df.columns:
@@ -66,7 +69,13 @@ def main() -> int:
         if name not in osql:
             print("ROWS-ONLY", name, got.shape)
             continue
-        want = canon(con.execute(osql[name]).df())
+        try:
+            want = canon(con.execute(osql[name]).df())
+        except Exception as exc:  # noqa: BLE001 — one bad oracle SQL must
+            # count as ONE fail, not abort the remaining queries unverified
+            print("ORACLE-ERROR", name, repr(exc)[:200])
+            fails += 1
+            continue
         ok = (
             got.shape == want.shape
             and list(got.columns) == list(want.columns)

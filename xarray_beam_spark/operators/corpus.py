@@ -32,7 +32,7 @@ from xarray_beam_spark.functions.text import (
     quality_features,
     sql_detect_language,
 )
-from xarray_beam_spark.tables import load
+from xarray_beam_spark.tables import fan_out_narrow_scan, load
 
 REGISTRY: dict = {}
 
@@ -58,7 +58,9 @@ def clean_corpus(
     the survivors back to the full corpus.
     """
     feats = quality_features(F.col("text"))
-    q = docs.select(
+    # the quality/langid regex chains are the heavy per-row leg — they
+    # must not run serially on a narrow scan (see fan_out_narrow_scan)
+    q = fan_out_narrow_scan(docs).select(
         "doc_id",
         "source",
         "text",
@@ -67,11 +69,15 @@ def clean_corpus(
     lang = q.select(
         "*", detect_language(F.col("text")).alias("detected")
     ).where(F.col("detected") != "und")
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # exact dedup as a map-side-combinable min(struct) aggregation:
+    # doc_id leads the struct, so the lexicographic min IS the lowest-id
+    # copy — same row a row_number window keeps, without shuffling and
+    # sorting every surviving column's full data by the hash key
+    cols = ["doc_id", "source", "text", "n_tokens", "detected"]
     return (
-        lang.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+        lang.groupBy(F.md5("text").alias("__h"))
+        .agg(F.min(F.struct(*cols)).alias("__r"))
+        .select(*[F.col(f"__r.{c}").alias(c) for c in cols])
     )
 
 

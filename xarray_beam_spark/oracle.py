@@ -33,7 +33,14 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
         elif df[c].dtype == object:
-            df[c] = df[c].apply(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+            # Arrow-enabled toPandas yields numpy arrays for ArrayType
+            # columns — without the ndarray branch sort_values raises
+            # "truth value of an array ... is ambiguous"
+            df[c] = df[c].apply(
+                lambda v: tuple(v)
+                if isinstance(v, (list, tuple)) or hasattr(v, "__array__")
+                else v
+            )
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -69,7 +76,17 @@ def compare(spark_df, oracle_df: pd.DataFrame, float_exact: bool = True) -> list
         else:
             if not a.equals(b):
                 neq = a[a != b]
-                problems.append(f"col {c}: {len(neq)} diffs, e.g. {a[a != b].head(3).to_dict()} vs oracle")
+                if len(neq) == 0:
+                    # values compare equal elementwise but .equals failed:
+                    # the difference is the dtype itself (e.g. int64 vs
+                    # float64 after canon) — name that, not "0 diffs"
+                    problems.append(
+                        f"col {c}: dtype mismatch spark={a.dtype} oracle={b.dtype}"
+                    )
+                else:
+                    problems.append(
+                        f"col {c}: {len(neq)} diffs, e.g. {neq.head(3).to_dict()} vs oracle"
+                    )
     return problems
 
 
@@ -80,6 +97,10 @@ def check_query(spark: SparkSession, name: str, sf_dir: str) -> list[str]:
     sql = registry.oracle_sql().get(name)
     df = fn(spark, sf_dir)
     if sql is None:
-        n = df.count()
+        # collect(), not count(): count() lets Catalyst column-prune the
+        # projection to a column-less scan, so a broken output expression
+        # would pass here and fail only when the driver materializes it
+        # (same hole the r13 noop-basis fix closed in bench.py)
+        n = len(df.collect())
         return [] if n >= 0 else [f"{name}: query failed"]
     return compare(df, run_oracle(sql, sf_dir))
