@@ -51,6 +51,10 @@ def main(src_path: str | None = None, out: str = "/tmp/rechunked.zarr") -> None:
     spark.sparkContext.setLogLevel("ERROR")
     if src_path is None:
         src_path = "/tmp/rechunk_demo_src.zarr"
+    if not os.path.exists(src_path):
+        # synthesize the demo source at whatever path was asked for —
+        # callers (and the test) can point BOTH paths at a private tmp
+        # dir instead of racing on shared /tmp stores
         _demo_store(spark, src_path)
 
     counters = get_counters(spark)

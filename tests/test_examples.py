@@ -16,8 +16,10 @@ def _run(script: str, *args: str) -> str:
         capture_output=True,
         text=True,
         timeout=300,
-        check=True,
     )
+    # no check=True: a CalledProcessError swallows the captured stderr;
+    # assert instead so the pytest report shows the actual traceback
+    assert out.returncode == 0, out.stderr[-4000:]
     return out.stdout
 
 
@@ -32,10 +34,12 @@ def test_events_climatology_example(tmp_path):
 def test_zarr_rechunk_example(tmp_path):
     src = str(tmp_path / "src.zarr")
     out_path = str(tmp_path / "out.zarr")
-    # synthesize + rechunk in one invocation (no-arg synth writes to /tmp;
-    # pass explicit paths instead)
-    stdout = _run("zarr_rechunk.py")
+    # explicit private paths: the no-arg form writes fixed /tmp stores,
+    # which two concurrent runs would race on
+    stdout = _run("zarr_rechunk.py", src, out_path)
     assert "wrote" in stdout and "counters" in stdout
+    # the example writes a Zarr v2 store: group metadata is .zgroup
+    assert os.path.exists(os.path.join(out_path, ".zgroup"))
 
 
 def test_corpus_pipeline_example(tmp_path):
@@ -72,15 +76,15 @@ def test_beam_style_migration_example(tmp_path):
     assert os.path.exists(tmp_path / "beam_spelling.zarr")
 
 
-def test_migration_doc_snippets():
-    """docs/migration.md must not drift from the engine: extract every
+def _run_doc_snippets(doc_name: str, min_blocks: int) -> None:
+    """Anti-drift harness shared by the doc tests: extract every
     ```python fenced block and execute them top-to-bottom in ONE shared
     namespace (each block asserts its own results)."""
     import re
 
-    doc = open(os.path.join(REPO, "docs", "migration.md")).read()
+    doc = open(os.path.join(REPO, "docs", doc_name)).read()
     blocks = re.findall(r"```python\n(.*?)```", doc, flags=re.DOTALL)
-    assert len(blocks) >= 8, "migration.md lost its runnable snippets"
+    assert len(blocks) >= min_blocks, f"{doc_name} lost its runnable snippets"
     script = "\n\n".join(blocks)
     out = subprocess.run(
         [sys.executable, "-c", script],
@@ -88,27 +92,19 @@ def test_migration_doc_snippets():
         text=True,
         timeout=540,
         cwd=REPO,
-        env={**os.environ, "PYTHONPATH": REPO},
+        env={
+            **os.environ,
+            # PREPEND: clobbering would break environments that supply
+            # deps via PYTHONPATH
+            "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        },
     )
     assert out.returncode == 0, out.stderr[-4000:]
+
+
+def test_migration_doc_snippets():
+    _run_doc_snippets("migration.md", 8)
 
 
 def test_training_doc_snippets():
-    """docs/training_data.md gets the same anti-drift treatment as the
-    migration guide: every ```python block executes top-to-bottom in one
-    namespace, each asserting its own results."""
-    import re
-
-    doc = open(os.path.join(REPO, "docs", "training_data.md")).read()
-    blocks = re.findall(r"```python\n(.*?)```", doc, flags=re.DOTALL)
-    assert len(blocks) >= 7, "training_data.md lost its runnable snippets"
-    script = "\n\n".join(blocks)
-    out = subprocess.run(
-        [sys.executable, "-c", script],
-        capture_output=True,
-        text=True,
-        timeout=540,
-        cwd=REPO,
-        env={**os.environ, "PYTHONPATH": REPO},
-    )
-    assert out.returncode == 0, out.stderr[-4000:]
+    _run_doc_snippets("training_data.md", 7)

@@ -17,15 +17,11 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "xarray-beam-spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or min(os.cpu_count() or 4, 32)
+    from xarray_beam_spark.shipping import runtime_sql_conf
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         # Chunk payloads are 10-100MB binary cells; keep Arrow batches small
         # in chunk-row stages (the engine also repartitions by bytes).
         .config("spark.sql.files.maxPartitionBytes", "134217728")
@@ -36,4 +32,8 @@ def get_spark(app_name: str = "xarray-beam-spark", cpus: int | None = None) -> S
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
     )
+    # shared runtime-SQL table (see shipping.runtime_sql_conf): applied at
+    # build time here, and by tune_session on vanilla/driver sessions
+    for key, value in runtime_sql_conf(cpus):
+        builder = builder.config(key, value)
     return builder.getOrCreate()

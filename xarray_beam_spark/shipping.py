@@ -18,6 +18,19 @@ from pyspark.sql import SparkSession
 _FLAG = "_xbs_package_shipped"
 _TUNE_FLAG = "_xbs_session_tuned"
 
+# The six runtime-mutable settings the engine assumes; session.get_spark
+# applies the same table at build time (single source of truth — the two
+# tuning sites had already drifted once).
+def runtime_sql_conf(parallelism: int) -> tuple[tuple[str, str], ...]:
+    return (
+        ("spark.sql.shuffle.partitions", str(max(parallelism, 8))),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.execution.arrow.maxRecordsPerBatch", "8192"),
+    )
+
 
 def tune_session(spark: SparkSession) -> None:
     """Apply the engine's runtime SQL configuration to a vanilla session.
@@ -31,22 +44,21 @@ def tune_session(spark: SparkSession) -> None:
     memory, core counts) stays whatever the deployment chose.
     """
     sc = spark.sparkContext
-    if getattr(sc, _TUNE_FLAG, False):
+    # the flag must live on the SESSION: spark.conf is per-session SQLConf,
+    # so a context-level flag would leave newSession() siblings untuned
+    tuned = getattr(spark, _TUNE_FLAG, False)
+    if tuned:
         return
     par = sc.defaultParallelism or 8
-    for key, value in (
-        ("spark.sql.shuffle.partitions", str(max(par, 8))),
-        ("spark.sql.adaptive.enabled", "true"),
-        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
-        ("spark.sql.adaptive.skewJoin.enabled", "true"),
-        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
-        ("spark.sql.execution.arrow.maxRecordsPerBatch", "8192"),
-    ):
+    for key, value in runtime_sql_conf(par):
         try:
             spark.conf.set(key, value)
         except Exception:  # noqa: BLE001 — conf may be static in some deployments
             pass
-    setattr(sc, _TUNE_FLAG, True)
+    try:
+        setattr(spark, _TUNE_FLAG, True)
+    except Exception:  # noqa: BLE001 — Connect sessions may refuse attrs
+        pass
 
 
 def ensure_shipped(spark: SparkSession) -> None:
