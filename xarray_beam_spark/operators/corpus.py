@@ -397,7 +397,7 @@ def corpus_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned for 4-gram overlap (4, not the production-default 13, because
     the synthetic docs are tens of tokens long). Oracle re-derives the
     identical tokenization, n-grams, and counts in SQL."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out_narrow_scan(load(spark, sf_dir, "documents"))
     bench = docs.where(F.col("doc_id") % 23 == 0)
     corpus = docs.where(F.col("doc_id") % 23 != 0)
     return decontaminate(corpus, bench, n=4)
@@ -941,7 +941,7 @@ def corpus_familiarity_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     plays the trusted seed corpus; every document's char-trigram
     familiarity under it is certified value-exact (integer count sums +
     one division — the hash-stable stand-in for KenLM perplexity)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out_narrow_scan(load(spark, sf_dir, "documents"))
     seed = docs.where(F.col("doc_id") % 7 == 0)
     return familiarity_score(docs, seed)
 

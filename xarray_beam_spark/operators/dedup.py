@@ -592,7 +592,7 @@ def ngram_jaccard_adjacent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard between consecutive doc ids — validates the
     shingling + set-similarity machinery against pure SQL."""
     docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
+    sh = fan_out_narrow_scan(docs).select(
         "doc_id", word_shingles(F.col("text"), 3).alias("s")
     )
     a, b = sh.alias("a"), sh.alias("b")
