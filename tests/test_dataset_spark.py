@@ -184,7 +184,7 @@ def test_rechunk_same_source_and_target_is_elided(spark):
 def test_mean_over_dim(spark, era5):
     d = Dataset.from_numpy(spark, era5, chunks={"time": 10})
     got = d.mean("time").collect()
-    want = era5.mean("time", dtype=np.float64) if False else _np_mean(era5, "time")
+    want = _np_mean(era5, "time")
     assert got.allclose(want, rtol=1e-6)
 
 
@@ -419,18 +419,19 @@ def test_interp_matches_numpy(spark, era5):
 
 def test_interp_rejects_non_monotone(spark, era5):
     d = Dataset.from_numpy(spark, era5, chunks={"time": 6})
-    tvals = d.template.coords["time"].values
+    # construction stays OUTSIDE the raises block: only interp's own
+    # monotonicity guard is under test (if from_numpy ever validated
+    # coords itself, the old form would keep passing with interp's
+    # guard deleted)
+    d2 = Dataset.from_numpy(
+        spark,
+        NDDataset(
+            {"v": (("t",), np.arange(4.0))},
+            {"t": np.array([0.0, 2.0, 1.0, 3.0])},
+        ),
+        chunks={"t": 2},
+    )
     with pytest.raises(ValueError, match="strictly increasing"):
-        # reversed coordinate via transpose trick is awkward; fake by
-        # requesting interp on a dim with a shuffled coordinate
-        d2 = Dataset.from_numpy(
-            spark,
-            NDDataset(
-                {"v": (("t",), np.arange(4.0))},
-                {"t": np.array([0.0, 2.0, 1.0, 3.0])},
-            ),
-            chunks={"t": 2},
-        )
         d2.interp("t", np.array([0.5]))
 
 
@@ -545,7 +546,11 @@ def test_consolidate_fully(spark, era5):
 def test_repr_human_sizes(spark, era5):
     d = Dataset.from_numpy(spark, era5, chunks={"time": 10})
     r = repr(d)
-    assert "time=24/10" in r and "split_vars=False" in r and "B " in r or "B>" in r or "KB" in r
+    # parenthesized: the old `A and B and C or D or E` parsed as
+    # `(A and B and C) or D or E`, so a stray "KB" anywhere in the repr
+    # made the whole assertion vacuous
+    assert "time=24/10" in r and "split_vars=False" in r
+    assert "B " in r or "B>" in r or "KB" in r
 
 
 def test_count_reduction(spark):
@@ -1270,7 +1275,6 @@ def test_gather_dim_ops_multichunk_other_dims(spark, era5):
     np.testing.assert_array_equal(got.data_vars["asn"].values, want)
 
     got = d.rank("time", method="min").collect()
-    order = np.argsort(arr, axis=0, kind="stable")
     want = np.empty_like(arr)
     # min-rank via sort+searchsorted per series (matches SQL RANK())
     for i in range(arr.shape[1]):
@@ -1278,7 +1282,6 @@ def test_gather_dim_ops_multichunk_other_dims(spark, era5):
             s = np.sort(arr[:, i, j])
             want[:, i, j] = np.searchsorted(s, arr[:, i, j], side="left") + 1
     np.testing.assert_array_equal(got.data_vars["asn"].values, want)
-    del order
 
 
 def test_fill_ops_multichunk_other_dims(spark):

@@ -5,7 +5,6 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
 from pyspark.sql import functions as F
 
 from xarray_beam_spark.sources import zarr_io
@@ -51,16 +50,15 @@ def test_contiguous_runs():
 
 
 class TestStreamZarrAppend:
-    def test_append_ingest_equals_batch_grid(self, spark, tmp_path):
+    def test_append_ingest_equals_batch_grid(self, spark, sf_dir, tmp_path):
         """Three day-ordered micro-batches growing one store == the
         whole-table grid (sf0.001 for speed; the sf0.01 gate certifies)."""
-        import numpy as np
 
         from xarray_beam_spark.sources import zarr_io
         from xarray_beam_spark.streaming import events_stream as es
         from xarray_beam_spark.tables import load
 
-        sf = "/root/testdata/sf0.001"
+        sf = sf_dir
         out = str(tmp_path / "grid.zarr")
         es.stream_append_to_zarr(spark, sf, out)
         back = zarr_io.from_zarr(spark, out).to_table(dropna=True)
@@ -77,7 +75,7 @@ class TestStreamZarrAppend:
         exp = sorted(map(tuple, want.select(back.columns).collect()))
         assert got == exp
 
-    def test_out_of_order_day_rejected(self, spark, tmp_path):
+    def test_out_of_order_day_rejected(self, spark, sf_dir, tmp_path):
         """Re-delivering already-ingested days must fail loudly, not
         silently double-append: a second full run against the same store
         (fresh checkpoint, so every batch replays) hits the order guard."""
@@ -85,7 +83,7 @@ class TestStreamZarrAppend:
 
         from xarray_beam_spark.streaming import events_stream as es
 
-        sf = "/root/testdata/sf0.001"
+        sf = sf_dir
         out = str(tmp_path / "grid.zarr")
         es.stream_append_to_zarr(spark, sf, out)
         os.remove(out + "_highwater")  # simulate a feed replaying old days
@@ -93,17 +91,16 @@ class TestStreamZarrAppend:
             es.stream_append_to_zarr(spark, sf, out)
 
 
-def test_append_commit_crash_replay_not_wedged(spark, tmp_path):
+def test_append_commit_crash_replay_not_wedged(spark, sf_dir, tmp_path):
     """Crash window between the Zarr append and the high-water commit:
     the replayed final batch finds its own days already at the store's
     tail and must be a no-op — previously it raised the out-of-order
     error on EVERY restart, permanently wedging the stream."""
-    import numpy as np
 
     from xarray_beam_spark.sources import zarr_io
     from xarray_beam_spark.streaming import events_stream as es
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     out = str(tmp_path / "grid.zarr")
     es.stream_append_to_zarr(spark, sf, out)
     before = zarr_io.from_zarr(spark, out).to_table(dropna=True)
@@ -119,7 +116,7 @@ def test_append_commit_crash_replay_not_wedged(spark, tmp_path):
     assert int(open(marker).read()) == last
 
 
-def test_hourly_same_day_across_batches_is_loud(spark, tmp_path):
+def test_hourly_same_day_across_batches_is_loud(spark, sf_dir, tmp_path):
     """A day split across micro-batches would be silently clobbered by
     whole-chunk region writes; the day→batch ledger turns it into a loud
     error (idempotent same-batch retries stay allowed)."""
@@ -129,7 +126,7 @@ def test_hourly_same_day_across_batches_is_loud(spark, tmp_path):
 
     from xarray_beam_spark.streaming import events_stream as es
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     out = str(tmp_path / "grid.zarr")
     es.stream_to_zarr_hourly(spark, sf, out)
     ledger_path = out + "_daybatches"

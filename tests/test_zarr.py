@@ -552,8 +552,6 @@ class TestConsolidatedMetadata:
     def test_setup_writes_zmetadata_and_open_uses_it_alone(self, spark, tmp_path):
         import json
 
-        from tests.test_zarr import _fixture_ds
-
         src = _fixture_ds()
         d = Dataset.from_numpy(spark, src, chunks={"time": 6, "x": 4})
         out = str(tmp_path / "out")
@@ -574,8 +572,6 @@ class TestConsolidatedMetadata:
         assert back.identical(src) or back.equals(src)
 
     def test_v3_store_opens_without_zmetadata(self, spark, tmp_path):
-        from tests.test_zarr import _fixture_ds
-
         src = _fixture_ds()
         d = Dataset.from_numpy(spark, src, chunks={"time": 6, "x": 4})
         out = str(tmp_path / "v3")
@@ -833,6 +829,18 @@ class TestCFEdgeCases:
         )
 
 
+
+def _leftover_temps(store_path: str) -> list:
+    """Recursive .tmp scan: chunk temps land INSIDE the array directory
+    (<store>/v/<chunk>.tmp.<pid>.<id>, stores.py atomic-write naming) —
+    a root-level listdir can never see them, which made the original
+    no-leaked-temp assertions vacuous."""
+    out = []
+    for root, _dirs, files in os.walk(store_path):
+        out += [os.path.join(root, f) for f in files if ".tmp" in f]
+    return out
+
+
 class TestRetryIdempotency:
     """Task retries and speculative duplicates re-execute a region write
     with the SAME payload. The aligned-write + atomic-rename contract
@@ -856,7 +864,7 @@ class TestRetryIdempotency:
         zarrlite.write_region(meta, {"t": 4}, region)  # the retried attempt
         got = zarrlite.read_full(meta)
         np.testing.assert_array_equal(got[4:8], region)
-        leftovers = [f for f in os.listdir(path) if ".tmp" in f or f.startswith("tmp")]
+        leftovers = _leftover_temps(path)
         assert leftovers == [], leftovers
 
     def test_concurrent_duplicate_attempts(self, tmp_path):
@@ -883,7 +891,7 @@ class TestRetryIdempotency:
         assert errs == []
         got = zarrlite.read_full(meta)
         np.testing.assert_array_equal(got[0:4], data[0:4])
-        leftovers = [f for f in os.listdir(path) if ".tmp" in f or f.startswith("tmp")]
+        leftovers = _leftover_temps(path)
         assert leftovers == [], leftovers
 
 
