@@ -376,3 +376,22 @@ class TestR13NewCodeReview:
             wds.read_webdataset(
                 spark, str(tmp_path), schema="__key__ long, txt string"
             )
+
+
+def test_all_shard_readers_wire_batch_bytes_through():
+    """The bounded-memory contract needs every shard reader to hand its
+    batch_bytes knob to BatchBuilder — a reader that drops the argument
+    still round-trips rows (one whole-shard batch), so only this wiring
+    sweep catches the regression at the reader layer (flush behavior
+    itself is pinned by TestBatchBuilder)."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "xarray_beam_spark" / "sources"
+    for mod, expected in (
+        ("warc.py", 2),  # read_wet + read_warc_responses
+        ("tfrecord.py", 1),
+        ("webdataset.py", 1),
+    ):
+        src = (root / mod).read_text()
+        n = src.count("bytestream.BatchBuilder(pa_schema, batch_bytes)")
+        assert n >= expected, f"{mod}: BatchBuilder(batch_bytes) wiring missing"

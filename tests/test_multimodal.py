@@ -81,8 +81,11 @@ def test_extract_features_quarantines_corrupt_blobs(spark):
     rows = {r["asset_id"]: r for r in mm.extract_features(corrupted, decoder=mm.decode_image).collect()}
     assert len(rows) == 5
     bad = rows[2]
+    # the quarantine reason must name the DECODE failure — matching any
+    # stringified exception ('Error' in ...) would also pass for an
+    # unrelated crash in the feature path
     assert bad["error"] is not None and (
-        "jpeg" in bad["error"].lower() or "Error" in bad["error"]
+        "jpeg" in bad["error"].lower() or "marker" in bad["error"].lower()
     )
     assert bad["histogram"] is None
     assert bad["mean_px"] is None and bad["std_px"] is None  # null, not NaN
@@ -150,7 +153,13 @@ def test_meta_blob_column_pruned(spark, sf_dir):
 
     df = multimodal_meta_rollup_q(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReadSchema" in plan
+    # assert the PRUNING, not just that a ReadSchema exists: the heavy
+    # payload column must be absent from every parquet read schema
+    import re
+
+    schemas = re.findall(r"ReadSchema: ([^\n]+)", plan)
+    assert schemas, plan
+    assert not any("blob" in sch for sch in schemas), schemas
 
 
 def test_extract_features_decodes_progressive_jpeg(spark):

@@ -129,17 +129,21 @@ class TestExampleProto:
         assert tfr.decode_example(tfr.encode_example(feats)) == feats
 
 
+def _mixed_types_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "hello", [1, 2], 1.5, b"\x00\xff", True),
+            (2, None, [], None, None, False),
+            (3, "wörld", [7], 2.25, b"z", None),
+        ],
+        "id long, txt string, arr array<long>, f float, blob binary, flag boolean",
+    )
+
+
 @pytest.mark.usefixtures("spark")
 class TestSparkRoundtrip:
     def _df(self, spark):
-        return spark.createDataFrame(
-            [
-                (1, "hello", [1, 2], 1.5, b"\x00\xff", True),
-                (2, None, [], None, None, False),
-                (3, "wörld", [7], 2.25, b"z", None),
-            ],
-            "id long, txt string, arr array<long>, f float, blob binary, flag boolean",
-        )
+        return _mixed_types_df(spark)
 
     def test_roundtrip_all_types(self, spark, tmp_path):
         df = self._df(spark)
@@ -196,11 +200,14 @@ class TestSparkRoundtrip:
         tfr.write_tfrecords(df, str(tmp_path / "b"))
         import os
 
+        compared = 0
         for name in os.listdir(tmp_path / "a"):
             if name.endswith(".tfrecord"):
                 ba = (tmp_path / "a" / name).read_bytes()
                 bb = (tmp_path / "b" / name).read_bytes()
                 assert ba == bb
+                compared += 1
+        assert compared > 0, os.listdir(tmp_path / "a")
 
 
 
@@ -293,7 +300,7 @@ class TestGzipCompression:
             tfr.write_tfrecords(self._df(spark), str(tmp_path), compression="zstd")
 
     def _df(self, spark):
-        return TestSparkRoundtrip._df(self, spark)
+        return _mixed_types_df(spark)
 
 
 def test_uncompressed_shard_with_gzip_magic_prefix(tmp_path):

@@ -100,11 +100,16 @@ class TestSparkWet:
         df = self._df(spark).repartition(1).sortWithinPartitions("url")
         warc.write_wet(df, str(tmp_path / "a"))
         warc.write_wet(df, str(tmp_path / "b"))
+        compared = 0
         for n in os.listdir(tmp_path / "a"):
             if n.endswith(".gz"):
                 assert (tmp_path / "a" / n).read_bytes() == (
                     tmp_path / "b" / n
                 ).read_bytes()
+                compared += 1
+        # a suffix/compression-default change must not turn this into a
+        # zero-comparison vacuous pass
+        assert compared > 0, os.listdir(tmp_path / "a")
 
     def test_warcinfo_header_record(self, spark, tmp_path):
         warc.write_wet(self._df(spark).repartition(1), str(tmp_path))
@@ -185,7 +190,9 @@ class TestParserHardening:
         )
         t0 = time.monotonic()
         assert len(warc.parse_warc(recs)) == 5000
-        assert time.monotonic() - t0 < 5.0  # the quadratic scan took ~30 s
+        # generous margin for loaded CI hosts; the quadratic scan this
+        # pins took ~30 s, so 15 s still separates the regimes cleanly
+        assert time.monotonic() - t0 < 15.0
 
     def test_negative_content_length_is_loud(self):
         with pytest.raises(ValueError, match="negative Content-Length"):
@@ -285,8 +292,10 @@ class TestGunzipMembers:
         got = warc.gunzip_members(blob)
         elapsed = time.monotonic() - t0
         assert got == gzip.decompress(blob)
-        # stdlib's per-member remainder copies take >10 s on this input
-        assert elapsed < 3.0
+        # stdlib's per-member remainder copies take >10 s on this input;
+        # 8 s keeps clear air above loaded-CI jitter while still
+        # separating the quadratic regime
+        assert elapsed < 8.0
 
     def test_single_member_and_empty(self):
         one = warc._gzip_member(b"hello" * 1000)
@@ -295,7 +304,9 @@ class TestGunzipMembers:
 
     def test_truncated_member_is_loud(self):
         blob = warc._gzip_member(b"payload" * 100)
-        with pytest.raises(Exception):
+        # ValueError specifically: the parser-fuzz loudness contract — a
+        # bare Exception would also bless an unrelated AttributeError
+        with pytest.raises(ValueError, match="truncated"):
             warc.gunzip_members(blob[:-5])
 
 

@@ -62,11 +62,14 @@ class TestSparkRoundtrip:
         df = self._df(spark).repartition(1).sortWithinPartitions("__key__")
         wds.write_webdataset(df, str(tmp_path / "a"))
         wds.write_webdataset(df, str(tmp_path / "b"))
+        compared = 0
         for n in os.listdir(tmp_path / "a"):
             if n.endswith(".tar"):
                 assert (tmp_path / "a" / n).read_bytes() == (
                     tmp_path / "b" / n
                 ).read_bytes()
+                compared += 1
+        assert compared > 0, os.listdir(tmp_path / "a")
 
     def test_shard_splitting(self, spark, tmp_path):
         from pyspark.sql import functions as F
