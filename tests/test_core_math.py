@@ -120,8 +120,11 @@ def test_normalize_chunks_byte_budget_property(data):
 
     payload = math.prod(out.values()) * itemsize
     floor = itemsize  # every dim clamped to >= 1 element
+    # escape hatch is ONLY the 1-element-per-dim floor: accepting
+    # out[d] == sizes[d] too would let a budget-ignoring regression
+    # (returning whole dims) satisfy the property on every example
     assert payload <= max(target, floor) or all(
-        out[d] in (1, sizes[d]) for d in dims
+        out[d] == 1 for d in dims
     ), (out, payload, target)
 
 
@@ -136,7 +139,10 @@ def test_key_for_index_roundtrip():
     n = core.chunk_count(chunks, sizes)
     got = [core.key_for_index(i, sizes, chunks) for i in range(n)]
     want = [k.offsets_dict for k in core.iter_chunk_keys(sizes, chunks)]
-    assert sorted(got, key=sorted) == sorted(want, key=sorted)
+    # canonicalize by ITEMS: key=sorted sorts dict KEYS (a constant for
+    # equal-keyed dicts), silently degrading to order-sensitive equality
+    canon = lambda d: sorted(d.items())  # noqa: E731
+    assert sorted(got, key=canon) == sorted(want, key=canon)
     assert len(got) == len({tuple(sorted(g.items())) for g in got})
     with pytest.raises(IndexError):
         core.key_for_index(n, sizes, chunks)

@@ -125,6 +125,7 @@ def http_root(tmp_path):
         yield str(tmp_path), f"http://127.0.0.1:{srv.server_address[1]}"
     finally:
         srv.shutdown()
+        srv.server_close()  # free the listening socket fd
 
 
 def _write_store(local_path: str) -> np.ndarray:
@@ -191,6 +192,7 @@ class TestHttpStore:
                 store.put(key, b"nope")
         finally:
             srv.shutdown()
+            srv.server_close()  # free the listening socket fd
 
     def test_consolidate_on_listingless_store_refuses(self, http_root):
         """Re-consolidating through a listing-free backend would replace
@@ -366,6 +368,7 @@ class TestRangedReads:
             assert store.get_tail(key, 4) == b"cdef"
         finally:
             srv.shutdown()
+            srv.server_close()  # free the listening socket fd
 
     def test_sharded_inner_chunk_reads_are_ranged(self, http_root):
         """Opening ONE inner chunk of a big v3 shard must fetch the index
@@ -382,7 +385,9 @@ class TestRangedReads:
         data = rng.normal(size=(64, 64))
         zarrlite.write_shard(meta, (0, 0), data)
         zarrlite.consolidate_metadata(path)
-        shard_bytes = (tmp := __import__("os")).path.getsize(
+        import os
+
+        shard_bytes = os.path.getsize(
             f"{path}/v/c/0/0"
         )
         arrays, _ = zarrlite.open_group(f"{url}/shards")
@@ -835,3 +840,4 @@ class TestRangelessIterBlob:
             assert count["gets"] <= 3, count["gets"]
         finally:
             srv.shutdown()
+            srv.server_close()  # free the listening socket fd

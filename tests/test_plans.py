@@ -91,9 +91,17 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
             .agg(F.sum("l_quantity").alias("qty"))
         )
         plan = _formatted_plan(joined)
-        join_section = plan.split("HashAggregate")[0]
-        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
-        assert "Exchange" not in join_section  # bucket metadata co-locates both scans
+        # the TREE section (before the first blank line) prints root-first
+        # with the join subtree BELOW the join node; the old
+        # split("HashAggregate")[0] slice was only the header above the
+        # root aggregate and could never contain an Exchange (vacuous)
+        tree = plan.split("\n\n")[0]
+        assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree
+        join_kw = "SortMergeJoin" if "SortMergeJoin" in tree else "ShuffledHashJoin"
+        below_join = tree.split(join_kw, 1)[1]
+        assert "Exchange" not in below_join, tree  # bucket metadata co-locates both scans
+        # the ONLY exchange in the whole tree is the post-join aggregate's
+        assert tree.count("Exchange") == 1, tree
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)

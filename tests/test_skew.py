@@ -10,11 +10,16 @@ def test_salted_join_matches_plain_join(spark):
         [(i % 3, f"row{i}") for i in range(300)], "k int, payload string"
     )
     small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c"), (9, "z")], "k int, dim string")
-    plain = {(r["k"], r["payload"], r["dim"]) for r in big.join(small, on=["k"]).collect()}
-    salted = {
+    plain = sorted(
+        (r["k"], r["payload"], r["dim"]) for r in big.join(small, on=["k"]).collect()
+    )
+    # sorted LISTS, not sets: the primary salting failure mode is each
+    # logical match appearing `salt` times (replicating/salting the wrong
+    # side) — a set comparison collapses exactly those duplicates
+    salted = sorted(
         (r["k"], r["payload"], r["dim"])
         for r in skew.salted_join(big, small, on=["k"], salt=4).collect()
-    }
+    )
     assert salted == plain
     assert len(salted) == 300  # every big row matched exactly once
 
@@ -22,10 +27,11 @@ def test_salted_join_matches_plain_join(spark):
 def test_salted_join_left_outer(spark):
     big = spark.createDataFrame([(1, "x"), (7, "y")], "k int, payload string")
     small = spark.createDataFrame([(1, "a")], "k int, dim string")
-    rows = {
-        (r["k"], r["dim"]) for r in skew.salted_join(big, small, on=["k"], how="left").collect()
-    }
-    assert rows == {(1, "a"), (7, None)}
+    rows = sorted(
+        (r["k"], r["dim"])
+        for r in skew.salted_join(big, small, on=["k"], how="left").collect()
+    )
+    assert rows == [(1, "a"), (7, None)]
 
 
 def test_salt_actually_spreads_hot_key(spark):

@@ -285,7 +285,7 @@ class TestStreamingRead:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(120)
+            assert q.awaitTermination(120), "stream did not finish in 120s"
             return spark.read.schema("time long, x long, v double").parquet(out)
 
         # two complete slabs available (times 0-7)
@@ -364,7 +364,7 @@ class TestStreamingWrite:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish in 120s"
         back = zarr_io.from_zarr(spark, dst).collect()
         np.testing.assert_allclose(back.data_vars["v"].values, nd.data_vars["v"].values)
 

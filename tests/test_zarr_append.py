@@ -315,7 +315,6 @@ class TestRound12Regressions:
         and the old half kept raw packed codes."""
         p, nd = self._mk(spark, tmp_path, n=4)
         # retrofit CF packing + a units attr onto the t coordinate
-        cmeta = zarrlite.open_array(p, "t")
         packed = zarrlite.create_array(
             p, "t", shape=(4,), chunks=(4,), dtype=np.int32, dims=("t",),
             attrs={"scale_factor": 0.5, "add_offset": 10.0, "units": "days"},
