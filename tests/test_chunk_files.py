@@ -35,7 +35,10 @@ class TestChunkParquet:
         assert back.chunks == d.chunks
         assert back.template.sizes == d.template.sizes
         got = back.collect()
-        assert got.identical(src) or got.equals(src)
+        # identical (values + attrs), not the dead disjunction
+        # `identical or equals` (identical implies equals): attrs must
+        # survive the meta JSON round-trip too
+        assert got.identical(src)
 
     def test_roundtrip_split_vars(self, spark, tmp_path):
         src = _fixture_ds()
@@ -44,7 +47,7 @@ class TestChunkParquet:
         back = chunk_files.from_chunk_parquet(spark, str(tmp_path / "cp"))
         assert back.split_vars
         got = back.consolidate_variables().collect()
-        assert got.equals(src)
+        assert got.identical(src)
 
     def test_reread_then_transform(self, spark, tmp_path):
         """The re-opened dataset is a first-class Dataset: rechunk + reduce."""

@@ -118,8 +118,7 @@ def test_decode_video_dispatch():
 
 
 def test_video_frame_features_spark(spark):
-    from pyspark.sql import functions as F
-
+    
     from xarray_beam_spark.operators.multimodal import video_frame_features
 
     rng = np.random.RandomState(5)

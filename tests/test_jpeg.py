@@ -26,7 +26,13 @@ from hypothesis import strategies as st
 
 from xarray_beam_spark.sources import jpeg
 
-_CPY_IMG = "/root/.pyenv/versions/3.11.7/lib/python3.11/test/imghdrdata"
+# derived from the running interpreter's stdlib test package, not a
+# hardcoded pyenv path: a Python patch bump must not silently skip the
+# only cross-validation against a real libjpeg-encoded file
+import os as _os
+import test as _stdlib_test
+
+_CPY_IMG = _os.path.join(_os.path.dirname(_stdlib_test.__file__), "imghdrdata")
 
 
 def _test_image(h: int = 40, w: int = 56) -> np.ndarray:

@@ -78,7 +78,11 @@ def test_decode_all_filter_types(filters):
 def test_crc_corruption_detected():
     img = np.zeros((4, 4), dtype=np.uint8)
     blob = bytearray(encode_png(img))
-    blob[40] ^= 0xFF  # flip a byte inside IDAT
+    # flip a byte of the IDAT PAYLOAD (tag offset + 4): index 40 was the
+    # last byte of the chunk TAG, which a decoder that CRCs only tags
+    # would still catch — payload corruption is the protection under test
+    data_off = bytes(blob).find(b"IDAT") + 4
+    blob[data_off + 1] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(blob))
 
@@ -92,8 +96,7 @@ def test_spark_decode_path(spark):
     # PNG blobs through the real extract_features plumbing: synthesize
     # deterministic images, decode with decode_image inside mapInPandas,
     # compare per-asset means against local NumPy
-    from pyspark.sql import functions as F
-
+    
     from xarray_beam_spark.operators.multimodal import (
         decode_image,
         extract_features,
@@ -105,11 +108,12 @@ def test_spark_decode_path(spark):
     for i in range(20):
         img = rng.integers(0, 256, (8, 8), dtype=np.uint8)
         imgs[i] = img
+        blob = encode_png(img)
         rows.append(
             (
                 i,
-                bytearray(encode_png(img)),
-                ("image/png", 8, 8, 0, 0, len(encode_png(img))),
+                bytearray(blob),
+                ("image/png", 8, 8, 0, 0, len(blob)),
             )
         )
     df = spark.createDataFrame(

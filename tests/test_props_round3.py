@@ -80,10 +80,10 @@ def test_roll_matches_np_roll_prop(spark, data):
     got = d.roll("t", k).collect()
     np.testing.assert_array_equal(
         got.data_vars["v"].values,
-        np.roll(nd.data_vars["v"].values, k % n if n else 0, axis=0),
+        np.roll(nd.data_vars["v"].values, k % n, axis=0),
     )
     np.testing.assert_array_equal(
-        got.coords["t"].values, np.roll(nd.coords["t"].values, k % n if n else 0)
+        got.coords["t"].values, np.roll(nd.coords["t"].values, k % n)
     )
 
 

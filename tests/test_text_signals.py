@@ -139,7 +139,9 @@ class TestSubstringDup:
         }
         assert a == b
         assert a[1][1] >= 1 and a[2][1] >= 1  # the planted span is flagged
-        assert a[3] == (a[3][0], 0)  # unique doc has zero dup windows
+        # unique doc: real windows, zero dups (the old self-comparing
+        # tuple `a[3] == (a[3][0], 0)` never checked n_windows at all)
+        assert a[3][0] > 0 and a[3][1] == 0
 
     def test_short_docs_have_zero_windows(self, spark):
         from xarray_beam_spark.functions.text import substring_dup_windows
@@ -922,19 +924,32 @@ class TestRound12Regressions:
         F.md5('text') would return NULL for NULL-text docs and break
         hash parity the first time a corpus carries one. Also pin the
         operator itself: NULL text survives as a row (never dropped)."""
-        import pathlib
+        import hashlib
 
         from xarray_beam_spark.functions.text import remove_duplicate_spans
+        from xarray_beam_spark.registry import queries
 
-        src = (
-            pathlib.Path(__file__).resolve().parents[1]
-            / "xarray_beam_spark/functions/text.py"
-        ).read_text()
-        assert 'F.md5("text").alias("rewritten_fp")' not in src
+        # behavioral pin, not a source grep (a grep only catches one
+        # exact spelling of the regression): run the actual gate over a
+        # store whose documents include a NULL text and assert the
+        # NULL-text row fingerprints as md5('') like the oracle's
+        # COALESCE does
         docs = spark.createDataFrame(
             [(0, "alpha beta gamma delta " * 4), (1, None)],
             "doc_id long, text string",
         )
+        import tempfile
+
+        sfdir = tempfile.mkdtemp(prefix="xbs_nulltext_")
+        docs.selectExpr(
+            "doc_id", "text", "'en' AS lang", "'t' AS source",
+            "CAST(length(text) AS LONG) AS n_chars",
+        ).write.mode("overwrite").parquet(f"{sfdir}/documents.parquet")
+        fp_rows = {
+            r["doc_id"]: r["rewritten_fp"]
+            for r in queries()["text_remove_dup_spans"](spark, sfdir).collect()
+        }
+        assert fp_rows[1] == hashlib.md5(b"").hexdigest()
         out = remove_duplicate_spans(docs, window=4)
         rows = {r["doc_id"]: r for r in out.collect()}
         assert len(rows) == 2 and rows[1]["text"] is None

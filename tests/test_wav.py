@@ -125,8 +125,7 @@ def test_decode_audio_dispatch():
 
 
 def test_audio_features_spark(spark, sf_dir):
-    from pyspark.sql import functions as F
-
+    
     from xarray_beam_spark.operators.multimodal import (
         audio_features,
         documents_as_audio_assets,
@@ -137,13 +136,19 @@ def test_audio_features_spark(spark, sf_dir):
     feats = audio_features(documents_as_audio_assets(docs)).collect()
     texts = {r["doc_id"]: r["text"] for r in docs.collect()}
     assert len(feats) == len(texts)
+    from xarray_beam_spark.operators.multimodal import _AUDIO_RATE, _AUDIO_TILE
+
     for r in feats:
         raw = np.frombuffer(texts[r["asset_id"]].encode(), np.uint8)
-        reps = -(-256 // len(raw))
-        s = (np.tile(raw, reps)[:256].astype(np.int64) - 128) * 256
-        assert r["n_frames"] == 256
+        if len(raw) == 0:
+            # mirror the operator's empty-text guard (pads to one zero
+            # byte) instead of ZeroDivisionError-ing the test body
+            raw = np.zeros(1, np.uint8)
+        reps = -(-_AUDIO_TILE // len(raw))
+        s = (np.tile(raw, reps)[:_AUDIO_TILE].astype(np.int64) - 128) * 256
+        assert r["n_frames"] == _AUDIO_TILE
         assert r["peak"] == int(np.abs(s).max())
         neg = s < 0
         assert r["zero_crossings"] == int((neg[1:] != neg[:-1]).sum())
         np.testing.assert_allclose(r["rms"], np.sqrt((s.astype(np.float64) ** 2).mean()), rtol=0)
-        assert r["duration_s"] == 256 / 16000
+        assert r["duration_s"] == _AUDIO_TILE / _AUDIO_RATE
