@@ -654,3 +654,29 @@ class TestE2ETrainPipeline:
         ids = sorted(r["doc_id"] for r in rows)
         assert ids == list(range(30)), ids  # all twins gone, no original lost
         assert all(r["pack_id"] is not None for r in rows)
+
+
+def test_pack_sequences_carry_cols(spark):
+    """carry_cols rides payload columns through the bucket scatter with
+    the IDENTICAL assignment the bare call produces, and collisions with
+    output columns are loud."""
+    from pyspark.sql import functions as F
+
+    from xarray_beam_spark.operators.corpus import pack_sequences
+
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7 + 1).alias("n_tokens"),
+        F.concat(F.lit("payload"), F.col("id").cast("string")).alias("text"),
+    )
+    bare = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_sequences(docs, budget=10, n_buckets=4).collect()
+    }
+    carried = pack_sequences(docs, budget=10, n_buckets=4, carry_cols=["text"]).collect()
+    assert {r["doc_id"]: r["pack_id"] for r in carried} == bare
+    assert all(r["text"] == f"payload{r['doc_id']}" for r in carried)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        pack_sequences(docs, budget=10, carry_cols=["n_tokens"])

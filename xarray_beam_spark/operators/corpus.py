@@ -20,6 +20,8 @@ partial-agg rollup. Nothing is driver-side.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -420,6 +422,7 @@ def pack_sequences(
     n_buckets: int = 256,
     strategy: str = "best_fit",
     bucket_expr=None,
+    carry_cols: "Sequence[str] | None" = None,
 ) -> DataFrame:
     """Sequence packing: assign documents to packs so each pack's token
     total stays ≤ ``budget`` — the batch-assembly step of an LLM
@@ -446,16 +449,30 @@ def pack_sequences(
     computes the identical scatter.
 
     Returns (doc_id, n_tokens, pack_id); ``pack_id`` encodes
-    ``bucket * 2^32 + local_pack``.
+    ``bucket * 2^32 + local_pack``. ``carry_cols`` rides extra input
+    columns through the bucket scatter unchanged (appended after
+    pack_id): for pipelines that need payload columns next to the
+    assignment, carrying them through the ONE existing shuffle is
+    strictly cheaper than joining the assignment back (which costs a
+    second full evaluation of the input lineage plus a join shuffle of
+    the same payload bytes).
     """
     if strategy not in ("best_fit", "next_fit"):
         raise ValueError(f"unknown packing strategy {strategy!r}")
     if bucket_expr is None:
         bucket_expr = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets))
+    carry = list(carry_cols or [])
+    if bad := ({"doc_id", "n_tokens", "pack_id", "__bucket"} & set(carry)):
+        raise ValueError(f"carry_cols collide with output columns: {sorted(bad)}")
     df = doc_tokens.select(
         F.col(id_col).alias("doc_id"),
         F.col(tokens_col).cast("long").alias("n_tokens"),
         bucket_expr.alias("__bucket"),
+        *[F.col(c) for c in carry],
+    )
+    schema = T.StructType(
+        list(_PACK_SCHEMA.fields)
+        + [doc_tokens.schema[c] for c in carry]
     )
 
     def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -506,15 +523,16 @@ def pack_sequences(
                     if cap > 0:
                         bisect.insort(remaining, (cap, n_packs))
                     n_packs += 1
-        return pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_tokens": pdf["n_tokens"],
-                "pack_id": (bucket << 32) + assignment,
-            }
-        )
+        out = {
+            "doc_id": pdf["doc_id"],
+            "n_tokens": pdf["n_tokens"],
+            "pack_id": (bucket << 32) + assignment,
+        }
+        for c in carry:
+            out[c] = pdf[c]
+        return pd.DataFrame(out)
 
-    return df.groupBy("__bucket").applyInPandas(pack, _PACK_SCHEMA)
+    return df.groupBy("__bucket").applyInPandas(pack, schema)
 
 
 # The pack oracle replays next-fit-decreasing as a recursive CTE: `walk`
@@ -1379,14 +1397,17 @@ def ingest_dedup_pack(
         "text",
         F.size(F.split(F.col("text"), TOKEN_SEP)).cast("long").alias("n_tokens"),
     )
-    packed = pack_sequences(
-        toks.select("doc_id", "n_tokens"),
+    # text rides THROUGH the pack scatter (carry_cols): joining the
+    # assignment back would re-evaluate the whole ingest+dedup lineage a
+    # second time and shuffle the same text bytes anyway
+    return pack_sequences(
+        toks,
         budget=budget,
         n_buckets=n_buckets,
         strategy="next_fit",
         bucket_expr=hash_bucket("doc_id", n_buckets, "xbs-pack"),
-    )
-    return toks.join(packed.select("doc_id", "pack_id"), "doc_id")
+        carry_cols=["text"],
+    ).select("doc_id", "text", "n_tokens", "pack_id")
 
 
 def _e2e_pipeline_oracle() -> str:
