@@ -247,7 +247,13 @@ def minhash_lsh_pairs(
     _EPHEMERAL_PERSISTS.append(shingles)
     exploded = shingles.select(F.col(id_col), F.explode("shingles").alias("sh"))
     aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"mh{i}") for i in range(n_hashes)]
-    sig = exploded.groupBy(id_col).agg(*aggs)
+    # the signature table feeds BOTH sides of the band self-join, and
+    # exchange reuse does not materialize across the two aliased
+    # branches — persist it (64 longs per doc, far smaller than the
+    # already-persisted shingle table) so the explode + 64-min-hash agg
+    # runs once, not twice
+    sig = exploded.groupBy(id_col).agg(*aggs).persist()
+    _EPHEMERAL_PERSISTS.append(sig)
     banded = sig.select(
         id_col, F.explode(F.array(*band_hash_cols(n_bands, rows_per_band))).alias("band_hash")
     )
