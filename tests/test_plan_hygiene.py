@@ -167,3 +167,22 @@ def test_tune_session_covers_sibling_sessions(spark):
     s2.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
     tune_session(s2)
     assert s2.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "false"
+
+
+def test_fan_out_narrow_scan_semantics(spark, sf_dir):
+    """Rebalances only when the scan is narrower than the cluster: a
+    one-split parquet read widens to defaultParallelism; an input
+    already at/above the cluster width passes through with its plan
+    untouched (no shuffle added at scale)."""
+    from xarray_beam_spark.tables import fan_out_narrow_scan
+
+    dp = spark.sparkContext.defaultParallelism
+    narrow = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert narrow.rdd.getNumPartitions() < dp  # the premise: tiny file, one split
+    widened = fan_out_narrow_scan(narrow)
+    assert widened.rdd.getNumPartitions() == dp
+    assert widened.count() == narrow.count()
+
+    wide = narrow.repartition(dp + 4)
+    same = fan_out_narrow_scan(wide)
+    assert same is wide  # untouched object — zero plan change, no shuffle
