@@ -521,7 +521,10 @@ def _excise_duplicate_window_spans(
     dup_pos = marked.groupBy(id_col).agg(
         F.array_sort(F.collect_set("pos")).alias("dps")
     )
-    d = docs.join(dup_pos, id_col, "left")
+    # join onto BOUND, not docs: the splice leg reuses the already-bound
+    # (and fan-out-repartitioned) units column instead of re-tokenizing
+    # the whole corpus a second time on the narrow scan
+    d = bound.join(dup_pos, id_col, "left")
     dps = F.coalesce(F.col("dps"), F.array().cast("array<int>"))
     # Merge overlapping/adjacent removal intervals [p, p+w-1] (dps sorted):
     # fold each position into the last interval when it touches it, else
@@ -553,7 +556,7 @@ def _excise_duplicate_window_spans(
         merged = F.filter(
             merged, lambda v: (v["e"] - v["s"] + 1) >= min_span_units
         )
-    d = d.select(id_col, units.alias("_units"), merged.alias("_iv"))
+    d = d.select(id_col, F.col("_xbs_u").alias("_units"), merged.alias("_iv"))
     kept = F.filter(
         F.col("_units"),
         lambda t, i: ~F.exists(

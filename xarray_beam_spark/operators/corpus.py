@@ -75,7 +75,7 @@ def clean_corpus(
     # doc_id leads the struct, so the lexicographic min IS the lowest-id
     # copy — same row a row_number window keeps, without shuffling and
     # sorting every surviving column's full data by the hash key
-    cols = ["doc_id", "source", "text", "n_tokens", "detected"]
+    cols = lang.columns  # doc_id leads (select order) -> lowest-id-wins
     return (
         lang.groupBy(F.md5("text").alias("__h"))
         .agg(F.min(F.struct(*cols)).alias("__r"))
@@ -1372,11 +1372,12 @@ def ingest_dedup_pack(
     training funnel, as ONE declarative Spark plan: WARC response parse,
     ``html_to_text`` (fuses into the scan — no exchange before the dedup
     group-bys), MinHash-LSH twin excision (left-anti on the removed ids),
-    next-fit sequence packing, pack-id join-back. Returns
+    next-fit sequence packing with the text carried THROUGH the pack
+    scatter (``carry_cols`` — no join-back exists). Returns
     ``(doc_id, text, n_tokens, pack_id)``; export it with any sink.
     Shuffle inventory (pinned by tests/test_corpus.py): the dedup
-    signature/band group-bys + candidate join, the anti-join, the pack
-    bucket scatter, and the final pack-id equi-join — nothing else."""
+    signature/band group-bys + candidate join, the anti-join, and the
+    pack bucket scatter — nothing else."""
     from xarray_beam_spark.functions.text import html_to_text
     from xarray_beam_spark.operators.dedup import minhash_lsh_pairs
     from xarray_beam_spark.sources import warc
@@ -1475,8 +1476,8 @@ def corpus_e2e_train_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     TFRecord round-trip, so export corruption surfaces), and the packing
     walk over the post-dedup corpus (replayed by the recursive-CTE
     oracle). Scale shape: extraction fuses into the WARC scan; the only
-    shuffles are the dedup group-bys/joins, the pack bucket scatter, and
-    the pack-id join-back (pinned by test_plan_hygiene)."""
+    shuffles are the dedup group-bys/joins and the pack bucket scatter,
+    which carries the text (pinned by tests/test_corpus.py)."""
     from xarray_beam_spark.grid_queries import _materialized
     from xarray_beam_spark.sources import tfrecord, warc
 

@@ -36,11 +36,18 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             # Arrow-enabled toPandas yields numpy arrays for ArrayType
             # columns — without the ndarray branch sort_values raises
             # "truth value of an array ... is ambiguous"
-            df[c] = df[c].apply(
-                lambda v: tuple(v)
-                if isinstance(v, (list, tuple)) or hasattr(v, "__array__")
-                else v
-            )
+            # Recursive: nested array<array<T>> cells are ndarrays OF
+            # ndarrays, and a shallow tuple() reintroduces the ambiguous-
+            # truth-value crash one level down; numpy scalars (0-d,
+            # iteration would raise) pass through via the ndim check.
+            def _tuplize(v):
+                if isinstance(v, (list, tuple)) or (
+                    hasattr(v, "__array__") and getattr(v, "ndim", 0) > 0
+                ):
+                    return tuple(_tuplize(x) for x in v)
+                return v
+
+            df[c] = df[c].apply(_tuplize)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -101,6 +108,9 @@ def check_query(spark: SparkSession, name: str, sf_dir: str) -> list[str]:
         # projection to a column-less scan, so a broken output expression
         # would pass here and fail only when the driver materializes it
         # (same hole the r13 noop-basis fix closed in bench.py)
-        n = len(df.collect())
-        return [] if n >= 0 else [f"{name}: query failed"]
+        # a broken query surfaces as the exception collect() raises —
+        # len() can never be negative, so no conditional pretends
+        # otherwise
+        df.collect()
+        return []
     return compare(df, run_oracle(sql, sf_dir))

@@ -241,6 +241,12 @@ def demux_video(buf: bytes) -> dict:
         (n_desc,) = _read(">I", buf, sa + 4, "stsd entry count")
         if n_desc < 1:
             raise ValueError("empty stsd")
+        if sa + 16 > sb:
+            # the fourcc read must stay inside the stsd payload: slicing
+            # past sb silently yields sibling-box bytes (or b"") as a
+            # garbage codec, surfacing later as a misleading
+            # NotImplementedError instead of the loud contract
+            raise ValueError("truncated stsd sample entry")
         codec = bytes(buf[sa + 12 : sa + 16]).decode("latin-1")
 
         za, zb = stbl[b"stsz"]

@@ -81,6 +81,14 @@ def fan_out_narrow_scan(df: DataFrame) -> DataFrame:
     added where the scan is already parallel."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
+    # Only probe SCAN-BACKED frames: under AQE, df.rdd finalizes the
+    # adaptive plan, which MATERIALIZES every exchange below it — for a
+    # composed input (joins/aggregates upstream) the probe itself would
+    # eagerly run those stages, doubling the pipeline's work. A plan
+    # with no input files either has exchanges above it (already
+    # cluster-partitioned) or is a local relation (nothing to fan out).
+    if not df.inputFiles():
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
