@@ -953,3 +953,159 @@ class TestRound12Regressions:
         out = remove_duplicate_spans(docs, window=4)
         rows = {r["doc_id"]: r for r in out.collect()}
         assert len(rows) == 2 and rows[1]["text"] is None
+
+
+class TestSpanEngineDifferential:
+    """Randomized differential test of the shared span engine against a
+    brute-force Python model — guards the r14 structural rewrites
+    (column binding, xxhash64 keys, splice-leg reuse) across every unit
+    granularity and policy knob on corpora the planted fixtures don't
+    cover: tiny alphabets force heavy window collisions, empty docs,
+    docs shorter than the window, cross-doc and within-doc duplicates."""
+
+    @staticmethod
+    def _model(units_per_doc, window, min_count, keep_first, min_span, sep,
+               exempt=None):
+        # windows by exact string value (hash-free: the engine's hash is
+        # an implementation detail; equality is the semantics); windows
+        # containing any EXEMPT unit never participate
+        occ = {}
+        for did in sorted(units_per_doc):
+            us = units_per_doc[did]
+            for p in range(1, len(us) - window + 2):
+                win = us[p - 1 : p - 1 + window]
+                if exempt is not None and any(exempt(u) for u in win):
+                    continue
+                key = sep.join(win)
+                occ.setdefault(key, []).append((did, p))
+        marked = {did: set() for did in units_per_doc}
+        for key, locs in occ.items():
+            if len(locs) < min_count:
+                continue
+            skip = min(locs) if keep_first else None
+            for loc in locs:
+                if loc == skip:
+                    continue
+                marked[loc[0]].add(loc[1])
+        out = {}
+        for did, us in units_per_doc.items():
+            ivs = []
+            for p in sorted(marked[did]):
+                s, e = p, p + window - 1
+                if ivs and s <= ivs[-1][1] + 1:
+                    ivs[-1] = (ivs[-1][0], max(ivs[-1][1], e))
+                else:
+                    ivs.append((s, e))
+            if min_span > 1:
+                ivs = [(s, e) for s, e in ivs if e - s + 1 >= min_span]
+            dead = {i for s, e in ivs for i in range(s, e + 1)}
+            kept = [u for i, u in enumerate(us, start=1) if i not in dead]
+            out[did] = (
+                sep.join(kept),
+                len(us),
+                sum(e - s + 1 for s, e in ivs),
+                len(ivs),
+            )
+        return out
+
+    def _run_case(self, spark, texts, mode, window, min_count, keep_first, min_span):
+        import re
+
+        from xarray_beam_spark.functions import text as T
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        if mode == "token":
+            got = T.remove_duplicate_spans(
+                docs, window=window, min_count=min_count,
+                keep_first_occurrence=keep_first, min_span_tokens=min_span,
+            )
+            units = {i: re.split(r"[ \t\n\x0B\f\r]+", t) for i, t in enumerate(texts)}
+            sep = " "
+            cols = ("n_tokens", "removed_tokens")
+        elif mode == "char":
+            got = T.remove_duplicate_char_spans(
+                docs, window=window, min_count=min_count,
+                keep_first_occurrence=keep_first, min_span_chars=min_span,
+            )
+            units = {i: (list(t) if t else [""]) for i, t in enumerate(texts)}
+            sep = ""
+            cols = ("n_chars", "removed_chars")
+        elif mode == "line":
+            got = T.remove_duplicate_lines(
+                docs, min_count=min_count, min_line_chars=4,
+                keep_first_occurrence=keep_first,
+            )
+            units = {i: t.split("\n") for i, t in enumerate(texts)}
+            sep = "\n"
+            cols = ("n_lines", "removed_lines")
+            want = self._model(
+                units, 1, min_count, keep_first, 0, sep,
+                exempt=lambda u: len(u.strip()) < 4,
+            )
+            rows = {r["doc_id"]: r for r in got.collect()}
+            assert set(rows) == set(want)
+            for did, (w_text, w_n, w_rm, w_sp) in want.items():
+                r = rows[did]
+                assert r["text"] == w_text, ("line", did, r["text"], w_text)
+                assert r[cols[0]] == w_n and r[cols[1]] == w_rm
+                assert r["n_spans"] == w_sp
+            return
+        else:  # sentence
+            got = T.remove_duplicate_sentence_spans(
+                docs, window=window, min_count=min_count,
+                keep_first_occurrence=keep_first,
+            )
+            units = {
+                i: re.findall(T.SENTENCE_PATTERN, t) for i, t in enumerate(texts)
+            }
+            sep = ""
+            cols = ("n_sentences", "removed_sentences")
+        want = self._model(units, window, min_count, keep_first, min_span, sep)
+        rows = {r["doc_id"]: r for r in got.collect()}
+        assert set(rows) == set(want)
+        for did, (w_text, w_n, w_rm, w_sp) in want.items():
+            r = rows[did]
+            assert r["text"] == w_text, (mode, did, r["text"], w_text)
+            assert r[cols[0]] == w_n
+            assert r[cols[1]] == w_rm
+            assert r["n_spans"] == w_sp
+
+    def test_modes_match_python_model(self, spark):
+        import numpy as np
+
+        for seed in (0, 1, 2):
+            rng = np.random.RandomState(seed)
+            texts = []
+            for _ in range(8):
+                n = int(rng.randint(0, 40))
+                toks = [
+                    "w" + str(rng.randint(0, 4)) for _ in range(n)
+                ]  # 4-word alphabet: heavy collisions
+                texts.append(" ".join(toks))
+            self._run_case(spark, texts, "token", window=3,
+                           min_count=2, keep_first=bool(seed % 2), min_span=0)
+            self._run_case(spark, texts, "token", window=2,
+                           min_count=3, keep_first=True, min_span=5)
+            chars = ["".join(rng.choice(list("abc xy")) for _ in range(int(rng.randint(0, 50)))) for _ in range(8)]
+            self._run_case(spark, chars, "char", window=4,
+                           min_count=2, keep_first=bool(seed % 2), min_span=0)
+            sents = [
+                "".join(
+                    f"s{rng.randint(0, 3)} word{rng.randint(0, 3)}{'.!?'[rng.randint(0, 3)]} "
+                    for _ in range(int(rng.randint(0, 8)))
+                ).rstrip()
+                for _ in range(8)
+            ]
+            self._run_case(spark, sents, "sentence", window=2,
+                           min_count=2, keep_first=bool(seed % 2), min_span=0)
+            lines = [
+                "\n".join(
+                    ["hdr", "menu line", "x", "body " + str(rng.randint(0, 3)),
+                     "menu line", ""][: int(rng.randint(1, 7))]
+                )
+                for _ in range(8)
+            ]
+            self._run_case(spark, lines, "line", window=1,
+                           min_count=2, keep_first=bool(seed % 2), min_span=0)
