@@ -114,3 +114,25 @@ def test_scalar_variable_roundtrip():
     out = decode_chunk(encode_chunk(ds))
     assert out.data_vars["v"].dims == ()
     assert float(out.data_vars["v"].values) == 3.5
+
+
+def test_decode_chunk_writability_contract():
+    """Default decode is a zero-copy READ-ONLY view (hot path);
+    writable=True copies so user code (map_blocks) can mutate in place.
+    Truncated payloads raise ValueError, never struct.error."""
+    import numpy as np
+    import pytest
+
+    from xarray_beam_spark.codec import decode_chunk, encode_chunk
+    from xarray_beam_spark.ndarray_ds import NDDataset
+
+    ds = NDDataset({"x": (("t",), np.arange(4.0))}, {"t": np.arange(4)})
+    payload = encode_chunk(ds)
+    ro = decode_chunk(payload)
+    with pytest.raises(ValueError, match="read-only"):
+        ro.data_vars["x"].values[0] = 9.0
+    rw = decode_chunk(payload, writable=True)
+    rw.data_vars["x"].values[0] = 9.0
+    assert rw.data_vars["x"].values[0] == 9.0
+    with pytest.raises(ValueError, match="truncated|magic"):
+        decode_chunk(payload[:5])

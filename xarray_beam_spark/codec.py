@@ -64,11 +64,25 @@ def encode_chunk(ds: NDDataset) -> bytes:
     return bytes(out)
 
 
-def decode_chunk(data: bytes | bytearray | memoryview) -> NDDataset:
+def decode_chunk(
+    data: bytes | bytearray | memoryview, writable: bool = False
+) -> NDDataset:
+    """Decode one chunk payload.
+
+    Arrays are zero-copy READ-ONLY views over ``data`` by default (the
+    hot path never mutates decoded chunks). Pass ``writable=True`` where
+    the dataset is handed to arbitrary user code (``map_blocks``) — an
+    in-place ``values[:] *= 2`` is legal there, and a read-only view
+    would fail it with an opaque executor ValueError."""
     view = memoryview(data)
     if bytes(view[:4]) != _MAGIC:
         raise ValueError("bad chunk payload magic")
-    (hlen,) = struct.unpack("<I", view[4:8])
+    try:
+        (hlen,) = struct.unpack("<I", view[4:8])
+    except struct.error as exc:
+        # consistent loudness: every malformed-payload path raises
+        # ValueError, including a payload shorter than its own header
+        raise ValueError("truncated chunk payload header") from exc
     header = json.loads(bytes(view[8 : 8 + hlen]).decode())
     pos = 8 + hlen
     data_vars: dict[str, Variable] = {}
@@ -77,6 +91,8 @@ def decode_chunk(data: bytes | bytearray | memoryview) -> NDDataset:
         n = ent["nbytes"]
         arr = np.frombuffer(view[pos : pos + n], dtype=np.dtype(ent["dtype"]))
         arr = arr.reshape(ent["shape"])
+        if writable:
+            arr = arr.copy()
         pos += n
         var = Variable(tuple(ent["dims"]), arr)
         (data_vars if ent["group"] == "data" else coords)[ent["name"]] = var

@@ -804,7 +804,8 @@ class Dataset:
             for pdf in batches:
                 rows = []
                 for r in pdf.to_dict("records"):  # row-dict iteration: ~10x iterrows at chunk granularity
-                    ds = decode_chunk(r["payload"])
+                    # writable: func is USER code and may mutate in place
+                    ds = decode_chunk(r["payload"], writable=True)
                     acc_in.add(1)
                     acc_in_b.add(ds.nbytes)
                     res = func(ds)

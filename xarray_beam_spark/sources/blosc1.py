@@ -64,12 +64,23 @@ def zstd_compress(raw: bytes, level: int = 3) -> bytes:
     codec = _arrow_codec("zstd")
     if codec is None:
         raise ValueError("zstd requires pyarrow's bundled zstd codec")
-    try:
-        import pyarrow as pa
+    key = f"zstd@{int(level)}"
+    lvl = _ARROW_CODECS.get(key)
+    if lvl is None:
+        # build the level-specific codec ONCE (this sits on the per-stream
+        # hot path); if this pyarrow lacks the compression_level kwarg the
+        # default-level fallback is cached too, so the decision is made
+        # once instead of silently per call
+        try:
+            import pyarrow as pa
 
-        return bytes(pa.Codec("zstd", compression_level=int(level)).compress(raw))
-    except Exception:
-        return bytes(codec.compress(raw))
+            lvl = pa.Codec("zstd", compression_level=int(level))
+        except Exception:
+            lvl = False
+        _ARROW_CODECS[key] = lvl
+    if lvl is not False:
+        return bytes(lvl.compress(raw))
+    return bytes(codec.compress(raw))
 
 
 def zstd_decompress(data: bytes, dst_size: int) -> bytes:
@@ -109,6 +120,48 @@ _MIN_BUFFERSIZE = 128
 # ---------------------------------------------------------------------------
 
 
+def _lz4_decoded_size(src: bytes) -> int:
+    """Total output size an LZ4 block stream describes — a pure token
+    walk (no output built): per-sequence cost, used to reject streams
+    whose size disagrees with the expected block size BEFORE a lenient
+    native decoder pads them."""
+    n = len(src)
+    i = 0
+    total = 0
+    try:
+        while i < n:
+            token = src[i]
+            i += 1
+            lit_len = token >> 4
+            if lit_len == 15:
+                while True:
+                    b = src[i]
+                    i += 1
+                    lit_len += b
+                    if b != 255:
+                        break
+            if lit_len:
+                if i + lit_len > n:
+                    raise ValueError("lz4: literal run past end of input")
+                total += lit_len
+                i += lit_len
+            if i >= n:
+                break  # last sequence: literals only
+            i += 2  # match offset
+            match_len = (token & 0xF) + 4
+            if (token & 0xF) == 15:
+                while True:
+                    b = src[i]
+                    i += 1
+                    match_len += b
+                    if b != 255:
+                        break
+            total += match_len
+    except IndexError as exc:
+        raise ValueError("lz4: truncated sequence header") from exc
+    return total
+
+
 def lz4_decompress_block(src: bytes, dst_size: int, native: bool = True) -> bytes:
     """Decode one LZ4 block (no frame header) to exactly ``dst_size`` bytes.
 
@@ -118,6 +171,17 @@ def lz4_decompress_block(src: bytes, dst_size: int, native: bool = True) -> byte
     if native and dst_size > 0:
         codec = _arrow_codec("lz4_raw")
         if codec is not None:
+            # pyarrow allocates `decompressed_size` and returns the WHOLE
+            # buffer even when the stream describes fewer bytes — a
+            # complete-but-shorter stream "succeeds" zero-padded, which
+            # let a wrong blosc split hypothesis return garbage data. The
+            # token walk is the strict guard: the stream's declared
+            # output size must match exactly before the C codec runs.
+            declared = _lz4_decoded_size(bytes(src))
+            if declared != dst_size:
+                raise ValueError(
+                    f"lz4: stream describes {declared} bytes, expected {dst_size}"
+                )
             try:
                 out = bytes(codec.decompress(bytes(src), dst_size))
             except Exception as e:  # normalize C-codec errors (OSError/...)
@@ -313,9 +377,14 @@ def _split_hypothesis(codec: int, typesize: int, bsize: int) -> int:
 
 
 def _decode_block(
-    frame: bytes, pos: int, bsize: int, typesize: int, codec: int
+    frame: bytes, pos: int, bsize: int, typesize: int, codec: int,
+    leftover: bool = False,
 ) -> bytes:
-    primary = _split_hypothesis(codec, typesize, bsize)
+    # real c-blosc gates splitting on !leftoverblock: the trailing partial
+    # block of a frame is ALWAYS a single stream, so that is the primary
+    # hypothesis for it (the retry list still covers frames this module
+    # wrote before it mirrored that rule)
+    primary = 1 if leftover else _split_hypothesis(codec, typesize, bsize)
     candidates = [primary] + [h for h in (typesize, 1) if h != primary and (bsize % h == 0)]
     last_err: Exception | None = None
     for nsplits in candidates:
@@ -338,11 +407,13 @@ def _decode_block(
             if len(out) != bsize:
                 raise ValueError("blosc: block streams do not sum to block size")
             return bytes(out)
-        except (ValueError, struct.error, zlib.error) as e:
+        except (ValueError, struct.error, zlib.error, IndexError) as e:
             # struct.error / zlib.error can still surface from
-            # _codec_decompress walking a mis-hypothesised stream; all mean
-            # "this split hypothesis is wrong", so the next candidate must
-            # get its turn (and the final failure is a ValueError).
+            # _codec_decompress walking a mis-hypothesised stream, and the
+            # pure-Python lz4 parser raises IndexError when a wrong
+            # hypothesis truncates a token mid-sequence; all mean "this
+            # split hypothesis is wrong", so the next candidate must get
+            # its turn (and the final failure is a ValueError).
             last_err = e
             continue
     raise ValueError(f"blosc: cannot decode block at {pos}: {last_err}")
@@ -388,7 +459,9 @@ def blosc_decompress(frame: bytes) -> bytes:
     shuffled = bool(flags & _SHUFFLE)
     for i, bs in enumerate(bstarts):
         bsize = min(blocksize, nbytes - i * blocksize)
-        block = _decode_block(frame, bs, bsize, typesize, codec)
+        block = _decode_block(
+            frame, bs, bsize, typesize, codec, leftover=bsize < blocksize
+        )
         if shuffled:
             block = unshuffle_bytes(block, typesize)
         out += block
@@ -422,12 +495,23 @@ def blosc_compress(
     if typesize < 1 or typesize > 255:
         typesize = 1  # c-blosc stores typesize in one byte; >255 → opaque
     nbytes = len(data)
+    if shuffle == 2:
+        # numcodecs numbering: 2 = bit shuffle. The decode path refuses
+        # bit-shuffled frames explicitly; silently downgrading to byte
+        # shuffle here would violate the caller's requested encoding.
+        raise NotImplementedError(
+            "bit-shuffle (shuffle=2) is not offered (byte shuffle and "
+            "no-shuffle are)"
+        )
     if shuffle and typesize == 1:
         shuffle = 0
     if blocksize <= 0:
         blocksize = min(max(nbytes, 1), 1 << 20)
-    if shuffle:
-        blocksize = max(blocksize - blocksize % typesize, typesize)
+    # c-blosc's compute_blocksize snaps to a typesize multiple
+    # UNCONDITIONALLY (not just when shuffling): its decoder's split rule
+    # assumes divisible blocksizes, so an unsnapped shuffle=0 frame is one
+    # no real encoder produces and real decoders can misparse
+    blocksize = max(blocksize - blocksize % typesize, typesize)
     flags = (_SHUFFLE if shuffle else 0) | (codec << 5)
     header = bytearray(
         struct.pack("<BBBB", 2, 1, flags, typesize) + struct.pack("<III", nbytes, blocksize, 0)
@@ -458,8 +542,12 @@ def blosc_compress(
         block = data[i * blocksize : (i + 1) * blocksize]
         if shuffle:
             block = shuffle_bytes(block, typesize)
-        # split exactly when any conformant decoder's primary rule expects it
-        nsplits = _split_hypothesis(codec, typesize, len(block))
+        # split exactly when any conformant decoder's primary rule expects
+        # it — and NEVER for the trailing partial block: c-blosc's
+        # split_block gates on !leftoverblock, so a split leftover is a
+        # frame real blosc readers cannot decode
+        leftover = len(block) < blocksize
+        nsplits = 1 if leftover else _split_hypothesis(codec, typesize, len(block))
         neblock = len(block) // nsplits
         bstarts.append(base + len(body))
         if nsplits > 1:
