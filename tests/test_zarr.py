@@ -1304,3 +1304,138 @@ class TestForeignChunkKeyEncodings:
         (d / "v" / "c.1").write_bytes(arr[3:].tobytes())
         m = zarrlite.open_array(str(d), "v")
         np.testing.assert_array_equal(zarrlite.read_full(m), arr)
+
+
+class TestForeignInteropGuards:
+    """Spec divergences an own-engine round-trip cannot catch (r14
+    interop review): foreign-writer layouts our reader must honor or
+    refuse loudly, and own-writer outputs a strict external reader
+    would reject."""
+
+    def test_v3_hex_float_fill_decodes_bit_pattern(self):
+        import numpy as np
+
+        from xarray_beam_spark.sources import zarrlite
+
+        got = zarrlite._decode_fill("0x7fc00000", np.dtype("<f4"))
+        assert np.isnan(got)
+        got = zarrlite._decode_fill("0x3ff0000000000000", np.dtype("<f8"))
+        assert got == 1.0
+        with pytest.raises(ValueError, match="fill_value"):
+            zarrlite._decode_fill("bogus", np.dtype("<f4"))
+
+    def test_v2_base64_bytes_fill_decodes(self):
+        import numpy as np
+
+        from xarray_beam_spark.sources import zarrlite
+
+        # v2 spec: fixed-length bytes fills are base64, not literal text
+        assert zarrlite._decode_fill("AAAAAAAAAAA=", np.dtype("|S8")) == b"\x00" * 8
+
+    def test_v3_multi_compressor_chain_refuses(self):
+        from xarray_beam_spark.sources import zarrlite
+
+        with pytest.raises(ValueError, match="multiple compression"):
+            zarrlite._compressor_from_v3_codecs(
+                "v", [{"name": "bytes"}, {"name": "gzip"}, {"name": "zstd"}]
+            )
+
+    def test_v3_unknown_data_type_is_named(self):
+        from xarray_beam_spark.sources import zarrlite
+
+        meta = {
+            "zarr_format": 3, "node_type": "array", "data_type": "r42",
+            "shape": [4], "chunk_grid": {"configuration": {"chunk_shape": [4]}},
+            "codecs": [{"name": "bytes"}],
+        }
+        with pytest.raises(ValueError, match="data_type"):
+            zarrlite._zarray_from_v3_meta("/nope", "v", meta)
+        # float16 / complex are v3 CORE types and must resolve
+        import numpy as np
+
+        for dt, np_str in (("float16", "<f2"), ("complex64", "<c8")):
+            assert np.dtype(zarrlite._V3_DTYPES[dt]).str == np_str
+
+    def test_null_dimension_separator_means_default(self, tmp_path):
+        import json
+
+        import numpy as np
+
+        from xarray_beam_spark.sources import zarrlite
+
+        p = str(tmp_path / "s")
+        zarrlite.create_group(p)
+        zarrlite.create_array(p, "v", shape=(4,), chunks=(4,), dtype="<i8",
+                              dims=("x",))
+        meta_path = f"{p}/v/.zarray"
+        doc = json.loads(open(meta_path).read())
+        doc["dimension_separator"] = None  # some writers emit the key as null
+        open(meta_path, "w").write(json.dumps(doc))
+        arr = zarrlite.open_array(p, "v")
+        zarrlite.write_region(arr, {"x": 0}, np.arange(4))
+        assert list(zarrlite.read_full(arr)) == [0, 1, 2, 3]
+
+    def test_metadata_json_never_carries_bare_nan(self, tmp_path):
+        from xarray_beam_spark.sources import zarrlite
+
+        # bare NaN literals are invalid JSON; strict foreign parsers
+        # reject the whole document — refuse at write time instead
+        with pytest.raises(ValueError):
+            zarrlite.create_group(str(tmp_path / "g"), attrs={"x": float("nan")})
+
+    def test_netcdf3_zero_dim_write_refuses(self):
+        import numpy as np
+
+        from xarray_beam_spark.ndarray_ds import NDDataset
+        from xarray_beam_spark.sources import netcdf3
+
+        ds = NDDataset({"v": (("a", "b"), np.zeros((3, 0)))}, {})
+        with pytest.raises(ValueError, match="zero-length"):
+            netcdf3.dumps(ds)
+
+    def test_netcdf3_foreign_attrs_survive(self):
+        import struct as st
+
+        import numpy as np
+
+        from xarray_beam_spark.sources import netcdf3
+
+        # hand-built minimal classic file: 1 dim, 1 short var with CF
+        # packing attrs + a latin-1 units string, 1 global attr
+        def name(s):
+            b = s.encode()
+            return st.pack(">i", len(b)) + b + b"\x00" * (-len(b) % 4)
+
+        def att_text(nm, raw):
+            return name(nm) + st.pack(">ii", 2, len(raw)) + raw + b"\x00" * (-len(raw) % 4)
+
+        def att_short(nm, val):
+            return name(nm) + st.pack(">ii", 3, 1) + st.pack(">h", val) + b"\x00\x00"
+
+        def att_double(nm, val):
+            return name(nm) + st.pack(">ii", 6, 1) + st.pack(">d", val)
+
+        head = b"CDF\x01" + st.pack(">i", 0)
+        head += st.pack(">ii", 0x0A, 1) + name("x") + st.pack(">i", 2)
+        head += st.pack(">ii", 0x0C, 1) + att_text("title", b"legacy")
+        vatts = (
+            st.pack(">ii", 0x0C, 3)
+            + att_double("scale_factor", 0.01)
+            + att_short("_FillValue", -999)
+            + att_text("units", b"\xb0C")  # latin-1 degree sign
+        )
+        data = st.pack(">hh", 100, 200)
+        # var: name, ndims, dimids, atts, type(short), vsize, begin
+        var = name("t") + st.pack(">i", 1) + st.pack(">i", 0) + vatts
+        var += st.pack(">ii", 3, 4)
+        begin_off_placeholder = len(head) + st.pack(">i", 0).__len__()  # computed below
+        head_vars = st.pack(">ii", 0x0B, 1)
+        begin = len(head) + len(head_vars) + len(var) + 4  # + begin field itself
+        blob = head + head_vars + var + st.pack(">i", begin) + data
+        ds = netcdf3.loads(blob)
+        assert ds.attrs["title"] == "legacy"
+        va = ds.attrs["variable_attributes"]["t"]
+        assert va["scale_factor"] == [0.01]
+        assert va["_FillValue"] == [-999]
+        assert va["units"] == "\xb0C"
+        assert list(ds.data_vars["t"].values) == [100, 200]

@@ -141,6 +141,17 @@ def dumps(ds: NDDataset) -> bytes:
             plan.append((name, group, ext, dims, nc, var.values.dtype.str))
     dim_ids = {d: i for i, d in enumerate(dim_sizes)}
 
+    for d, size in dim_sizes.items():
+        if size == 0:
+            # classic-format dlen 0 marks THE record (unlimited)
+            # dimension; writing a fixed size-0 dim that way produces a
+            # file real netCDF readers reinterpret or reject, while our
+            # own loads() round-trips it — exactly the masked-divergence
+            # class. Refuse loudly.
+            raise ValueError(
+                f"netcdf3: zero-length dimension {d!r} cannot be written "
+                "(classic format reads size 0 as the unlimited dimension)"
+            )
     head = bytearray()
     head += _MAGIC
     head += struct.pack(">i", 0)  # numrecs: no record variables
@@ -226,7 +237,14 @@ class _Reader:
             nbytes = nelems * width
             raw = self.take(nbytes + (-nbytes % 4))[:nbytes]
             if nc == _NC_CHAR:
-                out[nm] = raw.decode("utf-8")
+                # the classic spec sets no charset for NC_CHAR attribute
+                # text and legacy files commonly carry latin-1 (degree
+                # signs in units); latin-1 decodes any byte, so valid
+                # foreign files never bounce here
+                try:
+                    out[nm] = raw.decode("utf-8")
+                except UnicodeDecodeError:
+                    out[nm] = raw.decode("latin-1")
             else:
                 out[nm] = np.frombuffer(raw, dtype=_EXT_DTYPE[nc], count=nelems)
         return out
@@ -268,7 +286,15 @@ def _loads(buf: bytes) -> NDDataset:
     elif tag != 0 or ndims != 0:
         raise ValueError(f"bad dimension list tag {tag:#x}")
     gatts = r.atts()
-    attrs = json.loads(gatts[_ATTRS_ATT]) if _ATTRS_ATT in gatts else {}
+    if _ATTRS_ATT in gatts:
+        attrs = json.loads(gatts[_ATTRS_ATT])
+    else:
+        # FOREIGN file: keep its global attributes (ndarray scalars to
+        # plain lists so the dataset stays JSON-encodable downstream)
+        attrs = {
+            k: (v.tolist() if hasattr(v, "tolist") else v)
+            for k, v in gatts.items()
+        }
 
     tag, nvars = r.i4(), r.i4()
     if tag not in (0, _NC_VARIABLE):
@@ -279,6 +305,19 @@ def _loads(buf: bytes) -> NDDataset:
         nm = r.name()
         vdims = tuple(dims[r.i4()][0] for _ in range(r.i4()))
         vatts = r.atts()
+        # foreign per-variable attributes (CF packing: scale_factor /
+        # add_offset / _FillValue, plus units etc.) must not be silently
+        # dropped — surface them under attrs so callers can apply CF
+        # decoding; own files (marked by the internal attrs attribute)
+        # carry none and are unaffected
+        if _ATTRS_ATT not in gatts:
+            foreign_vatts = {
+                k: (v.tolist() if hasattr(v, "tolist") else v)
+                for k, v in vatts.items()
+                if k not in (_DTYPE_ATT, _GROUP_ATT)
+            }
+            if foreign_vatts:
+                attrs.setdefault("variable_attributes", {})[nm] = foreign_vatts
         nc, _vsize = r.i4(), r.i4()
         begin = r.i8() if wide else r.i4()
         shape = tuple(dict(dims)[d] for d in vdims)

@@ -90,7 +90,11 @@ def _get_tail(path: str, length: int) -> bytes | None:
 
 
 def _put_json(path: str, obj: Any) -> None:
-    _put(path, json.dumps(obj, sort_keys=True).encode())
+    # allow_nan=False: Python's default emits bare NaN/Infinity literals,
+    # which are NOT valid JSON — our own json.loads round-trips them, but
+    # strict foreign zarr readers reject the whole metadata document.
+    # Better a loud ValueError at write time than an unreadable store.
+    _put(path, json.dumps(obj, sort_keys=True, allow_nan=False).encode())
 
 
 def _get_json(path: str) -> Any:
@@ -110,8 +114,11 @@ _V3_DTYPES = {
     "uint16": "<u2",
     "uint32": "<u4",
     "uint64": "<u8",
+    "float16": "<f2",
     "float32": "<f4",
     "float64": "<f8",
+    "complex64": "<c8",
+    "complex128": "<c16",
 }
 _V3_FROM_NP = {np.dtype(v).str: k for k, v in _V3_DTYPES.items()}
 
@@ -246,7 +253,24 @@ def _decode_fill(value: Any, dtype: np.dtype) -> Any:
     if value is None:
         return np.zeros((), dtype)[()]
     if isinstance(value, str) and dtype.kind == "f":
-        return {"NaN": math.nan, "Infinity": math.inf, "-Infinity": -math.inf}[value]
+        named = {"NaN": math.nan, "Infinity": math.inf, "-Infinity": -math.inf}
+        if value in named:
+            return named[value]
+        if value.startswith("0x"):
+            # v3 spec: floats may be a hex byte-pattern string (e.g. a
+            # non-canonical NaN payload '0x7fc00000') — decode the bit
+            # pattern at the dtype's width
+            bits = int(value, 16)
+            return np.frombuffer(
+                bits.to_bytes(dtype.itemsize, "big"), dtype=dtype.newbyteorder(">")
+            )[0]
+        raise ValueError(f"unsupported float fill_value {value!r}")
+    if isinstance(value, str) and dtype.kind in "SV":
+        # v2 spec: fill_value for fixed-length bytes dtypes is base64 —
+        # using the ASCII text verbatim silently corrupts missing chunks
+        import base64
+
+        return base64.b64decode(value)
     return value
 
 
@@ -525,7 +549,7 @@ def _zarray_from_v2_meta(
     compressor = _parse_v2_compressor(name, meta.get("compressor"))
     dtype = np.dtype(meta["dtype"])
     filters = _parse_v2_filters(name, meta.get("filters"), dtype)
-    sep = meta.get("dimension_separator", ".")
+    sep = meta.get("dimension_separator") or "."  # JSON null = default
     if sep not in (".", "/"):
         # ignoring it would read every chunk as missing (fill values)
         raise ValueError(f"{name}: unsupported dimension_separator {sep!r}")
@@ -558,6 +582,15 @@ def _compressor_from_v3_codecs(name: str, codecs: list[dict]) -> str | dict | No
     for c in codecs:
         nm = c.get("name")
         cfg = c.get("configuration") or {}
+        if nm in ("gzip", "zstd", "blosc") and comp is not None:
+            # the v3 spec allows arbitrary bytes->bytes codec CHAINS;
+            # keeping only the last compressor would decode garbage (the
+            # inner layer left compressed) — refuse the layouts this
+            # single-compressor reader cannot honor
+            raise ValueError(
+                f"{name}: v3 codec chains with multiple compression "
+                f"codecs are not supported (second codec {nm!r})"
+            )
         if nm == "bytes":
             if cfg.get("endian", "little") != "little":
                 raise ValueError(f"{name}: only little-endian v3 bytes codec supported")
@@ -585,7 +618,12 @@ def _open_array_v3(apath: str, name: str) -> ZArray:
 def _zarray_from_v3_meta(apath: str, name: str, meta: dict) -> ZArray:
     if meta.get("zarr_format") != 3 or meta.get("node_type") != "array":
         raise ValueError(f"{name}: not a v3 array")
-    dtype = np.dtype(_V3_DTYPES[meta["data_type"]])
+    data_type = meta["data_type"]
+    if not isinstance(data_type, str) or data_type not in _V3_DTYPES:
+        # extension data types arrive as dicts; unknown strings would
+        # KeyError — both must name the array and the unsupported type
+        raise ValueError(f"{name}: unsupported v3 data_type {data_type!r}")
+    dtype = np.dtype(_V3_DTYPES[data_type])
     grid_shape = tuple(meta["chunk_grid"]["configuration"]["chunk_shape"])
     codecs = meta["codecs"]
     shards: tuple[int, ...] | None = None
@@ -603,12 +641,25 @@ def _zarray_from_v3_meta(apath: str, name: str, meta: dict) -> ZArray:
                 f"{name}: unsupported sharding index_location {loc!r} "
                 "(only 'end' is implemented)"
             )
-        icodecs = [c.get("name") for c in cfg.get("index_codecs") or []]
+        index_codecs = cfg.get("index_codecs") or []
+        icodecs = [c.get("name") for c in index_codecs]
         if icodecs and icodecs != ["bytes", "crc32c"]:
             raise ValueError(
                 f"{name}: unsupported sharding index_codecs {icodecs!r} "
                 "(only ['bytes', 'crc32c'] is implemented)"
             )
+        for c in index_codecs:
+            if c.get("name") == "bytes":
+                endian = (c.get("configuration") or {}).get("endian", "little")
+                if endian != "little":
+                    # the index reader parses '<u8' offsets; a big-endian
+                    # index would pass the name check and the (endian-
+                    # independent) crc, then read byte-swapped offsets as
+                    # spurious truncation or wrong byte ranges
+                    raise ValueError(
+                        f"{name}: only little-endian sharding index "
+                        f"supported, got {endian!r}"
+                    )
         shards = grid_shape
         chunks = tuple(cfg["chunk_shape"])
         compressor = _compressor_from_v3_codecs(name, cfg["codecs"])
