@@ -54,6 +54,12 @@ def _register(name: str, oracle: str | None):
 
 END = "</w>"  # end-of-word marker (Sennrich): merges can't cross words
 
+# bpe_train re-checkpoints the symbol table after this many chained merge
+# folds: deep enough to amortize the checkpoint job away for gate-sized
+# merge counts, shallow enough that expression depth never approaches
+# _EXPR_MERGE_LIMIT / janino's codegen method limit.
+_TRAIN_CHECKPOINT_EVERY = 16
+
 
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, cnt) over lowercase letter runs — the trainer's input."""
@@ -101,12 +107,29 @@ def bpe_train(
     ).localCheckpoint(eager=True)
 
     merges: list[tuple[str, str, int]] = []
+    # Pending merges since the last checkpoint ride as CHAINED JVM folds
+    # over the checkpointed symbol table instead of one eager
+    # localCheckpoint per round: each round is then ONE Spark job (the
+    # pair-count argmax) rather than two, and no per-round copy of the
+    # symbol table lands in executor storage. The chain re-checkpoints
+    # every _TRAIN_CHECKPOINT_EVERY rounds, so expression depth stays
+    # far below the analyzer/codegen limit (_EXPR_MERGE_LIMIT) and the
+    # re-evaluation cost per round is bounded at any n_merges — the same
+    # amortization a production-sized merge list needs.
+    pending: list[tuple[str, str]] = []
+
+    def cur() -> Column:
+        s = F.col("s")
+        for l, r in pending:
+            s = _merge_pair(s, l, r)
+        return s
+
     for _ in range(n_merges):
-        pairs = syms.select(
+        pairs = syms.select(cur().alias("__s"), "cnt").select(
             F.explode(
                 F.zip_with(
-                    F.slice(F.col("s"), 1, F.size("s") - 1),
-                    F.slice(F.col("s"), 2, F.size("s") - 1),
+                    F.slice(F.col("__s"), 1, F.size("__s") - 1),
+                    F.slice(F.col("__s"), 2, F.size("__s") - 1),
                     lambda a, b: F.struct(a.alias("l"), b.alias("r")),
                 )
             ).alias("p"),
@@ -123,19 +146,21 @@ def bpe_train(
             break  # nothing left worth merging
         l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
         merges.append((l, r, n))
-        prev = syms
-        syms = syms.select(
-            _merge_pair(F.col("s"), l, r).alias("s"), "cnt"
-        ).localCheckpoint(eager=True)
-        # free the PREVIOUS round's checkpoint blocks now that the new
-        # EAGER checkpoint no longer depends on them — without this,
-        # every round pins another full copy of the symbol table in
-        # executor storage until a driver GC happens to reap it.  The
-        # released RDD is taken from the DataFrame OBJECT itself, never
-        # from a getPersistentRDDs() before/after diff: a diff races
-        # with any other thread persisting an RDD in the same session
-        # during the window and would wrongly unpersist it.
-        _unpersist_checkpoint(prev)
+        pending.append((l, r))
+        if len(pending) >= _TRAIN_CHECKPOINT_EVERY:
+            prev = syms
+            syms = syms.select(cur().alias("s"), "cnt").localCheckpoint(eager=True)
+            pending.clear()
+            # free the PREVIOUS checkpoint's blocks now that the new
+            # EAGER checkpoint no longer depends on them — without
+            # this, every re-checkpoint pins another full copy of the
+            # symbol table in executor storage until a driver GC
+            # happens to reap it.  The released RDD is taken from the
+            # DataFrame OBJECT itself, never from a
+            # getPersistentRDDs() before/after diff: a diff races with
+            # any other thread persisting an RDD in the same session
+            # during the window and would wrongly unpersist it.
+            _unpersist_checkpoint(prev)
     return merges
 
 

@@ -1382,11 +1382,30 @@ def ingest_dedup_pack(
     from xarray_beam_spark.operators.dedup import minhash_lsh_pairs
     from xarray_beam_spark.sources import warc
 
+    from xarray_beam_spark.operators.dedup import _EPHEMERAL_PERSISTS
+
     ext = warc.read_warc_responses(spark, warc_path).select(
         F.regexp_extract("url", "/page/([0-9]+)$", 1).cast("long").alias("doc_id"),
         html_to_text(F.col("body")).alias("text"),
     )
-    pairs = minhash_lsh_pairs(ext, min_jaccard=0.6)
+    # The extracted corpus feeds TWO consumers (the dedup signature leg
+    # and the survivors side of the anti-join): persist it so the WARC
+    # parse + HTML extraction runs ONCE per run instead of once per
+    # consumer — the §8 "decide on small rows, move big rows once"
+    # shape needs the ingest leg evaluated once, and at any scale the
+    # parsed text is no larger than the shingle table the dedup stage
+    # already persists. Registered for reset_ephemeral_caches like the
+    # shingle persists (lazy result — the builder cannot unpersist).
+    ext = ext.persist()
+    _EPHEMERAL_PERSISTS.append(ext)
+    # twin filter pushed into LSH candidate generation: row-identical
+    # (the `removed` filter below keeps only twin pairs anyway), and the
+    # Jaccard-verification joins never see non-twin candidates
+    pairs = minhash_lsh_pairs(
+        ext,
+        min_jaccard=0.6,
+        pair_filter=lambda a, b: b - a == twin_offset,
+    )
     removed = (
         pairs.where(F.col("doc_b") - F.col("doc_a") == twin_offset)
         .select(F.col("doc_b").alias("doc_id"))
@@ -1524,9 +1543,13 @@ def corpus_e2e_train_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(p: str) -> None:
         out = ingest_dedup_pack(spark, warc_path)
-        tfrecord.write_tfrecords(
-            out.repartition(8, "doc_id"), f"{p}/tfrec", shard_records=128
-        )
+        # export straight from the pack scatter's partitioning: a
+        # repartition(8, doc_id) here re-shuffled every text byte a
+        # second time purely to pick shard file names (guide §8: the
+        # payload must move ONCE — the pack bucket scatter is that one
+        # move). Shard contents differ, but the gate's result is the
+        # read-back rollup, which is layout-independent.
+        tfrecord.write_tfrecords(out, f"{p}/tfrec", shard_records=128)
 
     path = _materialized(spark, sf_dir, "e2e_pipe", build)
     back = tfrecord.read_tfrecords(spark, f"{path}/tfrec")

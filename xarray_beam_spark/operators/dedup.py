@@ -210,6 +210,7 @@ def minhash_lsh_pairs(
     n_bands: int = 32,
     min_jaccard: float = 0.6,
     max_bucket_size: int | None = None,
+    pair_filter: Callable[[Column, Column], Column] | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash+LSH with exact-Jaccard verification.
 
@@ -224,6 +225,16 @@ def minhash_lsh_pairs(
     (standard LSH practice: members of such buckets collide in OTHER bands
     with overwhelming probability, so recall loss is negligible while the
     worst-case join cost becomes bounded).
+
+    ``pair_filter``: optional predicate ``(doc_a, doc_b) -> Column``
+    applied to candidate pairs BEFORE the exact-Jaccard verification
+    join. A caller that will filter the returned pairs on an id predicate
+    anyway (the gate queries keep only planted-twin pairs) should push it
+    here: filters commute with the verify join, so the result is
+    row-identical while the (shingle-array) verification joins run over
+    the filtered candidate set only — and the physical plan stops
+    flip-flopping across broadcast-size boundaries as candidate counts
+    scale (the r14 non-monotone scale-curve artifact).
     """
     if n_bands > n_hashes or n_hashes % n_bands != 0:
         # rows_per_band = 0 would make every band hash a constant (the
@@ -272,8 +283,10 @@ def minhash_lsh_pairs(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
     )
+    if pair_filter is not None:
+        cand = cand.where(pair_filter(F.col("doc_a"), F.col("doc_b")))
+    cand = cand.dropDuplicates(["doc_a", "doc_b"])
     # Verify on int64-hashed shingle sets: |∩|/|∪| is identical to the
     # string-set Jaccard (xxhash64 is injective on any realistic shingle
     # universe; collision odds ~1e-14 per pair) while the shuffle payload
@@ -571,9 +584,15 @@ def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     corpus = docs.unionAll(twins)
-    pairs = minhash_lsh_pairs(corpus, min_jaccard=0.6)
-    # keep only ground-truth twin pairs (discovered, then filtered the same
-    # way the oracle enumerates them)
+    # the twin filter is pushed into candidate generation (pair_filter):
+    # row-identical to filtering the returned pairs — the verification
+    # join then runs over the twin candidates only (guide §3.2: reduce
+    # the join's big side before shuffling it)
+    pairs = minhash_lsh_pairs(
+        corpus,
+        min_jaccard=0.6,
+        pair_filter=lambda a, b: b - a == 1000000000,
+    )
     return pairs.where(F.col("doc_b") - F.col("doc_a") == 1000000000)
 
 
@@ -619,6 +638,7 @@ def edit_distance_pairs(
     id_col: str = "doc_id",
     prefix_len: int | None = None,
     candidate_jaccard: float = 0.3,
+    pair_filter: Callable[[Column, Column], Column] | None = None,
     **lsh_kwargs,
 ) -> DataFrame:
     """Fuzzy (edit-distance) near-duplicate pairs: MinHash-LSH candidate
@@ -642,6 +662,7 @@ def edit_distance_pairs(
         text_col=text_col,
         id_col=id_col,
         min_jaccard=candidate_jaccard,
+        pair_filter=pair_filter,
         **lsh_kwargs,
     ).select("doc_a", "doc_b")
     txt = F.col(text_col)
@@ -835,7 +856,17 @@ def dedup_levenshtein_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     corpus = docs.unionAll(twins)
-    pairs = edit_distance_pairs(corpus, max_dist=100, prefix_len=200)
+    # twin filter pushed into LSH candidate generation (see pair_filter
+    # in minhash_lsh_pairs): row-identical, the Jaccard-verify and
+    # Levenshtein-verify joins see the twin candidates only, and the
+    # plan stays on one side of the broadcast boundary at every scale
+    # factor (fixes the r14 non-monotone 1x/3x/10x curve)
+    pairs = edit_distance_pairs(
+        corpus,
+        max_dist=100,
+        prefix_len=200,
+        pair_filter=lambda a, b: b - a == 1000000000,
+    )
     return pairs.where(F.col("doc_b") - F.col("doc_a") == 1000000000).withColumn(
         "dist", F.col("dist").cast("long")
     )

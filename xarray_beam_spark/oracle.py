@@ -104,13 +104,14 @@ def check_query(spark: SparkSession, name: str, sf_dir: str) -> list[str]:
     sql = registry.oracle_sql().get(name)
     df = fn(spark, sf_dir)
     if sql is None:
-        # collect(), not count(): count() lets Catalyst column-prune the
+        # noop sink, not count(): count() lets Catalyst column-prune the
         # projection to a column-less scan, so a broken output expression
         # would pass here and fail only when the driver materializes it
-        # (same hole the r13 noop-basis fix closed in bench.py)
-        # a broken query surfaces as the exception collect() raises —
-        # len() can never be negative, so no conditional pretends
-        # otherwise
-        df.collect()
+        # (same hole the r13 noop-basis fix closed in bench.py). And not
+        # collect(): that pulls the full result into the driver, risking
+        # driver OOM on a large rows-only query at higher scale factors
+        # (ADVICE r14). The noop write evaluates every column of every
+        # row executor-side; a broken query surfaces as its exception.
+        df.write.format("noop").mode("overwrite").save()
         return []
     return compare(df, run_oracle(sql, sf_dir))

@@ -89,6 +89,26 @@ def fan_out_narrow_scan(df: DataFrame) -> DataFrame:
     # cluster-partitioned) or is a local relation (nothing to fan out).
     if not df.inputFiles():
         return df
+    # inputFiles() alone is not a safe gate: a composed plan (join or
+    # aggregate OVER file scans) still reports input files, and probing
+    # df.rdd would eagerly run its upstream shuffle stages at
+    # plan-construction time (ADVICE r14). Walk the analyzed logical
+    # plan driver-side — pure metadata, no jobs — and bail out on any
+    # node class that implies an exchange above the scan.
+    try:
+        tree = df._jdf.queryExecution().analyzed().toString()
+        # node names lead each tree line after the +-/:- branch art
+        nodes = {
+            line.lstrip(" :+-").split(" ", 1)[0] for line in tree.splitlines()
+        }
+    except Exception:  # noqa: BLE001 — Connect plans: keep prior behavior
+        nodes = set()
+    if nodes & {
+        "Join", "Aggregate", "Window", "Distinct", "Deduplicate",
+        "Repartition", "RepartitionByExpression", "Sort", "GlobalLimit",
+        "FlatMapGroupsInPandas", "MapInPandas", "PythonMapInArrow",
+    }:
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
