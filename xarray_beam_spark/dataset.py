@@ -291,9 +291,39 @@ class Dataset:
             coords=coord_vars,
         )
 
-        # dim value -> index via broadcast-joined mapping frames.
+        # dim value -> index. Small integer/string/datetime axes inline as
+        # a literal-array ``array_position`` projection: semantically the
+        # same inner equi-join against the coordinate list (rows whose
+        # value is absent get a NULL index and are dropped by the filter,
+        # exactly as the inner join dropped them), but with no
+        # createDataFrame round trip and no BroadcastExchange per dim —
+        # at one from_table per streaming micro-batch those cost ~0.5 s
+        # of driver time each. Float axes keep the join path (NaN/-0.0
+        # equality must follow join semantics), as do axes too large for
+        # a comfortable literal array.
+        _INLINE_COORD_MAX = 4096
         out = table
+
+        def _inline_ok(vals: np.ndarray) -> bool:
+            return len(vals) <= _INLINE_COORD_MAX and vals.dtype.kind in "iuMUS"
+
+        joined_dims: list[str] = []
         for d in dims:
+            vals = np.asarray(coords[d])
+            if _inline_ok(vals):
+                spark_t = _np_to_spark_type(vals.dtype)
+                arr = F.array(
+                    *[F.lit(v.item() if hasattr(v, "item") else v).cast(spark_t) for v in vals]
+                )
+                # array_position: 1-based; 0 = absent, NULL = NULL value —
+                # both must drop, exactly like the inner join they replace
+                idx = (F.array_position(arr, F.col(d).cast(spark_t)) - 1).cast("long")
+                out = out.withColumn(f"__idx_{d}", idx).where(
+                    F.col(f"__idx_{d}") >= 0
+                )
+            else:
+                joined_dims.append(d)
+        for d in joined_dims:
             vals = np.asarray(coords[d])
             mapping = spark.createDataFrame(
                 pd.DataFrame({d: vals, f"__idx_{d}": np.arange(len(vals), dtype=np.int64)})
@@ -360,7 +390,15 @@ class Dataset:
                     )
 
         cell_schema = ", ".join(f"`{c}` long" for c in off_cols)
-        all_cells = spark.range(n_cells).mapInPandas(cell_rows, cell_schema)
+        # size the enumeration to the cell count: spark.range defaults to
+        # defaultParallelism partitions, which for a handful of cells is
+        # dozens of EMPTY tasks each paying a Python-worker round trip
+        # (~64k cells per task keeps the metadata enumeration wide enough
+        # at any real grid size)
+        n_parts = max(1, min(spark.sparkContext.defaultParallelism, -(-n_cells // 65536)))
+        all_cells = spark.range(0, n_cells, numPartitions=n_parts).mapInPandas(
+            cell_rows, cell_schema
+        )
         # present offsets come from the PRE-assembly table (column-pruned
         # distinct), not from `grouped` — referencing `grouped` twice in
         # one plan would run the whole chunk assembly twice

@@ -305,7 +305,7 @@ def minhash_lsh_pairs(
     )
 
 
-def _cc_driver(canon: DataFrame) -> DataFrame:
+def _cc_driver(spark, edge_rows) -> DataFrame:
     """Min-label union-find on the driver for a metadata-sized edge set.
 
     The alternating-star rounds below exist for edge sets that exceed one
@@ -324,7 +324,7 @@ def _cc_driver(canon: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in canon.collect():
+    for row in edge_rows:
         u, v = int(row[0]), int(row[1])
         ru, rv = find(u), find(v)
         if ru != rv:
@@ -336,7 +336,7 @@ def _cc_driver(canon: DataFrame) -> DataFrame:
     for x in list(nodes):
         nodes.add(find(x))
     rows = [(x, find(x)) for x in sorted(nodes)]
-    return canon.sparkSession.createDataFrame(rows, "doc_id long, cluster_id long")
+    return spark.createDataFrame(rows, "doc_id long, cluster_id long")
 
 
 def _cc_two_phase(
@@ -360,10 +360,16 @@ def _cc_two_phase(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if canon.count() <= driver_edge_threshold:
+    # ONE bounded job decides the path AND feeds the small-graph solver:
+    # limit(threshold+1) collects at most threshold+1 rows off the
+    # checkpoint — if fewer came back, that IS the whole edge set, so the
+    # driver union-find runs on it directly (the previous count()-then-
+    # collect() shape paid a second full job for the same rows).
+    probe = canon.limit(driver_edge_threshold + 1).collect()
+    if len(probe) <= driver_edge_threshold:
         if _rounds_out is not None:
             _rounds_out.append(0)
-        return _cc_driver(canon)
+        return _cc_driver(canon.sparkSession, probe)
     rounds = 0
     for _ in range(max_iters):
         rounds += 1

@@ -320,8 +320,12 @@ def corpus_bloom_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     output: the oracle replays the identical bits, so the flagged-gram
     counts match exactly, FPs included."""
     from xarray_beam_spark.operators.corpus import _token_ngrams
+    from xarray_beam_spark.tables import fan_out_narrow_scan
 
-    docs = load(spark, sf_dir, "documents")
+    # the gram explode + k md5 probes per gram is the heavy per-row leg —
+    # it must not run serially on a one-file scan (same rationale as
+    # corpus_decontaminate; no-op on a many-file corpus at scale)
+    docs = fan_out_narrow_scan(load(spark, sf_dir, "documents"))
     g_expr, toks = _token_ngrams("text", 4)
     grams = (
         docs.withColumn("__xbs_toks", toks)
@@ -329,21 +333,25 @@ def corpus_bloom_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(g_expr).alias("g"))
     )
     bench = grams.where(F.col("doc_id") % 23 == 0).select("g").distinct()
-    corpus = grams.where(F.col("doc_id") % 23 != 0).select("doc_id", "g").distinct()
+    corpus = grams.where(F.col("doc_id") % 23 != 0).select("doc_id", "g")
     bloom = bloom_build(bench, "g", _BLOOM_BITS, _BLOOM_K)
     # membership as a shuffle-free projection (r8): the 16 Kbit mask is a
     # literal long array, every corpus gram tests its k probe bits inline
     # — vs the old explode→broadcast-join→groupBy(g)→join(g) plan, this
     # drops three shuffles; at 100 TB the probe side never re-keys at all
     words = bloom_bitmask(bloom, _BLOOM_BITS)
+    maybe = bloom_contains_expr(words, F.col("g"), _BLOOM_BITS, _BLOOM_K)
+    # per-doc DISTINCT-gram counts as ONE aggregation (r15): the previous
+    # distinct() + groupBy shape paid two full exchanges of the gram
+    # strings; countDistinct dedups map-side and ships one partially-
+    # deduped exchange. countDistinct(when(maybe, g)) counts distinct
+    # flagged grams exactly (maybe is a pure function of g), value-
+    # identical to the old sum-over-distinct-rows.
     return (
-        corpus.withColumn(
-            "maybe_member", bloom_contains_expr(words, F.col("g"), _BLOOM_BITS, _BLOOM_K)
-        )
-        .groupBy("doc_id")
+        corpus.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.col("maybe_member").cast("long")).alias("n_flagged"),
+            F.countDistinct("g").alias("n_grams"),
+            F.countDistinct(F.when(maybe, F.col("g"))).alias("n_flagged"),
         )
         .where(F.col("n_flagged") > 0)
     )
