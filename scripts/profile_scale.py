@@ -41,6 +41,13 @@ QUERIES = [
     "ann_ivf_topk",
     "text_remove_dup_spans",
     "text_remove_dup_spans_chars",
+    # r15: the end-to-end training funnel — the registry's most expensive
+    # query and the closest proxy for the real 100 TB workload. Its
+    # persistent WARC fixture digests the input directory's parquet
+    # fingerprint, so each scaled dir builds (once) and reuses its own
+    # factor-k corpus; run 2's min reads through the build like every
+    # other fixture.
+    "corpus_e2e_train_pipeline",
 ]
 
 

@@ -91,6 +91,24 @@ class TestFromTableInlineCoordIndex:
         vals = _rows(got)
         assert [v for _, v in vals] == [1.0, 2.0]
 
+    def test_ns_precision_datetime_coords(self, spark):
+        # datetime64[ns].item() returns an int (nanoseconds) — the inline
+        # path must normalize to µs before building timestamp literals
+        import pandas as pd
+
+        from xarray_beam_spark.dataset import Dataset
+
+        days_ns = np.array(["2031-02-01", "2031-02-02"], dtype="datetime64[ns]")
+        pdf = pd.DataFrame({"day": days_ns, "v": [3.0, 4.0]})
+        got = Dataset.from_table(
+            spark.createDataFrame(pdf),
+            dims=["day"],
+            coords={"day": days_ns},
+            var_cols=["v"],
+            chunks={"day": 1},
+        ).to_table(dropna=True)
+        assert [v for _, v in _rows(got)] == [3.0, 4.0]
+
 
 class TestPairFilterPushdown:
     def test_pair_filter_equals_post_filter(self, spark, sf_dir):

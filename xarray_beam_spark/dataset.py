@@ -312,8 +312,17 @@ class Dataset:
             vals = np.asarray(coords[d])
             if _inline_ok(vals):
                 spark_t = _np_to_spark_type(vals.dtype)
+                lit_vals = vals
+                if vals.dtype.kind == "M":
+                    # ns-precision datetime64.item() yields an int, which
+                    # F.lit would misread as epoch SECONDS; µs (Spark's
+                    # timestamp precision) .item()s to datetime.datetime
+                    lit_vals = vals.astype("datetime64[us]")
                 arr = F.array(
-                    *[F.lit(v.item() if hasattr(v, "item") else v).cast(spark_t) for v in vals]
+                    *[
+                        F.lit(v.item() if hasattr(v, "item") else v).cast(spark_t)
+                        for v in lit_vals
+                    ]
                 )
                 # array_position: 1-based; 0 = absent, NULL = NULL value —
                 # both must drop, exactly like the inner join they replace

@@ -792,7 +792,9 @@ def passjoin_pairs(
             F.least("id_a", "id_b").alias("doc_a"),
             F.greatest("id_a", "id_b").alias("doc_b"),
         )
-        .distinct()
+        # no distinct here: the union with the short-string band below is
+        # followed by one distinct that covers both legs — deduping this
+        # leg separately paid a full extra exchange for the same rows
     )
 
     # ---- short-string band: all pairs among sub-(k+1)-char strings -----

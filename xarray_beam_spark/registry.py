@@ -335,6 +335,34 @@ _LAST_CERTIFIED_ROUND: dict[str, int] = {
         'xb_grid_rolling7_mean', 'xb_grid_thin_take',
         'xb_grid_weighted_mean_hour',
     ], 13),
+    # round 14 (freshest; from CORRECTNESS_r14.json — overrides earlier
+    # tiers). No staged demotions (new-gate budget was 1 of 3:
+    # corpus_e2e_train_pipeline), so the head of the r15 sweep is the 18
+    # r11-stale keys followed by the r12 tier.
+    **dict.fromkeys([
+        "ann_ivf_persisted_topk", "ann_ivfpq_topk",
+        "corpus_clean_pipeline", "corpus_decontaminate",
+        "corpus_e2e_train_pipeline", "corpus_familiarity_score",
+        "corpus_hash_split", "corpus_importance_sample",
+        "corpus_mixture_weights", "corpus_stratified_cap",
+        "corpus_url_dedup", "dedup_canonical_docs",
+        "dedup_duplicate_clusters", "dedup_exact",
+        "dedup_levenshtein_twins", "dedup_minhash_lsh",
+        "dedup_passjoin_exact", "dedup_simhash", "doc_fingerprint",
+        "doc_rolling_hash", "doc_token_windows", "doc_vocab_topk",
+        "events_asof_last_purchase", "events_interval_post_signup",
+        "events_percent_rank", "multimodal_bmp_features",
+        "ngram_jaccard_adjacent", "text_lang_rollup", "text_langid",
+        "text_normalize_scrub", "text_quality_stats",
+        "text_remove_dup_spans_chars", "text_repetition_signals",
+        "text_scrub_pii", "text_substring_dup", "text_token_counts",
+        "xb_grid_climatology_dow", "xb_grid_fillna_dense", "xb_grid_head",
+        "xb_grid_max_day", "xb_grid_mean_hour", "xb_grid_median_hour",
+        "xb_grid_roundtrip", "xb_grid_split_consolidate",
+        "xb_grid_splitvars_roundtrip", "xb_grid_std_day",
+        "xb_grid_sum_hour", "xb_grid_tail", "xb_zarr_roundtrip",
+        "xb_zarr_v3_sharded_roundtrip",
+    ], 14),
 }
 
 
