@@ -44,6 +44,25 @@ def test_passjoin_finds_pair_lsh_misses(spark):
     assert lsh.count() == 0
 
 
+def test_passjoin_multi_match_window_boundaries(spark):
+    # the multi-match-aware probe window clamps at position 0, at
+    # __m - e.ln, and collapses to width ≤ 1 for the first segment —
+    # exercise strings right at the segmentation boundary (m ≈ k+1) and
+    # heavy indel drift (|Δ| = k) against brute force, k=4
+    k = 4
+    rng = np.random.default_rng(99)
+    alpha = "ab"  # tiny alphabet maximizes accidental near-pairs
+    rows = [(i, "".join(rng.choice(list(alpha), int(n)))) for i, n in
+            enumerate(rng.integers(k + 1, k + 9, size=40))]
+    got = {
+        tuple(r)
+        for r in passjoin_pairs(
+            spark.createDataFrame(rows, ["doc_id", "text"]), k
+        ).toPandas().itertuples(index=False)
+    }
+    assert got == _brute(rows, k)
+
+
 @pytest.mark.parametrize("k", [1, 2, 3])
 def test_passjoin_matches_brute_force(spark, k):
     # random corpus + in-place mutations (sub/ins/del) at random offsets,

@@ -706,8 +706,18 @@ def passjoin_pairs(
       keys — O(k) keys per doc;
     - probe side: each doc emits, for every candidate indexed length
       m1 ∈ [m2-k, m2+k] and segment i, the substrings of b at start
-      positions within ±k of segment i's position — O(k³) keys per doc
-      (k is small: 1-4 for fuzzy dedup);
+      positions inside the MULTI-MATCH-AWARE window (Lemma 3 of the
+      PassJoin paper): with Δ = m2-m1 and 0-based segment index i, the
+      shift d = start - p_i must satisfy |d| ≤ i, |Δ-d| ≤ k-i and
+      |d| + |Δ-d| ≤ k — ~3× fewer probe keys than a loose ±k window,
+      with zero recall loss. Completeness: an optimal alignment splits r
+      into regions r_j with Σ ed(s_j, r_j) ≤ k; walking g(i) = (edits
+      left of segment i) − i from g(0)=0 down to g(k+2)<Σ−k, g only
+      steps −1 at edit-free segments, so some edit-free segment i has
+      exactly Σ−k ≤ g(i) ≤ 0 — i.e. ≤ i edits to its left and ≤ k−i to
+      its right, which bound |d| and |Δ−d| since each region's length
+      differs from its segment's by at most its edit count. (Also
+      re-verified here by brute force: tests/test_dedup_passjoin.py);
     - candidates are the (m1, i, substring) hash equi-join of the two —
       never an all-pairs comparison — then one JVM ``levenshtein``
       verifies each distinct pair.
@@ -766,11 +776,23 @@ def passjoin_pairs(
         CAST(i * (m1 DIV {k1}) + greatest(i - ({k1} - m1 % {k1}), 0) AS INT) AS p,
         CAST(IF(i < {k1} - m1 % {k1}, m1 DIV {k1}, m1 DIV {k1} + 1) AS INT) AS ln))
     """
+    # multi-match-aware start-position window (see docstring): with
+    # Δ = __m - m1 ∈ [-k, k], lower/upper bounds on d = s - e.p are
+    #   d ≥ max(-i, ⌈(Δ-k)/2⌉, Δ-(k-i)),  d ≤ min(i, ⌊(Δ+k)/2⌋, Δ+(k-i))
+    # (Δ+k ≥ 0 and k-Δ ≥ 0, so DIV is already floor for both halves)
+    lo = (
+        f"greatest(e.p - e.i, e.p - (({k} - (__m - m1)) DIV 2), "
+        f"e.p + (__m - m1) - ({k} - e.i), 0)"
+    )
+    hi = (
+        f"least(e.p + e.i, e.p + (((__m - m1) + {k}) DIV 2), "
+        f"e.p + (__m - m1) + ({k} - e.i), __m - e.ln)"
+    )
     probe_keys = (
         probe.select(
             "id_b", "__t", "__m", "m1", F.explode(F.expr(pos_struct)).alias("e")
         )
-        .where(F.expr(f"least(e.p + {k}, __m - e.ln) >= greatest(e.p - {k}, 0)"))
+        .where(F.expr(f"({hi}) >= ({lo})"))
         .select(
             "id_b",
             "m1",
@@ -778,7 +800,7 @@ def passjoin_pairs(
             F.explode(
                 F.expr(
                     f"""array_distinct(transform(
-                        sequence(greatest(e.p - {k}, 0), least(e.p + {k}, __m - e.ln)),
+                        sequence({lo}, {hi}),
                         s -> substring(__t, CAST(s + 1 AS INT), e.ln)))"""
                 )
             ).alias("seg"),
