@@ -252,8 +252,20 @@ def minhash_lsh_pairs(
     # so this function cannot know when to unpersist — without the hook,
     # repeated invocations (bench best-of-N) pile persisted shingle
     # tables into the CacheManager, which never reference-GCs them.
+    #
+    # Stored as int64 xxhash64 fingerprints, not strings: every consumer
+    # (the 64 min-hash aggregates AND the exact-Jaccard verify join) is
+    # set-based, and xxhash64 is injective on any realistic shingle
+    # universe (collision odds ~1e-14 per pair — the verify join already
+    # relied on exactly this). The fingerprint also makes the signature
+    # aggregation ~4x cheaper: each of the 64 hash functions hashes the
+    # 8-byte fingerprint instead of re-scanning the shingle string, and
+    # the exploded rows / persisted arrays ship longs, not strings.
     shingles = docs.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
+        F.col(id_col),
+        F.transform(
+            word_shingles(F.col(text_col), shingle_n), lambda x: F.xxhash64(x)
+        ).alias("shingles"),
     ).persist()
     _EPHEMERAL_PERSISTS.append(shingles)
     exploded = shingles.select(F.col(id_col), F.explode("shingles").alias("sh"))
@@ -287,15 +299,12 @@ def minhash_lsh_pairs(
     if pair_filter is not None:
         cand = cand.where(pair_filter(F.col("doc_a"), F.col("doc_b")))
     cand = cand.dropDuplicates(["doc_a", "doc_b"])
-    # Verify on int64-hashed shingle sets: |∩|/|∪| is identical to the
-    # string-set Jaccard (xxhash64 is injective on any realistic shingle
-    # universe; collision odds ~1e-14 per pair) while the shuffle payload
-    # and the intersect/union comparisons shrink ~10x.
-    hashed = shingles.select(
-        F.col(id_col), F.transform("shingles", lambda x: F.xxhash64(x)).alias("hsh")
-    )
-    sa = hashed.select(F.col(id_col).alias("doc_a"), F.col("hsh").alias("sh_a"))
-    sb = hashed.select(F.col(id_col).alias("doc_b"), F.col("hsh").alias("sh_b"))
+    # Verify on the int64-hashed shingle sets (the persisted
+    # representation): |∩|/|∪| is identical to the string-set Jaccard —
+    # see the injectivity note on the persist above — while the shuffle
+    # payload and the intersect/union comparisons shrink ~10x.
+    sa = shingles.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = shingles.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (
         cand.join(sa, on="doc_a")
         .join(sb, on="doc_b")
