@@ -586,7 +586,16 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part average is tiny (one row per part) so Catalyst broadcasts it."""
     l = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
-    avg_q = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+    # per-part averages are only consumed for Brand#13 partkeys (the
+    # broadcast equi-join below drops every other part AFTER the agg
+    # shuffle) — semi-join the fact side down to those parts first, the
+    # kept parts' row sets and averages are untouched
+    l_brand = l.join(
+        F.broadcast(p.select("p_partkey")),
+        l.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    avg_q = l_brand.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
         (dsum("l_quantity") / F.count(F.lit(1))).alias("part_avg")
     )
     j = (
@@ -1048,6 +1057,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    # pre-filter the fact side with a broadcast semi-join on the ~20%
+    # of parts that survive the p_size predicate BEFORE the offer
+    # aggregation (the final p_partkey join would discard the rest
+    # anyway, after the shuffle): the (partkey, suppkey) agg hashes and
+    # shuffles 5x fewer rows, per-part offer sets are untouched
+    l = l.join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
     offers = l.groupBy(
         F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
     ).agg(F.min(dec("l_extendedprice")).alias("cost"))
