@@ -792,9 +792,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum(disc_price()).alias("total_revenue")
     )
-    top = revenue.agg(F.max("total_revenue").alias("mx"))
+    # max as an unpartitioned window over the aggregated per-supplier
+    # frame rather than a second `revenue` reference (same single-subtree
+    # rationale as q11; ties keep every max-revenue supplier either way)
+    w = Window.partitionBy()
     return (
-        revenue.join(F.broadcast(top), revenue.total_revenue == F.col("mx"))
+        revenue.withColumn("__mx", F.max("total_revenue").over(w))
+        .where(F.col("total_revenue") == F.col("__mx"))
         .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
@@ -1001,12 +1005,19 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum("l_extendedprice").alias("value"))
     )
-    total = per_nation.agg(
-        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") * F.lit(0.05)).alias("threshold")
+    # the 5%-of-total threshold as an unpartitioned window over the
+    # ~25-row aggregated frame instead of a second reference to
+    # per_nation (which plans the whole lineitem join+agg subtree twice
+    # and leans on runtime exchange reuse to dedupe it): one subtree,
+    # same exact decimal total
+    w = Window.partitionBy()
+    threshold = (
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+        * F.lit(0.05)
     )
     return (
-        per_nation.join(F.broadcast(total))
-        .where(F.col("value") > F.col("threshold"))
+        per_nation.withColumn("__thr", threshold)
+        .where(F.col("value") > F.col("__thr"))
         .select("n_name", "value")
     )
 
