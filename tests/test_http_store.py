@@ -285,21 +285,27 @@ class TestIoThreading:
         )
         arrays, _ = zarrlite.open_group(path)
 
-        # best-of-2 per mode: the sleep-bound serial number is stable, but
-        # the threaded one can inflate under host co-tenancy (same
-        # hardening as TestStagedSetup)
         def timed(width: str) -> float:
             monkeypatch.setenv("XBS_IO_THREADS", width)
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                np.testing.assert_array_equal(zarrlite.read_full(arrays["v"]), data)
-                best = min(best, time.perf_counter() - t0)
-            return best
+            t0 = time.perf_counter()
+            np.testing.assert_array_equal(zarrlite.read_full(arrays["v"]), data)
+            return time.perf_counter() - t0
 
-        serial = timed("1")
-        threaded = timed("16")
-        assert serial / threaded > 2.0, (serial, threaded)
+        # per-ROUND ratio, pass on any round: a host co-tenancy burst
+        # that lands on the (fast) threaded sample of one round would
+        # sink a best-of-N-per-mode comparison, but must persist across
+        # every round to sink this one; a non-overlapping implementation
+        # (serial/threaded ~ 1) passes no round ever. (This replaced
+        # best-of-2-per-mode after two observed single-round flakes
+        # under concurrent load.)
+        pairs = []
+        for _ in range(4):
+            serial = timed("1")
+            threaded = timed("16")
+            pairs.append((serial, threaded))
+            if serial / threaded > 2.0:
+                break
+        assert any(s / t > 2.0 for s, t in pairs), pairs
 
 
 class TestDistributedHttpRead:
@@ -576,26 +582,29 @@ class TestStagedSetup:
             attrs={},
         )
 
-        # best-of-2 per variant: a single sample races host co-tenancy
-        # (the one observed flake: concurrent full-verify run inflated the
-        # staged wall time past the margin); min-of-2 is the same
-        # estimator bench.py uses
-        def timed(name: str, staged_flag: bool) -> float:
-            best = float("inf")
-            for attempt in range(2):
-                t0 = time.perf_counter()
-                zarr_io.setup_zarr(
-                    template,
-                    f"{slow_root}/{name}{attempt}",
-                    {"time": 8},
-                    stage_locally=staged_flag,
-                )
-                best = min(best, time.perf_counter() - t0)
-            return best
+        def timed(name: str, attempt: int, staged_flag: bool) -> float:
+            t0 = time.perf_counter()
+            zarr_io.setup_zarr(
+                template,
+                f"{slow_root}/{name}{attempt}",
+                {"time": 8},
+                stage_locally=staged_flag,
+            )
+            return time.perf_counter() - t0
 
-        direct = timed("direct", False)
-        staged = timed("staged", True)
-        assert direct / staged > 2.0, (direct, staged)
+        # per-ROUND direct/staged ratio, pass on any round (same
+        # burst-robust shape as TestIoThreading: a co-tenancy burst must
+        # cover every round to flake this, while a staging that doesn't
+        # actually help passes no round; best-of-N-per-variant flaked
+        # twice when a burst landed on the staged samples only)
+        pairs = []
+        for attempt in range(4):
+            direct = timed("direct", attempt, False)
+            staged = timed("staged", attempt, True)
+            pairs.append((direct, staged))
+            if direct / staged > 2.0:
+                break
+        assert any(d / s > 2.0 for d, s in pairs), pairs
         # both skeletons identical blob-for-blob
         a = stores.list_tree(f"{slow_root}/direct0")
         b = stores.list_tree(f"{slow_root}/staged0")
