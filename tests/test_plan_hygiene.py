@@ -17,7 +17,9 @@ from xarray_beam_spark import registry
 # Queries whose plan INTENTIONALLY contains a broadcast nested-loop join
 # against a 1-row (scalar aggregate) build side — constant-size, benign.
 SCALAR_BROADCAST_OK = {
-    "q11_important_stock",   # fraction-of-total threshold scalar
+    # q11's 5%-of-total and q15's max-revenue scalars moved to
+    # unpartitioned windows over their tiny aggregated frames (r15):
+    # no broadcast nested-loop remains in either plan
     "q22_sales_opportunity", # avg acctbal scalar
     # bounded broadcast side by design (the stated all-pairs baseline):
     # the small query set broadcasts against the corpus — linear in the
