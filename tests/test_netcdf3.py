@@ -136,6 +136,64 @@ class TestChunkFiles:
         with pytest.raises(FileNotFoundError):
             netcdf3.from_netcdf_files(spark, str(tmp_path / "nope"))
 
+    def test_read_table_matches_unfused(self, spark, tmp_path):
+        # NaNs exercise both dropna branches; a 2-var grid exercises the
+        # any-var-non-NaN row-keep rule
+        rng = np.random.default_rng(7)
+        t2m = rng.normal(size=(10, 4))
+        t2m[2, :] = np.nan  # whole rows of cells dropped under dropna
+        t2m[5, 1] = np.nan
+        wind = rng.normal(size=(10, 4))
+        wind[5, 1] = np.nan  # both vars NaN -> cell dropped
+        nd = NDDataset(
+            {"t2m": (("time", "lat"), t2m), "wind": (("time", "lat"), wind)},
+            coords={
+                "time": np.arange(10, dtype=np.int64) * 3600,
+                "lat": np.linspace(-30, 30, 4),
+            },
+        )
+        ds = Dataset.from_numpy(spark, nd, chunks={"time": 4})
+        out = str(tmp_path / "ncft")
+        netcdf3.to_netcdf_files(ds, out)
+        import pandas.testing as pdt
+
+        for dropna in (True, False):
+            want = (
+                netcdf3.from_netcdf_files(spark, out)
+                .to_table(dropna=dropna)
+            )
+            got = netcdf3.read_table(spark, out, dropna=dropna)
+            assert got.schema == want.schema
+            key = [f.name for f in got.schema.fields]
+            # pandas compare: NaN == NaN (rows with NaN cells survive
+            # both dropna settings here), bit-exact float check
+            pdt.assert_frame_equal(
+                got.orderBy(*key).toPandas(),
+                want.orderBy(*key).toPandas(),
+                check_exact=True,
+            )
+        # the fused plan has exactly ONE Python-eval node (the point)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInArrow") == 1 and "MapInPandas" not in plan
+
+    def test_read_table_split_vars_falls_back(self, spark, tmp_path):
+        rng = np.random.default_rng(9)
+        nd = NDDataset(
+            {
+                "a": (("x",), rng.normal(size=8)),
+                "b": (("x",), rng.normal(size=8)),
+            },
+            coords={"x": np.arange(8)},
+        )
+        ds = Dataset.from_numpy(spark, nd, chunks={"x": 4}).split_variables()
+        out = str(tmp_path / "ncsvft")
+        netcdf3.to_netcdf_files(ds, out)
+        want = netcdf3.from_netcdf_files(spark, out).to_table(dropna=True)
+        got = netcdf3.read_table(spark, out, dropna=True)
+        assert got.schema == want.schema
+        key = [f.name for f in got.schema.fields]
+        assert got.orderBy(*key).collect() == want.orderBy(*key).collect()
+
 
 def test_corrupted_streams_never_leak_internal_errors():
     """Failure contract (matches the image codecs): corrupted bytes parse

@@ -658,22 +658,7 @@ class Dataset:
         tmpl = self.template
         dims = self.dims
         var_names = tmpl.var_names
-        fields: list[T.StructField] = []
-        for d in dims:
-            cv = tmpl.coords.get(d)
-            if cv is None:
-                fields.append(T.StructField(d, T.LongType(), False))
-            else:
-                fields.append(
-                    T.StructField(d, _np_to_spark_type(cv.values.dtype), False)
-                )
-        for v in var_names:
-            fields.append(
-                T.StructField(v, _np_to_spark_type(np.dtype(tmpl.var_meta[v][1])), True)
-            )
-        schema = T.StructType(fields)
-
-        import pyarrow as pa
+        schema = table_schema(tmpl, dims)
 
         names = [f.name for f in schema.fields]
         pa_types = [_spark_to_arrow_type(f.dataType) for f in schema.fields]
@@ -684,39 +669,12 @@ class Dataset:
         def explode(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
             for rb in batches:
                 for payload in rb.column("payload"):
-                    ds = decode_chunk(payload.as_py())
-                    out: dict[str, np.ndarray] = {}
-                    sizes = ds.sizes
-                    dshape = [sizes[d] for d in dims]
-                    grids = np.meshgrid(
-                        *[
-                            ds.coords[d].values if d in ds.coords else np.arange(sizes[d])
-                            for d in dims
-                        ],
-                        indexing="ij",
+                    out = explode_chunk_batch(
+                        decode_chunk(payload.as_py()),
+                        dims, var_names, dropna, names, pa_types,
                     )
-                    for d, g in zip(dims, grids):
-                        out[d] = g.ravel()
-                    mask = None
-                    for v in var_names:
-                        var = ds.data_vars[v]
-                        arr = var.values
-                        if var.dims != tuple(dims):
-                            arr = var.transpose(tuple(dims)).values  # type: ignore[arg-type]
-                        arr = np.broadcast_to(arr, dshape).ravel()
-                        out[v] = arr
-                        if dropna and arr.dtype.kind == "f":
-                            m = ~np.isnan(arr)
-                            mask = m if mask is None else (mask | m)
-                    if dropna and mask is not None:
-                        if not mask.any():
-                            continue
-                        out = {k: a[mask] for k, a in out.items()}
-                    cols = [
-                        pa.array(np.ascontiguousarray(out[n]), type=t)
-                        for n, t in zip(names, pa_types)
-                    ]
-                    yield pa.RecordBatch.from_arrays(cols, names)
+                    if out is not None:
+                        yield out
 
         return self.df.mapInArrow(explode, schema)
 
@@ -3864,6 +3822,71 @@ def _np_to_spark_type(dt: np.dtype) -> T.DataType:
     if kind in "US":
         return T.StringType()
     raise TypeError(f"unsupported dtype {dt}")
+
+
+def table_schema(tmpl: Template, dims: Sequence[str]) -> T.StructType:
+    """Long-format schema for :meth:`Dataset.to_table`: one column per
+    dim coordinate plus one nullable column per variable."""
+    fields: list[T.StructField] = []
+    for d in dims:
+        cv = tmpl.coords.get(d)
+        if cv is None:
+            fields.append(T.StructField(d, T.LongType(), False))
+        else:
+            fields.append(
+                T.StructField(d, _np_to_spark_type(cv.values.dtype), False)
+            )
+    for v in tmpl.var_names:
+        fields.append(
+            T.StructField(v, _np_to_spark_type(np.dtype(tmpl.var_meta[v][1])), True)
+        )
+    return T.StructType(fields)
+
+
+def explode_chunk_batch(
+    ds: NDDataset,
+    dims: Sequence[str],
+    var_names: Sequence[str],
+    dropna: bool,
+    names: Sequence[str],
+    pa_types: Sequence[Any],
+):
+    """One decoded chunk → one long-format RecordBatch, or ``None`` when
+    ``dropna`` leaves no rows. Shared by :meth:`Dataset.to_table` and the
+    fused single-stage file readers (``sources.netcdf3.read_table``) so
+    both legs explode cells with bit-identical semantics."""
+    out: dict[str, np.ndarray] = {}
+    sizes = ds.sizes
+    dshape = [sizes[d] for d in dims]
+    grids = np.meshgrid(
+        *[
+            ds.coords[d].values if d in ds.coords else np.arange(sizes[d])
+            for d in dims
+        ],
+        indexing="ij",
+    )
+    for d, g in zip(dims, grids):
+        out[d] = g.ravel()
+    mask = None
+    for v in var_names:
+        var = ds.data_vars[v]
+        arr = var.values
+        if var.dims != tuple(dims):
+            arr = var.transpose(tuple(dims)).values  # type: ignore[arg-type]
+        arr = np.broadcast_to(arr, dshape).ravel()
+        out[v] = arr
+        if dropna and arr.dtype.kind == "f":
+            m = ~np.isnan(arr)
+            mask = m if mask is None else (mask | m)
+    if dropna and mask is not None:
+        if not mask.any():
+            return None
+        out = {k: a[mask] for k, a in out.items()}
+    cols = [
+        pa.array(np.ascontiguousarray(out[n]), type=t)
+        for n, t in zip(names, pa_types)
+    ]
+    return pa.RecordBatch.from_arrays(cols, list(names))
 
 
 def _dummy_chunk(template: Template, chunks: Mapping[str, int]) -> NDDataset:

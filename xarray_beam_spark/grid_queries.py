@@ -560,8 +560,9 @@ def xb_netcdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "nc",
         lambda p: netcdf3.to_netcdf_files(d, p),
     )
-    back = netcdf3.from_netcdf_files(spark, path)
-    return back.to_table(dropna=True)
+    # fused single-stage read (result-identical to
+    # from_netcdf_files(...).to_table(dropna=True); see read_table)
+    return netcdf3.read_table(spark, path, dropna=True)
 
 
 @_register("xb_grid_split_consolidate", _CELLS_SQL)
