@@ -553,15 +553,20 @@ class TestDistributedHttpV3:
 
 class TestStagedSetup:
     def test_staged_setup_beats_direct_puts(self, monkeypatch, tmp_path):
-        """With 5 ms per put, staging the skeleton locally and pushing it
+        """With 20 ms per put, staging the skeleton locally and pushing it
         128-wide must beat direct (serial) puts by well over 2x on a
-        many-variable template (reference zarr.py:462-513)."""
+        many-variable template (reference zarr.py:462-513).
+
+        20 ms (not 5) so the direct leg's serial floor (~30 puts ≈ 0.6 s)
+        dominates thread-pool spin-up noise on a loaded host: at 5 ms the
+        staged leg's ~0.1-0.2 s overhead under co-tenancy bursts reached
+        parity with the 0.15 s direct floor and the ratio flaked (r15)."""
         from xarray_beam_spark.dataset import Template
         from xarray_beam_spark.ndarray_ds import Variable
         from xarray_beam_spark.sources import zarr_io
 
         slow_root = str(tmp_path / "remote")
-        slow = _SlowStore(stores.FsStore(), delay=0.0, delay_put=0.005)
+        slow = _SlowStore(stores.FsStore(), delay=0.0, delay_put=0.02)
         real_resolve = stores.resolve
 
         def patched(p):

@@ -36,8 +36,14 @@ from dataclasses import dataclass, field
 from typing import Any, Callable, Iterable, Iterator, Mapping, Sequence
 
 import numpy as np
-import pandas as pd
-import pyarrow as pa
+
+from xarray_beam_spark._lazy import LazyModule
+
+# Deferred to first use: executor workers fork with numpy warm but
+# pandas/pyarrow cold, and many tasks (and every driver-side tool that
+# imports the package) never touch either (see _lazy.py).
+pd = LazyModule("pandas", globals(), "pd")
+pa = LazyModule("pyarrow", globals(), "pa")
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -677,6 +683,23 @@ class Dataset:
                         yield out
 
         return self.df.mapInArrow(explode, schema)
+
+    # Zarr IO lives in sources/zarr_io.py, which REPLACES these two
+    # delegators with the real functions when it is imported (keeping
+    # that module the single home of the write/read logic). The
+    # delegators exist because the package __init__ re-exports lazily
+    # (PEP 562, see _lazy.py): code that imported only this module must
+    # still find to_zarr/from_zarr on the class.
+    def to_zarr(self, *args, **kwargs):
+        from xarray_beam_spark.sources import zarr_io
+
+        return zarr_io.to_zarr(self, *args, **kwargs)
+
+    @staticmethod
+    def from_zarr(*args, **kwargs):
+        from xarray_beam_spark.sources import zarr_io
+
+        return zarr_io.from_zarr(*args, **kwargs)
 
     def collect(self) -> NDDataset:
         """Assemble the full dataset on the driver (reference

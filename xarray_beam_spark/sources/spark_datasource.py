@@ -30,10 +30,15 @@ from __future__ import annotations
 
 import json
 import math
+
 from typing import Iterator, Sequence
 
 import numpy as np
-import pandas as pd
+
+from xarray_beam_spark._lazy import LazyModule
+
+# deferred to first use (see _lazy.py)
+pd = LazyModule("pandas", globals(), "pd")
 
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
@@ -53,7 +58,13 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-from xarray_beam_spark.sources import iothread, zarr_io, zarrlite
+# Deferred (see _lazy.py): the pickled reader/writer state is numpy
+# coords + zarrlite.ZArray metadata, so a worker that only plans or
+# prunes never needs the zarr_io → dataset import chain; read/write
+# tasks import it on first use.
+iothread = LazyModule("xarray_beam_spark.sources.iothread", globals(), "iothread")
+zarr_io = LazyModule("xarray_beam_spark.sources.zarr_io", globals(), "zarr_io")
+zarrlite = LazyModule("xarray_beam_spark.sources.zarrlite", globals(), "zarrlite")
 
 
 def _np_to_spark(dt: np.dtype) -> T.DataType:

@@ -26,7 +26,11 @@ from dataclasses import dataclass
 from typing import Iterator, Mapping, Sequence
 
 import numpy as np
-import pandas as pd
+
+from xarray_beam_spark._lazy import LazyModule
+
+# deferred to first use (see _lazy.py)
+pd = LazyModule("pandas", globals(), "pd")
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
