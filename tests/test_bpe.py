@@ -66,6 +66,26 @@ def test_trainer_deterministic_rerun(spark):
     assert bpe.bpe_train(d, n_merges=6) == bpe.bpe_train(d, n_merges=6)
 
 
+def test_distributed_trainer_matches_driver(spark, monkeypatch):
+    """The small-vocabulary driver path and the distributed per-round
+    argmax loop must learn the identical merge list (same pair counts,
+    same tie-breaks, same early stop) — the r15 driver-path equivalence
+    pin, mirroring the _cc_driver parity test."""
+    d = _docs(spark, TEXTS)
+    via_driver = bpe.bpe_train(d, n_merges=12)  # default: driver path
+    monkeypatch.setattr(bpe, "_DRIVER_VOCAB_THRESHOLD", 0)
+    via_distributed = bpe.bpe_train(d, n_merges=12)
+    assert via_driver == via_distributed == _ref_bpe(TEXTS, 12)
+    # boundary: a threshold EQUAL to the vocabulary size still takes the
+    # driver path (limit(threshold+1) returned no extra row)
+    vocab = len({w for t in TEXTS for w in re.findall(r"[a-z]+", t.lower())})
+    monkeypatch.setattr(bpe, "_DRIVER_VOCAB_THRESHOLD", vocab)
+    assert bpe.bpe_train(d, n_merges=12) == via_driver
+    # one below: distributed
+    monkeypatch.setattr(bpe, "_DRIVER_VOCAB_THRESHOLD", vocab - 1)
+    assert bpe.bpe_train(d, n_merges=12) == via_driver
+
+
 def test_encode_roundtrips_characters(spark):
     """Concatenated subwords (marker stripped) reproduce the original
     letter stream — merges never lose or reorder characters."""

@@ -139,6 +139,9 @@ class TestBpeCheckpointCadence:
         from xarray_beam_spark.tables import load
 
         docs = load(spark, sf_dir, "documents").limit(40)
+        # force the distributed loop (cadence is a distributed-path
+        # property; the driver path has no checkpoints)
+        monkeypatch.setattr(bpe, "_DRIVER_VOCAB_THRESHOLD", 0)
         merges_chained = bpe.bpe_train(docs, n_merges=5)
         # checkpoint EVERY round — the pre-r15 physical shape
         monkeypatch.setattr(bpe, "_TRAIN_CHECKPOINT_EVERY", 1)
@@ -151,6 +154,7 @@ class TestBpeCheckpointCadence:
         from xarray_beam_spark.tables import load
 
         docs = load(spark, sf_dir, "documents").limit(25)
+        monkeypatch.setattr(bpe, "_DRIVER_VOCAB_THRESHOLD", 0)
         monkeypatch.setattr(bpe, "_TRAIN_CHECKPOINT_EVERY", 2)
         crossing = bpe.bpe_train(docs, n_merges=5)  # re-checkpoints twice
         baseline = bpe.bpe_train(docs, n_merges=5)

@@ -88,16 +88,82 @@ def _merge_pair(symbols: Column, left: str, right: str) -> Column:
     return F.aggregate(symbols, F.array().cast("array<string>"), step)
 
 
+# Vocabularies at or below this many distinct words train on the driver
+# (one bounded collect job) instead of one distributed argmax job per
+# merge round. Rationale mirrors dedup._cc_driver: the trainer's input
+# after the word_frequencies reduction is VOCABULARY-sized — bounded by
+# the language, not the corpus — and scheduling a Spark job per round
+# costs ~100x more wall time than the merge arithmetic itself at this
+# size. 100k words x ~10 avg symbols is ~1M driver cells (few tens of
+# MB), far under any driver heap; corpora whose letter-run vocabulary
+# exceeds it (web-scale typo/rare-string tails) take the unchanged
+# distributed loop below, decided by the same bounded limit(+1) probe
+# _cc_driver uses.
+_DRIVER_VOCAB_THRESHOLD = 100_000
+
+
+def _train_driver(
+    rows: list, n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Greedy BPE over a driver-resident ``(word, cnt)`` table — the
+    EXACT semantics of the distributed loop, proven term by term:
+    pair counts sum adjacent-occurrence multiplicity (the ``zip_with``
+    of the two array slices counts overlaps: [a,a,a] contributes (a,a)
+    twice), the argmax tie-breaks (n desc, l asc, r asc) — Python tuple
+    order equals Spark's UTF8String binary order because every symbol
+    is drawn from ``[a-z]``+``</w>`` (pure ASCII), the merge fold is
+    leftmost-first (``out[-1]`` just set to ``l+r`` can never re-match
+    as ``l`` since ``r`` is non-empty — same argument as
+    ``_merge_pair``), and training stops BEFORE appending when the best
+    count drops under 2. Pinned against the distributed path by
+    tests/test_bpe.py::test_distributed_trainer_matches_driver and the
+    gate oracle."""
+    syms = [(list(w) + [END], int(c)) for w, c in rows]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for s, c in syms:
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        (l, r), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merges.append((l, r, n))
+        lr = l + r
+        for idx, (s, c) in enumerate(syms):
+            out: list[str] = []
+            for sym in s:
+                if out and out[-1] == l and sym == r:
+                    out[-1] = lr
+                else:
+                    out.append(sym)
+            syms[idx] = (out, c)
+    return merges
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 10,
     text_col: str = "text",
 ) -> list[tuple[str, str, int]]:
     """Learn the BPE merge list: ``[(left, right, pair_count), ...]`` in
-    merge order. Driver state is one scalar row per round; the word
-    table stays distributed throughout."""
+    merge order. The corpus-sized work is the word_frequencies
+    reduction; the merge loop runs on the driver when the vocabulary
+    fits ``_DRIVER_VOCAB_THRESHOLD`` (ONE bounded job for the whole
+    training run instead of one argmax job per round), and otherwise
+    stays fully distributed with one scalar row of driver state per
+    round."""
     spark = docs.sparkSession
     words = word_frequencies(docs, text_col)
+    # ONE bounded job decides the path AND feeds the driver trainer
+    # (the _cc_driver pattern): limit(threshold+1) collects at most
+    # threshold+1 rows — if no more came back, that IS the vocabulary.
+    probe = words.limit(_DRIVER_VOCAB_THRESHOLD + 1).collect()
+    if len(probe) <= _DRIVER_VOCAB_THRESHOLD:
+        return _train_driver([(r["word"], r["cnt"]) for r in probe], n_merges)
     syms = words.select(
         F.concat(
             F.split(F.col("word"), ""),  # single characters
