@@ -261,7 +261,13 @@ def minhash_lsh_pairs(
     # aggregation ~4x cheaper: each of the 64 hash functions hashes the
     # 8-byte fingerprint instead of re-scanning the shingle string, and
     # the exploded rows / persisted arrays ship longs, not strings.
-    shingles = docs.select(
+    # Fan out a narrow scan before the shingle transform: the split +
+    # zip_with shingling and the persisted frame's partitioning (which the
+    # signature aggregation's map side inherits) must not serialize on one
+    # core because the gate corpus is a single parquet split. No-op on a
+    # many-file corpus, and the helper bails on composed inputs (e.g. the
+    # e2e funnel's parsed-WARC frame) — see fan_out_narrow_scan.
+    shingles = fan_out_narrow_scan(docs).select(
         F.col(id_col),
         F.transform(
             word_shingles(F.col(text_col), shingle_n), lambda x: F.xxhash64(x)
