@@ -196,7 +196,8 @@ FROM documents
 
 @_register("text_quality_stats", _STATS_ORACLE)
 def text_quality_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # heavy per-row text work must not serialize on a single-split scan
+    docs = _fan_out_narrow_scan(load(spark, sf_dir, "documents"))
     feats = quality_features(F.col("text"))
     return docs.select("doc_id", *[feats[k].alias(k) for k in
                                    ["n_chars", "n_tokens", "n_stopwords", "n_punct",
@@ -212,7 +213,8 @@ FROM documents
 
 @_register("text_langid", _LANGID_ORACLE)
 def text_langid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # heavy per-row text work must not serialize on a single-split scan
+    docs = _fan_out_narrow_scan(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         detect_language(F.col("text")).alias("detected"),
@@ -231,7 +233,8 @@ GROUP BY 1, 2
 
 @_register("text_lang_rollup", _LANG_AGG_ORACLE)
 def text_lang_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # heavy per-row text work must not serialize on a single-split scan
+    docs = _fan_out_narrow_scan(load(spark, sf_dir, "documents"))
     return (
         docs.select(detect_language(F.col("text")).alias("detected"), "source", "text")
         .groupBy("detected", "source")
@@ -365,7 +368,8 @@ FROM w LEFT JOIN m USING (doc_id)
 
 @_register("text_repetition_signals", _REPETITION_ORACLE)
 def text_repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # heavy per-row text work must not serialize on a single-split scan
+    docs = _fan_out_narrow_scan(load(spark, sf_dir, "documents"))
     sig = repetition_signals(F.col("text"))
     return docs.select(
         "doc_id",
@@ -842,7 +846,8 @@ def text_c4_sentence_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     via md5 fingerprint plus the removal audit. Window 2 (not the
     paper's 3) because the gate corpus averages ~2.7 derived sentences
     per doc; the operator default stays 3."""
-    docs = load(spark, sf_dir, "documents")
+    # heavy per-row text work must not serialize on a single-split scan
+    docs = _fan_out_narrow_scan(load(spark, sf_dir, "documents"))
     derived = docs.select(
         "doc_id",
         F.replace(  # plain replace-all, identical scan semantics to the
@@ -1108,7 +1113,8 @@ FROM aug
 
 @_register("text_scrub_pii", _PII_ORACLE)
 def text_scrub_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # heavy per-row text work must not serialize on a single-split scan
+    docs = _fan_out_narrow_scan(load(spark, sf_dir, "documents"))
     aug = F.concat(
         F.col("text"),
         F.lit(" user"), F.col("doc_id").cast("string"),
@@ -1643,7 +1649,8 @@ def text_gopher_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full published Gopher ruleset per document, signals + verdict,
     hash-exact against the SQL replay (all ratios are exact integer
     counts with one final division)."""
-    docs = load(spark, sf_dir, "documents")
+    # heavy per-row text work must not serialize on a single-split scan
+    docs = _fan_out_narrow_scan(load(spark, sf_dir, "documents"))
     return gopher_quality_filter(docs).select(
         "doc_id", "n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
         "ellipsis_frac", "alpha_word_frac", "n_stop_kinds", "keep",
@@ -1773,7 +1780,8 @@ def text_html_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     in deterministic fixture markup (script/style/comment/doctype
     content to drop, block structure to keep, entity traps) and both
     engines run the identical portable regexp chain."""
-    docs = load(spark, sf_dir, "documents")
+    # heavy per-row text work must not serialize on a single-split scan
+    docs = _fan_out_narrow_scan(load(spark, sf_dir, "documents"))
     html = F.concat(
         F.lit(
             '<!DOCTYPE html><html><head><title>t</title>'

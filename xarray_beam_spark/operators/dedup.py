@@ -1029,7 +1029,10 @@ def _variant_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None:
         return hit
     corpus = _variant_corpus(spark, sf_dir)
-    sh = corpus.select(
+    # the 3-leg union of single-split scans materializes 3 partitions —
+    # fan out so the shingling and the jaccard self-join don't serialize
+    # on 3 cores (no-op on a many-file corpus; measured 1.63 -> 1.24 s)
+    sh = fan_out_narrow_scan(corpus).select(
         "doc_id", word_shingles(F.col("text"), 3).alias("s")
     ).persist()
     a, b = sh.alias("a"), sh.alias("b")
