@@ -202,3 +202,77 @@ class TestClusterLimitProbe:
         drv = duplicate_clusters(pairs, driver_edge_threshold=100)
         dist = duplicate_clusters(pairs, driver_edge_threshold=0)
         assert _rows(drv) == _rows(dist)
+
+
+class TestContinuation2FanOutAndSingleEval:
+    """Pins for the second continuation pass: LSH shingle fan-out, the
+    MapInArrow bail-out alias, clean_corpus's single langid evaluation,
+    and decontaminate's filterless corpus side."""
+
+    def test_lsh_shingle_frame_fans_out_on_narrow_scan(self, spark, sf_dir):
+        # the persisted shingle fingerprint table must inherit cluster
+        # width, not the single-split gate scan, or the signature
+        # aggregation's map side serializes on one core
+        from xarray_beam_spark.operators import dedup
+        from xarray_beam_spark.tables import load
+
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        try:
+            pairs = dedup.minhash_lsh_pairs(docs)
+            shingles = dedup._EPHEMERAL_PERSISTS[-2]  # [shingles, sig]
+            target = spark.sparkContext.defaultParallelism
+            assert shingles.rdd.getNumPartitions() >= min(
+                target, docs.rdd.getNumPartitions() + 1
+            )
+            pairs.count()  # plan stays executable end to end
+        finally:
+            dedup.reset_ephemeral_caches()
+
+    def test_fan_out_bails_on_map_in_arrow_frame(self, spark):
+        # the e2e funnel's parsed frame: LogicalRDD + MapInArrow — the
+        # helper must return it untouched (no probe, no repartition)
+        import pyarrow as pa
+        from xarray_beam_spark.tables import fan_out_narrow_scan
+
+        def ident(it):
+            yield from it
+
+        base = spark.range(0, 10, 1, 1)
+        mapped = base.mapInArrow(ident, "id long")
+        assert fan_out_narrow_scan(mapped) is mapped
+
+    def test_clean_corpus_plan_evaluates_langid_once(self, spark, sf_dir):
+        # detected != 'und' must read the aggregated struct field, not
+        # push the ~45-expression langid chain into the scan filter; the
+        # physical plan then carries exactly ONE copy of the chain
+        from xarray_beam_spark.functions.text import detect_language
+        from xarray_beam_spark.operators.corpus import clean_corpus
+        from xarray_beam_spark.tables import load
+
+        docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        # calibrate: how many replace( calls one langid evaluation carries
+        bare = docs.select(detect_language(F.col("text")).alias("d"))
+        one = bare._jdf.queryExecution().explainString(mode).count("replace(")
+        assert one > 0
+        plan = clean_corpus(docs)._jdf.queryExecution().explainString(mode)
+        assert plan.count("replace(") == one, (plan.count("replace("), one)
+
+    def test_decontaminate_short_docs_never_match(self, spark):
+        # the corpus side carries no size filter; a sub-n-token doc's
+        # single short gram must join against nothing
+        from xarray_beam_spark.operators.corpus import decontaminate
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "alpha beta gamma delta alpha beta gamma")],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(9, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        out = {tuple(r) for r in decontaminate(docs, bench, n=4).collect()}
+        # doc 2 shares the 4-gram; doc 1 (2 tokens) must not appear even
+        # though its short gram 'alpha beta' is a substring of the bench
+        assert out == {(2, 1)}

@@ -107,6 +107,9 @@ def fan_out_narrow_scan(df: DataFrame) -> DataFrame:
         "Join", "Aggregate", "Window", "Distinct", "Deduplicate",
         "Repartition", "RepartitionByExpression", "Sort", "GlobalLimit",
         "FlatMapGroupsInPandas", "MapInPandas", "PythonMapInArrow",
+        # analyzed-plan spelling in Spark 4 (PythonMapInArrow is the
+        # execution-side name; the logical node prints as MapInArrow)
+        "MapInArrow",
     }:
         return df
     if df.rdd.getNumPartitions() < target:
