@@ -71,6 +71,28 @@ def tune_session(spark: SparkSession) -> None:
         pass
 
 
+def _build_pyfiles_zip(pkg_dir: str, zdir: str) -> str:
+    """Zip the package (plus the repo-root ``sitecustomize.py`` worker
+    patch, shipped top-level so a deployment that puts this zip on
+    executor PYTHONPATH gets the zipimport guard in every worker/daemon
+    process — see sitecustomize.py's docstring)."""
+    zpath = os.path.join(zdir, "xarray_beam_spark.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fname in files:
+                if not fname.endswith(".py"):
+                    continue
+                full = os.path.join(root, fname)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                zf.write(full, rel)
+        site_patch = os.path.join(os.path.dirname(pkg_dir), "sitecustomize.py")
+        if os.path.exists(site_patch):
+            zf.write(site_patch, "sitecustomize.py")
+    return zpath
+
+
 def ensure_shipped(spark: SparkSession) -> None:
     tune_session(spark)
     sc = spark.sparkContext
@@ -85,17 +107,7 @@ def ensure_shipped(spark: SparkSession) -> None:
     import shutil
 
     atexit.register(shutil.rmtree, zdir, ignore_errors=True)
-    zpath = os.path.join(zdir, "xarray_beam_spark.zip")
-    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, _dirs, files in os.walk(pkg_dir):
-            if "__pycache__" in root:
-                continue
-            for fname in files:
-                if not fname.endswith(".py"):
-                    continue
-                full = os.path.join(root, fname)
-                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                zf.write(full, rel)
+    zpath = _build_pyfiles_zip(pkg_dir, zdir)
     sc.addPyFile(zpath)
     # addPyFile covers EXECUTOR workers (python includes are fetched into
     # each worker's files dir), but Spark also spawns DRIVER-side Python
