@@ -84,16 +84,32 @@ def minhash_table(
     exploded = fan_out_narrow_scan(docs).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
     )
-    aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"mh{i}") for i in range(n_hashes)]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return exploded.groupBy(id_col).agg(*_minhash_aggs(n_hashes))
+
+
+def _minhash_aggs(n_hashes: int, col: str = "sh") -> list[Column]:
+    """The 64 per-doc min-hash aggregates, built as ONE parsed SQL string
+    per aggregate instead of nested Column calls: each ``F.xxhash64(col,
+    F.lit(i))`` costs ~7 py4j round trips, so the 64-aggregate list alone
+    was ~0.4 s of driver latency per query construction (measured r16;
+    guide §1.2 — the fix is fewer driver↔JVM hops, the parsed expressions
+    are identical)."""
+    return [F.expr(f"min(xxhash64({col}, {i})) AS mh{i}") for i in range(n_hashes)]
 
 
 def band_hash_cols(n_bands: int, rows_per_band: int) -> list[Column]:
-    """LSH band hashes from ``mh*`` signature columns."""
+    """LSH band hashes from ``mh*`` signature columns (parsed SQL strings
+    for the same py4j-latency reason as ``_minhash_aggs``)."""
     return [
-        F.xxhash64(
-            F.lit(b), *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias(f"band{b}")
+        F.expr(
+            "xxhash64({}) AS band{}".format(
+                ", ".join(
+                    [str(b)]
+                    + [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+                ),
+                b,
+            )
+        )
         for b in range(n_bands)
     ]
 
@@ -127,19 +143,26 @@ def simhash_table(
     exploded = fan_out_narrow_scan(df).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
     ).withColumn("h", hf(F.col("sh")))
+    # parsed SQL strings: the 64 bit-sum aggregates and the 64-term
+    # fingerprint fold each cost hundreds of py4j round trips as nested
+    # Column calls (see _minhash_aggs) — the parsed expressions are
+    # identical
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), pos).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{pos}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {pos}) & 1) = 1 THEN 1 ELSE -1 END)"
+            f" AS b{pos}"
+        )
         for pos in range(bits)
     ]
     agg = exploded.groupBy(id_col).agg(*bit_sums)
-    fp = F.lit(0).cast("long")
-    for pos in range(bits):
-        fp = fp + F.when(F.col(f"b{pos}") > 0, F.shiftleft(F.lit(1).cast("long"), pos)).otherwise(
-            F.lit(0).cast("long")
-        )
-    return agg.select(F.col(id_col), fp.alias("simhash"))
+    fp_terms = " + ".join(
+        f"(CASE WHEN b{pos} > 0 THEN shiftleft(CAST(1 AS BIGINT), {pos})"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for pos in range(bits)
+    )
+    return agg.select(
+        F.col(id_col), F.expr(f"CAST(0 AS BIGINT) + {fp_terms}").alias("simhash")
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -275,7 +298,7 @@ def minhash_lsh_pairs(
     ).persist()
     _EPHEMERAL_PERSISTS.append(shingles)
     exploded = shingles.select(F.col(id_col), F.explode("shingles").alias("sh"))
-    aggs = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"mh{i}") for i in range(n_hashes)]
+    aggs = _minhash_aggs(n_hashes)
     # the signature table feeds BOTH sides of the band self-join, and
     # exchange reuse does not materialize across the two aliased
     # branches — persist it (64 longs per doc, far smaller than the
