@@ -1090,6 +1090,12 @@ def reset_ephemeral_caches() -> None:
             _EPHEMERAL_PERSISTS.pop().unpersist()
         except Exception:
             pass  # session already stopped
+    # the span-excision engine registers its window-table persists in its
+    # own module; chain its reset here so the bench's existing per-run
+    # reset covers it without a harness change
+    from xarray_beam_spark.functions import text as _text
+
+    _text.reset_ephemeral_caches()
 
 
 @_register("dedup_duplicate_clusters", _CLUSTERS_ORACLE)
