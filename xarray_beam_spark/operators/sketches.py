@@ -332,6 +332,17 @@ def corpus_bloom_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("__xbs_toks") >= 4)
         .select("doc_id", F.explode(g_expr).alias("g"))
     )
+    # the gram table feeds TWO consumers — the benchmark-slice Bloom build
+    # (whose bitmask collect runs eagerly below) and the corpus probe side
+    # — and without a persist each one re-runs the scan + tokenize +
+    # explode from scratch (no exchange to reuse: both legs are narrow).
+    # (doc_id, gram) rows are the natural checkpoint of this pipeline;
+    # registered for the bench's per-run ephemeral reset like the dedup
+    # shingle tables (r16, guide §2.4/§5: reuse beats recompute here)
+    from xarray_beam_spark.operators.dedup import _EPHEMERAL_PERSISTS
+
+    grams = grams.persist()
+    _EPHEMERAL_PERSISTS.append(grams)
     bench = grams.where(F.col("doc_id") % 23 == 0).select("g").distinct()
     corpus = grams.where(F.col("doc_id") % 23 != 0).select("doc_id", "g")
     bloom = bloom_build(bench, "g", _BLOOM_BITS, _BLOOM_K)

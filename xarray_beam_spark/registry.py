@@ -363,6 +363,34 @@ _LAST_CERTIFIED_ROUND: dict[str, int] = {
         "xb_grid_sum_hour", "xb_grid_tail", "xb_zarr_roundtrip",
         "xb_zarr_v3_sharded_roundtrip",
     ], 14),
+    # round 15 (freshest; from CORRECTNESS_r15.json — all 50 green,
+    # overrides earlier tiers). The r16 sweep therefore leads with the
+    # remaining r11-stale keys followed by the r12 tier.
+    **dict.fromkeys([
+        "ann_brute_force_topk", "ann_ivf_trained_topk",
+        "corpus_bloom_decontaminate", "corpus_bpe_merges",
+        "corpus_epoch_shuffle", "corpus_quality_classifier",
+        "corpus_tfrecord_roundtrip", "corpus_warc_responses",
+        "dedup_incremental_new_docs", "dedup_semantic",
+        "embedding_neardup_pairs", "events_cms_heavy_hitters",
+        "events_daily_rollup", "events_hll_user_cardinality",
+        "events_running_totals", "multimodal_audio_features",
+        "multimodal_features", "multimodal_jpeg_features",
+        "multimodal_jpeg_progressive_features", "multimodal_meta_rollup",
+        "multimodal_wds_roundtrip", "q10_returned_items",
+        "q3_shipping_priority", "q4_order_priority",
+        "q5_local_supplier_volume", "q6_revenue_change",
+        "stream_dedup_events", "stream_enriched_counts",
+        "stream_hourly_counts", "stream_interval_join",
+        "stream_stateful_user_stats", "stream_user_sessions",
+        "stream_zarr_append", "stream_zarr_tail", "text_gopher_filter",
+        "text_remove_dup_spans", "topk_parts_by_revenue",
+        "xb_chunkfiles_roundtrip", "xb_grid_coarsen", "xb_grid_getitem",
+        "xb_grid_resample_week", "xb_grid_transpose", "xb_grid_where",
+        "xb_grid_zip_ratio", "xb_map_blocks_affine", "xb_sql_on_zarr",
+        "xb_zarr_append_roundtrip", "xb_zarr_blosc_roundtrip",
+        "xb_zarr_cf_packed_roundtrip", "xb_zarr_delta_filter_roundtrip",
+    ], 15),
 }
 
 
