@@ -48,6 +48,12 @@ QUERIES = [
     # factor-k corpus; run 2's min reads through the build like every
     # other fixture.
     "corpus_e2e_train_pipeline",
+    # r16 (VERDICT item 6): four more families whose scale behavior the
+    # bench can no longer distinguish at sf0.1
+    "corpus_bloom_decontaminate",
+    "corpus_clean_pipeline",
+    "q9_nation_profit",
+    "stream_zarr_append",
 ]
 
 
@@ -131,6 +137,13 @@ def main() -> None:
     root = tempfile.mkdtemp(prefix="xbs_scale_")
     load0 = [round(x, 2) for x in os.getloadavg()]
     timings: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    # output rows per (query, factor): r16 addition — the r15 sweep's one
+    # "superlinear" curve (passjoin 0.77) turned out to be quadratic OUTPUT
+    # growth (the suffix-token copies leave its 24-char-prefix corpus
+    # exactly duplicated, so true pairs grow ~factor² — measured 6 114 →
+    # 1 061 400 rows from 1× to 10×), not engine skew. Recording rows next
+    # to seconds keeps that distinction in the artifact.
+    out_rows: dict[str, dict[int, int]] = {q: {} for q in QUERIES}
     try:
         for factor in factors:
             sf_dir = scaled_dir(spark, factor, root)
@@ -163,6 +176,14 @@ def main() -> None:
                         timings[q][factor] = -1.0
                     else:
                         timings[q][factor] = t if prev is None else min(prev, t)
+                    if r == args.runs - 1 and timings[q][factor] >= 0:
+                        # output size for the curve record (untimed; after
+                        # the timed runs so the count's fixture warmth
+                        # cannot flatter the noop timing)
+                        try:
+                            out_rows[q][factor] = qs[q](spark, sf_dir).count()
+                        except Exception:  # noqa: BLE001
+                            out_rows[q][factor] = -1
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -191,6 +212,7 @@ def main() -> None:
                     if hi != lo and timings[q][lo] > 0 and timings[q][hi] > 0
                     else None
                 ),
+                "output_rows": {str(f): n for f, n in out_rows[q].items()},
             }
             for q in QUERIES
         },
