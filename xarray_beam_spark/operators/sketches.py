@@ -343,7 +343,12 @@ def corpus_bloom_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     grams = grams.persist()
     _EPHEMERAL_PERSISTS.append(grams)
-    bench = grams.where(F.col("doc_id") % 23 == 0).select("g").distinct()
+    # no gram-level distinct: bloom_build's bit-level distinct yields the
+    # identical bit set (duplicated grams set the same bits), and the
+    # map-side partial distinct bounds each partition's exchange at
+    # m_bits rows — one full exchange fewer (r16 A/B: 3/3 pairs faster,
+    # bit sets verified equal)
+    bench = grams.where(F.col("doc_id") % 23 == 0).select("g")
     corpus = grams.where(F.col("doc_id") % 23 != 0).select("doc_id", "g")
     bloom = bloom_build(bench, "g", _BLOOM_BITS, _BLOOM_K)
     # membership as a shuffle-free projection (r8): the 16 Kbit mask is a
